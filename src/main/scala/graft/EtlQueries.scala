@@ -1,0 +1,108 @@
+package graft
+
+import graft.model._
+import graft.job.JobRunner
+import graft.operators.{ErrorPolicy, MappingOp}
+import org.apache.spark.sql.functions._
+
+/**
+ * ETL-parity queries: each exercises the real engine path
+ * (JobConfig -> Readers -> MappingOp -> ErrorPolicy) on the test
+ * tables, with a DuckDB oracle mirroring the semantics.
+ * These cover SURVEY.md §2.1 S4/S7, §2.3 P1-P7, §2.4 F1-F2, §2.6 E1.
+ */
+object EtlQueries {
+
+  /** The reference's sales job (jobconfigex.json) re-targeted at
+    * `orders` — FIXTURES.md §2. Runs through the full config path. */
+  private def salesConfig(dir: String) = JobConfig(
+    jobId = "orders-to-csv-01",
+    source = SourceConfig("PARQUET", ConnectionDetails(
+      path = Some(s"$dir/orders.parquet"),
+      filter = Some("o_orderstatus = 'F' AND o_totalprice >= 1000.0"))),
+    mappings = List(
+      FieldMapping("o_orderkey", "OrderID", "NUMBER", "LONG", isDestNullable = false),
+      FieldMapping("o_custkey", "CustomerID", "NUMBER", "INTEGER", isDestNullable = false),
+      FieldMapping("o_orderstatus", "Status", "VARCHAR2", "STRING"),
+      FieldMapping("o_totalprice", "Total", "NUMBER", "DECIMAL(18,2)"),
+      FieldMapping("o_orderdate", "OrderDate", "DATE", "TIMESTAMP", isDestNullable = false)
+    ),
+    errorHandling = ErrorHandling("LOG_ONLY")
+  )
+
+  val all: Seq[Q] = Seq(
+    Q("load_sales",
+      (s, dir) => {
+        val cfg = salesConfig(dir)
+        val (good, _) = ErrorPolicy.enforce(
+          JobRunner.buildDataFrame(s, cfg), cfg.mappings, cfg.errorHandling)
+        good.orderBy("OrderID")
+      },
+      Some("""SELECT o_orderkey AS OrderID, CAST(o_custkey AS INTEGER) AS CustomerID,
+             |o_orderstatus AS Status, CAST(o_totalprice AS DECIMAL(18,2)) AS Total,
+             |o_orderdate AS OrderDate FROM orders
+             |WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+             |ORDER BY OrderID""".stripMargin)),
+
+    Q("etl_cast_matrix",
+      (s, dir) => {
+        val mappings = List(
+          FieldMapping("l_orderkey", "OrderKey", "NUMBER", "LONG"),
+          FieldMapping("l_linenumber", "LineNo", "INTEGER", "SMALLINT"),
+          FieldMapping("l_quantity", "Qty", "NUMBER", "DECIMAL(18,2)"),
+          FieldMapping("l_extendedprice", "Price", "NUMBER", "DOUBLE"),
+          FieldMapping("l_shipdate", "ShipDate", "DATE", "DATE"),
+          FieldMapping("l_shipdate", "ShipTs", "DATE", "TIMESTAMP"),
+          FieldMapping("l_returnflag", "Returned", "VARCHAR2", "BOOLEAN"),
+          FieldMapping("l_linestatus", "StatusLower", "VARCHAR2", "STRING",
+            transformationRule = Some("LOWERCASE"))
+        )
+        MappingOp(Tables.t(s, dir, "lineitem"), mappings)
+          .orderBy("OrderKey", "LineNo")
+      },
+      Some("""SELECT l_orderkey AS OrderKey, CAST(l_linenumber AS SMALLINT) AS LineNo,
+             |CAST(l_quantity AS DECIMAL(18,2)) AS Qty,
+             |CAST(l_extendedprice AS DOUBLE) AS Price,
+             |CAST(l_shipdate AS DATE) AS ShipDate,
+             |l_shipdate AS ShipTs,
+             |CASE WHEN lower(trim(l_returnflag)) IN ('true','1','y','yes','t') THEN TRUE
+             |     WHEN lower(trim(l_returnflag)) IN ('false','0','n','no','f') THEN FALSE
+             |     ELSE NULL END AS Returned,
+             |lower(l_linestatus) AS StatusLower
+             |FROM lineitem ORDER BY OrderKey, LineNo""".stripMargin)),
+
+    Q("etl_null_policy",
+      (s, dir) => {
+        // LOG_ONLY strategy: rows whose non-nullable column went null
+        // are dropped and counted (E1). Nulls injected via NULLIF.
+        val src = Tables.t(s, dir, "orders")
+          .withColumn("o_orderpriority", expr("nullif(o_orderpriority, '1-URGENT')"))
+        val mappings = List(
+          FieldMapping("o_orderkey", "id", "NUMBER", "LONG"),
+          FieldMapping("o_orderpriority", "prio", "VARCHAR2", "STRING", isDestNullable = false))
+        val (good, _) = ErrorPolicy.enforce(
+          MappingOp(src, mappings), mappings, ErrorHandling("LOG_ONLY"))
+        good.orderBy("id")
+      },
+      Some("""SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders
+             |WHERE NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+             |ORDER BY id""".stripMargin)),
+
+    Q("etl_transform_defaults",
+      (s, dir) => {
+        // P5 defaults + P6 transformation rules.
+        val src = Tables.t(s, dir, "customer")
+          .withColumn("c_mktsegment", expr("nullif(c_mktsegment, 'BUILDING')"))
+        val mappings = List(
+          FieldMapping("c_custkey", "id", "NUMBER", "LONG"),
+          FieldMapping("c_name", "name_up", "VARCHAR2", "STRING",
+            transformationRule = Some("UPPERCASE")),
+          FieldMapping("c_mktsegment", "segment", "VARCHAR2", "STRING",
+            defaultValue = Some("UNKNOWN")))
+        MappingOp(src, mappings).orderBy("id")
+      },
+      Some("""SELECT c_custkey AS id, upper(c_name) AS name_up,
+             |COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment
+             |FROM customer ORDER BY id""".stripMargin))
+  )
+}

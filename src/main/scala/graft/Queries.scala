@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: Spark implementation + optional DuckDB oracle
+  * SQL over the same parquet tables. Oracle is omitted only for ops
+  * whose semantics are not ANSI-SQL-expressible (LSH, streaming). */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Tables {
+  val all = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is a NANOS parquet timestamp, which Spark has no
+    * native type for — read it as long (legacy conf) and truncate to
+    * microseconds, matching what DuckDB's CAST(ts AS TIMESTAMP) does. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    // `div` = integer division: ns-epoch values exceed double's 53-bit
+    // mantissa, so `/` (true division) would corrupt the low digits.
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register every table as a temp view so queries can use spark.sql
+    * with the same text shape as the DuckDB oracle. */
+  def views(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+object Queries {
+  def registry: Seq[Q] =
+    EtlQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

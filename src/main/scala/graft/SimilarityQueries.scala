@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Embedding similarity operators over `embeddings`
+ * (SURVEY.md §2.8): brute-force cosine top-k as the correctness
+ * baseline, per-vector norms, and binary/multimodal column plumbing.
+ *
+ * All vector math is done in DOUBLE after an explicit element cast —
+ * float accumulation order would otherwise make Spark and the DuckDB
+ * oracle drift in the last ulp. `aggregate()` folds the array
+ * sequentially (deterministic), matching DuckDB's list functions.
+ *
+ * Scale posture: the probe side is a broadcast of one row — the
+ * cross join is map-side, no shuffle of the big side; top-k is a
+ * TakeOrdered (no global sort materialization). The LSH-bucketed ANN
+ * variant (graft.operators.Similarity) replaces the linear scan at
+ * 100 TB; this exact query doubles as its recall oracle.
+ */
+object SimilarityQueries {
+
+  /** dot(a, b) over array<double> columns, sequential fold. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  val all: Seq[Q] = Seq(
+
+    Q("sim_bruteforce_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("e").as("probe_e"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos_sim",
+            dot("e", "probe_e") / (sqrt(dot("e", "e")) * sqrt(dot("probe_e", "probe_e"))))
+          .select(col("vec_id"), col("label"), col("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("embed_norms",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        emb.select(col("vec_id"), col("label"),
+            size(col("e")).as("dim"),
+            sqrt(dot("e", "e")).as("l2_norm"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+             |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata.
+    //      The "decode" stage is a stub (no image/audio libs here);
+    //      the Spark-side schema/bytes handling is real. ----
+    Q("multimodal_meta",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")) // binary column
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("head_hex"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |hex(encode(substring(text, 1, 4))) AS head_hex
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

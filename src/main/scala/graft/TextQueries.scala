@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Training-data-pipeline text operators over `documents`
+ * (SURVEY.md §2.8): stats, quality scoring, language-ID heuristic,
+ * token frequencies, exact + similarity dedup.
+ *
+ * Scale posture: everything is expression-level (codegen'd, partition-
+ * parallel). The exact-Jaccard pair query shingles first (3-gram) so
+ * the self-join key is high-cardinality — common single words would
+ * make the join quadratic in document frequency. At 100 TB the
+ * LSH/minhash path (graft.operators.Dedup) replaces the exact join;
+ * the exact version here doubles as its correctness oracle.
+ */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopwordSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- corpus stats by language/source ----
+    Q("text_stats",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_tokens").as("sum_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+             |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // ---- per-document quality score (length / stopword-ratio style) ----
+    Q("text_quality",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast(LongType))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          // integer floor-division in BOTH engines (`div` here, `//` in
+          // DuckDB) — plain `/` is float division whose rounding differs
+          expr("n_stop * 100 div n_tokens").cast(LongType).as("stop_pct"),
+          (length(col("text")).cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |len(string_split(text, ' ')) AS n_tokens,
+              |len(list_filter(string_split(text, ' '), t -> t IN $stopwordSql)) AS n_stop,
+              |length(text) AS n_chars_m,
+              |CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordSql)) * 100
+              |  // len(string_split(text, ' ')) AS BIGINT) AS stop_pct,
+              |CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID heuristic (stopword evidence; `lang` kept for
+    //      comparison — the corpus text is synthetic English word-soup) ----
+    Q("lang_id_heuristic",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_stop_en", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+        .select(col("doc_id"), col("lang"),
+          when(col("n_stop_en") * 20 >= size(col("toks")), lit("en"))
+            .otherwise(lit("unknown")).as("predicted_lang"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+              |CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $stopwordSql)) * 20
+              |          >= len(string_split(text, ' '))
+              |     THEN 'en' ELSE 'unknown' END AS predicted_lang
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- global token frequency (explode -> count) ----
+    Q("token_topk",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n FROM
+             |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- exact deduplication: keeper = min doc_id per identical text ----
+    Q("dedup_exact",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies", "text")
+        .orderBy("keeper_id"),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, text
+             |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin)),
+
+    // ---- near-dedup: exact 3-gram-shingle Jaccard >= 0.7 pairs.
+    //      Integer cross-multiplication avoids float thresholds. ----
+    Q("dedup_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+        val shingles = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(size(w) - 2, 0))," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+            .as("shingle"))
+          .distinct()
+        val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = shingles.as("a"); val b = shingles.as("b")
+        val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+          .filter(col("n_common") * 10 >= (col("na") + col("nb") - col("n_common")) * 7)
+          .select("doc_a", "doc_b", "n_common", "na", "nb")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
+             |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
+             |ORDER BY doc_a, doc_b""".stripMargin))
+  )
+}

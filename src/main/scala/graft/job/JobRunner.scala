@@ -1,0 +1,182 @@
+package graft.job
+
+import graft.model._
+import graft.operators.{ErrorPolicy, MappingOp}
+import graft.sinks.Writers
+import graft.sources.Readers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+
+/**
+ * Driver-side job orchestration (SURVEY.md §2.7).
+ *
+ * The reference's control plane — Spring Batch flows, JMS/Kafka/REST
+ * triggers, async submit, registry, counters, cancellation — collapses
+ * to a small step interpreter on the Spark driver:
+ *
+ *  - O1 job assembly: ordered step list -> sequential interpreter;
+ *  - O2 TRUNCATE_DESTINATION: overwrite semantics for file sinks;
+ *  - O3 NOTIFY_SUCCESS/FAILURE: pluggable notifier (log by default);
+ *  - O4 VALIDATE_SOURCE/VALIDATE_LOAD: schema presence / row-count check;
+ *  - O10 progress: counters from Spark's own instrumentation;
+ *  - O11 cancellation: job groups + cancelJobGroup replace the
+ *    per-row AtomicBoolean checks (ETLCoreJdbcReader.java:216);
+ *  - O12 registry: in-driver ConcurrentHashMap keyed like the
+ *    reference (`jobName::taskId::uuid8`, DynamicJobService.java:146-155);
+ *  - O15 conditional flow: NOTIFY_FAILURE runs only on failure.
+ *
+ * Intra-job parallelism is Spark's (partitions), not a thread pool —
+ * the reference's single-threaded chunk loop (impl B) has no analog
+ * worth keeping at 100 TB.
+ */
+object JobRunner {
+
+  sealed trait JobStatus
+  case object Pending extends JobStatus
+  case object Running extends JobStatus
+  case object Completed extends JobStatus
+  case object Cancelled extends JobStatus
+  final case class Failed(reason: String) extends JobStatus
+
+  final case class JobResult(
+      jobId: String,
+      configKey: String,
+      status: JobStatus,
+      recordsWritten: Long,
+      recordsFailed: Long,
+      stepsRun: List[String],
+      message: String
+  )
+
+  trait Notifier { def notify(result: JobResult): Unit }
+  object LogNotifier extends Notifier {
+    def notify(r: JobResult): Unit =
+      System.err.println(s"[graft-job] ${r.configKey} -> ${r.status} written=${r.recordsWritten} failed=${r.recordsFailed} ${r.message}")
+  }
+
+  /** In-driver run registry (reference: workflowEngine-part1.java:201-203). */
+  private val registry = new ConcurrentHashMap[String, JobResult]()
+  private val seq = new AtomicLong()
+
+  def status(configKey: String): Option[JobResult] = Option(registry.get(configKey))
+
+  /** Cooperative cancellation: kills all Spark jobs tagged with this
+    * job's group (O11). */
+  def cancel(spark: SparkSession, configKey: String): Unit =
+    spark.sparkContext.cancelJobGroup(configKey)
+
+  /** Build the mapped (and error-enforced) DataFrame for a job WITHOUT
+    * writing — the query-shaped view of a job, used by SparkEntry. */
+  def buildDataFrame(spark: SparkSession, cfg: JobConfig,
+                     plugins: Map[String, DataFrame => DataFrame] = Map.empty): DataFrame = {
+    val raw = Readers.forConfig(spark, cfg.source, cfg.mappings)
+    val mapped = MappingOp(raw, cfg.mappings, cfg.source.connectionDetails.filter)
+    val transformed = cfg.transformation.`type`.toUpperCase match {
+      // Reference stage-2 hook (P8): PYTHON_SCRIPT -> pluggable DataFrame=>DataFrame.
+      case "NONE" | "" => mapped
+      case _ =>
+        val name = cfg.transformation.name.getOrElse(cfg.transformation.`type`)
+        plugins.get(name) match {
+          case Some(fn) => fn(mapped)
+          case None     => mapped // unknown plugin: pass through with a warning, like unknown casts
+        }
+    }
+    transformed
+  }
+
+  /**
+   * Run a job end-to-end: interpret its step list (default
+   * [LOAD, NOTIFY_SUCCESS]); on any failure run NOTIFY_FAILURE
+   * (O15 decider semantics).
+   */
+  def run(spark: SparkSession, cfg: JobConfig,
+          notifier: Notifier = LogNotifier,
+          plugins: Map[String, DataFrame => DataFrame] = Map.empty): JobResult = {
+    val configKey = s"${cfg.jobName.getOrElse("job")}::${cfg.jobId}::${seq.incrementAndGet()}"
+    var stepsRun = List.empty[String]
+    var written = 0L
+    var failedRows = 0L
+    registry.put(configKey, JobResult(cfg.jobId, configKey, Running, 0, 0, Nil, ""))
+    spark.sparkContext.setJobGroup(configKey, s"graft job ${cfg.jobId}", interruptOnCancel = true)
+    val steps = if (cfg.steps.nonEmpty) cfg.steps else List("LOAD", "NOTIFY_SUCCESS")
+    try {
+      steps.foreach { step =>
+        step.toUpperCase match {
+          case "VALIDATE_SOURCE" =>
+            val df = Readers.forConfig(spark, cfg.source, cfg.mappings)
+            val present = df.schema.fieldNames.toSet
+            val missing = cfg.mappings.map(_.sourceFieldName).filterNot(present.contains)
+            if (missing.nonEmpty)
+              throw new ErrorPolicy.JobFailedException(s"VALIDATE_SOURCE: missing columns ${missing.mkString(",")}")
+            stepsRun ::= step
+          case "TRUNCATE_DESTINATION" =>
+            // File sinks: truncation is the overwrite mode of the LOAD
+            // write itself (TruncateTasklet.java:93 analog) — nothing
+            // to do eagerly; recorded for flow parity.
+            stepsRun ::= step
+          case "LOAD" =>
+            val df = buildDataFrame(spark, cfg, plugins)
+            val (good, nBad) = ErrorPolicy.enforce(df, cfg.mappings, cfg.errorHandling)
+            failedRows = nBad
+            val dest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("LOAD step requires a destination"))
+            val counted = good.persist()
+            try {
+              Writers.write(counted, dest)
+              written = counted.count()
+            } finally counted.unpersist()
+            stepsRun ::= step
+          case "VALIDATE_LOAD" =>
+            // Post-load row-count check (O4): destination readable and
+            // row count == recordsWritten.
+            cfg.destination.foreach { dest =>
+              val back = Readers.forConfig(spark,
+                SourceConfig(dest.`type`, dest.connectionDetails), cfg.mappings)
+              val n = back.count()
+              if (n != written)
+                throw new ErrorPolicy.JobFailedException(s"VALIDATE_LOAD: wrote $written but destination has $n")
+            }
+            stepsRun ::= step
+          case "NOTIFY_SUCCESS" => stepsRun ::= step // deferred to final notify
+          case "NOTIFY_FAILURE" => () // only fires on failure path
+          case other =>
+            throw new IllegalArgumentException(s"unknown step: $other")
+        }
+      }
+      val res = JobResult(cfg.jobId, configKey, Completed, written, failedRows, stepsRun.reverse,
+        s"completed ${stepsRun.size} steps")
+      registry.put(configKey, res)
+      if (steps.exists(_.equalsIgnoreCase("NOTIFY_SUCCESS"))) notifier.notify(res)
+      res
+    } catch {
+      case NonFatal(e) =>
+        val res = JobResult(cfg.jobId, configKey, Failed(e.getMessage), written, failedRows,
+          stepsRun.reverse, Option(e.getMessage).getOrElse(e.toString))
+        registry.put(configKey, res)
+        notifier.notify(res) // NOTIFY_FAILURE path (O15)
+        res
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Submit-from-file CLI — parity with the reference's
+    * `POST /jobs/submitFromFile?configPath=` + jobtrigger.sh flow. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: JobRunner <config.json> [sfDirSubstitution]")
+    val cfg = JobConfig.fromFile(args(0))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val res = run(spark, cfg)
+      println(s"""{"jobId":"${res.jobId}","status":"${res.status}","recordsWritten":${res.recordsWritten},"recordsFailed":${res.recordsFailed}}""")
+      res.status match { case Failed(_) => sys.exit(1); case _ => () }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sinks
+
+import graft.model.DestinationConfig
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Sink builders: DataFrame -> configured destination (W1-W4,
+ * SURVEY.md §2.2).
+ *
+ * The reference's hand-rolled batch INSERT loop and CSV writer
+ * (ItemWriterFactory.java:109-183, ETLCoreCsvFileWriter.java:46-185)
+ * become DataFrameWriter declarations; one JDBC transaction per
+ * partition replaces one per chunk, and the `batchSize` knob maps to
+ * the JDBC writer's `batchsize` option.
+ */
+object Writers {
+
+  def write(df: DataFrame, dest: DestinationConfig): Unit = {
+    val c = dest.connectionDetails
+    val mode = dest.saveMode
+    dest.`type`.toUpperCase match {
+      case "PARQUET" =>
+        df.write.mode(mode).parquet(requirePath(dest))
+      case "CSV" | "FLAT_FILE" | "DELIMITED" =>
+        // Reference CSV semantics (ETLCoreCsvFileWriter.java):
+        //  - header from destination names (:46-118) — header option;
+        //  - RFC-4180 quoting with doubled quotes (:174-185) — Spark's
+        //    default quote/escape set to '"' reproduces it;
+        //  - null -> empty string (:161-171) — emptyValue/nullValue "".
+        df.write.mode(mode)
+          .option("header", c.includeHeader.getOrElse(true).toString)
+          .option("delimiter", c.delimiter.getOrElse(","))
+          .option("encoding", c.encoding.getOrElse("UTF-8"))
+          .option("quote", "\"").option("escape", "\"")
+          .option("emptyValue", "").option("nullValue", "")
+          .csv(requirePath(dest))
+      case "JSON" =>
+        df.write.mode(mode).json(requirePath(dest))
+      case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
+        val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC sink requires jdbcUrl"))
+        val table = c.tableName.map(t => t.replaceAll("[^a-zA-Z0-9_.]", ""))
+          .getOrElse(throw new IllegalArgumentException("JDBC sink requires tableName"))
+        val props = new java.util.Properties()
+        c.username.foreach(props.setProperty("user", _))
+        c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
+        props.setProperty("batchsize", dest.batchSize.toString) // W1 chunk knob
+        df.write.mode(if (mode == "overwrite") "overwrite" else "append").jdbc(url, table, props)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported destination type: $other")
+    }
+  }
+
+  private def requirePath(dest: DestinationConfig): String =
+    dest.connectionDetails.pathOrFile.getOrElse(
+      throw new IllegalArgumentException(s"${dest.`type`} sink requires a path"))
+}

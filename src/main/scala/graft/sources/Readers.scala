@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.model.{FieldMapping, SourceConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Source builders: config -> lazy DataFrame scan.
+ *
+ * Replaces the reference's explicit open/stream/close readers
+ * (S1-S9, SURVEY.md §2.1) with Spark DataFrameReader declarations.
+ * Projection and predicate pushdown — which the reference hand-builds
+ * into a SELECT string (ETLCoreJdbcReader.java:131-162) — fall out of
+ * Catalyst once the caller applies `MappingOp` on top of these scans:
+ * `.explain` shows PushedFilters + pruned ReadSchema at the parquet/
+ * JDBC source.
+ */
+object Readers {
+
+  def forConfig(spark: SparkSession, cfg: SourceConfig, mappings: Seq[FieldMapping]): DataFrame = {
+    val c = cfg.connectionDetails
+    cfg.`type`.toUpperCase match {
+      case "PARQUET" =>
+        spark.read.parquet(requirePath(cfg))
+      case "CSV" | "FLAT_FILE" | "DELIMITED" =>
+        csv(spark, requirePath(cfg), mappings,
+          delimiter = c.delimiter.getOrElse(","),
+          header = c.includeHeader.getOrElse(c.linesToSkip.contains(1)),
+          encoding = c.encoding.getOrElse("UTF-8"),
+          quote = c.quoteChar.getOrElse("\""))
+      case "JSON" =>
+        spark.read.json(requirePath(cfg))
+      case "FIXED_WIDTH" | "FIXED_LENGTH_FILE" =>
+        fixedWidth(spark, requirePath(cfg), mappings, c.encoding.getOrElse("UTF-8"))
+      case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
+        jdbc(spark, cfg)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported source type: $other")
+    }
+  }
+
+  /**
+   * CSV scan (reference S5/S6, ItemReaderFactory.java:170-224):
+   * all values land as strings (mirroring the tokenizer — casts happen
+   * in the mapping stage); headerless files get positional names from
+   * mapping order (ItemReaderFactory.java:205-210); quoted fields are
+   * honored (`readString`, ItemReaderFactory.java:218).
+   */
+  def csv(spark: SparkSession, path: String, mappings: Seq[FieldMapping],
+          delimiter: String = ",", header: Boolean = true,
+          encoding: String = "UTF-8", quote: String = "\""): DataFrame = {
+    val base = spark.read
+      .option("delimiter", delimiter)
+      .option("encoding", encoding)
+      .option("quote", quote)
+      .option("escape", "\"") // RFC-4180 doubled-quote escaping (ETLCoreCsvFileWriter.java:174-185)
+      .option("multiLine", "true") // values may span newlines when quoted
+      .option("header", header.toString)
+    if (header) base.csv(path)
+    else {
+      // Positional columns named from the mapping order.
+      val schema = StructType(mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true)))
+      if (mappings.nonEmpty) base.schema(schema).csv(path) else base.csv(path)
+    }
+  }
+
+  /**
+   * Fixed-width file scan (reference S8, declared-unimplemented:
+   * etlModel.java:96-97,182-190). Reads lines as text and slices
+   * columns by (fileColumnPosition, fileColumnWidth) — 1-based start
+   * offsets, substring is executor-side and codegen'd.
+   */
+  def fixedWidth(spark: SparkSession, path: String, mappings: Seq[FieldMapping],
+                 encoding: String = "UTF-8"): DataFrame = {
+    val lines = spark.read.option("encoding", encoding).text(path)
+    val cols = mappings.map { m =>
+      val start = m.fileColumnPosition.getOrElse(
+        throw new IllegalArgumentException(s"fixed-width mapping ${m.sourceFieldName} missing fileColumnPosition"))
+      val width = m.fileColumnWidth.getOrElse(
+        throw new IllegalArgumentException(s"fixed-width mapping ${m.sourceFieldName} missing fileColumnWidth"))
+      trim(substring(col("value"), start, width)).as(m.sourceFieldName)
+    }
+    lines.select(cols: _*)
+  }
+
+  /**
+   * JDBC scan (reference S1-S4). Partitioned read replaces the docx
+   * §4 paging reader: `partitionColumn`+`numPartitions` split the scan
+   * across executors — at 100 TB this is the difference between one
+   * cursor and a thousand. `fetchsize` preserves the reference's
+   * streaming-cursor knob (ETLCoreJdbcReader.java:77-83).
+   * Credentials come via env-var indirection, never config literals.
+   */
+  def jdbc(spark: SparkSession, cfg: SourceConfig): DataFrame = {
+    val c = cfg.connectionDetails
+    val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC source requires jdbcUrl"))
+    var r = spark.read.format("jdbc").option("url", url)
+    c.query match {
+      case Some(q) => r = r.option("query", q) // raw passthrough (ETLCoreJdbcReader.java:133-135)
+      case None =>
+        val t = c.tableName.getOrElse(throw new IllegalArgumentException("JDBC source requires tableName or query"))
+        r = r.option("dbtable", sanitizeIdent(t))
+    }
+    c.username.foreach(u => r = r.option("user", u))
+    c.passwordEnv.flatMap(sys.env.get).foreach(p => r = r.option("password", p))
+    r = r.option("fetchsize", c.fetchSize.getOrElse(1000).toString)
+    (c.partitionColumn, c.numPartitions) match {
+      case (Some(pc), Some(n)) =>
+        r = r.option("partitionColumn", pc).option("numPartitions", n.toString)
+      case _ => ()
+    }
+    r.load()
+  }
+
+  /** Identifier sanitation as in the reference (`[^a-zA-Z0-9_.]`,
+    * ItemWriterFactory.java:135, TruncateTasklet.java:89). */
+  def sanitizeIdent(name: String): String = name.replaceAll("[^a-zA-Z0-9_.]", "")
+
+  private def requirePath(cfg: SourceConfig): String =
+    cfg.connectionDetails.pathOrFile.getOrElse(
+      throw new IllegalArgumentException(s"${cfg.`type`} source requires a path"))
+}
