@@ -123,12 +123,13 @@ object AnalyticsQueries {
     Q("join_anti",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
-        val o = Tables.t(s, dir, "orders")
+        val o = Tables.t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name").orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
     Q("join_outer_counts",
@@ -385,6 +386,45 @@ object AnalyticsQueries {
         .orderBy("window_start", "event_type"),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
              |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- sliding (overlapping) time window: each event lands in two
+    //      1h windows on the 30-min grid. Oracle expands the two
+    //      candidate windows explicitly. ----
+    Q("events_sliding_window",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM e
+             |      UNION ALL
+             |      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM e)
+             |SELECT window_start, event_type, COUNT(*) AS n FROM w
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- session windows (gap-based, dynamic length) — batch twin of
+    //      EventStreams.sessionize. Oracle is the classic
+    //      gaps-and-islands rewrite; `diff >= gap` starts a new
+    //      session, matching Spark's [start, last+gap) merge rule. ----
+    Q("events_sessionize",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |flags AS (SELECT user_id, ts,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+             |       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (SELECT user_id, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
+             |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

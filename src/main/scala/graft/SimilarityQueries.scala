@@ -73,6 +73,48 @@ object SimilarityQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |hex(encode(substring(text, 1, 4))) AS head_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- ANN via random-hyperplane LSH: signature filter + exact
+    //      re-rank. Approximate BY DESIGN (recall < 1 on these
+    //      near-random synthetic vectors, where no sublinear method is
+    //      exact) — so no SQL oracle; SimilaritySpec asserts recall
+    //      against the oracle-backed brute-force query instead. ----
+    Q("sim_ann_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        graft.operators.Similarity
+          .annTopK(emb.filter(col("vec_id") =!= 0), probe, "e", dim = 64, k = 10)
+          .select("vec_id", "label", "cos_sim")
+      },
+      None),
+
+    // ---- embedding near-duplicate pairs, exact all-pairs form.
+    //      Threshold 0.4 because this synthetic corpus has no truly
+    //      near-identical vectors (max pair cosine ~0.51) — at a real
+    //      dedup threshold (>=0.9) the LSH-bucketed
+    //      Similarity.embeddingNearDups replaces the quadratic join;
+    //      at 0.4 the exact join IS the right plan (LSH cannot prune
+    //      66-degree neighbors). ----
+    Q("embed_near_dups",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val a = emb.select(col("vec_id").as("id_a"), col("e").as("va"))
+        val b = emb.select(col("vec_id").as("id_b"), col("e").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos_sim", graft.operators.Similarity.cosine(col("va"), col("vb")))
+          .filter(col("cos_sim") >= 0.4)
+          .select("id_a", "id_b", "cos_sim")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

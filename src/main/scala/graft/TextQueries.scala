@@ -20,6 +20,23 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Exact all-pairs 3-gram-shingle Jaccard >= 7/10 — shared oracle for
+    * both the exact query and the MinHash+LSH pipeline (whose verified
+    * output equals it up to ~5e-4 LSH recall misses). */
+  private val jaccardOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
+      |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- corpus stats by language/source ----
@@ -134,6 +151,42 @@ object TextQueries {
              |SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
              |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- MinHash + LSH near-dedup (the 100 TB path): banded
+    //      signature buckets -> candidate pairs -> exact verify.
+    //      Same oracle as the exact query: verification makes the
+    //      output equal up to LSH recall (~1-5e-4 at this banding). ----
+    Q("dedup_minhash_pairs",
+      (s, dir) => graft.operators.Dedup
+        .minhashNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b"),
+      Some(jaccardOracle)),
+
+    // ---- SimHash near-dup candidates (Hamming <= 3 on 64-bit
+    //      token-set fingerprints). Hash-dependent, so no SQL oracle —
+    //      the driver records the weaker rows-only check; the ScalaTest
+    //      suite asserts consistency against exact duplicates. ----
+    Q("dedup_simhash_pairs",
+      (s, dir) => graft.operators.Dedup
+        .simhashNearDups(
+          graft.operators.Dedup.simhash(Tables.t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // ---- content fingerprint via the custom codegen Expression;
+    //      DuckDB reproduces the fold with list_reduce, pinning the
+    //      custom expression's semantics externally. ----
+    Q("doc_fingerprint",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Fingerprint.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  [unicode(c) FOR c IN string_split(text, '')]),
+             |  (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

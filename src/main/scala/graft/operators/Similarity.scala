@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Embedding similarity search (SURVEY.md §2.8).
+ *
+ * Two tiers:
+ *  - `bruteForceTopK`: exact cosine against a broadcast probe — the
+ *    correctness baseline; map-side only (no shuffle of the corpus),
+ *    top-k via TakeOrdered, linear in corpus size.
+ *  - `annTopK`: random-hyperplane LSH — each vector gets a `nBits`-bit
+ *    signature (sign of dot with deterministic pseudo-random planes);
+ *    candidates = vectors whose signature is within `probeHamming` of
+ *    the probe's, re-ranked exactly. At 100 TB the signature is
+ *    precomputable + bucketable (partition by signature prefix), so a
+ *    query touches a tiny fraction of the corpus.
+ *
+ * Planes are derived from a splitmix64-style integer mix of
+ * (plane, dim) — no RNG state, identical on every executor.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0).cast(DoubleType), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine vs the single-row `probe` DataFrame
+    * (column `probe_e: array<double>`). */
+  def bruteForceTopK(corpus: DataFrame, probe: DataFrame, vecCol: String,
+                     k: Int): DataFrame =
+    corpus.crossJoin(broadcast(probe))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .drop("probe_e")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+
+  /** Deterministic pseudo-random unit-ish plane weight for
+    * (plane p, dimension d) in [-0.5, 0.5): splitmix64 finalizer. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // top 53 bits -> [0,1) -> [-0.5, 0.5)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** nBits-bit hyperplane signature of an array<double> column. The
+    * planes are literal arrays baked into the plan (dim*nBits doubles
+    * — negligible plan size, zero shuffle). */
+  def signature(vec: Column, dim: Int, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(vec, plane) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * ANN top-k: restrict to vectors whose signature Hamming-distance
+   * from the probe's signature is <= `probeHamming`, then exact
+   * cosine re-rank. Recall is tunable via nBits/probeHamming; the
+   * candidate set is a bit_count filter on a precomputable long.
+   */
+  def annTopK(corpus: DataFrame, probe: DataFrame, vecCol: String,
+              dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6): DataFrame = {
+    val sigCorpus = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
+    val sigProbe = probe.withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
+    sigCorpus.crossJoin(broadcast(sigProbe))
+      .filter(expr(s"bit_count(sig ^ probe_sig) <= $probeHamming"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .drop("probe_e", "probe_sig", "sig")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** All near-duplicate embedding pairs (cosine >= threshold) via
+    * signature-bucket candidates + exact verify — the embedding
+    * analog of MinHash near-dup. Buckets on 8-bit signature chunks
+    * (pigeonhole: hamming <= nChunks-1 pairs always share a chunk). */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        nBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val sig = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
+    val chunks = sig.select(col(idCol), col(vecCol), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 4)) & 15)"))
+        .as(Seq("chunk_i", "chunk_v")))
+    val a = chunks.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("sig").as("sig_a"), col("chunk_i"), col("chunk_v"))
+    val b = chunks.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("sig").as("sig_b"), col("chunk_i"), col("chunk_v"))
+    a.join(b, Seq("chunk_i", "chunk_v"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(s"bit_count(sig_a ^ sig_b) <= $maxHamming"))
+      .select("id_a", "id_b", "va", "vb").distinct()
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

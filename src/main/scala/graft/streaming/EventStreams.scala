@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming over the `events` feed (SURVEY.md §2.8 /
+ * FIXTURES.md §5). The reference uses Kafka/JMS only as a
+ * control-plane trigger (one message = one batch job,
+ * OracleAQListener.java:51-68); this module is the data-plane
+ * extension: `readStream` -> watermark -> windowed/stateful aggs ->
+ * `writeStream`.
+ *
+ * Every aggregation here has a batch twin in AnalyticsQueries
+ * (events_tumbling_window / events_sliding_window /
+ * events_sessionize) — the streaming and batch plans share the same
+ * expressions, so the DuckDB oracle for the batch twin also pins the
+ * streaming semantics (ignoring late-data cutoff, which only
+ * watermarking adds).
+ */
+object EventStreams {
+
+  /** The events schema as Spark sees it AFTER ns->us conversion. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw NANOS int64 in the parquet file
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory (file source —
+    * at scale this is the same code over a Kafka source). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with late-data handling via watermark. */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate (overlapping windows). */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "1 hour", slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: events gap-merged per user (dynamic-length
+    * state — the thing tumbling windows can't express). */
+  def sessionize(events: DataFrame, gap: String = "10 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
+  /** Custom per-key state: running count + running value sum per user,
+    * emitted on every update (KeyValueGroupedDataset.mapGroupsWithState
+    * — the escape hatch when built-in windows can't express the
+    * state machine). */
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserStats(events: DataFrame)(implicit spark: SparkSession): Dataset[UserStat] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          UserStat(uid, n, v)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a bounded source
+    * and return the final result from the in-memory sink. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -76,15 +76,18 @@ object CastEngine {
 
   /** Timestamp with ISO fallback chain (ETLCoreMappingProcessor.java:200-217):
     * explicit pattern if given, else native cast (covers ISO instant /
-    * 'yyyy-MM-dd HH:mm:ss' / date-only). */
+    * 'yyyy-MM-dd HH:mm:ss' / date-only). try_* forms: under ANSI mode
+    * (Spark 4 default) a plain cast/parse THROWS on malformed input —
+    * the reference instead routes the row to the error path (P4/E1),
+    * which is exactly null-propagation + ErrorPolicy. */
   def toTimestampLenient(c: Column, pattern: Option[String]): Column = pattern match {
-    case Some(p) => to_timestamp(c.cast(StringType), p)
-    case None    => c.cast(TimestampType)
+    case Some(p) => try_to_timestamp(c.cast(StringType), lit(p))
+    case None    => c.try_cast(TimestampType)
   }
 
   def toDateLenient(c: Column, pattern: Option[String]): Column = pattern match {
-    case Some(p) => to_date(c.cast(StringType), p)
-    case None    => c.cast(DateType)
+    case Some(p) => try_to_date(c.cast(StringType), p)
+    case None    => c.try_cast(DateType)
   }
 
   /**
@@ -92,14 +95,16 @@ object CastEngine {
    * `destType` is the string type name; `pattern` an optional
    * date/number format. Unknown names pass through (reference logs a
    * warning and forwards the value — ETLCoreMappingProcessor.java:236-239).
+   * Malformed values become null (try_cast), feeding ErrorPolicy —
+   * never a runtime exception mid-pipeline.
    */
   def castTo(c: Column, destType: String, pattern: Option[String] = None): Column =
     dataTypeFor(destType) match {
       case Some(BooleanType)   => booleanLenient(c)
       case Some(TimestampType) => toTimestampLenient(c, pattern)
       case Some(DateType)      => toDateLenient(c, pattern)
-      case Some(dt: DecimalType) => c.cast(StringType).cast(dt) // precision-preserving string path (:186)
-      case Some(dt)            => c.cast(dt)
+      case Some(dt: DecimalType) => c.cast(StringType).try_cast(dt) // precision-preserving string path (:186)
+      case Some(dt)            => c.try_cast(dt)
       case None                => c
     }
 }

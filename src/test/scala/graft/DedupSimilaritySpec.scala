@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Probabilistic operators validated against their exact counterparts
+  * on the deterministic sf0.001 corpus. */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  private lazy val docs = Tables.t(spark, sf, "documents")
+  private lazy val emb = Tables.t(spark, sf, "embeddings")
+    .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+
+  test("minhash+LSH near-dups equal the exact all-pairs Jaccard result") {
+    val exact = Queries.queries("dedup_jaccard_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must never emit a false positive")
+    // recall: banding at k=128/b=32 misses < 0.1% at s >= 0.7
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: identical texts collide at hamming 0; finder reports them") {
+    // The corpus has no byte-identical texts — plant copies of 5 docs
+    // under new ids and require the finder to surface exactly them.
+    val planted = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(planted)
+    val fps = Dedup.simhash(corpus, "doc_id", "text")
+    val pairs = Dedup.simhashNearDups(fps, "doc_id")
+      .filter(col("hamming") === 0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L)), s"planted dup $i not found")
+    }
+  }
+
+  test("ANN top-k recall vs brute force") {
+    val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, probe, "e", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(corpus, probe, "e", dim = 64, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // near-random synthetic vectors are LSH's worst case; on clustered
+    // real embeddings recall approaches 1. Bound the worst case:
+    assert(recall >= 0.5, s"recall=$recall, ann=$ann, exact=$exact")
+  }
+
+  test("embedding near-dup pairs: every reported pair verified >= threshold") {
+    val e2 = emb.withColumnRenamed("vec_id", "vid")
+    val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
+    val rows = pairs.collect()
+    rows.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.4))
+  }
+
+  test("exact dedup keeps min id per text") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+  }
+}

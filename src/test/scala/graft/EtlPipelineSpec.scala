@@ -1,0 +1,174 @@
+package graft
+
+import graft.model._
+import graft.job.JobRunner
+import graft.operators.{ErrorPolicy, MappingOp}
+import graft.sources.Readers
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+
+/** CSV round-trip (W3/S5 semantics), error policies (E1/E2),
+  * fixed-width source (S8), job orchestration (O1-O4, O15). */
+class EtlPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------- CSV writer/reader round trip (FIXTURES.md §3) ----------
+  test("CSV round-trip: quoting, embedded newlines, null as empty string") {
+    val out = tmpDir("csvrt")
+    val df = Seq(
+      (1L, "Smith, John", "said \"hi\""),
+      (2L, "Plain", null),
+      (3L, "multi\nline", "ok")
+    ).toDF("id", "name", "comment")
+    Writers.write(df, DestinationConfig("CSV",
+      ConnectionDetails(path = Some(s"$out/data"), includeHeader = Some(true))))
+    val mappings = List(
+      FieldMapping("id", "id"), FieldMapping("name", "name"), FieldMapping("comment", "comment"))
+    val back = Readers.csv(spark, s"$out/data", mappings, header = true)
+      .orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getString(1) == "Smith, John")
+    assert(back(0).getString(2) == "said \"hi\"")
+    assert(back(1).getString(2) == null) // null -> "" -> null
+    assert(back(2).getString(1) == "multi\nline")
+  }
+
+  test("headerless CSV gets positional names from mapping order") {
+    val out = tmpDir("csvpos")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/f.csv"), "1,alpha\n2,beta\n")
+    val mappings = List(FieldMapping("id", "id"), FieldMapping("label", "label"))
+    val df = Readers.csv(spark, s"$out/f.csv", mappings, header = false)
+    assert(df.columns.toSeq == Seq("id", "label"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("alpha", "beta"))
+  }
+
+  // ---------- fixed-width source ----------
+  test("fixed-width file slices by position/width and trims") {
+    val out = tmpDir("fw")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/fw.txt"), "001alpha     42\n002beta      17\n")
+    val mappings = List(
+      FieldMapping("id", "id", destFieldType = "INTEGER", fileColumnPosition = Some(1), fileColumnWidth = Some(3)),
+      FieldMapping("name", "name", fileColumnPosition = Some(4), fileColumnWidth = Some(10)),
+      FieldMapping("qty", "qty", destFieldType = "INTEGER", fileColumnPosition = Some(14), fileColumnWidth = Some(2)))
+    val df = MappingOp(Readers.fixedWidth(spark, s"$out/fw.txt", mappings), mappings)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "alpha", 42), (2, "beta", 17)))
+  }
+
+  // ---------- error policies ----------
+  private def badDf = Seq(("1", "12.50"), ("2", "not_a_number"), ("3", "8.00"))
+    .toDF("id", "amount")
+  private val badMappings = List(
+    FieldMapping("id", "id", destFieldType = "LONG", isDestNullable = false),
+    FieldMapping("amount", "amount", destFieldType = "DECIMAL(10,2)", isDestNullable = false))
+
+  test("FAIL_JOB aborts on first bad row") {
+    val mapped = MappingOp(badDf, badMappings)
+    intercept[ErrorPolicy.JobFailedException] {
+      ErrorPolicy.enforce(mapped, badMappings, ErrorHandling("FAIL_JOB"))
+    }
+  }
+
+  test("LOG_ONLY drops and counts bad rows") {
+    val (good, n) = ErrorPolicy.enforce(MappingOp(badDf, badMappings), badMappings, ErrorHandling("LOG_ONLY"))
+    assert(n == 1)
+    assert(good.count() == 2)
+  }
+
+  test("ROUTE_TO_FILE writes the rejected rows") {
+    val out = tmpDir("errs")
+    val (good, n) = ErrorPolicy.enforce(MappingOp(badDf, badMappings), badMappings,
+      ErrorHandling("ROUTE_TO_FILE", errorFilePath = Some(s"$out/bad")))
+    assert(n == 1 && good.count() == 2)
+    val bad = spark.read.option("header", "true").csv(s"$out/bad").collect()
+    assert(bad.length == 1 && bad(0).getString(0) == "2")
+  }
+
+  test("maxErrorsAllowed boundary: n == max passes, n > max fails") {
+    val mapped = MappingOp(badDf, badMappings)
+    val (_, n1) = ErrorPolicy.enforce(mapped, badMappings,
+      ErrorHandling("LOG_ONLY", maxErrorsAllowed = 1))
+    assert(n1 == 1) // exactly at the cap: allowed
+    intercept[ErrorPolicy.JobFailedException] {
+      val threeBad = Seq(("x", "a"), ("y", "b"), ("3", "1.0")).toDF("id", "amount")
+      ErrorPolicy.enforce(MappingOp(threeBad, badMappings), badMappings,
+        ErrorHandling("LOG_ONLY", maxErrorsAllowed = 1))
+    }
+  }
+
+  // ---------- job orchestration ----------
+  test("full job: steps run in order, counts recorded, VALIDATE_LOAD checks round-trip") {
+    val out = tmpDir("job")
+    val cfg = JobConfig(
+      jobId = "t1",
+      source = SourceConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$sf/orders.parquet"), filter = Some("o_orderstatus = 'F'"))),
+      destination = Some(DestinationConfig("PARQUET",
+        ConnectionDetails(path = Some(s"$out/dest")))),
+      mappings = List(
+        FieldMapping("o_orderkey", "id", destFieldType = "LONG", isDestNullable = false),
+        FieldMapping("o_totalprice", "total", destFieldType = "DECIMAL(18,2)")),
+      steps = List("VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD", "NOTIFY_SUCCESS"))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(res.recordsWritten > 0)
+    assert(res.stepsRun == List("VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD", "NOTIFY_SUCCESS"))
+    assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
+  }
+
+  test("failure path: bad step -> Failed result, notifier fired (O15)") {
+    var notified: Option[JobRunner.JobResult] = None
+    val cfg = JobConfig(jobId = "t2",
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$sf/orders.parquet"))),
+      steps = List("NO_SUCH_STEP"))
+    val res = JobRunner.run(spark, cfg,
+      notifier = r => notified = Some(r))
+    assert(res.status.isInstanceOf[JobRunner.Failed])
+    assert(notified.exists(_.status.isInstanceOf[JobRunner.Failed]))
+  }
+
+  test("plugin transform hook (P8) applies a registered DataFrame function") {
+    val cfg = JobConfig(jobId = "t3",
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$sf/orders.parquet"))),
+      mappings = List(FieldMapping("o_orderkey", "id", destFieldType = "LONG")),
+      transformation = Transformation("PLUGIN", name = Some("only_even")))
+    val df = JobRunner.buildDataFrame(spark, cfg,
+      plugins = Map("only_even" -> (d => d.filter(col("id") % 2 === 0))))
+    assert(df.filter(col("id") % 2 === 1).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  // ---------- config parsing ----------
+  test("JobConfig JSON: reference dialects and unknown keys tolerated") {
+    val json =
+      """{
+        |  "jobId": "j1", "unknownTopLevel": {"x": 1},
+        |  "source": {"type": "CSV", "connectionDetails":
+        |    {"path": "/tmp/x.csv", "whereClause": "a = 1", "delimiter": "|", "header": true}},
+        |  "destination": {"type": "FLAT_FILE", "connectionDetails": {"fileName": "/tmp/out"},
+        |    "batchSize": 500},
+        |  "mappings": [
+        |    {"sourceFieldName": "a", "destFieldName": "A", "destSqlType": "LONG",
+        |     "destIsNullAllowed": false, "mystery": true},
+        |    {"sourceFieldName": "b"}
+        |  ],
+        |  "errorHandling": {"strategy": "ROUTE_TO_FILE", "errorFilePath": "/tmp/err", "maxErrorsAllowed": 5},
+        |  "steps": ["TRUNCATE_DESTINATION", "LOAD"]
+        |}""".stripMargin
+    val cfg = JobConfig.fromJson(json)
+    assert(cfg.jobId == "j1")
+    assert(cfg.source.connectionDetails.filter.contains("a = 1"))
+    assert(cfg.source.connectionDetails.delimiter.contains("|"))
+    assert(cfg.destination.get.connectionDetails.filePath.contains("/tmp/out"))
+    assert(cfg.destination.get.batchSize == 500)
+    assert(cfg.mappings.head.destinationFieldName == "A")
+    assert(cfg.mappings.head.destFieldType == "LONG")
+    assert(!cfg.mappings.head.isDestNullable)
+    assert(cfg.mappings(1).destinationFieldName == "b") // defaults to source name
+    assert(cfg.errorHandling.maxErrorsAllowed == 5)
+    assert(cfg.steps == List("TRUNCATE_DESTINATION", "LOAD"))
+  }
+}

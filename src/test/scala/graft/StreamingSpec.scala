@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming twins must converge to the same result as the
+  * oracle-backed batch queries once the bounded source is drained. */
+class StreamingSpec extends SparkTestBase {
+
+  /** File-source streams need a DIRECTORY; stage the events file into one. */
+  private lazy val eventsPath: String = {
+    val d = tmpDir("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("streaming tumbling window == batch events_tumbling_window") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.tumblingCounts(stream), "t_tumble")
+      .orderBy("window_start", "event_type").collect()
+    val want = Queries.queries("events_tumbling_window")(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+  }
+
+  test("streaming session windows == batch events_sessionize") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.sessionize(stream), "t_sess")
+      .orderBy("user_id", "session_start").collect()
+    val want = Queries.queries("events_sessionize")(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+  }
+
+  test("mapGroupsWithState running stats converge to batch totals") {
+    implicit val s = spark
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.runningUserStats(stream).toDF(), "t_state",
+      OutputMode.Update())
+    // final state per user (last update) must equal the batch aggregate
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val want = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+    assert(finalPerUser.length == want.length)
+    finalPerUser.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+    }
+  }
+
+  test("late data beyond the watermark is dropped (append mode)") {
+    // Two-batch file source: batch 1 = events, batch 2 = one very-late
+    // event. With a 2h watermark advanced past it by batch 1's max ts,
+    // the late row must not produce a new window in append output.
+    val dir = tmpDir("late")
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = base.agg(max("ts")).collect()(0).getTimestamp(0)
+    base.coalesce(1).write.parquet(s"$dir/in1") // batch 1 (single file: deterministic order)
+    // FileStreamSource orders by modification time — backdate the base
+    // files so the late file (written next) is always batch 1.
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in1")).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    }
+    // The watermark computed from batch N's data only becomes the
+    // operative filter in batch N+2 (observed: progress reports it at
+    // N+1 but numRowsDroppedByWatermark stays 0). Interpose an on-time
+    // batch so the late row arrives once the filter is armed.
+    Seq((99998L, maxTs, 2L, "ontime", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in1")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in1")).forEach { p =>
+      val t = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (t > System.currentTimeMillis() - 50000)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 30000))
+    }
+    val lateTs = new java.sql.Timestamp(maxTs.getTime - 10L * 3600 * 1000)
+    Seq((99999L, lateTs, 1L, "late", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in1")
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in1")
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.foreach(p => info(
+      s"batch=${p.batchId} rows=${p.numInputRows} watermark=${p.eventTime.get("watermark")} " +
+        s"dropped=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")}"))
+    val lateRows = spark.table("t_late").filter(col("event_type") === "late").count()
+    assert(lateRows == 0, "event 10h behind the watermark must be dropped")
+  }
+}
