@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing (SURVEY.md §2.8): image/audio/video
+ * payloads as opaque `binary` columns + typed metadata, processed
+ * per-partition in batches.
+ *
+ * The Spark side is real — schema, partition-batched iteration,
+ * backpressure-friendly batch size, deterministic output — while the
+ * actual media decode is a STUB (`decodeStub`): this container has no
+ * image/audio libraries, so the decode produces deterministic fake
+ * features from the bytes. Swapping `decodeStub` for a real decoder
+ * (JNI/FFI or an external service call) changes nothing else: the
+ * batching, schema, and partitioning contract stay identical.
+ *
+ * Scale posture: `mapPartitions` keeps the decode zero-copy within a
+ * task and amortizes per-batch setup (model load, codec init) across
+ * `batchSize` rows — the Scala analog of mapInPandas' Arrow batches.
+ */
+object Multimodal {
+
+  /** One media payload row: id + opaque bytes + declared modality. */
+  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Extracted features: fixed-width vector + scalar metadata. */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Int,
+      checksum: Long,
+      feature: Array[Float] // would be the decoded embedding / resized frame stats
+  )
+
+  /**
+   * STUB decoder — deterministic fake: checksum is a polynomial hash
+   * of the bytes; the "feature" is an 8-dim byte-histogram sketch.
+   * A real implementation would decode the image/audio here
+   * (one codec/model init per BATCH, not per row — that is the point
+   * of the batching contract).
+   */
+  private[multimodal] def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      var h = 0L
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < r.payload.length) {
+        val b = r.payload(i) & 0xff
+        h = (h * 31L + b) % 1000000007L
+        hist(b % 8) += 1f
+        i += 1
+      }
+      MediaFeatures(r.media_id, r.modality, r.payload.length, h, hist)
+    }
+
+  /** Partition-batched feature extraction over a binary-column
+    * Dataset. `batchSize` bounds per-batch memory (payloads can be
+    * MBs each at 100 TB — never materialize a whole partition). */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(batch => decodeStub(batch.toSeq))
+    }
+  }
+
+  /** Adapt any DataFrame with (idCol, binary payloadCol) into the
+    * typed media Dataset — the ingest boundary for parquet/object-store
+    * payload tables. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+              modality: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        lit(modality).as("modality"),
+        col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Demo pipeline over the documents table: text bytes stand in for
+    * media payloads (deterministic, schema-correct end to end). */
+  def documentFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    extractFeatures(asMedia(docs, "doc_id", "payload", "text/utf-8")).toDF()
+  }
+}

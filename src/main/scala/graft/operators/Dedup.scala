@@ -34,32 +34,35 @@ object Dedup {
       .distinct()
 
   /**
-   * MinHash signatures: for each document, k minimums of k independent
-   * hash functions over its shingle set. Hash i of shingle s is
-   * xxhash64(s, i) — deterministic, no seed tables to ship.
-   * Output: (id, hi ∈ [0,k), mh) — one row per signature position.
+   * MinHash signatures as ONE wide aggregation: k `min` columns over
+   * k independent hashes of the shingle (xxhash64(s, i) —
+   * deterministic, no seed tables to ship). Map-side partial
+   * aggregation reduces each partition to one row per doc BEFORE the
+   * shuffle — vs. the naive posexplode formulation that shuffles
+   * |shingles| * k rows (a 128x row blowup at k=128).
+   * Output: (id, mh_0 .. mh_{k-1}).
    */
-  def minhash(sh: DataFrame, idCol: String, k: Int = 128): DataFrame =
-    sh.select(col(idCol),
-        posexplode(expr(s"transform(sequence(0, ${k - 1}), i -> xxhash64(shingle, i))"))
-          .as(Seq("hi", "hv")))
-      .groupBy(col(idCol), col("hi"))
-      .agg(min("hv").as("mh"))
+  def minhash(sh: DataFrame, idCol: String, k: Int = 128): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
-   * LSH banding: group signature positions into `bands` bands of
-   * k/bands rows each; a band's key is a hash of its ordered minhash
-   * values. Documents sharing ANY band key become candidate pairs.
-   * With k=128, bands=32 (4 rows/band): P[candidate | s=0.7] ≈ 1-5e-4.
+   * LSH banding: k/bands consecutive signature columns hash into one
+   * band key; documents sharing ANY (band, key) become candidates.
+   * Only `bands` rows per doc enter the join — the equi-join key
+   * (band, band_key) is high-cardinality and uniformly distributed.
+   * With k=128, bands=32 (4 rows/band): P[miss | s=0.7] ≈ 1-5e-4.
    */
   def lshCandidates(minhashed: DataFrame, idCol: String, k: Int = 128, bands: Int = 32): DataFrame = {
     val rowsPerBand = k / bands
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+    }
     val bandSig = minhashed
-      .withColumn("band", expr(s"hi div $rowsPerBand"))
-      .groupBy(col(idCol), col("band"))
-      // sort_array fixes collect_list's nondeterministic order; the
-      // (hi, mh) struct sort is total, so the band hash is stable.
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("hi"), col("mh")))))).as("band_key"))
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val a = bandSig.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = bandSig.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

@@ -23,20 +23,22 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Sequential-fold dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0).cast(DoubleType), (acc, v) => acc + v)
+  /** Sequential-fold dot product (native codegen expression). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact top-k by cosine vs the single-row `probe` DataFrame
-    * (column `probe_e: array<double>`). */
+    * (column `probe_e: array<double>`). Norms are computed once per
+    * side before the join (same expression value, bit-identical to
+    * recomputing per pair). */
   def bruteForceTopK(corpus: DataFrame, probe: DataFrame, vecCol: String,
                      k: Int): DataFrame =
-    corpus.crossJoin(broadcast(probe))
-      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
-      .drop("probe_e")
+    corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(probe.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
+      .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
+      .drop("probe_e", "_norm", "_pnorm")
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
 
