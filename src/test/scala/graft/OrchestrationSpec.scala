@@ -1,0 +1,82 @@
+package graft
+
+import graft.job.{JobMetrics, JobQueue, JobRunner}
+import org.apache.spark.sql.functions._
+
+class OrchestrationSpec extends SparkTestBase {
+
+  test("SQL extensions: fingerprint/dot_product callable from spark.sql") {
+    // injectFunction path needs a fresh session built with extensions;
+    // registering on the shared session via the registry keeps the
+    // same code path testable here.
+    new GraftExtensions()
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fingerprint",
+      args => graft.functions.RollingHashFingerprint(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      args => graft.functions.DotProduct(args(0), args(1)), "scala_udf")
+    val r = spark.sql(
+      "SELECT fingerprint('abc') AS fp, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp")
+      .collect()(0)
+    assert(r.getLong(0) == 96354L) // canonical 'abc' fold value
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("job queue: ack-after-run, DLQ for poison and failed configs") {
+    val inbox = tmpDir("queue")
+    val out = tmpDir("queue_out")
+    // good job
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inbox/a_good.json"),
+      s"""{"jobId":"good1","source":{"type":"PARQUET","connectionDetails":{"path":"$sf/region.parquet"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"$out/region"}},
+         |"mappings":[{"sourceFieldName":"r_regionkey","destinationFieldName":"id","destFieldType":"LONG"}]}""".stripMargin)
+    // poison (unparseable)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inbox/b_poison.json"), "{not json")
+    // failing job (missing source path)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inbox/c_bad.json"),
+      """{"jobId":"bad1","source":{"type":"PARQUET","connectionDetails":{}},
+        |"destination":{"type":"PARQUET","connectionDetails":{"path":"/tmp/never"}}}""".stripMargin)
+    val q = new JobQueue(spark, inbox)
+    val results = q.drainOnce()
+    assert(results("a_good.json").status == JobRunner.Completed)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inbox/done/a_good.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inbox/failed/b_poison.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inbox/failed/c_bad.json")))
+    assert(spark.read.parquet(s"$out/region").count() == 5)
+    // inbox drained
+    assert(q.drainOnce().isEmpty)
+  }
+
+  test("job metrics listener aggregates task metrics per job group") {
+    val m = new JobMetrics(spark)
+    try {
+      spark.sparkContext.setJobGroup("metrics-test", "test", true)
+      Tables.t(spark, sf, "lineitem").agg(count(lit(1))).collect()
+      spark.sparkContext.clearJobGroup()
+      // listener bus is async — poll until the events drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.counters("metrics-test").forall(_.recordsRead.get() < 6000L)
+             && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val c = m.counters("metrics-test")
+      assert(c.isDefined, "no counters recorded for the job group")
+      assert(c.get.recordsRead.get() == 6000L, s"recordsRead=${c.get.recordsRead.get()}")
+    } finally m.close()
+  }
+
+  test("cooperative cancellation via job groups (O11)") {
+    val t = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup("cancel-test", "slow", true)
+        // a slow job: cartesian lineitem x lineitem
+        val li = Tables.t(spark, sf, "lineitem")
+        li.crossJoin(li.withColumnRenamed("l_orderkey", "k2")).count()
+      } catch { case _: Throwable => () } // expected: cancelled
+      finally spark.sparkContext.clearJobGroup()
+    })
+    t.start()
+    Thread.sleep(1500)
+    spark.sparkContext.cancelJobGroup("cancel-test")
+    t.join(30000)
+    assert(!t.isAlive, "cancelled job thread should have terminated")
+  }
+}
