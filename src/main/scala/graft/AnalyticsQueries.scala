@@ -244,6 +244,45 @@ object AnalyticsQueries {
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY r_name ASC NULLS LAST, n_name ASC NULLS LAST""".stripMargin)),
 
+    // ---- cube (all grouping-set combinations) ----
+    Q("cube_agg",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_price"))
+        .orderBy(asc_nulls_last("o_orderpriority"), asc_nulls_last("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""".stripMargin)),
+
+    // ---- array construction/aggregation (collect + sort + size) ----
+    Q("array_agg_funcs",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_nums"),
+          size(collect_set(col("l_returnflag"))).as("n_flags"))
+        .withColumn("first_line", element_at(col("line_nums"), 1))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_nums,
+             |CAST(len(list_distinct(list(l_returnflag))) AS INTEGER) AS n_flags,
+             |list_sort(list(l_linenumber))[1] AS first_line
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- salted two-phase aggregation (skew mitigation op):
+    //      result must equal the direct GROUP BY ----
+    Q("salted_agg",
+      (s, dir) => graft.operators.Skew.saltedAggregate(
+          Tables.t(s, dir, "lineitem"), Seq("l_suppkey"),
+          Map(
+            "sum_qty" -> (col("l_quantity").cast(DecimalType(12, 2)), graft.operators.Skew.SumAgg),
+            "n" -> (lit(1), graft.operators.Skew.CountAgg)),
+          buckets = 8)
+        .select(col("l_suppkey"), col("sum_qty").cast(DoubleType).as("sum_qty"), col("n"))
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |COUNT(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // ---- scalar subquery (exact arithmetic form of "above average") ----
     Q("subquery_above_avg",
       (s, dir) => {
@@ -256,6 +295,21 @@ object AnalyticsQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
              |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- correlated scalar subquery (decorrelated by Catalyst into
+    //      an aggregate + join — no per-row re-execution) ----
+    Q("subquery_correlated",
+      (s, dir) => {
+        Tables.views(s, dir)
+        s.sql("""SELECT o_orderkey, o_totalprice,
+                |  (SELECT MAX(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+                |FROM orders WHERE o_orderstatus = 'F'
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  (SELECT MAX(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+             |FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_orderkey""".stripMargin)),
 
     // ---- IN subquery ----

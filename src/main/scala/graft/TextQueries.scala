@@ -105,6 +105,21 @@ object TextQueries {
              |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // ---- BPE-ish tokenization: regex token classes (letter runs,
+    //      digit runs, single punctuation) — the cheap proxy for
+    //      subword token counting in data-pipeline budgeting ----
+    Q("token_count_bpe",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("n_bpe_tokens"),
+          size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+             |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- exact deduplication: keeper = min doc_id per identical text ----
     Q("dedup_exact",
       (s, dir) => Tables.t(s, dir, "documents")

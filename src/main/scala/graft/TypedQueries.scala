@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Typed Dataset tier: case-class rows + a custom typed Aggregator —
+ * the compile-time-checked face of the same engine. The Aggregator
+ * accumulates in BigDecimal (exact, order-independent), so the result
+ * is oracle-comparable like the Column-based decimal sums.
+ */
+object TypedQueries {
+
+  final case class Line(l_returnflag: String, l_linestatus: String,
+                        l_quantity: Double, l_extendedprice: Double)
+
+  /** Exact decimal sum of (quantity) as a reusable typed Aggregator. */
+  object QtySum extends Aggregator[Line, java.math.BigDecimal, Double] {
+    private val two = java.math.RoundingMode.HALF_UP
+    override def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    override def reduce(b: java.math.BigDecimal, l: Line): java.math.BigDecimal =
+      b.add(new java.math.BigDecimal(l.l_quantity).setScale(2, two))
+    override def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
+      a.add(b)
+    override def finish(r: java.math.BigDecimal): Double = r.doubleValue()
+    override def bufferEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  object LineCount extends Aggregator[Line, Long, Long] {
+    override def zero = 0L
+    override def reduce(b: Long, l: Line): Long = b + 1
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("typed_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+          .as[Line]
+          .groupByKey(l => (l.l_returnflag, l.l_linestatus))
+          .agg(QtySum.toColumn.name("sum_qty"), LineCount.toColumn.name("n"))
+          .select(col("key._1").as("l_returnflag"), col("key._2").as("l_linestatus"),
+            col("sum_qty"), col("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |COUNT(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}
