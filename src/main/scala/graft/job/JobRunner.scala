@@ -113,8 +113,25 @@ object JobRunner {
             stepsRun ::= step
           case "TRUNCATE_DESTINATION" =>
             // File sinks: truncation is the overwrite mode of the LOAD
-            // write itself (TruncateTasklet.java:93 analog) — nothing
-            // to do eagerly; recorded for flow parity.
+            // write itself. JDBC sinks: eager TRUNCATE TABLE on the
+            // target, sanitized like the reference
+            // (TruncateTasklet.java:54-111, sanitize at :89).
+            cfg.destination.filter(d => Set("JDBC", "ORACLE", "MSSQL", "SQLSERVER")(d.`type`.toUpperCase))
+              .foreach { dest =>
+                val c = dest.connectionDetails
+                val url = c.jdbcUrl.getOrElse(
+                  throw new IllegalArgumentException("JDBC truncate requires jdbcUrl"))
+                val table = graft.sources.Readers.sanitizeIdent(c.tableName.getOrElse(
+                  throw new IllegalArgumentException("JDBC truncate requires tableName")))
+                Retry.withRetry() { () =>
+                  val props = new java.util.Properties()
+                  c.username.foreach(props.setProperty("user", _))
+                  c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
+                  val conn = java.sql.DriverManager.getConnection(url, props)
+                  try conn.createStatement().execute(s"TRUNCATE TABLE $table")
+                  finally conn.close()
+                }
+              }
             stepsRun ::= step
           case "LOAD" =>
             val df = buildDataFrame(spark, cfg, plugins)
@@ -124,7 +141,9 @@ object JobRunner {
               throw new IllegalArgumentException("LOAD step requires a destination"))
             val counted = good.persist()
             try {
-              Writers.write(counted, dest)
+              // E4: driver-side retry around the whole write; inside
+              // the job, task retries (spark.task.maxFailures) apply.
+              Retry.withRetry() { () => Writers.write(counted, dest) }
               written = counted.count()
             } finally counted.unpersist()
             stepsRun ::= step

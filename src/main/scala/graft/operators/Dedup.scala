@@ -43,8 +43,12 @@ object Dedup {
    * Output: (id, mh_0 .. mh_{k-1}).
    */
   def minhash(sh: DataFrame, idCol: String, k: Int = 128): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // Hash the (variable-length) shingle string ONCE, then derive the
+    // k independent hashes from that 8-byte value — k string hashes
+    // per shingle would dominate the whole pipeline's CPU.
+    val aggs = (0 until k).map(i => min(xxhash64(col("_h0"), lit(i))).as(s"mh_$i"))
+    sh.withColumn("_h0", xxhash64(col("shingle")))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
