@@ -428,6 +428,102 @@ object AnalyticsQueries {
              |min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- exact percentiles (sort-based interpolation — matches
+    //      DuckDB quantile_cont) ----
+    Q("agg_percentiles",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.5) AS median_qty,
+             |quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |quantile_cont(l_quantity, [0.25, 0.75]) AS iqr
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- string function family 2 ----
+    Q("scalar_string2",
+      (s, dir) => Tables.t(s, dir, "part").select(
+        col("p_partkey"),
+        translate(col("p_brand"), "#", "_").as("brand_t"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        reverse(col("p_brand")).as("brand_rev"),
+        levenshtein(col("p_brand"), lit("Brand#1")).as("lev_d"),
+        repeat(lit("*"), col("p_size") % 5).as("stars"),
+        ascii(col("p_name")).as("first_cp")
+      ).orderBy("p_partkey"),
+      Some("""SELECT p_partkey, translate(p_brand, '#', '_') AS brand_t,
+             |split_part(p_type, ' ', 1) AS type_head,
+             |reverse(p_brand) AS brand_rev,
+             |CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS lev_d,
+             |repeat('*', p_size % 5) AS stars,
+             |CAST(unicode(p_name) AS INTEGER) AS first_cp
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- rank-family window variants over a total order ----
+    Q("window_rank_variants",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+             |PERCENT_RANK() OVER w AS prk,
+             |CUME_DIST() OVER w AS cd,
+             |CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- pivot (conditional aggregation form in the oracle) ----
+    Q("pivot_status",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        p.select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+             |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+             |COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- full outer join ----
+    Q("join_full_outer",
+      (s, dir) => {
+        val custN = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val suppN = Tables.t(s, dir, "supplier")
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        custN.join(suppN, custN("c_nationkey") === suppN("s_nationkey"), "full_outer")
+          .select(coalesce(custN("c_nationkey"), suppN("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+             |          WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey),
+             |     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+             |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+             |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
     // ---- tumbling time window over events (batch form of the
     //      Structured Streaming aggregation; graft.streaming has the
     //      readStream twin) ----

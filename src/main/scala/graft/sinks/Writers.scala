@@ -33,6 +33,10 @@ object Writers {
           .option("encoding", c.encoding.getOrElse("UTF-8"))
           .option("quote", "\"").option("escape", "\"")
           .option("emptyValue", "").option("nullValue", "")
+          // Spark's CSV WRITER trims whitespace by default; the
+          // reference preserves values verbatim (:161-171)
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(requirePath(dest))
       case "JSON" =>
         df.write.mode(mode).json(requirePath(dest))

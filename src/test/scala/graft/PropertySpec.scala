@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.{ConnectionDetails, DestinationConfig, FieldMapping}
+import graft.sinks.Writers
+import graft.sources.Readers
+import graft.types.CastEngine
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests (SURVEY.md §5.2): generated adversarial data
+  * through the real engine paths. One generated corpus per property,
+  * one Spark round-trip — not one job per ScalaCheck case. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): List[T] =
+    Gen.listOfN(n, g)(Gen.Parameters.default, Seed(seed)).get
+
+  test("CSV round-trip preserves arbitrary strings (quotes, delimiters, newlines, unicode)") {
+    val nasty = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("a,b", "say \"hi\"", "line1\nline2", "trailing,", ",leading",
+        "é中文😀", "\"", ",", "\n", "a\r\nb", "  padded  "),
+      Gen.listOfN(5, Gen.oneOf(',', '"', '\n', 'x', ' ')).map(_.mkString))
+    val rows = sample(nasty, 300, seed = 7L).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val out = tmpDir("csvprop")
+    val df = rows.toDF("id", "v")
+    Writers.write(df, DestinationConfig("CSV",
+      ConnectionDetails(path = Some(s"$out/d"), includeHeader = Some(true))))
+    val back = Readers.csv(spark, s"$out/d",
+        List(FieldMapping("id", "id"), FieldMapping("v", "v")), header = true)
+      .select(col("id").cast("long"), col("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    rows.foreach { case (id, v) =>
+      assert(back(id) == v, s"row $id: wrote ${v.map(_.toInt)} got ${back(id).map(_.toInt)}")
+    }
+  }
+
+  test("decimal cast round-trips through string for arbitrary scaled values") {
+    val g = for {
+      unscaled <- Gen.chooseNum(-999999999999999L, 999999999999999L)
+      scale <- Gen.chooseNum(0, 6)
+    } yield new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), scale)
+    val vals = sample(g, 200, seed = 11L).distinct
+    val df = vals.map(_.toPlainString).toDF("s")
+      .select(col("s"), CastEngine.castTo(col("s"), "DECIMAL(28,6)").as("d"))
+    df.collect().foreach { r =>
+      val expect = new java.math.BigDecimal(r.getString(0)).setScale(6)
+      assert(r.getDecimal(1).compareTo(expect) == 0, s"${r.getString(0)} -> ${r.getDecimal(1)}")
+    }
+  }
+
+  test("boolean lenient cast: anything outside the truthy/falsy sets is null") {
+    val truthy = Set("true", "1", "y", "yes", "t")
+    val falsy = Set("false", "0", "n", "no", "f")
+    val g = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf(truthy.toSeq), Gen.oneOf(falsy.toSeq),
+      Gen.oneOf(truthy.toSeq).map(_.toUpperCase), Gen.oneOf(" y ", " NO", "tRuE"))
+    val vals = sample(g, 300, seed = 13L)
+    val got = vals.toDF("s")
+      .select(col("s"), CastEngine.castTo(col("s"), "BOOLEAN").as("b")).collect()
+    got.foreach { r =>
+      val norm = r.getString(0).trim.toLowerCase
+      val expect: Any =
+        if (truthy(norm)) true else if (falsy(norm)) false else null
+      assert(r.get(1) == expect, s"'${r.getString(0)}' -> ${r.get(1)} (want $expect)")
+    }
+  }
+
+  test("fingerprint is order-sensitive and collision-light on generated corpus") {
+    val vals = sample(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 500, seed = 17L).distinct
+    val fps = vals.toDF("t")
+      .select(graft.functions.Fingerprint.fingerprint(col("t"))).collect().map(_.getLong(0))
+    // pigeonhole sanity: distinct inputs rarely collide in [0, 1e9+7)
+    assert(fps.distinct.length >= vals.length - 2)
+  }
+}

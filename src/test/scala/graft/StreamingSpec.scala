@@ -56,6 +56,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val userDim = Tables.t(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val enriched = stream.join(userDim, "user_id")
+      .groupBy("user_tag").agg(count(lit(1)).as("n"))
+    val got = EventStreams.runToMemory(spark, enriched, "t_enrich")
+    val want = Tables.t(spark, sf, "events").groupBy("user_id").count().count()
+    assert(got.count() == want) // one tag per user
+    assert(got.agg(sum("n")).collect()(0).getLong(0) == 1000L)
+  }
+
+  test("foreachBatch sink writes each microbatch transactionally") {
+    val dir = tmpDir("febatch")
+    val stream = EventStreams.readEvents(spark, eventsPath)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$dir/out")
+    val want = Tables.t(spark, sf, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(back.orderBy("event_type").collect().map(_.toSeq).toSeq ==
+      want.orderBy("event_type").collect().map(_.toSeq).toSeq)
+  }
+
   test("late data beyond the watermark is dropped (append mode)") {
     // Two-batch file source: batch 1 = events, batch 2 = one very-late
     // event. With a 2h watermark advanced past it by batch 1's max ts,
