@@ -538,6 +538,38 @@ object AnalyticsQueries {
              |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // ---- as-of enrichment (time-series): each event carries the most
+    //      recent prior 'signup' value for its user — the windowed
+    //      last-ignoring-nulls form of an as-of join (no range-join
+    //      explosion; one shuffle on the partition key) ----
+    Q("events_asof_enrich",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "events")
+          .withColumn("last_signup_value",
+            last(when(col("event_type") === "signup", col("value")), ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "event_type", "last_signup_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+             |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- HLL sketch distinct (approximate — no SQL oracle by design;
+    //      DedupSimilaritySpec-style tolerance asserted in tests; the
+    //      100 TB path for distinct-count audits where exact
+    //      COUNT(DISTINCT) would shuffle every key) ----
+    Q("agg_approx_distinct",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- sliding (overlapping) time window: each event lands in two
     //      1h windows on the 30-min grid. Oracle expands the two
     //      candidate windows explicitly. ----
