@@ -107,6 +107,52 @@ object AnalyticsQueries {
               |WHERE r_name = 'ASIA'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- 7-way join + conditional share (TPC-H Q8 shape):
+    //      revenue share of one supplier-nation per order-year ----
+    Q("q8_market_share",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val ord = Tables.t(s, dir, "orders")
+        val cust = Tables.t(s, dir, "customer")
+        val supp = Tables.t(s, dir, "supplier")
+        val nat = Tables.t(s, dir, "nation").as("cn")
+        val snat = Tables.t(s, dir, "nation").as("sn")
+        val reg = Tables.t(s, dir, "region").filter(col("r_name") === "AMERICA")
+        val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(nat), cust("c_nationkey") === col("cn.n_nationkey"))
+          .join(broadcast(snat), supp("s_nationkey") === col("sn.n_nationkey"))
+          .join(broadcast(reg), col("cn.n_regionkey") === reg("r_regionkey"))
+          .groupBy(year(ord("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("sn.n_name") === "BRAZIL", vol).otherwise(lit(0).cast(DecimalType(12, 2))))
+              .cast(DoubleType).as("brazil_rev"),
+            sum(vol).cast(DoubleType).as("total_rev"))
+          .withColumn("mkt_share", col("brazil_rev") / col("total_rev"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              |CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+              |  THEN CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              |  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS brazil_rev,
+              |CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev,
+              |CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+              |  THEN CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              |  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+              |  / CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |JOIN region ON cn.n_regionkey = r_regionkey
+              |WHERE r_name = 'AMERICA'
+              |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {

@@ -64,9 +64,12 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
     }
+    // persist: the self-join consumes this twice; without the cache the
+    // whole 128-hash signature aggregation runs once per side
     val bandSig = minhashed
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .persist()
     val a = bandSig.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = bandSig.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

@@ -72,6 +72,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /**
+   * Stream-stream interval join: for each `purchase` event, the
+   * `signup` events of the same user within the preceding hour.
+   * Watermarks on BOTH sides bound the join state — without them a
+   * stream-stream join's buffers grow forever (the 100 TB failure
+   * mode); with them Spark evicts rows older than
+   * watermark - interval.
+   */
+  def correlate(events: DataFrame,
+                leftType: String = "signup", rightType: String = "purchase",
+                interval: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    left.join(right,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $interval"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Custom per-key state: running count + running value sum per user,
     * emitted on every update (KeyValueGroupedDataset.mapGroupsWithState
     * — the escape hatch when built-in windows can't express the

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.correlate(stream), "t_corr",
+      outputMode = OutputMode.Append())
+      .orderBy("l_id", "r_id").collect()
+    val batch = Tables.t(spark, sf, "events")
+    val l = batch.filter(col("event_type") === "signup")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    val want = l.join(r, col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+      .orderBy("l_id", "r_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+  }
+
   test("stream-static join enriches events with a dimension table") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val userDim = Tables.t(spark, sf, "events")
