@@ -120,6 +120,33 @@ object TextQueries {
              |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- bigram frequency per language (n-gram analysis) ----
+    Q("text_bigram_topk",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").withColumn("w", split(col("text"), " "))
+        docs.select(col("lang"),
+            explode(expr(
+              "transform(sequence(1, greatest(size(w) - 1, 0))," +
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bigram"))
+          .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")
+              .orderBy(desc("n"), asc("bigram"))))
+          .filter(col("rk") <= 5)
+          .select("lang", "bigram", "n", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, w[i] || ' ' || w[i+1] AS bigram
+             |  FROM (SELECT lang, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+             |        FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))),
+             |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2)
+             |SELECT lang, bigram, n, rk FROM (
+             |  SELECT lang, bigram, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rk
+             |  FROM c) WHERE rk <= 5
+             |ORDER BY lang, rk""".stripMargin)),
+
     // ---- exact deduplication: keeper = min doc_id per identical text ----
     Q("dedup_exact",
       (s, dir) => Tables.t(s, dir, "documents")

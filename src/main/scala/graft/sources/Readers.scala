@@ -35,9 +35,40 @@ object Readers {
         fixedWidth(spark, requirePath(cfg), mappings, c.encoding.getOrElse("UTF-8"))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         jdbc(spark, cfg)
+      case "REST_API" | "REST" =>
+        rest(spark, cfg, restTransport)
       case other =>
         throw new IllegalArgumentException(s"unsupported source type: $other")
     }
+  }
+
+  /** Pluggable REST transport: url -> response body. Swapped for a
+    * fake in tests; a real deployment injects an HTTP client. The
+    * reference declared REST_API as a source type but never
+    * implemented it (etlModel.java:182-190, TODO at
+    * ItemReaderFactory.java:95-97). */
+  @volatile var restTransport: String => String = { url =>
+    val conn = new java.net.URL(url).openConnection()
+    conn.setConnectTimeout(10000); conn.setReadTimeout(30000)
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /**
+   * REST source: the driver fetches a JSON(-lines) payload once, then
+   * parallelizes it into a DataFrame with inferred schema. This is a
+   * CONTROL-plane fetch (config-sized payloads — the reference's
+   * REST sources feed job parameters, not bulk data); bulk data over
+   * HTTP would need a partitioned DataSource V2, out of scope like
+   * the reference's own TODO.
+   */
+  def rest(spark: SparkSession, cfg: SourceConfig,
+           transport: String => String): DataFrame = {
+    val url = cfg.connectionDetails.jdbcUrl.orElse(cfg.connectionDetails.pathOrFile)
+      .getOrElse(throw new IllegalArgumentException("REST source requires a url (in path or jdbcUrl)"))
+    val body = transport(url)
+    import spark.implicits._
+    spark.read.json(body.linesIterator.filter(_.trim.nonEmpty).toSeq.toDS())
   }
 
   /**

@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-sanity experiment: replicate the documents corpus Nx (ids
+  * shifted so replicas are exact near-dups of their originals) and
+  * time the MinHash+LSH pipeline at each multiple. Sub-quadratic
+  * growth here is the evidence that the banding join, not the
+  * all-pairs join, is carrying the load.
+  * Usage: runMain graft.tools.ScaleStress <sfDir> [multiples...] */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    base.count() // warm
+    multiples.foreach { m =>
+      val corpus = (0 until m).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE m=$m%2d docs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

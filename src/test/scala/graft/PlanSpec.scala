@@ -1,0 +1,68 @@
+package graft
+
+import graft.model.{ConnectionDetails, FieldMapping, SourceConfig}
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale claims (pushdown, pruning,
+  * broadcast, top-k) hold in the EXECUTED plan, not just by intent. */
+class PlanSpec extends SparkTestBase {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes
+    // formatted mode: the simple toString truncates scan metadata
+    // (PushedFilters lists get cut at ~100 chars)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("mapping filter + projection reach the parquet scan (S4/F1/P1)") {
+    val q = Queries.queries("load_sales")(spark, sf)
+    val plan = planString(q)
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice,1000.0)"), "price filter not pushed")
+    // column pruning: unmapped column o_orderpriority must not be read
+    assert(!plan.contains("o_orderpriority"), "unpruned column read from parquet")
+  }
+
+  test("dimension joins broadcast; top-k uses TakeOrdered (no global sort)") {
+    val q3 = Queries.queries("q3_topk_revenue")(spark, sf)
+    val plan = planString(q3)
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast join for dims")
+    assert(plan.contains("TakeOrderedAndProject"), "expected TakeOrdered for LIMIT k")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ at this scale:\n$plan")
+  }
+
+  test("aggregation is partial before its single exchange (map-side combine)") {
+    val q1 = Queries.queries("q1_agg")(spark, sf)
+    val plan = planString(q1)
+    assert(plan.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("REST source with pluggable transport parses JSON-lines payloads") {
+    val fake: String => String = url => {
+      assert(url == "https://example.invalid/feed")
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}""".stripMargin
+    }
+    val df = Readers.rest(spark,
+      SourceConfig("REST_API", ConnectionDetails(path = Some("https://example.invalid/feed"))),
+      fake)
+    assert(df.orderBy("id").collect().map(_.getAs[String]("name")).toSeq == Seq("a", "b"))
+  }
+
+  test("mapped REST source flows through the standard mapping path") {
+    val orig = Readers.restTransport
+    Readers.restTransport = _ => """{"user": "x", "amount": "12.5"}"""
+    try {
+      val cfg = SourceConfig("REST", ConnectionDetails(path = Some("u")))
+      val mappings = List(
+        FieldMapping("user", "User"),
+        FieldMapping("amount", "Amount", destFieldType = "DECIMAL(10,2)"))
+      val out = graft.operators.MappingOp(
+        Readers.forConfig(spark, cfg, mappings), mappings).collect()
+      assert(out(0).getString(0) == "x")
+      assert(out(0).getDecimal(1) == new java.math.BigDecimal("12.50"))
+    } finally Readers.restTransport = orig
+  }
+}
