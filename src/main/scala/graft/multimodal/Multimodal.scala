@@ -65,6 +65,30 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": fixed-width byte slice of the payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Frame sampling: slice each payload into fixed-width frames and
+   * keep every `everyK`-th — the video-frame-sampling contract with a
+   * byte-slicing stub standing in for codec-aware extraction. Emits
+   * zero-copy slices per partition; output size is bounded by
+   * |payload| / everyK regardless of row count.
+   */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 1024,
+                  everyK: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameSize > 0 && everyK > 0)
+    media.flatMap { r =>
+      val nFrames = (r.payload.length + frameSize - 1) / frameSize
+      (0 until nFrames).filter(_ % everyK == 0).map { i =>
+        val from = i * frameSize
+        val until = math.min(from + frameSize, r.payload.length)
+        Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
   /** Adapt any DataFrame with (idCol, binary payloadCol) into the
     * typed media Dataset — the ingest boundary for parquet/object-store
     * payload tables. */

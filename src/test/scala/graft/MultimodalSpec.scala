@@ -23,6 +23,18 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("frame sampling slices payload bytes deterministically") {
+    val payload = (0 until 2500).map(_.toByte).toArray
+    val media = Multimodal.asMedia(
+      Seq((7L, payload)).toDF("id", "payload"), "id", "payload", "video")
+    val frames = Multimodal.frameSample(media, frameSize = 1000, everyK = 2)
+      .collect().sortBy(_.frame_idx)
+    // 3 frames of 1000/1000/500 bytes; every 2nd kept -> idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames(0).frame.length == 1000 && frames(0).frame(0) == 0.toByte)
+    assert(frames(1).frame.length == 500 && frames(1).frame(0) == 2000.toByte)
+  }
+
   test("batching bounds batch size and loses no rows") {
     val media = Multimodal.asMedia(
       Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4)), (3L, Array[Byte]()))
