@@ -153,6 +153,46 @@ object AnalyticsQueries {
               |WHERE r_name = 'AMERICA'
               |GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
+    // ---- aggregate-filtered subquery join (TPC-H Q18 shape) ----
+    Q("q18_big_orders",
+      (s, dir) => {
+        val big = Tables.t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+          .filter(col("sum_qty") > 150.0)
+        val ord = Tables.t(s, dir, "orders")
+        val cust = Tables.t(s, dir, "customer")
+        big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150.0) big
+             |JOIN orders ON big.l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- NOT IN subquery + distinct aggregate (TPC-H Q16 shape) ----
+    Q("q16_supplier_variety",
+      (s, dir) => {
+        Tables.views(s, dir)
+        s.sql("""SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+                |FROM part JOIN lineitem ON p_partkey = l_partkey
+                |WHERE p_brand <> 'Brand#1'
+                |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+                |GROUP BY p_brand, p_type
+                |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type
+             |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {

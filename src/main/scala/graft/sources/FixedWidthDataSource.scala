@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/**
+ * DataSource V2 connector for fixed-width files (reference S8 —
+ * declared `FIXED_LENGTH_FILE` but unimplemented, etlModel.java:96-97,
+ * TODO at ItemReaderFactory.java:95-97).
+ *
+ * Usage:
+ *   spark.read.format("graft.sources.FixedWidthDataSource")
+ *     .option("path", "/data/file.txt")
+ *     .option("fields", "id:1:3,name:4:10,qty:14:2")   // name:start(1-based):width
+ *     .load()
+ *
+ * Why a connector instead of substring-over-text (Readers.fixedWidth):
+ *  - COLUMN PRUNING AT THE SOURCE: `SupportsPushDownRequiredColumns`
+ *    means a 2-column projection of a 400-column layout decodes 2
+ *    slices per line, not 400 — at 100 TB the difference between
+ *    decoding bytes you need and bytes you have;
+ *  - one InputPartition per file, so a directory of files scans with
+ *    file-level parallelism (block-level splitting would add
+ *    line-alignment bookkeeping; files are the natural unit for the
+ *    mainframe-extract shape this format models).
+ * All values surface as strings; casts belong to the mapping stage
+ * like every other source.
+ */
+class FixedWidthDataSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixedWidthDataSource.schemaFor(FixedWidthDataSource.parseFields(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new FixedWidthTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FixedWidthDataSource {
+  final case class Field(name: String, start1: Int, width: Int)
+
+  def parseFields(options: CaseInsensitiveStringMap): Seq[Field] = {
+    val spec = Option(options.get("fields")).getOrElse(
+      throw new IllegalArgumentException(
+        "fixed-width source requires option 'fields' = name:start:width[,...]"))
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+      f.split(":") match {
+        case Array(n, s, w) => Field(n.trim, s.trim.toInt, w.trim.toInt)
+        case _ => throw new IllegalArgumentException(s"bad field spec '$f' (want name:start:width)")
+      }
+    }
+  }
+
+  def schemaFor(fields: Seq[Field]): StructType =
+    StructType(fields.map(f => StructField(f.name, StringType, nullable = true)))
+
+  def listFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq.sorted
+    else Seq(path)
+  }
+}
+
+private class FixedWidthTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val fields = FixedWidthDataSource.parseFields(options)
+  override def name(): String = s"fixedwidth(${options.get("path")})"
+  override def schema(): StructType = FixedWidthDataSource.schemaFor(fields)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FixedWidthScanBuilder(
+      Option(o.get("path")).orElse(Option(options.get("path"))).getOrElse(
+        throw new IllegalArgumentException("fixed-width source requires option 'path'")),
+      fields,
+      Option(o.get("encoding")).getOrElse("UTF-8"))
+}
+
+private class FixedWidthScanBuilder(path: String,
+    allFields: Seq[FixedWidthDataSource.Field], encoding: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: Seq[FixedWidthDataSource.Field] = allFields
+
+  // Catalyst hands us the pruned schema; keep only those slices.
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = allFields.filter(f => keep(f.name))
+  }
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = FixedWidthDataSource.schemaFor(required)
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      FixedWidthDataSource.listFiles(path).map(f => FixedWidthPartition(f): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FixedWidthReaderFactory(required, encoding)
+    override def description(): String =
+      s"FixedWidthScan(path=$path, cols=${required.map(_.name).mkString(",")})"
+  }
+}
+
+private case class FixedWidthPartition(file: String) extends InputPartition
+
+private class FixedWidthReaderFactory(fields: Seq[FixedWidthDataSource.Field], encoding: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FixedWidthPartition].file
+    new PartitionReader[InternalRow] {
+      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.FileInputStream(file), encoding))
+      private var line: String = _
+      override def next(): Boolean = { line = reader.readLine(); line != null }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = fields.map { f =>
+          val from = f.start1 - 1
+          if (from >= line.length) null
+          else {
+            val until = math.min(from + f.width, line.length)
+            UTF8String.fromString(line.substring(from, until).trim)
+          }
+        }.toArray
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
