@@ -9,16 +9,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /**
  * Native dot product over two array<double> columns.
  *
- * Semantically identical to
+ * For null-free arrays this is bit-identical to
  *   aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,v) -> acc+v)
- * — same ascending-index, left-to-right double accumulation, so the
- * result is bit-identical to the higher-order-function form (and to
- * DuckDB's list_dot_product) — but runs as a tight codegen'd loop over
+ * (and to DuckDB's list_dot_product): same ascending-index,
+ * left-to-right double accumulation — but a tight codegen'd loop over
  * the primitive array instead of interpreted lambda dispatch per
- * element. On the similarity hot path (all-pairs scoring) this is the
- * difference between a vectorizable O(dim) loop and per-element
- * closure invocation; null elements count as 0, a null array yields
- * null, lengths are folded to the shorter side.
+ * element. Divergence by design: a NULL ELEMENT counts as 0 here,
+ * where the HOF fold would poison the whole sum to null (a single
+ * missing dimension should not null out a 100 TB scoring pass); a
+ * null ARRAY still yields null, lengths fold to the shorter side.
  */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

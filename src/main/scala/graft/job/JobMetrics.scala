@@ -1,6 +1,6 @@
 package graft.job
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
@@ -42,6 +42,9 @@ final class JobMetrics(spark: SparkSession) extends SparkListener {
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("default")
     j.stageIds.foreach(sid => stageToGroup.put(sid, group))
   }
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    stageToGroup.remove(sc.stageInfo.stageId) // bound the routing map
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val group = Option(stageToGroup.get(t.stageId)).getOrElse("default")

@@ -19,8 +19,10 @@ import scala.util.control.NonFatal
  *    reported; a crash mid-job leaves it in the inbox for redelivery;
  *  - a config that fails parsing or the job fails goes to failed/
  *    (the DLQ analog) with the error message alongside;
- *  - duplicate jobIds currently running are skipped this poll
- *    (workflowEngine-part1.java:261-267 dedupe).
+ *  - a jobId already running is skipped (matters when several queue
+ *    consumers share this instance — within one sequential drain each
+ *    job completes before the next is examined, mirroring the
+ *    reference's running-check, workflowEngine-part1.java:261-267).
  */
 final class JobQueue(spark: SparkSession, inbox: String,
                      notifier: JobRunner.Notifier = JobRunner.LogNotifier) {
@@ -35,9 +37,11 @@ final class JobQueue(spark: SparkSession, inbox: String,
   /** Process every pending config once; returns per-file results.
     * Call in a loop (or from a scheduler) for continuous consumption. */
   def drainOnce(): Map[String, JobRunner.JobResult] = {
-    val pending = Files.list(inboxP).iterator().asScala
+    val listing = Files.list(inboxP)
+    val pending = try listing.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
       .toList.sortBy(_.getFileName.toString)
+    finally listing.close()
     pending.flatMap { p => process(p).map(p.getFileName.toString -> _) }.toMap
   }
 

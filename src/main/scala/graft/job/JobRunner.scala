@@ -56,9 +56,26 @@ object JobRunner {
       System.err.println(s"[graft-job] ${r.configKey} -> ${r.status} written=${r.recordsWritten} failed=${r.recordsFailed} ${r.message}")
   }
 
-  /** In-driver run registry (reference: workflowEngine-part1.java:201-203). */
+  /** In-driver run registry (reference: workflowEngine-part1.java:201-203).
+    * Bounded: a long-lived queue-driven driver would otherwise leak one
+    * entry per run; the oldest results are evicted past `registryCap`
+    * (the reference instead removes entries in its completion listener,
+    * JobCompletionNotificationListener.java:36-63 — a cap keeps recent
+    * statuses queryable, which the listener-removal approach loses). */
   private val registry = new ConcurrentHashMap[String, JobResult]()
+  private val registryOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val registryCap = 1000
   private val seq = new AtomicLong()
+
+  private def registryPut(key: String, r: JobResult): Unit = {
+    if (registry.put(key, r) == null) {
+      registryOrder.add(key)
+      while (registry.size > registryCap) {
+        val oldest = registryOrder.poll()
+        if (oldest != null) registry.remove(oldest) else return
+      }
+    }
+  }
 
   def status(configKey: String): Option[JobResult] = Option(registry.get(configKey))
 
@@ -98,7 +115,7 @@ object JobRunner {
     var stepsRun = List.empty[String]
     var written = 0L
     var failedRows = 0L
-    registry.put(configKey, JobResult(cfg.jobId, configKey, Running, 0, 0, Nil, ""))
+    registryPut(configKey, JobResult(cfg.jobId, configKey, Running, 0, 0, Nil, ""))
     spark.sparkContext.setJobGroup(configKey, s"graft job ${cfg.jobId}", interruptOnCancel = true)
     val steps = if (cfg.steps.nonEmpty) cfg.steps else List("LOAD", "NOTIFY_SUCCESS")
     try {
@@ -166,14 +183,14 @@ object JobRunner {
       }
       val res = JobResult(cfg.jobId, configKey, Completed, written, failedRows, stepsRun.reverse,
         s"completed ${stepsRun.size} steps")
-      registry.put(configKey, res)
+      registryPut(configKey, res)
       if (steps.exists(_.equalsIgnoreCase("NOTIFY_SUCCESS"))) notifier.notify(res)
       res
     } catch {
       case NonFatal(e) =>
         val res = JobResult(cfg.jobId, configKey, Failed(e.getMessage), written, failedRows,
           stepsRun.reverse, Option(e.getMessage).getOrElse(e.toString))
-        registry.put(configKey, res)
+        registryPut(configKey, res)
         notifier.notify(res) // NOTIFY_FAILURE path (O15)
         res
     } finally {

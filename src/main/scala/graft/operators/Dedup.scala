@@ -85,6 +85,11 @@ object Dedup {
    * jaccard >= num/den (integer cross-multiplication, no float).
    * Verified output is deterministic and (up to LSH recall, ~1-5e-4
    * misses at the default banding) equals the exact all-pairs result.
+   *
+   * Cache contract: the pipeline persists intermediates (shingles,
+   * band signatures) that live until `spark.catalog.clearCache()` or
+   * session end — a long-lived driver running many dedup jobs should
+   * clear between jobs (Bench/Verify do exactly that).
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,

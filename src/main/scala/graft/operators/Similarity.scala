@@ -34,12 +34,12 @@ object Similarity {
     * side before the join (same expression value, bit-identical to
     * recomputing per pair). */
   def bruteForceTopK(corpus: DataFrame, probe: DataFrame, vecCol: String,
-                     k: Int): DataFrame =
+                     k: Int, idCol: String = "vec_id"): DataFrame =
     corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(broadcast(probe.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
       .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
       .drop("probe_e", "_norm", "_pnorm")
-      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
   /** Deterministic pseudo-random unit-ish plane weight for
@@ -71,14 +71,76 @@ object Similarity {
    * candidate set is a bit_count filter on a precomputable long.
    */
   def annTopK(corpus: DataFrame, probe: DataFrame, vecCol: String,
-              dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6): DataFrame = {
+              dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6,
+              idCol: String = "vec_id"): DataFrame = {
     val sigCorpus = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
     val sigProbe = probe.withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
     sigCorpus.crossJoin(broadcast(sigProbe))
       .filter(expr(s"bit_count(sig ^ probe_sig) <= $probeHamming"))
       .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
       .drop("probe_e", "probe_sig", "sig")
-      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /**
+   * IVF (inverted-file) ANN: partition the corpus into `nLists` cells
+   * around sampled centroids; a query probes only the `nProbe` cells
+   * whose centroids are nearest its vector, then re-ranks exactly.
+   *
+   * Centroids are SAMPLED DATA POINTS (every (n/nLists)-th vector in
+   * vec_id order) — deterministic, no k-means iterations to seed; at
+   * 100 TB the cell assignment is precomputed once and the corpus is
+   * PARTITIONED BY cell, so a query reads nProbe/nLists of the data.
+   * LSH (annTopK) needs no training but prunes poorly on
+   * weakly-clustered data; IVF adapts to the data's own geometry.
+   */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nLists: Int = 16): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    // Sampled centroids via deterministic hash filter — NO global sort
+    // (a row_number over the whole corpus would funnel 100 TB through
+    // one task). The candidate set is tiny, so collecting it to build
+    // the cell index is a metadata operation, not a data path.
+    val sampled = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("centroid"))
+      .orderBy(abs(xxhash64(col("_id"))))
+      .limit(nLists)
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val rows = sampled.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.getSeq[Double](1))
+    }
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    // assign each vector to its nearest centroid: one broadcast pass +
+    // per-id argmin (partitioned window, not global)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", -cosine(col(vecCol), col("centroid")))
+      .withColumn("best", min(struct(col("d"), col("cell")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .filter(col("d") === col("best.d") && col("cell") === col("best.cell"))
+      .drop("d", "best", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Query the IVF index: probe the nProbe nearest cells, exact
+    * re-rank inside them. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, probe: DataFrame,
+              vecCol: String, k: Int, nProbe: Int = 4,
+              idCol: String = "vec_id"): DataFrame = {
+    val probeCells = centroids.crossJoin(broadcast(probe))
+      .withColumn("sim", cosine(col("centroid"), col("probe_e")))
+      .orderBy(desc("sim")).limit(nProbe)
+      .select("cell")
+    assigned.join(broadcast(probeCells), "cell")
+      .crossJoin(broadcast(probe))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .drop("probe_e", "cell")
+      .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
 

@@ -63,10 +63,12 @@ object FixedWidthDataSource {
 
   def listFiles(path: String): Seq[String] = {
     val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq.sorted
-    else Seq(path)
+      finally listing.close()
+    } else Seq(path)
   }
 }
 

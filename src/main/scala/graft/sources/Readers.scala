@@ -98,21 +98,30 @@ object Readers {
 
   /**
    * Fixed-width file scan (reference S8, declared-unimplemented:
-   * etlModel.java:96-97,182-190). Reads lines as text and slices
-   * columns by (fileColumnPosition, fileColumnWidth) — 1-based start
-   * offsets, substring is executor-side and codegen'd.
+   * etlModel.java:96-97,182-190), via the DataSource V2 connector
+   * (FixedWidthDataSource): column pruning happens at the source —
+   * only the byte slices the plan needs are decoded. Field layout
+   * comes from (fileColumnPosition, fileColumnWidth) on the mappings,
+   * 1-based start offsets. A column whose start lies past the end of a
+   * short line is NULL (feeding ErrorPolicy), not empty string — the
+   * one deliberate difference from a substring-over-text formulation.
    */
   def fixedWidth(spark: SparkSession, path: String, mappings: Seq[FieldMapping],
                  encoding: String = "UTF-8"): DataFrame = {
-    val lines = spark.read.option("encoding", encoding).text(path)
-    val cols = mappings.map { m =>
+    val fields = mappings.map { m =>
+      require(!m.sourceFieldName.exists(c => c == ':' || c == ','),
+        s"fixed-width field name '${m.sourceFieldName}' may not contain ':' or ','")
       val start = m.fileColumnPosition.getOrElse(
         throw new IllegalArgumentException(s"fixed-width mapping ${m.sourceFieldName} missing fileColumnPosition"))
       val width = m.fileColumnWidth.getOrElse(
         throw new IllegalArgumentException(s"fixed-width mapping ${m.sourceFieldName} missing fileColumnWidth"))
-      trim(substring(col("value"), start, width)).as(m.sourceFieldName)
+      s"${m.sourceFieldName}:$start:$width"
     }
-    lines.select(cols: _*)
+    spark.read.format(classOf[FixedWidthDataSource].getName)
+      .option("path", path)
+      .option("fields", fields.mkString(","))
+      .option("encoding", encoding)
+      .load()
   }
 
   /**

@@ -51,6 +51,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall, ann=$ann, exact=$exact")
   }
 
+  test("IVF top-k: correct cells probed, recall vs brute force") {
+    val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val (assigned, centroids) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 8)
+    // partition function: every vector in exactly one cell
+    assert(assigned.count() == corpus.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    val exact = Similarity.bruteForceTopK(corpus, probe, "e", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(assigned, centroids, probe, "e", k = 10, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall=$recall")
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)

@@ -36,7 +36,7 @@ class FixedWidthDsv2Spec extends SparkTestBase {
     assert(!plan.contains("cols=id,name,qty"), "scan decoded all columns for a 1-column projection")
   }
 
-  test("short lines yield nulls past end-of-line; agrees with substring reader") {
+  test("short lines: columns past end-of-line are null (error-policy food)") {
     val d = tmpDir("fwv2short")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/s.txt"), "004x\n")
     val rows = spark.read.format("graft.sources.FixedWidthDataSource")
