@@ -570,6 +570,42 @@ object AnalyticsQueries {
              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
              |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- first/last_value over explicit frames ----
+    Q("window_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_orderkey").over(w).as("first_order"),
+            last("o_orderkey").over(w).as("last_order"),
+            (col("o_totalprice").cast(DecimalType(12, 2)) -
+              first(col("o_totalprice").cast(DecimalType(12, 2))).over(w))
+              .cast(DoubleType).as("delta_vs_first"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_order,
+             |last_value(o_orderkey) OVER w AS last_order,
+             |CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
+             |  first_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS delta_vs_first
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- ordered string aggregation ----
+    Q("agg_string_concat",
+      (s, dir) => Tables.t(s, dir, "nation")
+        .join(Tables.t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers, COUNT(*) AS n
+             |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // ---- pivot (conditional aggregation form in the oracle) ----
     Q("pivot_status",
       (s, dir) => {
