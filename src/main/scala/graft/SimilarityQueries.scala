@@ -35,13 +35,9 @@ object SimilarityQueries {
           .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("e").as("probe_e"))
-        emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(probe))
-          .withColumn("cos_sim",
-            dot("e", "probe_e") / (sqrt(dot("e", "e")) * sqrt(dot("probe_e", "probe_e"))))
+        graft.operators.Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 10)
           .select(col("vec_id"), col("label"), col("cos_sim"))
-          .orderBy(desc("cos_sim"), asc("vec_id"))
-          .limit(10)
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
              |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)

@@ -161,14 +161,8 @@ object TextQueries {
     //      Integer cross-multiplication avoids float thresholds. ----
     Q("dedup_jaccard_pairs",
       (s, dir) => {
-        val docs = Tables.t(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-        val shingles = docs.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, greatest(size(w) - 2, 0))," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-            .as("shingle"))
-          .distinct()
+        val shingles = graft.operators.Dedup
+          .shingles(Tables.t(s, dir, "documents"), "doc_id", "text")
         val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val a = shingles.as("a"); val b = shingles.as("b")
         val common = a.join(b, col("a.shingle") === col("b.shingle") &&
