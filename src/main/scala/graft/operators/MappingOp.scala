@@ -28,11 +28,13 @@ object MappingOp {
   /** Named scalar transformation rules (reference: etlModel.java:100-101).
     * Extensible: callers may pass extra rules. */
   val builtinRules: Map[String, Column => Column] = Map(
-    "UPPERCASE" -> (c => upper(c)),
-    "LOWERCASE" -> (c => lower(c)),
-    "TRIM"      -> (c => trim(c)),
-    "LTRIM"     -> (c => ltrim(c)),
-    "RTRIM"     -> (c => rtrim(c))
+    "UPPERCASE"    -> (c => upper(c)),
+    "LOWERCASE"    -> (c => lower(c)),
+    "TRIM"         -> (c => trim(c)),
+    "LTRIM"        -> (c => ltrim(c)),
+    "RTRIM"        -> (c => rtrim(c)),
+    "CAPITALIZE"   -> (c => initcap(c)),
+    "NORMALIZE_WS" -> (c => regexp_replace(trim(c), "\\s+", " "))
   )
 
   /** Build the destination-typed column for one mapping. */

@@ -28,9 +28,10 @@ object Readers {
           delimiter = c.delimiter.getOrElse(","),
           header = c.includeHeader.getOrElse(c.linesToSkip.contains(1)),
           encoding = c.encoding.getOrElse("UTF-8"),
-          quote = c.quoteChar.getOrElse("\""))
+          quote = c.quoteChar.getOrElse("\""),
+          linesToSkip = c.linesToSkip.filter(_ > 1).getOrElse(0))
       case "JSON" =>
-        spark.read.json(requirePath(cfg))
+        json(spark, requirePath(cfg), mappings)
       case "FIXED_WIDTH" | "FIXED_LENGTH_FILE" =>
         fixedWidth(spark, requirePath(cfg), mappings, c.encoding.getOrElse("UTF-8"))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
@@ -80,7 +81,8 @@ object Readers {
    */
   def csv(spark: SparkSession, path: String, mappings: Seq[FieldMapping],
           delimiter: String = ",", header: Boolean = true,
-          encoding: String = "UTF-8", quote: String = "\""): DataFrame = {
+          encoding: String = "UTF-8", quote: String = "\"",
+          linesToSkip: Int = 0): DataFrame = {
     val base = spark.read
       .option("delimiter", delimiter)
       .option("encoding", encoding)
@@ -88,13 +90,39 @@ object Readers {
       .option("escape", "\"") // RFC-4180 doubled-quote escaping (ETLCoreCsvFileWriter.java:174-185)
       .option("multiLine", "true") // values may span newlines when quoted
       .option("header", header.toString)
-    if (header) base.csv(path)
+    val schema = StructType(mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true)))
+    if (linesToSkip > 1) {
+      // Reference `linesToSkip` > 1 (preamble lines before data,
+      // ItemReaderFactory.java:202): Spark's CSV reader only knows
+      // header=1 line, so drop the preamble per FILE (wholetext keeps
+      // each file one record — correct line ordering by construction;
+      // preamble-style files are small, so one task per file is fine),
+      // then parse the remainder as CSV.
+      import spark.implicits._
+      val lines = spark.read.option("wholetext", "true").option("encoding", encoding)
+        .text(path).as[String]
+        .flatMap(_.linesIterator.drop(linesToSkip))
+      val r = spark.read
+        .option("delimiter", delimiter).option("quote", quote).option("escape", "\"")
+        .option("header", "false")
+      if (mappings.nonEmpty) r.schema(schema).csv(lines) else r.csv(lines)
+    } else if (header) base.csv(path)
     else {
       // Positional columns named from the mapping order.
-      val schema = StructType(mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true)))
       if (mappings.nonEmpty) base.schema(schema).csv(path) else base.csv(path)
     }
   }
+
+  /** JSON scan. With mappings declared, the schema is DECLARED
+    * (all-string fields, casts in the mapping stage) — schema
+    * inference is a full extra pass over the data, unaffordable at
+    * 100 TB; inference only happens for mapping-less exploratory
+    * reads. */
+  def json(spark: SparkSession, path: String, mappings: Seq[FieldMapping]): DataFrame =
+    if (mappings.nonEmpty)
+      spark.read.schema(StructType(
+        mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true)))).json(path)
+    else spark.read.json(path)
 
   /**
    * Fixed-width file scan (reference S8, declared-unimplemented:

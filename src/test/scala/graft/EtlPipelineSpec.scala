@@ -43,6 +43,39 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("linesToSkip > 1 drops the preamble before CSV parsing") {
+    val out = tmpDir("skipcsv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/f.csv"),
+      "report generated 2026-08-12\nsource: mainframe\n1,alpha\n2,beta\n")
+    val mappings = List(FieldMapping("id", "id"), FieldMapping("label", "label"))
+    val df = Readers.csv(spark, s"$out/f.csv", mappings, header = false, linesToSkip = 2)
+    assert(df.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "alpha"), ("2", "beta")))
+  }
+
+  test("JSON source with mappings uses a declared schema (no inference pass)") {
+    val out = tmpDir("jsonsrc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/d.json"),
+      """{"a": 1, "b": "x", "ignored": true}
+        |{"a": 2, "b": "y", "ignored": false}""".stripMargin)
+    val mappings = List(FieldMapping("a", "a", destFieldType = "LONG"), FieldMapping("b", "b"))
+    val raw = Readers.json(spark, s"$out/d.json", mappings)
+    assert(raw.schema.fieldNames.toSeq == Seq("a", "b")) // declared, pruned
+    assert(raw.schema.fields.forall(_.dataType.typeName == "string"))
+    val mapped = MappingOp(raw, mappings).orderBy("a").collect()
+    assert(mapped.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("CAPITALIZE and NORMALIZE_WS transformation rules") {
+    val df = Seq(("hello   spark  world", "mIxEd case")).toDF("a", "b")
+    val mappings = List(
+      FieldMapping("a", "a_n", transformationRule = Some("NORMALIZE_WS")),
+      FieldMapping("b", "b_c", transformationRule = Some("CAPITALIZE")))
+    val r = MappingOp(df, mappings).collect()(0)
+    assert(r.getString(0) == "hello spark world")
+    assert(r.getString(1) == "Mixed Case")
+  }
+
   // ---------- fixed-width source ----------
   test("fixed-width file slices by position/width and trims") {
     val out = tmpDir("fw")
