@@ -82,17 +82,22 @@ object EventStreams {
    */
   def correlate(events: DataFrame,
                 leftType: String = "signup", rightType: String = "purchase",
-                interval: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+                interval: String = "1 hour", watermark: String = "2 hours",
+                joinType: String = "inner"): DataFrame = {
     val left = events.filter(col("event_type") === leftType)
       .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
       .withWatermark("l_ts", watermark)
     val right = events.filter(col("event_type") === rightType)
       .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
       .withWatermark("r_ts", watermark)
+    // leftOuter: unmatched left rows emit (with null right side) only
+    // once the watermark passes their join window — the state-eviction
+    // moment, which is what makes outer results correct AND bounded.
     left.join(right,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $interval"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $interval"),
+      joinType)
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 

@@ -75,6 +75,82 @@ class StreamingSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark passes") {
+    // Stage batches by mtime so the watermark has advanced before the
+    // final (empty-ish) batch evicts + emits unmatched left rows.
+    val dir = tmpDir("louter")
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = base.agg(max("ts")).collect()(0).getTimestamp(0)
+    base.coalesce(1).write.parquet(s"$dir/in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in")).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    }
+    // two nudge batches with a far-future event to push the watermark
+    // beyond every signup's join window
+    val future = new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    Seq((99001L, future, 999L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in")).forEach { p =>
+      val t = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (t > System.currentTimeMillis() - 50000)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 30000))
+    }
+    Seq((99002L, future, 999L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in")).forEach { p =>
+      val t = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (t > System.currentTimeMillis() - 20000)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 15000))
+    }
+    // fourth batch: the future-watermark only becomes the operative
+    // eviction filter two batches after the data that set it
+    Seq((99003L, future, 999L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val joined = EventStreams.correlate(stream, joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("t_louter")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_louter")
+    val unmatchedGot = got.filter(col("r_id").isNull).count()
+    // batch ground truth: signups with no purchase in the next hour
+    val l = base.filter(col("event_type") === "signup")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val wantRows = l.join(r, col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"),
+      "left_anti")
+    val unmatchedWant = wantRows.count()
+    if (unmatchedGot != unmatchedWant) {
+      val gotIds = got.filter(col("r_id").isNull).select("l_id").collect().map(_.getLong(0)).toSet
+      val missing = wantRows.collect().filterNot(r2 => gotIds(r2.getAs[Long]("l_id")))
+      missing.foreach(r2 => info(s"MISSING: $r2 (maxTs=$maxTs)"))
+      val missIds = missing.map(_.getAs[Long]("l_id")).toSeq
+      got.filter(col("l_id").isin(missIds: _*)).collect()
+        .foreach(r2 => info(s"GOT-AS: $r2"))
+      q.recentProgress.foreach(p2 => info(
+        s"batch=${p2.batchId} rows=${p2.numInputRows} wm=${p2.eventTime.get("watermark")} " +
+          s"stateRows=${p2.stateOperators.map(_.numRowsTotal).mkString(",")}"))
+      got.filter(col("r_id").isNull).orderBy(desc("l_ts")).limit(3).collect()
+        .foreach(r2 => info(s"LATEST-EMITTED-UNMATCHED: $r2"))
+    }
+    assert(unmatchedGot == unmatchedWant,
+      s"unmatched emitted=$unmatchedGot want=$unmatchedWant")
+    assert(unmatchedGot > 0, "corpus should contain signups without follow-up purchases")
+  }
+
   test("stream-static join enriches events with a dimension table") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val userDim = Tables.t(spark, sf, "events")
