@@ -49,8 +49,40 @@ object Writers {
         c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
         props.setProperty("batchsize", dest.batchSize.toString) // W1 chunk knob
         df.write.mode(if (mode == "overwrite") "overwrite" else "append").jdbc(url, table, props)
+      case "REST_API" | "REST" =>
+        rest(df, dest)
       case other =>
         throw new IllegalArgumentException(s"unsupported destination type: $other")
+    }
+  }
+
+  /** Pluggable REST posting transport: (url, jsonLinesBatch) -> unit.
+    * Executor-side; a real deployment injects an HTTP client.
+    * (Reference W4: REST_API sink declared but unimplemented,
+    * etlModel.java:198-204.) */
+  @volatile var restTransport: (String, Seq[String]) => Unit = { (url, batch) =>
+    val conn = new java.net.URL(url).openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-ndjson")
+    val out = conn.getOutputStream
+    try out.write(batch.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    if (conn.getResponseCode >= 300)
+      throw new java.io.IOException(s"REST sink POST failed: HTTP ${conn.getResponseCode}")
+  }
+
+  /**
+   * REST sink: rows as JSON lines, POSTed per `batchSize` from inside
+   * each partition — executor-parallel, one connection per batch, no
+   * driver materialization. At-least-once on task retry, like every
+   * non-transactional sink here and in the reference.
+   */
+  def rest(df: DataFrame, dest: DestinationConfig): Unit = {
+    val url = dest.connectionDetails.jdbcUrl.orElse(dest.connectionDetails.pathOrFile)
+      .getOrElse(throw new IllegalArgumentException("REST sink requires a url (in path or jdbcUrl)"))
+    val batchSize = dest.batchSize
+    val transport = restTransport // capture for serialization
+    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      rows.grouped(batchSize).foreach(batch => transport(url, batch.toSeq))
     }
   }
 

@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
 
 /** CSV round-trip (W3/S5 semantics), error policies (E1/E2),
   * fixed-width source (S8), job orchestration (O1-O4, O15). */
+object EtlPipelineSpec {
+  // static so executor threads (same JVM in local mode) can record
+  val restCapture = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+}
+
 class EtlPipelineSpec extends SparkTestBase {
   import spark.implicits._
+  import scala.jdk.CollectionConverters._
 
   // ---------- CSV writer/reader round trip (FIXTURES.md §3) ----------
   test("CSV round-trip: quoting, embedded newlines, null as empty string") {
@@ -89,6 +95,22 @@ class EtlPipelineSpec extends SparkTestBase {
     val rows = df.orderBy("id").collect()
     assert(rows.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((1, "alpha", 42), (2, "beta", 17)))
+  }
+
+  test("REST sink posts JSON-line batches through the pluggable transport") {
+    val orig = Writers.restTransport
+    EtlPipelineSpec.restCapture.clear()
+    Writers.restTransport = (url, batch) => EtlPipelineSpec.restCapture.add(url -> batch)
+    try {
+      val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(1)
+      Writers.write(df, DestinationConfig("REST_API",
+        ConnectionDetails(jdbcUrl = Some("https://example.invalid/ingest")), batchSize = 2))
+      val batches = EtlPipelineSpec.restCapture.asScala.toSeq
+      assert(batches.map(_._2.size).sorted == Seq(1, 2)) // 3 rows, batchSize 2
+      assert(batches.forall(_._1 == "https://example.invalid/ingest"))
+      val all = batches.flatMap(_._2).sorted
+      assert(all.exists(_.contains("\"id\":1")) && all.size == 3)
+    } finally Writers.restTransport = orig
   }
 
   // ---------- error policies ----------
