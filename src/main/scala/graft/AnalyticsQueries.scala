@@ -680,6 +680,41 @@ object AnalyticsQueries {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- conversion funnel: signups converting to a purchase within
+    //      1 hour, by day — the interval-join + conditional-agg compose
+    //      (the streaming twin is EventStreams.correlate) ----
+    Q("events_funnel",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+        val converted = su.join(pu,
+            col("l_user") === col("r_user") &&
+              col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"),
+            "left_semi")
+          .select(col("l_id"))
+        su.join(converted.withColumn("is_conv", lit(1)), Seq("l_id"), "left_outer")
+          .groupBy(date_trunc("day", col("l_ts")).as("day"))
+          .agg(count(lit(1)).as("n_signups"),
+            count(col("is_conv")).as("n_converted"))
+          .withColumn("conv_pct", expr("n_converted * 100 div n_signups"))
+          .orderBy("day")
+      },
+      Some("""WITH su AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS l_ts, event_id AS l_id
+             |            FROM events WHERE event_type = 'signup'),
+             |pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS r_ts
+             |       FROM events WHERE event_type = 'purchase'),
+             |conv AS (SELECT DISTINCT l_id FROM su JOIN pu ON su.user_id = pu.user_id
+             |         AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL '1 hour')
+             |SELECT CAST(date_trunc('day', l_ts) AS TIMESTAMP) AS day,
+             |COUNT(*) AS n_signups,
+             |COUNT(CASE WHEN l_id IN (SELECT l_id FROM conv) THEN 1 END) AS n_converted,
+             |COUNT(CASE WHEN l_id IN (SELECT l_id FROM conv) THEN 1 END) * 100
+             |  // COUNT(*) AS conv_pct
+             |FROM su GROUP BY 1 ORDER BY day""".stripMargin)),
+
     // ---- HLL sketch distinct (approximate — no SQL oracle by design;
     //      DedupSimilaritySpec-style tolerance asserted in tests; the
     //      100 TB path for distinct-count audits where exact
