@@ -56,9 +56,11 @@ object AnalyticsQueries {
         val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
         val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-        // customer is the small dimension side: broadcast it.
+        // customer scales with the data — no broadcast hint; AQE picks the
+        // join strategy from runtime sizes (broadcasts at small SF, shuffles
+        // at cluster scale). Only fixed-size nation/region get hints.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate").as("o_orderdate"),
             o("o_orderpriority").as("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
@@ -85,9 +87,11 @@ object AnalyticsQueries {
         val ord = Tables.t(s, dir, "orders")
         val li = Tables.t(s, dir, "lineitem")
         val supp = Tables.t(s, dir, "supplier")
+        // hint-broadcast only the fixed-cardinality tables (nation 25,
+        // region 5); customer/supplier scale with the data — AQE decides.
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(supp, li("l_suppkey") === supp("s_suppkey") &&
             cust("c_nationkey") === supp("s_nationkey"))
           .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
           .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -120,9 +124,11 @@ object AnalyticsQueries {
         val reg = Tables.t(s, dir, "region").filter(col("r_name") === "AMERICA")
         val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
           (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        // nation/region are fixed-size (hint-broadcast); customer/supplier
+        // grow with the data — leave their join strategy to AQE.
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(supp, li("l_suppkey") === supp("s_suppkey"))
           .join(broadcast(nat), cust("c_nationkey") === col("cn.n_nationkey"))
           .join(broadcast(snat), supp("s_nationkey") === col("sn.n_nationkey"))
           .join(broadcast(reg), col("cn.n_regionkey") === reg("r_regionkey"))
@@ -163,7 +169,7 @@ object AnalyticsQueries {
         val ord = Tables.t(s, dir, "orders")
         val cust = Tables.t(s, dir, "customer")
         big.join(ord, big("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
           .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
           .orderBy("o_orderkey")
       },
@@ -343,14 +349,21 @@ object AnalyticsQueries {
              |ORDER BY o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""".stripMargin)),
 
     // ---- array construction/aggregation (collect + sort + size) ----
+    // The gate comparator can't hash list columns, so the sorted array is
+    // emitted as a CSV string (semantics unchanged; still exercises
+    // collect_list/sort_array/collect_set/element_at).
     Q("array_agg_funcs",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_nums"),
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"),
           size(collect_set(col("l_returnflag"))).as("n_flags"))
-        .withColumn("first_line", element_at(col("line_nums"), 1))
+        .select(col("l_orderkey"),
+          array_join(transform(col("nums"), _.cast("string")), ",").as("line_nums"),
+          col("n_flags"),
+          element_at(col("nums"), 1).as("first_line"))
         .orderBy("l_orderkey"),
-      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_nums,
+      Some("""SELECT l_orderkey,
+             |array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums,
              |CAST(len(list_distinct(list(l_returnflag))) AS INTEGER) AS n_flags,
              |list_sort(list(l_linenumber))[1] AS first_line
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
@@ -521,12 +534,15 @@ object AnalyticsQueries {
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+          // quartiles as scalar columns (the gate can't hash list outputs)
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.75)").as("p75_qty"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |quantile_cont(l_quantity, 0.5) AS median_qty,
              |quantile_cont(l_quantity, 0.9) AS p90_qty,
-             |quantile_cont(l_quantity, [0.25, 0.75]) AS iqr
+             |quantile_cont(l_quantity, 0.25) AS p25_qty,
+             |quantile_cont(l_quantity, 0.75) AS p75_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- string function family 2 ----

@@ -34,12 +34,17 @@ object EtlQueries {
     Q("load_sales",
       (s, dir) => {
         val cfg = salesConfig(dir)
-        val (good, _) = ErrorPolicy.enforce(
-          JobRunner.buildDataFrame(s, cfg), cfg.mappings, cfg.errorHandling)
-        good.orderBy("OrderID")
+        // observed variant: no eager count action during query build
+        val good = ErrorPolicy.enforceObserved(
+          JobRunner.buildDataFrame(s, cfg), cfg.mappings, cfg.errorHandling).good
+        // The DECIMAL(18,2) cast is the semantics under test (P3); the
+        // final DOUBLE cast is oracle-output convention only — the gate's
+        // hasher can't compare decimal128 across engines.
+        good.withColumn("Total", col("Total").cast("double")).orderBy("OrderID")
       },
       Some("""SELECT o_orderkey AS OrderID, CAST(o_custkey AS INTEGER) AS CustomerID,
-             |o_orderstatus AS Status, CAST(o_totalprice AS DECIMAL(18,2)) AS Total,
+             |o_orderstatus AS Status,
+             |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS Total,
              |o_orderdate AS OrderDate FROM orders
              |WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
              |ORDER BY OrderID""".stripMargin)),
@@ -57,11 +62,14 @@ object EtlQueries {
           FieldMapping("l_linestatus", "StatusLower", "VARCHAR2", "STRING",
             transformationRule = Some("LOWERCASE"))
         )
+        // DECIMAL(18,2) cast exercised through MappingOp; final DOUBLE cast
+        // is oracle-output convention (decimal128 defeats the gate hasher).
         MappingOp(Tables.t(s, dir, "lineitem"), mappings)
+          .withColumn("Qty", col("Qty").cast("double"))
           .orderBy("OrderKey", "LineNo")
       },
       Some("""SELECT l_orderkey AS OrderKey, CAST(l_linenumber AS SMALLINT) AS LineNo,
-             |CAST(l_quantity AS DECIMAL(18,2)) AS Qty,
+             |CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS Qty,
              |CAST(l_extendedprice AS DOUBLE) AS Price,
              |CAST(l_shipdate AS DATE) AS ShipDate,
              |l_shipdate AS ShipTs,
@@ -80,8 +88,8 @@ object EtlQueries {
         val mappings = List(
           FieldMapping("o_orderkey", "id", "NUMBER", "LONG"),
           FieldMapping("o_orderpriority", "prio", "VARCHAR2", "STRING", isDestNullable = false))
-        val (good, _) = ErrorPolicy.enforce(
-          MappingOp(src, mappings), mappings, ErrorHandling("LOG_ONLY"))
+        val good = ErrorPolicy.enforceObserved(
+          MappingOp(src, mappings), mappings, ErrorHandling("LOG_ONLY")).good
         good.orderBy("id")
       },
       Some("""SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders

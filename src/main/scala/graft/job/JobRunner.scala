@@ -152,17 +152,21 @@ object JobRunner {
             stepsRun ::= step
           case "LOAD" =>
             val df = buildDataFrame(spark, cfg, plugins)
-            val (good, nBad) = ErrorPolicy.enforce(df, cfg.mappings, cfg.errorHandling)
-            failedRows = nBad
+            val enforced = ErrorPolicy.enforceObserved(df, cfg.mappings, cfg.errorHandling)
             val dest = cfg.destination.getOrElse(
               throw new IllegalArgumentException("LOAD step requires a destination"))
-            val counted = good.persist()
-            try {
-              // E4: driver-side retry around the whole write; inside
-              // the job, task retries (spark.task.maxFailures) apply.
-              Retry.withRetry() { () => Writers.write(counted, dest) }
-              written = counted.count()
-            } finally counted.unpersist()
+            // Written/failed counts ride the write itself as observed
+            // metrics (CollectMetrics) — one pass, no persist of the full
+            // dataset. At 100 TB a persist+count doubles storage; observe
+            // is free.
+            val loadObs = org.apache.spark.sql.Observation(s"graft_load_${seq.incrementAndGet()}")
+            val counted = enforced.good.observe(loadObs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+            // E4: driver-side retry around the whole write; inside
+            // the job, task retries (spark.task.maxFailures) apply.
+            Retry.withRetry() { () => Writers.write(counted, dest) }
+            written = loadObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+            failedRows = enforced.rejected()
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and

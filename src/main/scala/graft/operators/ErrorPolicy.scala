@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.model.{ErrorHandling, FieldMapping}
 import graft.types.CastEngine
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
 
 /**
  * Data-quality / error-handling operators — first-class in the
@@ -71,19 +72,60 @@ object ErrorPolicy {
       case "ROUTE_TO_FILE" =>
         val path = policy.errorFilePath.getOrElse(
           throw new IllegalArgumentException("ROUTE_TO_FILE requires errorFilePath"))
-        val bad = s.bad.persist()
-        try {
-          val n = bad.count()
-          // Nulls routed to file are written as empty strings, matching
-          // the reference CSV writer (ETLCoreCsvFileWriter.java:161-164).
-          bad.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
-          checkMax(n, policy)
-          (s.good, n)
-        } finally bad.unpersist()
+        // Single pass over the bad side: the row count rides the routing
+        // write as an observed metric (no persist, no second scan).
+        val obs = Observation(s"graft_routed_${obsSeq.incrementAndGet()}")
+        // Nulls routed to file are written as empty strings, matching
+        // the reference CSV writer (ETLCoreCsvFileWriter.java:161-164).
+        s.bad.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
+        val n = observedLong(obs, "n")
+        checkMax(n, policy)
+        (s.good, n)
       case other =>
         throw new IllegalArgumentException(s"unknown error strategy: $other")
     }
   }
+
+  /** Enforcement whose violation count is collected in the SAME pass as
+    * the caller's own downstream action (write/collect), via a
+    * CollectMetrics (`observe`) node below the good-row filter — no
+    * separate counting scan over the source.
+    *
+    * `rejected()` blocks until the caller has run its first action on
+    * `good`, then applies `maxErrorsAllowed` (throwing JobFailedException
+    * if exceeded) and returns the count. Deferred enforcement means a
+    * bounded-error abort happens AFTER the caller's write — same partial-
+    * write window as the reference's per-chunk counter
+    * (ETLCoreMappingProcessor.java:127-133), which also fails mid-load.
+    *
+    * FAIL_JOB and ROUTE_TO_FILE need their own action on the bad side
+    * (fail-fast probe / routed write) and fall back to `enforce`. */
+  def enforceObserved(mapped: DataFrame, mappings: Seq[FieldMapping],
+                      policy: ErrorHandling): Enforced =
+    violationPredicate(mappings) match {
+      case Some(isBad) if policy.strategy.equalsIgnoreCase("LOG_ONLY") =>
+        val bad = coalesce(isBad, lit(false))
+        val obs = Observation(s"graft_bad_${obsSeq.incrementAndGet()}")
+        val observed = mapped.observe(obs,
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("bad"))
+        Enforced(observed.filter(!bad), () => {
+          val n = observedLong(obs, "bad")
+          checkMax(n, policy)
+          n
+        })
+      case Some(_) =>
+        val (good, n) = enforce(mapped, mappings, policy)
+        Enforced(good, () => n)
+      case None => Enforced(mapped, () => 0L)
+    }
+
+  final case class Enforced(good: DataFrame, rejected: () => Long)
+
+  private val obsSeq = new AtomicLong()
+
+  private def observedLong(obs: Observation, key: String): Long =
+    obs.get.get(key).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
 
   private def checkMax(n: Long, policy: ErrorHandling): Unit =
     if (policy.maxErrorsAllowed > 0 && n > policy.maxErrorsAllowed)
