@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
  *
  * Scale design: the naive all-pairs Jaccard join is quadratic in the
  * document-frequency of each shingle; MinHash+LSH replaces it with a
- * band-bucket equi-join whose fan-out is bounded by the banding
- * parameters, then verifies ONLY candidate pairs exactly. At 100 TB:
- * shuffle keys are (band, bandHash) — high cardinality, uniformly
- * hash-distributed, AQE-skew-safe.
+ * band-bucket grouping whose fan-out is bounded by the banding
+ * parameters, then verifies ONLY candidate pairs exactly.
+ *
+ * Shuffle budget (the 100 TB argument): shingle sets and per-doc set
+ * sizes are narrow per-row array expressions (no global distinct, no
+ * counting groupBy); nothing is persisted. The wide operations are
+ * (1) the codegen'd 128-min signature aggregation (map-side partial —
+ * one row per doc crosses the wire), (2) one groupBy on the
+ * (band, band_key) bucket key — high cardinality, uniformly
+ * hash-distributed, AQE-skew-safe — that expands each bucket's id
+ * list to candidate pairs in-row (replacing the classic self-join:
+ * half the shuffled bytes, no cached intermediate to leak), (3) the
+ * candidate-pair distinct, and (4) the exact-verification joins,
+ * which touch candidates only.
  */
 object Dedup {
 
@@ -23,7 +33,21 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles: (id, shingle). */
+  /** Distinct word n-gram shingles of `_w` (a split words column), as
+    * a per-row array expression — no explode, no shuffle. */
+  private def shingleArrayExpr(n: Int): Column = expr(
+    s"array_distinct(transform(sequence(1, greatest(size(_w) - ${n - 1}, 0)), " +
+      s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")})))")
+
+  /** (id, _sh: array<string>) with empty-shingle docs dropped —
+    * the narrow spine every minhash stage derives from. */
+  private def withShingleArray(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.withColumn("_w", split(col(textCol), " "))
+      .select(col(idCol), shingleArrayExpr(n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+
+  /** Distinct word n-gram shingles: (id, shingle) exploded rows.
+    * Kept as the input shape for the exact-Jaccard oracle path. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("_w", split(col(textCol), " "))
       .select(col(idCol),
@@ -33,49 +57,58 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
+  /** Band keys from a signature array column `_sig`: k/bands
+    * consecutive signature slots hash into one band key. With k=128,
+    * bands=32 (4 rows/band): P[miss | s=0.7] ≈ 1-5e-4. */
+  private def bandKeyStructs(sigSlot: Int => Column, k: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(sigSlot)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+    }
+  }
+
+  /** Bucket-grouped candidate pairs from (id, band, band_key) rows:
+    * ONE groupBy on the bucket key, then each bucket's sorted id list
+    * expands to its (a < b) pairs in-row. Replaces the band self-join —
+    * the bucket key is shuffled once instead of twice and nothing needs
+    * to be persisted for reuse. Bucket population is bounded by the
+    * banding design (a pathological all-identical corpus concentrates
+    * in one bucket either way — same blast radius as the join). */
+  private def candidatePairs(bandRows: DataFrame, idCol: String): DataFrame =
+    bandRows.groupBy("band", "band_key")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+
   /**
-   * MinHash signatures as ONE wide aggregation: k `min` columns over
-   * k independent hashes of the shingle (xxhash64(s, i) —
-   * deterministic, no seed tables to ship). Map-side partial
-   * aggregation reduces each partition to one row per doc BEFORE the
-   * shuffle — vs. the naive posexplode formulation that shuffles
-   * |shingles| * k rows (a 128x row blowup at k=128).
+   * MinHash signatures as ONE wide aggregation over exploded shingle
+   * rows: k `min` columns over k independent hashes of the shingle
+   * (xxhash64(s, i) — deterministic, no seed tables to ship). The
+   * string is hashed once; the k derived hashes are cheap long
+   * mixes. This stays a codegen'd hash aggregation with map-side
+   * partial min — measured faster than a per-row higher-order-function
+   * fold (HOF lambdas are interpreted and allocate per element).
    * Output: (id, mh_0 .. mh_{k-1}).
    */
   def minhash(sh: DataFrame, idCol: String, k: Int = 128): DataFrame = {
-    // Hash the (variable-length) shingle string ONCE, then derive the
-    // k independent hashes from that 8-byte value — k string hashes
-    // per shingle would dominate the whole pipeline's CPU.
     val aggs = (0 until k).map(i => min(xxhash64(col("_h0"), lit(i))).as(s"mh_$i"))
     sh.withColumn("_h0", xxhash64(col("shingle")))
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /**
-   * LSH banding: k/bands consecutive signature columns hash into one
-   * band key; documents sharing ANY (band, key) become candidates.
-   * Only `bands` rows per doc enter the join — the equi-join key
-   * (band, band_key) is high-cardinality and uniformly distributed.
-   * With k=128, bands=32 (4 rows/band): P[miss | s=0.7] ≈ 1-5e-4.
-   */
+  /** LSH banding candidates over a (id, mh_0..mh_{k-1}) signature
+    * frame; documents sharing ANY (band, key) become candidates. */
   def lshCandidates(minhashed: DataFrame, idCol: String, k: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = k / bands
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
-    }
-    // persist: the self-join consumes this twice; without the cache the
-    // whole 128-hash signature aggregation runs once per side
-    val bandSig = minhashed
+    val bandKeys = bandKeyStructs(i => col(s"mh_$i"), k, bands)
+    val bandRows = minhashed
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .persist()
-    val a = bandSig.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val b = bandSig.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    candidatePairs(bandRows, idCol)
   }
 
   /**
@@ -86,27 +119,32 @@ object Dedup {
    * Verified output is deterministic and (up to LSH recall, ~1-5e-4
    * misses at the default banding) equals the exact all-pairs result.
    *
-   * Cache contract: the pipeline persists intermediates (shingles,
-   * band signatures) that live until `spark.catalog.clearCache()` or
-   * session end — a long-lived driver running many dedup jobs should
-   * clear between jobs (Bench/Verify do exactly that).
+   * Nothing is persisted: the signature/banding spine is a narrow
+   * per-row computation, so each consumer recomputes a cheap scan
+   * instead of holding the corpus in cache (which at 100 TB is the
+   * difference between working and evicting the cluster).
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                       num: Int = 7, den: Int = 10): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).persist()
+    val docs = withShingleArray(df, idCol, textCol, shingleN)
+    // narrow explode of the per-row distinct array — replaces the old
+    // global shingles().distinct() shuffle
+    val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
     val cands = lshCandidates(minhash(sh, idCol, k), idCol, k, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val common = cands.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
-      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+    // Exact verify on the compact per-doc arrays: two id-equi-joins
+    // pull both shingle sets onto each candidate pair, then overlap and
+    // sizes are narrow array expressions. Replaces the exploded-shingle
+    // join + n_common groupBy + two sizes joins — candidates are few,
+    // so the per-pair array_intersect touches a tiny fraction of rows.
+    val a = docs.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
+    val b = docs.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("n_common"), col("na"), col("nb"))
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"),
+        size(col("_sh_b")).cast("long").as("nb"))
+      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
   }
 
   /**
@@ -114,6 +152,10 @@ object Dedup {
    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1).
    * Near-identical token sets land on identical or low-Hamming
    * fingerprints — an O(n) alternative to pairwise comparison.
+   *
+   * Kept as a codegen'd explode + 64-way sum aggregation (map-side
+   * partial) — measured faster than a per-row higher-order-function
+   * fold, whose interpreted lambdas allocate a 64-slot array per token.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df
@@ -131,18 +173,23 @@ object Dedup {
 
   /** SimHash near-dup candidates: pairs whose fingerprints match on
     * any of 4 16-bit chunks, verified by Hamming distance <= maxDist.
-    * (Chunk match is the pigeonhole guarantee for dist <= 3.) */
-  def simhashNearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    val chunks = fps.select(col(idCol), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk_i", "chunk_v")))
-    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk_i"), col("chunk_v"))
-    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk_i"), col("chunk_v"))
-    a.join(b, Seq("chunk_i", "chunk_v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    * (Chunk match is the pigeonhole guarantee for dist <= 3.)
+    * Same bucket-grouped pair expansion as the MinHash path — one
+    * shuffle on the chunk key instead of a two-sided self-join. */
+  def simhashNearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame =
+    fps.select(col(idCol), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk_i", "chunk_v")))
+      .groupBy("chunk_i", "chunk_v")
+      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("simhash").as("fp")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> named_struct('id_a', a.id, 'sh_a', a.fp, 'id_b', b.id, 'sh_b', b.fp))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-  }
 }
