@@ -111,6 +111,38 @@ object SimilarityQueries {
     //      Similarity.embeddingNearDups replaces the quadratic join;
     //      at 0.4 the exact join IS the right plan (LSH cannot prune
     //      66-degree neighbors). ----
+    // ---- embedding near-duplicate pairs, LSH-bucketed HEADLINE form
+    //      (the 100 TB path): 16-bit hyperplane signatures, 4-bit-chunk
+    //      buckets (pigeonhole covers hamming <= 3), exact cosine
+    //      verify on candidates only — no quadratic join. The corpus
+    //      has no real near-dups (max pair cosine ~0.51), so the query
+    //      constructs them: each vector unions with a scaled copy
+    //      (x1.0625 — same direction, different magnitude, cosine ~1).
+    //      Scaling preserves every hyperplane sign, so the scaled pair
+    //      ALWAYS shares its signature (recall is structural, not
+    //      probabilistic); identical IEEE arithmetic in both engines
+    //      lets the exact all-pairs DuckDB oracle pin the result. ----
+    Q("embed_near_dups_lsh",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+        val perturbed = emb.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("transform(e, x -> x * 1.0625)").as("e"))
+        graft.operators.Similarity
+          .embeddingNearDups(emb.union(perturbed), "vec_id", "e", dim = 64, threshold = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |aug AS (SELECT vec_id, v FROM base
+             |        UNION ALL
+             |        SELECT vec_id + 100000, list_transform(v, x -> x * 1.0625) FROM base)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+             |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("embed_near_dups",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
