@@ -3,6 +3,8 @@ package graft
 import graft.model._
 import graft.job.JobRunner
 import graft.operators.{ErrorPolicy, MappingOp}
+import graft.sinks.Writers
+import graft.sources.Readers
 import org.apache.spark.sql.functions._
 
 /**
@@ -95,6 +97,57 @@ object EtlQueries {
       Some("""SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders
              |WHERE NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
              |ORDER BY id""".stripMargin)),
+
+    // ---- CSV source on the gate path (S5/S6): the parquet customer
+    //      table round-trips through the engine's own CSV writer, then
+    //      loads back through Readers -> MappingOp (string-typed scan,
+    //      casts in the mapping stage). The oracle reads the ORIGINAL
+    //      parquet — green means the whole CSV write+read+cast path is
+    //      value-preserving. ----
+    Q("etl_csv_source",
+      (s, dir) => {
+        val fix = s"/tmp/graft_fix_csv_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Writers.write(
+          Tables.t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+          DestinationConfig("CSV", ConnectionDetails(path = Some(fix))))
+        val mappings = List(
+          FieldMapping("c_custkey", "id", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("c_name", "name", "VARCHAR2", "STRING"),
+          FieldMapping("c_acctbal", "balance", "NUMBER", "DOUBLE"),
+          FieldMapping("c_mktsegment", "segment", "VARCHAR2", "STRING"))
+        val cfg = SourceConfig("CSV",
+          ConnectionDetails(path = Some(fix), includeHeader = Some(true)))
+        MappingOp(Readers.forConfig(s, cfg, mappings), mappings).orderBy("id")
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name,
+             |CAST(c_acctbal AS DOUBLE) AS balance, c_mktsegment AS segment
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    // ---- fixed-width source on the gate path (S8): nation formatted
+    //      into a padded fixed-layout text fixture, loaded back through
+    //      the DataSource V2 connector + MappingOp casts. ----
+    Q("etl_fixedwidth_source",
+      (s, dir) => {
+        val fix = s"/tmp/graft_fix_fw_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Tables.t(s, dir, "nation").select(
+          concat(
+            rpad(col("n_nationkey").cast("string"), 5, " "),
+            rpad(col("n_name"), 25, " "),
+            rpad(col("n_regionkey").cast("string"), 5, " ")).as("value"))
+          .write.mode("overwrite").text(fix)
+        val mappings = List(
+          FieldMapping("nkey", "nation_key", "NUMBER", "LONG", isDestNullable = false,
+            fileColumnPosition = Some(1), fileColumnWidth = Some(5)),
+          FieldMapping("nname", "nation_name", "VARCHAR2", "STRING",
+            fileColumnPosition = Some(6), fileColumnWidth = Some(25)),
+          FieldMapping("rkey", "region_key", "NUMBER", "INTEGER",
+            fileColumnPosition = Some(31), fileColumnWidth = Some(5)))
+        val cfg = SourceConfig("FIXED_WIDTH", ConnectionDetails(path = Some(fix)))
+        MappingOp(Readers.forConfig(s, cfg, mappings), mappings).orderBy("nation_key")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS nation_name,
+             |CAST(n_regionkey AS INTEGER) AS region_key
+             |FROM nation ORDER BY nation_key""".stripMargin)),
 
     Q("etl_transform_defaults",
       (s, dir) => {

@@ -170,10 +170,19 @@ object JobRunner {
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
-            // row count == recordsWritten.
+            // row count == recordsWritten. The read-back must mirror the
+            // WRITER's effective options — CSV writes header=true by
+            // default while a bare CSV read assumes headerless, which
+            // would count header lines as data rows.
             cfg.destination.foreach { dest =>
+              val readBack = dest.`type`.toUpperCase match {
+                case "CSV" | "FLAT_FILE" | "DELIMITED" =>
+                  dest.connectionDetails.copy(includeHeader =
+                    Some(dest.connectionDetails.includeHeader.getOrElse(true)))
+                case _ => dest.connectionDetails
+              }
               val back = Readers.forConfig(spark,
-                SourceConfig(dest.`type`, dest.connectionDetails), cfg.mappings)
+                SourceConfig(dest.`type`, readBack), cfg.mappings)
               val n = back.count()
               if (n != written)
                 throw new ErrorPolicy.JobFailedException(s"VALIDATE_LOAD: wrote $written but destination has $n")

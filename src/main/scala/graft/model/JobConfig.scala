@@ -29,11 +29,16 @@ final case class ConnectionDetails(
     fetchSize: Option[Int] = None,
     partitionColumn: Option[String] = None, // parallel JDBC scan (docx §4 paging analog)
     numPartitions: Option[Int] = None,
+    lowerBound: Option[Long] = None,        // required with partitionColumn (Spark JDBCOptions
+    upperBound: Option[Long] = None,        // needs all four stride inputs together)
     delimiter: Option[String] = None,
     encoding: Option[String] = None,
     includeHeader: Option[Boolean] = None,
     linesToSkip: Option[Int] = None,
-    quoteChar: Option[String] = None
+    quoteChar: Option[String] = None,
+    bootstrapServers: Option[String] = None, // Kafka source (reference declares KAFKA,
+    topic: Option[String] = None,            // etlModel.java:189; jar not shipped here —
+    startingOffsets: Option[String] = None   // see Readers.kafkaOptions)
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -137,11 +142,16 @@ object JobConfig {
       fetchSize = optInt(n, "fetchSize"),
       partitionColumn = optText(n, "partitionColumn", "sortKey"),
       numPartitions = optInt(n, "numPartitions"),
+      lowerBound = optText(n, "lowerBound").map(_.toLong),
+      upperBound = optText(n, "upperBound").map(_.toLong),
       delimiter = optText(n, "delimiter"),
       encoding = optText(n, "encoding"),
       includeHeader = optBool(n, "includeHeader", "header"),
       linesToSkip = optInt(n, "linesToSkip"),
-      quoteChar = optText(n, "quoteChar", "quote")
+      quoteChar = optText(n, "quoteChar", "quote"),
+      bootstrapServers = optText(n, "bootstrapServers", "brokers"),
+      topic = optText(n, "topic", "topicName"),
+      startingOffsets = optText(n, "startingOffsets")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping =

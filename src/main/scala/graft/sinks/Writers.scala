@@ -48,7 +48,10 @@ object Writers {
         c.username.foreach(props.setProperty("user", _))
         c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
         props.setProperty("batchsize", dest.batchSize.toString) // W1 chunk knob
-        df.write.mode(if (mode == "overwrite") "overwrite" else "append").jdbc(url, table, props)
+        // saveMode passes through unchanged — Spark's JDBC writer
+        // supports all SaveModes; silently coercing "ignore"/
+        // "errorifexists" to append could double-load a table.
+        df.write.mode(mode).jdbc(url, table, props)
       case "REST_API" | "REST" =>
         rest(df, dest)
       case other =>

@@ -61,14 +61,35 @@ object FixedWidthDataSource {
   def schemaFor(fields: Seq[Field]): StructType =
     StructType(fields.map(f => StructField(f.name, StringType, nullable = true)))
 
-  def listFiles(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(p)) {
-      val listing = java.nio.file.Files.list(p)
-      try listing.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq.sorted
-      finally listing.close()
-    } else Seq(path)
+  /** Listing and opening both go through Hadoop FileSystem, so any
+    * scheme Spark itself can reach (hdfs://, s3a://, file:/) works —
+    * a java.io listing would silently be local-only and break on a
+    * real cluster. */
+  def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val status = fs.getFileStatus(p)
+    if (status.isDirectory)
+      fs.listStatus(p).toSeq.filter(_.isFile)
+        // Hadoop convention: _SUCCESS markers and .crc sidecars are not data
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).sorted
+    else Seq(p.toString)
+  }
+
+  /** Minimal serializable Hadoop-conf carrier for shipping the
+    * driver's conf to executor-side readers (the Spark-internal
+    * SerializableConfiguration is private[spark]). */
+  final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
   }
 }
 
@@ -100,12 +121,15 @@ private class FixedWidthScanBuilder(path: String,
   }
 
   override def build(): Scan = new Scan with Batch {
+    private def hadoopConf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     override def readSchema(): StructType = FixedWidthDataSource.schemaFor(required)
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      FixedWidthDataSource.listFiles(path).map(f => FixedWidthPartition(f): InputPartition).toArray
+      FixedWidthDataSource.listFiles(path, hadoopConf)
+        .map(f => FixedWidthPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new FixedWidthReaderFactory(required, encoding)
+      new FixedWidthReaderFactory(required, encoding,
+        new FixedWidthDataSource.SerializableHadoopConf(hadoopConf))
     override def description(): String =
       s"FixedWidthScan(path=$path, cols=${required.map(_.name).mkString(",")})"
   }
@@ -113,13 +137,15 @@ private class FixedWidthScanBuilder(path: String,
 
 private case class FixedWidthPartition(file: String) extends InputPartition
 
-private class FixedWidthReaderFactory(fields: Seq[FixedWidthDataSource.Field], encoding: String)
+private class FixedWidthReaderFactory(fields: Seq[FixedWidthDataSource.Field], encoding: String,
+    conf: FixedWidthDataSource.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthPartition].file
     new PartitionReader[InternalRow] {
+      private val hPath = new org.apache.hadoop.fs.Path(file)
       private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-        new java.io.FileInputStream(file), encoding))
+        hPath.getFileSystem(conf.value).open(hPath), encoding))
       private var line: String = _
       override def next(): Boolean = { line = reader.readLine(); line != null }
       override def get(): InternalRow = {

@@ -95,16 +95,20 @@ object Readers {
       // Reference `linesToSkip` > 1 (preamble lines before data,
       // ItemReaderFactory.java:202): Spark's CSV reader only knows
       // header=1 line, so drop the preamble per FILE (wholetext keeps
-      // each file one record — correct line ordering by construction;
-      // preamble-style files are small, so one task per file is fine),
-      // then parse the remainder as CSV.
+      // each file one record — correct line ordering by construction),
+      // then parse the remainder as CSV. A file with BOTH a preamble
+      // and a header row (includeHeader=true) keeps header parsing on
+      // the remainder. MEMORY BOUND: wholetext materializes each file
+      // as one record, so a single file must fit in executor memory —
+      // preamble-style feeds are config-sized; route bulk data through
+      // the plain CSV path (linesToSkip<=1), which streams.
       import spark.implicits._
       val lines = spark.read.option("wholetext", "true").option("encoding", encoding)
         .text(path).as[String]
         .flatMap(_.linesIterator.drop(linesToSkip))
       val r = spark.read
         .option("delimiter", delimiter).option("quote", quote).option("escape", "\"")
-        .option("header", "false")
+        .option("header", header.toString)
       if (mappings.nonEmpty) r.schema(schema).csv(lines) else r.csv(lines)
     } else if (header) base.csv(path)
     else {
@@ -173,12 +177,47 @@ object Readers {
     c.username.foreach(u => r = r.option("user", u))
     c.passwordEnv.flatMap(sys.env.get).foreach(p => r = r.option("password", p))
     r = r.option("fetchsize", c.fetchSize.getOrElse(1000).toString)
-    (c.partitionColumn, c.numPartitions) match {
-      case (Some(pc), Some(n)) =>
+    // Spark's JDBCOptions requires the full stride spec together:
+    // partitionColumn + numPartitions + lowerBound + upperBound.
+    // Anything less falls back to a single-partition scan (with a
+    // warning) instead of failing at load().
+    (c.partitionColumn, c.numPartitions, c.lowerBound, c.upperBound) match {
+      case (Some(pc), Some(n), Some(lo), Some(hi)) =>
         r = r.option("partitionColumn", pc).option("numPartitions", n.toString)
+          .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+      case (Some(pc), _, _, _) =>
+        System.err.println(s"[graft] JDBC partitionColumn=$pc ignored: parallel scan needs " +
+          "numPartitions + lowerBound + upperBound too; reading single-partition")
       case _ => ()
     }
     r.load()
+  }
+
+  /**
+   * Kafka source option map (reference declares KAFKA as a source
+   * type, etlModel.java:189, with kafka deps in etlcorepom.xml, but
+   * never implements a data-plane reader; its Kafka use is the
+   * control-plane trigger, covered by graft.job.JobQueue). No kafka
+   * connector jar ships in this environment, so the honest surface is
+   * the option contract: `spark.readStream.format("kafka")
+   * .options(kafkaOptions(cfg))` is the wiring a deployment with
+   * spark-sql-kafka on the classpath would use.
+   */
+  def kafkaOptions(cfg: SourceConfig): Map[String, String] = {
+    val c = cfg.connectionDetails
+    val brokers = c.bootstrapServers.getOrElse(
+      throw new IllegalArgumentException("KAFKA source requires bootstrapServers"))
+    val topic = c.topic.getOrElse(
+      throw new IllegalArgumentException("KAFKA source requires topic"))
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> c.startingOffsets.getOrElse("earliest"),
+      // bound per-trigger read pressure; maps the reference's
+      // chunked-consumption knob onto the structured source
+      "maxOffsetsPerTrigger" -> c.fetchSize.getOrElse(10000).toString,
+      "failOnDataLoss" -> "false"
+    )
   }
 
   /** Identifier sanitation as in the reference (`[^a-zA-Z0-9_.]`,

@@ -174,6 +174,37 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("CSV destination VALIDATE_LOAD: read-back honors the writer's header default") {
+    // writer defaults header=true; the read-back must not count header
+    // lines as data rows (one spurious row per part file otherwise)
+    val out = tmpDir("jobcsv")
+    val cfg = JobConfig(
+      jobId = "t1csv",
+      source = SourceConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$sf/orders.parquet"), filter = Some("o_orderstatus = 'F'"))),
+      destination = Some(DestinationConfig("CSV",
+        ConnectionDetails(path = Some(s"$out/dest")))),
+      mappings = List(
+        FieldMapping("o_orderkey", "id", destFieldType = "LONG", isDestNullable = false),
+        FieldMapping("o_orderstatus", "status")),
+      steps = List("LOAD", "VALIDATE_LOAD", "NOTIFY_SUCCESS"))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(res.recordsWritten > 0)
+    assert(res.stepsRun.contains("VALIDATE_LOAD"))
+  }
+
+  test("preamble AND header row: linesToSkip>1 with includeHeader=true") {
+    val out = tmpDir("preamblehdr")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/p.csv"),
+      "report generated 2026-08-12\nsource: mainframe\nid,label\n1,alpha\n2,beta\n")
+    val mappings = List(FieldMapping("id", "id"), FieldMapping("label", "label"))
+    val df = Readers.csv(spark, s"$out/p.csv", mappings, header = true, linesToSkip = 2)
+    // the header line must NOT surface as a data row
+    assert(df.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "alpha"), ("2", "beta")))
+  }
+
   test("failure path: bad step -> Failed result, notifier fired (O15)") {
     var notified: Option[JobRunner.JobResult] = None
     val cfg = JobConfig(jobId = "t2",

@@ -37,6 +37,37 @@ class JdbcConfigSpec extends SparkTestBase {
     assert(e.getMessage.contains("No suitable driver"))
   }
 
+  test("partitioned scan needs the full stride spec; partial spec falls back, not fails") {
+    // partitionColumn without bounds used to hit Spark's JDBCOptions
+    // IllegalArgumentException at load(); now it degrades to a
+    // single-partition scan and fails only on the (absent) driver.
+    val partial = SourceConfig("JDBC", ConnectionDetails(
+      jdbcUrl = Some("jdbc:h2:mem:x"), tableName = Some("t"),
+      partitionColumn = Some("id"), numPartitions = Some(8)))
+    val e1 = intercept[java.sql.SQLException](Readers.jdbc(spark, partial))
+    assert(e1.getMessage.contains("No suitable driver"))
+    // the full spec is accepted by Spark's option validation (failure
+    // is again only the missing driver, not option rejection)
+    val full = SourceConfig("JDBC", ConnectionDetails(
+      jdbcUrl = Some("jdbc:h2:mem:x"), tableName = Some("t"),
+      partitionColumn = Some("id"), numPartitions = Some(8),
+      lowerBound = Some(0L), upperBound = Some(1000000L)))
+    val e2 = intercept[java.sql.SQLException](Readers.jdbc(spark, full))
+    assert(e2.getMessage.contains("No suitable driver"))
+  }
+
+  test("JDBC sink passes saveMode through unchanged") {
+    // a bogus mode must be REJECTED by Spark's mode parser — the old
+    // behavior silently coerced any non-overwrite mode to append
+    val df = Seq((1, "a")).toDF("id", "v")
+    val dest = graft.model.DestinationConfig("JDBC",
+      ConnectionDetails(jdbcUrl = Some("jdbc:h2:mem:x"), tableName = Some("t")),
+      saveMode = "bogus_mode")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      graft.sinks.Writers.write(df, dest))
+    assert(e.getMessage.toLowerCase.contains("mode"))
+  }
+
   test("binary cast family and pass-through types") {
     val r = Seq("hello").toDF("s")
       .select(CastEngine.castTo(col("s"), "BINARY").as("b"),
