@@ -79,6 +79,28 @@ object JobRunner {
 
   def status(configKey: String): Option[JobResult] = Option(registry.get(configKey))
 
+  // ---- live progress (O10, reference workflowEngine-part1.java:283-303:
+  // progressPercent = processed / pre-counted source total) ----
+  private val expectedTotals = new ConcurrentHashMap[String, Long]()
+  @volatile private var progressMetrics: Option[JobMetrics] = None
+
+  /** Opt in to progress tracking: LOAD pre-counts the source (the
+    * reference's own contract — one extra count scan) and `progress`
+    * reports percent from the listener's task counters. */
+  def attachMetrics(m: JobMetrics): Unit = progressMetrics = Some(m)
+  def detachMetrics(): Unit = progressMetrics = None
+
+  /** Percent of the pre-counted source rows read so far for a RUNNING
+    * job (capped at 100 — re-reads like VALIDATE_LOAD also count input
+    * records). None when progress tracking is off or the job has no
+    * counted total yet. */
+  def progress(configKey: String): Option[Double] =
+    for {
+      m <- progressMetrics
+      total <- Option(expectedTotals.get(configKey)) if total > 0L
+      c <- m.counters(configKey)
+    } yield math.min(100.0, c.recordsRead.get.toDouble * 100.0 / total)
+
   /** Cooperative cancellation: kills all Spark jobs tagged with this
     * job's group (O11). */
   def cancel(spark: SparkSession, configKey: String): Unit =
@@ -152,6 +174,10 @@ object JobRunner {
             stepsRun ::= step
           case "LOAD" =>
             val df = buildDataFrame(spark, cfg, plugins)
+            // progress denominator only when tracking is attached — the
+            // pre-count is an extra scan, the reference's own contract
+            if (progressMetrics.isDefined)
+              expectedTotals.put(configKey, df.count())
             val enforced = ErrorPolicy.enforceObserved(df, cfg.mappings, cfg.errorHandling)
             val dest = cfg.destination.getOrElse(
               throw new IllegalArgumentException("LOAD step requires a destination"))
@@ -207,6 +233,7 @@ object JobRunner {
         notifier.notify(res) // NOTIFY_FAILURE path (O15)
         res
     } finally {
+      expectedTotals.remove(configKey) // live-progress state is per-run
       spark.sparkContext.clearJobGroup()
     }
   }

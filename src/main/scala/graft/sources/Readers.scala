@@ -37,7 +37,12 @@ object Readers {
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         jdbc(spark, cfg)
       case "REST_API" | "REST" =>
-        rest(spark, cfg, restTransport)
+        // numPartitions opts into the PAGINATED data-plane scan (one
+        // page per partition, executor-parallel); otherwise the
+        // control-plane single fetch.
+        if (c.numPartitions.exists(_ > 0) && mappings.nonEmpty)
+          restPaged(spark, cfg, mappings)
+        else rest(spark, cfg, restTransport)
       case other =>
         throw new IllegalArgumentException(s"unsupported source type: $other")
     }
@@ -70,6 +75,22 @@ object Readers {
     val body = transport(url)
     import spark.implicits._
     spark.read.json(body.linesIterator.filter(_.trim.nonEmpty).toSeq.toDS())
+  }
+
+  /** Paginated REST scan via the DataSource V2 connector
+    * (RestDataSource): `numPartitions` pages fetched in parallel on
+    * executors, declared all-string schema from the mapping source
+    * names, column pruning at the source. The url should contain a
+    * `{page}` placeholder. */
+  def restPaged(spark: SparkSession, cfg: SourceConfig, mappings: Seq[FieldMapping]): DataFrame = {
+    val c = cfg.connectionDetails
+    val url = c.jdbcUrl.orElse(c.pathOrFile).getOrElse(
+      throw new IllegalArgumentException("REST source requires a url (in path or jdbcUrl)"))
+    spark.read.format(classOf[RestDataSource].getName)
+      .option("url", url)
+      .option("pages", c.numPartitions.getOrElse(1).toString)
+      .option("fields", mappings.map(_.sourceFieldName).mkString(","))
+      .load()
   }
 
   /**

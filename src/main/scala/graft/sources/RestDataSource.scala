@@ -1,0 +1,142 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+
+/**
+ * DataSource V2 connector for PAGINATED REST feeds — the data-plane
+ * counterpart of `Readers.rest` (a driver-side control-plane fetch).
+ * The reference declared REST_API as a source type and left it a TODO
+ * (etlModel.java:182-190, ItemReaderFactory.java:95-97); this is the
+ * shape a bulk-HTTP source needs on Spark:
+ *
+ *   spark.read.format("graft.sources.RestDataSource")
+ *     .option("url", "https://api.example/items?page={page}")
+ *     .option("pages", "32")            // one InputPartition per page
+ *     .option("fields", "id,name,qty")  // declared schema, all strings
+ *     .load()
+ *
+ *  - ONE PAGE = ONE PARTITION: pages fetch in parallel across
+ *    executors; no driver materialization, no single-cursor
+ *    bottleneck. `pages` is declared up front (the planner must know
+ *    the partition count) — feeds with unknown length use the
+ *    control-plane reader or an over-provisioned page count (empty
+ *    pages produce zero rows, which is harmless).
+ *  - DECLARED SCHEMA: `fields` lists the JSON keys to surface (all
+ *    strings — casts belong to the mapping stage, like every source
+ *    here). No inference pass over a remote API.
+ *  - COLUMN PRUNING at the source: a pruned projection only extracts
+ *    the JSON keys the plan needs.
+ *  - The transport is pluggable (`RestDataSource.transport`) exactly
+ *    like the sinks'/control-plane reader's — tests drive it with a
+ *    fake; a deployment injects an HTTP client. Page bodies are
+ *    JSON-lines or JSON arrays.
+ */
+class RestDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestDataSource.schemaFor(RestDataSource.parseFields(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new RestTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RestDataSource {
+  /** Pluggable page transport: url -> body. @volatile static so local
+    * tests swap it; cluster deployments replace it with a client that
+    * executors construct (the default URL fetch is executor-safe). */
+  @volatile var transport: String => String = { url =>
+    val conn = new java.net.URL(url).openConnection()
+    conn.setConnectTimeout(10000); conn.setReadTimeout(30000)
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  def parseFields(options: CaseInsensitiveStringMap): Seq[String] = {
+    val spec = Option(options.get("fields")).getOrElse(
+      throw new IllegalArgumentException("REST source requires option 'fields' = name[,name...]"))
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  def schemaFor(fields: Seq[String]): StructType =
+    StructType(fields.map(f => StructField(f, StringType, nullable = true)))
+
+  /** Page body -> iterator of JSON object nodes: JSON-lines, a single
+    * object, or a JSON array of objects. */
+  def parsePage(body: String): Iterator[com.fasterxml.jackson.databind.JsonNode] = {
+    val mapper = new ObjectMapper()
+    val trimmed = body.trim
+    if (trimmed.isEmpty) Iterator.empty
+    else if (trimmed.startsWith("[")) {
+      val arr = mapper.readTree(trimmed)
+      (0 until arr.size()).iterator.map(arr.get)
+    } else
+      trimmed.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+  }
+}
+
+private class RestTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val fields = RestDataSource.parseFields(options)
+  override def name(): String = s"rest(${options.get("url")})"
+  override def schema(): StructType = RestDataSource.schemaFor(fields)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val url = Option(o.get("url")).orElse(Option(options.get("url"))).getOrElse(
+      throw new IllegalArgumentException("REST source requires option 'url' (with {page})"))
+    val pages = Option(o.get("pages")).orElse(Option(options.get("pages"))).map(_.toInt).getOrElse(1)
+    val firstPage = Option(o.get("firstPage")).orElse(Option(options.get("firstPage"))).map(_.toInt).getOrElse(1)
+    new RestScanBuilder(url, pages, firstPage, fields)
+  }
+}
+
+private class RestScanBuilder(url: String, pages: Int, firstPage: Int, allFields: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: Seq[String] = allFields
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = allFields.filter(keep)
+  }
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = RestDataSource.schemaFor(required)
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      (firstPage until firstPage + pages)
+        .map(p => RestPagePartition(url.replace("{page}", p.toString)): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory = new RestReaderFactory(required)
+    override def description(): String = s"RestScan(url=$url, pages=$pages, cols=${required.mkString(",")})"
+  }
+}
+
+private case class RestPagePartition(pageUrl: String) extends InputPartition
+
+private class RestReaderFactory(fields: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val pageUrl = partition.asInstanceOf[RestPagePartition].pageUrl
+    new PartitionReader[InternalRow] {
+      // fetch lazily on first next() — task-side, not planning-side
+      private var it: Iterator[com.fasterxml.jackson.databind.JsonNode] = _
+      private var node: com.fasterxml.jackson.databind.JsonNode = _
+      override def next(): Boolean = {
+        if (it == null) it = RestDataSource.parsePage(RestDataSource.transport(pageUrl))
+        if (it.hasNext) { node = it.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = fields.map { f =>
+          val v = node.get(f)
+          if (v == null || v.isNull) null
+          else UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+        }.toArray
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

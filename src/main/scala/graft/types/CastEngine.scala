@@ -46,7 +46,7 @@ object CastEngine {
       case "TIMESTAMP" | "DATETIME" | "TIMESTAMPTZ" | "TIMESTAMP_WITH_TIMEZONE" | "INSTANT" =>
         Some(TimestampType)
       case "DATE" => Some(DateType)
-      case "TIME" | "TIME_WITH_TIMEZONE" => Some(StringType) // no Spark TimeType pre-4.1 TIME; keep string form
+      case "TIME" | "TIME_WITH_TIMEZONE" => Some(StringType) // normalized "HH:mm:ss" string (see toTimeLenient)
       case "BINARY" | "VARBINARY" | "BLOB" | "BYTES" | "LONGVARBINARY" => Some(BinaryType)
       case "JSON" | "XML" | "SQLXML" => Some(StringType)
       case _ => None
@@ -90,6 +90,29 @@ object CastEngine {
     case None    => c.try_cast(DateType)
   }
 
+  private def isTimeName(name: String): Boolean = {
+    val n = Option(name).getOrElse("").trim.toUpperCase.takeWhile(_ != '(')
+    n == "TIME" || n == "TIME_WITH_TIMEZONE"
+  }
+
+  /** TIME-of-day (reference Types.TIME, JdbcTypeHandler.java:87-92 —
+    * a java.sql.Time, i.e. an HH:mm:ss wall-clock value): parsed
+    * leniently ("14:30:05", "2:05", or an explicit pattern) and
+    * normalized to an "HH:mm:ss" STRING — the portable form across
+    * file sinks and the oracle; malformed input nulls out like every
+    * other lenient cast. */
+  def toTimeLenient(c: Column, pattern: Option[String]): Column = {
+    val s = trim(c.cast(StringType))
+    val ts = pattern match {
+      case Some(p) => try_to_timestamp(s, lit(p))
+      case None => coalesce(
+        try_to_timestamp(s, lit("H:m:s")),
+        try_to_timestamp(s, lit("H:m")),
+        try_to_timestamp(s)) // full timestamp input: keep its time part
+    }
+    date_format(ts, "HH:mm:ss")
+  }
+
   /**
    * The cast: source column -> destination-typed column.
    * `destType` is the string type name; `pattern` an optional
@@ -99,7 +122,8 @@ object CastEngine {
    * never a runtime exception mid-pipeline.
    */
   def castTo(c: Column, destType: String, pattern: Option[String] = None): Column =
-    dataTypeFor(destType) match {
+    if (isTimeName(destType)) toTimeLenient(c, pattern)
+    else dataTypeFor(destType) match {
       case Some(BooleanType)   => booleanLenient(c)
       case Some(TimestampType) => toTimestampLenient(c, pattern)
       case Some(DateType)      => toDateLenient(c, pattern)

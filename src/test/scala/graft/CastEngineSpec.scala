@@ -48,6 +48,18 @@ class CastEngineSpec extends SparkTestBase {
       java.sql.Timestamp.valueOf("2025-02-01 13:45:00"))
   }
 
+  test("TIME normalizes to HH:mm:ss string (reference Types.TIME)") {
+    assert(castOne("14:30:05", "TIME") == "14:30:05")
+    assert(castOne("2:05", "TIME") == "02:05:00")
+    assert(castOne("9:7:3", "TIME") == "09:07:03")
+    // full timestamp input keeps its time-of-day
+    assert(castOne("2026-03-01 23:59:58", "TIME") == "23:59:58")
+    // explicit pattern
+    assert(castOne("11.45.30", "TIME", Some("H.m.s")) == "11:45:30")
+    // malformed -> null, feeding ErrorPolicy like every lenient cast
+    assert(castOne("not a time", "TIME") == null)
+  }
+
   test("cast failure yields null (feeding the error-policy path)") {
     assert(castOne("not_a_number", "DECIMAL(10,2)") == null)
     assert(castOne("01/03/2025", "TIMESTAMP") == null) // non-ISO without pattern

@@ -63,6 +63,32 @@ class OrchestrationSpec extends SparkTestBase {
     } finally m.close()
   }
 
+  test("live progress percent against the pre-counted source total (O10)") {
+    val m = new JobMetrics(spark)
+    JobRunner.attachMetrics(m)
+    try {
+      var seen: Option[Double] = None
+      val cfg = graft.model.JobConfig(
+        jobId = "prog1",
+        source = graft.model.SourceConfig("PARQUET",
+          graft.model.ConnectionDetails(path = Some(s"$sf/orders.parquet"))),
+        destination = Some(graft.model.DestinationConfig("PARQUET",
+          graft.model.ConnectionDetails(path = Some(s"${tmpDir("prog")}/dest")))),
+        mappings = List(graft.model.FieldMapping("o_orderkey", "id", destFieldType = "LONG")))
+      val res = JobRunner.run(spark, cfg, notifier = r => {
+        // notifier fires while run state is live; listener events are
+        // async, so poll the bus briefly
+        val deadline = System.currentTimeMillis() + 10000
+        while ({ seen = JobRunner.progress(r.configKey); seen.forall(_ <= 0.0) }
+               && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      })
+      assert(res.status == JobRunner.Completed, res.message)
+      assert(seen.exists(p => p > 0.0 && p <= 100.0), s"progress=$seen")
+      // after the run, live-progress state is cleared
+      assert(JobRunner.progress(res.configKey).isEmpty)
+    } finally { JobRunner.detachMetrics(); m.close() }
+  }
+
   test("cooperative cancellation via job groups (O11)") {
     val t = new Thread(() => {
       try {
