@@ -701,20 +701,24 @@ object AnalyticsQueries {
     //      (the streaming twin is EventStreams.correlate) ----
     Q("events_funnel",
       (s, dir) => {
+        // Single-pass funnel: ONE scan of events, a per-user range-frame
+        // window marks each signup with the earliest purchase inside
+        // [ts, ts + 1h] (micros domain, matching the oracle's
+        // CAST-to-TIMESTAMP truncation), then one day-grouped rollup.
+        // Replaces the interval semi-join + left-outer formulation:
+        // 3 scans + 2 join shuffles -> 1 scan + window + agg.
         val ev = Tables.t(s, dir, "events")
-        val su = ev.filter(col("event_type") === "signup")
-          .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
-        val pu = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
-        val converted = su.join(pu,
-            col("l_user") === col("r_user") &&
-              col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"),
-            "left_semi")
-          .select(col("l_id"))
-        su.join(converted.withColumn("is_conv", lit(1)), Seq("l_id"), "left_outer")
-          .groupBy(date_trunc("day", col("l_ts")).as("day"))
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow, 3600L * 1000 * 1000)
+        ev.withColumn("next_purchase",
+            min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+          .filter(col("event_type") === "signup")
+          .groupBy(date_trunc("day", timestamp_micros(col("ts_us"))).as("day"))
           .agg(count(lit(1)).as("n_signups"),
-            count(col("is_conv")).as("n_converted"))
+            count(col("next_purchase")).as("n_converted"))
           .withColumn("conv_pct", expr("n_converted * 100 div n_signups"))
           .orderBy("day")
       },
