@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Privacy, Sampling}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-assembly queries for the training-data tier: deterministic
+ * splits, sequence packing, PII scrubbing — the operations between
+ * "corpus is deduped" and "corpus is a training set". All are pure
+ * column/window plans (no UDFs, no driver loops) with DuckDB oracles.
+ */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deterministic train/val/test split. The registered query
+    //      buckets with an LCG-style arithmetic mix both engines can
+    //      evaluate; production uses the xxhash64 default (same
+    //      operator, engine-stable). ----
+    Q("sample_split",
+      (s, dir) => Sampling.hashSplit(
+          Tables.t(s, dir, "documents").select("doc_id"),
+          "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10),
+          bucketExpr = Some(pmod(col("doc_id") * 1103515245L + 12345L, lit(100L))))
+        .select("doc_id", "split_bucket", "split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |(doc_id * 1103515245 + 12345) % 100 AS split_bucket,
+             |CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 80 THEN 'train'
+             |     WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'val'
+             |     ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- sequence packing: shard-parallel stream-order fill of
+    //      4096-token context windows. The shard key is what scales —
+    //      no global order, one running sum per shard. ----
+    Q("pack_sequences",
+      (s, dir) => Sampling.packSequences(
+          Tables.t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id",
+          tokensCol = size(split(col("text"), " ")),
+          shardCol = pmod(col("doc_id"), lit(8L)),
+          budget = 4096)
+        .select("doc_id", "pack_shard", "n_tokens", "bin")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS pack_shard,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents)
+             |SELECT doc_id, pack_shard, n_tokens,
+             |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id)
+             |              - n_tokens) / 4096.0) AS BIGINT) AS bin
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII scrub: the corpus has no real PII, so the query plants
+    //      deterministic email/phone/id suffixes per doc and scrubs
+    //      them; the oracle reproduces both steps, pinning the full
+    //      regex semantics cell-identically. ----
+    Q("pii_scrub",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("raw", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(expr("doc_id % 10000").cast("string"), 4, "0"),
+          lit("-1234 ref "),
+          (col("doc_id") * 1000003L + 7111111L).cast("string")))
+        .select(col("doc_id"),
+          Privacy.scrubPii(col("raw")).as("scrubbed"),
+          size(regexp_extract_all(col("raw"), lit(Privacy.EmailPattern), lit(0))).as("n_emails"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+             |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234 ref ' ||
+             |  CAST(doc_id * 1000003 + 7111111 AS VARCHAR) AS raw FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g'),
+             |    '\b\d{6,}\b', '[ID]', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(raw,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails
+             |FROM r ORDER BY doc_id""".stripMargin))
+  )
+}

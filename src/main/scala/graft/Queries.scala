@@ -39,7 +39,7 @@ object Tables {
 object Queries {
   def registry: Seq[Q] =
     EtlQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ TypedQueries.all
+      SimilarityQueries.all ++ TypedQueries.all ++ PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Privacy, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators: split determinism/coverage, packing
+  * invariants, PII scrub semantics. */
+class SamplingPrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSplit (xxhash64 default): total coverage, determinism, weight proportions") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val split = Sampling.hashSplit(docs, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"), s"missing splits: $counts")
+    assert(n == docs.count(), "every row must land in exactly one split")
+    // proportions within loose tolerance (xxhash64 is uniform)
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.08, s"train skewed: $counts")
+    // determinism: recompute == original membership
+    val again = Sampling.hashSplit(docs, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("packSequences: bins fill in order and never overflow by more than one doc") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val budget = 2048
+    val packed = Sampling.packSequences(docs, "doc_id",
+      size(split(col("text"), " ")), pmod(col("doc_id"), lit(4L)), budget)
+    val rows = packed.select("pack_shard", "bin", "n_tokens", "doc_id")
+      .orderBy("pack_shard", "doc_id").collect()
+    // per (shard, bin): total tokens < budget + last doc's tokens
+    // (a doc is assigned where its run starts)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case ((shard, bin), rs) =>
+      val toks = rs.map(_.getInt(2))
+      assert(toks.sum - toks.last < budget,
+        s"shard=$shard bin=$bin starts past budget: ${toks.mkString(",")}")
+    }
+    // bins are contiguous from 0 within each shard
+    rows.groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+      val bins = rs.map(_.getLong(1)).distinct.sorted.toVector
+      assert(bins == (0L until bins.length).toVector,
+        s"shard=$shard bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
+  test("scrubPii replaces emails, phones, and id runs; leaves prose alone") {
+    val out = Seq(
+      "write to jane.doe+x@sub.example.org today",
+      "call 555-867-5309 or 555 1234 5678 now",
+      "order 123456789 shipped; pin 12345 stays",
+      "no pii here at all").toDF("t")
+      .select(Privacy.scrubPii(col("t")).as("s")).as[String].collect()
+    assert(out(0) == "write to [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "order [ID] shipped; pin 12345 stays") // <6 digits kept
+    assert(out(3) == "no pii here at all")
+  }
+
+  test("piiCounts audit matches what scrub would replace") {
+    val (e, p, i) = Privacy.piiCounts(col("t"))
+    val r = Seq("a@b.co and c@d.org, 555-123-4567, ref 9999999")
+      .toDF("t").select(e.as("e"), p.as("p"), i.as("i")).collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+  }
+}
