@@ -89,6 +89,29 @@ object Writers {
     }
   }
 
+  /**
+   * Elasticsearch sink option map (reference declares ELASTICSEARCH,
+   * CoreLibInterfaces.java:436, etlModel.java:198-204 — never
+   * implemented). The elasticsearch-spark connector jar is not on this
+   * classpath; this is the option surface a deployment hands to
+   * `df.write.format("es").options(...)`. The REST sink (`rest`)
+   * covers the "push JSON docs over HTTP" shape natively meanwhile.
+   */
+  def elasticsearchOptions(dest: DestinationConfig): Map[String, String] = {
+    val c = dest.connectionDetails
+    val nodes = c.jdbcUrl.getOrElse(
+      throw new IllegalArgumentException("ELASTICSEARCH sink requires nodes (in jdbcUrl, host:port[,host:port])"))
+    val index = c.tableName.getOrElse(
+      throw new IllegalArgumentException("ELASTICSEARCH sink requires an index (in tableName)"))
+    Map(
+      "es.nodes" -> nodes,
+      "es.resource" -> index,
+      "es.batch.size.entries" -> dest.batchSize.toString, // W1 chunk knob, same as JDBC batchsize
+      "es.write.operation" -> (if (dest.saveMode == "overwrite") "index" else "create")
+    ) ++ c.username.map("es.net.http.auth.user" -> _) ++
+      c.passwordEnv.flatMap(sys.env.get).map("es.net.http.auth.pass" -> _)
+  }
+
   private def requirePath(dest: DestinationConfig): String =
     dest.connectionDetails.pathOrFile.getOrElse(
       throw new IllegalArgumentException(s"${dest.`type`} sink requires a path"))

@@ -241,6 +241,45 @@ object Readers {
     )
   }
 
+  /**
+   * MongoDB source option map (reference declares MONGODB,
+   * etlModel.java:198-204, CoreLibInterfaces.java:436, with no
+   * data-plane implementation). The mongo-spark connector jar is not
+   * on this classpath; the contract is the option surface a deployment
+   * would hand to `spark.read.format("mongodb").options(...)`.
+   * Credentials ride the connection.uri via env indirection like JDBC.
+   */
+  def mongoOptions(cfg: SourceConfig): Map[String, String] = {
+    val c = cfg.connectionDetails
+    val uri = c.jdbcUrl.getOrElse(
+      throw new IllegalArgumentException("MONGODB source requires a connection uri (in jdbcUrl)"))
+    val coll = c.tableName.getOrElse(
+      throw new IllegalArgumentException("MONGODB source requires a collection (in tableName)"))
+    // uri path carries the database: mongodb://host/db
+    val db = uri.split("/").lastOption.filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException("MONGODB uri must name a database: mongodb://host/db"))
+    val base = Map(
+      "connection.uri" -> uri,
+      "database" -> db,
+      "collection" -> coll)
+    c.filter match {
+      case Some(p) => base + ("aggregation.pipeline" -> s"""[{"$$match": ${predicateToMongoMatch(p)}}]""")
+      case None    => base
+    }
+  }
+
+  /** Minimal predicate -> $match translation for equality filters
+    * ("col = 'v'"); anything richer passes through Spark's own V2
+    * pushdown once a real connector is on the classpath. */
+  private def predicateToMongoMatch(p: String): String = {
+    val eq = """\s*([A-Za-z0-9_.]+)\s*=\s*'([^']*)'\s*""".r
+    p match {
+      case eq(k, v) => s"""{"$k": "$v"}"""
+      case _        => throw new IllegalArgumentException(
+        s"only simple equality filters translate to $$match (got: $p)")
+    }
+  }
+
   /** Identifier sanitation as in the reference (`[^a-zA-Z0-9_.]`,
     * ItemWriterFactory.java:135, TruncateTasklet.java:89). */
   def sanitizeIdent(name: String): String = name.replaceAll("[^a-zA-Z0-9_.]", "")

@@ -3,12 +3,12 @@ package graft
 import graft.model.{ConnectionDetails, JobConfig, SourceConfig}
 import graft.sources.Readers
 
-/** Kafka source configuration contract (reference declares KAFKA,
+/** Kafka/Mongo/Elasticsearch connector configuration contracts (reference declares KAFKA,
   * etlModel.java:189, kafka deps in etlcorepom.xml, but implements no
   * data-plane reader; its Kafka usage is the control-plane trigger —
   * JobQueue here). No connector jar or broker in this harness, so the
   * honest ceiling is the option-builder contract, like JdbcConfigSpec. */
-class KafkaConfigSpec extends SparkTestBase {
+class ConnectorConfigSpec extends SparkTestBase {
 
   test("kafkaOptions builds the structured-source option map") {
     val cfg = SourceConfig("KAFKA", ConnectionDetails(
@@ -38,6 +38,39 @@ class KafkaConfigSpec extends SparkTestBase {
     val noTopic = SourceConfig("KAFKA", ConnectionDetails(bootstrapServers = Some("b:9092")))
     assert(intercept[IllegalArgumentException](
       Readers.kafkaOptions(noTopic)).getMessage.contains("topic"))
+  }
+
+  test("mongo source options: uri/database/collection + equality filter -> $match") {
+    val cfg = SourceConfig("MONGODB", ConnectionDetails(
+      jdbcUrl = Some("mongodb://host1:27017/appdb"),
+      tableName = Some("orders"),
+      filter = Some("status = 'F'")))
+    val opts = Readers.mongoOptions(cfg)
+    assert(opts("connection.uri") == "mongodb://host1:27017/appdb")
+    assert(opts("database") == "appdb")
+    assert(opts("collection") == "orders")
+    assert(opts("aggregation.pipeline") == """[{"$match": {"status": "F"}}]""")
+    // no filter -> no pipeline entry
+    val bare = Readers.mongoOptions(SourceConfig("MONGODB", ConnectionDetails(
+      jdbcUrl = Some("mongodb://h/db"), tableName = Some("c"))))
+    assert(!bare.contains("aggregation.pipeline"))
+    // missing pieces fail fast
+    assert(intercept[IllegalArgumentException](Readers.mongoOptions(
+      SourceConfig("MONGODB", ConnectionDetails(tableName = Some("c"))))).getMessage.contains("uri"))
+  }
+
+  test("elasticsearch sink options: nodes/index/batch/auth") {
+    val dest = graft.model.DestinationConfig("ELASTICSEARCH",
+      ConnectionDetails(jdbcUrl = Some("es1:9200,es2:9200"), tableName = Some("events-2026"),
+        username = Some("svc")),
+      batchSize = 2500, saveMode = "append")
+    val opts = graft.sinks.Writers.elasticsearchOptions(dest)
+    assert(opts("es.nodes") == "es1:9200,es2:9200")
+    assert(opts("es.resource") == "events-2026")
+    assert(opts("es.batch.size.entries") == "2500")
+    assert(opts("es.write.operation") == "create")
+    assert(opts("es.net.http.auth.user") == "svc")
+    assert(!opts.contains("es.net.http.auth.pass")) // env var unset
   }
 
   test("kafka + jdbc stride fields parse from job-config JSON") {
