@@ -173,26 +173,39 @@ object JobRunner {
               }
             stepsRun ::= step
           case "LOAD" =>
-            val df = buildDataFrame(spark, cfg, plugins)
-            // progress denominator only when tracking is attached — the
-            // pre-count is an extra scan, the reference's own contract
-            if (progressMetrics.isDefined)
-              expectedTotals.put(configKey, df.count())
-            val enforced = ErrorPolicy.enforceObserved(df, cfg.mappings, cfg.errorHandling)
             val dest = cfg.destination.getOrElse(
               throw new IllegalArgumentException("LOAD step requires a destination"))
+            // progress denominator only when tracking is attached — the
+            // pre-count is an extra scan, the reference's own contract.
+            // It runs OUTSIDE the job group so the denominator scan's
+            // own input records don't saturate this group's counters.
+            if (progressMetrics.isDefined) {
+              spark.sparkContext.clearJobGroup()
+              try expectedTotals.put(configKey, buildDataFrame(spark, cfg, plugins).count())
+              finally spark.sparkContext.setJobGroup(configKey, s"graft job ${cfg.jobId}",
+                interruptOnCancel = true)
+            }
             // Written/failed counts ride the write itself as observed
             // metrics (CollectMetrics) — one pass, no persist of the full
             // dataset. At 100 TB a persist+count doubles storage; observe
-            // is free.
-            val loadObs = org.apache.spark.sql.Observation(s"graft_load_${seq.incrementAndGet()}")
-            val counted = enforced.good.observe(loadObs, org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)).as("rows"))
-            // E4: driver-side retry around the whole write; inside
-            // the job, task retries (spark.task.maxFailures) apply.
-            Retry.withRetry() { () => Writers.write(counted, dest) }
-            written = loadObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-            failedRows = enforced.rejected()
+            // is free. E4: driver-side retry around the whole write; the
+            // observations are created PER ATTEMPT — Spark completes an
+            // observation even for a FAILED execution, so reusing one
+            // across attempts would freeze the first (failed) attempt's
+            // partial counts.
+            var counts: (Long, () => Long) = null
+            Retry.withRetry() { () =>
+              val enforced = ErrorPolicy.enforceObserved(
+                buildDataFrame(spark, cfg, plugins), cfg.mappings, cfg.errorHandling)
+              val loadObs = org.apache.spark.sql.Observation(s"graft_load_${seq.incrementAndGet()}")
+              val counted = enforced.good.observe(loadObs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("rows"))
+              Writers.write(counted, dest)
+              counts = (loadObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+                enforced.rejected)
+            }
+            written = counts._1
+            failedRows = counts._2()
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and

@@ -34,10 +34,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles of `_w` (a split words column), as
-    * a per-row array expression — no explode, no shuffle. */
+    * a per-row array expression — no explode, no shuffle. Documents
+    * with fewer than n words yield an EMPTY array: without the guard,
+    * sequence(1, 0) is the DESCENDING [1, 0] and element_at goes out
+    * of range (throws under ANSI), killing the whole job on one short
+    * document. */
   private def shingleArrayExpr(n: Int): Column = expr(
-    s"array_distinct(transform(sequence(1, greatest(size(_w) - ${n - 1}, 0)), " +
-      s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")})))")
+    s"CASE WHEN size(_w) >= $n THEN " +
+      s"array_distinct(transform(sequence(1, size(_w) - ${n - 1}), " +
+      s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")}))) " +
+      s"ELSE array() END")
 
   /** (id, _sh: array<string>) with empty-shingle docs dropped —
     * the narrow spine every minhash stage derives from. */
@@ -47,15 +53,11 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
 
   /** Distinct word n-gram shingles: (id, shingle) exploded rows.
-    * Kept as the input shape for the exact-Jaccard oracle path. */
+    * Kept as the input shape for the exact-Jaccard oracle path.
+    * Same short-document guard as the per-row spine. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("_w", split(col(textCol), " "))
-      .select(col(idCol),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 0)), " +
-            s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")}))"))
-          .as("shingle"))
-      .distinct()
+      .select(col(idCol), explode(shingleArrayExpr(n)).as("shingle"))
 
   /** Band keys from a signature array column `_sig`: k/bands
     * consecutive signature slots hash into one band key. With k=128,

@@ -93,27 +93,22 @@ object ErrorPolicy {
     * separate counting scan over the source.
     *
     * `rejected()` blocks until the caller has run its first action on
-    * `good`, then applies `maxErrorsAllowed` (throwing JobFailedException
-    * if exceeded) and returns the count. Deferred enforcement means a
-    * bounded-error abort happens AFTER the caller's write — same partial-
-    * write window as the reference's per-chunk counter
-    * (ETLCoreMappingProcessor.java:127-133), which also fails mid-load.
-    *
-    * FAIL_JOB and ROUTE_TO_FILE need their own action on the bad side
+    * `good`, then returns the count. Single-pass only applies to
+    * UNCAPPED LOG_ONLY: a configured maxErrorsAllowed must be able to
+    * fail the job BEFORE the destination write, which requires the
+    * eager counting pass (correctness over the saved scan). FAIL_JOB
+    * and ROUTE_TO_FILE likewise need their own action on the bad side
     * (fail-fast probe / routed write) and fall back to `enforce`. */
   def enforceObserved(mapped: DataFrame, mappings: Seq[FieldMapping],
                       policy: ErrorHandling): Enforced =
     violationPredicate(mappings) match {
-      case Some(isBad) if policy.strategy.equalsIgnoreCase("LOG_ONLY") =>
+      case Some(isBad) if policy.strategy.equalsIgnoreCase("LOG_ONLY")
+          && policy.maxErrorsAllowed <= 0 =>
         val bad = coalesce(isBad, lit(false))
         val obs = Observation(s"graft_bad_${obsSeq.incrementAndGet()}")
         val observed = mapped.observe(obs,
           coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("bad"))
-        Enforced(observed.filter(!bad), () => {
-          val n = observedLong(obs, "bad")
-          checkMax(n, policy)
-          n
-        })
+        Enforced(observed.filter(!bad), () => observedLong(obs, "bad"))
       case Some(_) =>
         val (good, n) = enforce(mapped, mappings, policy)
         Enforced(good, () => n)

@@ -149,25 +149,26 @@ object Similarity {
     * analog of MinHash near-dup. Buckets on 4-bit signature chunks
     * (pigeonhole: hamming <= nChunks-1 pairs always share a chunk).
     *
-    * Candidates are generated from (id, sig) only — ONE groupBy on the
-    * chunk key whose buckets expand to (a < b) pairs in-row; the
-    * vector arrays join on AFTER the hamming filter and pair distinct,
-    * so the heavy payload never rides the candidate shuffle. */
+    * Candidates come from a (chunk_i, chunk_v)-keyed SELF-JOIN over
+    * (id, sig) rows only — unlike the MinHash/SimHash buckets, this
+    * key has just 4x16 distinct values, so the in-row bucket-expansion
+    * trick would materialize a quadratic array in one row; the join
+    * streams the same pairs incrementally. Vector arrays join on
+    * AFTER the hamming filter and pair distinct, so the heavy payload
+    * never rides the candidate shuffle. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         nBits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val sig = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
-    val cands = sig.select(col(idCol), col("sig"),
+    val chunks = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
+      .select(col(idCol), col("sig"),
         posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 4)) & 15)"))
           .as(Seq("chunk_i", "chunk_v")))
-      .groupBy("chunk_i", "chunk_v")
-      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("sig").as("s")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
-          "b -> named_struct('id_a', a.id, 'sig_a', a.s, 'id_b', b.id, 'sig_b', b.s))))")).as("p"))
-      .filter(expr(s"bit_count(p.sig_a ^ p.sig_b) <= $maxHamming"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val ca = chunks.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("chunk_i"), col("chunk_v"))
+    val cb = chunks.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("chunk_i"), col("chunk_v"))
+    val cands = ca.join(cb, Seq("chunk_i", "chunk_v"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(s"bit_count(sig_a ^ sig_b) <= $maxHamming"))
+      .select("id_a", "id_b")
       .distinct()
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

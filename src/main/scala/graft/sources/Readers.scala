@@ -86,6 +86,11 @@ object Readers {
     val c = cfg.connectionDetails
     val url = c.jdbcUrl.orElse(c.pathOrFile).getOrElse(
       throw new IllegalArgumentException("REST source requires a url (in path or jdbcUrl)"))
+    // without the placeholder every partition would fetch the SAME
+    // payload and silently multiply rows numPartitions times
+    require(url.contains("{page}"),
+      s"paginated REST url must contain a {page} placeholder (got: $url); " +
+        "drop numPartitions for a single-fetch read")
     spark.read.format(classOf[RestDataSource].getName)
       .option("url", url)
       .option("pages", c.numPartitions.getOrElse(1).toString)
@@ -255,9 +260,12 @@ object Readers {
       throw new IllegalArgumentException("MONGODB source requires a connection uri (in jdbcUrl)"))
     val coll = c.tableName.getOrElse(
       throw new IllegalArgumentException("MONGODB source requires a collection (in tableName)"))
-    // uri path carries the database: mongodb://host/db
-    val db = uri.split("/").lastOption.filter(_.nonEmpty).getOrElse(
-      throw new IllegalArgumentException("MONGODB uri must name a database: mongodb://host/db"))
+    // uri path carries the database (mongodb://host/db[?opts]) — parse
+    // the PATH component so a missing db or query params can't
+    // masquerade as a database name
+    val db = Option(java.net.URI.create(uri).getPath)
+      .map(_.stripPrefix("/")).filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException("MONGODB uri must name a database: mongodb://host/db"))
     val base = Map(
       "connection.uri" -> uri,
       "database" -> db,

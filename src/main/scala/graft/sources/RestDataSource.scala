@@ -110,14 +110,20 @@ private class RestScanBuilder(url: String, pages: Int, firstPage: Int, allFields
     override def planInputPartitions(): Array[InputPartition] =
       (firstPage until firstPage + pages)
         .map(p => RestPagePartition(url.replace("{page}", p.toString)): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory = new RestReaderFactory(required)
+    override def createReaderFactory(): PartitionReaderFactory =
+      // capture the transport NOW (driver, plan time): executors on a
+      // real cluster re-initialize the RestDataSource object, so a
+      // static read there would silently revert a driver-side swap to
+      // the default fetch
+      new RestReaderFactory(required, RestDataSource.transport)
     override def description(): String = s"RestScan(url=$url, pages=$pages, cols=${required.mkString(",")})"
   }
 }
 
 private case class RestPagePartition(pageUrl: String) extends InputPartition
 
-private class RestReaderFactory(fields: Seq[String]) extends PartitionReaderFactory {
+private class RestReaderFactory(fields: Seq[String], transport: String => String)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val pageUrl = partition.asInstanceOf[RestPagePartition].pageUrl
     new PartitionReader[InternalRow] {
@@ -125,7 +131,7 @@ private class RestReaderFactory(fields: Seq[String]) extends PartitionReaderFact
       private var it: Iterator[com.fasterxml.jackson.databind.JsonNode] = _
       private var node: com.fasterxml.jackson.databind.JsonNode = _
       override def next(): Boolean = {
-        if (it == null) it = RestDataSource.parsePage(RestDataSource.transport(pageUrl))
+        if (it == null) it = RestDataSource.parsePage(transport(pageUrl))
         if (it.hasNext) { node = it.next(); true } else false
       }
       override def get(): InternalRow = {

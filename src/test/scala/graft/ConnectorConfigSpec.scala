@@ -57,6 +57,15 @@ class ConnectorConfigSpec extends SparkTestBase {
     // missing pieces fail fast
     assert(intercept[IllegalArgumentException](Readers.mongoOptions(
       SourceConfig("MONGODB", ConnectionDetails(tableName = Some("c"))))).getMessage.contains("uri"))
+    // no database path segment must NOT fall back to the host:port
+    assert(intercept[IllegalArgumentException](Readers.mongoOptions(
+      SourceConfig("MONGODB", ConnectionDetails(
+        jdbcUrl = Some("mongodb://host1:27017"), tableName = Some("c")))))
+      .getMessage.contains("database"))
+    // query params stay out of the database name
+    val qp = Readers.mongoOptions(SourceConfig("MONGODB", ConnectionDetails(
+      jdbcUrl = Some("mongodb://host/appdb?replicaSet=rs0"), tableName = Some("c"))))
+    assert(qp("database") == "appdb")
   }
 
   test("elasticsearch sink options: nodes/index/batch/auth") {

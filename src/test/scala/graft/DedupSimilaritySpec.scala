@@ -22,6 +22,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("documents shorter than the shingle width yield empty shingle sets, not errors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "exactly three words here to dedup"),
+      (5L, "exactly three words here to dedup")).toDF("doc_id", "text")
+    // would previously throw INVALID_ARRAY_INDEX inside sequence(1,0)
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+    // exploded oracle path: short docs contribute zero rows
+    assert(Dedup.shingles(corpus, "doc_id", "text")
+      .filter(col("doc_id") < 3).count() == 0)
+  }
+
   test("simhash: identical texts collide at hamming 0; finder reports them") {
     // The corpus has no byte-identical texts — plant copies of 5 docs
     // under new ids and require the finder to surface exactly them.

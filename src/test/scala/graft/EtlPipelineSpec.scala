@@ -174,6 +174,26 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("maxErrorsAllowed fails the job BEFORE the destination write") {
+    val out = tmpDir("capjob")
+    val cfg = JobConfig(
+      jobId = "cap1",
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$sf/orders.parquet"))),
+      destination = Some(DestinationConfig("PARQUET",
+        ConnectionDetails(path = Some(s"$out/dest")))),
+      mappings = List(
+        FieldMapping("o_orderkey", "id", destFieldType = "LONG"),
+        // BOOLEAN cast of a priority string nulls out every row ->
+        // far more than 1 violation
+        FieldMapping("o_orderpriority", "flag", destFieldType = "BOOLEAN", isDestNullable = false)),
+      errorHandling = ErrorHandling("LOG_ONLY", maxErrorsAllowed = 1))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status.isInstanceOf[JobRunner.Failed], res.status.toString)
+    assert(res.message.contains("maxErrorsAllowed"))
+    // the cap must have fired before anything landed in the destination
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/dest")))
+  }
+
   test("CSV destination VALIDATE_LOAD: read-back honors the writer's header default") {
     // writer defaults header=true; the read-back must not count header
     // lines as data rows (one spurious row per part file otherwise)

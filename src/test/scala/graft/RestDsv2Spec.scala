@@ -64,6 +64,14 @@ class RestDsv2Spec extends SparkTestBase {
     }
   }
 
+  test("paginated url without {page} is rejected (would duplicate rows silently)") {
+    val cfg = SourceConfig("REST", ConnectionDetails(
+      path = Some("https://api.invalid/items"), numPartitions = Some(4)))
+    val e = intercept[IllegalArgumentException](
+      Readers.forConfig(spark, cfg, List(FieldMapping("id", "id"))))
+    assert(e.getMessage.contains("{page}"))
+  }
+
   test("forConfig routes numPartitions>0 REST configs to the paginated scan") {
     withFakeTransport(threePages) {
       val cfg = SourceConfig("REST", ConnectionDetails(
