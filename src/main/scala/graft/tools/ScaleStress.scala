@@ -1,14 +1,16 @@
 package graft.tools
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scale-sanity experiment: replicate the documents corpus Nx (ids
   * shifted so replicas are exact near-dups of their originals) and
-  * time the MinHash+LSH pipeline at each multiple. Sub-quadratic
-  * growth here is the evidence that the banding join, not the
-  * all-pairs join, is carrying the load.
+  * time the MinHash+LSH pipeline at each multiple; likewise the
+  * embeddings corpus for the LSH-bucketed embedding near-dup.
+  * Sub-quadratic growth here is the evidence that the banding/bucket
+  * candidates, not an all-pairs join, are carrying the load.
   * Usage: runMain graft.tools.ScaleStress <sfDir> [multiples...] */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
@@ -29,7 +31,25 @@ object ScaleStress {
       val t0 = System.nanoTime()
       val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text").count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE m=$m%2d docs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
+      println(f"SCALE minhash m=$m%2d docs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
+    // Embedding near-dup: replicas are x1.0625-scaled copies (same
+    // hyperplane signature -> guaranteed candidates), so true pairs
+    // grow linearly while candidate volume tracks bucket population.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    emb.count() // warm
+    multiples.foreach { m =>
+      val corpus = (0 until m).map(i => emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (if (i == 0) col("e") else expr(s"transform(e, x -> x * ${1.0 + 0.0625 / i})")).as("e")))
+        .reduce(_ unionByName _)
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val pairs = Similarity.embeddingNearDups(corpus, "vec_id", "e", dim = 64, threshold = 0.9).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE embed   m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
       spark.catalog.clearCache()
     }
     spark.stop()
