@@ -15,8 +15,11 @@ import scala.util.control.NonFatal
  * This is the same state machine over a directory queue — the broker
  * adapter is swappable, the semantics are what matter:
  *
- *  - a config is "acked" (moved to done/) only AFTER the job ran and
- *    reported; a crash mid-job leaves it in the inbox for redelivery;
+ *  - a config is CLAIMED (atomic move to processing/) before parsing —
+ *    concurrent consumers race on the claim, exactly one wins — and
+ *    "acked" (moved to done/) only AFTER the job ran and reported; a
+ *    crash mid-job leaves the claim in processing/, requeued at the
+ *    next consumer start (at-least-once);
  *  - a config that fails parsing or the job fails goes to failed/
  *    (the DLQ analog) with the error message alongside;
  *  - a jobId already running is skipped (matters when several queue
@@ -30,8 +33,20 @@ final class JobQueue(spark: SparkSession, inbox: String,
   private val inboxP = Paths.get(inbox)
   private val doneP = inboxP.resolve("done")
   private val failedP = inboxP.resolve("failed")
+  private val processingP = inboxP.resolve("processing")
   Files.createDirectories(doneP)
   Files.createDirectories(failedP)
+  Files.createDirectories(processingP)
+  // Crash recovery (at-least-once): configs claimed by a previous run
+  // of THIS consumer process that died mid-job go back to the inbox
+  // for redelivery. Safe at construction — live claims only exist
+  // within the current process.
+  locally {
+    val stale = Files.list(processingP)
+    try stale.iterator().asScala.filter(Files.isRegularFile(_)).foreach { s =>
+      Files.move(s, inboxP.resolve(s.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    } finally stale.close()
+  }
   private val running = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** Process every pending config once; returns per-file results.
@@ -46,15 +61,31 @@ final class JobQueue(spark: SparkSession, inbox: String,
   }
 
   private def process(p: Path): Option[JobRunner.JobResult] = {
-    val cfg = try JobConfig.fromFile(p.toString) catch {
+    // CLAIM first with an atomic move: when several consumer threads
+    // share this inbox, exactly one wins each file — the loser's move
+    // throws and it just skips, instead of double-running the job or
+    // DLQ-ing a file that already succeeded.
+    val claimed = processingP.resolve(p.getFileName)
+    try Files.move(p, claimed, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException => return None // claimed by another consumer
+    }
+    val cfg = try JobConfig.fromFile(claimed.toString) catch {
       case NonFatal(e) =>
         // Poison message -> DLQ with reason; never block the queue.
         Files.writeString(failedP.resolve(p.getFileName.toString + ".error"),
           s"parse error: ${e.getMessage}")
-        Files.move(p, failedP.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        Files.move(claimed, failedP.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
         return None
     }
-    if (running.putIfAbsent(cfg.jobId, true) != null) return None // duplicate running jobId
+    if (running.putIfAbsent(cfg.jobId, true) != null) {
+      // duplicate running jobId: release the claim for redelivery
+      // after the in-flight instance finishes
+      Files.move(claimed, p, StandardCopyOption.REPLACE_EXISTING)
+      return None
+    }
     try {
       val res = JobRunner.run(spark, cfg, notifier)
       val target = res.status match {
@@ -64,7 +95,7 @@ final class JobQueue(spark: SparkSession, inbox: String,
           failedP
       }
       // ack-after-run: the move is the acknowledgement
-      Files.move(p, target.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      Files.move(claimed, target.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
       Some(res)
     } finally running.remove(cfg.jobId)
   }

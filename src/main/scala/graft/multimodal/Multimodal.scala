@@ -43,16 +43,17 @@ object Multimodal {
    */
   private[multimodal] def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
+      val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
       var h = 0L
       val hist = new Array[Float](8)
       var i = 0
-      while (i < r.payload.length) {
-        val b = r.payload(i) & 0xff
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
         h = (h * 31L + b) % 1000000007L
         hist(b % 8) += 1f
         i += 1
       }
-      MediaFeatures(r.media_id, r.modality, r.payload.length, h, hist)
+      MediaFeatures(r.media_id, r.modality, bytes.length, h, hist)
     }
 
   /** Partition-batched feature extraction over a binary-column
@@ -80,24 +81,31 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(frameSize > 0 && everyK > 0)
     media.flatMap { r =>
-      val nFrames = (r.payload.length + frameSize - 1) / frameSize
-      (0 until nFrames).filter(_ % everyK == 0).map { i =>
-        val from = i * frameSize
-        val until = math.min(from + frameSize, r.payload.length)
-        Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      if (r.payload == null) Seq.empty[Frame]
+      else {
+        val nFrames = (r.payload.length + frameSize - 1) / frameSize
+        (0 until nFrames).filter(_ % everyK == 0).map { i =>
+          val from = i * frameSize
+          val until = math.min(from + frameSize, r.payload.length)
+          Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
       }
     }
   }
 
   /** Adapt any DataFrame with (idCol, binary payloadCol) into the
     * typed media Dataset — the ingest boundary for parquet/object-store
-    * payload tables. */
+    * payload tables. Lenient like every other ingest path: a
+    * non-numeric id try_casts to null, and rows with a null id or null
+    * payload are dropped HERE (they cannot be media and would
+    * otherwise NPE the primitive-field deserialization mid-job). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               modality: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("media_id"),
+    df.select(col(idCol).try_cast("long").as("media_id"),
         lit(modality).as("modality"),
-        col(payloadCol).cast("binary").as("payload"))
+        col(payloadCol).try_cast("binary").as("payload"))
+      .filter(col("media_id").isNotNull && col("payload").isNotNull)
       .as[MediaRow]
   }
 

@@ -43,13 +43,26 @@ object MappingOp {
     val src = col(m.sourceFieldName)
     val transformed = m.transformationRule.map(_.trim.toUpperCase) match {
       case Some(r) if r.nonEmpty && r != "NONE" =>
-        rules.getOrElse(r, identity[Column] _).apply(src)
+        rules.get(r) match {
+          case Some(fn) => fn(src)
+          case None =>
+            // engine convention for unknown names: pass through WITH a
+            // warning (same as unknown cast types and unknown plugins)
+            System.err.println(s"[graft] unknown transformationRule '$r' on " +
+              s"${m.sourceFieldName}: passing value through")
+            src
+        }
       case _ => src
     }
     val casted = CastEngine.castTo(transformed, m.destFieldType, m.formatPattern)
     val withDefault = m.defaultValue match {
-      case Some(d) => coalesce(casted, CastEngine.castTo(lit(d), m.destFieldType, m.formatPattern))
-      case None    => casted
+      case Some(d) =>
+        // default fills SOURCE nulls only: a non-null value whose cast
+        // failed must STAY null so ErrorPolicy sees it (the reference
+        // routes cast failures to the error path, never to defaults)
+        when(transformed.isNull,
+          CastEngine.castTo(lit(d), m.destFieldType, m.formatPattern)).otherwise(casted)
+      case None => casted
     }
     withDefault.as(m.destinationFieldName)
   }

@@ -42,6 +42,9 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String],
                       aggs: Map[String, (Column, ReAgg)],
                       buckets: Int = 16): DataFrame = {
+    require(aggs.nonEmpty, "saltedAggregate needs at least one aggregate")
+    require(keys.nonEmpty, "saltedAggregate needs at least one grouping key")
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
     val partialAggs = aggs.map { case (name, (c, spec)) => spec.partial(c).as(name) }.toSeq
     val partial = df.withColumn("_salt", saltCol(buckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
@@ -57,6 +60,8 @@ object Skew {
    */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  buckets: Int = 16): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
     val bigS = big.withColumn("_salt", saltCol(buckets))
     val smallS = small.withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")

@@ -49,7 +49,10 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+        // try_cast: a single out-of-range value would otherwise throw
+        // under ANSI and kill the long-running query (a batch job can
+        // rerun; a stream must degrade)
+        sum(col("value").try_cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Sliding-window aggregate (overlapping windows). */
@@ -109,7 +112,11 @@ object EventStreams {
 
   def runningUserStats(events: DataFrame)(implicit spark: SparkSession): Dataset[UserStat] = {
     import spark.implicits._
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    // null user_id/value would throw in the primitive-tuple encoder and
+    // terminate the stream; rows without a key or value carry no signal
+    events.selectExpr("user_id", "value")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), UserStat](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[(Long, Double)]) =>

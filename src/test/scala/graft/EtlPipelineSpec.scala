@@ -174,6 +174,20 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("default fills source nulls only; cast failures still reach ErrorPolicy") {
+    val df = Seq(("1", "10"), ("2", null), ("3", "x7")).toDF("id", "qty")
+    val mappings = List(
+      FieldMapping("id", "id", destFieldType = "LONG"),
+      FieldMapping("qty", "qty", destFieldType = "INTEGER",
+        defaultValue = Some("0"), isDestNullable = false))
+    val mapped = MappingOp(df, mappings)
+    val rows = mapped.orderBy("id").collect()
+    assert(rows(1).getInt(1) == 0, "null source must take the default")
+    assert(rows(2).isNullAt(1), "corrupt source must stay null, not take the default")
+    val (good, n) = ErrorPolicy.enforce(mapped, mappings, ErrorHandling("LOG_ONLY"))
+    assert(n == 1 && good.count() == 2)
+  }
+
   test("maxErrorsAllowed fails the job BEFORE the destination write") {
     val out = tmpDir("capjob")
     val cfg = JobConfig(

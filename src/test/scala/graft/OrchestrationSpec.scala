@@ -47,6 +47,23 @@ class OrchestrationSpec extends SparkTestBase {
     assert(q.drainOnce().isEmpty)
   }
 
+  test("queue crash recovery: stale processing/ claims requeue on start") {
+    val inbox = tmpDir("queue_rec")
+    val out = tmpDir("queue_rec_out")
+    new JobQueue(spark, inbox) // lays out inbox/done/failed/processing
+    // a claim left behind by a consumer that died mid-job
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inbox/processing/stale_good.json"),
+      s"""{"jobId":"rec1","source":{"type":"PARQUET","connectionDetails":{"path":"$sf/region.parquet"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"$out/region"}},
+         |"mappings":[{"sourceFieldName":"r_regionkey","destinationFieldName":"id","destFieldType":"LONG"}]}""".stripMargin)
+    val fresh = new JobQueue(spark, inbox) // restart -> requeue
+    val results = fresh.drainOnce()
+    assert(results("stale_good.json").status == JobRunner.Completed)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inbox/done/stale_good.json")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inbox/processing/stale_good.json")))
+  }
+
   test("job metrics listener aggregates task metrics per job group") {
     val m = new JobMetrics(spark)
     try {
