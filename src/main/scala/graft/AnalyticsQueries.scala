@@ -747,6 +747,18 @@ object AnalyticsQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- quantile sketch (approx_percentile — the 100 TB path where
+    //      exact percentile's global sort/agg is unaffordable).
+    //      Approximate by design -> rows-only here; ApproxSpec bounds
+    //      the error against the exact percentile. ----
+    Q("agg_approx_percentile",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- sliding (overlapping) time window: each event lands in two
     //      1h windows on the 30-min grid. Oracle expands the two
     //      candidate windows explicitly. ----

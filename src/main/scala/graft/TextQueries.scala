@@ -55,6 +55,32 @@ object TextQueries {
              |min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // ---- n-gram repetition ratio (training-data quality signal:
+    //      boilerplate/spam shows as one trigram dominating the doc).
+    //      Trigram MULTIPLICITY matters here, so no distinct — the
+    //      short-doc guard mirrors Dedup.shingleArrayExpr. ----
+    Q("text_repetition",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("_w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w) - 2), " +
+            "i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1), element_at(_w, i + 2))) " +
+            "ELSE array() END")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_trigrams"), max("c").as("max_repeat"))
+        .withColumn("rep_ratio",
+          col("max_repeat").cast(DoubleType) / col("n_trigrams").cast(DoubleType))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             |        FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             |CAST(MAX(c) AS BIGINT) AS max_repeat,
+             |CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- per-document quality score (length / stopword-ratio style) ----
     Q("text_quality",
       (s, dir) => Tables.t(s, dir, "documents")

@@ -17,4 +17,20 @@ class ApproxSpec extends SparkTestBase {
       assert(rel <= 0.1, s"flag=${r.getString(0)} err=$rel approx=$a exact=$e")
     }
   }
+
+  test("approx_percentile within tolerance of exact percentile") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val both = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"),
+        expr("percentile(l_quantity, 0.5)").as("exact_med"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"))
+      .collect()
+    both.foreach { r =>
+      val medErr = math.abs(r.getDouble(1) - r.getDouble(2)) / math.max(r.getDouble(2), 1.0)
+      val p90Err = math.abs(r.getDouble(3) - r.getDouble(4)) / math.max(r.getDouble(4), 1.0)
+      assert(medErr <= 0.05 && p90Err <= 0.05,
+        s"flag=${r.getString(0)} medErr=$medErr p90Err=$p90Err")
+    }
+  }
 }
