@@ -165,7 +165,7 @@ object JobRunner {
                 Retry.withRetry() { () =>
                   val props = new java.util.Properties()
                   c.username.foreach(props.setProperty("user", _))
-                  c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
+                  graft.sources.Readers.resolvePassword(c).foreach(props.setProperty("password", _))
                   val conn = java.sql.DriverManager.getConnection(url, props)
                   try conn.createStatement().execute(s"TRUNCATE TABLE $table")
                   finally conn.close()

@@ -127,6 +127,10 @@ object JobConfig {
     names.iterator.map(n.get).collectFirst { case v if v != null && !v.isNull => v.asInt }
   private def optBool(n: JsonNode, names: String*): Option[Boolean] =
     names.iterator.map(n.get).collectFirst { case v if v != null && !v.isNull => v.asBoolean }
+  // asLong, not asInt: values past Int range (billions of allowed
+  // errors) would wrap/truncate through Jackson's int conversion
+  private def optLong(n: JsonNode, names: String*): Option[Long] =
+    names.iterator.map(n.get).collectFirst { case v if v != null && !v.isNull => v.asLong }
 
   private def parseConn(n: JsonNode): ConnectionDetails =
     if (n == null || n.isNull) ConnectionDetails()
@@ -154,12 +158,13 @@ object JobConfig {
       startingOffsets = optText(n, "startingOffsets")
     )
 
-  private def parseMapping(n: JsonNode): FieldMapping =
+  private def parseMapping(n: JsonNode): FieldMapping = {
+    val srcName = optText(n, "sourceFieldName", "sourceField").getOrElse(
+      throw new IllegalArgumentException(s"mapping missing sourceFieldName: $n"))
     FieldMapping(
-      sourceFieldName = optText(n, "sourceFieldName", "sourceField").getOrElse(
-        throw new IllegalArgumentException(s"mapping missing sourceFieldName: $n")),
+      sourceFieldName = srcName,
       destinationFieldName = optText(n, "destinationFieldName", "destFieldName", "destinationField")
-        .getOrElse(optText(n, "sourceFieldName").get),
+        .getOrElse(srcName), // default to the source name in EITHER dialect
       sourceFieldType = optText(n, "sourceFieldType", "sourceSqlType").getOrElse("STRING"),
       destFieldType = optText(n, "destFieldType", "destSqlType", "destinationFieldType").getOrElse("STRING"),
       isSourceNullable = optBool(n, "isSourceNullable", "sourceIsNullAllowed").getOrElse(true),
@@ -170,6 +175,7 @@ object JobConfig {
       fileColumnPosition = optInt(n, "fileColumnPosition"),
       fileColumnWidth = optInt(n, "fileColumnWidth")
     )
+  }
 
   private def parseRoot(root: JsonNode): JobConfig = {
     val src = Option(root.get("source")).filterNot(_.isNull).getOrElse(
@@ -188,7 +194,7 @@ object JobConfig {
       ErrorHandling(
         strategy = optText(e, "strategy").getOrElse("FAIL_JOB"),
         errorFilePath = optText(e, "errorFilePath"),
-        maxErrorsAllowed = optInt(e, "maxErrorsAllowed").map(_.toLong).getOrElse(0L)
+        maxErrorsAllowed = optLong(e, "maxErrorsAllowed").getOrElse(0L)
       )
     }.getOrElse(ErrorHandling())
     val tr = Option(root.get("transformation")).filterNot(_.isNull).map { t =>
@@ -201,7 +207,7 @@ object JobConfig {
       )
     }.getOrElse(Transformation())
     val mon = Option(root.get("monitoring")).filterNot(_.isNull)
-      .map(m => Monitoring(optInt(m, "progressUpdateFrequency").map(_.toLong).getOrElse(10000L)))
+      .map(m => Monitoring(optLong(m, "progressUpdateFrequency").getOrElse(10000L)))
       .getOrElse(Monitoring())
     val steps = Option(root.get("steps")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText).toList).getOrElse(Nil)

@@ -42,12 +42,17 @@ object Writers {
         df.write.mode(mode).json(requirePath(dest))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC sink requires jdbcUrl"))
-        val table = c.tableName.map(t => t.replaceAll("[^a-zA-Z0-9_.]", ""))
+        val table = c.tableName.map(graft.sources.Readers.sanitizeIdent)
           .getOrElse(throw new IllegalArgumentException("JDBC sink requires tableName"))
         val props = new java.util.Properties()
         c.username.foreach(props.setProperty("user", _))
-        c.passwordEnv.flatMap(sys.env.get).foreach(props.setProperty("password", _))
+        graft.sources.Readers.resolvePassword(c).foreach(props.setProperty("password", _))
         props.setProperty("batchsize", dest.batchSize.toString) // W1 chunk knob
+        // overwrite must TRUNCATE in place, not drop-and-recreate:
+        // Spark's default overwrite drops the table and re-infers DDL,
+        // destroying indexes/constraints/grants (and making the
+        // TRUNCATE_DESTINATION step pointless)
+        props.setProperty("truncate", "true")
         // saveMode passes through unchanged — Spark's JDBC writer
         // supports all SaveModes; silently coercing "ignore"/
         // "errorifexists" to append could double-load a table.

@@ -24,12 +24,21 @@ object Readers {
       case "PARQUET" =>
         spark.read.parquet(requirePath(cfg))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
+        // linesToSkip=1 usually MEANS "skip the header" (reference
+        // convention) — but with an explicit includeHeader=false that
+        // one line is a non-header preamble and must still be skipped.
+        val headerVal = c.includeHeader.getOrElse(c.linesToSkip.contains(1))
+        val skip = c.linesToSkip.getOrElse(0) match {
+          case n if n > 1          => n
+          case 1 if !headerVal     => 1
+          case _                   => 0
+        }
         csv(spark, requirePath(cfg), mappings,
           delimiter = c.delimiter.getOrElse(","),
-          header = c.includeHeader.getOrElse(c.linesToSkip.contains(1)),
+          header = headerVal,
           encoding = c.encoding.getOrElse("UTF-8"),
           quote = c.quoteChar.getOrElse("\""),
-          linesToSkip = c.linesToSkip.filter(_ > 1).getOrElse(0))
+          linesToSkip = skip)
       case "JSON" =>
         json(spark, requirePath(cfg), mappings)
       case "FIXED_WIDTH" | "FIXED_LENGTH_FILE" =>
@@ -117,17 +126,20 @@ object Readers {
       .option("multiLine", "true") // values may span newlines when quoted
       .option("header", header.toString)
     val schema = StructType(mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true)))
-    if (linesToSkip > 1) {
-      // Reference `linesToSkip` > 1 (preamble lines before data,
+    if (linesToSkip > 0) {
+      // Reference `linesToSkip` (preamble lines before data,
       // ItemReaderFactory.java:202): Spark's CSV reader only knows
       // header=1 line, so drop the preamble per FILE (wholetext keeps
       // each file one record — correct line ordering by construction),
       // then parse the remainder as CSV. A file with BOTH a preamble
       // and a header row (includeHeader=true) keeps header parsing on
-      // the remainder. MEMORY BOUND: wholetext materializes each file
-      // as one record, so a single file must fit in executor memory —
+      // the remainder — and binds columns BY HEADER NAME (declaring
+      // the positional schema together with header=true would bind
+      // mapping order to file order positionally and silently swap
+      // columns). MEMORY BOUND: wholetext materializes each file as
+      // one record, so a single file must fit in executor memory —
       // preamble-style feeds are config-sized; route bulk data through
-      // the plain CSV path (linesToSkip<=1), which streams.
+      // the plain CSV path (no preamble), which streams.
       import spark.implicits._
       val lines = spark.read.option("wholetext", "true").option("encoding", encoding)
         .text(path).as[String]
@@ -135,7 +147,7 @@ object Readers {
       val r = spark.read
         .option("delimiter", delimiter).option("quote", quote).option("escape", "\"")
         .option("header", header.toString)
-      if (mappings.nonEmpty) r.schema(schema).csv(lines) else r.csv(lines)
+      if (mappings.nonEmpty && !header) r.schema(schema).csv(lines) else r.csv(lines)
     } else if (header) base.csv(path)
     else {
       // Positional columns named from the mapping order.
@@ -201,7 +213,7 @@ object Readers {
         r = r.option("dbtable", sanitizeIdent(t))
     }
     c.username.foreach(u => r = r.option("user", u))
-    c.passwordEnv.flatMap(sys.env.get).foreach(p => r = r.option("password", p))
+    resolvePassword(c).foreach(p => r = r.option("password", p))
     r = r.option("fetchsize", c.fetchSize.getOrElse(1000).toString)
     // Spark's JDBCOptions requires the full stride spec together:
     // partitionColumn + numPartitions + lowerBound + upperBound.
@@ -278,19 +290,39 @@ object Readers {
 
   /** Minimal predicate -> $match translation for equality filters
     * ("col = 'v'"); anything richer passes through Spark's own V2
-    * pushdown once a real connector is on the classpath. */
+    * pushdown once a real connector is on the classpath. The value is
+    * JSON-escaped — quotes/backslashes must not break the pipeline
+    * document or inject operators. */
   private def predicateToMongoMatch(p: String): String = {
     val eq = """\s*([A-Za-z0-9_.]+)\s*=\s*'([^']*)'\s*""".r
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     p match {
-      case eq(k, v) => s"""{"$k": "$v"}"""
+      case eq(k, v) => s"""{"$k": "${esc(v)}"}"""
       case _        => throw new IllegalArgumentException(
         s"only simple equality filters translate to $$match (got: $p)")
     }
   }
 
   /** Identifier sanitation as in the reference (`[^a-zA-Z0-9_.]`,
-    * ItemWriterFactory.java:135, TruncateTasklet.java:89). */
+    * ItemWriterFactory.java:135, TruncateTasklet.java:89). Shared by
+    * sources, sinks, and the TRUNCATE step — one copy of a
+    * security-relevant regex. */
   def sanitizeIdent(name: String): String = name.replaceAll("[^a-zA-Z0-9_.]", "")
+
+  /** Env-var password indirection, FAIL-FAST: a configured-but-unset
+    * variable is a deployment error — proceeding without a password
+    * would surface as an opaque auth failure (or quietly use a default
+    * credential). No passwordEnv at all = unauthenticated by intent. */
+  def resolvePassword(c: graft.model.ConnectionDetails): Option[String] =
+    c.passwordEnv.map { name =>
+      sys.env.getOrElse(name, throw new IllegalArgumentException(
+        s"passwordEnv names environment variable '$name', which is not set"))
+    }
 
   private def requirePath(cfg: SourceConfig): String =
     cfg.connectionDetails.pathOrFile.getOrElse(

@@ -31,7 +31,8 @@ object CastEngine {
   /** String type name (either reference dialect) -> Spark DataType.
     * None = pass-through (unknown or explicitly untyped). */
   def dataTypeFor(name: String): Option[DataType] = {
-    val n = Option(name).getOrElse("").trim.toUpperCase.takeWhile(c => c != '(')
+    val full = Option(name).getOrElse("").trim.toUpperCase
+    val n = full.takeWhile(c => c != '(').trim // tolerate "DECIMAL (10,2)"
     n match {
       case "STRING" | "VARCHAR" | "VARCHAR2" | "NVARCHAR" | "CHAR" | "NCHAR" | "TEXT" | "CLOB" | "NCLOB" | "LONGVARCHAR" =>
         Some(StringType)
@@ -39,9 +40,12 @@ object CastEngine {
       case "INTEGER" | "INT" | "INT4" => Some(IntegerType)
       case "SMALLINT" | "SHORT" | "INT2" => Some(ShortType)
       case "TINYINT" | "BYTE" => Some(ByteType)
-      case "DOUBLE" | "FLOAT8" | "NUMBER" => Some(DoubleType) // Oracle NUMBER w/o mapping info -> double
+      // Oracle NUMBER with an explicit (p,s) is exact — routing it
+      // through double would corrupt 16+ digit keys/amounts
+      case "NUMBER" if full.contains("(") => Some(parseDecimal(full))
+      case "DOUBLE" | "FLOAT8" | "NUMBER" => Some(DoubleType) // NUMBER w/o precision info -> double
       case "FLOAT" | "REAL" | "FLOAT4" => Some(FloatType)
-      case "DECIMAL" | "NUMERIC" | "BIGDECIMAL" => Some(parseDecimal(name))
+      case "DECIMAL" | "NUMERIC" | "BIGDECIMAL" => Some(parseDecimal(full))
       case "BOOLEAN" | "BIT" | "BOOL" => Some(BooleanType)
       case "TIMESTAMP" | "DATETIME" | "TIMESTAMPTZ" | "TIMESTAMP_WITH_TIMEZONE" | "INSTANT" =>
         Some(TimestampType)
@@ -91,7 +95,7 @@ object CastEngine {
   }
 
   private def isTimeName(name: String): Boolean = {
-    val n = Option(name).getOrElse("").trim.toUpperCase.takeWhile(_ != '(')
+    val n = Option(name).getOrElse("").trim.toUpperCase.takeWhile(_ != '(').trim
     n == "TIME" || n == "TIME_WITH_TIMEZONE"
   }
 

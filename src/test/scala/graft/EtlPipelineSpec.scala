@@ -228,6 +228,32 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(res.stepsRun.contains("VALIDATE_LOAD"))
   }
 
+  test("preamble+header binds columns by HEADER NAME, not mapping position") {
+    val out = tmpDir("hdrorder")
+    // header order (name,id) is the REVERSE of the mapping order
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/p.csv"),
+      "preamble line\nanother one\nname,id\nalpha,1\nbeta,2\n")
+    val mappings = List(FieldMapping("id", "id"), FieldMapping("label", "label"))
+    val df = Readers.csv(spark, s"$out/p.csv",
+      List(FieldMapping("id", "id"), FieldMapping("name", "name")),
+      header = true, linesToSkip = 2)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[String]("id"), r.getAs[String]("name"))).toSeq ==
+      Seq(("1", "alpha"), ("2", "beta")))
+  }
+
+  test("includeHeader=false with linesToSkip=1 still skips the preamble line") {
+    val out = tmpDir("skip1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/p.csv"),
+      "title line not data\n1,alpha\n2,beta\n")
+    val mappings = List(FieldMapping("id", "id"), FieldMapping("label", "label"))
+    val cfg = graft.model.SourceConfig("CSV", ConnectionDetails(
+      path = Some(s"$out/p.csv"), includeHeader = Some(false), linesToSkip = Some(1)))
+    val rows = Readers.forConfig(spark, cfg, mappings).orderBy("id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "alpha"), ("2", "beta")))
+  }
+
   test("preamble AND header row: linesToSkip>1 with includeHeader=true") {
     val out = tmpDir("preamblehdr")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/p.csv"),

@@ -26,15 +26,34 @@ class JdbcConfigSpec extends SparkTestBase {
     assert(Readers.sanitizeIdent("schema.table_1") == "schema.table_1")
   }
 
-  test("password comes from env indirection, never config literals") {
-    // passwordEnv names a variable; an unset variable -> no password option
+  test("password comes from env indirection, never config literals; unset var fails fast") {
+    // passwordEnv names a variable; a configured-but-UNSET variable is
+    // a deployment error and must fail with the variable's name, not
+    // proceed to an opaque auth failure with no password
     val cfg = SourceConfig("JDBC", ConnectionDetails(
       jdbcUrl = Some("jdbc:h2:mem:x"), tableName = Some("t"),
       passwordEnv = Some("GRAFT_TEST_UNSET_ENV_VAR")))
-    // an unset env var must NOT fail config assembly — the failure must
-    // come later, from driver resolution (none on this classpath)
-    val e = intercept[java.sql.SQLException](Readers.jdbc(spark, cfg))
-    assert(e.getMessage.contains("No suitable driver"))
+    val e = intercept[IllegalArgumentException](Readers.jdbc(spark, cfg))
+    assert(e.getMessage.contains("GRAFT_TEST_UNSET_ENV_VAR"))
+    // no passwordEnv at all = unauthenticated by intent -> proceeds to
+    // driver resolution (none on this classpath)
+    val anon = SourceConfig("JDBC", ConnectionDetails(
+      jdbcUrl = Some("jdbc:h2:mem:x"), tableName = Some("t")))
+    val e2 = intercept[java.sql.SQLException](Readers.jdbc(spark, anon))
+    assert(e2.getMessage.contains("No suitable driver"))
+  }
+
+  test("NUMBER with explicit precision is exact decimal, not double") {
+    import org.apache.spark.sql.types._
+    assert(CastEngine.dataTypeFor("NUMBER(38,0)") == Some(DecimalType(38, 0)))
+    assert(CastEngine.dataTypeFor("NUMBER(18,2)") == Some(DecimalType(18, 2)))
+    assert(CastEngine.dataTypeFor("NUMBER") == Some(DoubleType)) // no precision info
+    // space before the paren must not disable the cast
+    assert(CastEngine.dataTypeFor("DECIMAL (10,2)") == Some(DecimalType(10, 2)))
+    // an 18+ digit key survives exactly
+    val r = Seq("123456789012345678").toDF("s")
+      .select(CastEngine.castTo(col("s"), "NUMBER(38,0)").as("v")).collect()(0)
+    assert(r.getDecimal(0).toBigInteger.toString == "123456789012345678")
   }
 
   test("partitioned scan needs the full stride spec; partial spec falls back, not fails") {
