@@ -133,6 +133,11 @@ object Dedup {
     // narrow explode of the per-row distinct array — replaces the old
     // global shingles().distinct() shuffle
     val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
+    // Signature stays the k-column codegen'd hash aggregation: a
+    // TypedImperativeAggregate folding one k-long buffer was measured
+    // ~1.6x SLOWER here (ObjectHashAggregate's object buffers + sort
+    // fallback lose to UnsafeRow fixed-width buffers at high group
+    // cardinality).
     val cands = lshCandidates(minhash(sh, idCol, k), idCol, k, bands)
     // Exact verify on the compact per-doc arrays: two id-equi-joins
     // pull both shingle sets onto each candidate pair, then overlap and
