@@ -149,6 +149,32 @@ object EtlQueries {
              |CAST(n_regionkey AS INTEGER) AS region_key
              |FROM nation ORDER BY nation_key""".stripMargin)),
 
+    // ---- incremental upsert (SCD-1 keep-latest): every 10th order
+    //      gets a newer-versioned update with a bumped price; the
+    //      merge must keep updates for those keys and existing rows
+    //      for the rest. ----
+    Q("etl_upsert_keep_latest",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("updated_at", lit(1L))
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("updated_at", lit(2L))
+        graft.operators.Upsert
+          .keepLatest(base, updates, Seq("o_orderkey"), "updated_at")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             |                     CAST(1 AS BIGINT) AS updated_at FROM orders),
+             |upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             |               CAST(2 AS BIGINT) AS updated_at FROM orders WHERE o_orderkey % 10 = 0),
+             |tagged AS (SELECT *, 0 AS _src FROM base UNION ALL SELECT *, 1 AS _src FROM upd),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             |                     ORDER BY updated_at DESC, _src DESC) AS rn FROM tagged)
+             |SELECT o_orderkey, o_custkey, o_totalprice, updated_at
+             |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
+
     Q("etl_transform_defaults",
       (s, dir) => {
         // P5 defaults + P6 transformation rules.

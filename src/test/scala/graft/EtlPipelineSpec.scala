@@ -174,6 +174,20 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("upsert: version ties resolve to the update side; applyBatch agrees when updates are newer") {
+    val existing = Seq((1L, "old", 5L), (2L, "keep", 5L)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", 5L)).toDF("k", "v", "ver") // SAME version
+    val merged = graft.operators.Upsert.keepLatest(existing, updates, Seq("k"), "ver")
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "new"), (2L, "keep")))
+    // anti-join form equals keepLatest when every update is newer
+    val newer = Seq((1L, "new2", 9L)).toDF("k", "v", "ver")
+    val a = graft.operators.Upsert.keepLatest(existing, newer, Seq("k"), "ver")
+    val b = graft.operators.Upsert.applyBatch(existing, newer, Seq("k"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("default fills source nulls only; cast failures still reach ErrorPolicy") {
     val df = Seq(("1", "10"), ("2", null), ("3", "x7")).toDF("id", "qty")
     val mappings = List(
