@@ -175,6 +175,41 @@ object EtlQueries {
              |SELECT o_orderkey, o_custkey, o_totalprice, updated_at
              |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- SCD-2 history merge: every 7th customer gets a re-segmented
+    //      update; its current row must close at the update timestamp
+    //      and a new open row appear, history/untouched rows intact. ----
+    Q("etl_scd2_history",
+      (s, dir) => {
+        val ts0 = lit("1990-01-01").cast(org.apache.spark.sql.types.TimestampType)
+        val ts1 = lit("2000-06-15").cast(org.apache.spark.sql.types.TimestampType)
+        val dim = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          .withColumn("valid_from", ts0)
+          .withColumn("valid_to", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+        val upd = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
+          .withColumn("valid_from", ts1)
+        graft.operators.Upsert.scd2Apply(dim, upd, Seq("c_custkey"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+             |                    TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             |                    CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+             |upd AS (SELECT c_custkey, 'NEW-' || c_mktsegment AS segment,
+             |               TIMESTAMP '2000-06-15 00:00:00' AS valid_from
+             |        FROM customer WHERE c_custkey % 7 = 0),
+             |closed AS (SELECT d.c_custkey, d.segment, d.valid_from,
+             |                  CASE WHEN d.valid_to IS NULL AND u.c_custkey IS NOT NULL
+             |                       THEN TIMESTAMP '2000-06-15 00:00:00' ELSE d.valid_to END AS valid_to
+             |           FROM dim d LEFT JOIN (SELECT DISTINCT c_custkey FROM upd) u
+             |           ON d.c_custkey = u.c_custkey)
+             |SELECT * FROM (
+             |  SELECT c_custkey, segment, valid_from, valid_to FROM closed
+             |  UNION ALL
+             |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     Q("etl_transform_defaults",
       (s, dir) => {
         // P5 defaults + P6 transformation rules.

@@ -44,4 +44,30 @@ object Upsert {
     existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
   }
+
+  /**
+   * SCD type 2 (history-preserving): apply one update batch to a
+   * dimension whose rows carry [validFrom, validTo) validity — the
+   * current row has validTo null. Updated keys get their CURRENT row
+   * closed at the update's `asOf` timestamp and a new open row
+   * appended; history rows and untouched keys pass through.
+   *
+   * One keyed join against the (deduped) update batch + a union —
+   * same shuffle budget as keepLatest. `updates` must carry the key
+   * and attribute columns plus an `asOf` timestamp column named
+   * `validFrom` on output.
+   */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply needs at least one merge key")
+    val newFrom = updates.select((keys.map(col) :+ col(validFrom).as("_new_from")): _*).distinct()
+    // close the current row of updated keys; leave history rows alone
+    val closed = dim.join(newFrom, keys, "left_outer")
+      .withColumn(validTo,
+        when(col(validTo).isNull && col("_new_from").isNotNull, col("_new_from"))
+          .otherwise(col(validTo)))
+      .drop("_new_from")
+    val opened = updates.withColumn(validTo, lit(null).cast(closed.schema(validTo).dataType))
+    closed.unionByName(opened.select(closed.columns.map(col).toIndexedSeq: _*))
+  }
 }

@@ -188,6 +188,28 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("scd2Apply: closes only the current row, preserves history, chains batches") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq(
+      (1L, "a-v1", ts("2020-01-01"), ts("2021-01-01")), // history row — must not change
+      (1L, "a-v2", ts("2021-01-01"), null.asInstanceOf[Timestamp]),
+      (2L, "b-v1", ts("2020-01-01"), null.asInstanceOf[Timestamp]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "a-v3", ts("2022-06-01"))).toDF("k", "v", "valid_from")
+    val out = graft.operators.Upsert.scd2Apply(dim, upd, Seq("k"))
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 4)
+    // history row untouched
+    assert(out(0).getString(1) == "a-v1" && out(0).getTimestamp(3) == ts("2021-01-01"))
+    // current row closed at the update's asOf
+    assert(out(1).getString(1) == "a-v2" && out(1).getTimestamp(3) == ts("2022-06-01"))
+    // new open row
+    assert(out(2).getString(1) == "a-v3" && out(2).isNullAt(3))
+    // untouched key stays open
+    assert(out(3).getString(1) == "b-v1" && out(3).isNullAt(3))
+  }
+
   test("default fills source nulls only; cast failures still reach ErrorPolicy") {
     val df = Seq(("1", "10"), ("2", null), ("3", "x7")).toDF("id", "qty")
     val mappings = List(
