@@ -184,7 +184,7 @@ object AnalyticsQueries {
     // ---- NOT IN subquery + distinct aggregate (TPC-H Q16 shape) ----
     Q("q16_supplier_variety",
       (s, dir) => {
-        Tables.views(s, dir)
+        Tables.views(s, dir, "part", "lineitem", "supplier")
         s.sql("""SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
                 |FROM part JOIN lineitem ON p_partkey = l_partkey
                 |WHERE p_brand <> 'Brand#1'
@@ -385,7 +385,7 @@ object AnalyticsQueries {
     // ---- scalar subquery (exact arithmetic form of "above average") ----
     Q("subquery_above_avg",
       (s, dir) => {
-        Tables.views(s, dir)
+        Tables.views(s, dir, "orders")
         s.sql("""SELECT o_orderkey, o_totalprice FROM orders
                 |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
                 |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
@@ -400,7 +400,7 @@ object AnalyticsQueries {
     //      an aggregate + join — no per-row re-execution) ----
     Q("subquery_correlated",
       (s, dir) => {
-        Tables.views(s, dir)
+        Tables.views(s, dir, "orders", "lineitem")
         s.sql("""SELECT o_orderkey, o_totalprice,
                 |  (SELECT MAX(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
                 |FROM orders WHERE o_orderstatus = 'F'
@@ -414,7 +414,7 @@ object AnalyticsQueries {
     // ---- IN subquery ----
     Q("subquery_in",
       (s, dir) => {
-        Tables.views(s, dir)
+        Tables.views(s, dir, "orders", "customer")
         s.sql("""SELECT o_orderkey, o_custkey FROM orders
                 |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
                 |ORDER BY o_orderkey""".stripMargin)

@@ -21,9 +21,18 @@ object Bench {
     // Sorted order: stable run-to-run and round-to-round comparisons
     // (Map iteration order would shuffle which query pays warm-cache
     // effects as the registry grows).
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune every
+      // projected column and eliminate the final sort, so map-only
+      // queries would be timed as bare row-count scans — the noop
+      // write evaluates the full output the query exists to produce.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop their persisted intermediates so
       // earlier queries' caches don't GC-tax later ones
@@ -32,8 +41,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

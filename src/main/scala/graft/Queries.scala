@@ -30,10 +30,13 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Register every table as a temp view so queries can use spark.sql
-    * with the same text shape as the DuckDB oracle. */
-  def views(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  /** Register tables as temp views so queries can use spark.sql with
+    * the same text shape as the DuckDB oracle. Callers name just the
+    * tables they reference — registering all 10 would read 10 parquet
+    * footers per spark.sql query at plan-build time. */
+  def views(spark: SparkSession, dir: String, names: String*): Unit =
+    (if (names.nonEmpty) names else all)
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }
 
 object Queries {

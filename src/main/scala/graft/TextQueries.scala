@@ -151,9 +151,12 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents").withColumn("w", split(col("text"), " "))
         docs.select(col("lang"),
+            // short-doc guard: sequence(1, 0) is DESCENDING [1,0] and
+            // element_at would throw under ANSI (see Dedup.shingleArrayExpr)
             explode(expr(
-              "transform(sequence(1, greatest(size(w) - 1, 0))," +
-                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bigram"))
+              "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1)," +
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+                "ELSE array() END")).as("bigram"))
           .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("lang")
@@ -202,18 +205,9 @@ object TextQueries {
           .select("doc_a", "doc_b", "n_common", "na", "nb")
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-             |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |           GROUP BY 1, 2)
-             |SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
-             |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-             |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      // the ONE shared oracle text — dedup_minhash_pairs checks against
+      // the same ground truth by construction (no drift between copies)
+      Some(jaccardOracle)),
 
     // ---- MinHash + LSH near-dedup (the 100 TB path): banded
     //      signature buckets -> candidate pairs -> exact verify.

@@ -27,6 +27,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir must not present the PREVIOUS run's output
+        // for a now-broken query as green — remove any stale result
+        // (an analysis-time failure happens before overwrite deletes)
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(stale)
+        }
       }
       spark.catalog.clearCache() // queries are independent
     }
