@@ -75,4 +75,46 @@ class PropertySpec extends SparkTestBase {
     // pigeonhole sanity: distinct inputs rarely collide in [0, 1e9+7)
     assert(fps.distinct.length >= vals.length - 2)
   }
+
+  test("upsert keepLatest: one row per key, max version wins, idempotent re-apply") {
+    val rows = sample(for {
+      k <- Gen.chooseNum(0L, 40L)
+      ver <- Gen.chooseNum(0L, 5L)
+      v <- Gen.alphaStr
+    } yield (k, ver, v), 300, seed = 23L)
+    val (existing, updates) = rows.splitAt(200)
+    val e = existing.toDF("k", "ver", "v")
+    val u = updates.toDF("k", "ver", "v")
+    val merged = graft.operators.Upsert.keepLatest(e, u, Seq("k"), "ver")
+    val out = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly one surviving row per key
+    assert(out.map(_._1).distinct.length == out.length)
+    // survivor carries the max version present for that key
+    val maxVer = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    out.foreach { case (k, ver) => assert(ver == maxVer(k), s"key $k kept version $ver != max ${maxVer(k)}") }
+    // re-applying the same update batch changes nothing
+    val again = graft.operators.Upsert.keepLatest(merged, u, Seq("k"), "ver")
+    assert(again.except(merged).isEmpty && merged.except(again).isEmpty)
+  }
+
+  test("scrubPii leaves no email/phone/id-run patterns behind on generated text") {
+    val piiGen = for {
+      pre <- Gen.alphaStr
+      user <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      n <- Gen.chooseNum(100000L, 99999999999L)
+      post <- Gen.alphaStr
+    } yield s"$pre $user@mail-${n % 97}.example.com then 555-123-4567 and id $n $post"
+    val texts = sample(Gen.oneOf(piiGen, Gen.asciiPrintableStr), 200, seed = 31L)
+    val scrubbed = texts.toDF("t")
+      .select(graft.operators.Privacy.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    val email = graft.operators.Privacy.EmailPattern.r
+    val phone = graft.operators.Privacy.PhonePattern.r
+    val id = graft.operators.Privacy.IdPattern.r
+    scrubbed.foreach { s =>
+      assert(email.findFirstIn(s).isEmpty, s"email survived scrub: $s")
+      assert(phone.findFirstIn(s).isEmpty, s"phone survived scrub: $s")
+      assert(id.findFirstIn(s).isEmpty, s"id run survived scrub: $s")
+    }
+  }
 }
