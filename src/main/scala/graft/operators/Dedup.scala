@@ -33,31 +33,22 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles of `_w` (a split words column), as
-    * a per-row array expression — no explode, no shuffle. Documents
-    * with fewer than n words yield an EMPTY array: without the guard,
-    * sequence(1, 0) is the DESCENDING [1, 0] and element_at goes out
-    * of range (throws under ANSI), killing the whole job on one short
-    * document. */
-  private def shingleArrayExpr(n: Int): Column = expr(
-    s"CASE WHEN size(_w) >= $n THEN " +
-      s"array_distinct(transform(sequence(1, size(_w) - ${n - 1}), " +
-      s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")}))) " +
-      s"ELSE array() END")
-
   /** (id, _sh: array<string>) with empty-shingle docs dropped —
-    * the narrow spine every minhash stage derives from. */
+    * the narrow spine every minhash stage derives from. The compiled
+    * `WordShingles` kernel replaced a transform/array_distinct HOF
+    * chain here: HOF lambdas evaluate interpreted per element, and at
+    * sf0.1 the spine alone cost ~3.6 s per pass (recomputed three
+    * times across signature + verify). Short documents (< n words)
+    * yield an empty array and are dropped. */
   private def withShingleArray(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.withColumn("_w", split(col(textCol), " "))
-      .select(col(idCol), shingleArrayExpr(n).as("_sh"))
+    df.select(col(idCol), graft.functions.Shingles.wordShingles(col(textCol), n).as("_sh"))
       .filter(size(col("_sh")) > 0)
 
   /** Distinct word n-gram shingles: (id, shingle) exploded rows.
-    * Kept as the input shape for the exact-Jaccard oracle path.
-    * Same short-document guard as the per-row spine. */
+    * Kept as the input shape for the exact-Jaccard oracle path. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.withColumn("_w", split(col(textCol), " "))
-      .select(col(idCol), explode(shingleArrayExpr(n)).as("shingle"))
+    df.select(col(idCol),
+      explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("shingle"))
 
   /** Band keys from a signature array column `_sig`: k/bands
     * consecutive signature slots hash into one band key. With k=128,
