@@ -121,15 +121,15 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                       num: Int = 7, den: Int = 10): DataFrame = {
     val docs = withShingleArray(df, idCol, textCol, shingleN)
-    // narrow explode of the per-row distinct array — replaces the old
-    // global shingles().distinct() shuffle
-    val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
-    // Signature stays the k-column codegen'd hash aggregation: a
-    // TypedImperativeAggregate folding one k-long buffer was measured
-    // ~1.6x SLOWER here (ObjectHashAggregate's object buffers + sort
-    // fallback lose to UnsafeRow fixed-width buffers at high group
-    // cardinality).
-    val cands = lshCandidates(minhash(sh, idCol, k), idCol, k, bands)
+    // Band keys come straight from the compiled per-document sketch
+    // (bit-identical to minhash()+lshCandidates' SQL derivation —
+    // pinned by HashSketchesSpec): a narrow projection with no
+    // explode, no 128-column aggregate, no shuffle before the bucket
+    // groupBy. posexplode's position IS the band index.
+    val bandRows = docs.select(col(idCol),
+      posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
+        .as(Seq("band", "band_key")))
+    val cands = candidatePairs(bandRows, idCol)
     // Exact verify on the compact per-doc arrays: two id-equi-joins
     // pull both shingle sets onto each candidate pair, then overlap and
     // sizes are narrow array expressions. Replaces the exploded-shingle
@@ -151,23 +151,17 @@ object Dedup {
    * Near-identical token sets land on identical or low-Hamming
    * fingerprints — an O(n) alternative to pairwise comparison.
    *
-   * Kept as a codegen'd explode + 64-way sum aggregation (map-side
-   * partial) — measured faster than a per-row higher-order-function
-   * fold, whose interpreted lambdas allocate a 64-slot array per token.
+   * One compiled pass per document (bit-identical to the former
+   * explode + 64-sum aggregation — pinned by HashSketchesSpec): the
+   * fingerprint is a narrow projection with no shuffle at all, so at
+   * scale it computes where the documents live. Null-text documents
+   * are dropped, matching the exploded form (explode of a null token
+   * array emitted no rows for them).
    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df
-      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val summed = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fpCol = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    summed.select(col(idCol), fpCol.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.HashSketches.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: pairs whose fingerprints match on
     * any of 4 16-bit chunks, verified by Hamming distance <= maxDist.
