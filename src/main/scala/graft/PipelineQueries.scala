@@ -51,6 +51,66 @@ object PipelineQueries {
              |              - n_tokens) / 4096.0) AS BIGINT) AS bin
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- benchmark decontamination: training docs sharing any
+    //      distinct 4-gram with the eval slice (doc_id % 20 == 0) are
+    //      flagged with their overlap count (4 because the synthetic
+    //      docs are short; production would use ~13 per the GPT-3
+    //      appendix). The eval side is bounded by construction, so its
+    //      gram set broadcasts and the training side never shuffles. ----
+    Q("decontaminate",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Contamination.flagContaminated(
+            train = docs.filter(col("doc_id") % 20 =!= 0),
+            eval = docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+             |            FROM w)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+             |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+             |FROM g JOIN e USING (gram)
+             |WHERE g.doc_id % 20 <> 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // ---- stratified sampling: per-language keep-percentages (the
+    //      corpus-mixture rebalancing knob), deterministic via the
+    //      same LCG bucket both engines can evaluate. ----
+    Q("stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+          Tables.t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          pctByStratum = Map("en" -> 40, "zh" -> 80), defaultPct = 100,
+          bucketExpr = Some(pmod(col("doc_id") * 1103515245L + 12345L, lit(100L))))
+        .select("doc_id", "lang", "sample_bucket")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  (doc_id * 1103515245 + 12345) % 100 AS sample_bucket
+             |FROM documents
+             |WHERE (doc_id * 1103515245 + 12345) % 100 <
+             |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 80 ELSE 100 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic corpus shuffle with explicit global
+    //      positions: two-phase distributed rank (bucket histogram ->
+    //      metadata prefix-sum -> broadcast offsets), never a
+    //      single-partition window. ----
+    Q("corpus_shuffle",
+      (s, dir) => Sampling.deterministicShuffle(
+          Tables.t(s, dir, "documents").select("doc_id"),
+          "doc_id", buckets = 64,
+          bucketExpr = Some(pmod(col("doc_id") * 1103515245L + 12345L, lit(64L))))
+        .select("doc_id", "shuffle_bucket", "shuffle_pos")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  (doc_id * 1103515245 + 12345) % 64 AS shuffle_bucket,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 64, doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- PII scrub: the corpus has no real PII, so the query plants
     //      deterministic email/phone/id suffixes per doc and scrubs
     //      them; the oracle reproduces both steps, pinning the full

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination for the training-data tier: flag (to then
+ * drop) training documents that share word n-grams with an evaluation
+ * / benchmark corpus, so the training set cannot memorize the test
+ * set. This is the standard n-gram-collision decontamination used for
+ * large LM corpora (13-gram overlap in the GPT-3 appendix; the Pile
+ * uses the same shape) — here the n is a parameter because the
+ * synthetic corpus' documents are short.
+ *
+ * Scale design: the eval side is a BENCHMARK, bounded by construction
+ * (benchmarks are thousands of prompts, not a slice of the corpus), so
+ * its distinct n-gram set is broadcast — the 100 TB training side is
+ * never shuffled at all: each partition streams its documents, builds
+ * shingles with the compiled kernel, probes the broadcast hash set,
+ * and only (doc_id, n_hits) for CONTAMINATED docs (a tiny fraction)
+ * reaches the aggregation. An explicit broadcast hint is correct here
+ * for the same reason it is correct on `nation`/`region` and wrong on
+ * `customer`: the eval set does not grow with the data.
+ */
+object Contamination {
+
+  /**
+   * (id, n_shared_grams) for every training document sharing at least
+   * `minMatches` distinct word n-grams with the eval corpus.
+   *
+   * Counting DISTINCT shared grams per doc needs no global distinct:
+   * the shingle arrays are already per-document distinct (compiled
+   * `WordShingles` kernel), so a plain count after the semi-probe is
+   * exact.
+   */
+  def flagContaminated(train: DataFrame, eval: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 5, minMatches: Int = 1): DataFrame = {
+    require(minMatches >= 1, "minMatches must be >= 1")
+    val evalGrams = eval
+      .select(explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
+    trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minMatches)
+  }
+}

@@ -42,6 +42,80 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-stratum sampling: each stratum (e.g. language,
+   * source) keeps its own fraction of rows — the knob for rebalancing
+   * a corpus mixture (downsample the dominant language, keep the rare
+   * ones whole). Membership is a pure function of the id, exactly like
+   * [[hashSplit]]: no RNG, no `sampleBy` nondeterminism, the same rows
+   * survive any recomputation. Percentages are integers out of 100.
+   *
+   * Scale: a filter over a narrow projection — no shuffle, no window,
+   * embarrassingly parallel.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       pctByStratum: Map[String, Int], defaultPct: Int,
+                       salt: Long = 42L, bucketExpr: Option[Column] = None): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(100)))
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (name, p)) =>
+      when(col(strataCol) === name, p).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < pct)
+  }
+
+  /**
+   * Deterministic per-stratum cap: keep at most `cap` rows per
+   * stratum, selected by a deterministic order (hash of the id by
+   * default — a uniform "random but reproducible" pick). The window
+   * partitions by stratum, so parallelism equals the stratum count;
+   * at 100 TB cap within finer shards (stratum × hash-bucket) if a
+   * single stratum outweighs an executor.
+   */
+  def stratifiedCap(df: DataFrame, idCol: String, strataCol: String, cap: Int,
+                    salt: Long = 42L, orderExpr: Option[Column] = None): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val ord = orderExpr.getOrElse(xxhash64(col(idCol), lit(salt)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(ord, col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
+  /**
+   * Deterministic corpus shuffle with an explicit global position:
+   * rows are ordered by (bucket, id) where bucket is a hash of the id,
+   * and `shuffle_pos` is the 0-based rank in that order — the
+   * "shuffle once, train in order" step of a training pipeline.
+   *
+   * A naive `row_number() OVER (ORDER BY hash)` is a SINGLE-partition
+   * window — the one shape that cannot scale. This is the two-phase
+   * distributed rank instead: (1) count rows per bucket (map-side
+   * partial, `buckets` rows out), (2) prefix-sum those counts into
+   * per-bucket offsets — a window over `buckets` rows of METADATA, not
+   * data — and broadcast-join them back, (3) rank within each bucket
+   * (parallelism = `buckets`). Global position = offset + local rank;
+   * no partition ever holds more than ~1/buckets of the corpus.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: String, buckets: Int = 1 << 12,
+                           salt: Long = 42L, bucketExpr: Option[Column] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val b = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(buckets)))
+    val withB = df.withColumn("shuffle_bucket", b)
+    val offsets = withB.groupBy("shuffle_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(
+        sum(col("_n")).over(Window.orderBy("shuffle_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_n")
+    withB.join(broadcast(offsets), "shuffle_bucket")
+      .withColumn("shuffle_pos",
+        col("_offset") + row_number().over(
+          Window.partitionBy("shuffle_bucket").orderBy(col(idCol))) - 1)
+      .drop("_offset")
+  }
+
+  /**
    * Stream-order sequence packing: within each shard, documents fill
    * context windows ("bins") of `budget` tokens in `idCol` order; a
    * document belongs to the bin where its token run STARTS, so bins

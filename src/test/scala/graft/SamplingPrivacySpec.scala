@@ -64,4 +64,58 @@ class SamplingPrivacySpec extends SparkTestBase {
       .toDF("t").select(e.as("e"), p.as("p"), i.as("i")).collect()(0)
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
   }
+
+  test("stratifiedSample (xxhash64 default): rare strata kept whole, dominant downsampled, deterministic") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 40), defaultPct = 100)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.keys.filter(_ != "en").foreach { l =>
+      assert(keptByLang(l) == byLang(l), s"non-en stratum $l must be kept whole")
+    }
+    val enFrac = keptByLang("en").toDouble / byLang("en")
+    assert(math.abs(enFrac - 0.4) < 0.12, s"en kept fraction $enFrac not ~0.4")
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 40), defaultPct = 100)
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
+
+  test("stratifiedCap: no stratum exceeds the cap; full strata survive untouched") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val capped = Sampling.stratifiedCap(docs, "doc_id", "lang", cap = 30)
+    val counts = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.t(spark, sf, "documents").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (l, n) =>
+      assert(n == math.min(30L, full(l)), s"stratum $l: got $n of ${full(l)} with cap 30")
+    }
+  }
+
+  test("deterministicShuffle: positions are a permutation matching the (bucket, id) order") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val shuffled = Sampling.deterministicShuffle(docs, "doc_id", buckets = 16)
+    val rows = shuffled.select("shuffle_bucket", "doc_id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq, "positions must be 0..n-1 exactly")
+    // position order == lexicographic (bucket, id) order
+    assert(rows.sortBy(_._3).toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("flagContaminated finds planted n-gram overlap and nothing else") {
+    import graft.operators.Contamination
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // contains eval 4-gram
+      (2L, "one two three four five six seven"),       // clean
+      (3L, "beta gamma delta epsilon end of doc")      // same planted 4-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "prefix beta gamma delta epsilon suffix")).toDF("doc_id", "text")
+    val flagged = Contamination.flagContaminated(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 1L, 3L -> 1L), s"got $flagged")
+  }
 }
