@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RollingHashFingerprint}
+import graft.functions.{DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -32,5 +32,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProduct(args(0), args(1))
       }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n) takes two arguments")
+        WordShingles(args.head, GraftExtensions.intArg(args(1), "n"))
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text) takes one argument")
+        SimHash64(args.head)
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_band_keys"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_band_keys(shingles, k, bands) takes three arguments")
+        MinHashBandKeys(args.head,
+          GraftExtensions.intArg(args(1), "k"), GraftExtensions.intArg(args(2), "bands"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Sketch geometry must be fixed at plan time (it defines the
+    * signature layout) — accept only foldable integral arguments. */
+  private[graft] def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(s"$what must be integral, got $other")
+    }
   }
 }

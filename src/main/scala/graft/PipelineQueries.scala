@@ -77,6 +77,43 @@ object PipelineQueries {
              |WHERE g.doc_id % 20 <> 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // ---- corpus duplication score: fraction of each doc's distinct
+    //      3-grams occurring in >= 2 documents (the RefinedWeb-style
+    //      boilerplate signal). Only duplicated grams ride the join
+    //      back — unique grams (the bulk) never leave their partition
+    //      twice. ----
+    Q("dup_gram_fraction",
+      (s, dir) => graft.operators.Contamination.duplicateGramFraction(
+          Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+             |            FROM w)),
+             |f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+             |SELECT g.doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+             |  CAST(SUM(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
+             |FROM g LEFT JOIN f ON g.gram = f.gram
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // ---- sliding-window chunking: 32-token training contexts every
+    //      24 tokens (overlapping), final chunk may be short. Pure
+    //      per-row generate + slice — no shuffle. ----
+    Q("chunk_documents",
+      (s, dir) => Sampling.chunkDocuments(
+          Tables.t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS i FROM w)
+             |SELECT doc_id,
+             |  CAST((i - 1) // 24 AS INTEGER) AS chunk_idx,
+             |  CAST(least(32, len(w) - i + 1) AS INTEGER) AS n_chunk_tokens,
+             |  array_to_string(w[i : i + 31], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- stratified sampling: per-language keep-percentages (the
     //      corpus-mixture rebalancing knob), deterministic via the
     //      same LCG bucket both engines can evaluate. ----

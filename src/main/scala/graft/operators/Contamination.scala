@@ -48,4 +48,34 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minMatches)
   }
+
+  /**
+   * Corpus-level duplication score per document: the fraction of a
+   * document's distinct word n-grams that occur in at least one OTHER
+   * document — the "duplicate n-gram fraction" quality signal used by
+   * web-corpus pipelines (RefinedWeb-style) to down-weight boilerplate
+   * and template text.
+   *
+   * Scale: the gram-frequency aggregation and the join back are the
+   * inherent shuffles of any corpus-frequency statistic, both on the
+   * uniformly-distributed gram key (AQE-skew-safe). The join carries
+   * only the grams that ARE duplicated (typically a small minority),
+   * not every gram's count: duplicated-ness is resolved by a left
+   * semi-style mark, so unique grams — the bulk — never ride the
+   * second shuffle's build side.
+   */
+  def duplicateGramFraction(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
+    // arrays are per-doc distinct, so count(*) per gram = doc frequency
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .select(col("gram"), lit(1).as("_isdup"))
+    grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_isdup")).as("n_dup_grams"))
+      .withColumn("dup_fraction", col("n_dup_grams") / col("n_grams"))
+  }
 }

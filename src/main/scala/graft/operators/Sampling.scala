@@ -116,6 +116,29 @@ object Sampling {
   }
 
   /**
+   * Sliding-window document chunking: split each document's token
+   * stream into training-context windows of `chunkSize` tokens,
+   * starting every `stride` tokens (stride < chunkSize gives the
+   * standard overlapping-context chunks; the final chunk may be
+   * short). Output adds `chunk_idx` (0-based), `n_chunk_tokens`,
+   * `chunk_text`.
+   *
+   * Scale: a per-row generate + array slice — no shuffle; each
+   * document chunks where it lives.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.withColumn("_w", split(col(textCol), " "))
+      .select(col(idCol), col("_w"),
+        posexplode(expr(s"sequence(1, size(_w), $stride)")).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"size(slice(_w, _start, $chunkSize))").as("n_chunk_tokens"),
+        expr(s"array_join(slice(_w, _start, $chunkSize), ' ')").as("chunk_text"))
+  }
+
+  /**
    * Stream-order sequence packing: within each shard, documents fill
    * context windows ("bins") of `budget` tokens in `idCol` order; a
    * document belongs to the bin where its token run STARTS, so bins

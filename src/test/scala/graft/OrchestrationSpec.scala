@@ -15,11 +15,18 @@ class OrchestrationSpec extends SparkTestBase {
       args => graft.functions.RollingHashFingerprint(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       args => graft.functions.DotProduct(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      args => graft.functions.WordShingles(args.head, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => graft.functions.SimHash64(args.head), "scala_udf")
     val r = spark.sql(
-      "SELECT fingerprint('abc') AS fp, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp")
+      "SELECT fingerprint('abc') AS fp, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "word_shingles('a b c') AS ws, simhash64('a b c') AS sh")
       .collect()(0)
     assert(r.getLong(0) == 96354L) // canonical 'abc' fold value
     assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getLong(3) != 0L)
   }
 
   test("job queue: ack-after-run, DLQ for poison and failed configs") {

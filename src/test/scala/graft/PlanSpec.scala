@@ -39,6 +39,32 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_sum"), "no map-side partial aggregation")
   }
 
+  test("decontamination probes a broadcast gram set (training side never sort-merge joins)") {
+    val plan = planString(Queries.queries("decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"training side must not SMJ:\n$plan")
+  }
+
+  test("stratified sampling and chunking are shuffle-free maps") {
+    import graft.operators.Sampling
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang", "text")
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 40), 100)
+    val sPlan = planString(sampled)
+    assert(!sPlan.contains("Exchange"), s"stratified sample must not shuffle:\n$sPlan")
+    val chunked = Sampling.chunkDocuments(docs, "doc_id", "text", 32, 24)
+    val cPlan = planString(chunked)
+    assert(!cPlan.contains("Exchange"), s"chunking must not shuffle:\n$cPlan")
+    assert(cPlan.contains("Generate"), "chunking should be a per-row generate")
+  }
+
+  test("deterministic shuffle broadcasts its offset table (no data-wide sort)") {
+    import graft.operators.Sampling
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val plan = planString(Sampling.deterministicShuffle(docs, "doc_id", buckets = 16))
+    assert(plan.contains("BroadcastHashJoin"), "offsets must broadcast-join back")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")

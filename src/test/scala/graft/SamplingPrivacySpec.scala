@@ -106,6 +106,40 @@ class SamplingPrivacySpec extends SparkTestBase {
     assert(rows.sortBy(_._3).toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("chunkDocuments: overlapping windows cover every token; last chunk may be short") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")),  // 80 tokens -> starts 1,25,49,73
+      (2L, "just five little tokens here"),            // 5 tokens -> one short chunk
+      (3L, "")                                         // one empty token -> one chunk
+    ).toDF("doc_id", "text")
+    val chunks = Sampling.chunkDocuments(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 8))
+    assert(d1(0).getString(3).startsWith("t1 t2 ") && d1(3).getString(3).endsWith("t80"))
+    // consecutive chunks overlap by chunkSize - stride tokens
+    assert(d1(0).getString(3).split(" ").drop(24).toSeq ==
+      d1(1).getString(3).split(" ").take(8).toSeq)
+    assert(chunks.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 5)))
+    assert(chunks.filter(_.getLong(0) == 3L).length == 1)
+  }
+
+  test("duplicateGramFraction: shared grams counted against each holder, unique-only docs at 0") {
+    import graft.operators.Contamination
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // grams: [a b g], [b g d] — both shared with doc 2
+      (2L, "alpha beta gamma delta end"), // 3 grams, first two shared with doc 1
+      (3L, "totally different words here")// 2 grams, unique
+    ).toDF("doc_id", "text")
+    val got = Contamination.duplicateGramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("flagContaminated finds planted n-gram overlap and nothing else") {
     import graft.operators.Contamination
     val train = Seq(
