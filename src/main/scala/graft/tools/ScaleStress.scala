@@ -34,6 +34,35 @@ object ScaleStress {
       println(f"SCALE minhash m=$m%2d docs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
       spark.catalog.clearCache()
     }
+    // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
+    // shuffles are inherent; time should track corpus size ~linearly
+    // (gram cardinality grows sublinearly under replication, but the
+    // explode volume is linear).
+    multiples.foreach { m =>
+      val corpus = (0 until m).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Contamination
+        .duplicateGramFraction(corpus, "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE dupgram m=$m%2d docs=$n%7d rows=$rows%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
+    // Distributed-rank corpus shuffle: the offsets table stays at
+    // `buckets` rows regardless of corpus size — time should be the
+    // per-bucket rank windows, ~linear.
+    multiples.foreach { m =>
+      val corpus = (0 until m).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Sampling
+        .deterministicShuffle(corpus.select("doc_id"), "doc_id").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE shuffle m=$m%2d docs=$n%7d rows=$rows%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
