@@ -148,6 +148,55 @@ object PipelineQueries {
              |  CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 64, doc_id) - 1 AS BIGINT) AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- the composed corpus pipeline — the end-to-end flagship of
+    //      the training-data tier, as ONE declarative plan Catalyst
+    //      optimizes whole: quality gate -> exact dedup (keep min id
+    //      per text) -> benchmark decontamination -> stratified
+    //      mixture rebalance -> deterministic split assignment.
+    //      Different LCG multipliers for sampling vs splitting keep
+    //      the two decisions independent. ----
+    Q("corpus_pipeline",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text", "lang")
+        val quality = docs.filter(size(split(col("text"), " ")) >= 20)
+        val keepers = quality.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+        val deduped = quality.join(keepers, "doc_id")
+        val train = deduped.filter(col("doc_id") % 20 =!= 0)
+        val contaminated = graft.operators.Contamination.flagContaminated(
+            train, docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
+          .select("doc_id")
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        val sampled = Sampling.stratifiedSample(clean, "doc_id", "lang",
+          pctByStratum = Map("en" -> 40, "zh" -> 80), defaultPct = 100,
+          bucketExpr = Some(pmod(col("doc_id") * 1103515245L + 12345L, lit(100L))))
+        Sampling.hashSplit(sampled.select("doc_id", "lang"), "doc_id",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10),
+            bucketExpr = Some(pmod(col("doc_id") * 48271L + 11L, lit(100L))))
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, text, lang FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 20),
+             |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+             |d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+             |            FROM w)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+             |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+             |           WHERE g.doc_id % 20 <> 0),
+             |t AS (SELECT * FROM d WHERE doc_id % 20 <> 0
+             |      AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |smp AS (SELECT * FROM t WHERE (doc_id * 1103515245 + 12345) % 100 <
+             |        CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 80 ELSE 100 END)
+             |SELECT doc_id, lang,
+             |  CASE WHEN (doc_id * 48271 + 11) % 100 < 80 THEN 'train'
+             |       WHEN (doc_id * 48271 + 11) % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM smp ORDER BY doc_id""".stripMargin)),
+
     // ---- PII scrub: the corpus has no real PII, so the query plants
     //      deterministic email/phone/id suffixes per doc and scrubs
     //      them; the oracle reproduces both steps, pinning the full
