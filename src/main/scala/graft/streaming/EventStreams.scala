@@ -55,6 +55,21 @@ object EventStreams {
         sum(col("value").try_cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /**
+   * Streaming exact deduplication: drop repeat deliveries of the same
+   * event id whose event times fall within the watermark delay of the
+   * first-seen copy — the at-least-once -> effectively-once ingest
+   * step of a streaming pipeline. `dropDuplicatesWithinWatermark`
+   * (not plain `dropDuplicates`) is what makes this viable at scale:
+   * state for an id is EVICTED once the watermark passes it, so state
+   * is bounded by the delay window instead of growing with the
+   * stream's full history.
+   */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding-window aggregate (overlapping windows). */
   def slidingCounts(events: DataFrame,
                     windowLen: String = "1 hour", slide: String = "30 minutes",

@@ -37,6 +37,25 @@ class StreamingSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
   }
 
+  test("streaming dedup drops repeat deliveries within the watermark, keeps one copy per id") {
+    // stage the events file TWICE — a full duplicate redelivery, the
+    // at-least-once failure mode dropDuplicatesWithinWatermark exists for
+    val d = tmpDir("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events_b.parquet"))
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.dedupEvents(EventStreams.readEvents(spark, d)), "t_dedup",
+      OutputMode.Append())
+    val nDistinct = Tables.t(spark, sf, "events").select("event_id").distinct().count()
+    assert(got.count() == nDistinct,
+      s"expected one copy per event id ($nDistinct), got ${got.count()}")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("mapGroupsWithState running stats converge to batch totals") {
     implicit val s = spark
     val stream = EventStreams.readEvents(spark, eventsPath)
