@@ -40,23 +40,31 @@ object HashSketchUtil {
     * semantics of the SQL pipeline). */
   def minhashBandKeys(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return null
+    var seen = 0
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var s = 0
     while (s < n) {
-      // xxhash64(shingle) then xxhash64(h0, i): each SQL child chains
-      // through the running hash starting at seed 42.
-      val h0 = hashUtf8(shingles.getUTF8String(s), Seed)
-      val inner = XXH64.hashLong(h0, Seed)
-      var i = 0
-      while (i < k) {
-        val g = XXH64.hashInt(i, inner)
-        if (g < mins(i)) mins(i) = g
-        i += 1
+      // Null elements are skipped (the SQL min-aggregation this
+      // replaces ignored nulls too; WordShingles never emits them, but
+      // the SQL-registered function accepts arbitrary arrays).
+      val u = shingles.getUTF8String(s)
+      if (u != null) {
+        seen += 1
+        // xxhash64(shingle) then xxhash64(h0, i): each SQL child chains
+        // through the running hash starting at seed 42.
+        val h0 = hashUtf8(u, Seed)
+        val inner = XXH64.hashLong(h0, Seed)
+        var i = 0
+        while (i < k) {
+          val g = XXH64.hashInt(i, inner)
+          if (g < mins(i)) mins(i) = g
+          i += 1
+        }
       }
       s += 1
     }
+    if (seen == 0) return null
     val r = k / bands
     val keys = new Array[Any](bands)
     var b = 0

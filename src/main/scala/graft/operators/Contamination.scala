@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
  *
  * Scale design: the eval side is a BENCHMARK, bounded by construction
  * (benchmarks are thousands of prompts, not a slice of the corpus), so
- * its distinct n-gram set is broadcast — the 100 TB training side is
+ * its distinct n-gram set broadcasts — the 100 TB training side is
  * never shuffled at all: each partition streams its documents, builds
  * shingles with the compiled kernel, probes the broadcast hash set,
  * and only (doc_id, n_hits) for CONTAMINATED docs (a tiny fraction)
- * reaches the aggregation. An explicit broadcast hint is correct here
- * for the same reason it is correct on `nation`/`region` and wrong on
- * `customer`: the eval set does not grow with the data.
+ * reaches the aggregation. The broadcast is AQE's size-based choice,
+ * not a forced hint: a genuinely bounded eval set always lands under
+ * the broadcast threshold, while a mis-configured "eval" that is
+ * really a slice of the corpus (and so grows with it) degrades to a
+ * shuffled join instead of collecting terabytes onto the driver.
  */
 object Contamination {
 
@@ -43,7 +45,7 @@ object Contamination {
     val trainGrams = train.select(col(idCol),
       explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
     trainGrams
-      .join(broadcast(evalGrams), "gram")
+      .join(evalGrams, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minMatches)

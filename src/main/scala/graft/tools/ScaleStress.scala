@@ -24,45 +24,33 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     base.count() // warm
-    multiples.foreach { m =>
-      val corpus = (0 until m).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
-      val n = corpus.count()
-      val t0 = System.nanoTime()
-      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text").count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE minhash m=$m%2d docs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
-      spark.catalog.clearCache()
-    }
+
+    // One replication + timing scaffold for all document-corpus runs:
+    // the id offset keeps replica ids disjoint and MUST stay identical
+    // across sections so their datasets are comparable.
+    def docRun(label: String)(op: org.apache.spark.sql.DataFrame => Long): Unit =
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val out = op(corpus)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $label%-7s m=$m%2d docs=$n%7d out=$out%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+
+    // Replicas are exact near-dups of their originals: sub-quadratic
+    // growth here is the banding/bucket evidence.
+    docRun("minhash")(c => Dedup.minhashNearDups(c, "doc_id", "text").count())
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
-    // shuffles are inherent; time should track corpus size ~linearly
-    // (gram cardinality grows sublinearly under replication, but the
-    // explode volume is linear).
-    multiples.foreach { m =>
-      val corpus = (0 until m).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
-      val n = corpus.count()
-      val t0 = System.nanoTime()
-      val rows = graft.operators.Contamination
-        .duplicateGramFraction(corpus, "doc_id", "text").count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE dupgram m=$m%2d docs=$n%7d rows=$rows%9d time=$dt%7.1fs")
-      spark.catalog.clearCache()
-    }
+    // shuffles are inherent; time should track corpus size ~linearly.
+    docRun("dupgram")(c =>
+      graft.operators.Contamination.duplicateGramFraction(c, "doc_id", "text").count())
     // Distributed-rank corpus shuffle: the offsets table stays at
-    // `buckets` rows regardless of corpus size — time should be the
-    // per-bucket rank windows, ~linear.
-    multiples.foreach { m =>
-      val corpus = (0 until m).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
-      val n = corpus.count()
-      val t0 = System.nanoTime()
-      val rows = graft.operators.Sampling
-        .deterministicShuffle(corpus.select("doc_id"), "doc_id").count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE shuffle m=$m%2d docs=$n%7d rows=$rows%9d time=$dt%7.1fs")
-      spark.catalog.clearCache()
-    }
+    // `buckets` rows regardless of corpus size.
+    docRun("shuffle")(c =>
+      graft.operators.Sampling.deterministicShuffle(c.select("doc_id"), "doc_id").count())
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.

@@ -32,7 +32,10 @@ object TimeQuery {
       println(f"[time] $name iter $i: $dt%.3f s")
       dt
     }
-    val med = times.sorted.apply(times.length / 2)
+    val sorted = times.sorted
+    val med = // true median: mean of the middle two for even n
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
     println(f"[time] $name median of $n: $med%.3f s (min ${times.min}%.3f, max ${times.max}%.3f)")
     spark.stop()
   }

@@ -5,28 +5,35 @@ import org.apache.spark.sql.functions._
 
 class OrchestrationSpec extends SparkTestBase {
 
-  test("SQL extensions: fingerprint/dot_product callable from spark.sql") {
-    // injectFunction path needs a fresh session built with extensions;
-    // registering on the shared session via the registry keeps the
-    // same code path testable here.
-    new GraftExtensions()
+  test("SQL extensions: all injected builders callable from spark.sql") {
+    // injectFunction needs a session BUILT with extensions (the shared
+    // test session already exists) — registering the REAL builder
+    // lambdas on the registry exercises the same arity/coercion/
+    // argument-order code the extension injects.
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("fingerprint",
-      args => graft.functions.RollingHashFingerprint(args.head), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      args => graft.functions.DotProduct(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      args => graft.functions.WordShingles(args.head, 2), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      args => graft.functions.SimHash64(args.head), "scala_udf")
+    GraftExtensions.functions.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
     val r = spark.sql(
       "SELECT fingerprint('abc') AS fp, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
-        "word_shingles('a b c') AS ws, simhash64('a b c') AS sh")
+        "word_shingles('a b c', 2) AS ws, simhash64('a b c') AS sh, " +
+        "minhash_band_keys(word_shingles('a b c d', 3), 128, 32) AS bk")
       .collect()(0)
     assert(r.getLong(0) == 96354L) // canonical 'abc' fold value
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getLong(3) != 0L)
+    assert(r.getSeq[Long](4).length == 32)
+    // the SQL-built sketch must agree with the Column-API one
+    import spark.implicits._
+    val viaApi = Seq("a b c d").toDF("t").select(
+      graft.functions.HashSketches.minhashBandKeys(
+        graft.functions.Shingles.wordShingles(org.apache.spark.sql.functions.col("t"), 3),
+        128, 32)).collect()(0).getSeq[Long](0)
+    assert(r.getSeq[Long](4) == viaApi)
+    // builder misuse fails loudly: wrong arity, non-literal geometry
+    intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").collect())
+    intercept[Exception](spark.sql("SELECT word_shingles('a b', 4294967297)").collect())
   }
 
   test("job queue: ack-after-run, DLQ for poison and failed configs") {
