@@ -277,6 +277,33 @@ object AnalyticsQueries {
              |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- window functions: RANGE frame over event time (trailing
+    //      30-day spend per customer). RANGE, unlike ROWS, includes
+    //      ALL peers with equal order values, so the result is
+    //      tie-order independent; both engines frame on epoch
+    //      seconds to share identical bounds. ----
+    Q("window_range_frame",
+      (s, dir) => {
+        // NTZ -> TIMESTAMP (UTC session) -> long epoch seconds: Spark 4
+        // refuses a direct NTZ-to-numeric cast
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400L, 0L)
+        Tables.t(s, dir, "orders")
+          .withColumn("trailing_30d_spend",
+            sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+          .withColumn("n_orders_30d", count(lit(1)).over(w))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d_spend", "n_orders_30d")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_30d_spend,
+             |COUNT(*) OVER w AS n_orders_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- global sort + limit (top-k) ----
     Q("topk_orders",
       (s, dir) => Tables.t(s, dir, "orders")

@@ -117,4 +117,43 @@ class PropertySpec extends SparkTestBase {
       assert(id.findFirstIn(s).isEmpty, s"id run survived scrub: $s")
     }
   }
+
+  test("chunkDocuments covers every token position; stride windows reconstruct the doc") {
+    val docGen = Gen.chooseNum(1, 150)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val rows = sample(docGen, 100, seed = 43L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val chunkSize = 16; val stride = 16 // non-overlapping => exact reconstruction
+    val chunks = graft.operators.Sampling
+      .chunkDocuments(rows.toDF("doc_id", "text"), "doc_id", "text", chunkSize, stride)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val rebuilt = chunks.groupBy(_._1).view.mapValues(_.map(_._2).mkString(" ")).toMap
+    rows.foreach { case (id, t) =>
+      assert(rebuilt(id) == t, s"doc $id not reconstructed from its chunks")
+    }
+  }
+
+  test("deterministicShuffle on generated ids: bijective positions, stable across reruns") {
+    val ids = sample(Gen.chooseNum(0L, Long.MaxValue / 2), 500, seed = 47L).distinct
+    val df = ids.toDF("id")
+    val p1 = graft.operators.Sampling.deterministicShuffle(df, "id", buckets = 32)
+      .select("id", "shuffle_pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.values.toSeq.sorted == (0L until ids.length).toSeq, "not a permutation")
+    val p2 = graft.operators.Sampling.deterministicShuffle(df, "id", buckets = 32)
+      .select("id", "shuffle_pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p2, "shuffle positions must be reproducible")
+  }
+
+  test("stratifiedSample membership is a pure function of id (partition-layout independent)") {
+    val rows = sample(Gen.chooseNum(0L, 1000000L), 400, seed = 53L).distinct
+      .map(id => (id, if (id % 3 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val a = graft.operators.Sampling
+      .stratifiedSample(df, "id", "lang", Map("en" -> 30), 70)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Sampling
+      .stratifiedSample(df.repartition(13), "id", "lang", Map("en" -> 30), 70)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must not depend on partitioning")
+  }
 }
