@@ -277,6 +277,33 @@ object AnalyticsQueries {
              |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- explicit GROUPING SETS (beyond rollup/cube): two
+    //      independent one-dimension rollups plus the grand total in
+    //      one pass, with grouping() flags disambiguating real NULLs
+    //      from subtotal rows. NULLS LAST everywhere a grouping key
+    //      can be null (Spark ASC default is NULLS FIRST, DuckDB's is
+    //      NULLS LAST). ----
+    Q("grouping_sets_agg",
+      (s, dir) => {
+        Tables.views(s, dir, "orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+                 FROM orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+             |CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+             |COUNT(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin)),
+
     // ---- window functions: RANGE frame over event time (trailing
     //      30-day spend per customer). RANGE, unlike ROWS, includes
     //      ALL peers with equal order values, so the result is

@@ -231,6 +231,42 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    // ---- TF-IDF keyword extraction: top-3 tokens per document by
+    //      tf * N / df (a rational idf proxy — ln() is libm-dependent
+    //      and would drift between engines at the last ulp, killing
+    //      the hash gate; monotone in the same ranking for fixed tf).
+    //      Ties broken by token for determinism. ----
+    Q("tfidf_keywords",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // tf rows are distinct (doc, token), so count(*) = doc frequency
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf") * col("n_docs") / col("df"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(desc("score"), asc("token"))))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "token", "tf", "df", "score", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT doc_id, token, tf, df, score, rk FROM (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.token) AS INTEGER) AS rk
+             |  FROM tf JOIN df USING (token) CROSS JOIN n)
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ---- content fingerprint via the custom codegen Expression;
     //      DuckDB reproduces the fold with list_reduce, pinning the
     //      custom expression's semantics externally. ----
