@@ -618,7 +618,13 @@ object AnalyticsQueries {
              |CAST(unicode(p_name) AS INTEGER) AS first_cp
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
-    // ---- rank-family window variants over a total order ----
+    // ---- rank-family window variants over a total order.
+    //      Scale note: l_returnflag has 3 values, so parallelism is 3 —
+    //      inherent to percent_rank/cume_dist/ntile, which need the
+    //      partition's total order AND total count. At 100 TB you'd
+    //      partition by a higher-cardinality key or derive these from
+    //      a two-pass count-then-offset plan (see
+    //      Sampling.deterministicShuffle for that pattern). ----
     Q("window_rank_variants",
       (s, dir) => {
         val w = Window.partitionBy("l_returnflag")

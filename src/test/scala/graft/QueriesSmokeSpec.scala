@@ -5,7 +5,13 @@ package graft
 class QueriesSmokeSpec extends SparkTestBase {
   Queries.registry.foreach { q =>
     test(s"${q.name} returns rows") {
-      assert(q.fn(spark, sf).count() > 0, s"${q.name} returned 0 rows")
+      val df = q.fn(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned 0 rows")
+      // registry-wide plan hygiene: an unpartitioned two-big-sides
+      // cartesian product must never appear (broadcast nested-loop
+      // against a bounded side is fine and shows up differently)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"${q.name} executes a CartesianProduct")
     }
   }
 
