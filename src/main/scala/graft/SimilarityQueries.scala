@@ -104,6 +104,24 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- IVF ANN: probe the nProbe nearest of 16 sampled-centroid
+    //      cells, exact re-rank inside them. Approximate (cell
+    //      boundaries cut the true neighborhood), so rows-only here;
+    //      MlCrossCheckSpec/DedupSimilaritySpec assert recall against
+    //      the oracle-backed brute force. ----
+    Q("sim_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (assigned, centroids) = graft.operators.Similarity.ivfIndex(corpus, "vec_id", "e")
+        graft.operators.Similarity
+          .ivfTopK(assigned, centroids, probe, "e", k = 10)
+          .select("vec_id", "label", "cos_sim")
+      },
+      None),
+
     // ---- embedding near-duplicate pairs, exact all-pairs form.
     //      Threshold 0.4 because this synthetic corpus has no truly
     //      near-identical vectors (max pair cosine ~0.51) — at a real

@@ -81,12 +81,15 @@ object Dedup {
   /**
    * MinHash signatures as ONE wide aggregation over exploded shingle
    * rows: k `min` columns over k independent hashes of the shingle
-   * (xxhash64(s, i) — deterministic, no seed tables to ship). The
-   * string is hashed once; the k derived hashes are cheap long
-   * mixes. This stays a codegen'd hash aggregation with map-side
-   * partial min — measured faster than a per-row higher-order-function
-   * fold (HOF lambdas are interpreted and allocate per element).
+   * (xxhash64(s, i) — deterministic, no seed tables to ship).
    * Output: (id, mh_0 .. mh_{k-1}).
+   *
+   * This is the SQL REFERENCE formulation: the production pipeline
+   * (`minhashNearDups`) computes the same signature inside the
+   * compiled `MinHashBandKeys` kernel, and HashSketchesSpec pins the
+   * two bit-identical. Kept public for signature-materialization use
+   * cases (store mh_* columns, band later) and as the external
+   * definition of the sketch.
    */
   def minhash(sh: DataFrame, idCol: String, k: Int = 128): DataFrame = {
     val aggs = (0 until k).map(i => min(xxhash64(col("_h0"), lit(i))).as(s"mh_$i"))
