@@ -38,7 +38,8 @@ final case class ConnectionDetails(
     quoteChar: Option[String] = None,
     bootstrapServers: Option[String] = None, // Kafka source (reference declares KAFKA,
     topic: Option[String] = None,            // etlModel.java:189; jar not shipped here —
-    startingOffsets: Option[String] = None   // see Readers.kafkaOptions)
+    startingOffsets: Option[String] = None,  // see Readers.kafkaOptions)
+    partitionKeys: List[String] = Nil        // hive-layout file-sink partitioning
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -131,6 +132,14 @@ object JobConfig {
   // errors) would wrap/truncate through Jackson's int conversion
   private def optLong(n: JsonNode, names: String*): Option[Long] =
     names.iterator.map(n.get).collectFirst { case v if v != null && !v.isNull => v.asLong }
+  // accepts ["a","b"] or "a,b" — config authors write both shapes
+  private def strList(n: JsonNode, names: String*): List[String] =
+    names.iterator.map(n.get).collectFirst {
+      case v if v != null && v.isArray =>
+        (0 until v.size).map(v.get(_).asText).toList
+      case v if v != null && !v.isNull =>
+        v.asText.split(",").map(_.trim).filter(_.nonEmpty).toList
+    }.getOrElse(Nil)
 
   private def parseConn(n: JsonNode): ConnectionDetails =
     if (n == null || n.isNull) ConnectionDetails()
@@ -155,7 +164,8 @@ object JobConfig {
       quoteChar = optText(n, "quoteChar", "quote"),
       bootstrapServers = optText(n, "bootstrapServers", "brokers"),
       topic = optText(n, "topic", "topicName"),
-      startingOffsets = optText(n, "startingOffsets")
+      startingOffsets = optText(n, "startingOffsets"),
+      partitionKeys = strList(n, "partitionKeys", "partitionBy")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping = {

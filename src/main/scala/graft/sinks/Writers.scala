@@ -18,16 +18,22 @@ object Writers {
   def write(df: DataFrame, dest: DestinationConfig): Unit = {
     val c = dest.connectionDetails
     val mode = dest.saveMode
+    // Hive-layout partitioning for file sinks: `partitionKeys` splits
+    // the output into key=value directories, the storage layout that
+    // lets downstream scans partition-prune (at 100 TB, a date/source
+    // key here is the difference between reading a day and a decade).
+    def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      if (c.partitionKeys.nonEmpty) w.partitionBy(c.partitionKeys: _*) else w
     dest.`type`.toUpperCase match {
       case "PARQUET" =>
-        df.write.mode(mode).parquet(requirePath(dest))
+        partitioned(df.write.mode(mode)).parquet(requirePath(dest))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
         // Reference CSV semantics (ETLCoreCsvFileWriter.java):
         //  - header from destination names (:46-118) — header option;
         //  - RFC-4180 quoting with doubled quotes (:174-185) — Spark's
         //    default quote/escape set to '"' reproduces it;
         //  - null -> empty string (:161-171) — emptyValue/nullValue "".
-        df.write.mode(mode)
+        partitioned(df.write.mode(mode))
           .option("header", c.includeHeader.getOrElse(true).toString)
           .option("delimiter", c.delimiter.getOrElse(","))
           .option("encoding", c.encoding.getOrElse("UTF-8"))
@@ -39,7 +45,7 @@ object Writers {
           .option("ignoreTrailingWhiteSpace", "false")
           .csv(requirePath(dest))
       case "JSON" =>
-        df.write.mode(mode).json(requirePath(dest))
+        partitioned(df.write.mode(mode)).json(requirePath(dest))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC sink requires jdbcUrl"))
         val table = c.tableName.map(graft.sources.Readers.sanitizeIdent)

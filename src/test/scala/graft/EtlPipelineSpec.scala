@@ -353,4 +353,33 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(cfg.errorHandling.maxErrorsAllowed == 5)
     assert(cfg.steps == List("TRUNCATE_DESTINATION", "LOAD"))
   }
+
+  test("partitioned parquet sink writes hive layout; read-back partition-prunes") {
+    val out = tmpDir("partwrite")
+    Writers.write(
+      Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      DestinationConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$out/orders"), partitionKeys = List("o_orderstatus"))))
+    // hive key=value directories, one per status
+    val dirs = new java.io.File(s"$out/orders").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("o_orderstatus=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("o_orderstatus=[FOP]")), dirs.mkString(","))
+    // a status filter must reach PartitionFilters, not the row scan
+    val back = spark.read.parquet(s"$out/orders").filter(col("o_orderstatus") === "F")
+    back.collect()
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter not partition-pruned:\n$scan")
+    assert(back.count() ==
+      Tables.t(spark, sf, "orders").filter(col("o_orderstatus") === "F").count())
+    // both JSON shapes parse: array and comma-string
+    assert(JobConfig.fromJson(
+      """{"jobId":"p1","source":{"type":"PARQUET","connectionDetails":{"path":"/x"}},
+        |"destination":{"type":"PARQUET","connectionDetails":{"path":"/y","partitionKeys":["a","b"]}}}""".stripMargin)
+      .destination.get.connectionDetails.partitionKeys == List("a", "b"))
+    assert(JobConfig.fromJson(
+      """{"jobId":"p2","source":{"type":"PARQUET","connectionDetails":{"path":"/x"}},
+        |"destination":{"type":"PARQUET","connectionDetails":{"path":"/y","partitionBy":"a, b"}}}""".stripMargin)
+      .destination.get.connectionDetails.partitionKeys == List("a", "b"))
+  }
 }
