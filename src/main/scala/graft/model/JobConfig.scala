@@ -39,7 +39,9 @@ final case class ConnectionDetails(
     bootstrapServers: Option[String] = None, // Kafka source (reference declares KAFKA,
     topic: Option[String] = None,            // etlModel.java:189; jar not shipped here —
     startingOffsets: Option[String] = None,  // see Readers.kafkaOptions)
-    partitionKeys: List[String] = Nil        // hive-layout file-sink partitioning
+    partitionKeys: List[String] = Nil,       // hive-layout file-sink partitioning
+    sortKeys: List[String] = Nil,            // sort-within-partitions before write
+    maxRecordsPerFile: Option[Long] = None   // bound output file size
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -165,7 +167,9 @@ object JobConfig {
       bootstrapServers = optText(n, "bootstrapServers", "brokers"),
       topic = optText(n, "topic", "topicName"),
       startingOffsets = optText(n, "startingOffsets"),
-      partitionKeys = strList(n, "partitionKeys", "partitionBy")
+      partitionKeys = strList(n, "partitionKeys", "partitionBy"),
+      sortKeys = strList(n, "sortKeys", "sortBy"),
+      maxRecordsPerFile = optLong(n, "maxRecordsPerFile")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping = {

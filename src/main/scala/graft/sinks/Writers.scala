@@ -18,22 +18,32 @@ object Writers {
   def write(df: DataFrame, dest: DestinationConfig): Unit = {
     val c = dest.connectionDetails
     val mode = dest.saveMode
-    // Hive-layout partitioning for file sinks: `partitionKeys` splits
-    // the output into key=value directories, the storage layout that
-    // lets downstream scans partition-prune (at 100 TB, a date/source
-    // key here is the difference between reading a day and a decade).
-    def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-      if (c.partitionKeys.nonEmpty) w.partitionBy(c.partitionKeys: _*) else w
+    // File-sink layout knobs for scale:
+    //  - `partitionKeys`: hive key=value directories so downstream
+    //    scans partition-prune (at 100 TB, a date/source key here is
+    //    the difference between reading a day and a decade);
+    //  - `sortKeys`: sort within each write task, so parquet rowgroup
+    //    min/max stats actually skip (and similar values compress);
+    //  - `maxRecordsPerFile`: bound file size so one skewed partition
+    //    cannot produce a single unsplittable multi-GB file.
+    def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      val withPart = if (c.partitionKeys.nonEmpty) w.partitionBy(c.partitionKeys: _*) else w
+      c.maxRecordsPerFile.fold(withPart)(m => withPart.option("maxRecordsPerFile", m))
+    }
+    val laidOut =
+      if (c.sortKeys.nonEmpty)
+        df.sortWithinPartitions(c.sortKeys.map(org.apache.spark.sql.functions.col): _*)
+      else df
     dest.`type`.toUpperCase match {
       case "PARQUET" =>
-        partitioned(df.write.mode(mode)).parquet(requirePath(dest))
+        partitioned(laidOut.write.mode(mode)).parquet(requirePath(dest))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
         // Reference CSV semantics (ETLCoreCsvFileWriter.java):
         //  - header from destination names (:46-118) — header option;
         //  - RFC-4180 quoting with doubled quotes (:174-185) — Spark's
         //    default quote/escape set to '"' reproduces it;
         //  - null -> empty string (:161-171) — emptyValue/nullValue "".
-        partitioned(df.write.mode(mode))
+        partitioned(laidOut.write.mode(mode))
           .option("header", c.includeHeader.getOrElse(true).toString)
           .option("delimiter", c.delimiter.getOrElse(","))
           .option("encoding", c.encoding.getOrElse("UTF-8"))
@@ -45,7 +55,7 @@ object Writers {
           .option("ignoreTrailingWhiteSpace", "false")
           .csv(requirePath(dest))
       case "JSON" =>
-        partitioned(df.write.mode(mode)).json(requirePath(dest))
+        partitioned(laidOut.write.mode(mode)).json(requirePath(dest))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC sink requires jdbcUrl"))
         val table = c.tableName.map(graft.sources.Readers.sanitizeIdent)

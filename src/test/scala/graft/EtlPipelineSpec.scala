@@ -382,4 +382,25 @@ class EtlPipelineSpec extends SparkTestBase {
         |"destination":{"type":"PARQUET","connectionDetails":{"path":"/y","partitionBy":"a, b"}}}""".stripMargin)
       .destination.get.connectionDetails.partitionKeys == List("a", "b"))
   }
+
+  test("maxRecordsPerFile bounds output files; sortKeys order rows within each file") {
+    val out = tmpDir("filelayout")
+    Writers.write(
+      Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      DestinationConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$out/orders"), sortKeys = List("o_orderkey"),
+        maxRecordsPerFile = Some(100L))))
+    val parts = new java.io.File(s"$out/orders").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length >= 15, s"1500 rows at <=100/file must split: got ${parts.length} files")
+    // every file respects the bound and is internally sorted
+    parts.foreach { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      assert(keys.length <= 100, s"${f.getName} has ${keys.length} rows")
+      assert(keys.sameElements(keys.sorted), s"${f.getName} not sorted by o_orderkey")
+    }
+    val total = spark.read.parquet(s"$out/orders").count()
+    assert(total == Tables.t(spark, sf, "orders").count())
+  }
 }
