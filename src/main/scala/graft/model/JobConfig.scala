@@ -138,7 +138,8 @@ object JobConfig {
   private def strList(n: JsonNode, names: String*): List[String] =
     names.iterator.map(n.get).collectFirst {
       case v if v != null && v.isArray =>
-        (0 until v.size).map(v.get(_).asText).toList
+        // same trim/drop-empty normalization as the string shape
+        (0 until v.size).map(v.get(_).asText.trim).filter(_.nonEmpty).toList
       case v if v != null && !v.isNull =>
         v.asText.split(",").map(_.trim).filter(_.nonEmpty).toList
     }.getOrElse(Nil)

@@ -134,7 +134,10 @@ object Similarity {
               idCol: String = "vec_id"): DataFrame = {
     val probeCells = centroids.crossJoin(broadcast(probe))
       .withColumn("sim", cosine(col("centroid"), col("probe_e")))
-      .orderBy(desc("sim")).limit(nProbe)
+      // cell tie-break: cosine-equal centroids must select
+      // deterministically (rows-only gate queries are still
+      // reproducibility-checked across runs)
+      .orderBy(desc("sim"), asc("cell")).limit(nProbe)
       .select("cell")
     assigned.join(broadcast(probeCells), "cell")
       .crossJoin(broadcast(probe))

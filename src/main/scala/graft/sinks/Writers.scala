@@ -30,9 +30,15 @@ object Writers {
       val withPart = if (c.partitionKeys.nonEmpty) w.partitionBy(c.partitionKeys: _*) else w
       c.maxRecordsPerFile.fold(withPart)(m => withPart.option("maxRecordsPerFile", m))
     }
+    // With hive partitioning, the file writer re-sorts each task by
+    // the partition columns (to open one file at a time) — a child
+    // sort by sortKeys alone would be eliminated or destabilized, so
+    // prepend the partition keys to keep the within-file order.
+    val effectiveSort =
+      if (c.sortKeys.nonEmpty) c.partitionKeys ++ c.sortKeys else Nil
     val laidOut =
-      if (c.sortKeys.nonEmpty)
-        df.sortWithinPartitions(c.sortKeys.map(org.apache.spark.sql.functions.col): _*)
+      if (effectiveSort.nonEmpty)
+        df.sortWithinPartitions(effectiveSort.map(org.apache.spark.sql.functions.col): _*)
       else df
     dest.`type`.toUpperCase match {
       case "PARQUET" =>

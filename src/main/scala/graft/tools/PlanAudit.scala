@@ -11,6 +11,7 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/tests
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

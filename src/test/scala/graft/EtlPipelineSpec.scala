@@ -403,4 +403,24 @@ class EtlPipelineSpec extends SparkTestBase {
     val total = spark.read.parquet(s"$out/orders").count()
     assert(total == Tables.t(spark, sf, "orders").count())
   }
+
+  test("sortKeys survive hive partitioning (writer re-sorts by partition cols)") {
+    val out = tmpDir("partsort")
+    Writers.write(
+      Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      DestinationConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$out/orders"),
+        partitionKeys = List("o_orderstatus"), sortKeys = List("o_orderkey"))))
+    val partDirs = new java.io.File(s"$out/orders").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val keys = spark.read.parquet(f.getAbsolutePath)
+          .select("o_orderkey").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted),
+          s"${d.getName}/${f.getName} not sorted by o_orderkey within the file")
+      }
+    }
+  }
 }

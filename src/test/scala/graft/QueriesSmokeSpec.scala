@@ -12,6 +12,19 @@ class QueriesSmokeSpec extends SparkTestBase {
       // against a bounded side is fine and shows up differently)
       assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
         s"${q.name} executes a CartesianProduct")
+      // the physical check alone is vacuous at test scale (everything
+      // fits under autoBroadcastJoinThreshold, so JoinSelection plans
+      // BNLJ) — also reject the LOGICAL shape that becomes a cartesian
+      // at production size: a condition-less join neither side of
+      // which carries an explicit broadcast-class hint
+      val keylessUnhinted = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isEmpty &&
+              j.hint.leftHint.forall(_.strategy.isEmpty) &&
+              j.hint.rightHint.forall(_.strategy.isEmpty) => j
+      }
+      assert(keylessUnhinted.isEmpty,
+        s"${q.name} has a keyless join with no broadcast-side hint — a cartesian at scale")
     }
   }
 
