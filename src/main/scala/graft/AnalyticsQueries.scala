@@ -277,6 +277,27 @@ object AnalyticsQueries {
              |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- LATERAL correlated subquery: top-2 customers per nation via
+    //      a per-row dependent subquery (Catalyst decorrelates it into
+    //      a ranked join — different machinery from the window top-k
+    //      queries, same answer shape). ----
+    Q("lateral_topn",
+      (s, dir) => {
+        Tables.views(s, dir, "nation", "customer")
+        s.sql("""SELECT n_name, c_name, c_acctbal
+                 FROM nation,
+                 LATERAL (SELECT c_name, c_acctbal FROM customer
+                          WHERE c_nationkey = n_nationkey
+                          ORDER BY c_acctbal DESC, c_name LIMIT 2)
+                 ORDER BY n_name, c_acctbal DESC, c_name""")
+      },
+      Some("""SELECT n_name, c_name, c_acctbal
+             |FROM nation,
+             |LATERAL (SELECT c_name, c_acctbal FROM customer
+             |         WHERE c_nationkey = n_nationkey
+             |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+             |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)),
+
     // ---- explicit GROUPING SETS (beyond rollup/cube): two
     //      independent one-dimension rollups plus the grand total in
     //      one pass, with grouping() flags disambiguating real NULLs
