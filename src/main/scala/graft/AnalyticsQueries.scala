@@ -352,6 +352,29 @@ object AnalyticsQueries {
              |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ---- forward fill (gap filling): carry the last known non-null
+    //      value down each customer's order timeline — last() with
+    //      ignoreNulls over a running frame, the sensor/event
+    //      gap-repair idiom. Nulls planted deterministically via
+    //      nullif so both engines fill the same gaps. ----
+    Q("window_fill_forward",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "orders")
+          .withColumn("v", expr("nullif(o_orderpriority, '1-URGENT')"))
+          .select(col("o_custkey"), col("o_orderkey"), col("v"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |nullif(o_orderpriority, '1-URGENT') AS v,
+             |last_value(nullif(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- global sort + limit (top-k) ----
     Q("topk_orders",
       (s, dir) => Tables.t(s, dir, "orders")
