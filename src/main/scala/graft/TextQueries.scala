@@ -37,6 +37,30 @@ object TextQueries {
       |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared WITH RECURSIVE prefix: exact-Jaccard pairs -> symmetric
+    * edges -> min-label transitive closure -> `cl(node, cluster_id)`.
+    * Append a final SELECT to use. Terminates because UNION
+    * deduplicates (node, lbl) rows and the label universe is finite. */
+  private val clusterOracle =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, lbl) AS (SELECT src, src FROM edges
+      |                     UNION
+      |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+      |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+      |""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- corpus stats by language/source ----
@@ -218,6 +242,74 @@ object TextQueries {
         .minhashNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracle)),
+
+    // ---- near-dup CLUSTERS: transitive closure over the verified
+    //      MinHash pairs (a~b, b~c => one {a,b,c} cluster keyed by its
+    //      min doc_id). The stage that turns pair lists into a dedup
+    //      decision. Oracle: DuckDB WITH RECURSIVE min-label closure
+    //      over the exact-Jaccard pair set. ----
+    Q("dedup_clusters",
+      (s, dir) => {
+        val pairs = graft.operators.Dedup
+          .minhashNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Dedup.clusters(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .select(col("node").as("doc_id"), col("cluster_id"), col("n_members"))
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """SELECT node AS doc_id, cluster_id,
+          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          |FROM cl ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonical-per-cluster dedup: the corpus with every non-min
+    //      member of each near-dup cluster removed — the actual
+    //      "deduplicated output" a training pipeline writes. ----
+    Q("dedup_keep_canonical",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val losers = graft.operators.Dedup
+          .clusters(graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"))
+          .filter(col("node") =!= col("cluster_id"))
+          .select(col("node").as("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node != cluster_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- incremental near-dedup: a fresh batch (doc_id % 10 = 0)
+    //      joined against the corpus LSH sketch — cost scales with the
+    //      batch, not the corpus (sketch is materializable:
+    //      Dedup.signatureBandRows). Exact-verified, so the exact
+    //      cross-set Jaccard is a full oracle. ----
+    Q("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .orderBy("corpus_id", "fresh_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS corpus_id, b.doc_id AS fresh_id, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |           WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+             |           GROUP BY 1, 2)
+             |SELECT corpus_id, fresh_id, n_common, sa.n_sh AS na, sb.n_sh AS nb
+             |FROM common JOIN sizes sa ON sa.doc_id = corpus_id
+             |            JOIN sizes sb ON sb.doc_id = fresh_id
+             |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
+             |ORDER BY corpus_id, fresh_id""".stripMargin)),
 
     // ---- SimHash near-dup candidates (Hamming <= 3 on 64-bit
     //      token-set fingerprints). Hash-dependent, so no SQL oracle —

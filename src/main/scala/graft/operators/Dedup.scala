@@ -148,6 +148,103 @@ object Dedup {
       .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
   }
 
+  /** The materializable LSH sketch: (id, band, band_key) rows from the
+    * compiled per-document kernel — bit-identical to the banding used
+    * inside `minhashNearDups` (pinned by HashSketchesSpec). At 100 TB
+    * this is the column set a production pipeline PERSISTS next to the
+    * corpus (bands × 8 bytes per doc): arriving batches then join
+    * against the stored sketch instead of re-shingling petabytes
+    * (`incrementalNearDups`). */
+  def signatureBandRows(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
+    withShingleArray(df, idCol, textCol, shingleN)
+      .select(col(idCol),
+        posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
+          .as(Seq("band", "band_key")))
+
+  /**
+   * Incremental near-dedup: which corpus documents does each FRESH
+   * document near-duplicate? The production shape for continuous
+   * ingestion — candidates come from an equi-join of the fresh batch's
+   * band keys against the corpus sketch (in production: the
+   * materialized `signatureBandRows` table, so cost scales with the
+   * batch, not the corpus), then ONLY candidate pairs are verified
+   * with exact Jaccard. Fresh-vs-fresh duplicates are the batch
+   * path's job (`minhashNearDups` over the batch), not this one's.
+   *
+   * Output: (corpus_id, fresh_id, n_common, na, nb) for pairs with
+   * jaccard >= num/den.
+   */
+  def incrementalNearDups(corpus: DataFrame, fresh: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                          num: Int = 7, den: Int = 10): DataFrame = {
+    val cBand = signatureBandRows(corpus, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).as("corpus_id"), col("band"), col("band_key"))
+    val fBand = signatureBandRows(fresh, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).as("fresh_id"), col("band"), col("band_key"))
+    // Band keys are uniform high-cardinality hashes: the join shuffles
+    // both sketch sides on (band, band_key) without skew; a bucket
+    // only pairs docs whose signatures collide in that band.
+    val cands = fBand.join(cBand, Seq("band", "band_key"))
+      .select("corpus_id", "fresh_id").distinct()
+    val ca = withShingleArray(corpus, idCol, textCol, shingleN)
+      .select(col(idCol).as("corpus_id"), col("_sh").as("_sh_a"))
+    val fb = withShingleArray(fresh, idCol, textCol, shingleN)
+      .select(col(idCol).as("fresh_id"), col("_sh").as("_sh_b"))
+    cands.join(ca, "corpus_id").join(fb, "fresh_id")
+      .select(col("corpus_id"), col("fresh_id"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"),
+        size(col("_sh_b")).cast("long").as("nb"))
+      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+  }
+
+  /**
+   * Connected components over near-dup pairs: every document that
+   * appears in a pair gets the MIN doc id of its transitive component
+   * as `cluster_id`. Pair lists say "a duplicates b"; deduplication
+   * needs "keep one per GROUP", and groups are the transitive closure
+   * (a~b, b~c => {a,b,c} keep one) — this is the stage that turns the
+   * pair queries into an actual dedup decision.
+   *
+   * Iterative min-label propagation (the standard distributed CC
+   * formulation): each round every node takes the minimum label among
+   * itself and its neighbors; converges in graph-diameter rounds —
+   * near-dup clusters are near-cliques, so 2-4 in practice. Each
+   * round is one shuffled join+groupBy over the PAIR graph (tiny
+   * relative to the corpus), `localCheckpoint` truncates the growing
+   * lineage, and the per-round driver-side scalar is a convergence
+   * flag, not data. On a multi-executor cluster prefer
+   * `spark.sparkContext.setCheckpointDir` + `checkpoint()` if
+   * executor loss during the loop must be survivable.
+   */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+               maxIters: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = sym.union(sym.select(col("dst"), col("src")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("cluster_id").as("_nl")), "dst")
+        .groupBy(col("src").as("node")).agg(min("_nl").as("_nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("_nbr_min"), col("cluster_id")) < col("cluster_id")).as("_chg"))
+        .localCheckpoint()
+      changed = next.filter(col("_chg")).count()
+      labels = next.drop("_chg")
+      it += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters iterations")
+    labels
+  }
+
   /**
    * 64-bit SimHash over the word set: bit j of the fingerprint is the
    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1).

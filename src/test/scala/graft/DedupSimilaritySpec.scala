@@ -36,6 +36,53 @@ class DedupSimilaritySpec extends SparkTestBase {
       .filter(col("doc_id") < 3).count() == 0)
   }
 
+  test("clusters: transitive chains collapse to one min-labeled component") {
+    import spark.implicits._
+    // a~b, b~c (no direct a~c edge) plus an isolated pair: {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: long path converges (diameter > 2) and singleton edges keep both ends") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6: min label must walk the whole diameter
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(path).collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("canonical keep = corpus minus non-min cluster members (count identity)") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val cl = Dedup.clusters(pairs)
+    val losers = cl.filter(col("node") =!= col("cluster_id")).count()
+    val kept = Queries.queries("dedup_keep_canonical")(spark, sf).count()
+    assert(kept == docs.count() - losers)
+    // every cluster keeps exactly one member: n_clusters = kept-in-pairs docs
+    val nClusters = cl.select("cluster_id").distinct().count()
+    assert(nClusters == cl.count() - losers)
+  }
+
+  test("incremental fresh-vs-corpus pairs match the batch result restricted to the split") {
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalNearDups(corpus, fresh, "doc_id", "text")
+      .select("corpus_id", "fresh_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch ground truth over the full corpus, restricted to cross-set pairs
+    val batch = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (a % 10, b % 10) match {
+          case (0, x) if x != 0 => Some((b, a)) // corpus_id first
+          case (x, 0) if x != 0 => Some((a, b))
+          case _ => None
+        }
+      }.toSet
+    assert(inc == batch)
+  }
+
   test("simhash: identical texts collide at hamming 0; finder reports them") {
     // The corpus has no byte-identical texts — plant copies of 5 docs
     // under new ids and require the finder to surface exactly them.
