@@ -199,6 +199,85 @@ object AnalyticsQueries {
              |GROUP BY p_brand, p_type
              |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin)),
 
+    // ---- TPC-H Q4 shape: EXISTS over a correlated date condition.
+    //      (lineitem here has no commit/receipt dates — "problem line"
+    //      = shipped > 90 days after order date.) ----
+    Q("q4_order_priority",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+        val l = Tables.t(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, top 20 ----
+    Q("q10_returned_items",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+        val l = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val n = Tables.t(s, dir, "nation")
+        // nation is fixed-size (25 rows) — hint-broadcast; customer
+        // scales with the data, AQE decides its join strategy.
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(c("c_custkey").as("c_custkey"), c("c_name").as("c_name"),
+            c("c_acctbal").as("c_acctbal"), col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ---- TPC-H Q12 shape: join + conditional counts by line status
+    //      (lineitem has no shipmode column — status plays its role) ----
+    Q("q12_priority_lines",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {
@@ -600,6 +679,37 @@ object AnalyticsQueries {
       Some("""SELECT event_id, props->>'$.k' AS k_str,
              |CAST(props->>'$.k' AS INTEGER) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- map scalar functions: build a status->count map per return
+    //      flag, then read it back with element_at / map_keys /
+    //      map_values / cardinality. Output is all scalars (the gate
+    //      can't hash map columns); the oracle expresses the same
+    //      lookups as conditional aggregation — count 0 <=> key absent
+    //      <=> element_at NULL, so NULLIF pins the null semantics. ----
+    Q("map_funcs",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+          .groupBy("l_returnflag")
+          // entries sorted by key so map_keys/map_values order is
+          // deterministic (sort_array on structs sorts by first field)
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("l_linestatus"), col("n"))))).as("m"))
+        m.select(col("l_returnflag"),
+            element_at(col("m"), "F").as("n_f"),
+            element_at(col("m"), "O").as("n_o"),
+            size(col("m")).as("n_keys"),
+            array_join(map_keys(col("m")), ",").as("keys_csv"),
+            aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("n_total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |NULLIF(COUNT(*) FILTER (WHERE l_linestatus = 'F'), 0) AS n_f,
+             |NULLIF(COUNT(*) FILTER (WHERE l_linestatus = 'O'), 0) AS n_o,
+             |CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_keys,
+             |string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS keys_csv,
+             |COUNT(*) AS n_total
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- grouped HAVING-style filter over aggregates ----
     Q("having_filter",
