@@ -15,6 +15,7 @@ object Bench {
     "load_sales", "etl_cast_matrix", "etl_null_policy",
     "etl_upsert_keep_latest", "etl_scd2_history",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_incremental", "map_funcs",
     "embed_near_dups_lsh", "sim_bruteforce_topk", "sim_ivf_topk",
     "window_rank_variants", "window_running",
     "events_sessionize", "events_asof_enrich", "events_funnel",

@@ -93,6 +93,31 @@ object SimilarityQueries {
     //      near-random synthetic vectors, where no sublinear method is
     //      exact) — so no SQL oracle; SimilaritySpec asserts recall
     //      against the oracle-backed brute-force query instead. ----
+    // ---- batch retrieval eval: top-3 neighbors for every 50th
+    //      vector as a probe batch — one broadcast of the batch, one
+    //      map-side scoring pass over the corpus, one per-probe rank.
+    //      Ties broken by vec_id; exact, so fully oracle-checked. ----
+    Q("sim_batch_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        graft.operators.Similarity
+          .batchTopK(emb, probes, "e", k = 3)
+          .select("probe_id", "rk", "vec_id", "label", "cos_sim")
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+             |scored AS (SELECT probe_id, vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |  FROM e, p WHERE vec_id <> probe_id),
+             |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+             |      FROM scored)
+             |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
+             |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
+
     Q("sim_ann_topk",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")

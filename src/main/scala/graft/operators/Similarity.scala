@@ -42,6 +42,34 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /**
+   * Batch exact top-k: the k nearest corpus vectors for EVERY probe
+   * row — the retrieval-evaluation shape (a batch of queries scored
+   * against the corpus at once). The probe set broadcasts (it is the
+   * small, bounded side — a query batch, not a second corpus), so
+   * scoring is map-side over the corpus with no shuffle; the one
+   * shuffle is the per-probe rank, which carries |corpus| x |probes|
+   * scored rows. That term is the scale bound: grow the probe batch
+   * past broadcast size, or the corpus past what a full scan per
+   * batch justifies, and the LSH/IVF index paths (`annTopK`,
+   * `ivfTopK`) replace this; like `bruteForceTopK` it then serves as
+   * their recall oracle.
+   *
+   * `probes` columns: (`probeIdCol`, `probe_e: array<double>`).
+   */
+  def batchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String, k: Int,
+                idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(probes.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "_norm", "_pnorm")
+  }
+
   /** Deterministic pseudo-random unit-ish plane weight for
     * (plane p, dimension d) in [-0.5, 0.5): splitmix64 finalizer. */
   private def planeWeight(p: Int, d: Int): Double = {

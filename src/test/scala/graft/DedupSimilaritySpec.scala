@@ -127,6 +127,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"ivf recall=$recall")
   }
 
+  test("batchTopK equals per-probe bruteForceTopK for every probe") {
+    import graft.operators.Similarity
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val batch = Similarity.batchTopK(emb, probes, "e", k = 5)
+      .select("probe_id", "rk", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val probeIds = probes.select("probe_id").collect().map(_.getLong(0))
+    assert(probeIds.nonEmpty && batch.keySet == probeIds.toSet)
+    for (pid <- probeIds) {
+      val single = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= pid),
+          emb.filter(col("vec_id") === pid).select(col("e").as("probe_e")),
+          "e", k = 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(batch(pid) == single, s"probe $pid: batch=${batch(pid)} single=$single")
+    }
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
