@@ -123,6 +123,29 @@ object EtlQueries {
              |CAST(c_acctbal AS DOUBLE) AS balance, c_mktsegment AS segment
              |FROM customer ORDER BY id""".stripMargin)),
 
+    // ---- JSON source on the gate path (S8): supplier round-trips
+    //      through ND-JSON, then loads back with a DECLARED all-string
+    //      schema (no inference pass — unaffordable at 100 TB) and
+    //      casts in the mapping stage. ----
+    Q("etl_json_source",
+      (s, dir) => {
+        val fix = s"/tmp/graft_fix_json_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Tables.t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").json(fix)
+        val mappings = List(
+          FieldMapping("s_suppkey", "supp_id", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("s_name", "supp_name", "VARCHAR2", "STRING"),
+          FieldMapping("s_nationkey", "nation_key", "NUMBER", "INTEGER"),
+          FieldMapping("s_acctbal", "balance", "NUMBER", "DOUBLE"))
+        val cfg = SourceConfig("JSON", ConnectionDetails(path = Some(fix)))
+        MappingOp(Readers.forConfig(s, cfg, mappings), mappings).orderBy("supp_id")
+      },
+      Some("""SELECT s_suppkey AS supp_id, s_name AS supp_name,
+             |CAST(s_nationkey AS INTEGER) AS nation_key,
+             |CAST(s_acctbal AS DOUBLE) AS balance
+             |FROM supplier ORDER BY supp_id""".stripMargin)),
+
     // ---- fixed-width source on the gate path (S8): nation formatted
     //      into a padded fixed-layout text fixture, loaded back through
     //      the DataSource V2 connector + MappingOp casts. ----
