@@ -143,6 +143,37 @@ object EventStreams {
       }
   }
 
+  /**
+   * Streaming ingestion near-dup gate: arriving documents whose LSH
+   * band keys collide with the STATIC corpus sketch
+   * (`Dedup.signatureBandRows`, materialized next to the corpus) are
+   * emitted as the quarantine stream — the candidates a downstream
+   * exact-verify (batch `Dedup.incrementalNearDups`) confirms or
+   * clears. Routing candidates OUT (rather than filtering clean docs
+   * in-stream) is deliberate: stream-stream anti-joins aren't
+   * expressible, and production pipelines quarantine-then-verify
+   * anyway.
+   *
+   * Plan shape: band keys are a narrow compiled projection on the
+   * stream side; the stream-static left-semi join needs no watermark;
+   * `dropDuplicates(idCol)` collapses multi-band collisions (state is
+   * one id per flagged doc — bounded by flagged volume; add a
+   * watermark upstream to age it for unbounded runs).
+   */
+  def flagNearDupArrivals(docs: DataFrame, corpusSketch: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          shingleN: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.Shingles.wordShingles(col(textCol), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol),
+        posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
+          .as(Seq("band", "band_key")))
+      .join(corpusSketch.select("band", "band_key"), Seq("band", "band_key"), "left_semi")
+      .dropDuplicates(idCol)
+      .select(idCol)
+
   /** Run a streaming DataFrame to completion against a bounded source
     * and return the final result from the in-memory sink. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,

@@ -183,6 +183,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.agg(sum("n")).collect()(0).getLong(0) == 1000L)
   }
 
+  test("streaming near-dup gate flags the same arrivals as the batch band-collision join") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sketch = Dedup.signatureBandRows(corpus, "doc_id", "text")
+    // stream the FRESH batch from a staged directory
+    val freshDir = tmpDir("fresh_docs")
+    docs.filter(col("doc_id") % 10 === 0).write.mode("overwrite").parquet(freshDir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(freshDir)
+    val flagged = EventStreams.flagNearDupArrivals(stream, sketch)
+    val got = EventStreams.runToMemory(spark, flagged, "t_neardup_gate",
+        OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    // batch twin: same band-collision semi-join, same sketch
+    val want = Dedup.signatureBandRows(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .join(sketch.select("band", "band_key"), Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must exercise at least one collision")
+    // every exact-verified incremental pair's fresh doc was flagged
+    val verified = Dedup.incrementalNearDups(corpus, docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text").select("fresh_id").collect().map(_.getLong(0)).toSet
+    assert(verified.subsetOf(got))
+  }
+
   test("foreachBatch sink writes each microbatch transactionally") {
     val dir = tmpDir("febatch")
     val stream = EventStreams.readEvents(spark, eventsPath)
