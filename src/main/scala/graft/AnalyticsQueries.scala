@@ -493,6 +493,33 @@ object AnalyticsQueries {
              |SELECT 'any' AS op, n_name FROM (SELECT * FROM custN UNION SELECT * FROM suppN)
              |ORDER BY op, n_name""".stripMargin)),
 
+    // ---- multiset set ops: INTERSECT ALL keeps min(countA, countB)
+    //      copies per value, EXCEPT ALL keeps countA - countB —
+    //      multiplicity semantics the DISTINCT variants can't see.
+    //      Counts aggregated per key so the gate compares the
+    //      multiplicities directly. ----
+    Q("set_ops_all",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+        val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+        a.intersectAll(r).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+          .unionByName(
+            a.exceptAll(r).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+              .withColumn("op", lit("except_all")))
+          .select("op", "l_partkey", "n")
+          .orderBy("op", "l_partkey")
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+             |r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+             |ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM r),
+             |ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM r)
+             |SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n FROM ia GROUP BY l_partkey
+             |UNION ALL
+             |SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n FROM ea GROUP BY l_partkey
+             |ORDER BY op, l_partkey""".stripMargin)),
+
     // ---- rollup (hierarchical aggregate) ----
     Q("rollup_agg",
       (s, dir) => {

@@ -51,6 +51,14 @@ object ScaleStress {
     // `buckets` rows regardless of corpus size.
     docRun("shuffle")(c =>
       graft.operators.Sampling.deterministicShuffle(c.select("doc_id"), "doc_id").count())
+    // Dedup decision tier: clusters = minhash pairs + CC iterations
+    // (pair graph is tiny vs corpus — iteration cost must NOT scale
+    // like the corpus); incremental = 10% fresh batch vs 90% corpus
+    // sketch (cost should track the batch + one corpus sketch pass).
+    docRun("cluster")(c => Dedup.clusters(Dedup.minhashNearDups(c, "doc_id", "text")).count())
+    docRun("increm")(c => Dedup.incrementalNearDups(
+      c.filter(col("doc_id") % 10 =!= 0), c.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text").count())
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
