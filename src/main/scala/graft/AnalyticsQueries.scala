@@ -982,6 +982,35 @@ object AnalyticsQueries {
              |  // COUNT(*) AS conv_pct
              |FROM su GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    // ---- cohort retention: users bucketed by first-seen week, distinct
+    //      active users per (cohort, activity week, week offset). Two
+    //      aggregation levels over ONE events scan shape: the per-user
+    //      min is a groupBy (map-side partial), the distinct activity
+    //      weeks prune before the cohort join. ----
+    Q("events_retention_cohorts",
+      (s, dir) => {
+        val wk = date_trunc("week", col("ts"))
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), wk.as("act_week"))
+        val cohort = ev.groupBy("user_id").agg(min("act_week").as("cohort_week"))
+        ev.distinct()
+          .join(cohort, "user_id")
+          .groupBy("cohort_week", "act_week")
+          .agg(countDistinct("user_id").as("n_users"))
+          .withColumn("week_offset", expr("datediff(act_week, cohort_week) div 7"))
+          .orderBy("cohort_week", "act_week")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS act_week
+             |  FROM events),
+             |fw AS (SELECT user_id, MIN(act_week) AS cohort_week FROM e GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, act_week FROM e)
+             |SELECT cohort_week, act_week, COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset
+             |FROM act JOIN fw USING (user_id)
+             |GROUP BY cohort_week, act_week
+             |ORDER BY cohort_week, act_week""".stripMargin)),
+
     // ---- HLL sketch distinct (approximate — no SQL oracle by design;
     //      DedupSimilaritySpec-style tolerance asserted in tests; the
     //      100 TB path for distinct-count audits where exact
