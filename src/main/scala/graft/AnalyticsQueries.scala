@@ -723,8 +723,12 @@ object AnalyticsQueries {
           .agg(map_from_entries(sort_array(collect_list(
             struct(col("l_linestatus"), col("n"))))).as("m"))
         m.select(col("l_returnflag"),
-            element_at(col("m"), "F").as("n_f"),
-            element_at(col("m"), "O").as("n_o"),
+            // try_element_at, not element_at: ANSI mode (Spark 4
+            // default) throws MAP_KEY_DOES_NOT_EXIST on absent keys;
+            // null-on-absent is the semantics the oracle's NULLIF
+            // encodes.
+            expr("try_element_at(m, 'F')").as("n_f"),
+            expr("try_element_at(m, 'O')").as("n_o"),
             size(col("m")).as("n_keys"),
             array_join(map_keys(col("m")), ",").as("keys_csv"),
             aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("n_total"))

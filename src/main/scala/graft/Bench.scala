@@ -74,6 +74,9 @@ object Bench {
       try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val missing = headline -- results.map(_._1).toSet
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] WARNING: headline names not in registry (renamed/removed?): ${missing.toSeq.sorted.mkString(", ")}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length}B nears the 2000B driver tail window")

@@ -163,13 +163,9 @@ object EventStreams {
   def flagNearDupArrivals(docs: DataFrame, corpusSketch: DataFrame,
                           idCol: String = "doc_id", textCol: String = "text",
                           shingleN: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
-    docs
-      .select(col(idCol),
-        graft.functions.Shingles.wordShingles(col(textCol), shingleN).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col(idCol),
-        posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
-          .as(Seq("band", "band_key")))
+    // the SAME sketch derivation as the corpus side — any drift in
+    // shingling/banding policy would silently stop band keys colliding
+    graft.operators.Dedup.signatureBandRows(docs, idCol, textCol, shingleN, k, bands)
       .join(corpusSketch.select("band", "band_key"), Seq("band", "band_key"), "left_semi")
       .dropDuplicates(idCol)
       .select(idCol)
