@@ -323,6 +323,44 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    // ---- global sentence-level dedup (C4-style boilerplate removal):
+    //      every repeated sentence keeps ONLY its first occurrence
+    //      (min (doc_id, pos) across the whole corpus); documents are
+    //      rebuilt from their surviving sentences. Plan: one shuffle
+    //      on the sentence key (high-cardinality, uniform), one
+    //      rebuild groupBy per doc — no self-join. ----
+    Q("dedup_lines",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val lines = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("line").orderBy("doc_id", "pos")
+        val kept = lines.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(
+            array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")), ". ").as("text_dedup"),
+            count(lit(1)).as("n_kept"))
+        docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+             |l AS (SELECT doc_id, i AS pos, s[i] AS line
+             |      FROM (SELECT doc_id, s, unnest(generate_series(1, len(s))) AS i FROM sp)),
+             |k AS (SELECT doc_id, pos, line,
+             |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM l),
+             |r AS (SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS text_dedup,
+             |        COUNT(*) AS n_kept
+             |      FROM k WHERE rk = 1 GROUP BY doc_id)
+             |SELECT d.doc_id AS doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+             |  COALESCE(r.n_kept, 0) AS n_kept
+             |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- TF-IDF keyword extraction: top-3 tokens per document by
     //      tf * N / df (a rational idf proxy — ln() is libm-dependent
     //      and would drift between engines at the last ulp, killing
