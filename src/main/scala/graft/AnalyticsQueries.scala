@@ -586,6 +586,37 @@ object AnalyticsQueries {
       Some("""SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
              |COUNT(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
+    // ---- salted equi-join (skew mitigation op): skewed probe side
+    //      salted into buckets, build side replicated buckets-fold —
+    //      result must equal the plain join. Aggregated so the gate
+    //      compares the join's full content compactly. ----
+    Q("salted_join",
+      (s, dir) => graft.operators.Skew.saltedJoin(
+          Tables.t(s, dir, "lineitem").select("l_suppkey", "l_quantity"),
+          Tables.t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+            .withColumnRenamed("s_suppkey", "l_suppkey"),
+          Seq("l_suppkey"), buckets = 8)
+        .groupBy("l_suppkey", "s_name", "s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, s_name, s_nationkey, COUNT(*) AS n_lines,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY l_suppkey, s_name, s_nationkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- deterministic pseudonymization (privacy op): stable sha256
+    //      surrogate for the user key, value columns untouched. Both
+    //      engines compute the same digest of the same string. ----
+    Q("pii_pseudonymize",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          sha2(concat(lit("u:"), col("user_id").cast("string")), 256).as("user_hash"),
+          col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, sha256('u:' || CAST(user_id AS VARCHAR)) AS user_hash,
+             |event_type, value FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- scalar subquery (exact arithmetic form of "above average") ----
     Q("subquery_above_avg",
       (s, dir) => {
