@@ -278,6 +278,275 @@ object AnalyticsQueries {
              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    // ---- TPC-H Q6 shape: single-table filter + scalar aggregate.
+    //      The whole query is one pushed-down scan + map-side partial
+    //      sum — the cheapest possible plan; exists to pin that the
+    //      filter DOES reach the parquet reader. ----
+    Q("q6_forecast_revenue",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            col("l_discount").cast(DecimalType(4, 2))).cast(DoubleType).as("revenue"))
+      },
+      Some(s"""SELECT CAST(SUM(CAST(l_extendedprice AS $dec) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- TPC-H Q7 shape: bidirectional nation-pair trade volume.
+    //      nation is fixed 25 rows — hint-broadcast twice under two
+    //      aliases; the pair-OR filter runs after both joins (the
+    //      isin pre-filters give the scans a pushable superset). ----
+    Q("q7_volume_shipping",
+      (s, dir) => {
+        val pair = Seq("NATION_10", "NATION_12")
+        val n1 = Tables.t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer")
+        val sup = Tables.t(s, dir, "supplier")
+        sup.join(l, col("s_suppkey") === col("l_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+            (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "yr")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+              |CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+              |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+              |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q13 shape: order-count-per-customer distribution.
+    //      The ON-clause extra condition is a right-side pre-filter
+    //      under LEFT OUTER; count(o_orderkey) counts non-nulls so
+    //      order-less customers land in the c_count=0 bucket. ----
+    Q("q13_customer_distribution",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- TPC-H Q14 shape: conditional-aggregate ratio (promo share).
+    //      Both sums accumulate in exact DECIMAL; the single division
+    //      happens once in DOUBLE — identical IEEE op in both engines.
+    //      The no-ELSE CASE sums promo rows only (nulls ignored). ----
+    Q("q14_promo_revenue",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+        val p = Tables.t(s, dir, "part")
+        val disc = col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", disc)).cast(DoubleType) /
+            sum(disc).cast(DoubleType)).as("promo_revenue"))
+      },
+      Some(s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+              |  THEN CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+              | / CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)),
+
+    // ---- TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    //      revenue. The max is a 1-row aggregate — crossJoin(broadcast)
+    //      is scale-safe at any data size; revenue equality compares
+    //      exact DECIMALs (never the final DOUBLE). ----
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("total_rev"))
+        val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+        Tables.t(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_rev") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast(DoubleType).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |         SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+              |FROM supplier JOIN rev ON s_suppkey = supplier_no
+              |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- TPC-H Q17 shape: correlated per-partkey average threshold.
+    //      Decorrelated form: partkey determines the part row, so the
+    //      per-partkey avg over the brand-joined rows equals the
+    //      correlated avg over all lineitem — one aggregation + one
+    //      re-join instead of a per-row subquery. l_quantity values
+    //      are small integers, so avg*0.2 is order-independent. ----
+    Q("q17_small_qty_revenue",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+          .select("p_partkey")
+        val lp = Tables.t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+        val thr = lp.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((avg("l_quantity") * lit(0.2)).as("qty_thr"))
+        lp.join(thr, col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_thr"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DoubleType) / lit(7.0))
+            .as("avg_yearly"))
+      },
+      Some(s"""SELECT CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) / 7.0 AS avg_yearly
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE p_brand = 'Brand#3'
+              |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+              |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)),
+
+    // ---- TPC-H Q19 shape: disjunction of brand/size/quantity bands.
+    //      Exercises OR-predicate handling: the common join key stays
+    //      an equi-join; the per-band residual runs post-join, and the
+    //      derivable p_size/l_quantity envelopes are pushable. ----
+    Q("q19_banded_revenue",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+        val p = Tables.t(s, dir, "part")
+        val band = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand && col("p_size").between(1, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(band("Brand#1", 5, 1, 11) || band("Brand#2", 10, 10, 20) ||
+            band("Brand#3", 15, 20, 30))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("revenue"))
+      },
+      Some(s"""SELECT CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // ---- TPC-H Q21 shape: the only supplier late on a multi-supplier
+    //      order ("late" = shipped >90 days after order date; lineitem
+    //      has no commit/receipt dates). EXISTS → left_semi with a
+    //      suppkey-inequality residual; the correlated NOT EXISTS
+    //      (which references the outer o_orderdate) → left_anti with
+    //      the same equi-key, so no nested-loop join appears. ----
+    Q("q21_waiting_suppliers",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        val l1 = Tables.t(s, dir, "lineitem")
+        val l2 = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+        val l3 = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+            col("l_shipdate").as("l3_shipdate"))
+        val late = l1.join(o, l1("l_orderkey") === o("o_orderkey") &&
+          l1("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        val hasOther = late.join(l2,
+          col("l_orderkey") === col("l2_orderkey") && col("l_suppkey") =!= col("l2_suppkey"),
+          "left_semi")
+        val onlyLate = hasOther.join(l3,
+          col("l_orderkey") === col("l3_orderkey") && col("l_suppkey") =!= col("l3_suppkey") &&
+            col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_anti")
+        val n = Tables.t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        onlyLate.join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+      },
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // ---- TPC-H Q22 shape: above-average balance + no recent orders
+    //      (every customer has SOME order in this data, so the classic
+    //      "no orders at all" predicate is time-bounded instead).
+    //      The average is a 1-row aggregate: exact DECIMAL sum cast to
+    //      DOUBLE once, then one division — broadcast to every row. ----
+    Q("q22_sales_opportunity",
+      (s, dir) => {
+        val keys = Seq(1, 3, 5, 7, 9, 11, 13)
+        val c = Tables.t(s, dir, "customer").filter(col("c_nationkey").isin(keys: _*))
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType) /
+            count(lit(1))).as("avg_bal"))
+        val recent = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("totacctbal"))
+          .orderBy("cntry")
+      },
+      Some(s"""SELECT c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+              |CAST(SUM(CAST(c_acctbal AS $dec)) AS DOUBLE) AS totacctbal
+              |FROM customer
+              |WHERE c_nationkey IN (1,3,5,7,9,11,13)
+              |  AND c_acctbal > (
+              |    SELECT CAST(SUM(CAST(c_acctbal AS $dec)) AS DOUBLE) / COUNT(*) FROM customer
+              |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {
