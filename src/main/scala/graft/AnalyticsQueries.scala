@@ -547,6 +547,155 @@ object AnalyticsQueries {
               |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
               |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- TPC-H Q2 shape: min-cost supplier per part, region-scoped.
+    //      The test schema has no partsupp, so the "catalog" is the
+    //      per-(part,supplier) unit price observed in lineitem history
+    //      (l_extendedprice / l_quantity — IEEE double division is
+    //      bit-identical across engines, so the min-equality join-back
+    //      is exact). Shape preserved: correlated MIN scalar subquery
+    //      over a region-filtered join, matched back by equality.
+    //      Selective part filter applies BEFORE the per-part window, so
+    //      the single shuffle ranks only candidate parts' offers. ----
+    Q("q2_min_cost_supplier",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        // nation ⋈ region is fixed-size (25 × 5) — the only legitimate
+        // broadcast hints; supplier/part/lineitem are left to AQE.
+        val supRegion = Tables.t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val p = Tables.t(s, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        val offers = Tables.t(s, dir, "lineitem")
+          .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        // min-per-part via a window = ONE shuffle on p_partkey (a
+        // groupBy+join-back would shuffle twice).
+        val w = Window.partitionBy("p_partkey")
+        offers.withColumn("min_price", min("unit_price").over(w))
+          .filter(col("unit_price") === col("min_price"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+          .distinct()
+          .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH offers AS (
+             |  SELECT l_partkey, s_acctbal, s_name, n_name,
+             |         l_extendedprice / l_quantity AS unit_price
+             |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+             |FROM part JOIN offers ON p_partkey = l_partkey
+             |WHERE p_size = 15 AND p_type = 'STANDARD'
+             |  AND unit_price = (SELECT MIN(o2.unit_price) FROM offers o2
+             |                    WHERE o2.l_partkey = p_partkey)
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    // ---- TPC-H Q9 shape: nation × year profit for a part-name slice.
+    //      No partsupp → cost proxy is p_retailprice × l_quantity
+    //      (exact DECIMAL arithmetic end-to-end, one final DOUBLE cast).
+    //      5-way join; only fixed-size nation gets a broadcast hint. ----
+    Q("q9_product_profit",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+        val p = Tables.t(s, dir, "part").filter(col("p_name").contains("widget"))
+        val profit = col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))) -
+          col("p_retailprice").cast(DecimalType(12, 2)) *
+          col("l_quantity").cast(DecimalType(12, 2))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(profit).cast(DoubleType).as("sum_profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      Some(s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+              |CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              |  - CAST(p_retailprice AS $dec) * CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_profit
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |JOIN supplier ON s_suppkey = l_suppkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |WHERE p_name LIKE '%widget%'
+              |GROUP BY n_name, YEAR(o_orderdate)
+              |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // ---- TPC-H Q11 shape: value concentration — groups whose total
+    //      exceeds a fraction of the global total (scalar subquery over
+    //      the same aggregate). No partsupp → value = lineitem revenue
+    //      per part for suppliers in one region. Exact DECIMAL sums;
+    //      the threshold comparison runs in DOUBLE on both sides (the
+    //      1-row global total is broadcast, not recomputed per row). ----
+    Q("q11_important_parts",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation").filter(col("n_regionkey") === 2)
+        val sup = Tables.t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        val vals = Tables.t(s, dir, "lineitem")
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("part_value"))
+        val total = vals.agg(sum(col("part_value")).cast(DoubleType).as("tot"))
+        vals.crossJoin(broadcast(total))
+          .filter(col("part_value").cast(DoubleType) > lit(0.001) * col("tot"))
+          .select(col("l_partkey"), col("part_value").cast(DoubleType).as("total_value"))
+          .orderBy(desc("total_value"), asc("l_partkey"))
+      },
+      Some(s"""WITH vals AS (
+              |  SELECT l_partkey, SUM(CAST(l_extendedprice AS $dec)) AS part_value
+              |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_regionkey = 2
+              |  GROUP BY l_partkey)
+              |SELECT l_partkey, CAST(part_value AS DOUBLE) AS total_value FROM vals
+              |WHERE CAST(part_value AS DOUBLE) >
+              |      0.001 * (SELECT CAST(SUM(part_value) AS DOUBLE) FROM vals)
+              |ORDER BY total_value DESC, l_partkey""".stripMargin)),
+
+    // ---- TPC-H Q20 shape: nested IN with an aggregate-HAVING inner
+    //      subquery — suppliers who shipped >200 units of a part-name
+    //      slice in 1997, in two regions. Both INs become left-semi
+    //      joins (no row blowup); the part slice prunes lineitem before
+    //      the per-supplier aggregate. ----
+    Q("q20_part_promotion",
+      (s, dir) => {
+        val promoParts = Tables.t(s, dir, "part")
+          .filter(col("p_name").startsWith("small"))
+        val shipped = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+          .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty"))
+          .filter(col("qty") > 200)
+        val n = Tables.t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+        Tables.t(s, dir, "supplier")
+          .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name, s_acctbal FROM supplier
+              |JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_regionkey IN (0, 1)
+              |  AND s_suppkey IN (
+              |    SELECT l_suppkey FROM lineitem
+              |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |    GROUP BY l_suppkey
+              |    HAVING SUM(CAST(l_quantity AS $dec)) > 200)
+              |ORDER BY s_name""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {
