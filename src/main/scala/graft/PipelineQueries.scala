@@ -77,6 +77,33 @@ object PipelineQueries {
              |WHERE g.doc_id % 20 <> 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // ---- bloom-pruned decontamination: same semantics as
+    //      `decontaminate` (bloom has no false negatives; candidates
+    //      are exactly re-verified) but the training side is pruned
+    //      map-side by a broadcast-size Bloom filter BEFORE any
+    //      shuffle — at 100 TB the clean bulk never leaves its
+    //      partition. Eval slice doc_id % 25 == 0 so the two
+    //      registered queries stay independently checkable. ----
+    Q("decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Contamination.flagContaminatedBloom(
+            train = docs.filter(col("doc_id") % 25 =!= 0),
+            eval = docs.filter(col("doc_id") % 25 === 0),
+            "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+             |            FROM w)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0)
+             |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+             |FROM g JOIN e USING (gram)
+             |WHERE g.doc_id % 25 <> 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // ---- corpus duplication score: fraction of each doc's distinct
     //      3-grams occurring in >= 2 documents (the RefinedWeb-style
     //      boilerplate signal). Only duplicated grams ride the join

@@ -52,6 +52,51 @@ object Contamination {
   }
 
   /**
+   * Bloom-filter decontamination: identical result to
+   * [[flagContaminated]] (bloom filters have no false negatives, and
+   * every candidate is re-checked exactly), but the 100 TB training
+   * side never reaches a shuffle at all unless a document is a
+   * CANDIDATE. Three stages:
+   *
+   *   1. build — one pass over the bounded eval gram set aggregates
+   *      per-partition Bloom filters; only the merged filter bits
+   *      (megabytes) reach the driver, never the grams;
+   *   2. prune — a map-side codegen probe ([[graft.functions.BloomGramHits]])
+   *      drops every training document none of whose n-grams hit the
+   *      filter: no shuffle, no join, no exchange for the clean bulk;
+   *   3. verify — the exact explode + gram-join of [[flagContaminated]]
+   *      runs only on the surviving candidates, so Bloom false
+   *      positives cannot leak into the result.
+   *
+   * `fpp` is the PER-GRAM false-positive rate; a document becomes a
+   * spurious candidate if ANY of its g grams false-positives
+   * (~ g·fpp), so size fpp to targetDocFp / avgGramsPerDoc — the
+   * default 1e-3 keeps spurious candidates ≈3% for ~30-gram docs at
+   * a ~2 MB filter per million eval grams.
+   */
+  def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 5, minMatches: Int = 1,
+                            fpp: Double = 1e-3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    // two passes over the EVAL side only (count sizes the filter);
+    // eval is bounded by construction, so both are cheap
+    val expected = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates = train.filter(
+      graft.functions.BloomProbe.gramHits(
+        graft.functions.Shingles.wordShingles(col(textCol), n), bytes) > 0)
+    flagContaminated(candidates, eval, idCol, textCol, n, minMatches)
+  }
+
+  /**
    * Corpus-level duplication score per document: the fraction of a
    * document's distinct word n-grams that occur in at least one OTHER
    * document — the "duplicate n-gram fraction" quality signal used by
