@@ -1286,6 +1286,34 @@ object AnalyticsQueries {
              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
              |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- segmented two-phase rank: same six ranking functions as a
+    //      plain window, but parallelism |p| × 32 instead of |p| — the
+    //      scale-out form when the partition key has 3 values and the
+    //      cluster has 1000 cores (operators/Ranking.scala). The oracle
+    //      is the single-window SQL itself: the strongest possible
+    //      equivalence check. ----
+    Q("window_rank_scalable",
+      (s, dir) => graft.operators.Ranking.segmentedRanks(
+          Tables.t(s, dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+          "l_returnflag", Seq("l_quantity", "l_orderkey", "l_linenumber"),
+          buckets = 32, ntiles = Some(4))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("rank").as("rnk"), col("dense_rank").as("drnk"),
+          col("row_number").as("rn"), col("percent_rank").as("prk"),
+          col("cume_dist").as("cd"), col("ntile").as("tile4"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber"),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |CAST(RANK() OVER w AS BIGINT) AS rnk,
+             |CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             |CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             |PERCENT_RANK() OVER w AS prk,
+             |CUME_DIST() OVER w AS cd,
+             |CAST(NTILE(4) OVER w AS BIGINT) AS tile4
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- first/last_value over explicit frames ----
     Q("window_first_last",
       (s, dir) => {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, WordShingles}
+import graft.functions.{ArrayCountLess, DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "minhash_band_keys(shingles, k, bands) takes three arguments")
         MinHashBandKeys(args.head, intArg(args(1), "k"), intArg(args(2), "bands"))
+      }),
+    (new FunctionIdentifier("array_count_less"),
+      new ExpressionInfo(classOf[ArrayCountLess].getName, "array_count_less"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_count_less(arr, v) takes two arguments")
+        ArrayCountLess(args.head, args(1))
       }))
 
   /** Sketch geometry must be fixed at plan time (it defines the

@@ -17,13 +17,15 @@ class OrchestrationSpec extends SparkTestBase {
     val r = spark.sql(
       "SELECT fingerprint('abc') AS fp, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
         "word_shingles('a b c', 2) AS ws, simhash64('a b c') AS sh, " +
-        "minhash_band_keys(word_shingles('a b c d', 3), 128, 32) AS bk")
+        "minhash_band_keys(word_shingles('a b c d', 3), 128, 32) AS bk, " +
+        "array_count_less(array(1.0d, 2.0d, 3.0d), 2.5d) AS acl")
       .collect()(0)
     assert(r.getLong(0) == 96354L) // canonical 'abc' fold value
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getLong(3) != 0L)
     assert(r.getSeq[Long](4).length == 32)
+    assert(r.getInt(5) == 2)
     // the SQL-built sketch must agree with the Column-API one
     import spark.implicits._
     val viaApi = Seq("a b c d").toDF("t").select(

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segmented (two-phase) rank must be cell-identical to the plain
+  * single-window form for all six ranking functions. */
+class RankingSpec extends SparkTestBase {
+
+  private def plainRanks(df: org.apache.spark.sql.DataFrame, p: String,
+                         ks: Seq[String], n: Int) = {
+    val w = Window.partitionBy(p).orderBy(ks.map(col): _*)
+    df.withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("row_number", row_number().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .withColumn("ntile", ntile(n).over(w).cast("long"))
+  }
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame, p: String,
+                         ks: Seq[String], buckets: Int, n: Int): Unit = {
+    val sortKeys = (p +: ks).map(col)
+    val exact = plainRanks(df, p, ks, n).orderBy(sortKeys: _*).collect().toSeq
+    val seg = Ranking.segmentedRanks(df, p, ks, buckets, Some(n))
+      .select(exact.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(sortKeys: _*).collect().toSeq
+    assert(seg == exact)
+  }
+
+  private lazy val li = Tables.t(spark, sf, "lineitem")
+    .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+
+  test("matches plain window on lineitem (unique composite key)") {
+    assertSame(li, "l_returnflag",
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), buckets = 8, n = 4)
+  }
+
+  test("tie-heavy leading key: equal keys never straddle buckets") {
+    // order by l_quantity alone -> massive ties; rank/dense_rank/
+    // percent_rank/cume_dist are tie-stable, so they must still match
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val exact = li
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val seg = Ranking.segmentedRanks(li, "l_returnflag", Seq("l_quantity"), 8)
+      .select(exact.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(seg == exact)
+  }
+
+  test("degenerate cases: one bucket, more buckets than rows, tiles > rows") {
+    import spark.implicits._
+    val tiny = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("p", "k")
+    assertSame(tiny, "p", Seq("k"), buckets = 1, n = 2)
+    assertSame(tiny, "p", Seq("k"), buckets = 64, n = 7)
+  }
+
+  test("ntile exact-size contract on a known distribution") {
+    import spark.implicits._
+    // 10 rows, 4 tiles -> sizes 3,3,2,2
+    val df = (1 to 10).map(i => ("x", i)).toDF("p", "k")
+    val sizes = Ranking.segmentedRanks(df, "p", Seq("k"), 4, Some(4))
+      .groupBy("ntile").count().orderBy("ntile")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sizes == Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 2L)))
+  }
+}
