@@ -105,6 +105,50 @@ object TextQueries {
              |CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
              |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- adaptive per-group quality gate: drop each language's
+    //      bottom decile by score instead of one global cutoff (what
+    //      corpus pipelines actually do — absolute thresholds starve
+    //      low-resource languages). Composes the segmented two-phase
+    //      rank, so the low-cardinality `lang` partition key is NOT a
+    //      3-task bottleneck at scale; the oracle is the plain
+    //      single-window PERCENT_RANK form. ----
+    Q("quality_decile_filter",
+      (s, dir) => {
+        val scored = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast(LongType).as("q_score"))
+        graft.operators.Ranking
+          .segmentedRanks(scored, "lang", Seq("q_score", "doc_id"), buckets = 16)
+          .filter(col("percent_rank") >= 0.1)
+          .select(col("doc_id"), col("lang"), col("q_score"),
+            col("percent_rank").as("prk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS q_score
+             |          FROM documents),
+             |r AS (SELECT doc_id, lang, q_score,
+             |        PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q_score, doc_id) AS prk
+             |      FROM s)
+             |SELECT doc_id, lang, q_score, prk FROM r
+             |WHERE prk >= 0.1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus length histogram: token-count distribution in
+    //      10-token buckets — the shape report every ingest run emits.
+    //      Pure partial-aggregated groupBy: the shuffle carries one
+    //      row per bucket per task. ----
+    Q("token_histogram",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .groupBy(expr("n_tokens div 10").as("bucket_10"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+        .orderBy("bucket_10"),
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents)
+             |SELECT n_tokens // 10 AS bucket_10, COUNT(*) AS n_docs,
+             |MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- per-document quality score (length / stopword-ratio style) ----
     Q("text_quality",
       (s, dir) => Tables.t(s, dir, "documents")
