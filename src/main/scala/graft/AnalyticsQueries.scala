@@ -881,6 +881,29 @@ object AnalyticsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // ---- per-group top-k via the bounded heap aggregate
+    //      (functions/TopKAgg.scala): map-side partial state is a
+    //      k-element heap per group, so the shuffle carries <= k rows
+    //      per group per partition and nothing is ever fully sorted —
+    //      the scale-out form of the window row_number() <= k filter
+    //      the oracle uses. ----
+    Q("topk_per_group_agg",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("t"))
+        .select(col("o_custkey"), col("t.payload").as("o_orderkey"),
+          col("t.value").as("o_totalprice"))
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // ---- distinct ----
     Q("distinct_combos",
       (s, dir) => Tables.t(s, dir, "part")

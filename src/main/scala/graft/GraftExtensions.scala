@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCountLess, DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, WordShingles}
+import graft.functions.{ArrayCountLess, DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -63,6 +63,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "array_count_less(arr, v) takes two arguments")
         ArrayCountLess(args.head, args(1))
+      }),
+    // aggregate: the registry wraps a bare AggregateFunction in an
+    // AggregateExpression during analysis, same as built-in collect_list
+    (new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_pairs(value, payload, k) takes three arguments")
+        TopKPairs(args.head, args(1), intArg(args(2), "k"))
       }))
 
   /** Sketch geometry must be fixed at plan time (it defines the

@@ -33,6 +33,11 @@ class OrchestrationSpec extends SparkTestBase {
         graft.functions.Shingles.wordShingles(org.apache.spark.sql.functions.col("t"), 3),
         128, 32)).collect()(0).getSeq[Long](0)
     assert(r.getSeq[Long](4) == viaApi)
+    // the aggregate builder: bare AggregateFunction wrapped by analysis
+    val tk = spark.sql(
+      "SELECT topk_pairs(v, p, 2) AS t FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS x(v, p)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
     // builder misuse fails loudly: wrong arity, non-literal geometry
     intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").collect())
     intercept[Exception](spark.sql("SELECT word_shingles('a b', 4294967297)").collect())
