@@ -59,6 +59,53 @@ object SimilarityQueries {
              |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ---- nearest-centroid classification over the embedding corpus:
+    //      per-label centroids, each vector assigned to the closest,
+    //      confusion counts out — the label-quality / cluster-purity
+    //      report of an embedding pipeline. Cross-row float summation
+    //      is NOT cross-engine deterministic, so components are
+    //      quantized to integers (round(v*1000) — exact .5 rounds
+    //      away-from-zero in both engines) and centroids/dot products
+    //      live in exact BIGINT; the only division is one double
+    //      divide of identical integers. Scale: centroids are
+    //      |labels| x dims = metadata (broadcast); the per-vector
+    //      score multiplies rows by |labels| only. ----
+    Q("embed_centroid_classify",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding").cast(ArrayType(DoubleType))).as(Seq("pos", "v")))
+          .withColumn("q", round(col("v") * 1000).cast(LongType))
+        val cent = d.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(sum("q").as("cq"), count(lit(1)).as("cn"))
+        val scores = d.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("label"), col("c_label"))
+          .agg(sum(col("q") * col("cq")).as("dt"), max("cn").as("cn"))
+          .withColumn("score", col("dt").cast(DoubleType) / col("cn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(desc("score"), asc("c_label"))
+        scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("label"), col("c_label").as("predicted_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "predicted_label")
+      },
+      Some("""WITH d AS (
+             |  SELECT vec_id, label, i AS pos, CAST(round(v[i] * 1000) AS BIGINT) AS q
+             |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+             |cent AS (SELECT label AS c_label, pos, CAST(SUM(q) AS BIGINT) AS cq,
+             |           COUNT(*) AS cn
+             |         FROM d GROUP BY 1, 2),
+             |sc AS (SELECT d.vec_id, d.label, c.c_label,
+             |         CAST(SUM(d.q * c.cq) AS BIGINT) AS dt, MAX(c.cn) AS cn
+             |       FROM d JOIN cent c USING (pos) GROUP BY 1, 2, 3),
+             |pr AS (SELECT vec_id, label, c_label,
+             |         ROW_NUMBER() OVER (PARTITION BY vec_id
+             |           ORDER BY CAST(dt AS DOUBLE) / cn DESC, c_label) AS rn
+             |       FROM sc)
+             |SELECT label, c_label AS predicted_label, COUNT(*) AS n
+             |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata.
     //      The "decode" stage is a stub (no image/audio libs here);
     //      the Spark-side schema/bytes handling is real. ----
