@@ -696,6 +696,76 @@ object AnalyticsQueries {
               |    HAVING SUM(CAST(l_quantity AS $dec)) > 200)
               |ORDER BY s_name""".stripMargin)),
 
+    // ---- calendar densification (gap-fill): sparse high-value order
+    //      counts per priority per month, with EVERY month present and
+    //      empty cells zero-filled — the report/feature-matrix shape
+    //      that needs a complete time spine. The spine is
+    //      sequence(min,max) off a 1-row bounds aggregate and the key
+    //      list is a distinct scan — both metadata-sized and broadcast;
+    //      the grid left-joins the sparse aggregate, so the fact table
+    //      is scanned once and never densified before aggregation. ----
+    Q("monthly_gapfill",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val sparse = o.filter(col("o_totalprice") > 400000.0)
+        val bounds = o.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        val spine = bounds.select(
+          explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+        val keys = o.select(col("o_orderpriority")).distinct()
+        val monthly = sparse
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("revenue"))
+        keys.crossJoin(broadcast(spine))
+          .join(monthly, Seq("o_orderpriority", "month"), "left")
+          .select(col("o_orderpriority"), col("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some(s"""WITH bounds AS (
+              |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+              |         date_trunc('month', MAX(o_orderdate)) AS hi FROM orders),
+              |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS TIMESTAMP) AS month
+              |          FROM bounds),
+              |keys AS (SELECT DISTINCT o_orderpriority FROM orders),
+              |monthly AS (
+              |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              |         o_orderpriority, COUNT(*) AS n_orders,
+              |         CAST(SUM(CAST(o_totalprice AS $dec)) AS DOUBLE) AS revenue
+              |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1, 2)
+              |SELECT k.o_orderpriority, s.month,
+              |  COALESCE(m.n_orders, 0) AS n_orders,
+              |  COALESCE(m.revenue, 0.0) AS revenue
+              |FROM keys k CROSS JOIN spine s
+              |LEFT JOIN monthly m ON m.o_orderpriority = k.o_orderpriority
+              |                   AND m.month = s.month
+              |ORDER BY k.o_orderpriority, s.month""".stripMargin)),
+
+    // ---- schema-drift union: a v2 source adds a column; v1 rows get
+    //      NULL for it (unionByName allowMissingColumns — the schema-
+    //      evolution append every long-lived ingest pipeline needs).
+    //      Pure map-side: no shuffle until the final presentation sort. ----
+    Q("union_schema_drift",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- semi / anti / outer joins ----
     Q("join_semi",
       (s, dir) => {

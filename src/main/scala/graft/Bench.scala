@@ -21,7 +21,9 @@ object Bench {
     "events_sessionize", "events_asof_enrich", "events_funnel",
     "json_extract", "tfidf_keywords", "corpus_pipeline", "decontaminate",
     "multimodal_features", "pack_sequences", "text_repetition",
-    "token_count_bpe")
+    "token_count_bpe",
+    "q9_product_profit", "decontaminate_bloom", "window_rank_scalable",
+    "topk_per_group_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
