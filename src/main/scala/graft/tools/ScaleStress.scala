@@ -59,6 +59,18 @@ object ScaleStress {
     docRun("increm")(c => Dedup.incrementalNearDups(
       c.filter(col("doc_id") % 10 =!= 0), c.filter(col("doc_id") % 10 === 0),
       "doc_id", "text").count())
+    // Bloom decontamination: eval side FIXED (benchmarks are bounded);
+    // cost must track the training corpus ~linearly — the probe is
+    // map-side, only candidates reach the exact gram join.
+    docRun("bloomdc")(c => graft.operators.Contamination.flagContaminatedBloom(
+      c, base.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 4).count())
+    // Segmented rank: 4-value partition key — the plain window would
+    // cap at 4 tasks regardless of corpus size; two-phase cost should
+    // track corpus size on a 32-way box.
+    docRun("segrank")(c => graft.operators.Ranking.segmentedRanks(
+      c.select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("p"),
+        length(col("text")).cast("long").as("q")),
+      "p", Seq("q", "doc_id"), buckets = 32, ntiles = Some(10)).count())
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.

@@ -45,6 +45,25 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"training side must not SMJ:\n$plan")
   }
 
+  test("bloom decontamination prunes map-side (probe in a Filter, no SMJ)") {
+    val plan = planString(Queries.queries("decontaminate_bloom")(spark, sf))
+    assert(plan.toLowerCase.contains("bloomgramhits"),
+      s"bloom probe expression must appear in the plan:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"), s"candidates must broadcast-join:\n$plan")
+  }
+
+  test("segmented rank shuffles on (p, bucket), not p alone") {
+    val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
+    assert(plan.contains("_bkt"),
+      s"exchange/window must carry the bucket key:\n${plan.take(800)}")
+  }
+
+  test("top-k aggregate plans partial+final ObjectHashAggregate") {
+    val plan = planString(Queries.queries("topk_per_group_agg")(spark, sf))
+    val hits = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(hits >= 2, s"expected partial and final ObjectHashAggregate, got $hits:\n${plan.take(800)}")
+  }
+
   test("stratified sampling and chunking are shuffle-free maps") {
     import graft.operators.Sampling
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang", "text")
