@@ -60,16 +60,19 @@ object SimilarityQueries {
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // ---- nearest-centroid classification over the embedding corpus:
-    //      per-label centroids, each vector assigned to the closest,
-    //      confusion counts out — the label-quality / cluster-purity
-    //      report of an embedding pipeline. Cross-row float summation
-    //      is NOT cross-engine deterministic, so components are
-    //      quantized to integers (round(v*1000) — exact .5 rounds
-    //      away-from-zero in both engines) and centroids/dot products
-    //      live in exact BIGINT; the only division is one double
-    //      divide of identical integers. Scale: centroids are
-    //      |labels| x dims = metadata (broadcast); the per-vector
-    //      score multiplies rows by |labels| only. ----
+    //      per-label mean centroids, each vector assigned to the
+    //      EUCLIDEAN-closest one, confusion counts out — the
+    //      label-quality / cluster-purity report of an embedding
+    //      pipeline. Cross-row float summation is NOT cross-engine
+    //      deterministic, so components are quantized to integers
+    //      (round(v*1000) — exact .5 rounds away-from-zero in both
+    //      engines) and centroid sums / dot products / squared norms
+    //      live in exact BIGINT. With centroid c̄ = cq/cn,
+    //      argmin ||q − c̄||² = argmin (−2·dot(q,cq)/cn + ||cq||²/cn²):
+    //      the per-vector ||q||² term is constant and drops; the two
+    //      divisions are double ops on identical integers in both
+    //      engines. Scale: centroids are |labels| × dims = metadata
+    //      (broadcast); scoring multiplies rows by |labels| only. ----
     Q("embed_centroid_classify",
       (s, dir) => {
         val d = Tables.t(s, dir, "embeddings")
@@ -80,10 +83,16 @@ object SimilarityQueries {
           .agg(sum("q").as("cq"), count(lit(1)).as("cn"))
         val scores = d.join(broadcast(cent), Seq("pos"))
           .groupBy(col("vec_id"), col("label"), col("c_label"))
-          .agg(sum(col("q") * col("cq")).as("dt"), max("cn").as("cn"))
-          .withColumn("score", col("dt").cast(DoubleType) / col("cn"))
+          .agg(sum(col("q") * col("cq")).as("dt"),
+            sum(col("cq") * col("cq")).as("ssq"), max("cn").as("cn"))
+          .withColumn("dist2",
+            lit(-2.0) * col("dt").cast(DoubleType) / col("cn") +
+              // cn² in DOUBLE (exact below 2^53): long·long would
+              // ANSI-overflow at extreme group sizes
+              col("ssq").cast(DoubleType) /
+                (col("cn").cast(DoubleType) * col("cn").cast(DoubleType)))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(desc("score"), asc("c_label"))
+          .partitionBy("vec_id").orderBy(asc("dist2"), asc("c_label"))
         scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy(col("label"), col("c_label").as("predicted_label"))
           .agg(count(lit(1)).as("n"))
@@ -97,11 +106,13 @@ object SimilarityQueries {
              |           COUNT(*) AS cn
              |         FROM d GROUP BY 1, 2),
              |sc AS (SELECT d.vec_id, d.label, c.c_label,
-             |         CAST(SUM(d.q * c.cq) AS BIGINT) AS dt, MAX(c.cn) AS cn
+             |         CAST(SUM(d.q * c.cq) AS BIGINT) AS dt,
+             |         CAST(SUM(c.cq * c.cq) AS BIGINT) AS ssq, MAX(c.cn) AS cn
              |       FROM d JOIN cent c USING (pos) GROUP BY 1, 2, 3),
              |pr AS (SELECT vec_id, label, c_label,
              |         ROW_NUMBER() OVER (PARTITION BY vec_id
-             |           ORDER BY CAST(dt AS DOUBLE) / cn DESC, c_label) AS rn
+             |           ORDER BY -2.0 * CAST(dt AS DOUBLE) / cn
+             |                    + CAST(ssq AS DOUBLE) / (cn * cn) ASC, c_label) AS rn
              |       FROM sc)
              |SELECT label, c_label AS predicted_label, COUNT(*) AS n
              |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -27,7 +27,7 @@ import org.apache.spark.util.sketch.BloomFilter
  * String allocation (pinned by BloomDecontaminationSpec's
  * no-false-negative check).
  */
-case class BloomGramHits(child: Expression, bloomBytes: Array[Byte])
+case class BloomGramHits(child: Expression, bloomBytes: scala.collection.immutable.ArraySeq[Byte])
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -38,7 +38,8 @@ case class BloomGramHits(child: Expression, bloomBytes: Array[Byte])
       s"argument must be array<string>, got $other")
   }
 
-  @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(bloomBytes)
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(bloomBytes.unsafeArray.asInstanceOf[Array[Byte]])
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -81,7 +82,12 @@ case class BloomGramHits(child: Expression, bloomBytes: Array[Byte])
 }
 
 object BloomProbe {
-  /** Column API: bloomGramHits(grams, filterBytes) -> int hit count. */
+  /** Column API: bloomGramHits(grams, filterBytes) -> int hit count.
+    * The bytes ride as an immutable ArraySeq so two probes built from
+    * equal filters are structurally equal (case-class equality over a
+    * raw Array is reference equality, which would defeat Catalyst
+    * canonicalization: common-subexpression and exchange reuse). */
   def gramHits(grams: Column, bloomBytes: Array[Byte]): Column =
-    GraftSqlBridge.column(BloomGramHits(GraftSqlBridge.expression(grams), bloomBytes))
+    GraftSqlBridge.column(BloomGramHits(GraftSqlBridge.expression(grams),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
 }

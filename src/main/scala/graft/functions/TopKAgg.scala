@@ -135,7 +135,11 @@ object TopKAgg {
   }
 
   private[functions] def offer(heap: java.util.PriorityQueue[Pair], k: Int,
-                               v: Double, p: Long): Unit = {
+                               v0: Double, p: Long): Unit = {
+    // normalize -0.0 to 0.0: SQL ordering treats them as equal ties
+    // (broken by payload), but Double.compare ranks 0.0 above -0.0 —
+    // without this a {0.0, -0.0} tie would diverge from the window form
+    val v = if (v0 == 0.0d) 0.0d else v0
     if (heap.size() < k) {
       heap.add(new Pair(v, p))
     } else {

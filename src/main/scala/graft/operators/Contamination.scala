@@ -73,6 +73,13 @@ object Contamination {
    * (~ g·fpp), so size fpp to targetDocFp / avgGramsPerDoc — the
    * default 1e-3 keeps spurious candidates ≈3% for ~30-gram docs at
    * a ~2 MB filter per million eval grams.
+   *
+   * NOTE: unlike the rest of the registry this builds EAGERLY — the
+   * count and the filter aggregation run Spark jobs at call time,
+   * because the filter bytes must exist before the probe expression
+   * can be planted in the plan. Both jobs touch only the bounded eval
+   * side; callers constructing plans they may never execute should
+   * build the filter once and reuse it.
    */
   def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType, StructField, StructType, TimestampType}
 
 /**
  * Scalable window ranking for LOW-CARDINALITY partition keys.
@@ -14,8 +15,12 @@ import org.apache.spark.sql.functions._
  * parallelism `|p| × buckets` instead of `|p|`:
  *
  *   phase 0  per-`p` approximate quantiles of the leading sort key
- *            become bucket boundaries — a tiny (|p| rows) aggregate
- *            that is broadcast, never collected;
+ *            become bucket boundaries — a tiny (|p| rows) aggregate,
+ *            collected once as plan metadata (like IVF centroids) so
+ *            BOTH consumers of the bucketed subtree see the exact
+ *            same boundaries (re-executing an approximate sketch in
+ *            two lineages could otherwise disagree when exchange
+ *            reuse is off);
  *   phase 1  each row gets a bucket from the boundaries (a pure
  *            map-side array scan), then ranks LOCALLY inside
  *            (p, bucket) — the only full-data shuffle, on a key of
@@ -32,11 +37,17 @@ import org.apache.spark.sql.functions._
  * SIZES, never results. Equality with the single-window form is
  * pinned by RankingSpec and the window_rank_scalable oracle.
  *
- * The leading sort key must be orderable by `<` in both engines
- * (numeric/date/timestamp/string); remaining `orderCols` are
- * arbitrary. Ties on the FULL key make row_number nondeterministic
- * (as with any window row_number) — use a unique composite key when
- * determinism matters.
+ * NULL semantics match the plain window: NULL partition values form
+ * their own partition (null-safe joins throughout), and NULL leading
+ * keys rank first (they route to a reserved bucket that sorts before
+ * every boundary bucket — Spark ASC is NULLS FIRST).
+ *
+ * The leading sort key must be numeric or timestamp (boundaries are
+ * compared in DOUBLE — the cast is monotonic, so equal keys stay
+ * equal and order never flips; precision loss can only skew bucket
+ * sizes, never results). Remaining `orderCols` are arbitrary. Ties on
+ * the FULL key make row_number nondeterministic (as with any window
+ * row_number) — use a unique composite key when determinism matters.
  */
 object Ranking {
 
@@ -50,28 +61,43 @@ object Ranking {
     require(orderCols.nonEmpty, "at least one order column")
     require(buckets >= 1, "buckets must be >= 1")
     val k1 = orderCols.head
+    val k1Type = df.schema(k1).dataType
+    require(k1Type.isInstanceOf[NumericType] || k1Type == TimestampType,
+      s"leading sort column must be numeric or timestamp for boundary " +
+        s"bucketing, got $k1Type — put a numeric key first in orderCols")
+    val pType = df.schema(partCol).dataType
 
-    // phase 0: boundaries per partition value (|p| rows, broadcast).
-    // Boundaries and the probe key are compared in DOUBLE: long→double
-    // is monotonic, so equal keys stay equal and order never flips —
-    // precision loss can only skew bucket sizes, not results.
+    // phase 0: boundaries per partition value. Collected to the driver
+    // as METADATA (|p| rows for a low-cardinality key — same contract
+    // as collecting IVF centroids) and re-created as a literal-backed
+    // DataFrame: one execution of the approximate sketch, one truth.
     val pcts = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (buckets == 1) null
-      else df.groupBy(col(partCol))
-        .agg(percentile_approx(col(k1).cast("double"), lit(pcts), lit(10000)).as("_bs"))
-
-    // phase 1: bucket assignment is a map-side codegen scan of <=31
-    // boundary values (graft ArrayCountLess — the HOF filter() form
-    // runs interpreted); strict `<` keeps every tie of the leading
-    // key in ONE bucket, which is what makes the offset arithmetic
-    // exact
     val bucketed =
       if (buckets == 1) df.withColumn("_bkt", lit(0))
-      else df.join(broadcast(bounds), Seq(partCol))
-        .withColumn("_bkt", graft.functions.ArrayCountLess.countLess(
-          col("_bs"), col(k1).cast("double")))
-        .drop("_bs")
+      else {
+        val boundRows = df
+          .groupBy(col(partCol).as("_bp"))
+          .agg(percentile_approx(col(k1).cast("double"), lit(pcts), lit(10000)).as("_bs"))
+          .collect()
+        val schema = StructType(Seq(
+          StructField("_bp", pType, nullable = true),
+          StructField("_bs", ArrayType(DoubleType), nullable = true)))
+        val bounds = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(boundRows: _*), schema)
+        // phase 1: bucket assignment is a map-side codegen scan of
+        // <=31 boundary values (graft ArrayCountLess — the HOF
+        // filter() form runs interpreted); strict `<` keeps every tie
+        // of the leading key in ONE bucket, which is what makes the
+        // offset arithmetic exact. NULL keys take the reserved bucket
+        // -1 (ranks first, like the window's NULLS FIRST). The join is
+        // null-safe so NULL partition values keep their rows.
+        df.join(broadcast(bounds), col(partCol) <=> col("_bp"))
+          .withColumn("_bkt",
+            when(col(k1).isNull, lit(-1))
+              .otherwise(graft.functions.ArrayCountLess.countLess(
+                col("_bs"), col(k1).cast("double"))))
+          .drop("_bp", "_bs")
+      }
 
     val ord = orderCols.map(col)
     val wLocal = Window.partitionBy(col(partCol), col("_bkt")).orderBy(ord: _*)
@@ -79,7 +105,7 @@ object Ranking {
     // zero extra shuffles) gives the rank-of-last-peer that cume_dist
     // needs: rows<=key locally = n_bucket - rank_desc + 1
     val wLocalDesc = Window.partitionBy(col(partCol), col("_bkt"))
-      .orderBy(ord.map(_.desc): _*)
+      .orderBy(ord.map(_.desc_nulls_last): _*)
     val keyStruct = struct(ord: _*)
     val local = bucketed
       .withColumn("_lrn", row_number().over(wLocal))
@@ -91,17 +117,18 @@ object Ranking {
     // window output — the ranks aren't needed for counts, and taking
     // the pre-window subtree keeps the shared scan's second execution
     // a cheap partial-agg instead of a re-sorted window).
-    val stats = bucketed.groupBy(col(partCol), col("_bkt"))
+    val stats = bucketed.groupBy(col(partCol).as("_op"), col("_bkt").as("_obkt"))
       .agg(count(lit(1)).as("_n"), countDistinct(keyStruct).as("_nk"))
-    val wOff = Window.partitionBy(col(partCol)).orderBy(col("_bkt"))
+    val wOff = Window.partitionBy(col("_op")).orderBy(col("_obkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = stats
       .withColumn("_off", coalesce(sum("_n").over(wOff), lit(0L)))
       .withColumn("_doff", coalesce(sum("_nk").over(wOff), lit(0L)))
-      .withColumn("_tot", sum("_n").over(Window.partitionBy(col(partCol))))
+      .withColumn("_tot", sum("_n").over(Window.partitionBy(col("_op"))))
       .drop("_nk")
 
-    val joined = local.join(broadcast(offs), Seq(partCol, "_bkt"))
+    val joined = local.join(broadcast(offs),
+      col(partCol) <=> col("_op") && col("_bkt") === col("_obkt"))
     val rn = col("_off") + col("_lrn")
     val base = joined
       .withColumn("rank", col("_off") + col("_lrk"))
@@ -118,8 +145,7 @@ object Ranking {
         // exact NTILE: first (tot % n) tiles get (tot div n)+1 rows.
         // Integer division via floor over doubles — counts stay far
         // under 2^53, so the double quotient is exact.
-        def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          floor(a / b).cast("long")
+        def idiv(a: Column, b: Column) = floor(a / b).cast("long")
         val q = idiv(col("_tot"), lit(n.toLong))
         val r = col("_tot") % n
         val cut = r * (q + 1L)
@@ -128,6 +154,7 @@ object Ranking {
             .when(rn <= cut, idiv(rn - 1L, q + 1L) + 1L)
             .otherwise(r + idiv(rn - cut - 1L, q) + 1L))
     }
-    tiled.drop("_bkt", "_lrn", "_lrk", "_ldr", "_lrkd", "_n", "_off", "_doff", "_tot")
+    tiled.drop("_bkt", "_lrn", "_lrk", "_ldr", "_lrkd",
+      "_op", "_obkt", "_n", "_off", "_doff", "_tot")
   }
 }

@@ -62,6 +62,34 @@ class RankingSpec extends SparkTestBase {
     assertSame(tiny, "p", Seq("k"), buckets = 64, n = 7)
   }
 
+  test("NULL partition values and NULL leading keys match the plain window") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(3), 1L), (Some("a"), None, 2L), (Some("a"), Some(1), 3L),
+      (None, Some(5), 4L), (None, None, 5L), (None, Some(2), 6L))
+      .toDF("p", "k", "id")
+      .select(col("p"), col("k").cast("double").as("k"), col("id"))
+    val w = Window.partitionBy("p").orderBy("k", "id")
+    val exact = df
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("row_number", row_number().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .orderBy("id").collect().toSeq
+    val seg = Ranking.segmentedRanks(df, "p", Seq("k", "id"), buckets = 4)
+      .select(exact.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("id").collect().toSeq
+    assert(seg == exact, "rows with NULL keys must neither drop nor re-rank")
+  }
+
+  test("non-numeric leading key is rejected with a clear contract error") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang", "source")
+    val e = intercept[IllegalArgumentException](
+      Ranking.segmentedRanks(docs, "source", Seq("lang", "doc_id")))
+    assert(e.getMessage.contains("numeric or timestamp"))
+  }
+
   test("ntile exact-size contract on a known distribution") {
     import spark.implicits._
     // 10 rows, 4 tiles -> sizes 3,3,2,2

@@ -48,6 +48,14 @@ class TopKAggSpec extends SparkTestBase {
     assert(a == w && a.size == o.count())
   }
 
+  test("-0.0 and 0.0 are tie-equal (payload breaks the tie), like SQL ordering") {
+    import spark.implicits._
+    val df = Seq((1L, -0.0, 1L), (1L, 0.0, 5L))
+      .toDF("o_custkey", "o_totalprice", "o_orderkey")
+    val got = viaAgg(df, 1).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1L), "SQL tie order keeps the smaller payload")
+  }
+
   test("plans through ObjectHashAggregate (map-side partial top-k)") {
     val plan = viaAgg(Tables.t(spark, sf, "orders"), 3)
       .queryExecution.executedPlan.toString
