@@ -745,6 +745,94 @@ object AnalyticsQueries {
               |                   AND m.month = s.month
               |ORDER BY k.o_orderpriority, s.month""".stripMargin)),
 
+    // ---- lag/lead month-over-month deltas: the pct-change report
+    //      over a monthly aggregate. The revenue values are exact
+    //      (decimal-accumulated, one double cast), so the lag/lead
+    //      pass-through and the pct arithmetic are bit-identical in
+    //      both engines; series edges yield NULLs (kept, NULLS LAST
+    //      in the sort). ----
+    Q("window_lag_lead",
+      (s, dir) => {
+        val monthly = Tables.t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month")
+        monthly
+          .withColumn("prev_rev", lag("rev", 1).over(w))
+          .withColumn("next_rev", lead("rev", 1).over(w))
+          .withColumn("pct_change",
+            (col("rev") - col("prev_rev")) / col("prev_rev"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              |         o_orderpriority,
+              |         CAST(SUM(CAST(o_totalprice AS $dec)) AS DOUBLE) AS rev
+              |  FROM orders GROUP BY 1, 2)
+              |SELECT month, o_orderpriority, rev,
+              |  LAG(rev) OVER w AS prev_rev,
+              |  LEAD(rev) OVER w AS next_rev,
+              |  (rev - LAG(rev) OVER w) / LAG(rev) OVER w AS pct_change
+              |FROM m
+              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+              |ORDER BY o_orderpriority, month""".stripMargin)),
+
+    // ---- statistical moments (variance / stddev / correlation):
+    //      built-in stddev/corr accumulate doubles in partition order
+    //      and are NOT cross-engine reproducible, so the co-moments
+    //      are accumulated EXACTLY — quantity is integer-valued and
+    //      price is 2dp, so qx and qy=price*100 are exact integers;
+    //      Σ, Σ², Σxy ride DECIMAL(38,0) — and the closed-form
+    //      variance/correlation is one fixed double expression tree
+    //      over those exact sums, identical in both engines (a
+    //      ScalaTest pins it against Spark's stddev_samp/corr to
+    //      1e-9). Map-side partial aggregation, one shuffle. ----
+    Q("agg_moments",
+      (s, dir) => {
+        val d19 = DecimalType(19, 0)
+        val li = Tables.t(s, dir, "lineitem")
+          .withColumn("qx", col("l_quantity").cast(d19))
+          .withColumn("qy", round(col("l_extendedprice") * 100).cast(d19))
+        val agg = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum("qx").cast(DoubleType).as("sx"),
+          sum(col("qx") * col("qx")).cast(DoubleType).as("sx2"),
+          sum("qy").cast(DoubleType).as("sy"),
+          sum(col("qy") * col("qy")).cast(DoubleType).as("sy2"),
+          sum(col("qx") * col("qy")).cast(DoubleType).as("sxy"))
+        val nD = col("n").cast(DoubleType)
+        agg.select(
+            col("l_returnflag"), col("n"),
+            (col("sx") / nD).as("mean_qty"),
+            ((nD * col("sx2") - col("sx") * col("sx")) / (nD * (nD - 1.0))).as("var_qty"),
+            sqrt((nD * col("sx2") - col("sx") * col("sx")) / (nD * (nD - 1.0))).as("stddev_qty"),
+            (sqrt((nD * col("sy2") - col("sy") * col("sy")) / (nD * (nD - 1.0))) / 100.0).as("stddev_price"),
+            ((nD * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(nD * col("sx2") - col("sx") * col("sx")) *
+                sqrt(nD * col("sy2") - col("sy") * col("sy")))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH q AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_quantity AS DECIMAL(19,0)) AS qx,
+             |    CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)) AS qy
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(qx) AS DOUBLE) AS sx, CAST(SUM(qx * qx) AS DOUBLE) AS sx2,
+             |    CAST(SUM(qy) AS DOUBLE) AS sy, CAST(SUM(qy * qy) AS DOUBLE) AS sy2,
+             |    CAST(SUM(qx * qy) AS DOUBLE) AS sxy
+             |  FROM q GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  sx / n AS mean_qty,
+             |  (n * sx2 - sx * sx) / (n * (n - 1.0)) AS var_qty,
+             |  sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+             |  sqrt((n * sy2 - sy * sy) / (n * (n - 1.0))) / 100.0 AS stddev_price,
+             |  (n * sxy - sx * sy) /
+             |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
     // ---- schema-drift union: a v2 source adds a column; v1 rows get
     //      NULL for it (unionByName allowMissingColumns — the schema-
     //      evolution append every long-lived ingest pipeline needs).
@@ -1516,6 +1604,26 @@ object AnalyticsQueries {
              |  OVER (PARTITION BY user_id ORDER BY ts, event_id
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- ordered string aggregation: each user's event-type path in
+    //      time order — the journey/sequence signature string. The
+    //      collected list is unordered (collect_list is arrival-order
+    //      nondeterministic); array_sort on the (ts, event_id, type)
+    //      struct imposes the total order BEFORE the join, mirroring
+    //      the oracle's string_agg(... ORDER BY ts, event_id). ----
+    Q("user_event_paths",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("path"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- conversion funnel: signups converting to a purchase within
     //      1 hour, by day — the interval-join + conditional-agg compose

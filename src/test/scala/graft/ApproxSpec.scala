@@ -33,4 +33,23 @@ class ApproxSpec extends SparkTestBase {
         s"flag=${r.getString(0)} medErr=$medErr p90Err=$p90Err")
     }
   }
+
+  test("exact co-moment formulas agree with built-in stddev_samp/corr") {
+    // agg_moments avoids the built-ins only because their double
+    // accumulation is not CROSS-ENGINE reproducible — numerically the
+    // closed form over exact integer sums must match them closely
+    val li = Tables.t(spark, sf, "lineitem")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ours = Queries.queries("agg_moments")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(6))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, (sd, c)) =>
+      assert(math.abs(sd - builtin(k)._1) < 1e-9 * math.max(1.0, sd), s"stddev $k")
+      assert(math.abs(c - builtin(k)._2) < 1e-9, s"corr $k")
+    }
+  }
 }
