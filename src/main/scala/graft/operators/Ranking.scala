@@ -67,17 +67,23 @@ object Ranking {
         s"bucketing, got $k1Type — put a numeric key first in orderCols")
     val pType = df.schema(partCol).dataType
 
-    // phase 0: boundaries per partition value. Collected to the driver
-    // as METADATA (|p| rows for a low-cardinality key — same contract
-    // as collecting IVF centroids) and re-created as a literal-backed
-    // DataFrame: one execution of the approximate sketch, one truth.
+    // phase 0: boundaries per partition value, from a SAMPLE — the
+    // same move as Spark's own RangePartitioner. Boundaries influence
+    // only bucket SIZES, never results (bucket membership is a pure
+    // function of the key value), so a cheap sketch over ~5% of rows
+    // is enough; groups the sample misses entirely fall back to one
+    // bucket. Collected to the driver as METADATA (|p| rows for a
+    // low-cardinality key — same contract as collecting IVF
+    // centroids) and re-created as a literal-backed DataFrame: one
+    // execution of the approximate sketch, one truth.
     val pcts = (1 until buckets).map(_.toDouble / buckets).toArray
     val bucketed =
       if (buckets == 1) df.withColumn("_bkt", lit(0))
       else {
         val boundRows = df
+          .sample(withReplacement = false, 0.05, seed = 42)
           .groupBy(col(partCol).as("_bp"))
-          .agg(percentile_approx(col(k1).cast("double"), lit(pcts), lit(10000)).as("_bs"))
+          .agg(percentile_approx(col(k1).cast("double"), lit(pcts), lit(1000)).as("_bs"))
           .collect()
         val schema = StructType(Seq(
           StructField("_bp", pType, nullable = true),
@@ -89,13 +95,15 @@ object Ranking {
         // filter() form runs interpreted); strict `<` keeps every tie
         // of the leading key in ONE bucket, which is what makes the
         // offset arithmetic exact. NULL keys take the reserved bucket
-        // -1 (ranks first, like the window's NULLS FIRST). The join is
+        // -1 (ranks first, like the window's NULLS FIRST); rows of a
+        // group the sample never saw (left join misses, or an
+        // all-null sample slice) collapse into bucket 0. The join is
         // null-safe so NULL partition values keep their rows.
-        df.join(broadcast(bounds), col(partCol) <=> col("_bp"))
+        df.join(broadcast(bounds), col(partCol) <=> col("_bp"), "left")
           .withColumn("_bkt",
             when(col(k1).isNull, lit(-1))
-              .otherwise(graft.functions.ArrayCountLess.countLess(
-                col("_bs"), col(k1).cast("double"))))
+              .otherwise(coalesce(graft.functions.ArrayCountLess.countLess(
+                col("_bs"), col(k1).cast("double")), lit(0))))
           .drop("_bp", "_bs")
       }
 
