@@ -170,6 +170,38 @@ object EventStreams {
       .dropDuplicates(idCol)
       .select(idCol)
 
+  /**
+   * Streaming decontamination gate: arriving documents sharing any
+   * word n-gram with the STATIC eval/benchmark corpus are routed to
+   * the quarantine stream. The Bloom filter is built ONCE from the
+   * bounded eval side (batch — `evalBloomBytes`) and planted in the
+   * stream as a stateless codegen probe ([[graft.functions.BloomGramHits]]):
+   * per-row bit tests, no state store, no stream-static join at all —
+   * the cheapest possible in-stream gate. The probe is a candidate
+   * filter (Bloom false positives possible, negatives impossible), so
+   * the quarantine stream is a small superset for downstream exact
+   * verification, exactly like the batch `flagContaminatedBloom`.
+   */
+  def flagContaminatedArrivals(docs: DataFrame, bloomBytes: Array[Byte],
+                               idCol: String = "doc_id", textCol: String = "text",
+                               shingleN: Int = 4): DataFrame =
+    docs.filter(graft.functions.BloomProbe.gramHits(
+        graft.functions.Shingles.wordShingles(col(textCol), shingleN), bloomBytes) > 0)
+      .select(idCol)
+
+  /** One-pass filter bytes for [[flagContaminatedArrivals]] — run on
+    * the BATCH eval corpus before starting the stream. */
+  def evalBloomBytes(eval: DataFrame, textCol: String = "text",
+                     shingleN: Int = 4, fpp: Double = 1e-3): Array[Byte] = {
+    val grams = eval.select(
+      explode(graft.functions.Shingles.wordShingles(col(textCol), shingleN)).as("gram"))
+      .distinct()
+    val bloom = grams.stat.bloomFilter("gram", math.max(grams.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Run a streaming DataFrame to completion against a bounded source
     * and return the final result from the in-memory sink. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,

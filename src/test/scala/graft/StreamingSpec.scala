@@ -210,6 +210,29 @@ class StreamingSpec extends SparkTestBase {
     assert(verified.subsetOf(got))
   }
 
+  test("streaming bloom decontamination gate flags the same arrivals as the batch probe") {
+    val docs = Tables.t(spark, sf, "documents")
+    val eval_ = docs.filter(col("doc_id") % 25 === 0)
+    val bytes = EventStreams.evalBloomBytes(eval_)
+    val freshDir = tmpDir("fresh_decon")
+    docs.filter(col("doc_id") % 25 =!= 0).write.mode("overwrite").parquet(freshDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(freshDir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.flagContaminatedArrivals(stream, bytes), "t_bloom_gate",
+        OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    // batch twin: identical probe over the same filter bytes
+    val want = EventStreams.flagContaminatedArrivals(
+        docs.filter(col("doc_id") % 25 =!= 0), bytes)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the gate may never lose a truly contaminated doc (no false negatives)
+    val contaminated = graft.operators.Contamination.flagContaminated(
+        docs.filter(col("doc_id") % 25 =!= 0), eval_, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty && contaminated.subsetOf(got))
+  }
+
   test("foreachBatch sink writes each microbatch transactionally") {
     val dir = tmpDir("febatch")
     val stream = EventStreams.readEvents(spark, eventsPath)
