@@ -745,6 +745,29 @@ object AnalyticsQueries {
               |                   AND m.month = s.month
               |ORDER BY k.o_orderpriority, s.month""".stripMargin)),
 
+    // ---- conditional aggregates: count_if / FILTER-style sums /
+    //      bool_and / bool_or — the guarded-aggregate SQL family.
+    //      Spark expresses FILTER (WHERE p) as sum(when(p, x)) (nulls
+    //      are ignored by SQL aggregates, so the two are identical);
+    //      the sum itself follows the exact-DECIMAL convention. ----
+    Q("agg_conditional",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_bulk"),
+          sum(when(col("l_discount") === 0.0,
+            col("l_extendedprice").cast(DecimalType(12, 2))))
+            .cast(DoubleType).as("rev_no_disc"),
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_discount > 0.08)").as("any_high_disc"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+              |CAST(SUM(CAST(l_extendedprice AS $dec)) FILTER (WHERE l_discount = 0.0) AS DOUBLE) AS rev_no_disc,
+              |bool_and(l_quantity > 0) AS all_positive,
+              |bool_or(l_discount > 0.08) AS any_high_disc
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- lag/lead month-over-month deltas: the pct-change report
     //      over a monthly aggregate. The revenue values are exact
     //      (decimal-accumulated, one double cast), so the lag/lead
