@@ -79,6 +79,27 @@ object JobRunner {
 
   def status(configKey: String): Option[JobResult] = Option(registry.get(configKey))
 
+  /** Registry key scheme (reference: configKey = jobName::taskId::seq,
+    * workflowEngine-part1.java:201-203). */
+  def newConfigKey(cfg: JobConfig): String =
+    s"${cfg.jobName.getOrElse("job")}::${cfg.jobId}::${seq.incrementAndGet()}"
+
+  /** Async submit (O8): the key is registered as Pending BEFORE the
+    * pool picks the job up, so clients can poll immediately. Job
+    * groups are thread-local, so the worker thread tags its own Spark
+    * jobs and `cancel(key)` works from any thread. */
+  def submitAsync(spark: SparkSession, cfg: JobConfig,
+                  executor: java.util.concurrent.ExecutorService,
+                  notifier: Notifier = LogNotifier): String = {
+    val key = newConfigKey(cfg)
+    registryPut(key, JobResult(cfg.jobId, key, Pending, 0, 0, Nil, "queued"))
+    executor.submit(new Runnable {
+      override def run(): Unit =
+        JobRunner.run(spark, cfg, notifier, presetKey = Some(key))
+    })
+    key
+  }
+
   // ---- live progress (O10, reference workflowEngine-part1.java:283-303:
   // progressPercent = processed / pre-counted source total) ----
   private val expectedTotals = new ConcurrentHashMap[String, Long]()
@@ -132,8 +153,9 @@ object JobRunner {
    */
   def run(spark: SparkSession, cfg: JobConfig,
           notifier: Notifier = LogNotifier,
-          plugins: Map[String, DataFrame => DataFrame] = Map.empty): JobResult = {
-    val configKey = s"${cfg.jobName.getOrElse("job")}::${cfg.jobId}::${seq.incrementAndGet()}"
+          plugins: Map[String, DataFrame => DataFrame] = Map.empty,
+          presetKey: Option[String] = None): JobResult = {
+    val configKey = presetKey.getOrElse(newConfigKey(cfg))
     var stepsRun = List.empty[String]
     var written = 0L
     var failedRows = 0L
