@@ -745,6 +745,27 @@ object AnalyticsQueries {
               |                   AND m.month = s.month
               |ORDER BY k.o_orderpriority, s.month""".stripMargin)),
 
+    // ---- exact order statistics at scale: interpolated median / p90
+    //      via Ranking.exactQuantile — bucket histogram, then probe
+    //      ONLY the rank-holding bucket (recursing while it exceeds
+    //      the probe budget), so nothing is ever globally sorted and
+    //      no node holds more than probeLimit values. Spark's builtin
+    //      exact percentile aggregates a full value->count map per
+    //      group; a global ORDER BY materializes everything — both
+    //      break down at 100 TB. Output is a 1-row scalar report
+    //      (the computation is distributed; only metadata histograms
+    //      and two bounded probes reach the driver). ----
+    Q("exact_quantiles_scalable",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val med = graft.operators.Ranking.exactQuantile(li, "l_extendedprice", 0.5).get
+        val p90 = graft.operators.Ranking.exactQuantile(li, "l_extendedprice", 0.9).get
+        s.range(1).select(lit(med).as("median_price"), lit(p90).as("p90_price"))
+      },
+      Some("""SELECT quantile_cont(l_extendedprice, 0.5) AS median_price,
+             |quantile_cont(l_extendedprice, 0.9) AS p90_price
+             |FROM lineitem""".stripMargin)),
+
     // ---- conditional aggregates: count_if / FILTER-style sums /
     //      bool_and / bool_or — the guarded-aggregate SQL family.
     //      Spark expresses FILTER (WHERE p) as sum(when(p, x)) (nulls

@@ -165,4 +165,81 @@ object Ranking {
     tiled.drop("_bkt", "_lrn", "_lrk", "_ldr", "_lrkd",
       "_op", "_obkt", "_n", "_off", "_doff", "_tot")
   }
+
+  /**
+   * EXACT interpolated quantile (SQL percentile_cont semantics:
+   * position (n−1)·q, linear interpolation) without a global sort and
+   * without holding values in memory — the scalable form of exact
+   * order statistics. Spark's built-in `percentile` aggregates a
+   * value→count map per group (memory-bound on high-cardinality
+   * columns); a global ORDER BY materializes everything. Instead:
+   *
+   *   1. sampled boundaries split the value range into buckets
+   *      (map-side codegen assignment, same as segmentedRanks);
+   *   2. one tiny aggregation counts rows per bucket (`buckets` rows
+   *      collected — metadata);
+   *   3. only the bucket(s) containing the target rank(s) are probed:
+   *      a TakeOrdered of at most the local rank depth, never a
+   *      full-data sort.
+   *
+   * Null values are excluded (SQL convention). Returns None on an
+   * empty/all-null column. Exactness: bucket membership is a pure
+   * function of the value, counts are exact, and the within-bucket
+   * probe is exact — sampling skews only probe-bucket SIZE.
+   */
+  def exactQuantile(df: DataFrame, valueCol: String, q: Double,
+                    buckets: Int = 32,
+                    probeLimit: Int = 1 << 20): Option[Double] = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(v.isNotNull).select(v.as("_v"))
+    val n = vals.count()
+    if (n == 0L) return None
+    val pos = (n - 1) * q
+    val lo = math.floor(pos).toLong
+    val frac = pos - lo
+    val vLo = valueAtRank(vals, lo + 1, n, buckets, probeLimit)
+    if (frac == 0.0) Some(vLo)
+    else Some(vLo + frac * (valueAtRank(vals, lo + 2, n, buckets, probeLimit) - vLo))
+  }
+
+  /** `probeLimit`: rows at most this deep get resolved by a single
+    * TakeOrdered; deeper targets re-bucket recursively so no node
+    * ever holds more than this many values. */
+  private def valueAtRank(vals: DataFrame, r: Long, total: Long,
+                          buckets: Int, probeLimit: Int): Double = {
+    if (total <= probeLimit) {
+      // bounded: TakeOrdered keeps r elements, r <= total <= probeLimit
+      return vals.orderBy("_v").limit(java.lang.Math.toIntExact(r))
+        .agg(max("_v")).head().getDouble(0)
+    }
+    val pcts = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bsRow = vals.sample(withReplacement = false, 0.05, seed = 42)
+      .agg(percentile_approx(col("_v"), lit(pcts), lit(1000)).as("_bs"))
+      .head()
+    val bs: Seq[Double] =
+      if (bsRow.isNullAt(0)) Seq.empty else bsRow.getSeq[Double](0).distinct
+    val bucketed = vals.withColumn("_bkt",
+      if (bs.isEmpty) lit(0)
+      else graft.functions.ArrayCountLess.countLess(lit(bs.toArray), col("_v")))
+    // bucket histogram: <= `buckets` rows of metadata
+    val hist = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    val (bkt, before) = hist.collectFirst {
+      case (b, c) if { val hit = cum + c >= r; if (!hit) cum += c; hit } => (b, cum)
+    }.get
+    val inBucket = hist.toMap.apply(bkt)
+    if (inBucket == total) {
+      // no shrink (degenerate boundaries — e.g. near-constant column):
+      // constant bucket resolves exactly; otherwise fall back to the
+      // bounded-ish probe rather than recurse forever
+      val mm = vals.agg(min("_v"), max("_v")).head()
+      if (mm.getDouble(0) == mm.getDouble(1)) return mm.getDouble(0)
+      return vals.orderBy("_v").limit(java.lang.Math.toIntExact(r))
+        .agg(max("_v")).head().getDouble(0)
+    }
+    valueAtRank(bucketed.filter(col("_bkt") === bkt).select("_v"),
+      r - before, inBucket, buckets, probeLimit)
+  }
 }

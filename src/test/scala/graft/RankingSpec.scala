@@ -90,6 +90,32 @@ class RankingSpec extends SparkTestBase {
     assert(e.getMessage.contains("numeric or timestamp"))
   }
 
+  test("exactQuantile matches in-memory sorted ground truth (incl. recursion path)") {
+    val vals = Tables.t(spark, sf, "lineitem")
+      .select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    def truth(q: Double): Double = {
+      val pos = (vals.length - 1) * q
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (frac == 0.0) vals(lo) else vals(lo) + frac * (vals(lo + 1) - vals(lo))
+    }
+    val li = Tables.t(spark, sf, "lineitem")
+    Seq(0.0, 0.25, 0.5, 0.9, 1.0).foreach { q =>
+      // probeLimit 64 forces several recursion levels on 6k rows
+      val got = Ranking.exactQuantile(li, "l_extendedprice", q, probeLimit = 64).get
+      assert(got == truth(q), s"q=$q got=$got want=${truth(q)}")
+    }
+  }
+
+  test("exactQuantile degenerate inputs: constant column, empty input") {
+    import spark.implicits._
+    val const = Seq.fill(200)(7.5).toDF("x")
+    assert(Ranking.exactQuantile(const, "x", 0.5, probeLimit = 16).contains(7.5))
+    val empty = Seq.empty[Double].toDF("x")
+    assert(Ranking.exactQuantile(empty, "x", 0.5).isEmpty)
+  }
+
   test("ntile exact-size contract on a known distribution") {
     import spark.implicits._
     // 10 rows, 4 tiles -> sizes 3,3,2,2
