@@ -198,6 +198,51 @@ object EtlQueries {
              |SELECT o_orderkey, o_custkey, o_totalprice, updated_at
              |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- CDC apply: an insert/update/delete ops log collapses to
+    //      final table state — latest sequence number wins per key,
+    //      deletes drop the key. One window pass over the log (the
+    //      log, not the table, is the input at scale — this is the
+    //      change-stream compaction every CDC sink performs). The
+    //      updated price multiplies in DECIMAL (a 1.1 double literal
+    //      would round differently than DuckDB's exact decimal). ----
+    Q("etl_cdc_apply",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val ins = o.select(col("o_orderkey"),
+          col("o_totalprice").as("price"), col("o_orderstatus"),
+          lit(1).as("seq"), lit("I").as("op"))
+        val upd = o.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) *
+              lit(new java.math.BigDecimal("1.1"))).cast("double").as("price"),
+            col("o_orderstatus"), lit(2).as("seq"), lit("U").as("op"))
+        val del = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus"), lit(3).as("seq"), lit("D").as("op"))
+        val log = ins.unionByName(upd).unionByName(del)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderkey").orderBy(desc("seq"))
+        log.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select("o_orderkey", "price", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH log AS (
+             |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             |         o_orderstatus, 1 AS seq, 'I' AS op FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE),
+             |         o_orderstatus, 2, 'U' FROM orders WHERE o_orderkey % 4 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderstatus, 3, 'D'
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+             |      FROM log)
+             |SELECT o_orderkey, price, o_orderstatus FROM r
+             |WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin)),
+
     // ---- SCD-2 history merge: every 7th customer gets a re-segmented
     //      update; its current row must close at the update timestamp
     //      and a new open row appear, history/untouched rows intact. ----

@@ -91,13 +91,25 @@ object JobRunner {
   def submitAsync(spark: SparkSession, cfg: JobConfig,
                   executor: java.util.concurrent.ExecutorService,
                   notifier: Notifier = LogNotifier): String = {
-    val key = newConfigKey(cfg)
-    registryPut(key, JobResult(cfg.jobId, key, Pending, 0, 0, Nil, "queued"))
-    executor.submit(new Runnable {
-      override def run(): Unit =
-        JobRunner.run(spark, cfg, notifier, presetKey = Some(key))
-    })
-    key
+    // O8 duplicate-submit dedupe (the reference checks its running map
+    // before launching): an identical jobId still queued or running
+    // returns the existing key instead of double-running the job.
+    // The check+put pair is synchronized so two concurrent submits of
+    // the same jobId cannot both pass the scan.
+    registry.synchronized {
+      val dup = registry.values.stream()
+        .filter(r => r.jobId == cfg.jobId &&
+          (r.status == Pending || r.status == Running))
+        .findFirst()
+      if (dup.isPresent) return dup.get().configKey
+      val key = newConfigKey(cfg)
+      registryPut(key, JobResult(cfg.jobId, key, Pending, 0, 0, Nil, "queued"))
+      executor.submit(new Runnable {
+        override def run(): Unit =
+          JobRunner.run(spark, cfg, notifier, presetKey = Some(key))
+      })
+      key
+    }
   }
 
   // ---- live progress (O10, reference workflowEngine-part1.java:283-303:

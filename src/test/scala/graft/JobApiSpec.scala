@@ -20,6 +20,30 @@ class JobApiSpec extends SparkTestBase {
     http.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("duplicate jobId submits dedupe to the same configKey while queued (O8)") {
+    import graft.job.JobRunner
+    import graft.model.JobConfig
+    val cfg = JobConfig.fromJson(
+      s"""{"jobId":"dup-test-01",
+         |"source":{"type":"PARQUET","connectionDetails":{"path":"$sf/region.parquet"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"${tmpDir("dup_out")}/r"}}}""".stripMargin)
+    // a single-thread pool occupied by a blocker keeps the job Pending
+    // for the duration of the check — the dedupe is deterministic
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    pool.submit(new Runnable { override def run(): Unit = gate.await() })
+    try {
+      val k1 = JobRunner.submitAsync(spark, cfg, pool)
+      val k2 = JobRunner.submitAsync(spark, cfg, pool)
+      assert(k1 == k2, "second submit of a queued jobId must return the same key")
+      assert(JobRunner.status(k1).exists(_.status == JobRunner.Pending))
+    } finally {
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    }
+  }
+
   test("POST /jobs submits async; GET /jobs/{key} reaches Completed; DELETE accepted") {
     val out = tmpDir("jobapi_out")
     val cfg =
