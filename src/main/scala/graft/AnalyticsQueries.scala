@@ -1737,6 +1737,50 @@ object AnalyticsQueries {
              |GROUP BY cohort_week, act_week
              |ORDER BY cohort_week, act_week""".stripMargin)),
 
+    // ---- binned interval join: per-signup purchase activity within
+    //      the following hour, as an EQUI-join. A naive range join is
+    //      O(|S|x|P|) per user (BroadcastNestedLoop at scale); binning
+    //      time into window-width buckets and emitting each purchase
+    //      into the 2 bins it can serve turns it into a hash join on
+    //      (user, bin) + an exact residual filter — the general
+    //      two-relation range-join pattern (the window/as-of forms
+    //      cover only the single-stream case). Costs a bounded 2x
+    //      expansion of ONE side; candidates per key stay ~uniform.
+    //      Money is summed in integer cents (exact, engine-stable). ----
+    Q("events_interval_join",
+      (s, dir) => {
+        val W = 3600L * 1000000L // 1h in micros = the bin width
+        val ev = Tables.t(s, dir, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("s_us"))
+          .withColumn("bin", expr(s"s_us div $W"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+            round(col("value") * 100).cast("long").as("p_cents"))
+          .withColumn("bin", explode(array(expr(s"p_us div $W"), expr(s"p_us div $W - 1"))))
+        su.join(pu,
+            su("user_id") === pu("p_user") && su("bin") === pu("bin") &&
+              pu("p_us") >= su("s_us") && pu("p_us") < su("s_us") + W,
+            "left")
+          .groupBy(su("event_id"), su("user_id"))
+          .agg(count(col("p_us")).as("n_purchases"),
+            coalesce(sum(col("p_cents")), lit(0L)).as("purchase_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH su AS (SELECT event_id, user_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+             |  FROM events WHERE event_type = 'signup'),
+             |pu AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             |  CAST(round(value * 100) AS BIGINT) AS p_cents
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT su.event_id, su.user_id,
+             |  COUNT(pu.p_us) AS n_purchases,
+             |  CAST(COALESCE(SUM(pu.p_cents), 0) AS BIGINT) AS purchase_cents
+             |FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+             |  AND pu.p_us >= su.s_us AND pu.p_us < su.s_us + 3600000000
+             |GROUP BY su.event_id, su.user_id
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- HLL sketch distinct (approximate — no SQL oracle by design;
     //      DedupSimilaritySpec-style tolerance asserted in tests; the
     //      100 TB path for distinct-count audits where exact

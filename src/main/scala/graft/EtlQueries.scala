@@ -146,6 +146,28 @@ object EtlQueries {
              |CAST(s_acctbal AS DOUBLE) AS balance
              |FROM supplier ORDER BY supp_id""".stripMargin)),
 
+    // ---- ORC source on the gate path: part round-trips through the
+    //      Writers ORC sink and back through the Readers ORC scan +
+    //      MappingOp. Columnar parity with parquet — pruning, stripe
+    //      stat skipping, and vectorized reads all apply, so a shop
+    //      standardized on ORC loses nothing switching in. ----
+    Q("etl_orc_source",
+      (s, dir) => {
+        val fix = s"/tmp/graft_fix_orc_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Writers.write(
+          Tables.t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice"),
+          DestinationConfig("ORC", ConnectionDetails(path = Some(fix))))
+        val mappings = List(
+          FieldMapping("p_partkey", "part_id", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("p_name", "part_name", "VARCHAR2", "STRING"),
+          FieldMapping("p_retailprice", "retail_price", "NUMBER", "DOUBLE"))
+        val cfg = SourceConfig("ORC", ConnectionDetails(path = Some(fix)))
+        MappingOp(Readers.forConfig(s, cfg, mappings), mappings).orderBy("part_id")
+      },
+      Some("""SELECT p_partkey AS part_id, p_name AS part_name,
+             |CAST(p_retailprice AS DOUBLE) AS retail_price
+             |FROM part ORDER BY part_id""".stripMargin)),
+
     // ---- fixed-width source on the gate path (S8): nation formatted
     //      into a padded fixed-layout text fixture, loaded back through
     //      the DataSource V2 connector + MappingOp casts. ----

@@ -175,6 +175,36 @@ object PipelineQueries {
              |  CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 64, doc_id) - 1 AS BIGINT) AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- weighted domain mixing: the "epochs per source" knob of a
+    //      training mixture. src0 runs 2.5 epochs (2-3 deterministic
+    //      copies), src1 exactly 1, src2 1.5, src3 is blocked (0),
+    //      the long tail keeps 40%. Filter + per-row sequence explode
+    //      — no shuffle; replication happens where the row lives. ----
+    Q("mix_domains",
+      (s, dir) => Sampling.weightedMix(
+          Tables.t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id",
+          weightPermille = when(col("source") === "src0", 2500L)
+            .when(col("source") === "src1", 1000L)
+            .when(col("source") === "src2", 1500L)
+            .when(col("source") === "src3", 0L)
+            .otherwise(400L),
+          bucketExpr = Some(pmod(col("doc_id") * 2654435761L + 101L, lit(1000L))))
+        .select("doc_id", "source", "mix_weight_permille", "mix_rep")
+        .orderBy("doc_id", "mix_rep"),
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+             |              WHEN 'src2' THEN 1500 WHEN 'src3' THEN 0
+             |              ELSE 400 END AS w_pm,
+             |  (doc_id * 2654435761 + 101) % 1000 AS b FROM documents),
+             |r AS (SELECT doc_id, source, w_pm,
+             |  (w_pm // 1000) + CASE WHEN b < w_pm % 1000 THEN 1 ELSE 0 END AS reps
+             |  FROM w)
+             |SELECT doc_id, source, CAST(w_pm AS BIGINT) AS mix_weight_permille,
+             |  CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS mix_rep
+             |FROM r WHERE reps > 0
+             |ORDER BY doc_id, mix_rep""".stripMargin)),
+
     // ---- the composed corpus pipeline — the end-to-end flagship of
     //      the training-data tier, as ONE declarative plan Catalyst
     //      optimizes whole: quality gate -> exact dedup (keep min id

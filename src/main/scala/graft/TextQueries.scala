@@ -441,6 +441,41 @@ object TextQueries {
              |  FROM tf JOIN df USING (token) CROSS JOIN n)
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // ---- unigram-LM document scoring: the KenLM-perplexity proxy of
+    //      a quality-filter stage. The corpus itself is the language
+    //      model (token c/total), each document scores the SUM of its
+    //      tokens' ln-probabilities — low scorers are the rare-token /
+    //      off-distribution docs a filter drops. The per-token value is
+    //      quantized to integer micros BEFORE the per-doc sum, so the
+    //      aggregate is exact integer arithmetic — no float summation-
+    //      order drift between engines (same discipline as the
+    //      embedding queries' round(v*1000) convention). Scale: the
+    //      vocab table is Zipf-bounded (millions of rows at 100 TB, not
+    //      corpus-sized) — broadcastable; the token stream never
+    //      shuffles twice. ----
+    Q("score_unigram_logprob",
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        val tot = freq.agg(sum("c").as("t"))
+        toks.join(broadcast(freq), "token")
+          .crossJoin(broadcast(tot))
+          .withColumn("lpm",
+            round(log(col("c").cast("double") / col("t")) * 1e6).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lpm").as("lp_sum_micros"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |f AS (SELECT token, COUNT(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT SUM(c) AS tt FROM f),
+             |lp AS (SELECT doc_id,
+             |  CAST(round(ln(CAST(c AS DOUBLE) / tt) * 1000000) AS BIGINT) AS lpm
+             |  FROM t JOIN f USING (token) CROSS JOIN tot)
+             |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lpm) AS BIGINT) AS lp_sum_micros
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- content fingerprint via the custom codegen Expression;
     //      DuckDB reproduces the fold with list_reduce, pinning the
     //      custom expression's semantics externally. ----

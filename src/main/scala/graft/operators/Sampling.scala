@@ -116,6 +116,35 @@ object Sampling {
   }
 
   /**
+   * Weighted domain mixing: the "epochs per source" knob of a training
+   * mixture (upsample curated domains, downsample bulk crawl). Each
+   * row is emitted `floor(w)` times plus one more with probability
+   * `frac(w)`, where w = weightPermille/1000 — so a weight of 2500
+   * yields 2-3 copies (expected 2.5) and 300 keeps the row with p=0.3.
+   * The fractional coin is a pure function of the id (hash bucket in
+   * [0,1000) compared against `weightPermille mod 1000`) — integer
+   * arithmetic end-to-end, so membership and multiplicity are exactly
+   * reproducible on any engine, run, or partitioning.
+   *
+   * Scale: a filter + per-row `sequence` explode — no shuffle, no
+   * window; each row replicates where it lives. Output adds
+   * `mix_weight_permille` and `mix_rep` (0-based replica index).
+   * `bucketExpr` overrides the coin (oracles use arithmetic both
+   * engines can evaluate; production uses the xxhash64 default).
+   */
+  def weightedMix(df: DataFrame, idCol: String, weightPermille: Column,
+                  salt: Long = 42L, bucketExpr: Option[Column] = None): DataFrame = {
+    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(1000)))
+    df.withColumn("mix_weight_permille", weightPermille.cast("long"))
+      .withColumn("_reps",
+        expr("mix_weight_permille div 1000") +
+          when(bucket < expr("mix_weight_permille % 1000"), 1L).otherwise(0L))
+      .filter(col("_reps") > 0)
+      .withColumn("mix_rep", explode(expr("sequence(0, _reps - 1)")))
+      .drop("_reps")
+  }
+
+  /**
    * Sliding-window document chunking: split each document's token
    * stream into training-context windows of `chunkSize` tokens,
    * starting every `stride` tokens (stride < chunkSize gives the

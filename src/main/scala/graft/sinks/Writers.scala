@@ -43,6 +43,8 @@ object Writers {
     dest.`type`.toUpperCase match {
       case "PARQUET" =>
         partitioned(laidOut.write.mode(mode)).parquet(requirePath(dest))
+      case "ORC" =>
+        partitioned(laidOut.write.mode(mode)).orc(requirePath(dest))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
         // Reference CSV semantics (ETLCoreCsvFileWriter.java):
         //  - header from destination names (:46-118) — header option;

@@ -23,6 +23,10 @@ object Readers {
     cfg.`type`.toUpperCase match {
       case "PARQUET" =>
         spark.read.parquet(requirePath(cfg))
+      case "ORC" =>
+        // Columnar like parquet: pruning/pushdown/vectorized read all
+        // apply; ORC's row-group (stripe) stats skip the same way.
+        spark.read.orc(requirePath(cfg))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
         // linesToSkip=1 usually MEANS "skip the header" (reference
         // convention) — but with an explicit includeHeader=false that

@@ -106,6 +106,37 @@ class SamplingPrivacySpec extends SparkTestBase {
     assert(rows.sortBy(_._3).toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("weightedMix: integer epochs exact, fractional epochs in expectation, zero drops, deterministic") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val weights = when(col("lang") === "en", 2500L)   // 2.5 epochs
+      .when(col("lang") === "zh", 1000L)              // exactly 1
+      .when(col("lang") === "es", 0L)                 // blocked
+      .otherwise(400L)                                // keep 40%
+    val mixed = Sampling.weightedMix(docs, "doc_id", weights)
+    val perDoc = mixed.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // en docs appear 2 or 3 times, ~half each; zh exactly once; es never
+    val en = perDoc.filter(_._2 == "en")
+    assert(en.forall(d => d._3 == 2L || d._3 == 3L), "en multiplicity must be 2 or 3")
+    val frac3 = en.count(_._3 == 3L).toDouble / en.length
+    assert(math.abs(frac3 - 0.5) < 0.15, s"en 3-copy fraction $frac3 not ~0.5")
+    assert(perDoc.filter(_._2 == "zh").forall(_._3 == 1L), "zh must appear exactly once")
+    assert(!perDoc.exists(_._2 == "es"), "es (weight 0) must be dropped")
+    val nEs = docs.filter(col("lang") === "es").count()
+    assert(nEs > 0, "fixture must actually contain es docs")
+    // other langs kept at ~40%, one copy each
+    val others = perDoc.filter(d => d._2 != "en" && d._2 != "zh")
+    assert(others.forall(_._3 == 1L))
+    val nOtherTotal = docs.filter(!col("lang").isin("en", "zh", "es")).count()
+    assert(math.abs(others.length.toDouble / nOtherTotal - 0.4) < 0.15)
+    // replica indices are contiguous 0..reps-1; recompute is identical
+    val reps = mixed.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("mix_rep").as("mx"), min("mix_rep").as("mn"))
+    assert(reps.filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0).isEmpty)
+    val again = Sampling.weightedMix(docs, "doc_id", weights)
+    assert(mixed.select("doc_id", "mix_rep").except(again.select("doc_id", "mix_rep")).isEmpty)
+  }
+
   test("chunkDocuments: overlapping windows cover every token; last chunk may be short") {
     val docs = Seq(
       (1L, (1 to 80).map(i => s"t$i").mkString(" ")),  // 80 tokens -> starts 1,25,49,73
