@@ -758,8 +758,8 @@ object AnalyticsQueries {
     Q("exact_quantiles_scalable",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
-        val med = graft.operators.Ranking.exactQuantile(li, "l_extendedprice", 0.5).get
-        val p90 = graft.operators.Ranking.exactQuantile(li, "l_extendedprice", 0.9).get
+        val Seq(med, p90) = graft.operators.Ranking
+          .exactQuantiles(li, "l_extendedprice", Seq(0.5, 0.9)).map(_.get)
         s.range(1).select(lit(med).as("median_price"), lit(p90).as("p90_price"))
       },
       Some("""SELECT quantile_cont(l_extendedprice, 0.5) AS median_price,

@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.job.JobRunner
-import graft.operators.{ErrorPolicy, MappingOp}
+import graft.operators.{ErrorPolicy, MappingOp, Profile}
 import graft.sinks.Writers
 import graft.sources.Readers
 import org.apache.spark.sql.functions._
@@ -145,6 +145,31 @@ object EtlQueries {
              |CAST(s_nationkey AS INTEGER) AS nation_key,
              |CAST(s_acctbal AS DOUBLE) AS balance
              |FROM supplier ORDER BY supp_id""".stripMargin)),
+
+    // ---- column profiling (the pre-mapping data-quality survey):
+    //      per-column null/distinct counts and typed min/max over ONE
+    //      scan, assembled tall via stack. Exact COUNT(DISTINCT) here;
+    //      the operator's approx mode (HLL) is the 100 TB default. ----
+    Q("etl_profile_columns",
+      (s, dir) => Profile.profile(
+          Tables.t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy("col_name"),
+      Some(Seq(
+          ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+          ("c_acctbal", true), ("c_mktsegment", false))
+        .map { case (c, num) =>
+          val (minN, maxN, minS, maxS) =
+            if (num) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |COUNT(*) - COUNT($c) AS n_nulls,
+             |COUNT(DISTINCT $c) AS n_distinct,
+             |$minN AS min_num, $maxN AS max_num,
+             |$minS AS min_str, $maxS AS max_str FROM customer""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
     // ---- ORC source on the gate path: part round-trips through the
     //      Writers ORC sink and back through the Readers ORC scan +

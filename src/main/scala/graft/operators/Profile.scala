@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Column profiling: the data-quality survey an ETL shop runs before
+ * wiring mappings — per column: row/null/distinct counts and min/max.
+ * (Reference parity-plus: its VALIDATE_SOURCE step checks only
+ * readability/row counts — workflowEngine-part1.java:283-303 — while
+ * operators here make the reference's implicit "inspect the source
+ * first" workflow a first-class operator.)
+ *
+ * One pass over the data: every per-column measure is an aggregate of
+ * the SAME scan, assembled into a tall (column, stats) table with a
+ * single `stack`. Numeric min/max surface as DOUBLE, string min/max
+ * as STRING — two typed column pairs instead of one stringly-typed
+ * pair, so no cross-engine number-formatting ambiguity exists.
+ *
+ * Scale: `exact = true` uses COUNT(DISTINCT) — Spark plans multiple
+ * distinct aggregates via Expand (one row replica per distinct
+ * measure), fine into the billions but it IS a multiplied shuffle.
+ * `exact = false` swaps in approx_count_distinct (HLL, 2% default) —
+ * constant-size sketch state per column, the 100 TB default.
+ */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
+    def isNum(c: String): Boolean = schema(c).dataType match {
+      case _: NumericType => true
+      case _              => false
+    }
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val measures: Seq[Column] = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        nd(c).as(s"_nd_$c"),
+        (if (isNum(c)) min(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_minn_$c"),
+        (if (isNum(c)) max(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_maxn_$c"),
+        (if (isNum(c)) lit(null).cast(StringType) else min(col(c)).cast(StringType)).as(s"_mins_$c"),
+        (if (isNum(c)) lit(null).cast(StringType) else max(col(c)).cast(StringType)).as(s"_maxs_$c"))
+    }
+    val wide = df.agg(measures.head, measures.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', _n, _n - _nn_$c, _nd_$c, _minn_$c, _maxn_$c, _mins_$c, _maxs_$c"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"))
+  }
+}

@@ -189,30 +189,56 @@ object Ranking {
    */
   def exactQuantile(df: DataFrame, valueCol: String, q: Double,
                     buckets: Int = 32,
-                    probeLimit: Int = 1 << 20): Option[Double] = {
-    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+                    probeLimit: Int = 1 << 17): Option[Double] =
+    exactQuantiles(df, valueCol, Seq(q), buckets, probeLimit).head
+
+  /**
+   * Multi-quantile form: ALL requested quantiles share one count, one
+   * boundary sample, and one bucket histogram — per extra quantile the
+   * only added work is (at most) one bucket-sized probe. This is the
+   * form a report query should call: q=(0.5, 0.9, 0.99) costs ~5 small
+   * jobs total, not 3x the single-quantile pipeline.
+   */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     buckets: Int = 32,
+                     probeLimit: Int = 1 << 17): Seq[Option[Double]] = {
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), "each q must be in [0, 1]")
+    if (qs.isEmpty) return Seq.empty
     val v = col(valueCol).cast("double")
     val vals = df.filter(v.isNotNull).select(v.as("_v"))
     val n = vals.count()
-    if (n == 0L) return None
-    val pos = (n - 1) * q
-    val lo = math.floor(pos).toLong
-    val frac = pos - lo
-    val vLo = valueAtRank(vals, lo + 1, n, buckets, probeLimit)
-    if (frac == 0.0) Some(vLo)
-    else Some(vLo + frac * (valueAtRank(vals, lo + 2, n, buckets, probeLimit) - vLo))
+    if (n == 0L) return qs.map(_ => None)
+    // each quantile needs rank lo+1 and (when interpolating) lo+2
+    val pos = qs.map(q => (n - 1) * q)
+    val ranks = pos.flatMap { p =>
+      val lo = math.floor(p).toLong
+      if (p - lo == 0.0) Seq(lo + 1) else Seq(lo + 1, lo + 2)
+    }.distinct.sorted
+    val at = valuesAtRanks(vals, ranks, n, buckets, probeLimit)
+    pos.map { p =>
+      val lo = math.floor(p).toLong
+      val frac = p - lo
+      val vLo = at(lo + 1)
+      Some(if (frac == 0.0) vLo else vLo + frac * (at(lo + 2) - vLo))
+    }
   }
 
-  /** `probeLimit`: rows at most this deep get resolved by a single
-    * TakeOrdered; deeper targets re-bucket recursively so no node
-    * ever holds more than this many values. */
-  private def valueAtRank(vals: DataFrame, r: Long, total: Long,
-                          buckets: Int, probeLimit: Int): Double = {
-    if (total <= probeLimit) {
-      // bounded: TakeOrdered keeps r elements, r <= total <= probeLimit
-      return vals.orderBy("_v").limit(java.lang.Math.toIntExact(r))
-        .agg(max("_v")).head().getDouble(0)
+  /** Resolves a SORTED batch of 1-based ranks. `probeLimit`: a slice
+    * at most this large is resolved by ONE bounded sorted collect
+    * (<= probeLimit doubles = 1 MB driver memory at the default);
+    * larger slices re-bucket recursively, and each target bucket is
+    * probed for all its ranks at once — so the job count is
+    * O(log_buckets(n) + distinct target buckets), independent of how
+    * many ranks land together. */
+  private def valuesAtRanks(vals: DataFrame, ranks: Seq[Long], total: Long,
+                            buckets: Int, probeLimit: Int): Map[Long, Double] = {
+    if (ranks.isEmpty) return Map.empty
+    def directProbe(): Map[Long, Double] = {
+      val kmax = java.lang.Math.toIntExact(ranks.max)
+      val arr = vals.orderBy("_v").limit(kmax).collect()
+      ranks.map(r => r -> arr(java.lang.Math.toIntExact(r) - 1).getDouble(0)).toMap
     }
+    if (total <= probeLimit) return directProbe()
     val pcts = (1 until buckets).map(_.toDouble / buckets).toArray
     val bsRow = vals.sample(withReplacement = false, 0.05, seed = 42)
       .agg(percentile_approx(col("_v"), lit(pcts), lit(1000)).as("_bs"))
@@ -225,21 +251,31 @@ object Ranking {
     // bucket histogram: <= `buckets` rows of metadata
     val hist = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1)
-    var cum = 0L
-    val (bkt, before) = hist.collectFirst {
-      case (b, c) if { val hit = cum + c >= r; if (!hit) cum += c; hit } => (b, cum)
-    }.get
-    val inBucket = hist.toMap.apply(bkt)
-    if (inBucket == total) {
+    if (hist.length == 1) {
       // no shrink (degenerate boundaries — e.g. near-constant column):
       // constant bucket resolves exactly; otherwise fall back to the
       // bounded-ish probe rather than recurse forever
       val mm = vals.agg(min("_v"), max("_v")).head()
-      if (mm.getDouble(0) == mm.getDouble(1)) return mm.getDouble(0)
-      return vals.orderBy("_v").limit(java.lang.Math.toIntExact(r))
-        .agg(max("_v")).head().getDouble(0)
+      if (mm.getDouble(0) == mm.getDouble(1))
+        return ranks.map(_ -> mm.getDouble(0)).toMap
+      return directProbe()
     }
-    valueAtRank(bucketed.filter(col("_bkt") === bkt).select("_v"),
-      r - before, inBucket, buckets, probeLimit)
+    // walk the histogram once, grouping ranks into their buckets
+    var cum = 0L
+    var pending = ranks
+    var out = Map.empty[Long, Double]
+    hist.foreach { case (b, c) =>
+      val (inB, rest) = pending.span(_ <= cum + c)
+      if (inB.nonEmpty) {
+        val local = valuesAtRanks(
+          bucketed.filter(col("_bkt") === b).select("_v"),
+          inB.map(_ - cum), c, buckets, probeLimit)
+        val base = cum
+        out ++= inB.map(r => r -> local(r - base))
+      }
+      pending = rest
+      cum += c
+    }
+    out
   }
 }

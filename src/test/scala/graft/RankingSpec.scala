@@ -108,6 +108,17 @@ class RankingSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantiles batch form: one pipeline, same answers as singles") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    // small probeLimit exercises the shared-histogram recursion with
+    // several ranks landing in distinct buckets
+    val batch = Ranking.exactQuantiles(li, "l_extendedprice", qs, probeLimit = 64)
+    val singles = qs.map(q => Ranking.exactQuantile(li, "l_extendedprice", q, probeLimit = 64))
+    assert(batch == singles)
+    assert(Ranking.exactQuantiles(li, "l_extendedprice", Seq.empty).isEmpty)
+  }
+
   test("exactQuantile degenerate inputs: constant column, empty input") {
     import spark.implicits._
     val const = Seq.fill(200)(7.5).toDF("x")
