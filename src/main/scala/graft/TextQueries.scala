@@ -441,6 +441,23 @@ object TextQueries {
              |  FROM tf JOIN df USING (token) CROSS JOIN n)
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // ---- exact heavy hitters via Misra-Gries candidates + bounded
+    //      recount: tokens covering > 2% of all occurrences. The
+    //      sketch (custom TypedImperativeAggregate, <= k-entry state)
+    //      guarantees candidate completeness; the recount shuffles at
+    //      most k keys — never the vocabulary. The oracle computes the
+    //      same set the exhaustive way, pinning exactness. ----
+    Q("token_heavy_hitters",
+      (s, dir) => graft.operators.HeavyHitters.exactHeavyHitters(
+          Tables.t(s, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("token")),
+          col("token"), t = 50, sketchK = Some(128))
+        .orderBy("key"),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |SELECT token AS key, COUNT(*) AS cnt FROM t GROUP BY token
+             |HAVING COUNT(*) * 50 > (SELECT COUNT(*) FROM t)
+             |ORDER BY key""".stripMargin)),
+
     // ---- unigram-LM document scoring: the KenLM-perplexity proxy of
     //      a quality-filter stage. The corpus itself is the language
     //      model (token c/total), each document scores the SUM of its
