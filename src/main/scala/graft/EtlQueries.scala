@@ -146,6 +146,25 @@ object EtlQueries {
              |CAST(s_acctbal AS DOUBLE) AS balance
              |FROM supplier ORDER BY supp_id""".stripMargin)),
 
+    // ---- TIME-of-day cast on the gate (reference Types.TIME,
+    //      JdbcTypeHandler.java:87-92): lenient single-digit "H:m:s"
+    //      inputs normalize to "HH:mm:ss" strings — the portable form
+    //      across file sinks; the oracle derives the same wall-clock
+    //      from the source timestamps directly. ----
+    Q("etl_time_cast",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"),
+            date_format(col("ts"), "H:m:s").as("raw_time"))
+        val mappings = List(
+          FieldMapping("event_id", "event_id", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("raw_time", "event_time", "VARCHAR2", "TIME"))
+        MappingOp(ev, mappings).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS event_time
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- column profiling (the pre-mapping data-quality survey):
     //      per-column null/distinct counts and typed min/max over ONE
     //      scan, assembled tall via stack. Exact COUNT(DISTINCT) here;

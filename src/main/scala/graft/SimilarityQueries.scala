@@ -117,6 +117,54 @@ object SimilarityQueries {
              |SELECT label, c_label AS predicted_label, COUNT(*) AS n
              |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- one Lloyd iteration of k-means (k=8, seeds = vec_id < 8):
+    //      the iterative-ML primitive as a declarative plan. Seeds are
+    //      metadata (k x dims, broadcast); assignment is the same
+    //      exact-integer argmin as the classify query — with
+    //      single-vector seeds the score collapses to ssq - 2*dot,
+    //      pure BIGINT, no float ties; the update step is one groupBy
+    //      producing the new centroids. Each further iteration would
+    //      repeat the same two stages with the new (still metadata-
+    //      sized) centroids. ----
+    Q("kmeans_lloyd_step",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast(ArrayType(DoubleType))).as(Seq("pos", "v")))
+          .withColumn("q", round(col("v") * 1000).cast(LongType))
+        val seeds = d.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("pos"), col("q").as("cq"))
+        val assign = d.join(broadcast(seeds), Seq("pos"))
+          .groupBy(col("vec_id"), col("c_id"))
+          .agg((sum(col("cq") * col("cq")) - lit(2L) * sum(col("q") * col("cq"))).as("score"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(asc("score"), asc("c_id"))))
+          .filter(col("rn") === 1).select("vec_id", "c_id")
+        d.join(assign, "vec_id")
+          .groupBy(col("c_id").as("cluster_id"), col("pos"))
+          .agg((sum("q").cast(DoubleType) / count(lit(1)) / 1000.0).as("new_mean"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster_id", "pos")
+      },
+      Some("""WITH d AS (
+             |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             |         CAST(round(v[i] * 1000) AS BIGINT) AS q
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+             |seeds AS (SELECT vec_id AS c_id, pos, q AS cq FROM d WHERE vec_id < 8),
+             |sc AS (SELECT d.vec_id, s.c_id,
+             |         CAST(SUM(s.cq * s.cq) - 2 * SUM(d.q * s.cq) AS BIGINT) AS score
+             |       FROM d JOIN seeds s USING (pos) GROUP BY 1, 2),
+             |a AS (SELECT vec_id, c_id FROM (
+             |        SELECT vec_id, c_id,
+             |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, c_id) AS rn
+             |        FROM sc) WHERE rn = 1)
+             |SELECT a.c_id AS cluster_id, d.pos,
+             |  CAST(CAST(SUM(d.q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000.0 AS new_mean,
+             |  COUNT(*) AS n_members
+             |FROM d JOIN a USING (vec_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata.
     //      The "decode" stage is a stub (no image/audio libs here);
     //      the Spark-side schema/bytes handling is real. ----
