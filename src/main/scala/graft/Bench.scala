@@ -23,7 +23,10 @@ object Bench {
     "multimodal_features", "pack_sequences", "text_repetition",
     "token_count_bpe",
     "q9_product_profit", "decontaminate_bloom", "window_rank_scalable",
-    "topk_per_group_agg")
+    "topk_per_group_agg",
+    "mix_domains", "score_unigram_logprob", "events_interval_join",
+    "token_heavy_hitters", "kmeans_lloyd_step", "exact_quantiles_scalable",
+    "etl_profile_columns", "etl_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

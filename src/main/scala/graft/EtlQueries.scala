@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.job.JobRunner
-import graft.operators.{ErrorPolicy, MappingOp, Profile}
+import graft.operators.{ErrorPolicy, IncrementalAgg, MappingOp, Profile}
 import graft.sinks.Writers
 import graft.sources.Readers
 import org.apache.spark.sql.functions._
@@ -145,6 +145,29 @@ object EtlQueries {
              |CAST(s_nationkey AS INTEGER) AS nation_key,
              |CAST(s_acctbal AS DOUBLE) AS balance
              |FROM supplier ORDER BY supp_id""".stripMargin)),
+
+    // ---- incremental aggregate maintenance: the materialized summary
+    //      refreshed by MERGING the delta's summary (mergeable
+    //      count/DECIMAL-sum/min/max algebra) — the oracle aggregates
+    //      the full table directly, proving merge == recompute. ----
+    Q("etl_incremental_agg",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val base = o.filter(col("o_orderkey") % 10 =!= 0)   // "yesterday's" summary input
+        val delta = o.filter(col("o_orderkey") % 10 === 0)  // today's append
+        IncrementalAgg.merge(
+            IncrementalAgg.summarize(base, Seq("o_orderstatus"), col("o_totalprice")),
+            IncrementalAgg.summarize(delta, Seq("o_orderstatus"), col("o_totalprice")),
+            Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("agg_cnt").as("n_orders"),
+            col("agg_sum").cast("double").as("total_price"),
+            col("agg_min").as("min_price"), col("agg_max").as("max_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- TIME-of-day cast on the gate (reference Types.TIME,
     //      JdbcTypeHandler.java:87-92): lenient single-digit "H:m:s"

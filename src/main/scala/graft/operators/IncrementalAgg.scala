@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Incremental aggregate maintenance: keep a materialized per-key
+ * summary fresh by MERGING a delta's summary into it, never
+ * recomputing the base. The summary carries only mergeable measures
+ * (count / exact DECIMAL sum / min / max), so
+ *
+ *   summarize(base) ⊕ summarize(delta) == summarize(base ∪ delta)
+ *
+ * holds exactly — the algebra a daily-refresh ETL needs. At 100 TB
+ * the refresh touches |delta| + |summary| rows; the history is never
+ * scanned again. Valid for APPEND deltas: min/max (and count/sum)
+ * merge under inserts only — deletes/updates need a CDC recompute of
+ * the affected keys (see Upsert/cdcApply).
+ */
+object IncrementalAgg {
+
+  /** Raw rows -> mergeable per-key summary. The sum accumulates in
+    * DECIMAL (exact, order-independent) — the engine convention for
+    * money; cast to DOUBLE only at presentation. */
+  def summarize(df: DataFrame, keys: Seq[String], v: Column): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key")
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("agg_cnt"),
+      sum(v.cast(DecimalType(18, 2))).as("agg_sum"),
+      min(v).as("agg_min"),
+      max(v).as("agg_max"))
+  }
+
+  /** Two summaries -> the summary of the union of their inputs. Keys
+    * present in only one side pass through (full outer semantics via
+    * union + re-group). */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b, allowMissingColumns = false)
+      .groupBy(keys.map(col): _*).agg(
+        sum("agg_cnt").as("agg_cnt"),
+        sum("agg_sum").as("agg_sum"),
+        min("agg_min").as("agg_min"),
+        max("agg_max").as("agg_max"))
+}

@@ -423,4 +423,24 @@ class EtlPipelineSpec extends SparkTestBase {
       }
     }
   }
+
+  test("IncrementalAgg: merge of partial summaries equals recompute, incl. one-sided keys") {
+    import graft.operators.IncrementalAgg
+    val o = Tables.t(spark, sf, "orders")
+    // split so at least one grouping key exists only in the delta:
+    // status 'P' rows all land delta-side
+    val base = o.filter(col("o_orderstatus") =!= "P" && col("o_orderkey") % 7 =!= 0)
+    val delta = o.filter(col("o_orderstatus") === "P" || col("o_orderkey") % 7 === 0)
+    assert(base.select("o_orderstatus").distinct().count() <
+      o.select("o_orderstatus").distinct().count(),
+      "fixture must exercise a delta-only key")
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.summarize(base, Seq("o_orderstatus"), col("o_totalprice")),
+      IncrementalAgg.summarize(delta, Seq("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderstatus")).orderBy("o_orderstatus")
+    val full = IncrementalAgg.summarize(o, Seq("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderstatus")
+    // counts/min/max identical; sums identical as exact decimals
+    assert(merged.collect().toSeq.map(_.toSeq) == full.collect().toSeq.map(_.toSeq))
+  }
 }
