@@ -1781,6 +1781,47 @@ object AnalyticsQueries {
              |GROUP BY su.event_id, su.user_id
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- anomaly gate: per-event-type z-score of value, flagging
+    //      |z| > 2.5. Group moments accumulate in exact integer cents
+    //      (sum, sum-of-squares), so mean/std and every z derive from
+    //      identical integers in both engines — no float-summation
+    //      drift. Scale: one groupBy producing |event_type| rows of
+    //      broadcast metadata + one map-side scoring pass. ----
+    Q("events_anomaly_zscore",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+            sum(col("cents") * col("cents")).as("s2"))
+          .filter(col("n") > 1)
+        val mean = col("s1").cast("double") / col("n")
+        val variance = (col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n")) / (col("n") - 1)
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("cents").cast("double") - mean) / sqrt(variance))
+          .filter(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("event_type"),
+            (col("cents").cast("double") / 100.0).as("value"),
+            round(col("z"), 4).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |st AS (SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS s1,
+             |  CAST(SUM(cents * cents) AS BIGINT) AS s2
+             |  FROM e GROUP BY 1 HAVING COUNT(*) > 1),
+             |z AS (SELECT e.event_id, e.event_type,
+             |  CAST(e.cents AS DOUBLE) / 100.0 AS value,
+             |  (CAST(e.cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+             |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             |         / (n - 1)) AS z
+             |  FROM e JOIN st USING (event_type))
+             |SELECT event_id, event_type, value, round(z, 4) AS z
+             |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin)),
+
     // ---- HLL sketch distinct (approximate — no SQL oracle by design;
     //      DedupSimilaritySpec-style tolerance asserted in tests; the
     //      100 TB path for distinct-count audits where exact

@@ -64,12 +64,22 @@ case class FreqSketch(
   /** Keep at most k entries: subtract the (k+1)-th largest count from
     * every entry and drop the non-positive ones. (For the classic
     * one-at-a-time overflow this is exactly "decrement all by the
-    * min"; stated this way it is also the correct MERGE shrink.) */
+    * min"; stated this way it is also the correct MERGE shrink.)
+    * The per-ROW overflow (size == k+1, the update hot path) needs no
+    * sort — the (k+1)-th largest of k+1 values is the min, one O(k)
+    * scan; the general sort runs only on MERGE (once per partial). */
   private def shrink(m: mutable.HashMap[String, Long]): Unit = {
     if (m.size <= k) return
-    val counts = m.values.toArray
-    java.util.Arrays.sort(counts)
-    val d = counts(counts.length - (k + 1)) // (k+1)-th largest
+    val d =
+      if (m.size == k + 1) {
+        var mn = Long.MaxValue
+        m.foreach { case (_, c) => if (c < mn) mn = c }
+        mn
+      } else {
+        val counts = m.values.toArray
+        java.util.Arrays.sort(counts)
+        counts(counts.length - (k + 1)) // (k+1)-th largest
+      }
     m.filterInPlace((_, c) => c > d)
     m.mapValuesInPlace((_, c) => c - d)
   }

@@ -30,6 +30,10 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
+    // names are interpolated into the stack() expression below —
+    // restrict to plain identifiers rather than attempt escaping
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profile needs plain identifier column names, got: $c"))
     def isNum(c: String): Boolean = schema(c).dataType match {
       case _: NumericType => true
       case _              => false

@@ -71,6 +71,18 @@ object ScaleStress {
       c.select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("p"),
         length(col("text")).cast("long").as("q")),
       "p", Seq("q", "doc_id"), buckets = 32, ntiles = Some(10)).count())
+    // Heavy hitters: the candidate set is bounded by the sketch size
+    // whatever the corpus — cost must track corpus ~linearly (two
+    // scans), NEVER the vocabulary (which also grows with replicas'
+    // shifted ids mixed in, keeping distinct-key count growing).
+    docRun("heavyht")(c => graft.operators.HeavyHitters.exactHeavyHitters(
+      c.select(explode(split(col("text"), " ")).as("token")),
+      col("token"), t = 50, sketchK = Some(128)).count())
+    // Weighted mixing: pure map-side replicate/filter — must be ~flat
+    // per input row (no shuffle at all).
+    docRun("mix")(c => graft.operators.Sampling.weightedMix(
+      c.select("doc_id"), "doc_id",
+      weightPermille = when(col("doc_id") % 3 === 0, 2500L).otherwise(400L)).count())
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
