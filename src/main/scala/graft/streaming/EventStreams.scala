@@ -143,6 +143,56 @@ object EventStreams {
       }
   }
 
+  /** Alert emitted the first time a user's cumulative purchase total
+    * crosses the threshold. */
+  final case class QuotaAlert(user_id: Long, total_cents: Long, n_purchases: Long)
+
+  /** Per-user cumulative spend in a `ValueState[(cents, n)]` — the
+    * Spark 4 `transformWithState` arbitrary-state API (the successor
+    * to `mapGroupsWithState`: typed state handles, TTL support,
+    * timers). Alert-once semantics: a row is emitted only on the
+    * batch where the running total first crosses the threshold — the
+    * crossed-flag is implied by the previous total, so state stays one
+    * tuple per user. Requires the RocksDB state store provider (the
+    * only provider transformWithState supports), which is also the
+    * 100 TB posture: state lives off-heap and spills, bounded per key
+    * regardless of event volume. */
+  class QuotaProcessor(thresholdCents: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), QuotaAlert] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var agg: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[QuotaAlert] = {
+      val (c0, n0) = if (agg.exists()) agg.get() else (0L, 0L)
+      var c = c0; var n = n0
+      rows.foreach { case (_, cents) => c += cents; n += 1 }
+      agg.update((c, n))
+      if (c0 < thresholdCents && c >= thresholdCents)
+        Iterator.single(QuotaAlert(user, c, n))
+      else Iterator.empty
+    }
+  }
+
+  /** Purchase-quota gate over the events stream: see [[QuotaProcessor]]. */
+  def quotaAlerts(events: DataFrame, thresholdCents: Long)
+                 (implicit spark: SparkSession): Dataset[QuotaAlert] = {
+    import spark.implicits._
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("user_id").isNotNull && col("cents").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new QuotaProcessor(thresholdCents),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /**
    * Streaming ingestion near-dup gate: arriving documents whose LSH
    * band keys collide with the STATIC corpus sketch

@@ -301,4 +301,35 @@ class StreamingSpec extends SparkTestBase {
     val lateRows = spark.table("t_late").filter(col("event_type") === "late").count()
     assert(lateRows == 0, "event 10h behind the watermark must be dropped")
   }
+
+  test("transformWithState quota gate: alert exactly once, state survives batches") {
+    implicit val s = spark
+    import spark.implicits._
+    // transformWithState supports only the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val events = in.toDF().toDF("user_id", "value")
+        .withColumn("event_type", lit("purchase"))
+      val alerts = EventStreams.quotaAlerts(events, thresholdCents = 10000L)
+      val q = alerts.toDF().writeStream.format("memory").queryName("t_quota")
+        .outputMode(OutputMode.Update()).start()
+      in.addData((1L, 60.0), (2L, 30.0)) // both below 100.00
+      q.processAllAvailable()
+      in.addData((1L, 50.0), (2L, 30.0)) // user 1 crosses at 110.00; user 2 at 60.00
+      q.processAllAvailable()
+      in.addData((1L, 20.0), (2L, 45.0)) // user 1 already alerted; user 2 crosses at 105.00
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_quota")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 11000L, 2L), (2L, 10500L, 3L)),
+        s"expected one alert per user at the crossing batch, got $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
