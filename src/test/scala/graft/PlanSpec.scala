@@ -84,6 +84,48 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
   }
 
+  test("weighted mixing is a shuffle-free replicate-in-place") {
+    import graft.operators.Sampling
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "source")
+    val plan = planString(Sampling.weightedMix(docs, "doc_id",
+      when(col("source") === "src0", 2500L).otherwise(400L)))
+    assert(!plan.contains("Exchange"), s"weightedMix must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "replication should be a per-row generate")
+  }
+
+  test("heavy hitters recount joins a broadcast candidate set (no vocabulary SMJ)") {
+    import graft.operators.HeavyHitters
+    val toks = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val plan = planString(HeavyHitters.exactHeavyHitters(toks, col("token"), t = 50))
+    assert(plan.contains("ObjectHashAggregate"), "sketch must plan via ObjectHashAggregate")
+    assert(plan.contains("BroadcastHashJoin"), "candidates must broadcast back")
+    assert(!plan.contains("SortMergeJoin"), s"no full-vocabulary SMJ expected:\n$plan")
+  }
+
+  test("binned interval join plans as an equi hash join, never nested-loop") {
+    val plan = planString(Queries.queries("events_interval_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bin into an equi join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a keyed join on (user, bin):\n$plan")
+  }
+
+  test("column profiler is one scan wide: a single aggregate subtree, no join") {
+    import graft.operators.Profile
+    val plan = planString(Profile.profile(
+      Tables.t(spark, sf, "customer"),
+      Seq("c_custkey", "c_name", "c_acctbal")))
+    assert(!plan.contains("Join"), s"profiler must not self-join per column:\n$plan")
+    // exact mode uses multi-distinct Expand — visible and documented
+    assert(plan.contains("Expand"), "exact distinct counts plan via Expand")
+    val approx = planString(Profile.profile(
+      Tables.t(spark, sf, "customer"),
+      Seq("c_custkey", "c_name", "c_acctbal"), exact = false))
+    assert(!approx.contains("Expand"),
+      s"HLL mode must not Expand (constant sketch state per column):\n$approx")
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")
