@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCountLess, DotProduct, MinHashBandKeys, RollingHashFingerprint, SimHash64, TopKPairs, WordShingles}
+import graft.functions.{ArrayCountLess, DotProduct, FreqSketch, MinHashBandKeys, RollingHashFingerprint, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -71,6 +71,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "topk_pairs(value, payload, k) takes three arguments")
         TopKPairs(args.head, args(1), intArg(args(2), "k"))
+      }),
+    (new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_sketch(key, k) takes two arguments")
+        FreqSketch(args.head, intArg(args(1), "k"))
       }))
 
   /** Sketch geometry must be fixed at plan time (it defines the

@@ -38,6 +38,12 @@ class OrchestrationSpec extends SparkTestBase {
       "SELECT topk_pairs(v, p, 2) AS t FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS x(v, p)")
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+    // freq_sketch aggregate: MG candidates with the hot key surviving
+    val fs = spark.sql(
+      "SELECT freq_sketch(t, 2) AS s FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS x(t)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(fs.map(_.getString(0)).contains("a"))
+    assert(fs.length <= 2)
     // builder misuse fails loudly: wrong arity, non-literal geometry
     intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").collect())
     intercept[Exception](spark.sql("SELECT word_shingles('a b', 4294967297)").collect())
