@@ -1781,6 +1781,61 @@ object AnalyticsQueries {
              |GROUP BY su.event_id, su.user_id
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- n-step ordered funnel (sequential pattern match): users
+    //      whose event sequence contains signup -> view -> purchase in
+    //      order. The per-user path string is built with ONE ordered
+    //      aggregation (same shape as user_event_paths); the step
+    //      pattern is a regex over it — the MATCH_RECOGNIZE-lite that
+    //      covers most product funnels without a dedicated operator.
+    //      Scale: one groupBy; the pattern test is map-side on
+    //      |users| rows. ----
+    Q("events_funnel_steps",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+        .withColumn("completed",
+          col("path").rlike("signup(>\\w+)*>view(>\\w+)*>purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("completed"), 1L).otherwise(0L)).as("n_completed"))
+        .orderBy("n_users"),
+      Some("""WITH p AS (SELECT user_id,
+             |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |CAST(SUM(CASE WHEN regexp_matches(path,
+             |  'signup(>\w+)*>view(>\w+)*>purchase') THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_completed
+             |FROM p ORDER BY n_users""".stripMargin)),
+
+    // ---- debounce/throttle: keep an event only if the previous event
+    //      of the same (user, type) is more than 10 minutes older —
+    //      the duplicate-burst suppressor in front of metering or
+    //      notification sinks. One lag window per (user, type); at
+    //      scale the key is high-cardinality, so tasks stay uniform. ----
+    Q("events_debounce",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 600L * 1000000L)
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, event_type,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+             |  FROM events)
+             |SELECT event_id, user_id, event_type FROM l
+             |WHERE prev_us IS NULL OR us - prev_us > 600000000
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- anomaly gate: per-event-type z-score of value, flagging
     //      |z| > 2.5. Group moments accumulate in exact integer cents
     //      (sum, sum-of-squares), so mean/std and every z derive from
