@@ -1781,6 +1781,35 @@ object AnalyticsQueries {
              |GROUP BY su.event_id, su.user_id
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- equi-width histogram (the dashboard distribution shape):
+    //      20 bins over [min, max] of purchase value, entirely in
+    //      integer cents — bin = (v - lo) * 20 div (hi - lo + 1), the
+    //      same integers in both engines, no float edges. Scale: the
+    //      min/max row is metadata (broadcast); binning is map-side;
+    //      one 20-row aggregate. ----
+    Q("events_value_histogram",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(round(col("value") * 100).cast("long").as("cents"))
+        val mm = ev.agg(min("cents").as("lo"), max("cents").as("hi"))
+        ev.crossJoin(broadcast(mm))
+          .withColumn("bin", expr("(cents - lo) * 20 div (hi - lo + 1)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            (min("cents").cast("double") / 100.0).as("bin_min_value"),
+            (max("cents").cast("double") / 100.0).as("bin_max_value"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM e)
+             |SELECT CAST((cents - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bin,
+             |  COUNT(*) AS n,
+             |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS bin_min_value,
+             |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS bin_max_value
+             |FROM e, mm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- n-step ordered funnel (sequential pattern match): users
     //      whose event sequence contains signup -> view -> purchase in
     //      order. The per-user path string is built with ONE ordered
