@@ -184,6 +184,24 @@ object JobRunner {
             if (missing.nonEmpty)
               throw new ErrorPolicy.JobFailedException(s"VALIDATE_SOURCE: missing columns ${missing.mkString(",")}")
             stepsRun ::= step
+          case "PROFILE_SOURCE" =>
+            // data-quality survey of the mapped source columns (HLL
+            // distinct — the scale-safe mode). The report is metadata
+            // (one row per column): written next to a file destination
+            // as <path>_profile, else logged.
+            val df = Readers.forConfig(spark, cfg.source, cfg.mappings)
+            val mapped = cfg.mappings.map(_.sourceFieldName)
+              .filter(df.schema.fieldNames.contains)
+            val cols = if (mapped.nonEmpty) mapped else df.schema.fieldNames.toSeq
+            val prof = graft.operators.Profile.profile(df, cols, exact = false)
+            cfg.destination.flatMap(_.connectionDetails.pathOrFile) match {
+              case Some(p) =>
+                prof.coalesce(1).write.mode("overwrite")
+                  .parquet(s"${p.stripSuffix("/")}_profile")
+              case None =>
+                prof.collect().foreach(r => System.err.println(s"[graft-job] profile $r"))
+            }
+            stepsRun ::= step
           case "TRUNCATE_DESTINATION" =>
             // File sinks: truncation is the overwrite mode of the LOAD
             // write itself. JDBC sinks: eager TRUNCATE TABLE on the

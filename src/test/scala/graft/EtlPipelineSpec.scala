@@ -174,6 +174,29 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("PROFILE_SOURCE step writes the column survey next to the destination") {
+    val out = tmpDir("job_prof")
+    val cfg = JobConfig(
+      jobId = "tprof",
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$sf/customer.parquet"))),
+      destination = Some(DestinationConfig("PARQUET",
+        ConnectionDetails(path = Some(s"$out/dest")))),
+      mappings = List(
+        FieldMapping("c_custkey", "id", destFieldType = "LONG", isDestNullable = false),
+        FieldMapping("c_acctbal", "balance", destFieldType = "DOUBLE"),
+        FieldMapping("c_mktsegment", "segment", destFieldType = "STRING")),
+      steps = List("PROFILE_SOURCE", "LOAD"))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(res.stepsRun.head == "PROFILE_SOURCE")
+    val prof = spark.read.parquet(s"$out/dest_profile")
+    val rows = prof.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("c_custkey", "c_acctbal", "c_mktsegment"),
+      s"profile must cover exactly the mapped source columns, got ${rows.keySet}")
+    val n = Tables.t(spark, sf, "customer").count()
+    assert(rows.values.forall(_ == n), "n_rows must equal the source row count")
+  }
+
   test("upsert: version ties resolve to the update side; applyBatch agrees when updates are newer") {
     val existing = Seq((1L, "old", 5L), (2L, "keep", 5L)).toDF("k", "v", "ver")
     val updates = Seq((1L, "new", 5L)).toDF("k", "v", "ver") // SAME version
