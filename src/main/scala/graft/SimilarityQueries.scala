@@ -253,6 +253,27 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- PQ ANN (the memory-bounded serving shape): codebooks are
+    //      driver metadata, vectors compress to m=8 codes (32x), the
+    //      ADC shortlist scans ONLY codes, and the exact re-rank
+    //      touches just k*8 vectors. Approximate by design -> rows
+    //      only; PqSpec pins zero-error exactness, determinism, and
+    //      rerank recall vs exact L2. ----
+    Q("sim_pq_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val cb = graft.operators.Similarity.trainPqCodebooks(
+          emb, "vec_id", "e", dim = 64, m = 8, k = 16)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("e").collect()(0).getSeq[Double](0).toArray // 1 vector: metadata
+        graft.operators.Similarity.pqTopK(
+            graft.operators.Similarity.pqEncode(emb.filter(col("vec_id") =!= 0), "e", cb),
+            probe, cb, k = 10, rerankVecCol = Some("e"))
+          .select("vec_id", "label", "adc_dist", "l2_dist")
+      },
+      None),
+
     // ---- embedding near-duplicate pairs, exact all-pairs form.
     //      Threshold 0.4 because this synthetic corpus has no truly
     //      near-identical vectors (max pair cosine ~0.51) — at a real

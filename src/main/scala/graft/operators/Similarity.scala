@@ -175,6 +175,124 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Product quantization (PQ): compress each vector to `m` small codes
+   * (one per subspace) so the ANN index of a 100 TB corpus fits a
+   * fraction of the memory — 64 float dims (256 B) become 8 codes
+   * (8 B) at m=8. Codebooks are trained DRIVER-SIDE on a deterministic
+   * hash-ordered sample with a few Lloyd iterations — metadata
+   * (m x k x dim/m doubles), the same contract as IVF centroids; no
+   * RNG anywhere, so train/encode/query reproduce bit-identically.
+   */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8, k: Int = 16, iters: Int = 5,
+                       sampleN: Int = 2048): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("_id"), col(vecCol).cast(ArrayType(DoubleType)).as("_v"))
+      .orderBy(abs(xxhash64(col("_id"))), col("_id"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // deterministic init: first k DISTINCT subvectors in sample order
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      pts.iterator.takeWhile(_ => init.length < k).foreach { p =>
+        if (seen.add(p.toSeq)) init += p.clone()
+      }
+      var cents = init.toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+        s
+      }
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val dd = d2(p, cents(c)); if (dd < bd) { bd = dd; best = c }; c += 1
+          }
+          counts(best) += 1
+          var i = 0; while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** Encode vectors to their per-subspace nearest-code indices: one
+    * map-side pass, codebooks baked into the plan as literals. The
+    * argmin is an `array_min` over (dist, code) structs — ties break
+    * on the lower code, deterministically. Output adds `pq_code`
+    * (array<int>, length m). */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    def subDist(j: Int, c: Int): Column =
+      (0 until sub).map { d =>
+        val x = element_at(v, j * sub + d + 1) - lit(codebooks(j)(c)(d))
+        x * x
+      }.reduce(_ + _)
+    def subCode(j: Int): Column =
+      array_min(array(codebooks(j).indices.map(c =>
+        struct(subDist(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+    df.withColumn("pq_code", array((0 until m).map(subCode): _*))
+  }
+
+  /** ADC (asymmetric distance) top-k: the probe's per-(subspace, code)
+    * distance table is computed once (m x k doubles, baked as plan
+    * literals); each encoded row scores with m lookups + adds — no
+    * vector arithmetic at query time, and only the 8-byte codes ever
+    * scan. Approximate by design (quantization error): rows-only at
+    * the gate, recall + zero-error exactness pinned in PqSpec. */
+  def pqTopK(encoded: DataFrame, probe: Array[Double],
+             codebooks: Array[Array[Array[Double]]], k: Int,
+             idCol: String = "vec_id",
+             rerankVecCol: Option[String] = None,
+             shortlistFactor: Int = 8): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val dtable: Array[Array[Double]] = Array.tabulate(m) { j =>
+      codebooks(j).map { cent =>
+        var s = 0.0; var i = 0
+        while (i < sub) { val x = probe(j * sub + i) - cent(i); s += x * x; i += 1 }
+        s
+      }
+    }
+    val score = (0 until m).map { j =>
+      element_at(array(dtable(j).map(lit): _*),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val byAdc = encoded.withColumn("adc_dist", score)
+    rerankVecCol match {
+      case None =>
+        byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(k)
+      case Some(vc) =>
+        // shortlist by ADC (codes-only scan), exact re-rank only the
+        // k*shortlistFactor survivors — the standard PQ serving shape:
+        // quantization error decides the SHORTLIST, never the ranking.
+        val v = col(vc).cast(ArrayType(DoubleType))
+        val probeLit = array(probe.map(lit): _*)
+        val pNorm2 = probe.map(x => x * x).sum
+        val exact = dot(v, v) - lit(2.0) * dot(v, probeLit) + lit(pNorm2)
+        byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(k * shortlistFactor)
+          .withColumn("l2_dist", exact)
+          .orderBy(asc("l2_dist"), asc(idCol)).limit(k)
+    }
+  }
+
   /** All near-duplicate embedding pairs (cosine >= threshold) via
     * signature-bucket candidates + exact verify — the embedding
     * analog of MinHash near-dup. Buckets on 4-bit signature chunks
