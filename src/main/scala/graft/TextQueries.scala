@@ -441,6 +441,39 @@ object TextQueries {
              |  FROM tf JOIN df USING (token) CROSS JOIN n)
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // ---- URL parsing (the web-corpus provenance step): the corpus
+    //      has no URL column, so the query plants deterministic
+    //      source URLs per doc (same move as pii_scrub) and extracts
+    //      host / path / query-param via Spark's parse_url —
+    //      cell-compared against a regex oracle, which pins
+    //      parse_url's semantics externally. Domain-level counts are
+    //      the blocklist-filter shape. ----
+    Q("url_domain_stats",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://host"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("path", parse_url(col("url"), lit("PATH")))
+        .withColumn("qlang", parse_url(col("url"), lit("QUERY"), lit("lang")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("qlang").as("n_langs"),
+          min("path").as("first_path"))
+        .orderBy("host"),
+      Some("""WITH u AS (SELECT doc_id, lang,
+             |  'https://host' || CAST(doc_id % 50 AS VARCHAR) ||
+             |  '.example.com/docs/' || CAST(doc_id AS VARCHAR) ||
+             |  '?lang=' || lang AS url FROM documents),
+             |p AS (SELECT
+             |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+             |  regexp_extract(url, 'lang=(\w+)', 1) AS qlang FROM u)
+             |SELECT host, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT qlang) AS n_langs, MIN(path) AS first_path
+             |FROM p GROUP BY host ORDER BY host""".stripMargin)),
+
     // ---- exact heavy hitters via Misra-Gries candidates + bounded
     //      recount: tokens covering > 2% of all occurrences. The
     //      sketch (custom TypedImperativeAggregate, <= k-entry state)
