@@ -235,6 +235,29 @@ object EtlQueries {
              |CAST(p_retailprice AS DOUBLE) AS retail_price
              |FROM part ORDER BY part_id""".stripMargin)),
 
+    // ---- XML source on the gate path (Spark 4 native XML): nation
+    //      round-trips through the Writers XML sink (rowTag from the
+    //      tableName knob) and back with a DECLARED all-string schema,
+    //      casting in the mapping stage like the JSON path. ----
+    Q("etl_xml_source",
+      (s, dir) => {
+        val fix = s"/tmp/graft_fix_xml_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Writers.write(
+          Tables.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+          DestinationConfig("XML", ConnectionDetails(
+            path = Some(fix), tableName = Some("nation"))))
+        val mappings = List(
+          FieldMapping("n_nationkey", "nation_key", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("n_name", "nation_name", "VARCHAR2", "STRING"),
+          FieldMapping("n_regionkey", "region_key", "NUMBER", "INTEGER"))
+        val cfg = SourceConfig("XML", ConnectionDetails(
+          path = Some(fix), tableName = Some("nation")))
+        MappingOp(Readers.forConfig(s, cfg, mappings), mappings).orderBy("nation_key")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS nation_name,
+             |CAST(n_regionkey AS INTEGER) AS region_key
+             |FROM nation ORDER BY nation_key""".stripMargin)),
+
     // ---- fixed-width source on the gate path (S8): nation formatted
     //      into a padded fixed-layout text fixture, loaded back through
     //      the DataSource V2 connector + MappingOp casts. ----

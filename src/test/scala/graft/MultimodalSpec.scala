@@ -44,4 +44,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.media_id).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(out.find(_.media_id == 3L).get.n_bytes == 0)
   }
+
+  test("binaryFile ingest: raw file dump becomes typed MediaRows, glob filters modality") {
+    val dir = tmpDir("media_dump")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.img"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.img"),
+      Array[Byte](5, 6))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/skip.wav"),
+      Array[Byte](9))
+    val rows = Multimodal.readMediaDir(spark, dir, "image", glob = Some("*.img"))
+      .collect().sortBy(_.media_id)
+    assert(rows.length == 2, "glob must exclude the .wav file")
+    assert(rows.forall(_.modality == "image"))
+    assert(rows.map(_.payload.length).sorted.toSeq == Seq(2, 4))
+    assert(rows.map(_.media_id).distinct.length == 2, "path-hash ids must be distinct")
+    // the feature stage runs unchanged on file-ingested rows
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readMediaDir(spark, dir, "image", Some("*.img"))).collect()
+    assert(feats.map(_.n_bytes).sorted.toSeq == Seq(2, 4))
+  }
 }
