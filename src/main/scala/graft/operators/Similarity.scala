@@ -293,6 +293,51 @@ object Similarity {
     }
   }
 
+  /** Batch multi-probe PQ serving (the RAG-eval shape over the
+    * compressed index): every probe scores every CODE row via decoded
+    * centroids (codebooks are 2D plan literals — m lookups + one
+    * small fold per (row, probe)); a per-probe window shortlists by
+    * ADC, and only `k * shortlistFactor` survivors per probe touch
+    * the real vectors for the exact re-rank. The full-precision
+    * corpus is read once for the survivors; the scan that does the
+    * work is 8-byte codes x probes. */
+  def pqBatchTopK(encoded: DataFrame, probes: DataFrame,
+                  codebooks: Array[Array[Array[Double]]], k: Int,
+                  idCol: String = "vec_id", probeIdCol: String = "probe_id",
+                  rerankVecCol: Option[String] = None,
+                  shortlistFactor: Int = 8): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def cbLit(j: Int): Column =
+      array(codebooks(j).map(cent => array(cent.map(lit): _*)): _*)
+    val adc = (0 until m).map { j =>
+      val decoded = element_at(cbLit(j), element_at(col("pq_code"), j + 1) + 1)
+      val probeSub = slice(col("probe_e"), j * sub + 1, sub)
+      aggregate(zip_with(decoded, probeSub, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(asc("adc_dist"), asc(idCol))
+    val shortlisted = encoded.crossJoin(broadcast(probes))
+      .withColumn("adc_dist", adc)
+      .withColumn("_rk", row_number().over(wAdc))
+      .filter(col("_rk") <= k * (rerankVecCol.fold(1)(_ => shortlistFactor)))
+      .drop("_rk")
+    rerankVecCol match {
+      case None => shortlisted.drop("probe_e")
+      case Some(vc) =>
+        val v = col(vc).cast(ArrayType(DoubleType))
+        val exact = dot(v, v) - lit(2.0) * dot(v, col("probe_e")) +
+          dot(col("probe_e"), col("probe_e"))
+        val wExact = org.apache.spark.sql.expressions.Window
+          .partitionBy(probeIdCol).orderBy(asc("l2_dist"), asc(idCol))
+        shortlisted.withColumn("l2_dist", exact)
+          .withColumn("_rk", row_number().over(wExact))
+          .filter(col("_rk") <= k)
+          .drop("_rk", "probe_e")
+    }
+  }
+
   /** All near-duplicate embedding pairs (cosine >= threshold) via
     * signature-bucket candidates + exact verify — the embedding
     * analog of MinHash near-dup. Buckets on 4-bit signature chunks

@@ -44,6 +44,29 @@ class PqSpec extends SparkTestBase {
     assert(codes == again)
   }
 
+  test("batch multi-probe PQ agrees with the single-probe path") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "e", dim = 64, m = 8, k = 16)
+    val enc = Similarity.pqEncode(emb, "e", cb)
+    val probeIds = Seq(0L, 7L, 42L)
+    val probes = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val batch = Similarity.pqBatchTopK(enc, probes, cb, k = 5,
+        rerankVecCol = Some("e"))
+      .select("probe_id", "vec_id", "l2_dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._2).toSeq }
+    probeIds.foreach { p =>
+      val probe = emb.filter(col("vec_id") === p)
+        .select("e").collect()(0).getSeq[Double](0).toArray
+      val single = Similarity.pqTopK(enc, probe, cb, k = 5, rerankVecCol = Some("e"))
+        .select("vec_id", "l2_dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2).toSeq
+      assert(batch(p) == single, s"probe $p: batch ${batch(p)} != single $single")
+    }
+  }
+
   test("recall@10 vs exact L2 on the embeddings corpus") {
     val emb = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
