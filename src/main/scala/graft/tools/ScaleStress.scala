@@ -83,6 +83,28 @@ object ScaleStress {
     docRun("mix")(c => graft.operators.Sampling.weightedMix(
       c.select("doc_id"), "doc_id",
       weightPermille = when(col("doc_id") % 3 === 0, 2500L).otherwise(400L)).count())
+    // PQ serving: codebooks train ONCE on a fixed-size sample
+    // (constant cost); encode + ADC shortlist + re-rank must track the
+    // corpus ~linearly with the scan being 8-byte codes.
+    locally {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val cb = graft.operators.Similarity.trainPqCodebooks(emb0, "vec_id", "e", dim = 64)
+      val probe = emb0.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1).toArray
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val out = graft.operators.Similarity.pqTopK(
+          graft.operators.Similarity.pqEncode(corpus, "e", cb),
+          probe, cb, k = 10, rerankVecCol = Some("e")).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE pq      m=$m%2d vecs=$n%7d out=$out%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
