@@ -293,6 +293,28 @@ object Similarity {
     }
   }
 
+  /** Persist codebooks next to the encoded corpus (build once, serve
+    * many): one row per (subspace, code) with its centroid — readable
+    * by any engine, versioned with the data it encodes. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "code", "centroid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }
+  }
+
   /** Batch multi-probe PQ serving (the RAG-eval shape over the
     * compressed index): every probe scores every CODE row via decoded
     * centroids (codebooks are 2D plan literals — m lookups + one

@@ -44,6 +44,19 @@ class PqSpec extends SparkTestBase {
     assert(codes == again)
   }
 
+  test("codebooks round-trip through parquet bit-identically") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "e", dim = 64, m = 8, k = 16)
+    val path = s"${tmpDir("pq_cb")}/codebooks"
+    Similarity.savePqCodebooks(spark, cb, path)
+    val back = Similarity.loadPqCodebooks(spark, path)
+    assert(cb.length == back.length)
+    cb.indices.foreach { j =>
+      assert(cb(j).map(_.toSeq).toSeq == back(j).map(_.toSeq).toSeq, s"subspace $j differs")
+    }
+  }
+
   test("batch multi-probe PQ agrees with the single-probe path") {
     val emb = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
