@@ -113,11 +113,19 @@ case class FreqSketch(
     })
   }
 
+  // Length-prefixed UTF-8, not writeUTF: modified-UTF8 caps a key at
+  // 65535 encoded bytes and THROWS past it, and this aggregate is
+  // SQL-registered over arbitrary string columns.
   override def serialize(m: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(16 + m.size * 24)
     val out = new DataOutputStream(bos)
     out.writeInt(m.size)
-    m.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    m.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -127,7 +135,13 @@ case class FreqSketch(
     val n = in.readInt()
     val m = createAggregationBuffer()
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -115,15 +115,18 @@ object Multimodal {
     * one MediaRow: media_id from a stable hash of its path (collision
     * odds ~n²/2⁶⁴ — dedupe by path upstream if exactness matters),
     * payload = file bytes. `pathGlobFilter` selects the modality's
-    * extensions; `maxBytesPerFile` guards against a stray multi-GB
-    * object poisoning a task. */
+    * extensions; `maxBytes` filters on the source's `length` metadata
+    * column BEFORE the content is deserialized, so a stray multi-GB
+    * object is skipped rather than poisoning a task. */
   def readMediaDir(spark: SparkSession, dir: String, modality: String,
-                   glob: Option[String] = None): Dataset[MediaRow] = {
+                   glob: Option[String] = None,
+                   maxBytes: Option[Long] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    glob.foldLeft(spark.read.format("binaryFile")) {
+    val raw = glob.foldLeft(spark.read.format("binaryFile")) {
         (r, g) => r.option("pathGlobFilter", g)
       }
       .load(dir)
+    maxBytes.foldLeft(raw)((df, mb) => df.filter(col("length") <= mb))
       .select(xxhash64(col("path")).as("media_id"),
         lit(modality).as("modality"),
         col("content").as("payload"))

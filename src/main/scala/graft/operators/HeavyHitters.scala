@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
  *
  * Output: (key, cnt) EXACT for every key with cnt * t > n; nothing
  * else. Two scans of the input, zero full-cardinality shuffles.
+ *
+ * Null keys are excluded from BOTH the candidates and the denominator
+ * n — semantics match `groupBy(key).count()` over the non-null rows
+ * (the sketch cannot represent null, so counting nulls into n would
+ * silently raise the bar for real keys instead).
  */
 object HeavyHitters {
 
@@ -32,7 +37,7 @@ object HeavyHitters {
     val k = sketchK.getOrElse(2 * t)
     require(k + 1 >= t, s"sketch size $k too small for threshold n/$t — " +
       "completeness needs k+1 >= t")
-    val base = df.select(key.cast("string").as("key"))
+    val base = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
     val cands = base
       .agg(graft.functions.FreqAgg.freqSketch(col("key"), k).as("c"))
       .select(explode(col("c")).as("e"))

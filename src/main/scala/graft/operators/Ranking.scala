@@ -233,49 +233,69 @@ object Ranking {
   private def valuesAtRanks(vals: DataFrame, ranks: Seq[Long], total: Long,
                             buckets: Int, probeLimit: Int): Map[Long, Double] = {
     if (ranks.isEmpty) return Map.empty
-    def directProbe(): Map[Long, Double] = {
+    if (total <= probeLimit) {
+      // bounded: total (hence every rank) fits Int and <= probeLimit
       val kmax = java.lang.Math.toIntExact(ranks.max)
       val arr = vals.orderBy("_v").limit(kmax).collect()
-      ranks.map(r => r -> arr(java.lang.Math.toIntExact(r) - 1).getDouble(0)).toMap
+      return ranks.map(r => r -> arr(java.lang.Math.toIntExact(r) - 1).getDouble(0)).toMap
     }
-    if (total <= probeLimit) return directProbe()
+    // bucket on the given boundaries and recurse per target bucket;
+    // None when everything landed in one bucket (no shrink)
+    def walk(bs: Seq[Double]): Option[Map[Long, Double]] = {
+      val bucketed = vals.withColumn("_bkt",
+        if (bs.isEmpty) lit(0)
+        else graft.functions.ArrayCountLess.countLess(lit(bs.toArray), col("_v")))
+      // bucket histogram: <= `buckets` rows of metadata
+      val hist = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1)
+      if (hist.length <= 1) return None
+      // walk the histogram once, grouping ranks into their buckets
+      var cum = 0L
+      var pending = ranks
+      var out = Map.empty[Long, Double]
+      hist.foreach { case (b, c) =>
+        val (inB, rest) = pending.span(_ <= cum + c)
+        if (inB.nonEmpty) {
+          val local = valuesAtRanks(
+            bucketed.filter(col("_bkt") === b).select("_v"),
+            inB.map(_ - cum), c, buckets, probeLimit)
+          val base = cum
+          out ++= inB.map(r => r -> local(r - base))
+        }
+        pending = rest
+        cum += c
+      }
+      Some(out)
+    }
     val pcts = (1 until buckets).map(_.toDouble / buckets).toArray
     val bsRow = vals.sample(withReplacement = false, 0.05, seed = 42)
       .agg(percentile_approx(col("_v"), lit(pcts), lit(1000)).as("_bs"))
       .head()
-    val bs: Seq[Double] =
+    val sampled: Seq[Double] =
       if (bsRow.isNullAt(0)) Seq.empty else bsRow.getSeq[Double](0).distinct
-    val bucketed = vals.withColumn("_bkt",
-      if (bs.isEmpty) lit(0)
-      else graft.functions.ArrayCountLess.countLess(lit(bs.toArray), col("_v")))
-    // bucket histogram: <= `buckets` rows of metadata
-    val hist = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
-      .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1)
-    if (hist.length == 1) {
-      // no shrink (degenerate boundaries — e.g. near-constant column):
-      // constant bucket resolves exactly; otherwise fall back to the
-      // bounded-ish probe rather than recurse forever
+    walk(sampled).getOrElse {
+      // degenerate: the SAMPLED boundaries collapsed. Re-bucket on exact
+      // min/max instead of collecting — a stray directProbe here would
+      // pull up to ranks.max rows to the driver, unbounded.
       val mm = vals.agg(min("_v"), max("_v")).head()
-      if (mm.getDouble(0) == mm.getDouble(1))
-        return ranks.map(_ -> mm.getDouble(0)).toMap
-      return directProbe()
-    }
-    // walk the histogram once, grouping ranks into their buckets
-    var cum = 0L
-    var pending = ranks
-    var out = Map.empty[Long, Double]
-    hist.foreach { case (b, c) =>
-      val (inB, rest) = pending.span(_ <= cum + c)
-      if (inB.nonEmpty) {
-        val local = valuesAtRanks(
-          bucketed.filter(col("_bkt") === b).select("_v"),
-          inB.map(_ - cum), c, buckets, probeLimit)
-        val base = cum
-        out ++= inB.map(r => r -> local(r - base))
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      if (lo == hi) ranks.map(_ -> lo).toMap
+      else {
+        // equi-width boundaries strictly inside (lo, hi): lo lands in
+        // bucket 0 and hi in a later bucket, so walk() is guaranteed
+        // >= 2 buckets and the recursion strictly shrinks.
+        // step computed overflow-safe (hi - lo may exceed MaxValue).
+        val step = hi / buckets - lo / buckets
+        val exact = (1 until buckets).map(i => lo + i * step)
+          .filter(b => b > lo && b < hi).distinct
+        if (exact.nonEmpty) walk(exact).get
+        else {
+          // lo and hi are adjacent doubles — only two distinct values
+          // remain; one bounded count resolves every rank
+          val nLo = vals.filter(col("_v") === lo).count()
+          ranks.map(r => r -> (if (r <= nLo) lo else hi)).toMap
+        }
       }
-      pending = rest
-      cum += c
     }
-    out
   }
 }

@@ -127,6 +127,23 @@ class RankingSpec extends SparkTestBase {
     assert(Ranking.exactQuantile(empty, "x", 0.5).isEmpty)
   }
 
+  test("exactQuantile near-constant column: collapsed sample boundaries stay bounded") {
+    import spark.implicits._
+    // one 7.5 + 500 copies of 7.6: the 5% boundary sample almost surely
+    // sees only 7.6, so every sampled boundary >= max → single bucket →
+    // the fallback must re-bucket on exact min/max (never collect the
+    // data to the driver) and still be exact.
+    val df = (7.5 +: Seq.fill(500)(7.6)).toDF("x")
+    assert(Ranking.exactQuantile(df, "x", 0.0, probeLimit = 16).contains(7.5))
+    assert(Ranking.exactQuantile(df, "x", 0.5, probeLimit = 16).contains(7.6))
+    // adjacent-doubles variant: no representable boundary fits strictly
+    // between lo and hi → the two-value count path resolves it
+    val hi = java.lang.Math.nextUp(7.5)
+    val two = (7.5 +: Seq.fill(500)(hi)).toDF("x")
+    assert(Ranking.exactQuantile(two, "x", 0.0, probeLimit = 16).contains(7.5))
+    assert(Ranking.exactQuantile(two, "x", 1.0, probeLimit = 16).contains(hi))
+  }
+
   test("ntile exact-size contract on a known distribution") {
     import spark.implicits._
     // 10 rows, 4 tiles -> sizes 3,3,2,2
