@@ -213,6 +213,56 @@ object EtlQueries {
              |$minS AS min_str, $maxS AS max_str FROM customer""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
+    // ---- LIVE JDBC round-trip (S1/S3/S4 + W1): the reference's core
+    //      identity — a database-to-database load — executing against
+    //      a real embedded Derby database (the derby jars ship with
+    //      Spark). A mapped/cast subset of orders goes OUT through the
+    //      W1 batch-insert sink (batchsize, truncate-in-place,
+    //      VARCHAR DDL override — Derby's default CLOB mapping is not
+    //      comparable server-side), then comes BACK through the
+    //      partitioned JDBC scan (4 stride cursors = the docx §4
+    //      paging reader) with a predicate that Catalyst pushes into
+    //      the database's WHERE clause (PlanSpec asserts it). The
+    //      oracle runs the same transform over the original parquet —
+    //      green means the full write+read+cast+pushdown path is
+    //      value-preserving through a real DBMS. ----
+    Q("etl_jdbc_roundtrip",
+      (s, dir) => {
+        // keep Derby's home (derby.log, lock bookkeeping) out of the repo
+        if (System.getProperty("derby.system.home") == null) {
+          new java.io.File("/tmp/graft_derby_home").mkdirs()
+          System.setProperty("derby.system.home", "/tmp/graft_derby_home")
+        }
+        val url = s"jdbc:derby:/tmp/graft_fix_derby_${java.lang.Integer.toHexString(dir.hashCode)}/db;create=true"
+        val mappings = List(
+          FieldMapping("o_orderkey", "order_id", "NUMBER", "LONG", isDestNullable = false),
+          FieldMapping("o_custkey", "cust_id", "NUMBER", "LONG"),
+          FieldMapping("o_orderstatus", "status", "VARCHAR2", "STRING"),
+          FieldMapping("o_totalprice", "total", "NUMBER", "DOUBLE"),
+          FieldMapping("o_orderdate", "order_date", "DATE", "DATE"))
+        Writers.write(
+          MappingOp(Tables.t(s, dir, "orders"), mappings),
+          DestinationConfig("JDBC", ConnectionDetails(
+            jdbcUrl = Some(url), tableName = Some("ORDERS_RT"),
+            createTableColumnTypes = Some("status VARCHAR(1)")), batchSize = 500))
+        // bounds are a parallelism hint, not a filter: rows outside
+        // land in the first/last stride partition (Spark contract)
+        val cfg = SourceConfig("JDBC", ConnectionDetails(
+          jdbcUrl = Some(url), tableName = Some("ORDERS_RT"),
+          fetchSize = Some(1000),
+          partitionColumn = Some("order_id"), numPartitions = Some(4),
+          lowerBound = Some(1L), upperBound = Some(60000L)))
+        Readers.jdbc(s, cfg)
+          .filter(col("total") > 100000.0 && col("status") === "F")
+          .select("order_id", "cust_id", "status", "total", "order_date")
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+             |o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total,
+             |CAST(o_orderdate AS DATE) AS order_date FROM orders
+             |WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+             |ORDER BY order_id""".stripMargin)),
+
     // ---- ORC source on the gate path: part round-trips through the
     //      Writers ORC sink and back through the Readers ORC scan +
     //      MappingOp. Columnar parity with parquet — pruning, stripe

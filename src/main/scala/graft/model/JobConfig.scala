@@ -41,7 +41,11 @@ final case class ConnectionDetails(
     startingOffsets: Option[String] = None,  // see Readers.kafkaOptions)
     partitionKeys: List[String] = Nil,       // hive-layout file-sink partitioning
     sortKeys: List[String] = Nil,            // sort-within-partitions before write
-    maxRecordsPerFile: Option[Long] = None   // bound output file size
+    maxRecordsPerFile: Option[Long] = None,  // bound output file size
+    // JDBC sink DDL override, e.g. "status VARCHAR(1), note VARCHAR(64)".
+    // Some dialects map StringType to a LOB by default (Derby: CLOB),
+    // which then cannot be compared/indexed server-side.
+    createTableColumnTypes: Option[String] = None
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -170,7 +174,8 @@ object JobConfig {
       startingOffsets = optText(n, "startingOffsets"),
       partitionKeys = strList(n, "partitionKeys", "partitionBy"),
       sortKeys = strList(n, "sortKeys", "sortBy"),
-      maxRecordsPerFile = optLong(n, "maxRecordsPerFile")
+      maxRecordsPerFile = optLong(n, "maxRecordsPerFile"),
+      createTableColumnTypes = optText(n, "createTableColumnTypes")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping = {

@@ -76,6 +76,10 @@ object Writers {
         c.username.foreach(props.setProperty("user", _))
         graft.sources.Readers.resolvePassword(c).foreach(props.setProperty("password", _))
         props.setProperty("batchsize", dest.batchSize.toString) // W1 chunk knob
+        // DDL override for first creation — e.g. VARCHAR instead of a
+        // dialect's default LOB mapping (Derby CLOB is not comparable
+        // server-side, which would break read-back predicate pushdown)
+        c.createTableColumnTypes.foreach(props.setProperty("createTableColumnTypes", _))
         // overwrite must TRUNCATE in place, not drop-and-recreate:
         // Spark's default overwrite drops the table and re-infers DDL,
         // destroying indexes/constraints/grants (and making the

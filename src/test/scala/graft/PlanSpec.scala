@@ -25,6 +25,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("o_orderpriority"), "unpruned column read from parquet")
   }
 
+  test("JDBC round-trip pushes its predicate into the database scan (S1/S3/S4)") {
+    // runs the real Derby write+read: the filter must reach the JDBC
+    // relation (WHERE executes in the DBMS, not post-scan in Spark),
+    // and the scan must carry the 4 stride partitions
+    val q = Queries.queries("etl_jdbc_roundtrip")(spark, sf)
+    val plan = planString(q)
+    assert(plan.contains("PushedFilters:"), s"no pushed filters in JDBC scan:\n$plan")
+    assert(plan.contains("GreaterThan(total,100000.0)"), s"price filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(status,F)"), s"status filter not pushed:\n$plan")
+    assert(plan.contains("numPartitions=4"), s"stride partitioning missing:\n$plan")
+  }
+
   test("dimension joins broadcast; top-k uses TakeOrdered (no global sort)") {
     val q3 = Queries.queries("q3_topk_revenue")(spark, sf)
     val plan = planString(q3)
