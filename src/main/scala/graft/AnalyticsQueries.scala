@@ -1930,6 +1930,31 @@ object AnalyticsQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- approx-vs-exact agreement ON the hard gate: both the HLL
+    //      distinct count and the quantile sketch are computed next to
+    //      their exact forms entirely in Spark, and what ships is the
+    //      exact count + "within 5% tolerance" verdicts. The oracle
+    //      computes the exact side in DuckDB and expects literal TRUE —
+    //      a sketch drifting past tolerance turns the row red. (The
+    //      approx VALUES themselves stay rows-only in the two queries
+    //      above; sketches are not cross-engine reproducible.) ----
+    Q("agg_approx_agreement",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
+          expr("percentile(l_quantity, 0.5)").as("_p50"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("_ap50"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("_approx_parts") - col("n_parts")) <=
+            col("n_parts") * 0.05).as("distinct_within_5pct"),
+          (abs(col("_ap50") - col("_p50")) <= abs(col("_p50")) * 0.05)
+            .as("p50_within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |TRUE AS distinct_within_5pct, TRUE AS p50_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- sliding (overlapping) time window: each event lands in two
     //      1h windows on the 30-min grid. Oracle expands the two
     //      candidate windows explicitly. ----
