@@ -74,33 +74,49 @@ object Contamination {
    * default 1e-3 keeps spurious candidates ≈3% for ~30-gram docs at
    * a ~2 MB filter per million eval grams.
    *
-   * NOTE: unlike the rest of the registry this builds EAGERLY — the
-   * count and the filter aggregation run Spark jobs at call time,
-   * because the filter bytes must exist before the probe expression
-   * can be planted in the plan. Both jobs touch only the bounded eval
-   * side; callers constructing plans they may never execute should
-   * build the filter once and reuse it.
+   * This convenience form builds the filter EAGERLY (the count and
+   * the filter aggregation run Spark jobs at call time — both touch
+   * only the bounded eval side). A caller constructing several probe
+   * plans from one benchmark — or plans it may never execute — should
+   * [[buildEvalBloom]] ONCE and hand the bytes to the lazy overload.
    */
   def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 5, minMatches: Int = 1,
-                            fpp: Double = 1e-3): DataFrame = {
+                            fpp: Double = 1e-3): DataFrame =
+    flagContaminatedBloom(train, eval, idCol, textCol,
+      buildEvalBloom(eval, textCol, n, fpp), n, minMatches)
+
+  /** Lazy probe form: plants prebuilt filter bytes (the reusable
+    * handle from [[buildEvalBloom]], or any serialized
+    * `util.sketch.BloomFilter` over the same gram shape) into the
+    * candidate filter — constructing this plan runs NO jobs. */
+  def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            bloomBytes: Array[Byte],
+                            n: Int, minMatches: Int): DataFrame = {
+    val candidates = train.filter(
+      graft.functions.BloomProbe.gramHits(
+        graft.functions.Shingles.wordShingles(col(textCol), n), bloomBytes) > 0)
+    flagContaminated(candidates, eval, idCol, textCol, n, minMatches)
+  }
+
+  /** Build the eval-side gram Bloom filter once (two Spark jobs over
+    * the BOUNDED eval side: a count to size it, one aggregation for
+    * the bits) and return the serialized bytes — megabytes of driver
+    * metadata, reusable across any number of probe plans, persistable
+    * next to the benchmark it summarizes. The streaming gate
+    * ([[graft.streaming.EventStreams.flagContaminatedArrivals]])
+    * consumes the same bytes. */
+  def buildEvalBloom(eval: DataFrame, textCol: String,
+                     n: Int, fpp: Double = 1e-3): Array[Byte] = {
     val evalGrams = eval
       .select(explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
-    // two passes over the EVAL side only (count sizes the filter);
-    // eval is bounded by construction, so both are cheap
-    val expected = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val candidates = train.filter(
-      graft.functions.BloomProbe.gramHits(
-        graft.functions.Shingles.wordShingles(col(textCol), n), bytes) > 0)
-    flagContaminated(candidates, eval, idCol, textCol, n, minMatches)
+    val bloom = evalGrams.stat.bloomFilter("gram", math.max(evalGrams.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
   }
 
   /**

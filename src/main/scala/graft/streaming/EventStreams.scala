@@ -242,15 +242,8 @@ object EventStreams {
   /** One-pass filter bytes for [[flagContaminatedArrivals]] — run on
     * the BATCH eval corpus before starting the stream. */
   def evalBloomBytes(eval: DataFrame, textCol: String = "text",
-                     shingleN: Int = 4, fpp: Double = 1e-3): Array[Byte] = {
-    val grams = eval.select(
-      explode(graft.functions.Shingles.wordShingles(col(textCol), shingleN)).as("gram"))
-      .distinct()
-    val bloom = grams.stat.bloomFilter("gram", math.max(grams.count(), 1L), fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    bos.toByteArray
-  }
+                     shingleN: Int = 4, fpp: Double = 1e-3): Array[Byte] =
+    graft.operators.Contamination.buildEvalBloom(eval, textCol, shingleN, fpp)
 
   /** Run a streaming DataFrame to completion against a bounded source
     * and return the final result from the in-memory sink. */

@@ -26,6 +26,23 @@ class BloomDecontaminationSpec extends SparkTestBase {
     assert(bloomed == exact)
   }
 
+  test("reusable filter handle: build once, many lazy probe plans, same result") {
+    val bytes = Contamination.buildEvalBloom(eval_, "text", n = 4)
+    // constructing the probe plan from prebuilt bytes must run NO jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val planA = Contamination.flagContaminatedBloom(
+      train, eval_, "doc_id", "text", bytes, n = 4, minMatches = 1)
+    val planB = Contamination.flagContaminatedBloom(
+      train, eval_, "doc_id", "text", bytes, n = 4, minMatches = 1)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "lazy overload must not run jobs at plan construction")
+    val exact = Contamination
+      .flagContaminated(train, eval_, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(planA.orderBy("doc_id").collect().toSeq == exact)
+    assert(planB.orderBy("doc_id").collect().toSeq == exact)
+  }
+
   test("probe has no false negatives (put/probe hashing compatible)") {
     // build over every eval gram, probe each doc's own grams: a doc
     // made only of eval grams must count ALL of them as hits
