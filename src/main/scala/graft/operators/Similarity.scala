@@ -70,27 +70,15 @@ object Similarity {
       .drop("probe_e", "_norm", "_pnorm")
   }
 
-  /** Deterministic pseudo-random unit-ish plane weight for
-    * (plane p, dimension d) in [-0.5, 0.5): splitmix64 finalizer. */
-  private def planeWeight(p: Int, d: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    // top 53 bits -> [0,1) -> [-0.5, 0.5)
-    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-  }
-
-  /** nBits-bit hyperplane signature of an array<double> column. The
-    * planes are literal arrays baked into the plan (dim*nBits doubles
-    * — negligible plan size, zero shuffle). */
-  def signature(vec: Column, dim: Int, nBits: Int = 16): Column = {
-    val bits = (0 until nBits).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
-      when(dot(vec, plane) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** nBits-bit hyperplane signature of an array<double> column —
+    * the native [[graft.functions.HyperplaneSigExpr]] kernel: planes
+    * (derived from a splitmix64 mix of (plane, dim), no RNG state)
+    * ride the plan as ONE compact reference object, and the generated
+    * code is a fixed loop nest — same bits as the former
+    * literal-array fold, without growing the janino source or the
+    * task binary with dim*nBits literals. */
+  def signature(vec: Column, dim: Int, nBits: Int = 16): Column =
+    graft.functions.PqCodec.hyperplaneSig(vec, dim, nBits)
 
   /**
    * ANN top-k: restrict to vectors whose signature Hamming-distance
@@ -231,32 +219,22 @@ object Similarity {
   }
 
   /** Encode vectors to their per-subspace nearest-code indices: one
-    * map-side pass, codebooks baked into the plan as literals. The
-    * argmin is an `array_min` over (dist, code) structs — ties break
-    * on the lower code, deterministically. Output adds `pq_code`
-    * (array<int>, length m). */
+    * map-side pass through the native [[graft.functions.PqEncodeExpr]]
+    * kernel (codebooks ride as a compact reference object, not
+    * literals; ties break on the lower code, deterministically).
+    * Output adds `pq_code` (array<int>, length m). */
   def pqEncode(df: DataFrame, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    val v = col(vecCol).cast(ArrayType(DoubleType))
-    def subDist(j: Int, c: Int): Column =
-      (0 until sub).map { d =>
-        val x = element_at(v, j * sub + d + 1) - lit(codebooks(j)(c)(d))
-        x * x
-      }.reduce(_ + _)
-    def subCode(j: Int): Column =
-      array_min(array(codebooks(j).indices.map(c =>
-        struct(subDist(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
-    df.withColumn("pq_code", array((0 until m).map(subCode): _*))
-  }
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.withColumn("pq_code", graft.functions.PqCodec.encode(
+      col(vecCol).cast(ArrayType(DoubleType)), codebooks))
 
   /** ADC (asymmetric distance) top-k: the probe's per-(subspace, code)
-    * distance table is computed once (m x k doubles, baked as plan
-    * literals); each encoded row scores with m lookups + adds — no
-    * vector arithmetic at query time, and only the 8-byte codes ever
-    * scan. Approximate by design (quantization error): rows-only at
-    * the gate, recall + zero-error exactness pinned in PqSpec. */
+    * distance table is computed once (m x k doubles, one reference
+    * object in the [[graft.functions.PqAdcExpr]] kernel); each encoded
+    * row scores with m lookups + adds — no vector arithmetic at query
+    * time, and only the 8-byte codes ever scan. Approximate by design
+    * (quantization error): rows-only at the gate, recall + zero-error
+    * exactness pinned in PqSpec. */
   def pqTopK(encoded: DataFrame, probe: Array[Double],
              codebooks: Array[Array[Array[Double]]], k: Int,
              idCol: String = "vec_id",
@@ -271,11 +249,8 @@ object Similarity {
         s
       }
     }
-    val score = (0 until m).map { j =>
-      element_at(array(dtable(j).map(lit): _*),
-        element_at(col("pq_code"), j + 1) + 1)
-    }.reduce(_ + _)
-    val byAdc = encoded.withColumn("adc_dist", score)
+    val byAdc = encoded.withColumn("adc_dist",
+      graft.functions.PqCodec.adc(col("pq_code"), dtable))
     rerankVecCol match {
       case None =>
         byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(k)
@@ -317,7 +292,8 @@ object Similarity {
 
   /** Batch multi-probe PQ serving (the RAG-eval shape over the
     * compressed index): every probe scores every CODE row via decoded
-    * centroids (codebooks are 2D plan literals — m lookups + one
+    * centroids (the [[graft.functions.PqAdcBatchExpr]] kernel —
+    * codebooks ride as one compact reference object, m lookups + one
     * small fold per (row, probe)); a per-probe window shortlists by
     * ADC, and only `k * shortlistFactor` survivors per probe touch
     * the real vectors for the exact re-rank. The full-precision
@@ -328,16 +304,8 @@ object Similarity {
                   idCol: String = "vec_id", probeIdCol: String = "probe_id",
                   rerankVecCol: Option[String] = None,
                   shortlistFactor: Int = 8): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    def cbLit(j: Int): Column =
-      array(codebooks(j).map(cent => array(cent.map(lit): _*)): _*)
-    val adc = (0 until m).map { j =>
-      val decoded = element_at(cbLit(j), element_at(col("pq_code"), j + 1) + 1)
-      val probeSub = slice(col("probe_e"), j * sub + 1, sub)
-      aggregate(zip_with(decoded, probeSub, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    val adc = graft.functions.PqCodec.adcBatch(
+      col("pq_code"), col("probe_e"), codebooks)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(probeIdCol).orderBy(asc("adc_dist"), asc(idCol))
     val shortlisted = encoded.crossJoin(broadcast(probes))

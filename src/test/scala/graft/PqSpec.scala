@@ -29,6 +29,44 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("PQ kernels: interpreted path agrees with codegen; malformed rows go null") {
+    import graft.functions.PqCodec
+    // tiny hand-checkable model: m=2 subspaces of 2 dims, 2 codes each
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 2.0), Array(0.0, 3.0)))
+    val dt: Array[Array[Double]] = Array(Array(0.5, 1.5), Array(2.0, 0.25))
+    val df = Seq(
+      (1L, Seq(0.9, 1.1, 0.1, 2.9), Seq(1, 1)),
+      (2L, Seq(0.1, 0.0, 2.2, 1.8), Seq(0, 0)),
+      (3L, Seq(0.5, 0.5), Seq(9, 0)) // short vector / out-of-range code
+    ).toDF("id", "v", "code")
+    def run(): Seq[(Seq[Int], Option[Double], Option[Double], Option[Long])] =
+      df.select(PqCodec.encode(col("v"), cb).as("enc"),
+          PqCodec.adc(col("code"), dt).as("adc"),
+          PqCodec.adcBatch(col("code"), col("v"), cb).as("badc"),
+          graft.operators.Similarity.signature(col("v"), dim = 4, nBits = 8).as("sig"))
+        .orderBy(col("enc").isNull, col("enc"))
+        .collect().toSeq.map(r => (
+          if (r.isNullAt(0)) null else r.getSeq[Int](0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val withCodegen = run()
+    // row 1: v ~ (1,1 | 0,3) -> codes (1, 1); adc over (1,1) = 1.5 + 0.25
+    val r1 = withCodegen.find(_._1 == Seq(1, 1)).get
+    assert(r1._2.contains(1.75))
+    // batch adc row 2: codes (0,0): d((0,0),(0.1,0.0)) + d((2,2),(2.2,1.8))
+    val r2 = withCodegen.find(_._1 == Seq(0, 0)).get
+    assert(math.abs(r2._3.get - (0.01 + (0.04 + 0.04))) < 1e-12)
+    // malformed row: short vector -> null encode; code 9 -> null adc
+    val r3 = withCodegen.find(_._1 == null).get
+    assert(r3._2.isEmpty && r3._3.isEmpty)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == withCodegen, "interpreted and codegen paths must agree")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("codes are m small ints; train and encode are deterministic") {
     val emb = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
