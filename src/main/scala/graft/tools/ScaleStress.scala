@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * embeddings corpus for the LSH-bucketed embedding near-dup.
   * Sub-quadratic growth here is the evidence that the banding/bucket
   * candidates, not an all-pairs join, are carrying the load.
-  * Usage: runMain graft.tools.ScaleStress <sfDir> [multiples...] */
+  * Usage: runMain graft.tools.ScaleStress <sfDir> [multiples...]
+  * SPARK_GRAFT_STRESS=<substring> runs just the matching sections. */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val only = sys.env.get("SPARK_GRAFT_STRESS")
+    def wanted(label: String): Boolean = only.forall(label.contains)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -29,7 +32,7 @@ object ScaleStress {
     // the id offset keeps replica ids disjoint and MUST stay identical
     // across sections so their datasets are comparable.
     def docRun(label: String)(op: org.apache.spark.sql.DataFrame => Long): Unit =
-      multiples.foreach { m =>
+      if (wanted(label)) multiples.foreach { m =>
         val corpus = (0 until m).map(i =>
           base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
         val n = corpus.count()
@@ -71,6 +74,22 @@ object ScaleStress {
       c.select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("p"),
         length(col("text")).cast("long").as("q")),
       "p", Seq("q", "doc_id"), buckets = 32, ntiles = Some(10)).count())
+    // Exact quantiles: the bucket-recursion pipeline's JOB COUNT is
+    // O(log_buckets(n) + distinct target buckets) and every driver
+    // transfer is bounded (boundary sample, histogram, <= probeLimit
+    // probe) — wall must grow far slower than corpus size, where a
+    // global sort would track it. Value column mixes length with a
+    // doc_id residue for high cardinality (forces real recursion).
+    // probeLimit shrunk so the corpus exceeds it at every multiple —
+    // the 100 TB regime, where recursion (not one bounded sorted
+    // collect) is the executing path.
+    docRun("exactq")(c => {
+      val vals = c.select((length(col("text")).cast("double") +
+        pmod(col("doc_id"), lit(997L)).cast("double") / 1000.0).as("v"))
+      graft.operators.Ranking.exactQuantiles(vals, "v", Seq(0.5, 0.9, 0.99),
+          probeLimit = 2048)
+        .map(o => (o.getOrElse(0.0) * 1000).toLong).sum  // checksum as `out`
+    })
     // Heavy hitters: the candidate set is bounded by the sketch size
     // whatever the corpus — cost must track corpus ~linearly (two
     // scans), NEVER the vocabulary (which also grows with replicas'
@@ -86,7 +105,7 @@ object ScaleStress {
     // PQ serving: codebooks train ONCE on a fixed-size sample
     // (constant cost); encode + ADC shortlist + re-rank must track the
     // corpus ~linearly with the scan being 8-byte codes.
-    locally {
+    if (wanted("pq")) {
       val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
       val cb = graft.operators.Similarity.trainPqCodebooks(emb0, "vec_id", "e", dim = 64)
@@ -111,7 +130,7 @@ object ScaleStress {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
     emb.count() // warm
-    multiples.foreach { m =>
+    if (wanted("embed")) multiples.foreach { m =>
       val corpus = (0 until m).map(i => emb.select(
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         (if (i == 0) col("e") else expr(s"transform(e, x -> x * ${1.0 + 0.0625 / i})")).as("e")))
