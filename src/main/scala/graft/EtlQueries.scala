@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.job.JobRunner
-import graft.operators.{ErrorPolicy, IncrementalAgg, MappingOp, Profile}
+import graft.operators.{ErrorPolicy, IncrementalAgg, MappingOp, Profile, Quality}
 import graft.sinks.Writers
 import graft.sources.Readers
 import org.apache.spark.sql.functions._
@@ -168,6 +168,68 @@ object EtlQueries {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- incremental DISTINCT maintenance: COUNT(DISTINCT) does not
+    //      merge, but the Datasketches HLL sketch does (bucket-max is
+    //      associative) — the materialized sketch refreshes at
+    //      |delta| + |summary| cost while exact recount rescans
+    //      history. The row ships the exact count plus a within-1%
+    //      verdict on the merged-sketch estimate; the oracle expects
+    //      literal TRUE (the sketch drifting past tolerance turns the
+    //      row red). ----
+    Q("etl_incremental_distinct",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val base = o.filter(col("o_orderkey") % 10 =!= 0)
+        val delta = o.filter(col("o_orderkey") % 10 === 0)
+        val merged = IncrementalAgg.mergeDistinct(
+          IncrementalAgg.summarizeDistinct(base, Seq("o_orderstatus"), col("o_custkey")),
+          IncrementalAgg.summarizeDistinct(delta, Seq("o_orderstatus"), col("o_custkey")),
+          Seq("o_orderstatus"))
+        val est = IncrementalAgg.estimateDistinct(merged)
+          .select(col("o_orderstatus"), col("distinct_estimate"))
+        o.groupBy("o_orderstatus").agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .join(est, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n_cust"),
+            (abs(col("distinct_estimate") - col("n_cust")) <=
+              greatest(col("n_cust") * 0.01, lit(1.0))).as("estimate_within_1pct"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+             |TRUE AS estimate_within_1pct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- declarative data-quality gate (VALIDATE_SOURCE grown up;
+    //      Deequ-style): every rule compiles into ONE aggregation
+    //      pass; metrics are exact-integer-count ratios, so the
+    //      oracle recomputes them bit-identically. ----
+    Q("etl_quality_rules",
+      (s, dir) => Quality.check(Tables.t(s, dir, "customer"), Seq(
+          Quality.NotNull("c_name"),
+          Quality.Unique("c_custkey"),
+          Quality.InRange("c_acctbal", 0.0, 10000.0, minFrac = 0.5),
+          Quality.MatchesRegex("c_mktsegment", "^[A-Z]+$"),
+          Quality.RowCountBetween(1L, 10000000L)))
+        .orderBy("rule", "col_name"),
+      Some("""WITH m AS (SELECT COUNT(*) AS n, COUNT(c_name) AS nn_name,
+             |  COUNT(DISTINCT c_custkey) AS nd_key, COUNT(c_custkey) AS nn_key,
+             |  COUNT(CASE WHEN c_acctbal BETWEEN 0.0 AND 10000.0 THEN 1 END) AS ok_bal,
+             |  COUNT(c_acctbal) AS nn_bal,
+             |  COUNT(CASE WHEN regexp_matches(c_mktsegment, '^[A-Z]+$') THEN 1 END) AS ok_seg,
+             |  COUNT(c_mktsegment) AS nn_seg FROM customer)
+             |SELECT * FROM (
+             |  SELECT 'in_range' AS rule, 'c_acctbal' AS col_name,
+             |    ok_bal / nn_bal AS metric, CAST(0.5 AS DOUBLE) AS threshold,
+             |    ok_bal / nn_bal >= 0.5 AS passed FROM m
+             |  UNION ALL SELECT 'not_null', 'c_name',
+             |    (n - nn_name) / n, CAST(0.0 AS DOUBLE), (n - nn_name) / n <= 0.0 FROM m
+             |  UNION ALL SELECT 'regex', 'c_mktsegment',
+             |    ok_seg / nn_seg, CAST(1.0 AS DOUBLE), ok_seg / nn_seg >= 1.0 FROM m
+             |  UNION ALL SELECT 'row_count', '*',
+             |    CAST(n AS DOUBLE), CAST(10000000.0 AS DOUBLE), n BETWEEN 1 AND 10000000 FROM m
+             |  UNION ALL SELECT 'unique', 'c_custkey',
+             |    nd_key / nn_key, CAST(1.0 AS DOUBLE), nd_key = nn_key FROM m
+             |) ORDER BY rule, col_name""".stripMargin)),
 
     // ---- TIME-of-day cast on the gate (reference Types.TIME,
     //      JdbcTypeHandler.java:87-92): lenient single-digit "H:m:s"

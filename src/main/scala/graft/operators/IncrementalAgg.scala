@@ -42,4 +42,33 @@ object IncrementalAgg {
         sum("agg_sum").as("agg_sum"),
         min("agg_min").as("agg_min"),
         max("agg_max").as("agg_max"))
+
+  // ---- distinct-count maintenance ------------------------------------
+  // COUNT(DISTINCT) does not merge — recomputing it per refresh means
+  // rescanning the history. The Datasketches HLL sketch DOES merge
+  // (per-bucket max is associative/commutative/idempotent):
+  //   sketch(base) ∪ sketch(delta) == sketch(base ∪ delta)
+  // exactly (same lgK), so a materialized per-key sketch column keeps
+  // an approximate distinct fresh at |delta| + |summary| cost. The
+  // estimate carries HLL error (~1.04/sqrt(2^lgK), <1% at the default
+  // lgK=14); pipelines needing exactness keep the exact path.
+
+  /** Raw rows -> per-key mergeable distinct sketch (binary column). */
+  def summarizeDistinct(df: DataFrame, keys: Seq[String], v: Column,
+                        lgK: Int = 14): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key")
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(v, lit(lgK)).as("distinct_sketch"))
+  }
+
+  /** Two sketch summaries -> the sketch summary of the union. */
+  def mergeDistinct(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b, allowMissingColumns = false)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("distinct_sketch"), lit(false)).as("distinct_sketch"))
+
+  /** Present a sketch summary: adds `distinct_estimate` (long). */
+  def estimateDistinct(summary: DataFrame): DataFrame =
+    summary.withColumn("distinct_estimate",
+      hll_sketch_estimate(col("distinct_sketch")))
 }

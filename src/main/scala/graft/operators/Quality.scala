@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality rules over one scan — the reference's
+ * VALIDATE_SOURCE step (CoreLibInterfaces.java step enum; row-count
+ * check at JobRunner parity) grown into the rule engine an ingest
+ * pipeline actually runs before loading: null-fraction ceilings,
+ * uniqueness, value-range and regex-conformance floors, row-count
+ * bounds. Public prior art: AWS Deequ's constraint model (metrics
+ * computed as one Spark aggregation, verdicts from thresholds).
+ *
+ * Scale design: ALL rules compile into a single `agg(...)` pass —
+ * one scan of the table however many rules are declared (counts,
+ * conditional counts and exact distincts are Spark aggregates with
+ * map-side partials). The verdict table is |rules| rows of metadata.
+ * Fractions are ratios of exact integer counts (cross-engine
+ * deterministic — the oracle recomputes them bit-identically).
+ *
+ * Output: (rule, col_name, metric, threshold, passed) — one row per
+ * rule; `metric` is the measured value the threshold was applied to.
+ */
+object Quality {
+
+  sealed trait Rule
+  /** Fraction of NULL values must be <= maxNullFrac (0.0 = NOT NULL). */
+  final case class NotNull(column: String, maxNullFrac: Double = 0.0) extends Rule
+  /** Non-null values must be pairwise distinct (metric = nd/nn). */
+  final case class Unique(column: String) extends Rule
+  /** Fraction of non-null values inside [lo, hi] must be >= minFrac. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           minFrac: Double = 1.0) extends Rule
+  /** Fraction of non-null values matching `pattern` must be >= minFrac.
+    * Keep patterns to the portable core (anchors, classes, +*?) — the
+    * engine uses Java regex; an oracle engine may use RE2. */
+  final case class MatchesRegex(column: String, pattern: String,
+                                minFrac: Double = 1.0) extends Rule
+  /** Total row count must lie in [lo, hi]. */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Rule
+
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_n"))
+    rules.zipWithIndex.foreach { case (r, i) =>
+      r match {
+        case NotNull(c, _) =>
+          aggs += count(col(c)).as(s"_nn_$i")
+        case Unique(c) =>
+          aggs += countDistinct(col(c)).as(s"_nd_$i")
+          aggs += count(col(c)).as(s"_nn_$i")
+        case InRange(c, lo, hi, _) =>
+          aggs += count(when(col(c).between(lo, hi), 1)).as(s"_ok_$i")
+          aggs += count(col(c)).as(s"_nn_$i")
+        case MatchesRegex(c, p, _) =>
+          aggs += count(when(col(c).rlike(p), 1)).as(s"_ok_$i")
+          aggs += count(col(c)).as(s"_nn_$i")
+        case RowCountBetween(_, _) => () // _n suffices
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows: Seq[Column] = rules.zipWithIndex.map { case (r, i) =>
+      def frac(num: Column, den: Column, emptyValue: Double): Column =
+        when(den === 0, lit(emptyValue)).otherwise(num / den)
+      val (name, colName, metric, threshold, passed) = r match {
+        case NotNull(c, maxF) =>
+          val m = frac(col("_n") - col(s"_nn_$i"), col("_n"), 0.0)
+          ("not_null", c, m, lit(maxF), m <= maxF)
+        case Unique(c) =>
+          val m = frac(col(s"_nd_$i"), col(s"_nn_$i"), 1.0)
+          ("unique", c, m, lit(1.0), col(s"_nd_$i") === col(s"_nn_$i"))
+        case InRange(c, _, _, minF) =>
+          val m = frac(col(s"_ok_$i"), col(s"_nn_$i"), 1.0)
+          ("in_range", c, m, lit(minF), m >= minF)
+        case MatchesRegex(c, _, minF) =>
+          val m = frac(col(s"_ok_$i"), col(s"_nn_$i"), 1.0)
+          ("regex", c, m, lit(minF), m >= minF)
+        case RowCountBetween(lo, hi) =>
+          ("row_count", "*", col("_n").cast("double"), lit(hi.toDouble),
+            col("_n") >= lo && col("_n") <= hi)
+      }
+      struct(lit(name).as("rule"), lit(colName).as("col_name"),
+        metric.cast("double").as("metric"), threshold.cast("double").as("threshold"),
+        passed.as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** True iff every rule passed — the gate a LOAD step calls before
+    * writing (FAIL_JOB semantics belong to the caller's policy). */
+  def allPass(df: DataFrame, rules: Seq[Rule]): Boolean =
+    check(df, rules).filter(!col("passed")).isEmpty
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{IncrementalAgg, Quality}
+import org.apache.spark.sql.functions._
+
+/** Data-quality rule engine + HLL distinct maintenance. */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rules evaluate against hand-built fixtures, one agg pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(5.0)),
+      (2L, Some("b"), Some(50.0)),
+      (3L, None, Some(500.0)),      // null name
+      (4L, Some("b"), None)          // dup name, null value
+    ).toDF("id", "name", "v")
+    val out = Quality.check(df, Seq(
+        Quality.NotNull("name", maxNullFrac = 0.3),  // 1/4 = 0.25 <= 0.3: pass
+        Quality.NotNull("name"),                      // 0.25 > 0.0: fail
+        Quality.Unique("id"),                         // pass
+        Quality.Unique("name"),                       // b twice: fail
+        Quality.InRange("v", 0.0, 100.0, minFrac = 0.6), // 2/3 ≈ 0.67: pass
+        Quality.MatchesRegex("name", "^[a-z]$"),      // all single lower: pass
+        Quality.RowCountBetween(4, 4)))               // pass
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(4)))
+    val byKey = out.groupBy(t => (t._1, t._2)).view.mapValues(_.toSeq).toMap
+    assert(byKey(("not_null", "name")).map(_._4).sorted == Seq(false, true))
+    assert(byKey(("unique", "id")).head._4)
+    assert(!byKey(("unique", "name")).head._4)
+    val inR = byKey(("in_range", "v")).head
+    assert(inR._4 && math.abs(inR._3 - 2.0 / 3.0) < 1e-15)
+    assert(byKey(("regex", "name")).head._4)
+    assert(byKey(("row_count", "*")).head._4 && byKey(("row_count", "*")).head._3 == 4.0)
+    assert(!Quality.allPass(df, Seq(Quality.Unique("name"))))
+    assert(Quality.allPass(df, Seq(Quality.Unique("id"))))
+  }
+
+  test("empty input: fraction rules pass trivially, row_count can fail") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val out = Quality.check(empty, Seq(
+        Quality.NotNull("name"), Quality.Unique("id"),
+        Quality.InRange("id", 0, 1), Quality.RowCountBetween(1, 10)))
+      .collect().map(r => (r.getString(0), r.getBoolean(4))).toMap
+    assert(out("not_null") && out("unique") && out("in_range"))
+    assert(!out("row_count"))
+  }
+
+  test("all rules compile into a single aggregation (one scan)") {
+    val df = Tables.t(spark, sf, "customer")
+    val plan = Quality.check(df, Seq(
+        Quality.NotNull("c_name"), Quality.Unique("c_custkey"),
+        Quality.InRange("c_acctbal", 0, 10000, 0.5),
+        Quality.RowCountBetween(1, 1000000)))
+      .queryExecution.optimizedPlan.toString()
+    // exactly one scan of the table in the optimized plan
+    val scans = "Relation".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, plan:\n$plan")
+  }
+
+  test("HLL distinct maintenance: merge equals one-shot sketch, near-exact estimate") {
+    val o = Tables.t(spark, sf, "orders")
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+    val delta = o.filter(col("o_orderkey") % 10 === 0)
+    val merged = IncrementalAgg.estimateDistinct(IncrementalAgg.mergeDistinct(
+        IncrementalAgg.summarizeDistinct(base, Seq("o_orderstatus"), col("o_custkey")),
+        IncrementalAgg.summarizeDistinct(delta, Seq("o_orderstatus"), col("o_custkey")),
+        Seq("o_orderstatus")))
+      .select("o_orderstatus", "distinct_estimate")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = IncrementalAgg.estimateDistinct(
+        IncrementalAgg.summarizeDistinct(o, Seq("o_orderstatus"), col("o_custkey")))
+      .select("o_orderstatus", "distinct_estimate")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot,
+      s"sketch merge must equal sketching the union: $merged vs $oneShot")
+    val exact = o.groupBy("o_orderstatus").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n) <= math.max(1L, (n * 0.01).toLong),
+        s"$k: estimate ${merged(k)} drifts >1% from exact $n")
+    }
+  }
+}
