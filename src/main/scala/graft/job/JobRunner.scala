@@ -202,6 +202,25 @@ object JobRunner {
                 prof.collect().foreach(r => System.err.println(s"[graft-job] profile $r"))
             }
             stepsRun ::= step
+          case "VALIDATE_QUALITY" =>
+            // declarative data-quality gate before loading: rules come
+            // from transformation.parameters.qualityRules (compact DSL,
+            // Quality.parseRules) and evaluate over the mapped source
+            // in ONE aggregation pass; any failed rule fails the job
+            // with the measured metrics in the message.
+            val spec = cfg.transformation.parameters.getOrElse("qualityRules",
+              throw new IllegalArgumentException(
+                "VALIDATE_QUALITY needs transformation.parameters.qualityRules"))
+            val df = Readers.forConfig(spark, cfg.source, cfg.mappings)
+            val failed = graft.operators.Quality
+              .check(df, graft.operators.Quality.parseRules(spec))
+              .filter(!org.apache.spark.sql.functions.col("passed"))
+              .collect() // <= |rules| rows of metadata
+            if (failed.nonEmpty)
+              throw new ErrorPolicy.JobFailedException("VALIDATE_QUALITY: " + failed.map(r =>
+                s"${r.getString(0)}(${r.getString(1)}) metric=${r.getDouble(2)} vs ${r.getDouble(3)}")
+                .mkString("; "))
+            stepsRun ::= step
           case "TRUNCATE_DESTINATION" =>
             // File sinks: truncation is the overwrite mode of the LOAD
             // write itself. JDBC sinks: eager TRUNCATE TABLE on the

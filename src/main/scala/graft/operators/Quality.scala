@@ -91,4 +91,45 @@ object Quality {
     * writing (FAIL_JOB semantics belong to the caller's policy). */
   def allPass(df: DataFrame, rules: Seq[Rule]): Boolean =
     check(df, rules).filter(!col("passed")).isEmpty
+
+  /**
+   * Compact config DSL for job-config rule declarations
+   * (`transformation.parameters.qualityRules`), `;`-separated:
+   *
+   *   not_null:col[,maxNullFrac] | unique:col |
+   *   in_range:col,lo,hi[,minFrac] | regex:col,minFrac,pattern |
+   *   row_count:lo,hi
+   *
+   * The regex pattern is the greedy remainder (commas allowed inside;
+   * `;` is not — declare such patterns via the Scala API).
+   */
+  def parseRules(spec: String): Seq[Rule] =
+    spec.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+      val (kind, args) = s.split(":", 2) match {
+        case Array(k, a) => (k.trim.toLowerCase, a.trim)
+        case _ => throw new IllegalArgumentException(s"quality rule needs kind:args — got '$s'")
+      }
+      kind match {
+        case "not_null" => args.split(",") match {
+          case Array(c)    => NotNull(c.trim)
+          case Array(c, f) => NotNull(c.trim, f.trim.toDouble)
+          case _ => throw new IllegalArgumentException(s"not_null:col[,maxNullFrac] — got '$args'")
+        }
+        case "unique" => Unique(args)
+        case "in_range" => args.split(",") match {
+          case Array(c, lo, hi)    => InRange(c.trim, lo.trim.toDouble, hi.trim.toDouble)
+          case Array(c, lo, hi, f) => InRange(c.trim, lo.trim.toDouble, hi.trim.toDouble, f.trim.toDouble)
+          case _ => throw new IllegalArgumentException(s"in_range:col,lo,hi[,minFrac] — got '$args'")
+        }
+        case "regex" => args.split(",", 3) match {
+          case Array(c, f, p) => MatchesRegex(c.trim, p, f.trim.toDouble)
+          case _ => throw new IllegalArgumentException(s"regex:col,minFrac,pattern — got '$args'")
+        }
+        case "row_count" => args.split(",") match {
+          case Array(lo, hi) => RowCountBetween(lo.trim.toLong, hi.trim.toLong)
+          case _ => throw new IllegalArgumentException(s"row_count:lo,hi — got '$args'")
+        }
+        case other => throw new IllegalArgumentException(s"unknown quality rule kind: $other")
+      }
+    }
 }

@@ -245,6 +245,29 @@ object EventStreams {
                      shingleN: Int = 4, fpp: Double = 1e-3): Array[Byte] =
     graft.operators.Contamination.buildEvalBloom(eval, textCol, shingleN, fpp)
 
+  /**
+   * Continuous micro-batch load into a JDBC destination — the
+   * reference's batch-loader identity extended to streams: each
+   * micro-batch rides the same W1 batch-insert writer
+   * ([[graft.sinks.Writers.write]] — `batchsize`, dialect DDL
+   * override), appended per trigger. Semantics are at-least-once on
+   * task/batch retry, matching every non-transactional sink here and
+   * in the reference; idempotence belongs to the destination design
+   * (a keyed MERGE target or dedup-on-read view). The caller's
+   * `dest.saveMode` is intentionally overridden: "overwrite" per
+   * micro-batch would keep only the LAST batch.
+   */
+  def jdbcLoadStream(stream: DataFrame,
+                     dest: graft.model.DestinationConfig,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.Writers.write(batch, dest.copy(saveMode = "append"))
+      }
+      .trigger(trigger)
+      .start()
+
   /** Run a streaming DataFrame to completion against a bounded source
     * and return the final result from the in-memory sink. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,

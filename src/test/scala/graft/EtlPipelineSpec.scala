@@ -174,6 +174,30 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dest").count() == res.recordsWritten)
   }
 
+  test("VALIDATE_QUALITY step: passing rules load; failing rule fails with metrics") {
+    val out = tmpDir("job_q")
+    def cfg(rules: String, dest: String) = JobConfig(
+      jobId = s"tq-$dest",
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$sf/customer.parquet"))),
+      destination = Some(DestinationConfig("PARQUET",
+        ConnectionDetails(path = Some(s"$out/$dest")))),
+      mappings = List(
+        FieldMapping("c_custkey", "id", destFieldType = "LONG", isDestNullable = false),
+        FieldMapping("c_mktsegment", "segment", destFieldType = "STRING")),
+      transformation = Transformation(parameters = Map("qualityRules" -> rules)),
+      steps = List("VALIDATE_QUALITY", "LOAD"))
+    val ok = JobRunner.run(spark, cfg(
+      "not_null:c_custkey; unique:c_custkey; regex:c_mktsegment,1.0,^[A-Z]+$; row_count:1,10000000",
+      "ok"))
+    assert(ok.status == JobRunner.Completed, ok.message)
+    assert(ok.stepsRun == List("VALIDATE_QUALITY", "LOAD"))
+    val bad = JobRunner.run(spark, cfg("unique:c_mktsegment; row_count:1,10000000", "bad"))
+    assert(bad.status.isInstanceOf[JobRunner.Failed], bad.status.toString)
+    assert(bad.message.contains("VALIDATE_QUALITY") && bad.message.contains("unique(c_mktsegment)"),
+      bad.message)
+    assert(!new java.io.File(s"$out/bad").exists, "failed gate must not load")
+  }
+
   test("PROFILE_SOURCE step writes the column survey next to the destination") {
     val out = tmpDir("job_prof")
     val cfg = JobConfig(

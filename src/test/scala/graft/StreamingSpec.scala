@@ -250,6 +250,27 @@ class StreamingSpec extends SparkTestBase {
       want.orderBy("event_type").collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming JDBC load: micro-batches append into a live Derby table") {
+    if (System.getProperty("derby.system.home") == null) {
+      new java.io.File("/tmp/graft_derby_home").mkdirs()
+      System.setProperty("derby.system.home", "/tmp/graft_derby_home")
+    }
+    val url = s"jdbc:derby:${tmpDir("sjdbc")}/db;create=true"
+    val dest = graft.model.DestinationConfig("JDBC",
+      graft.model.ConnectionDetails(jdbcUrl = Some(url), tableName = Some("EVENTS_LOAD"),
+        createTableColumnTypes = Some("event_type VARCHAR(32)")), batchSize = 200)
+    val stream = EventStreams.readEvents(spark, eventsPath)
+      .select("event_id", "event_type", "value")
+    val q = EventStreams.jdbcLoadStream(stream, dest)
+    q.awaitTermination()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "EVENTS_LOAD").load()
+    val want = Tables.t(spark, sf, "events").select("event_id", "event_type", "value")
+    assert(back.count() == want.count())
+    assert(back.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+      want.orderBy("event_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("late data beyond the watermark is dropped (append mode)") {
     // Two-batch file source: batch 1 = events, batch 2 = one very-late
     // event. With a 2h watermark advanced past it by batch 1's max ts,
