@@ -173,10 +173,10 @@ object EtlQueries {
     //      merge, but the Datasketches HLL sketch does (bucket-max is
     //      associative) — the materialized sketch refreshes at
     //      |delta| + |summary| cost while exact recount rescans
-    //      history. The row ships the exact count plus a within-1%
-    //      verdict on the merged-sketch estimate; the oracle expects
-    //      literal TRUE (the sketch drifting past tolerance turns the
-    //      row red). ----
+    //      history. The row ships the exact count plus a within-5%
+    //      verdict on the merged-sketch estimate (~6 sigma at lgK=14's
+    //      0.81% rsd — robust to corpus regeneration, still far below
+    //      any real drift); the oracle expects literal TRUE. ----
     Q("etl_incremental_distinct",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
@@ -192,11 +192,11 @@ object EtlQueries {
           .join(est, "o_orderstatus")
           .select(col("o_orderstatus"), col("n_cust"),
             (abs(col("distinct_estimate") - col("n_cust")) <=
-              greatest(col("n_cust") * 0.01, lit(1.0))).as("estimate_within_1pct"))
+              greatest(col("n_cust") * 0.05, lit(1.0))).as("estimate_within_5pct"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
-             |TRUE AS estimate_within_1pct
+             |TRUE AS estimate_within_5pct
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- declarative data-quality gate (VALIDATE_SOURCE grown up;
@@ -307,13 +307,16 @@ object EtlQueries {
           DestinationConfig("JDBC", ConnectionDetails(
             jdbcUrl = Some(url), tableName = Some("ORDERS_RT"),
             createTableColumnTypes = Some("status VARCHAR(1)")), batchSize = 500))
-        // bounds are a parallelism hint, not a filter: rows outside
-        // land in the first/last stride partition (Spark contract)
+        // stride bounds derived from the data (one metadata agg —
+        // hardcoded bounds would pile most keys into the last stride
+        // at bigger SFs, reducing the 4 cursors to effectively one)
+        val kRow = Tables.t(s, dir, "orders")
+          .agg(min("o_orderkey"), max("o_orderkey")).head()
         val cfg = SourceConfig("JDBC", ConnectionDetails(
           jdbcUrl = Some(url), tableName = Some("ORDERS_RT"),
           fetchSize = Some(1000),
           partitionColumn = Some("order_id"), numPartitions = Some(4),
-          lowerBound = Some(1L), upperBound = Some(60000L)))
+          lowerBound = Some(kRow.getLong(0)), upperBound = Some(kRow.getLong(1))))
         Readers.jdbc(s, cfg)
           .filter(col("total") > 100000.0 && col("status") === "F")
           .select("order_id", "cust_id", "status", "total", "order_date")

@@ -92,13 +92,23 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
         val eval_ = docs.filter(col("doc_id") % 25 === 0)
-        val fix = java.nio.file.Paths.get(
-          s"/tmp/graft_bloom_${java.lang.Integer.toHexString(dir.hashCode)}.bin")
+        // cache key = CONTENT fingerprint (not path): a regenerated
+        // corpus must never reuse a stale filter (Bloom false
+        // negatives would silently unflag contamination). Write via
+        // temp + atomic move so a concurrent reader never sees a
+        // truncated filter.
+        val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
+        val fix = java.nio.file.Paths.get(s"/tmp/graft_bloom_$fp.bin")
         val bytes =
           if (java.nio.file.Files.exists(fix)) java.nio.file.Files.readAllBytes(fix)
           else {
             val b = graft.operators.Contamination.buildEvalBloom(eval_, "text", n = 4)
-            java.nio.file.Files.write(fix, b)
+            val tmp = java.nio.file.Files.createTempFile(
+              fix.getParent, "graft_bloom_", ".tmp")
+            java.nio.file.Files.write(tmp, b)
+            java.nio.file.Files.move(tmp, fix,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             b
           }
         graft.operators.Contamination.flagContaminatedBloom(

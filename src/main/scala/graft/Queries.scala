@@ -37,6 +37,26 @@ object Tables {
   def views(spark: SparkSession, dir: String, names: String*): Unit =
     (if (names.nonEmpty) names else all)
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Content fingerprint of a table file/dir (names + lengths +
+    * mtimes, folded): cache keys derived from it go stale the moment
+    * the data is regenerated in place — keying by path alone would
+    * silently serve artifacts of a previous corpus. */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crc = new java.util.zip.CRC32()
+    def add(s: String): Unit = crc.update(s.getBytes("UTF-8"))
+    add(path)
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        add(f.getPath.getName); add(f.getLen.toString); add(f.getModificationTime.toString)
+      }
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
 }
 
 object Queries {

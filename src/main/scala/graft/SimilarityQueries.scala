@@ -266,11 +266,16 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
           .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
-        val cbPath = s"/tmp/graft_pq_cb_${java.lang.Integer.toHexString(dir.hashCode)}"
-        val p = new org.apache.hadoop.fs.Path(cbPath)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // cache key = CONTENT fingerprint (not path): codebooks trained
+        // on a previous corpus must never serve a regenerated one. The
+        // _SUCCESS-gated existence check means a half-written parquet
+        // dir (no marker yet) retrains rather than loading partials.
+        val fp = Tables.fingerprint(s, s"$dir/embeddings.parquet")
+        val cbPath = s"/tmp/graft_pq_cb_$fp"
+        val marker = new org.apache.hadoop.fs.Path(s"$cbPath/_SUCCESS")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         val cb =
-          if (fs.exists(p)) graft.operators.Similarity.loadPqCodebooks(s, cbPath)
+          if (fs.exists(marker)) graft.operators.Similarity.loadPqCodebooks(s, cbPath)
           else {
             val trained = graft.operators.Similarity.trainPqCodebooks(
               emb, "vec_id", "e", dim = 64, m = 8, k = 16)

@@ -231,13 +231,31 @@ object Ranking {
     * O(log_buckets(n) + distinct target buckets), independent of how
     * many ranks land together. */
   private def valuesAtRanks(vals: DataFrame, ranks: Seq[Long], total: Long,
-                            buckets: Int, probeLimit: Int): Map[Long, Double] = {
+                            buckets: Int, probeLimit: Int,
+                            nanFree: Boolean = false): Map[Long, Double] = {
     if (ranks.isEmpty) return Map.empty
     if (total <= probeLimit) {
-      // bounded: total (hence every rank) fits Int and <= probeLimit
+      // bounded: total (hence every rank) fits Int and <= probeLimit;
+      // orderBy uses Spark SQL ordering (NaN greatest) — NaN-safe
       val kmax = java.lang.Math.toIntExact(ranks.max)
       val arr = vals.orderBy("_v").limit(kmax).collect()
       return ranks.map(r => r -> arr(java.lang.Math.toIntExact(r) - 1).getDouble(0)).toMap
+    }
+    // Spark SQL orders NaN GREATEST, but the bucketing kernel compares
+    // with Java semantics (no boundary is < NaN, so NaN would land in
+    // bucket 0 — the BOTTOM), shifting every later rank by one. Peel
+    // the NaN class once; everything below runs NaN-free, where Java
+    // and SQL orderings agree (±Inf inclusive).
+    if (!nanFree) {
+      val nNan = vals.filter(isnan(col("_v"))).count()
+      if (nNan == 0)
+        return valuesAtRanks(vals, ranks, total, buckets, probeLimit, nanFree = true)
+      val loRanks = ranks.filter(_ <= total - nNan)
+      val lows =
+        if (loRanks.isEmpty) Map.empty[Long, Double]
+        else valuesAtRanks(vals.filter(!isnan(col("_v"))), loRanks,
+          total - nNan, buckets, probeLimit, nanFree = true)
+      return ranks.map(r => r -> (if (r > total - nNan) Double.NaN else lows(r))).toMap
     }
     // bucket on the given boundaries and recurse per target bucket;
     // None when everything landed in one bucket (no shrink)
@@ -258,7 +276,7 @@ object Ranking {
         if (inB.nonEmpty) {
           val local = valuesAtRanks(
             bucketed.filter(col("_bkt") === b).select("_v"),
-            inB.map(_ - cum), c, buckets, probeLimit)
+            inB.map(_ - cum), c, buckets, probeLimit, nanFree = true)
           val base = cum
           out ++= inB.map(r => r -> local(r - base))
         }
@@ -279,22 +297,40 @@ object Ranking {
       // pull up to ranks.max rows to the driver, unbounded.
       val mm = vals.agg(min("_v"), max("_v")).head()
       val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      // Peel the exact lo/hi value classes off with two bounded counts
+      // and recurse on the strictly-interior remainder. Covers every
+      // case an equi-width grid cannot: adjacent doubles (empty
+      // interior) and ±Inf extremes (they poison step/boundaries to
+      // non-finite; NaN never reaches here — stripped above). Each
+      // peel removes >= 1 row per end and the interior gains finite
+      // bounds within a level, so the grid (or the bounded probe)
+      // takes over.
+      def peel(): Map[Long, Double] = {
+        val nLo = vals.filter(col("_v") === lo).count()
+        val nHi = vals.filter(col("_v") === hi).count()
+        val midRanks = ranks.filter(r => r > nLo && r <= total - nHi)
+        val mid =
+          if (midRanks.isEmpty) Map.empty[Long, Double]
+          else valuesAtRanks(vals.filter(col("_v") > lo && col("_v") < hi),
+            midRanks.map(_ - nLo), total - nLo - nHi, buckets, probeLimit,
+            nanFree = true)
+        ranks.map { r =>
+          r -> (if (r <= nLo) lo
+                else if (r > total - nHi) hi
+                else mid(r - nLo))
+        }.toMap
+      }
       if (lo == hi) ranks.map(_ -> lo).toMap
       else {
         // equi-width boundaries strictly inside (lo, hi): lo lands in
         // bucket 0 and hi in a later bucket, so walk() is guaranteed
         // >= 2 buckets and the recursion strictly shrinks.
-        // step computed overflow-safe (hi - lo may exceed MaxValue).
+        // step computed overflow-safe (hi - lo may exceed MaxValue);
+        // a non-finite lo/hi poisons the grid to empty -> peel.
         val step = hi / buckets - lo / buckets
         val exact = (1 until buckets).map(i => lo + i * step)
           .filter(b => b > lo && b < hi).distinct
-        if (exact.nonEmpty) walk(exact).get
-        else {
-          // lo and hi are adjacent doubles — only two distinct values
-          // remain; one bounded count resolves every rank
-          val nLo = vals.filter(col("_v") === lo).count()
-          ranks.map(r => r -> (if (r <= nLo) lo else hi)).toMap
-        }
+        if (exact.nonEmpty) walk(exact).getOrElse(peel()) else peel()
       }
     }
   }

@@ -127,10 +127,11 @@ object ScaleStress {
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
+    if (wanted("embed")) {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
     emb.count() // warm
-    if (wanted("embed")) multiples.foreach { m =>
+    multiples.foreach { m =>
       val corpus = (0 until m).map(i => emb.select(
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         (if (i == 0) col("e") else expr(s"transform(e, x -> x * ${1.0 + 0.0625 / i})")).as("e")))
@@ -141,6 +142,7 @@ object ScaleStress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE embed   m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
       spark.catalog.clearCache()
+    }
     }
     spark.stop()
   }

@@ -62,9 +62,15 @@ class PqSpec extends SparkTestBase {
     // malformed row: short vector -> null encode; code 9 -> null adc
     val r3 = withCodegen.find(_._1 == null).get
     assert(r3._2.isEmpty && r3._3.isEmpty)
+    // factoryMode=NO_CODEGEN forces true interpreted expression eval
+    // (wholeStage=false alone still uses expression-level codegen)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(run() == withCodegen, "interpreted and codegen paths must agree")
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("codes are m small ints; train and encode are deterministic") {

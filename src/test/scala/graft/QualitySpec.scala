@@ -75,9 +75,10 @@ class QualitySpec extends SparkTestBase {
       s"sketch merge must equal sketching the union: $merged vs $oneShot")
     val exact = o.groupBy("o_orderstatus").agg(countDistinct("o_custkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5% ≈ 6 sigma at lgK=14 (rsd 0.81%): robust to data regeneration
     exact.foreach { case (k, n) =>
-      assert(math.abs(merged(k) - n) <= math.max(1L, (n * 0.01).toLong),
-        s"$k: estimate ${merged(k)} drifts >1% from exact $n")
+      assert(math.abs(merged(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: estimate ${merged(k)} drifts >5% from exact $n")
     }
   }
 }

@@ -144,6 +144,27 @@ class RankingSpec extends SparkTestBase {
     assert(Ranking.exactQuantile(two, "x", 1.0, probeLimit = 16).contains(hi))
   }
 
+  test("exactQuantile with non-finite values: ±Inf and NaN peel exactly") {
+    import spark.implicits._
+    // Inf defeats an equi-width grid (step overflows); the fallback
+    // must peel the extreme value classes, not misattribute interior
+    // ranks to them. Spark orders NaN greatest.
+    val inf = (Seq(1.0, 2.0) ++ Seq.fill(500)(Double.PositiveInfinity)).toDF("x")
+    assert(Ranking.exactQuantile(inf, "x", 0.0, probeLimit = 16).contains(1.0))
+    assert(Ranking.exactQuantile(inf, "x", 1.0, probeLimit = 16)
+      .contains(Double.PositiveInfinity))
+    val mixed = (Seq(Double.NegativeInfinity) ++ (1 to 400).map(_.toDouble) ++
+      Seq(Double.PositiveInfinity, Double.NaN)).toDF("x")
+    assert(Ranking.exactQuantile(mixed, "x", 0.0, probeLimit = 16)
+      .contains(Double.NegativeInfinity))
+    // rank 202 of 403 = value 201 (interior stays exact despite the peels)
+    val mid = Ranking.exactQuantiles(mixed, "x", Seq(201.0 / 402.0), buckets = 4,
+      probeLimit = 16).head.get
+    assert(mid == 201.0, s"got $mid")
+    val allNan = Seq.fill(100)(Double.NaN).toDF("x")
+    assert(Ranking.exactQuantile(allNan, "x", 0.5, probeLimit = 16).exists(_.isNaN))
+  }
+
   test("ntile exact-size contract on a known distribution") {
     import spark.implicits._
     // 10 rows, 4 tiles -> sizes 3,3,2,2
