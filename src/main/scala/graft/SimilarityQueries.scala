@@ -350,6 +350,40 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY adc_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- batch multi-probe PQ serving on the gate, same zero-error
+    //      construction as sim_pq_exact: every probe scores every code
+    //      row via decoded centroids (PqAdcBatchExpr), per-probe window
+    //      shortlist — with exact codebooks ADC == L2^2, so the DuckDB
+    //      exact-distance-per-probe oracle pins the whole batch path
+    //      (cross-join scoring, window rank, tie-breaks). ----
+    Q("sim_pq_batch_exact",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", expr(
+            "transform(cast(embedding as array<double>), x -> if(x >= 0d, 1d, 0d))"))
+        val cb = graft.operators.Similarity.trainPqCodebooks(
+          emb, "vec_id", "e", dim = 64, m = 32, k = 16)
+        val probes = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        graft.operators.Similarity.pqBatchTopK(
+            graft.operators.Similarity.pqEncode(emb, "e", cb), probes, cb, k = 5)
+          .select("probe_id", "vec_id", "adc_dist")
+          .orderBy("probe_id", "adc_dist", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |                   x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, e.vec_id,
+             |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, p.pv)
+             |          + list_dot_product(p.pv, p.pv) AS adc_dist
+             |      FROM e, p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY adc_dist, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, adc_dist FROM r WHERE rk <= 5
+             |ORDER BY probe_id, adc_dist, vec_id""".stripMargin)),
+
     // ---- embedding near-duplicate pairs, exact all-pairs form.
     //      Threshold 0.4 because this synthetic corpus has no truly
     //      near-identical vectors (max pair cosine ~0.51) — at a real
