@@ -235,6 +235,29 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- LSH exactness-by-construction twin: probeHamming = nBits
+    //      admits every signature, so the LSH plan (hyperplane
+    //      signatures, XOR/bit_count candidate filter, exact cosine
+    //      re-rank) runs exhaustively and must equal brute force —
+    //      pinned by the exact DuckDB top-k oracle. sim_ann_topk stays
+    //      the approximate production form (hamming <= 6). ----
+    Q("sim_lsh_exhaustive",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        graft.operators.Similarity
+          .annTopK(emb.filter(col("vec_id") =!= 0), probe, "e", dim = 64, k = 10,
+            nBits = 16, probeHamming = 16)
+          .select("vec_id", "label", "cos_sim")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- IVF ANN: probe the nProbe nearest of 16 sampled-centroid
     //      cells, exact re-rank inside them. Approximate (cell
     //      boundaries cut the true neighborhood), so rows-only here;
