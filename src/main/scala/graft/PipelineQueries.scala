@@ -105,10 +105,12 @@ object PipelineQueries {
             val b = graft.operators.Contamination.buildEvalBloom(eval_, "text", n = 4)
             val tmp = java.nio.file.Files.createTempFile(
               fix.getParent, "graft_bloom_", ".tmp")
-            java.nio.file.Files.write(tmp, b)
-            java.nio.file.Files.move(tmp, fix,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            try {
+              java.nio.file.Files.write(tmp, b)
+              java.nio.file.Files.move(tmp, fix,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } finally java.nio.file.Files.deleteIfExists(tmp)
             b
           }
         graft.operators.Contamination.flagContaminatedBloom(

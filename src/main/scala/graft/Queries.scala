@@ -38,24 +38,28 @@ object Tables {
     (if (names.nonEmpty) names else all)
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Content fingerprint of a table file/dir (names + lengths +
-    * mtimes, folded): cache keys derived from it go stale the moment
-    * the data is regenerated in place — keying by path alone would
-    * silently serve artifacts of a previous corpus. */
+  /** Content fingerprint of a table file/dir: cache keys derived from
+    * it go stale the moment the data is regenerated in place — keying
+    * by path alone would silently serve artifacts of a previous
+    * corpus. SHA-256 over SORTED, delimiter-separated
+    * (full-path, length, mtime) records: listing order can't change
+    * the key, adjacent fields can't alias each other, and collisions
+    * are cryptographically negligible (a CRC of undelimited basenames
+    * would give none of the three). */
   def fingerprint(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crc = new java.util.zip.CRC32()
-    def add(s: String): Unit = crc.update(s.getBytes("UTF-8"))
-    add(path)
+    val entries = scala.collection.mutable.ArrayBuffer[String](path)
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        add(f.getPath.getName); add(f.getLen.toString); add(f.getModificationTime.toString)
+        entries += s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
       }
     }
-    java.lang.Long.toHexString(crc.getValue)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
   }
 }
 

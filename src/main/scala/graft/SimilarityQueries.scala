@@ -302,7 +302,15 @@ object SimilarityQueries {
           else {
             val trained = graft.operators.Similarity.trainPqCodebooks(
               emb, "vec_id", "e", dim = 64, m = 8, k = 16)
-            graft.operators.Similarity.savePqCodebooks(s, trained, cbPath)
+            // write to a unique temp dir, then rename into place: a
+            // concurrent run never observes a half-written dir, and a
+            // lost rename race just means the winner's (identical —
+            // training is deterministic) codebooks stay
+            val tmp = s"$cbPath.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+            graft.operators.Similarity.savePqCodebooks(s, trained, tmp)
+            val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+            if (!fs.rename(tmpPath, new org.apache.hadoop.fs.Path(cbPath)))
+              fs.delete(tmpPath, true)
             trained
           }
         val probe = emb.filter(col("vec_id") === 0)

@@ -206,7 +206,11 @@ object Ranking {
     if (qs.isEmpty) return Seq.empty
     val v = col(valueCol).cast("double")
     val vals = df.filter(v.isNotNull).select(v.as("_v"))
-    val n = vals.count()
+    // one job for both counts — the NaN census rides the row count
+    // (a separate isnan scan would add a full pass per call)
+    val cnts = vals.agg(count(lit(1)).as("_n"),
+      count(when(isnan(col("_v")), 1)).as("_nan")).head()
+    val n = cnts.getLong(0)
     if (n == 0L) return qs.map(_ => None)
     // each quantile needs rank lo+1 and (when interpolating) lo+2
     val pos = qs.map(q => (n - 1) * q)
@@ -214,7 +218,8 @@ object Ranking {
       val lo = math.floor(p).toLong
       if (p - lo == 0.0) Seq(lo + 1) else Seq(lo + 1, lo + 2)
     }.distinct.sorted
-    val at = valuesAtRanks(vals, ranks, n, buckets, probeLimit)
+    val at = valuesAtRanks(vals, ranks, n, buckets, probeLimit,
+      nNan = cnts.getLong(1))
     pos.map { p =>
       val lo = math.floor(p).toLong
       val frac = p - lo
@@ -232,7 +237,7 @@ object Ranking {
     * many ranks land together. */
   private def valuesAtRanks(vals: DataFrame, ranks: Seq[Long], total: Long,
                             buckets: Int, probeLimit: Int,
-                            nanFree: Boolean = false): Map[Long, Double] = {
+                            nNan: Long = -1L): Map[Long, Double] = {
     if (ranks.isEmpty) return Map.empty
     if (total <= probeLimit) {
       // bounded: total (hence every rank) fits Int and <= probeLimit;
@@ -245,17 +250,16 @@ object Ranking {
     // with Java semantics (no boundary is < NaN, so NaN would land in
     // bucket 0 — the BOTTOM), shifting every later rank by one. Peel
     // the NaN class once; everything below runs NaN-free, where Java
-    // and SQL orderings agree (±Inf inclusive).
-    if (!nanFree) {
-      val nNan = vals.filter(isnan(col("_v"))).count()
-      if (nNan == 0)
-        return valuesAtRanks(vals, ranks, total, buckets, probeLimit, nanFree = true)
-      val loRanks = ranks.filter(_ <= total - nNan)
+    // and SQL orderings agree (±Inf inclusive). The caller passes the
+    // census (it rides exactQuantiles' count job); -1 = unknown.
+    val nanCount = if (nNan >= 0) nNan else vals.filter(isnan(col("_v"))).count()
+    if (nanCount > 0) {
+      val loRanks = ranks.filter(_ <= total - nanCount)
       val lows =
         if (loRanks.isEmpty) Map.empty[Long, Double]
         else valuesAtRanks(vals.filter(!isnan(col("_v"))), loRanks,
-          total - nNan, buckets, probeLimit, nanFree = true)
-      return ranks.map(r => r -> (if (r > total - nNan) Double.NaN else lows(r))).toMap
+          total - nanCount, buckets, probeLimit, nNan = 0L)
+      return ranks.map(r => r -> (if (r > total - nanCount) Double.NaN else lows(r))).toMap
     }
     // bucket on the given boundaries and recurse per target bucket;
     // None when everything landed in one bucket (no shrink)
@@ -276,7 +280,7 @@ object Ranking {
         if (inB.nonEmpty) {
           val local = valuesAtRanks(
             bucketed.filter(col("_bkt") === b).select("_v"),
-            inB.map(_ - cum), c, buckets, probeLimit, nanFree = true)
+            inB.map(_ - cum), c, buckets, probeLimit, nNan = 0L)
           val base = cum
           out ++= inB.map(r => r -> local(r - base))
         }
@@ -313,7 +317,7 @@ object Ranking {
           if (midRanks.isEmpty) Map.empty[Long, Double]
           else valuesAtRanks(vals.filter(col("_v") > lo && col("_v") < hi),
             midRanks.map(_ - nLo), total - nLo - nHi, buckets, probeLimit,
-            nanFree = true)
+            nNan = 0L)
         ranks.map { r =>
           r -> (if (r <= nLo) lo
                 else if (r > total - nHi) hi

@@ -63,13 +63,16 @@ class PqSpec extends SparkTestBase {
     val r3 = withCodegen.find(_._1 == null).get
     assert(r3._2.isEmpty && r3._3.isEmpty)
     // factoryMode=NO_CODEGEN forces true interpreted expression eval
-    // (wholeStage=false alone still uses expression-level codegen)
+    // (wholeStage=false alone still uses expression-level codegen);
+    // restore the PRIOR conf values, not hardcoded defaults
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(run() == withCodegen, "interpreted and codegen paths must agree")
     finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
     }
   }
 
