@@ -90,6 +90,30 @@ object ScaleStress {
           probeLimit = 2048)
         .map(o => (o.getOrElse(0.0) * 1000).toLong).sum  // checksum as `out`
     })
+    // Quality rules: five rules, ONE aggregation pass — wall must
+    // track the scan, never rules x scans.
+    docRun("quality")(c => {
+      val verdicts = graft.operators.Quality.check(c, Seq(
+        graft.operators.Quality.NotNull("text"),
+        graft.operators.Quality.Unique("doc_id"),
+        graft.operators.Quality.InRange("doc_id", 0, 1e18, 0.99),
+        graft.operators.Quality.MatchesRegex("text", "^.", 0.9),
+        graft.operators.Quality.RowCountBetween(1, Long.MaxValue))).collect()
+      verdicts.count(_.getBoolean(4)).toLong
+    })
+    // HLL distinct maintenance: merge of per-slice sketches vs exact
+    // recount — summary stays |keys| rows whatever the corpus.
+    docRun("hlldist")(c => {
+      val base = c.filter(col("doc_id") % 10 =!= 0)
+      val delta = c.filter(col("doc_id") % 10 === 0)
+      graft.operators.IncrementalAgg.estimateDistinct(
+        graft.operators.IncrementalAgg.mergeDistinct(
+          graft.operators.IncrementalAgg.summarizeDistinct(
+            base.withColumn("k", pmod(col("doc_id"), lit(7L))), Seq("k"), col("text")),
+          graft.operators.IncrementalAgg.summarizeDistinct(
+            delta.withColumn("k", pmod(col("doc_id"), lit(7L))), Seq("k"), col("text")),
+          Seq("k"))).agg(sum("distinct_estimate")).head().getLong(0)
+    })
     // Heavy hitters: the candidate set is bounded by the sketch size
     // whatever the corpus — cost must track corpus ~linearly (two
     // scans), NEVER the vocabulary (which also grows with replicas'

@@ -11,6 +11,51 @@ import org.apache.spark.sql.functions._
 class JdbcConfigSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("reference flagship E2E, live: JSON job config -> JDBC source -> mapping -> CSV sink") {
+    // the reference's jobconfigex.json shape (JDBC read, rename/cast
+    // mappings, filter, CSV destination) executing end to end against
+    // a real embedded Derby database through the full JobRunner path
+    if (System.getProperty("derby.system.home") == null) {
+      new java.io.File("/tmp/graft_derby_home").mkdirs()
+      System.setProperty("derby.system.home", "/tmp/graft_derby_home")
+    }
+    val dbDir = tmpDir("jobjdbc")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    // seed the database with a customer subset (the "source system")
+    graft.sinks.Writers.write(
+      Tables.t(spark, sf, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+      graft.model.DestinationConfig("JDBC", ConnectionDetails(
+        jdbcUrl = Some(url), tableName = Some("CUSTOMER_SRC"),
+        createTableColumnTypes = Some("c_name VARCHAR(64), c_mktsegment VARCHAR(16)"))))
+    val out = tmpDir("jobjdbc_out")
+    val cfgJson = s"""{
+      "jobId": "jdbc-to-csv-live",
+      "source": {"type": "JDBC", "connectionDetails": {
+        "jdbcUrl": "$url", "tableName": "CUSTOMER_SRC", "fetchSize": 500}},
+      "destination": {"type": "CSV", "connectionDetails": {"path": "$out/dest"}},
+      "mappings": [
+        {"sourceFieldName": "c_custkey", "destinationFieldName": "CustomerID",
+         "destFieldType": "LONG", "isDestNullable": false},
+        {"sourceFieldName": "c_name", "destinationFieldName": "Name",
+         "destFieldType": "STRING", "transformationRule": "UPPERCASE"},
+        {"sourceFieldName": "c_acctbal", "destinationFieldName": "Balance",
+         "destFieldType": "DOUBLE"}
+      ],
+      "steps": ["VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD", "NOTIFY_SUCCESS"]
+    }"""
+    val res = graft.job.JobRunner.run(spark, graft.model.JobConfig.fromJson(cfgJson))
+    assert(res.status == graft.job.JobRunner.Completed, res.message)
+    val want = Tables.t(spark, sf, "customer").count()
+    assert(res.recordsWritten == want, s"wrote ${res.recordsWritten}, source had $want")
+    val back = spark.read.option("header", "true").csv(s"$out/dest")
+    assert(back.count() == want)
+    assert(back.columns.toSeq == Seq("CustomerID", "Name", "Balance"))
+    // the UPPERCASE transformation rule applied through the live path
+    val names = back.select("Name").limit(50).collect().map(_.getString(0))
+    assert(names.nonEmpty && names.forall(n => n == n.toUpperCase))
+  }
+
   test("JDBC source requires jdbcUrl, and tableName or query") {
     val noUrl = SourceConfig("JDBC", ConnectionDetails(tableName = Some("t")))
     val e1 = intercept[IllegalArgumentException](Readers.jdbc(spark, noUrl))
