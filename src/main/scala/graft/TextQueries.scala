@@ -367,6 +367,35 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    // ---- SimHash exactness-by-construction twin: identical texts get
+    //      identical fingerprints, hence hamming 0 and (pigeonhole) a
+    //      guaranteed chunk collision — so filtering the SimHash
+    //      pipeline's output to hamming == 0 AND equal text yields
+    //      EXACTLY the identical-text pairs, which the oracle computes
+    //      as a plain text self-join. Pins fingerprint determinism,
+    //      chunk-bucket candidate completeness for exact dups, and the
+    //      pair expansion; dedup_simhash_pairs stays the approximate
+    //      production form (hamming <= 3). ----
+    Q("dedup_simhash_identical",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val pairs = graft.operators.Dedup.simhashNearDups(
+          graft.operators.Dedup.simhash(corpus, "doc_id", "text"), "doc_id")
+        val t = corpus.select(col("doc_id"), col("text"))
+        pairs.filter(col("hamming") === 0)
+          .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+          .filter(col("ta") === col("tb"))
+          .select("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH c AS (SELECT doc_id, text FROM documents
+             |          UNION ALL SELECT doc_id + 100000, text FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM c a JOIN c b ON a.text = b.text AND a.doc_id < b.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- global sentence-level dedup (C4-style boilerplate removal):
     //      every repeated sentence keeps ONLY its first occurrence
     //      (min (doc_id, pos) across the whole corpus); documents are
