@@ -45,7 +45,12 @@ final case class ConnectionDetails(
     // JDBC sink DDL override, e.g. "status VARCHAR(1), note VARCHAR(64)".
     // Some dialects map StringType to a LOB by default (Derby: CLOB),
     // which then cannot be compared/indexed server-side.
-    createTableColumnTypes: Option[String] = None
+    createTableColumnTypes: Option[String] = None,
+    // File-sink codec (snappy/zstd/gzip/lz4/none...). At 100 TB the
+    // codec choice IS a capacity decision — zstd halves parquet
+    // footprint vs snappy at similar scan speed; defaults stay
+    // Spark's when unset.
+    compression: Option[String] = None
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -175,7 +180,8 @@ object JobConfig {
       partitionKeys = strList(n, "partitionKeys", "partitionBy"),
       sortKeys = strList(n, "sortKeys", "sortBy"),
       maxRecordsPerFile = optLong(n, "maxRecordsPerFile"),
-      createTableColumnTypes = optText(n, "createTableColumnTypes")
+      createTableColumnTypes = optText(n, "createTableColumnTypes"),
+      compression = optText(n, "compression", "codec")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping = {

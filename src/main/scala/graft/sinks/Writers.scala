@@ -28,7 +28,9 @@ object Writers {
     //    cannot produce a single unsplittable multi-GB file.
     def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
       val withPart = if (c.partitionKeys.nonEmpty) w.partitionBy(c.partitionKeys: _*) else w
-      c.maxRecordsPerFile.fold(withPart)(m => withPart.option("maxRecordsPerFile", m))
+      val withMax = c.maxRecordsPerFile.fold(withPart)(m => withPart.option("maxRecordsPerFile", m))
+      // codec knob, honored by every file format's writer option
+      c.compression.fold(withMax)(codec => withMax.option("compression", codec))
     }
     // With hive partitioning, the file writer re-sorts each task by
     // the partition columns (to open one file at a time) — a child

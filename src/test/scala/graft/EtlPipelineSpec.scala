@@ -430,6 +430,24 @@ class EtlPipelineSpec extends SparkTestBase {
       .destination.get.connectionDetails.partitionKeys == List("a", "b"))
   }
 
+  test("compression knob reaches the file writer (zstd parquet, gzip csv)") {
+    val out = tmpDir("codec")
+    Writers.write(
+      Tables.t(spark, sf, "nation").select("n_nationkey", "n_name"),
+      DestinationConfig("PARQUET", ConnectionDetails(
+        path = Some(s"$out/pq"), compression = Some("zstd"))))
+    val pq = new java.io.File(s"$out/pq").listFiles().map(_.getName)
+    assert(pq.exists(_.endsWith(".zstd.parquet")), s"no zstd parquet in ${pq.toSeq}")
+    assert(spark.read.parquet(s"$out/pq").count() == 25)
+    Writers.write(
+      Tables.t(spark, sf, "nation").select("n_nationkey", "n_name"),
+      DestinationConfig("CSV", ConnectionDetails(
+        path = Some(s"$out/csv"), compression = Some("gzip"))))
+    val cs = new java.io.File(s"$out/csv").listFiles().map(_.getName)
+    assert(cs.exists(_.endsWith(".csv.gz")), s"no gzip csv in ${cs.toSeq}")
+    assert(spark.read.option("header", "true").csv(s"$out/csv").count() == 25)
+  }
+
   test("maxRecordsPerFile bounds output files; sortKeys order rows within each file") {
     val out = tmpDir("filelayout")
     Writers.write(
