@@ -290,11 +290,7 @@ object EtlQueries {
     //      value-preserving through a real DBMS. ----
     Q("etl_jdbc_roundtrip",
       (s, dir) => {
-        // keep Derby's home (derby.log, lock bookkeeping) out of the repo
-        if (System.getProperty("derby.system.home") == null) {
-          new java.io.File("/tmp/graft_derby_home").mkdirs()
-          System.setProperty("derby.system.home", "/tmp/graft_derby_home")
-        }
+        Readers.ensureDerbyHome()
         val url = s"jdbc:derby:/tmp/graft_fix_derby_${java.lang.Integer.toHexString(dir.hashCode)}/db;create=true"
         val mappings = List(
           FieldMapping("o_orderkey", "order_id", "NUMBER", "LONG", isDestNullable = false),

@@ -216,6 +216,16 @@ object Readers {
    * streaming-cursor knob (ETLCoreJdbcReader.java:77-83).
    * Credentials come via env-var indirection, never config literals.
    */
+  /** Pin Derby's embedded home (derby.log, lock bookkeeping) outside
+    * the working directory — shared by every embedded-Derby path
+    * (gate query, specs) so log/lock state never splits across homes.
+    * Idempotent; no-op when a home is already set. */
+  def ensureDerbyHome(dir: String = "/tmp/graft_derby_home"): Unit =
+    if (System.getProperty("derby.system.home") == null) {
+      new java.io.File(dir).mkdirs()
+      System.setProperty("derby.system.home", dir)
+    }
+
   def jdbc(spark: SparkSession, cfg: SourceConfig): DataFrame = {
     val c = cfg.connectionDetails
     val url = c.jdbcUrl.getOrElse(throw new IllegalArgumentException("JDBC source requires jdbcUrl"))

@@ -15,10 +15,7 @@ class JdbcConfigSpec extends SparkTestBase {
     // the reference's jobconfigex.json shape (JDBC read, rename/cast
     // mappings, filter, CSV destination) executing end to end against
     // a real embedded Derby database through the full JobRunner path
-    if (System.getProperty("derby.system.home") == null) {
-      new java.io.File("/tmp/graft_derby_home").mkdirs()
-      System.setProperty("derby.system.home", "/tmp/graft_derby_home")
-    }
+    Readers.ensureDerbyHome()
     val dbDir = tmpDir("jobjdbc")
     val url = s"jdbc:derby:$dbDir/db;create=true"
     // seed the database with a customer subset (the "source system")

@@ -251,10 +251,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streaming JDBC load: micro-batches append into a live Derby table") {
-    if (System.getProperty("derby.system.home") == null) {
-      new java.io.File("/tmp/graft_derby_home").mkdirs()
-      System.setProperty("derby.system.home", "/tmp/graft_derby_home")
-    }
+    graft.sources.Readers.ensureDerbyHome()
     val url = s"jdbc:derby:${tmpDir("sjdbc")}/db;create=true"
     val dest = graft.model.DestinationConfig("JDBC",
       graft.model.ConnectionDetails(jdbcUrl = Some(url), tableName = Some("EVENTS_LOAD"),
