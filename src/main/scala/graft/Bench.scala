@@ -26,7 +26,9 @@ object Bench {
     "topk_per_group_agg",
     "mix_domains", "score_unigram_logprob", "events_interval_join",
     "token_heavy_hitters", "kmeans_lloyd_step", "exact_quantiles_scalable",
-    "etl_profile_columns", "etl_incremental_agg")
+    "etl_profile_columns", "etl_incremental_agg",
+    "etl_jdbc_roundtrip", "sim_pq_topk", "etl_quality_rules",
+    "etl_incremental_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
