@@ -37,6 +37,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("PqCodec kernels agree with straightforward reference implementations on random input") {
+    // one generated corpus, one Spark round-trip: random vectors +
+    // random codebooks through the native encode/ADC/batch-ADC/sig
+    // kernels, checked cell-by-cell against plain-Scala re-derivations
+    val dim = 8; val m = 4; val sub = dim / m; val k = 5; val nBits = 12
+    val dGen = Gen.chooseNum(-10.0, 10.0)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      sample(Gen.listOfN(sub, dGen), k, seed = 100L + j).map(_.toArray).toArray)
+    val probe = sample(dGen, dim, seed = 42L).toArray
+    val dtable: Array[Array[Double]] = Array.tabulate(m)(j =>
+      cb(j).map(c => c.zipWithIndex.map { case (x, i) =>
+        val d = probe(j * sub + i) - x; d * d }.sum))
+    val vecs = sample(Gen.listOfN(dim, dGen), 200, seed = 9L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val got = graft.operators.Similarity.pqEncode(
+        vecs.toDF("id", "e").withColumn("e", col("e").cast("array<double>")), "e", cb)
+      .withColumn("adc", graft.functions.PqCodec.adc(col("pq_code"), dtable))
+      .withColumn("badc", graft.functions.PqCodec.adcBatch(
+        col("pq_code"), typedLit(probe.toSeq), cb))
+      .withColumn("sig", graft.operators.Similarity.signature(col("e"), dim, nBits))
+      .select("id", "pq_code", "adc", "badc", "sig")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (id, v) =>
+      val arr = v.toArray
+      val wantCodes = (0 until m).map { j =>
+        val s = java.util.Arrays.copyOfRange(arr, j * sub, (j + 1) * sub)
+        cb(j).zipWithIndex.minBy { case (c, ci) => (d2(s, c), ci) }._2
+      }
+      val (codes, adc, badc, sig) = got(id)
+      assert(codes == wantCodes, s"vec $id: codes $codes != $wantCodes")
+      val wantAdc = codes.zipWithIndex.map { case (c, j) => dtable(j)(c) }.sum
+      assert(math.abs(adc - wantAdc) < 1e-9, s"vec $id adc")
+      val wantBadc = codes.zipWithIndex.map { case (c, j) =>
+        d2(cb(j)(c), java.util.Arrays.copyOfRange(probe, j * sub, (j + 1) * sub)) }.sum
+      assert(math.abs(badc - wantBadc) < 1e-9, s"vec $id batch adc")
+      val wantSig = (0 until nBits).map { p =>
+        val dot = (0 until dim).map(d => arr(d) * graft.functions.PqCodec.planeWeight(p, d)).sum
+        if (dot >= 0.0) 1L << p else 0L
+      }.reduce(_ | _)
+      assert(sig == wantSig, s"vec $id signature")
+    }
+  }
+
   test("decimal cast round-trips through string for arbitrary scaled values") {
     val g = for {
       unscaled <- Gen.chooseNum(-999999999999999L, 999999999999999L)
