@@ -1939,18 +1939,36 @@ object AnalyticsQueries {
     //      approx VALUES themselves stay rows-only in the two queries
     //      above; sketches are not cross-engine reproducible.) ----
     Q("agg_approx_agreement",
-      (s, dir) => Tables.t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
-          expr("percentile(l_quantity, 0.5)").as("_p50"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("_ap50"))
-        .select(col("l_returnflag"), col("n_parts"),
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        // exact median via the counting form, NOT built-in
+        // percentile(): that aggregate buffers every group value in
+        // one aggregation buffer (~1/3 of lineitem per buffer here —
+        // an executor OOM at 100 TB). l_quantity is a quantized
+        // domain (50 integral values), so the counting path's
+        // intermediate is |groups| × 50 rows of metadata.
+        val p50 = graft.operators.Ranking.groupedCountingQuantile(
+          li, "l_returnflag", "l_quantity", 0.5, out = "_p50")
+        // countDistinct kept SEPARATE from the sketch aggregates: mixed
+        // distinct + non-distinct aggregation makes Spark's distinct
+        // rewrite key phase 1 on (group, l_partkey), building one HLL
+        // + QuantileSummaries buffer PER DISTINCT PART (~200k sketch
+        // merges here; ~70M at SF100). Split, each agg keeps its
+        // natural two-phase plan and the join reconciles 3 rows.
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        val sketches = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("_ap50"))
+        exact.join(broadcast(sketches), Seq("l_returnflag"))
+          .join(broadcast(p50), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_parts"),
           (abs(col("_approx_parts") - col("n_parts")) <=
             col("n_parts") * 0.05).as("distinct_within_5pct"),
           (abs(col("_ap50") - col("_p50")) <= abs(col("_p50")) * 0.05)
             .as("p50_within_5pct"))
-        .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
              |TRUE AS distinct_within_5pct, TRUE AS p50_within_5pct
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),

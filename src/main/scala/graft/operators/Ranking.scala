@@ -228,6 +228,58 @@ object Ranking {
     }
   }
 
+  /**
+   * EXACT per-group interpolated quantile (SQL `percentile` semantics:
+   * position (n−1)·q per group, linear interpolation, nulls excluded)
+   * for QUANTIZED value domains — the scalable replacement for
+   * `percentile(v, q) GROUP BY g`, whose aggregation buffer holds
+   * every group value (one buffer ≈ |group| rows: at 100 TB a
+   * 3-group median over lineitem puts a third of the table in a
+   * single executor's memory). Here nothing ever holds more than one
+   * (group, value) count:
+   *
+   *   1. `groupBy(g, v).count()` — full-data pass with map-side
+   *      combine; output is |g| × |distinct v| rows. For a quantized
+   *      domain (integral quantities, prices in cents, bucketed
+   *      scores) that is metadata, independent of row count;
+   *   2. cumulative counts over that metadata table (window
+   *      partitioned by g — tiny), then the interpolated quantile is
+   *      the pair of values whose cumulative count brackets
+   *      (n−1)·q — a conditional min per group.
+   *
+   * Returns (groupCol, `out`) with one row per group. NaN follows
+   * Spark SQL ordering (greatest) consistently in both the window
+   * order and the conditional min. NOT for continuous high-cardinality
+   * domains — there `|g| × |distinct v|` approaches the table size;
+   * use [[exactQuantiles]] (global) or quantize first.
+   */
+  def groupedCountingQuantile(df: DataFrame, groupCol: String,
+                              valueCol: String, q: Double,
+                              out: String = "quantile"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_g")
+    // value at 0-based sorted index i = smallest _v with _cum >= i+1;
+    // cumulative counts are monotone in _v, so the conditional min
+    // resolves each bracket rank without a second pass
+    val cum = counts
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wAll))
+      .withColumn("_p", lit(q) * (col("_n") - 1))
+      .withColumn("_frac", col("_p") - floor(col("_p")))
+    cum.groupBy(col("_g").as(groupCol))
+      .agg(
+        min(when(col("_cum") >= floor(col("_p")) + 1, col("_v"))).as("_vlo"),
+        min(when(col("_cum") >= ceil(col("_p")) + 1, col("_v"))).as("_vhi"),
+        first(col("_frac")).as("_f"))
+      .select(col(groupCol),
+        (col("_vlo") + col("_f") * (col("_vhi") - col("_vlo"))).as(out))
+  }
+
   /** Resolves a SORTED batch of 1-based ranks. `probeLimit`: a slice
     * at most this large is resolved by ONE bounded sorted collect
     * (<= probeLimit doubles = 1 MB driver memory at the default);

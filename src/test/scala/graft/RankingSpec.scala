@@ -165,6 +165,30 @@ class RankingSpec extends SparkTestBase {
     assert(Ranking.exactQuantile(allNan, "x", 0.5, probeLimit = 16).exists(_.isNaN))
   }
 
+  test("groupedCountingQuantile matches built-in percentile() per group") {
+    import spark.implicits._
+    val li = Tables.t(spark, sf, "lineitem")
+    Seq(0.0, 0.25, 0.5, 0.9, 1.0).foreach { q =>
+      val want = li.groupBy("l_returnflag")
+        .agg(expr(s"percentile(l_quantity, $q)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = Ranking.groupedCountingQuantile(li, "l_returnflag", "l_quantity", q)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"q=$q got=$got want=$want")
+    }
+    // interpolation between distinct values (even count, frac = 0.5)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 8.0),
+      ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val m = Ranking.groupedCountingQuantile(df, "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 3.0, "b" -> 3.0))
+    // nulls excluded per SQL convention
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0))).toDF("g", "v")
+    val mn = Ranking.groupedCountingQuantile(withNull, "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mn == Map("a" -> 2.0))
+  }
+
   test("ntile exact-size contract on a known distribution") {
     import spark.implicits._
     // 10 rows, 4 tiles -> sizes 3,3,2,2
