@@ -1629,6 +1629,41 @@ object AnalyticsQueries {
              |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // ---- STREAMING EXECUTION on the hard gate: the same tumbling
+    //      aggregate as events_tumbling_window, but actually run
+    //      through the streaming engine — readStream over the events
+    //      parquet, watermark, windowed agg, Trigger.AvailableNow into
+    //      a parquet sink (append mode), result read back from the
+    //      committed files. Append emission is deterministic here: the
+    //      final no-data batch advances the watermark to
+    //      max(ts) − 2h and flushes exactly the windows whose end is
+    //      <= that — which is what the oracle states. (The batch twin
+    //      above pins the aggregate's VALUES; this row pins that the
+    //      streaming engine + sink commit path produces them.) ----
+    Q("events_stream_tumbling",
+      (s, dir) => {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_stream_gate_").toString
+        // the file streaming source lists a DIRECTORY; expose the
+        // single events parquet through a symlink in the work dir
+        val src = java.nio.file.Paths.get(work, "src")
+        java.nio.file.Files.createDirectory(src)
+        java.nio.file.Files.createSymbolicLink(src.resolve("events.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        val agg = graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEvents(s, src.toString),
+          windowLen = "1 hour", watermark = "2 hours")
+        graft.streaming.EventStreams.runToParquet(s, agg, work)
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+             |cut AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM e)
+             |SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM e, cut
+             |WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
     //      last-ignoring-nulls form of an as-of join (no range-join

@@ -268,6 +268,37 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /**
+   * Execute a streaming aggregate through a PARQUET sink (append mode
+   * — the only mode file sinks support) with `Trigger.AvailableNow`,
+   * then read the committed files back. This is the production
+   * streaming path end-to-end: micro-batch planner, state store,
+   * watermark advancement, exactly-once file commit via the sink's
+   * manifest log.
+   *
+   * Emission contract (what makes this ORACLE-ABLE): append mode
+   * releases a window only once the watermark passes its end. With
+   * AvailableNow, after the data batches finish Spark runs a final
+   * no-data batch whose watermark is max(event time) − delay, so the
+   * committed result is exactly the windows with
+   * `window_end <= max(ts) − delay` — a deterministic function of the
+   * input that a batch SQL oracle can state verbatim. Windows inside
+   * the final delay stay in state (they would emit on the next run —
+   * correct streaming semantics, not data loss).
+   */
+  def runToParquet(spark: SparkSession, streamed: DataFrame, workDir: String): DataFrame = {
+    val out = s"$workDir/out"
+    val q: StreamingQuery = streamed.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Run a streaming DataFrame to completion against a bounded source
     * and return the final result from the in-memory sink. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,

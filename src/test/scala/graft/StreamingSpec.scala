@@ -27,6 +27,22 @@ class StreamingSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
   }
 
+  test("runToParquet (append + AvailableNow) emits exactly the watermark-closed windows") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToParquet(spark,
+        EventStreams.tumblingCounts(stream), tmpDir("tumble_pq"))
+      .orderBy("window_start", "event_type").collect()
+    // append emission contract: windows with end <= max(ts) - 2h
+    val wm = Tables.t(spark, sf, "events")
+      .agg(max(col("ts")) - expr("INTERVAL 2 HOURS")).head().getTimestamp(0)
+    val want = Queries.queries("events_tumbling_window")(spark, sf)
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .collect()
+    assert(got.nonEmpty && got.length == want.length,
+      s"got ${got.length} want ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+  }
+
   test("streaming session windows == batch events_sessionize") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(spark,
