@@ -106,7 +106,7 @@ object EtlQueries {
     //      value-preserving. ----
     Q("etl_csv_source",
       (s, dir) => {
-        val fix = s"/tmp/graft_fix_csv_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val fix = s"${CacheDirs.root}/fix_csv_${java.lang.Integer.toHexString(dir.hashCode)}"
         Writers.write(
           Tables.t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
           DestinationConfig("CSV", ConnectionDetails(path = Some(fix))))
@@ -129,7 +129,7 @@ object EtlQueries {
     //      casts in the mapping stage. ----
     Q("etl_json_source",
       (s, dir) => {
-        val fix = s"/tmp/graft_fix_json_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val fix = s"${CacheDirs.root}/fix_json_${java.lang.Integer.toHexString(dir.hashCode)}"
         Tables.t(s, dir, "supplier")
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
           .write.mode("overwrite").json(fix)
@@ -291,7 +291,15 @@ object EtlQueries {
     Q("etl_jdbc_roundtrip",
       (s, dir) => {
         Readers.ensureDerbyHome()
-        val url = s"jdbc:derby:/tmp/graft_fix_derby_${java.lang.Integer.toHexString(dir.hashCode)}/db;create=true"
+        // DB path keyed by CONTENT fingerprint (dir.hashCode could
+        // collide across corpora and share one table), under the
+        // owner-only cache root. NOTE embedded Derby allows ONE
+        // booting JVM per database: this gate query assumes no
+        // concurrent verify/bench process over the same sf dir (the
+        // driver runs them serially; a second process would fail fast
+        // with XJ040, not corrupt).
+        val dbFp = Tables.fingerprint(s, s"$dir/orders.parquet")
+        val url = s"jdbc:derby:${CacheDirs.root}/fix_derby_$dbFp/db;create=true"
         val mappings = List(
           FieldMapping("o_orderkey", "order_id", "NUMBER", "LONG", isDestNullable = false),
           FieldMapping("o_custkey", "cust_id", "NUMBER", "LONG"),
@@ -331,7 +339,7 @@ object EtlQueries {
     //      standardized on ORC loses nothing switching in. ----
     Q("etl_orc_source",
       (s, dir) => {
-        val fix = s"/tmp/graft_fix_orc_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val fix = s"${CacheDirs.root}/fix_orc_${java.lang.Integer.toHexString(dir.hashCode)}"
         Writers.write(
           Tables.t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice"),
           DestinationConfig("ORC", ConnectionDetails(path = Some(fix))))
@@ -352,7 +360,7 @@ object EtlQueries {
     //      casting in the mapping stage like the JSON path. ----
     Q("etl_xml_source",
       (s, dir) => {
-        val fix = s"/tmp/graft_fix_xml_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val fix = s"${CacheDirs.root}/fix_xml_${java.lang.Integer.toHexString(dir.hashCode)}"
         Writers.write(
           Tables.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
           DestinationConfig("XML", ConnectionDetails(
@@ -374,7 +382,7 @@ object EtlQueries {
     //      the DataSource V2 connector + MappingOp casts. ----
     Q("etl_fixedwidth_source",
       (s, dir) => {
-        val fix = s"/tmp/graft_fix_fw_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val fix = s"${CacheDirs.root}/fix_fw_${java.lang.Integer.toHexString(dir.hashCode)}"
         Tables.t(s, dir, "nation").select(
           concat(
             rpad(col("n_nationkey").cast("string"), 5, " "),

@@ -97,14 +97,17 @@ object PipelineQueries {
         // negatives would silently unflag contamination). Write via
         // temp + atomic move so a concurrent reader never sees a
         // truncated filter.
+        // owner-only cache root (CacheDirs verifies ownership) — a
+        // pre-created world-writable /tmp file could otherwise feed
+        // the gate a planted filter
         val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
-        val fix = java.nio.file.Paths.get(s"/tmp/graft_bloom_$fp.bin")
+        val fix = java.nio.file.Paths.get(s"${CacheDirs.root}/bloom_$fp.bin")
         val bytes =
           if (java.nio.file.Files.exists(fix)) java.nio.file.Files.readAllBytes(fix)
           else {
             val b = graft.operators.Contamination.buildEvalBloom(eval_, "text", n = 4)
             val tmp = java.nio.file.Files.createTempFile(
-              fix.getParent, "graft_bloom_", ".tmp")
+              fix.getParent, "bloom_", ".tmp")
             try {
               java.nio.file.Files.write(tmp, b)
               java.nio.file.Files.move(tmp, fix,

@@ -293,12 +293,19 @@ object SimilarityQueries {
         // on a previous corpus must never serve a regenerated one. The
         // _SUCCESS-gated existence check means a half-written parquet
         // dir (no marker yet) retrains rather than loading partials.
+        // The cache lives under the OWNER-ONLY CacheDirs.root (not
+        // bare /tmp — a pre-created world-writable dir would be loaded
+        // blindly), and loadPqCodebooks validates the m x k x sub
+        // shape, so a stale/corrupt cache fails fast instead of
+        // serving garbage.
         val fp = Tables.fingerprint(s, s"$dir/embeddings.parquet")
-        val cbPath = s"/tmp/graft_pq_cb_$fp"
+        val cbPath = s"${CacheDirs.root}/pq_cb_$fp"
         val marker = new org.apache.hadoop.fs.Path(s"$cbPath/_SUCCESS")
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         val cb =
-          if (fs.exists(marker)) graft.operators.Similarity.loadPqCodebooks(s, cbPath)
+          if (fs.exists(marker))
+            graft.operators.Similarity.loadPqCodebooks(s, cbPath,
+              expectM = Some(8), expectK = Some(16), expectSub = Some(64 / 8))
           else {
             val trained = graft.operators.Similarity.trainPqCodebooks(
               emb, "vec_id", "e", dim = 64, m = 8, k = 16)

@@ -68,8 +68,31 @@ case class PqEncodeExpr(child: Expression,
                         codebooks: Array[Array[Array[Double]]])
   extends UnaryExpression {
 
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.head.nonEmpty, "pq_encode: empty codebooks")
   private val m = codebooks.length
-  private val sub = codebooks(0)(0).length
+  private val k = codebooks.head.length
+  private val sub = codebooks.head.head.length
+  // a jagged codebook would mis-slice vectors executor-side (longer
+  // centroids silently ignored, shorter ones AIOOBE mid-task) —
+  // reject at construction, on the driver
+  require(codebooks.forall(c => c.length == k && c.forall(_.length == sub)),
+    s"pq_encode: jagged codebooks (expected uniform $m x $k x $sub)")
+
+  // Array fields make the synthesized equals/hashCode identity-based,
+  // so semantically equal kernels never canonicalize together (missed
+  // common-subexpression elimination). Deep comparison restores value
+  // semantics.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncodeExpr => child == that.child &&
+      java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -150,7 +173,20 @@ case class PqEncodeExpr(child: Expression,
 case class PqAdcExpr(child: Expression, dtable: Array[Array[Double]])
   extends UnaryExpression {
 
+  require(dtable.nonEmpty && dtable.head.nonEmpty, "pq_adc: empty dtable")
   private val m = dtable.length
+  require(dtable.forall(_.length == dtable.head.length),
+    s"pq_adc: jagged dtable (expected uniform $m x ${dtable.head.length})")
+
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAdcExpr => child == that.child &&
+      java.util.Arrays.deepEquals(
+        dtable.asInstanceOf[Array[AnyRef]], that.dtable.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(dtable.asInstanceOf[Array[AnyRef]])
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -211,8 +247,24 @@ case class PqAdcBatchExpr(left: Expression, right: Expression,
                           codebooks: Array[Array[Array[Double]]])
   extends BinaryExpression {
 
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.head.nonEmpty, "pq_adc_batch: empty codebooks")
   private val m = codebooks.length
-  private val sub = codebooks(0)(0).length
+  private val k = codebooks.head.length
+  private val sub = codebooks.head.head.length
+  require(codebooks.forall(c => c.length == k && c.forall(_.length == sub)),
+    s"pq_adc_batch: jagged codebooks (expected uniform $m x $k x $sub)")
+
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAdcBatchExpr => left == that.left && right == that.right &&
+      java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -289,8 +341,21 @@ case class PqAdcBatchExpr(left: Expression, right: Expression,
 case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
 
+  require(planes.nonEmpty && planes.head.nonEmpty, "hyperplane_sig: empty planes")
   private val nBits = planes.length
-  private val dim = planes(0).length
+  private val dim = planes.head.length
+  require(planes.forall(_.length == dim),
+    s"hyperplane_sig: jagged planes (expected uniform $nBits x $dim)")
+
+  override def equals(other: Any): Boolean = other match {
+    case that: HyperplaneSigExpr => child == that.child &&
+      java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 
   override def dataType: DataType = LongType
 

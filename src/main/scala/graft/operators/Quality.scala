@@ -93,6 +93,81 @@ object Quality {
     check(df, rules).filter(!col("passed")).isEmpty
 
   /**
+   * Conservative recognizer for the PORTABLE regex core promised by
+   * [[MatchesRegex]]'s contract — the constructs with identical
+   * semantics in Java regex (this engine's `rlike`) and RE2-family
+   * engines (the oracle engines a rule's metric may be recomputed
+   * on): literal characters, escaped metacharacters, class shorthands
+   * `\d \D \w \W \s \S`, `.`, anchors `^ $`, character classes
+   * (ranges, negation, shorthands — no Java-only `[a&&[b]]`
+   * intersection or `[[:alpha:]]` POSIX names), groups (capturing or
+   * `(?:…)`), alternation, and greedy/lazy quantifiers
+   * `* + ? {m} {m,} {m,n}`. Rejected because they differ or don't
+   * exist across engines: possessive quantifiers (`*+`),
+   * backreferences (`\1`), lookaround (`(?= (?! (?<= (?<!`), atomic
+   * groups (`(?>`), inline flags (`(?i)`), `\b \B` word boundaries
+   * and `\p{…}` property classes (unicode behavior diverges).
+   * Lenient about plain INVALIDITY — `Pattern.compile` owns that;
+   * this answers only "will every engine read it the same way".
+   */
+  def portablePattern(p: String): Boolean = {
+    val escapable = "dDwWsS\\^$.|?*+()[]{}/-"
+    var i = 0
+    var depth = 0
+    var ok = true
+    while (i < p.length && ok) {
+      p(i) match {
+        case '\\' =>
+          if (i + 1 >= p.length || !escapable.contains(p(i + 1))) ok = false
+          else i += 1
+        case '(' =>
+          depth += 1
+          if (i + 1 < p.length && p(i + 1) == '?') {
+            if (i + 2 < p.length && p(i + 2) == ':') i += 2 else ok = false
+          }
+        case ')' =>
+          depth -= 1
+          if (depth < 0) ok = false
+        case '[' =>
+          var j = i + 1
+          if (j < p.length && p(j) == '^') j += 1
+          if (j < p.length && p(j) == ']') j += 1 // leading ] is literal
+          var closed = false
+          while (j < p.length && !closed && ok) {
+            p(j) match {
+              case '\\' =>
+                if (j + 1 >= p.length || !escapable.contains(p(j + 1))) ok = false
+                else j += 2
+              case ']' => closed = true
+              case '[' => // [:alpha:] POSIX form — RE2-only
+                if (j + 1 < p.length && p(j + 1) == ':') ok = false else j += 1
+              case '&' => // [a&&[b]] intersection — Java-only
+                if (j + 1 < p.length && p(j + 1) == '&') ok = false else j += 1
+              case _ => j += 1
+            }
+          }
+          if (closed) i = j else ok = false
+        case '{' =>
+          val close = p.indexOf('}', i)
+          if (close < 0 || !p.substring(i + 1, close).matches("\\d+(,\\d*)?"))
+            ok = false
+          else {
+            i = close
+            // lazy / possessive modifier after {m,n}
+            if (i + 1 < p.length && p(i + 1) == '+') ok = false
+            else if (i + 1 < p.length && p(i + 1) == '?') i += 1
+          }
+        case '*' | '+' | '?' =>
+          if (i + 1 < p.length && p(i + 1) == '+') ok = false // possessive
+          else if (i + 1 < p.length && p(i + 1) == '?') i += 1 // lazy
+        case _ => ()
+      }
+      i += 1
+    }
+    ok && depth == 0
+  }
+
+  /**
    * Compact config DSL for job-config rule declarations
    * (`transformation.parameters.qualityRules`), `;`-separated:
    *
@@ -122,7 +197,13 @@ object Quality {
           case _ => throw new IllegalArgumentException(s"in_range:col,lo,hi[,minFrac] — got '$args'")
         }
         case "regex" => args.split(",", 3) match {
-          case Array(c, f, p) => MatchesRegex(c.trim, p, f.trim.toDouble)
+          // every other field is trimmed; full-trimming the pattern
+          // would corrupt patterns with significant edge whitespace,
+          // so strip only ONE cosmetic space after the comma —
+          // 'regex:col, 0.9, ^[A-Z]+$' and the unspaced form parse
+          // identically, and '  foo' keeps its remaining spaces
+          case Array(c, f, p) =>
+            MatchesRegex(c.trim, p.stripPrefix(" "), f.trim.toDouble)
           case _ => throw new IllegalArgumentException(s"regex:col,minFrac,pattern — got '$args'")
         }
         case "row_count" => args.split(",") match {

@@ -103,10 +103,15 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     val b = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(buckets)))
     val withB = df.withColumn("shuffle_bucket", b)
+    // the prefix-sum frame is <= `buckets` rows of METADATA by
+    // construction; the constant partition key states the
+    // single-partition choice explicitly (an empty partition spec
+    // would execute identically but logs the scary
+    // "WindowExec: No Partition Defined" warning on every run)
+    val wOff = Window.partitionBy(lit(0)).orderBy("shuffle_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy("shuffle_bucket").agg(count(lit(1)).as("_n"))
-      .withColumn("_offset", coalesce(
-        sum(col("_n")).over(Window.orderBy("shuffle_bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .drop("_n")
     withB.join(broadcast(offsets), "shuffle_bucket")
       .withColumn("shuffle_pos",

@@ -280,14 +280,33 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Array[Array[Array[Double]]] = {
+  /** Loads codebooks and VALIDATES the m x k x sub shape before they
+    * are served: uniform subspace count / code count / centroid width
+    * always (a jagged codebook mis-slices vectors executor-side), plus
+    * the caller's expected dimensions when given — a cache dir whose
+    * content doesn't match what the query would train must fail fast,
+    * never answer. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
+                      expectM: Option[Int] = None, expectK: Option[Int] = None,
+                      expectSub: Option[Int] = None): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(path)
       .select("subspace", "code", "centroid")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, cs) =>
+    val cbs = rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, cs) =>
       cs.sortBy(_._2).map(_._3)
     }
+    require(cbs.nonEmpty, s"codebooks at $path: empty")
+    val k = cbs.head.length
+    val sub = cbs.head.head.length
+    require(cbs.forall(c => c.length == k && c.forall(_.length == sub)),
+      s"codebooks at $path: jagged shape (expected uniform ${cbs.length} x $k x $sub)")
+    expectM.foreach(m => require(cbs.length == m,
+      s"codebooks at $path: m=${cbs.length}, expected $m"))
+    expectK.foreach(ek => require(k == ek,
+      s"codebooks at $path: k=$k, expected $ek"))
+    expectSub.foreach(es => require(sub == es,
+      s"codebooks at $path: sub=$sub, expected $es"))
+    cbs
   }
 
   /** Batch multi-probe PQ serving (the RAG-eval shape over the

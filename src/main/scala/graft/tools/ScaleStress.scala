@@ -148,6 +148,53 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // JDBC round-trip (S1/S3/W1): W1 batch insert OUT, 4-stride
+    // partitioned read BACK (data-derived bounds). The write wall is
+    // the destination's price — embedded Derby is one process doing
+    // b-tree inserts, and at 100 TB you'd size the DB, not Spark. The
+    // read wall is the claim under test: 4 concurrent stride cursors
+    // must keep read time growing ~linearly in rows (a single cursor
+    // would too — the stride win shows in read ≪ write and in the
+    // per-row rate holding flat as m grows).
+    if (wanted("jdbc")) {
+      graft.sources.Readers.ensureDerbyHome()
+      val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      orders0.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => orders0.select(
+          (col("o_orderkey") + lit(i * 100000000L)).as("k"),
+          col("o_custkey").as("c"), col("o_totalprice").as("t")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val dbDir = java.nio.file.Files.createTempDirectory("graft_stress_derby_").toString
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        val t0 = System.nanoTime()
+        graft.sinks.Writers.write(corpus, graft.model.DestinationConfig("JDBC",
+          graft.model.ConnectionDetails(jdbcUrl = Some(url), tableName = Some("ORDERS_ST")),
+          batchSize = 1000))
+        val tw = (System.nanoTime() - t0) / 1e9
+        val bounds = corpus.agg(min("k"), max("k")).head()
+        val t1 = System.nanoTime()
+        val out = graft.sources.Readers.jdbc(spark, graft.model.SourceConfig("JDBC",
+          graft.model.ConnectionDetails(jdbcUrl = Some(url), tableName = Some("ORDERS_ST"),
+            fetchSize = Some(1000), partitionColumn = Some("k"),
+            numPartitions = Some(4), lowerBound = Some(bounds.getLong(0)),
+            upperBound = Some(bounds.getLong(1)))))
+          .filter(col("t") > 1000.0).count()
+        val tr = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE jdbc    m=$m%2d rows=$n%7d out=$out%9d write=$tw%7.1fs read=$tr%7.1fs")
+        // shut the db down (expected SQLException on success) and
+        // delete its dir — 10 stress DBs would otherwise pile up
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db;shutdown=true")
+        catch { case _: java.sql.SQLException => }
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dbDir))
+      }
+    }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.

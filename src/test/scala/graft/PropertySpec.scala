@@ -190,6 +190,58 @@ class PropertySpec extends SparkTestBase {
     assert(p1 == p2, "shuffle positions must be reproducible")
   }
 
+  test("portable-regex core: generated grammar accepted, engine metric == plain Java find()") {
+    // grammar generator for the documented Java∩RE2 portable core
+    val litG: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("\\.", "\\+", "\\*", "\\$", "\\[", "\\]", "\\\\", "\\?"))
+    val clsG: Gen[String] = for {
+      neg <- Gen.oneOf("", "^")
+      parts <- Gen.listOfN(3, Gen.oneOf("a-f", "0-9", "xy", "z", "\\d", "\\s"))
+    } yield s"[$neg${parts.mkString}]"
+    val shorthand = Gen.oneOf("\\d", "\\w", "\\s", "\\D", "\\W", "\\S", ".")
+    def atomG(depth: Int): Gen[String] =
+      if (depth <= 0) Gen.oneOf(litG, clsG, shorthand)
+      else Gen.frequency(6 -> atomG(0),
+        1 -> seqG(depth - 1).map(s => s"($s)"),
+        1 -> seqG(depth - 1).map(s => s"(?:$s)"),
+        1 -> (for { a <- seqG(depth - 1); b <- seqG(depth - 1) } yield s"(?:$a|$b)"))
+    def quantG: Gen[String] = Gen.frequency(4 -> Gen.const(""),
+      1 -> Gen.oneOf("*", "+", "?", "{2}", "{1,3}", "{2,}", "*?", "+?", "??"))
+    def pieceG(depth: Int): Gen[String] = for { a <- atomG(depth); q <- quantG } yield a + q
+    def seqG(depth: Int): Gen[String] =
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, pieceG(depth)).map(_.mkString))
+    val patG: Gen[String] = for {
+      pre <- Gen.oneOf("", "^"); body <- seqG(2); post <- Gen.oneOf("", "$")
+    } yield pre + body + post
+
+    val pats = sample(patG, 80, seed = 61L).distinct
+      .filter(p => scala.util.Try(java.util.regex.Pattern.compile(p)).isSuccess)
+    assert(pats.length >= 40, s"generator degenerated: ${pats.length} valid patterns")
+    pats.foreach(p => assert(graft.operators.Quality.portablePattern(p),
+      s"recognizer rejected a portable-core pattern: $p"))
+    // constructs that exist or behave differently across engines
+    Seq("(?=a)", "(?!a)b", "(?<=a)b", "(?>ab)", "a*+", "a{1,2}+", "(a)\\1",
+        "(?i)abc", "[a&&[b]]", "[[:alpha:]]", "\\babc", "\\p{L}x").foreach(p =>
+      assert(!graft.operators.Quality.portablePattern(p),
+        s"recognizer accepted a non-portable pattern: $p"))
+    // engine semantics pin: the metric Quality.check computes via rlike
+    // equals the plain-Java unanchored find() fraction — ONE Spark pass
+    // for all rules (check() compiles them into a single agg)
+    val corpus = sample(Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("abc 123", "  x  ", "A1b2", "zz-top", "", "0.5", "[lit]", "a+b")),
+      200, seed = 67L)
+    val rules = pats.take(12).map(p => graft.operators.Quality.MatchesRegex("t", p, 0.5))
+    // check() emits one verdict row per rule in declaration order
+    val metrics = graft.operators.Quality.check(corpus.toDF("t"), rules)
+      .collect().map(_.getDouble(2))
+    metrics.zip(rules).foreach { case (m, r) =>
+      val re = java.util.regex.Pattern.compile(r.pattern)
+      val want = corpus.count(s => re.matcher(s).find()).toDouble / corpus.length
+      assert(math.abs(m - want) < 1e-12, s"pattern ${r.pattern}: engine $m vs java $want")
+    }
+  }
+
   test("stratifiedSample membership is a pure function of id (partition-layout independent)") {
     val rows = sample(Gen.chooseNum(0L, 1000000L), 400, seed = 53L).distinct
       .map(id => (id, if (id % 3 == 0) "en" else "de"))

@@ -45,6 +45,23 @@ class QualitySpec extends SparkTestBase {
     assert(!out("row_count"))
   }
 
+  test("parseRules DSL: fields trim, regex pattern keeps one cosmetic space rule") {
+    val rules = Quality.parseRules(
+      "not_null: name , 0.3 ; regex: name , 1.0, ^[a-z]+$ ; row_count: 1 , 10")
+    assert(rules(0) == Quality.NotNull("name", 0.3))
+    // spaced and unspaced regex declarations parse identically — only
+    // the single cosmetic space after the comma is stripped (the
+    // rule-level trim already removed the trailing space before ';')
+    assert(rules(1) == Quality.MatchesRegex("name", "^[a-z]+$", 1.0))
+    assert(Quality.parseRules("regex:c,1.0, ^[A-Z]+$") ==
+      Quality.parseRules("regex:c,1.0,^[A-Z]+$"))
+    // a pattern whose OWN leading space matters keeps the rest intact:
+    // 'regex:c,1.0,  x' (two spaces) yields pattern ' x'
+    assert(Quality.parseRules("regex:c,1.0,  x").head ==
+      Quality.MatchesRegex("c", " x", 1.0))
+    assert(rules(2) == Quality.RowCountBetween(1, 10))
+  }
+
   test("all rules compile into a single aggregation (one scan)") {
     val df = Tables.t(spark, sf, "customer")
     val plan = Quality.check(df, Seq(
