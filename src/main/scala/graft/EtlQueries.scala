@@ -403,6 +403,67 @@ object EtlQueries {
              |CAST(n_regionkey AS INTEGER) AS region_key
              |FROM nation ORDER BY nation_key""".stripMargin)),
 
+    // ---- binaryFile media source on the gate path (S8+): every 10th
+    //      document's bytes land as ONE RAW FILE (doc_<id>.bin) in a
+    //      fingerprint-keyed fixture dir (built distributed —
+    //      writeMediaFiles — then atomically renamed into place), and
+    //      come back through the binaryFile source with glob filter,
+    //      filename-derived ids, and the maxBytes guard — which is ON
+    //      the gate: the fixture plants a 2 MiB poison object that the
+    //      1 MiB cap must drop before content deserialization, or the
+    //      extra row turns this red. Feature extraction is the
+    //      partition-batched stub pipeline; the oracle recomputes
+    //      byte length + polynomial checksum from the same text. ----
+    Q("etl_media_binaryfile",
+      (s, dir) => {
+        val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
+        val fix = s"${CacheDirs.root}/fix_media_$fp"
+        val fs = new org.apache.hadoop.fs.Path(fix)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
+        if (!fs.exists(marker)) {
+          // stage into a unique tmp dir, rename into place (Hadoop
+          // rename into an EXISTING dir nests src as a child — clean
+          // the nested copy on a lost race; content is identical
+          // either way, the fixture is a pure function of the corpus)
+          val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+          try {
+            // empty texts excluded on BOTH sides: Spark's split
+            // planning drops zero-byte files before the source runs
+            graft.multimodal.Multimodal.writeMediaFiles(
+              Tables.t(s, dir, "documents")
+                .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0)
+                .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+              "doc_id", "payload", tmp, prefix = "doc_", suffix = ".bin")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, "doc_888888888.bin"),
+              new Array[Byte](2 << 20)) // poison: over the maxBytes cap
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
+            val dst = new org.apache.hadoop.fs.Path(fix)
+            if (!fs.exists(dst)) fs.rename(tmpPath, dst)
+            val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          } finally {
+            if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+          }
+        }
+        graft.multimodal.Multimodal.extractFeatures(
+            graft.multimodal.Multimodal.readMediaDir(s, fix,
+              "application/octet-stream", glob = Some("*.bin"),
+              maxBytes = Some(1L << 20), idFromName = Some("doc_(\\d+)\\.bin")))
+          .toDF()
+          .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'application/octet-stream' AS modality,
+             |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  [unicode(c) FOR c IN string_split(text, '')]),
+             |  (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+             |FROM documents WHERE doc_id % 10 = 0 AND octet_length(encode(text)) > 0
+             |ORDER BY media_id""".stripMargin)),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows

@@ -112,25 +112,64 @@ object Multimodal {
   /** Ingest a directory of raw media files via Spark's binaryFile
     * source — the object-store boundary of a multimodal pipeline
     * (image/audio dumps land as files, not parquet). Each file becomes
-    * one MediaRow: media_id from a stable hash of its path (collision
-    * odds ~n²/2⁶⁴ — dedupe by path upstream if exactness matters),
-    * payload = file bytes. `pathGlobFilter` selects the modality's
-    * extensions; `maxBytes` filters on the source's `length` metadata
-    * column BEFORE the content is deserialized, so a stray multi-GB
-    * object is skipped rather than poisoning a task. */
+    * one MediaRow: media_id from `idFromName` (a regex with one
+    * capture group applied to the FILE NAME — the common
+    * files-named-by-id layout; non-matching or non-numeric names are
+    * dropped) or, absent that, a stable hash of the full path
+    * (collision odds ~n²/2⁶⁴ — dedupe by path upstream if exactness
+    * matters). Payload = file bytes. `pathGlobFilter` selects the
+    * modality's extensions; `maxBytes` filters on the source's
+    * `length` metadata column BEFORE the content is deserialized, so
+    * a stray multi-GB object is skipped rather than poisoning a
+    * task. NOTE zero-byte objects do not survive ingest: Spark's
+    * split planning drops empty files before any source sees them —
+    * an empty payload that must be preserved belongs in a parquet
+    * binary column ([[asMedia]]), not a file-per-object dump. */
   def readMediaDir(spark: SparkSession, dir: String, modality: String,
                    glob: Option[String] = None,
-                   maxBytes: Option[Long] = None): Dataset[MediaRow] = {
+                   maxBytes: Option[Long] = None,
+                   idFromName: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
     val raw = glob.foldLeft(spark.read.format("binaryFile")) {
         (r, g) => r.option("pathGlobFilter", g)
       }
       .load(dir)
+    val idCol = idFromName match {
+      case Some(re) => regexp_extract(
+        element_at(split(col("path"), "/"), -1), re, 1).try_cast("long")
+      case None => xxhash64(col("path"))
+    }
     maxBytes.foldLeft(raw)((df, mb) => df.filter(col("length") <= mb))
-      .select(xxhash64(col("path")).as("media_id"),
+      .select(idCol.as("media_id"),
         lit(modality).as("modality"),
         col("content").as("payload"))
+      .filter(col("media_id").isNotNull) // regex misses can't be media ids
       .as[MediaRow]
+  }
+
+  /** Materialize (id, payload) rows as one raw FILE per row named
+    * `<prefix><id><suffix>` under `dir` — the inverse of
+    * [[readMediaDir]] (one-object-per-item export, and the stager for
+    * binaryFile fixtures). Writes run DISTRIBUTED via
+    * foreachPartition — no driver-side collect however many rows —
+    * which requires `dir` to be a filesystem every executor can reach
+    * (local mode, NFS, or a fuse-mounted object store; on a real
+    * cluster with plain local disks, export to the object store
+    * instead). Rows with a null id or payload are dropped — they
+    * cannot name or fill a file. */
+  def writeMediaFiles(df: DataFrame, idCol: String, payloadCol: String,
+                      dir: String, prefix: String = "", suffix: String = ""): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("payload"))
+      .filter(col("id").isNotNull && col("payload").isNotNull)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$prefix${r.getLong(0)}$suffix"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
   }
 
   /** Demo pipeline over the documents table: text bytes stand in for

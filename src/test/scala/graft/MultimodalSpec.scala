@@ -64,4 +64,27 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.readMediaDir(spark, dir, "image", Some("*.img"))).collect()
     assert(feats.map(_.n_bytes).sorted.toSeq == Seq(2, 4))
   }
+
+  test("writeMediaFiles + idFromName + maxBytes round-trip: ids from names, poison dropped") {
+    import spark.implicits._
+    val dir = tmpDir("media_rt")
+    val rows = Seq((7L, Array[Byte](1, 2, 3)), (42L, Array[Byte](9)),
+      (100L, Array.emptyByteArray))
+    Multimodal.writeMediaFiles(rows.toDF("id", "p"), "id", "p", dir,
+      prefix = "doc_", suffix = ".bin")
+    // oversized object + a file the id regex can't parse
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/doc_999.bin"),
+      new Array[Byte](4096))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/readme.bin"),
+      Array[Byte](1))
+    val got = Multimodal.readMediaDir(spark, dir, "bin", glob = Some("*.bin"),
+        maxBytes = Some(1024L), idFromName = Some("doc_(\\d+)\\.bin"))
+      .collect().sortBy(_.media_id)
+    // 999 dropped by the length guard, readme by the id regex, and the
+    // ZERO-BYTE file (100) by Spark's split planning — the documented
+    // empty-object semantic of any file-per-object ingest
+    assert(got.map(_.media_id).toSeq == Seq(7L, 42L))
+    assert(got.map(_.payload.length).toSeq == Seq(3, 1))
+    assert(got.head.payload.toSeq == Seq[Byte](1, 2, 3))
+  }
 }
