@@ -278,6 +278,69 @@ object JobRunner {
             written = counts._1
             failedRows = counts._2()
             stepsRun ::= step
+          case "MERGE_STRATEGY" =>
+            // Incremental load: merge the incoming batch into the
+            // EXISTING destination instead of replacing it — LOAD's
+            // config surface plus transformation.parameters:
+            //   mergeStrategy = KEEP_LATEST (SCD-1, needs
+            //     versionColumn) | SCD2 (history rows, validity
+            //     columns default valid_from/valid_to)
+            //   mergeKeys = comma-separated key columns
+            // File destinations with self-describing schemas only
+            // (PARQUET/ORC): CSV/JSON read-back would re-infer types
+            // and corrupt the merge; a JDBC destination's merge
+            // belongs to the database's own MERGE statement.
+            val dest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("MERGE_STRATEGY requires a destination"))
+            require(Set("PARQUET", "ORC")(dest.`type`.toUpperCase),
+              s"MERGE_STRATEGY supports PARQUET/ORC destinations, got ${dest.`type`}")
+            val destPath = dest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("MERGE_STRATEGY requires a file path destination"))
+            val params = cfg.transformation.parameters
+            def param(k: String): String = params.getOrElse(k,
+              throw new IllegalArgumentException(s"MERGE_STRATEGY needs transformation.parameters.$k"))
+            val keys = param("mergeKeys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val enforced = ErrorPolicy.enforceObserved(
+              buildDataFrame(spark, cfg, plugins), cfg.mappings, cfg.errorHandling)
+            val fsPath = new org.apache.hadoop.fs.Path(destPath)
+            val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val merged =
+              if (!fs.exists(fsPath)) enforced.good // first load: nothing to merge
+              else {
+                val existing = Readers.forConfig(spark,
+                  SourceConfig(dest.`type`, dest.connectionDetails), cfg.mappings)
+                param("mergeStrategy").toUpperCase match {
+                  case "KEEP_LATEST" => graft.operators.Upsert.keepLatest(
+                    existing, enforced.good, keys, param("versionColumn"))
+                  case "SCD2" => graft.operators.Upsert.scd2Apply(
+                    existing, enforced.good, keys,
+                    params.getOrElse("validFromColumn", "valid_from"),
+                    params.getOrElse("validToColumn", "valid_to"))
+                  case other =>
+                    throw new IllegalArgumentException(s"unknown mergeStrategy: $other")
+                }
+              }
+            // stage-and-swap: the destination is an INPUT of the merge
+            // plan, so it cannot be overwritten in place — materialize
+            // the merge next to it, then swap directories. (One keyed
+            // shuffle + one rewrite of the dimension — the no-table-
+            // format merge cost; at 100 TB a dimension is a sliver of
+            // the fact volume, and a transactional table format slots
+            // in at this same seam.)
+            val staged = s"${destPath.stripSuffix("/")}_merge_" +
+              java.util.UUID.randomUUID().toString.take(8)
+            val mergeObs = org.apache.spark.sql.Observation(s"graft_merge_${seq.incrementAndGet()}")
+            val counted = merged.observe(mergeObs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+            Writers.write(counted, dest.copy(connectionDetails =
+              dest.connectionDetails.copy(path = Some(staged), filePath = None)))
+            fs.delete(fsPath, true)
+            if (!fs.rename(new org.apache.hadoop.fs.Path(staged), fsPath))
+              throw new ErrorPolicy.JobFailedException(
+                s"MERGE_STRATEGY: could not move staged merge into $destPath")
+            written = mergeObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+            failedRows = enforced.rejected()
+            stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
             // row count == recordsWritten. The read-back must mirror the

@@ -133,6 +133,77 @@ class OrchestrationSpec extends SparkTestBase {
     } finally { JobRunner.detachMetrics(); m.close() }
   }
 
+  test("MERGE_STRATEGY step: KEEP_LATEST and SCD2 from JSON config fixtures") {
+    import spark.implicits._
+    val work = tmpDir("merge_step")
+
+    // ---- KEEP_LATEST (SCD-1): second batch overwrites key 2, adds 4
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("k", "ver", "v").write.parquet(s"$work/batch1")
+    Seq((2L, 2L, "B2"), (4L, 1L, "d"))
+      .toDF("k", "ver", "v").write.parquet(s"$work/batch2")
+    def klConfig(src: String): String =
+      s"""{"jobId":"kl-$src","steps":["MERGE_STRATEGY"],
+         |"source":{"type":"PARQUET","connectionDetails":{"path":"$work/$src"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"$work/dest_kl"}},
+         |"mappings":[
+         |  {"sourceFieldName":"k","destinationFieldName":"k","destFieldType":"LONG"},
+         |  {"sourceFieldName":"ver","destinationFieldName":"ver","destFieldType":"LONG"},
+         |  {"sourceFieldName":"v","destinationFieldName":"v","destFieldType":"STRING"}],
+         |"transformation":{"type":"NONE","parameters":{
+         |  "mergeStrategy":"KEEP_LATEST","mergeKeys":"k","versionColumn":"ver"}}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/kl1.json"), klConfig("batch1"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/kl2.json"), klConfig("batch2"))
+    val r1 = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/kl1.json"))
+    assert(r1.status == JobRunner.Completed && r1.recordsWritten == 3, r1.message)
+    val r2 = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/kl2.json"))
+    assert(r2.status == JobRunner.Completed && r2.recordsWritten == 4, r2.message)
+    val merged = spark.read.parquet(s"$work/dest_kl")
+      .collect().map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ver"), r.getAs[String]("v"))).toMap
+    assert(merged == Map(1L -> (1L, "a"), 2L -> (2L, "B2"), 3L -> (1L, "c"), 4L -> (1L, "d")))
+
+    // ---- SCD2: key 2 re-arrives later; its current row closes at the
+    //      new valid_from and a new open row appends
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    Seq((1L, "x", t0, null.asInstanceOf[java.sql.Timestamp]),
+        (2L, "y", t0, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to").write.parquet(s"$work/dim1")
+    Seq((2L, "y2", t1, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to").write.parquet(s"$work/dim2")
+    def scdConfig(src: String): String =
+      s"""{"jobId":"scd-$src","steps":["MERGE_STRATEGY"],
+         |"source":{"type":"PARQUET","connectionDetails":{"path":"$work/$src"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"$work/dest_scd"}},
+         |"mappings":[
+         |  {"sourceFieldName":"k","destinationFieldName":"k","destFieldType":"LONG"},
+         |  {"sourceFieldName":"attr","destinationFieldName":"attr","destFieldType":"STRING"},
+         |  {"sourceFieldName":"valid_from","destinationFieldName":"valid_from","destFieldType":"TIMESTAMP"},
+         |  {"sourceFieldName":"valid_to","destinationFieldName":"valid_to","destFieldType":"TIMESTAMP"}],
+         |"transformation":{"type":"NONE","parameters":{
+         |  "mergeStrategy":"SCD2","mergeKeys":"k"}}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/scd1.json"), scdConfig("dim1"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/scd2.json"), scdConfig("dim2"))
+    val s1 = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/scd1.json"))
+    assert(s1.status == JobRunner.Completed && s1.recordsWritten == 2, s1.message)
+    val s2 = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/scd2.json"))
+    assert(s2.status == JobRunner.Completed && s2.recordsWritten == 3, s2.message)
+    val dim = spark.read.parquet(s"$work/dest_scd")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("attr"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSet
+    assert(dim == Set((1L, "x", null), (2L, "y", t1), (2L, "y2", null)))
+
+    // misconfiguration fails the job, not the JVM: CSV dest rejected
+    val bad = graft.model.JobConfig.fromFile(s"$work/kl1.json")
+    val badRes = JobRunner.run(spark, bad.copy(destination = Some(
+      graft.model.DestinationConfig("CSV",
+        graft.model.ConnectionDetails(path = Some(s"$work/dest_csv"))))))
+    badRes.status match {
+      case JobRunner.Failed(msg) => assert(msg.contains("PARQUET/ORC"))
+      case s => fail(s"expected Failed, got $s")
+    }
+  }
+
   test("cooperative cancellation via job groups (O11)") {
     val t = new Thread(() => {
       try {
