@@ -22,6 +22,19 @@ object AnalyticsQueries {
   private val dec = "DECIMAL(12,2)"
   private def sumDec(colExpr: String) = s"CAST(SUM(CAST($colExpr AS $dec)) AS DOUBLE)"
 
+  /** Stage the single events parquet behind a fresh per-run work dir
+    * (file streaming sources list a DIRECTORY — a symlink stands in
+    * for the file) and return (sourceDir, workDir); the work dir also
+    * hosts the sink + checkpoint of the streaming gate queries. */
+  private def stageStreamWork(dir: String): (String, String) = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
+    val src = work.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    java.nio.file.Files.createSymbolicLink(src.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    (src.toString, work.toString)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- aggregation (TPC-H Q1 shape) ----
@@ -1464,6 +1477,20 @@ object AnalyticsQueries {
              |quantile_cont(l_quantity, 0.75) AS p75_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- per-group exact median via the COUNTING path — the scalable
+    //      replacement for percentile() GROUP BY on quantized domains
+    //      (groupedCountingQuantile: no aggregation buffer ever holds a
+    //      group's values; the intermediate is |groups| x |distinct|
+    //      counts). The VALUE is pinned cross-engine here: DuckDB
+    //      quantile_cont must reproduce it bit-for-bit. ----
+    Q("agg_grouped_median_counting",
+      (s, dir) => graft.operators.Ranking.groupedCountingQuantile(
+          Tables.t(s, dir, "lineitem"), "l_returnflag", "l_quantity", 0.5,
+          out = "median_qty")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- string function family 2 ----
     Q("scalar_string2",
       (s, dir) => Tables.t(s, dir, "part").select(
@@ -1642,16 +1669,9 @@ object AnalyticsQueries {
     //      streaming engine + sink commit path produces them.) ----
     Q("events_stream_tumbling",
       (s, dir) => {
-        val work = java.nio.file.Files
-          .createTempDirectory("graft_stream_gate_").toString
-        // the file streaming source lists a DIRECTORY; expose the
-        // single events parquet through a symlink in the work dir
-        val src = java.nio.file.Paths.get(work, "src")
-        java.nio.file.Files.createDirectory(src)
-        java.nio.file.Files.createSymbolicLink(src.resolve("events.parquet"),
-          java.nio.file.Paths.get(dir, "events.parquet"))
+        val (src, work) = stageStreamWork(dir)
         val agg = graft.streaming.EventStreams.tumblingCounts(
-          graft.streaming.EventStreams.readEvents(s, src.toString),
+          graft.streaming.EventStreams.readEvents(s, src),
           windowLen = "1 hour", watermark = "2 hours")
         graft.streaming.EventStreams.runToParquet(s, agg, work)
           .orderBy("window_start", "event_type")
@@ -1663,6 +1683,36 @@ object AnalyticsQueries {
              |FROM e, cut
              |WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm
              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- session windows through the REAL streaming engine (the
+    //      dynamic-state shape tumbling can't express: merging session
+    //      state, gap-based close). Append emission: a session is
+    //      released once the watermark passes its close (last event +
+    //      gap), so the committed set is exactly the sessions with
+    //      session_end + 10min <= max(ts) − 2h — which the oracle's
+    //      gaps-and-islands rewrite states as a filter. ----
+    Q("events_stream_sessionize",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val agg = graft.streaming.EventStreams.sessionize(
+          graft.streaming.EventStreams.readEvents(s, src),
+          gap = "10 minutes", watermark = "2 hours")
+        graft.streaming.EventStreams.runToParquet(s, agg, work)
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |cut AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM e),
+             |flags AS (SELECT user_id, ts,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+             |       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (SELECT user_id, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
+             |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+             |FROM sess, cut GROUP BY user_id, sid, wm
+             |HAVING MAX(ts) + INTERVAL '10 minutes' <= wm
+             |ORDER BY user_id, session_start""".stripMargin)),
 
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
