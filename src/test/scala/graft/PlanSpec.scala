@@ -37,6 +37,28 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("numPartitions=4"), s"stride partitioning missing:\n$plan")
   }
 
+  test("approx-agreement plans without a buffering Percentile; counting median prunes its scan") {
+    // regression pin for the round-8 fix: built-in percentile() holds
+    // every group value in ONE aggregation buffer (executor OOM at
+    // scale), and mixing countDistinct with sketch aggregates makes
+    // the distinct rewrite build a sketch buffer per distinct key —
+    // neither shape may reappear in this plan
+    val plan = planString(Queries.queries("agg_approx_agreement")(spark, sf))
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"buffering exact percentile must not return to this plan:\n${plan.take(800)}")
+    assert(plan.contains("approx_percentile") || plan.contains("ApproximatePercentile"),
+      "the sketch side should still be present")
+    // the counting-median subtree reads only (l_returnflag, l_quantity)
+    val median = graft.operators.Ranking.groupedCountingQuantile(
+      Tables.t(spark, sf, "lineitem"), "l_returnflag", "l_quantity", 0.5)
+    val mPlan = planString(median)
+    assert(!mPlan.contains("l_extendedprice") && !mPlan.contains("l_partkey"),
+      s"counting median must prune to its two columns:\n${mPlan.take(800)}")
+    assert(mPlan.contains("partial_count") || mPlan.contains("partial_sum") ||
+      mPlan.contains("HashAggregate"),
+      "counting pass should be a hash aggregate with map-side partials")
+  }
+
   test("dimension joins broadcast; top-k uses TakeOrdered (no global sort)") {
     val q3 = Queries.queries("q3_topk_revenue")(spark, sf)
     val plan = planString(q3)
