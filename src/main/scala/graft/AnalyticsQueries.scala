@@ -25,9 +25,27 @@ object AnalyticsQueries {
   /** Stage the single events parquet behind a fresh per-run work dir
     * (file streaming sources list a DIRECTORY — a symlink stands in
     * for the file) and return (sourceDir, workDir); the work dir also
-    * hosts the sink + checkpoint of the streaming gate queries. */
+    * hosts the sink + checkpoint of the streaming gate queries. The
+    * dir cannot be deleted when the query returns — the result
+    * DataFrame reads the sink files lazily — so every staged dir is
+    * removed by ONE JVM shutdown hook (bench runs the streaming rows
+    * repeatedly in one JVM; without cleanup each run would leak sink
+    * output + checkpoint state in the temp dir). */
+  private val stagedWorkDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stagedWorkDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(p.toFile)
+      }
+    }))
   private def stageStreamWork(dir: String): (String, String) = {
+    cleanupHook
     val work = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
+    stagedWorkDirs.add(work)
     val src = work.resolve("src")
     java.nio.file.Files.createDirectory(src)
     java.nio.file.Files.createSymbolicLink(src.resolve("events.parquet"),

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, LinkOption, Path, Paths}
 import java.nio.file.attribute.PosixFilePermissions
 
 /**
@@ -10,25 +10,32 @@ import java.nio.file.attribute.PosixFilePermissions
  * pre-creation attack surface on a shared host: another user can plant
  * a dir with a `_SUCCESS` marker and the correctness gate would load
  * it blindly. The root here is `$TMPDIR/graft_cache_<user>` created
- * `rwx------`, and OWNERSHIP IS VERIFIED on every lookup — a
- * pre-created root owned by someone else fails fast instead of being
- * served from.
+ * `rwx------`, and the path is re-verified on EVERY `root` call (`def`,
+ * not a lazy val — the state can change under a long-lived driver):
+ * it must be a real directory (not a symlink — `NOFOLLOW_LINKS`
+ * everywhere, or a planted link would redirect every cache to an
+ * attacker-chosen location while the followed-link owner check still
+ * passes) owned by the current user.
  */
 object CacheDirs {
 
-  /** Owner-only cache root; created on first use, ownership-checked
-    * every time (the check is the defense — creation can be lost to a
-    * racing pre-creation, verification cannot). */
-  lazy val root: String = {
+  /** Owner-only cache root; created on first use, re-verified on every
+    * call (verification, not creation, is the defense — creation can
+    * be lost to a racing pre-creation). */
+  def root: String = {
     val user = sys.props.getOrElse("user.name", "unknown")
     val p: Path = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_cache_$user")
-    if (!Files.exists(p)) {
+    if (!Files.exists(p, LinkOption.NOFOLLOW_LINKS)) {
       try Files.createDirectory(p, PosixFilePermissions.asFileAttribute(
         PosixFilePermissions.fromString("rwx------")))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
-    val owner = Files.getOwner(p).getName
+    require(!Files.isSymbolicLink(p),
+      s"cache root $p is a symlink — refusing to follow a planted redirection")
+    require(Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS),
+      s"cache root $p exists but is not a directory")
+    val owner = Files.getOwner(p, LinkOption.NOFOLLOW_LINKS).getName
     require(owner == user,
       s"cache root $p is owned by '$owner', not '$user' — refusing to " +
         "serve caches from a directory another user controls")

@@ -327,17 +327,34 @@ object JobRunner {
             // format merge cost; at 100 TB a dimension is a sliver of
             // the fact volume, and a transactional table format slots
             // in at this same seam.)
-            val staged = s"${destPath.stripSuffix("/")}_merge_" +
-              java.util.UUID.randomUUID().toString.take(8)
+            val suffix = java.util.UUID.randomUUID().toString.take(8)
+            val staged = s"${destPath.stripSuffix("/")}_merge_$suffix"
+            val stagedPath = new org.apache.hadoop.fs.Path(staged)
             val mergeObs = org.apache.spark.sql.Observation(s"graft_merge_${seq.incrementAndGet()}")
             val counted = merged.observe(mergeObs, org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("rows"))
-            Writers.write(counted, dest.copy(connectionDetails =
-              dest.connectionDetails.copy(path = Some(staged), filePath = None)))
-            fs.delete(fsPath, true)
-            if (!fs.rename(new org.apache.hadoop.fs.Path(staged), fsPath))
-              throw new ErrorPolicy.JobFailedException(
-                s"MERGE_STRATEGY: could not move staged merge into $destPath")
+            try {
+              Writers.write(counted, dest.copy(connectionDetails =
+                dest.connectionDetails.copy(path = Some(staged), filePath = None)))
+              // swap via rename-aside, NOT delete-then-rename: a crash
+              // between a delete and the rename-in would leave no
+              // destination at all, and the next run would silently
+              // treat the job as a first load — the old data must stay
+              // addressable until the new data is in place.
+              val old = new org.apache.hadoop.fs.Path(s"${destPath.stripSuffix("/")}_old_$suffix")
+              val hadPrev = fs.exists(fsPath)
+              if (hadPrev && !fs.rename(fsPath, old))
+                throw new ErrorPolicy.JobFailedException(
+                  s"MERGE_STRATEGY: could not move current $destPath aside")
+              if (!fs.rename(stagedPath, fsPath)) {
+                if (hadPrev) fs.rename(old, fsPath) // restore the previous data
+                throw new ErrorPolicy.JobFailedException(
+                  s"MERGE_STRATEGY: could not move staged merge into $destPath")
+              }
+              if (hadPrev) fs.delete(old, true)
+            } finally {
+              if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+            }
             written = mergeObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
             failedRows = enforced.rejected()
             stepsRun ::= step

@@ -109,6 +109,14 @@ object Quality {
    * and `\p{…}` property classes (unicode behavior diverges).
    * Lenient about plain INVALIDITY — `Pattern.compile` owns that;
    * this answers only "will every engine read it the same way".
+   *
+   * Known residual edge (accepted, documented): on inputs containing
+   * line terminators, Java's `$` matches before a FINAL `\n` where
+   * RE2's matches only end-of-text, and Java's `.` excludes
+   * `\r`, `\u0085`, `\u2028`, `\u2029` where RE2's excludes only `\n`.
+   * Rejecting `$`/`.` outright would gut the recognizer; rules over
+   * corpora with embedded line terminators should anchor on classes
+   * (`[^\n]`, explicit terminators) instead.
    */
   def portablePattern(p: String): Boolean = {
     val escapable = "dDwWsS\\^$.|?*+()[]{}/-"
@@ -139,8 +147,11 @@ object Quality {
                 if (j + 1 >= p.length || !escapable.contains(p(j + 1))) ok = false
                 else j += 2
               case ']' => closed = true
-              case '[' => // [:alpha:] POSIX form — RE2-only
-                if (j + 1 < p.length && p(j + 1) == ':') ok = false else j += 1
+              // an unescaped '[' inside a class is a nested class
+              // union in Java ([a[b]c] = {a,b,c}) but a literal in
+              // RE2 — and [:alpha:] is RE2-only POSIX. Both diverge;
+              // reject any unescaped '[' in a class.
+              case '[' => ok = false
               case '&' => // [a&&[b]] intersection — Java-only
                 if (j + 1 < p.length && p(j + 1) == '&') ok = false else j += 1
               case _ => j += 1
@@ -203,7 +214,17 @@ object Quality {
           // 'regex:col, 0.9, ^[A-Z]+$' and the unspaced form parse
           // identically, and '  foo' keeps its remaining spaces
           case Array(c, f, p) =>
-            MatchesRegex(c.trim, p.stripPrefix(" "), f.trim.toDouble)
+            val pattern = p.stripPrefix(" ")
+            // DSL-declared rules are the config-driven path whose
+            // metrics get recomputed on other engines — surface (but
+            // don't reject: Java-only use is legitimate when the
+            // caller owns both sides) a pattern outside the portable
+            // Java∩RE2 core
+            if (!portablePattern(pattern))
+              System.err.println(s"[graft-quality] WARNING: regex rule pattern " +
+                s"'$pattern' uses constructs outside the portable Java/RE2 core — " +
+                "cross-engine metric recomputation may diverge")
+            MatchesRegex(c.trim, pattern, f.trim.toDouble)
           case _ => throw new IllegalArgumentException(s"regex:col,minFrac,pattern — got '$args'")
         }
         case "row_count" => args.split(",") match {

@@ -247,19 +247,27 @@ object Ranking {
    *      the pair of values whose cumulative count brackets
    *      (n−1)·q — a conditional min per group.
    *
-   * Returns (groupCol, `out`) with one row per group. NaN follows
-   * Spark SQL ordering (greatest) consistently in both the window
-   * order and the conditional min. NOT for continuous high-cardinality
-   * domains — there `|g| × |distinct v|` approaches the table size;
-   * use [[exactQuantiles]] (global) or quantize first.
+   * Returns (groupCol, `out`) with one row per group — including
+   * groups whose values are ALL null, which yield a null quantile
+   * exactly like built-in `percentile()` (nulls are excluded from the
+   * order statistics but never drop a group). NaN follows Spark SQL
+   * ordering (greatest) consistently in both the window order and the
+   * conditional min. NOT for continuous high-cardinality domains —
+   * there `|g| × |distinct v|` approaches the table size; use
+   * [[exactQuantiles]] (global) or quantize first.
    */
   def groupedCountingQuantile(df: DataFrame, groupCol: String,
                               valueCol: String, q: Double,
                               out: String = "quantile"): DataFrame = {
     require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
-    val counts = df.filter(col(valueCol).isNotNull)
+    // null values stay in the counts table (so all-null groups keep a
+    // row) but contribute 0 to every cumulative/total count
+    val counts = df
       .groupBy(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_rows"))
+      .withColumn("_c", when(col("_v").isNotNull, col("_rows")).otherwise(0L))
+    // nulls order FIRST (Spark ASC default), so non-null rows' running
+    // sums are unaffected by the null row's presence
     val wCum = Window.partitionBy("_g").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("_g")
@@ -273,11 +281,15 @@ object Ranking {
       .withColumn("_frac", col("_p") - floor(col("_p")))
     cum.groupBy(col("_g").as(groupCol))
       .agg(
-        min(when(col("_cum") >= floor(col("_p")) + 1, col("_v"))).as("_vlo"),
-        min(when(col("_cum") >= ceil(col("_p")) + 1, col("_v"))).as("_vhi"),
-        first(col("_frac")).as("_f"))
+        min(when(col("_v").isNotNull && col("_cum") >= floor(col("_p")) + 1,
+          col("_v"))).as("_vlo"),
+        min(when(col("_v").isNotNull && col("_cum") >= ceil(col("_p")) + 1,
+          col("_v"))).as("_vhi"),
+        first(col("_frac")).as("_f"),
+        max(col("_n")).as("_nn"))
       .select(col(groupCol),
-        (col("_vlo") + col("_f") * (col("_vhi") - col("_vlo"))).as(out))
+        when(col("_nn") === 0L, lit(null).cast("double"))
+          .otherwise(col("_vlo") + col("_f") * (col("_vhi") - col("_vlo"))).as(out))
   }
 
   /** Resolves a SORTED batch of 1-based ranks. `probeLimit`: a slice

@@ -296,7 +296,11 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    // explicit schema: when NO window closed (corpus shorter than
+    // watermark + window), the sink directory holds only the metadata
+    // log and a schema-inferring read would throw instead of
+    // returning the empty result the query semantics call for
+    spark.read.schema(streamed.schema).parquet(out)
   }
 
   /** Run a streaming DataFrame to completion against a bounded source

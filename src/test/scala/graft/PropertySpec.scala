@@ -222,7 +222,7 @@ class PropertySpec extends SparkTestBase {
       s"recognizer rejected a portable-core pattern: $p"))
     // constructs that exist or behave differently across engines
     Seq("(?=a)", "(?!a)b", "(?<=a)b", "(?>ab)", "a*+", "a{1,2}+", "(a)\\1",
-        "(?i)abc", "[a&&[b]]", "[[:alpha:]]", "\\babc", "\\p{L}x").foreach(p =>
+        "(?i)abc", "[a&&[b]]", "[[:alpha:]]", "[a[b]c]", "\\babc", "\\p{L}x").foreach(p =>
       assert(!graft.operators.Quality.portablePattern(p),
         s"recognizer accepted a non-portable pattern: $p"))
     // engine semantics pin: the metric Quality.check computes via rlike

@@ -182,11 +182,15 @@ class RankingSpec extends SparkTestBase {
     val m = Ranking.groupedCountingQuantile(df, "g", "v", 0.5)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(m == Map("a" -> 3.0, "b" -> 3.0))
-    // nulls excluded per SQL convention
-    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0))).toDF("g", "v")
+    // nulls excluded per SQL convention; an ALL-null group keeps its
+    // row with a null quantile (percentile() parity — a group must
+    // never vanish from the output)
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "v")
     val mn = Ranking.groupedCountingQuantile(withNull, "g", "v", 0.5)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(mn == Map("a" -> 2.0))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(mn == Map("a" -> Some(2.0), "b" -> None))
   }
 
   test("ntile exact-size contract on a known distribution") {
