@@ -28,24 +28,11 @@ object AnalyticsQueries {
     * hosts the sink + checkpoint of the streaming gate queries. The
     * dir cannot be deleted when the query returns — the result
     * DataFrame reads the sink files lazily — so every staged dir is
-    * removed by ONE JVM shutdown hook (bench runs the streaming rows
-    * repeatedly in one JVM; without cleanup each run would leak sink
-    * output + checkpoint state in the temp dir). */
-  private val stagedWorkDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      stagedWorkDirs.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(p.toFile)
-      }
-    }))
+    * removed by CacheDirs' JVM-exit hook (bench runs the streaming
+    * rows repeatedly in one JVM; without cleanup each run would leak
+    * sink output + checkpoint state in the temp dir). */
   private def stageStreamWork(dir: String): (String, String) = {
-    cleanupHook
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
-    stagedWorkDirs.add(work)
+    val work = CacheDirs.tempWorkDir("graft_stream_gate_")
     val src = work.resolve("src")
     java.nio.file.Files.createDirectory(src)
     java.nio.file.Files.createSymbolicLink(src.resolve("events.parquet"),
@@ -1731,6 +1718,31 @@ object AnalyticsQueries {
              |FROM sess, cut GROUP BY user_id, sid, wm
              |HAVING MAX(ts) + INTERVAL '10 minutes' <= wm
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- streaming exact dedup through the real engine: the events
+    //      file staged TWICE (a full at-least-once redelivery),
+    //      dropDuplicatesWithinWatermark keeps one copy per event_id
+    //      with state EVICTED past the watermark (bounded by the delay
+    //      window, not stream history). Rows emit immediately in
+    //      append mode (no aggregation), so the committed set is every
+    //      distinct id — the oracle is plain DISTINCT over the
+    //      original single copy (duplicates are byte-identical, so
+    //      which copy survives is unobservable). ----
+    Q("events_stream_dedup",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        // second, identical delivery of the same feed
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events_redelivery.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        val deduped = graft.streaming.EventStreams.dedupEvents(
+            graft.streaming.EventStreams.readEvents(s, src), watermark = "2 hours")
+          .select("event_id", "user_id", "event_type", "value")
+        graft.streaming.EventStreams.runToParquet(s, deduped, work)
+          .orderBy("event_id")
+      },
+      Some("""SELECT DISTINCT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed

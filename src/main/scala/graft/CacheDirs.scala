@@ -19,6 +19,30 @@ import java.nio.file.attribute.PosixFilePermissions
  */
 object CacheDirs {
 
+  private val tempWork = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val tempHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempWork.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(p.toFile)
+      }
+    }))
+
+  /** A fresh per-invocation work dir, removed by ONE JVM shutdown
+    * hook. For gate queries whose result DataFrame lazily reads files
+    * the query itself produced (streaming sinks, job destinations):
+    * the dir cannot be deleted when the query fn returns, but repeated
+    * runs in one JVM (bench, verify) must not leak it either. */
+  def tempWorkDir(prefix: String): Path = {
+    tempHook
+    val p = Files.createTempDirectory(prefix)
+    tempWork.add(p)
+    p
+  }
+
   /** Owner-only cache root; created on first use, re-verified on every
     * call (verification, not creation, is the defense — creation can
     * be lost to a racing pre-creation). */

@@ -464,6 +464,61 @@ object EtlQueries {
              |FROM documents WHERE doc_id % 10 = 0 AND octet_length(encode(text)) > 0
              |ORDER BY media_id""".stripMargin)),
 
+    // ---- the MERGE_STRATEGY job step ON the hard gate: two
+    //      config-driven jobs run end-to-end through JobRunner — the
+    //      first loads the orders base into a parquet destination, the
+    //      second merges a bumped-price update batch for every 10th
+    //      key with mergeStrategy=KEEP_LATEST — and the query result
+    //      is the destination read back. Green means the full
+    //      config → step interpreter → merge → stage-and-swap →
+    //      destination path is value-preserving; the oracle is the
+    //      same keep-latest rewrite the operator-level
+    //      etl_upsert_keep_latest row uses. ----
+    Q("etl_merge_strategy",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString
+        val destDir = s"$work/dest"
+        def job(src: String, id: String) = JobConfig(
+          jobId = id,
+          steps = List("MERGE_STRATEGY"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("o_orderkey", "o_orderkey", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("o_custkey", "o_custkey", "NUMBER", "LONG"),
+            FieldMapping("o_totalprice", "o_totalprice", "NUMBER", "DOUBLE"),
+            FieldMapping("updated_at", "updated_at", "NUMBER", "LONG")),
+          transformation = Transformation("NONE", parameters = Map(
+            "mergeStrategy" -> "KEEP_LATEST",
+            "mergeKeys" -> "o_orderkey",
+            "versionColumn" -> "updated_at")))
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("updated_at", lit(1L))
+        base.write.parquet(s"$work/batch1")
+        base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("updated_at", lit(2L))
+          .write.parquet(s"$work/batch2")
+        val r1 = JobRunner.run(s, job(s"$work/batch1", "merge-gate-1"))
+        val r2 = JobRunner.run(s, job(s"$work/batch2", "merge-gate-2"))
+        (r1.status, r2.status) match {
+          case (JobRunner.Completed, JobRunner.Completed) => ()
+          case other => throw new IllegalStateException(s"merge jobs failed: $other")
+        }
+        s.read.parquet(destDir).orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             |                     CAST(1 AS BIGINT) AS updated_at FROM orders),
+             |upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             |               CAST(2 AS BIGINT) AS updated_at FROM orders WHERE o_orderkey % 10 = 0),
+             |tagged AS (SELECT *, 0 AS _src FROM base UNION ALL SELECT *, 1 AS _src FROM upd),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             |                     ORDER BY updated_at DESC, _src DESC) AS rn FROM tagged)
+             |SELECT o_orderkey, o_custkey, o_totalprice, updated_at
+             |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows
