@@ -1678,7 +1678,11 @@ object AnalyticsQueries {
         val agg = graft.streaming.EventStreams.tumblingCounts(
           graft.streaming.EventStreams.readEvents(s, src),
           windowLen = "1 hour", watermark = "2 hours")
-        graft.streaming.EventStreams.runToParquet(s, agg, work)
+        // statePartitions=8: state volume here is thousands of windows
+        // (KBs) — 32 state stores checkpointing per micro-batch would be
+        // pure fixed overhead; at production state volumes size this UP
+        graft.streaming.EventStreams.runToParquet(s, agg, work,
+            statePartitions = Some(8))
           .orderBy("window_start", "event_type")
       },
       Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
@@ -1702,7 +1706,8 @@ object AnalyticsQueries {
         val agg = graft.streaming.EventStreams.sessionize(
           graft.streaming.EventStreams.readEvents(s, src),
           gap = "10 minutes", watermark = "2 hours")
-        graft.streaming.EventStreams.runToParquet(s, agg, work)
+        graft.streaming.EventStreams.runToParquet(s, agg, work,
+            statePartitions = Some(8)) // tiny state; see tumbling note
           .orderBy("user_id", "session_start")
       },
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -1738,7 +1743,8 @@ object AnalyticsQueries {
         val deduped = graft.streaming.EventStreams.dedupEvents(
             graft.streaming.EventStreams.readEvents(s, src), watermark = "2 hours")
           .select("event_id", "user_id", "event_type", "value")
-        graft.streaming.EventStreams.runToParquet(s, deduped, work)
+        graft.streaming.EventStreams.runToParquet(s, deduped, work,
+            statePartitions = Some(8)) // tiny state; see tumbling note
           .orderBy("event_id")
       },
       Some("""SELECT DISTINCT event_id, user_id, event_type, value

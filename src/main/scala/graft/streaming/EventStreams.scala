@@ -285,8 +285,25 @@ object EventStreams {
    * input that a batch SQL oracle can state verbatim. Windows inside
    * the final delay stay in state (they would emit on the next run —
    * correct streaming semantics, not data loss).
+   *
+   * `statePartitions` sizes the state store: a streaming aggregation
+   * creates (and checkpoints) one state store instance PER shuffle
+   * partition EVERY micro-batch, so the session default (sized for
+   * batch shuffles) over-pays at small state volumes — state-partition
+   * count is a per-query capacity decision (state volume / executor
+   * memory), frozen into the checkpoint on first run. The conf is set
+   * for the blocking run and restored after.
    */
-  def runToParquet(spark: SparkSession, streamed: DataFrame, workDir: String): DataFrame = {
+  def runToParquet(spark: SparkSession, streamed: DataFrame, workDir: String,
+                   statePartitions: Option[Int] = None): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try runToParquetInner(spark, streamed, workDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runToParquetInner(spark: SparkSession, streamed: DataFrame,
+                                workDir: String): DataFrame = {
     val out = s"$workDir/out"
     val q: StreamingQuery = streamed.writeStream
       .format("parquet")
