@@ -19,16 +19,21 @@ import java.nio.file.attribute.PosixFilePermissions
  */
 object CacheDirs {
 
+  /** Recursive delete that NEVER follows symlinks: a symlink (even to
+    * a directory) is unlinked, not traversed — staged stream-source
+    * dirs deliberately contain symlinks into the shared read-only
+    * dataset, and `File.isDirectory` would happily recurse THROUGH
+    * such a link into the link target. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (!Files.isSymbolicLink(f.toPath) && f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   private val tempWork = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   private lazy val tempHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      tempWork.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(p.toFile)
-      }
+      tempWork.forEach(p => deleteRecursively(p.toFile))
     }))
 
   /** A fresh per-invocation work dir, removed by ONE JVM shutdown

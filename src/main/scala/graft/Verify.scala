@@ -31,12 +31,7 @@ object Verify {
         // for a now-broken query as green — remove any stale result
         // (an analysis-time failure happens before overwrite deletes)
         val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(stale)
-        }
+        if (stale.exists()) CacheDirs.deleteRecursively(stale)
       }
       spark.catalog.clearCache() // queries are independent
     }

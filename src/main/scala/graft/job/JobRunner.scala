@@ -304,6 +304,24 @@ object JobRunner {
               buildDataFrame(spark, cfg, plugins), cfg.mappings, cfg.errorHandling)
             val fsPath = new org.apache.hadoop.fs.Path(destPath)
             val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // crash-recovery guard: a missing destination WITH a
+            // rename-aside sibling means a previous swap died between
+            // its two renames — treating that as a first load would
+            // silently shrink the dimension to the incoming batch.
+            // Fail loudly and name the stranded data instead.
+            if (!fs.exists(fsPath)) {
+              val parent = fsPath.getParent
+              val prefix = s"${fsPath.getName}_old_"
+              val stranded =
+                if (parent != null && fs.exists(parent))
+                  fs.listStatus(parent).map(_.getPath.getName).filter(_.startsWith(prefix))
+                else Array.empty[String]
+              if (stranded.nonEmpty)
+                throw new ErrorPolicy.JobFailedException(
+                  s"MERGE_STRATEGY: $destPath is missing but a previous swap left " +
+                    s"${stranded.mkString(", ")} — a prior run died mid-swap; rename " +
+                    "the newest _old_ dir back to the destination before re-running")
+            }
             val merged =
               if (!fs.exists(fsPath)) enforced.good // first load: nothing to merge
               else {
@@ -347,9 +365,10 @@ object JobRunner {
                 throw new ErrorPolicy.JobFailedException(
                   s"MERGE_STRATEGY: could not move current $destPath aside")
               if (!fs.rename(stagedPath, fsPath)) {
-                if (hadPrev) fs.rename(old, fsPath) // restore the previous data
+                val restored = !hadPrev || fs.rename(old, fsPath)
                 throw new ErrorPolicy.JobFailedException(
-                  s"MERGE_STRATEGY: could not move staged merge into $destPath")
+                  s"MERGE_STRATEGY: could not move staged merge into $destPath" +
+                    (if (restored) "" else s"; RESTORE ALSO FAILED — previous data is at $old"))
               }
               if (hadPrev) fs.delete(old, true)
             } finally {

@@ -99,9 +99,10 @@ object Quality {
    * engines (the oracle engines a rule's metric may be recomputed
    * on): literal characters, escaped metacharacters, class shorthands
    * `\d \D \w \W \s \S`, `.`, anchors `^ $`, character classes
-   * (ranges, negation, shorthands — no Java-only `[a&&[b]]`
-   * intersection or `[[:alpha:]]` POSIX names), groups (capturing or
-   * `(?:…)`), alternation, and greedy/lazy quantifiers
+   * (ranges, negation, shorthands — NO unescaped `[` inside a class
+   * at all: Java reads `[a[b]c]` as a nested class union, RE2 as a
+   * literal, and `[a&&[b]]` / `[[:alpha:]]` are each single-engine),
+   * groups (capturing or `(?:…)`), alternation, and greedy/lazy quantifiers
    * `* + ? {m} {m,} {m,n}`. Rejected because they differ or don't
    * exist across engines: possessive quantifiers (`*+`),
    * backreferences (`\1`), lookaround (`(?= (?! (?<= (?<!`), atomic

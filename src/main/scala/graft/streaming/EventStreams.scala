@@ -292,15 +292,21 @@ object EventStreams {
    * batch shuffles) over-pays at small state volumes — state-partition
    * count is a per-query capacity decision (state volume / executor
    * memory), frozen into the checkpoint on first run. The conf is set
-   * for the blocking run and restored after.
+   * for the blocking run and restored after. NOTE the conf is
+   * SESSION-scoped: a concurrently planned query on the same session
+   * would observe the temporary value — callers running queries in
+   * parallel should pass None (or plan on a separate session).
    */
   def runToParquet(spark: SparkSession, streamed: DataFrame, workDir: String,
-                   statePartitions: Option[Int] = None): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try runToParquetInner(spark, streamed, workDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+                   statePartitions: Option[Int] = None): DataFrame =
+    statePartitions match {
+      case None => runToParquetInner(spark, streamed, workDir)
+      case Some(n) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        try runToParquetInner(spark, streamed, workDir)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   private def runToParquetInner(spark: SparkSession, streamed: DataFrame,
                                 workDir: String): DataFrame = {

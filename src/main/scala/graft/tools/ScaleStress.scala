@@ -188,11 +188,7 @@ object ScaleStress {
         // delete its dir — 10 stress DBs would otherwise pile up
         try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db;shutdown=true")
         catch { case _: java.sql.SQLException => }
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(dbDir))
+        graft.CacheDirs.deleteRecursively(new java.io.File(dbDir))
       }
     }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same

@@ -193,6 +193,21 @@ class OrchestrationSpec extends SparkTestBase {
         r.getAs[java.sql.Timestamp]("valid_to"))).toSet
     assert(dim == Set((1L, "x", null), (2L, "y", t1), (2L, "y2", null)))
 
+    // crash recovery: a destination missing with a rename-aside
+    // sibling means a prior swap died between its renames — the next
+    // run must fail loudly, NEVER treat the batch as a first load
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$work/dest_kl"),
+      java.nio.file.Paths.get(s"$work/dest_kl_old_deadbeef"))
+    val crashed = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/kl2.json"))
+    crashed.status match {
+      case JobRunner.Failed(msg) => assert(msg.contains("mid-swap"), msg)
+      case s => fail(s"expected Failed on stranded _old_ sibling, got $s")
+    }
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$work/dest_kl_old_deadbeef"),
+      java.nio.file.Paths.get(s"$work/dest_kl"))
+
     // misconfiguration fails the job, not the JVM: CSV dest rejected
     val bad = graft.model.JobConfig.fromFile(s"$work/kl1.json")
     val badRes = JobRunner.run(spark, bad.copy(destination = Some(
