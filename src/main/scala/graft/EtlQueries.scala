@@ -519,6 +519,68 @@ object EtlQueries {
              |SELECT o_orderkey, o_custkey, o_totalprice, updated_at
              |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- SCD2 through the SAME config-driven MERGE_STRATEGY path:
+    //      job 1 loads the customer dimension (open validity rows),
+    //      job 2 merges a re-segmented update batch for every 7th key
+    //      — the step must close the current rows at the update's
+    //      valid_from and append the new open rows. Oracle mirrors
+    //      etl_scd2_history's rewrite; green means the history
+    //      semantics survive the full config → job → swap path. ----
+    Q("etl_merge_scd2",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_scd2_gate_").toString
+        val destDir = s"$work/dest"
+        def job(src: String, id: String) = JobConfig(
+          jobId = id,
+          steps = List("MERGE_STRATEGY"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("c_custkey", "c_custkey", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("segment", "segment", "VARCHAR2", "STRING"),
+            FieldMapping("valid_from", "valid_from", "DATE", "TIMESTAMP"),
+            FieldMapping("valid_to", "valid_to", "DATE", "TIMESTAMP")),
+          transformation = Transformation("NONE", parameters = Map(
+            "mergeStrategy" -> "SCD2", "mergeKeys" -> "c_custkey")))
+        val ts0 = lit("1990-01-01").cast(org.apache.spark.sql.types.TimestampType)
+        val ts1 = lit("2000-06-15").cast(org.apache.spark.sql.types.TimestampType)
+        Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          .withColumn("valid_from", ts0)
+          .withColumn("valid_to", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+          .write.parquet(s"$work/dim")
+        Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
+          .withColumn("valid_from", ts1)
+          .withColumn("valid_to", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+          .write.parquet(s"$work/upd")
+        val r1 = JobRunner.run(s, job(s"$work/dim", "scd2-gate-1"))
+        val r2 = JobRunner.run(s, job(s"$work/upd", "scd2-gate-2"))
+        (r1.status, r2.status) match {
+          case (JobRunner.Completed, JobRunner.Completed) => ()
+          case other => throw new IllegalStateException(s"scd2 jobs failed: $other")
+        }
+        s.read.parquet(destDir).orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+             |                    TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             |                    CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+             |upd AS (SELECT c_custkey, 'NEW-' || c_mktsegment AS segment,
+             |               TIMESTAMP '2000-06-15 00:00:00' AS valid_from
+             |        FROM customer WHERE c_custkey % 7 = 0),
+             |closed AS (SELECT d.c_custkey, d.segment, d.valid_from,
+             |                  CASE WHEN d.valid_to IS NULL AND u.c_custkey IS NOT NULL
+             |                       THEN TIMESTAMP '2000-06-15 00:00:00' ELSE d.valid_to END AS valid_to
+             |           FROM dim d LEFT JOIN (SELECT DISTINCT c_custkey FROM upd) u
+             |           ON d.c_custkey = u.c_custkey)
+             |SELECT * FROM (
+             |  SELECT c_custkey, segment, valid_from, valid_to FROM closed
+             |  UNION ALL
+             |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows
