@@ -107,8 +107,12 @@ object Sampling {
     // construction; the constant partition key states the
     // single-partition choice explicitly (an empty partition spec
     // would execute identically but logs the scary
-    // "WindowExec: No Partition Defined" warning on every run)
-    val wOff = Window.partitionBy(lit(0)).orderBy("shuffle_bucket")
+    // "WindowExec: No Partition Defined" warning on every run).
+    // A bare lit(0) is foldable and EliminateWindowPartitions strips
+    // it back to an empty spec — derive the constant from the data
+    // column so it survives optimization.
+    val wOff = Window.partitionBy(pmod(col("shuffle_bucket"), lit(1)))
+      .orderBy("shuffle_bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy("shuffle_bucket").agg(count(lit(1)).as("_n"))
       .withColumn("_offset", coalesce(sum(col("_n")).over(wOff), lit(0L)))
