@@ -191,6 +191,37 @@ object ScaleStress {
         graft.CacheDirs.deleteRecursively(new java.io.File(dbDir))
       }
     }
+    // Streaming execution: replicate the events feed mx into a
+    // staging dir and run the tumbling-window aggregate through the
+    // REAL streaming engine (readStream -> watermark ->
+    // Trigger.AvailableNow -> parquet sink), state partitions sized
+    // for the state volume (8) not the batch shuffle default.
+    // Replicas shift event_id only, NOT ts, so the window population
+    // is FIXED while input rows grow mx: the emitted result (out)
+    // must stay constant — the bounded-state claim that makes the
+    // micro-batch path viable at 100 TB — while wall tracks input
+    // ~linearly (the scan+partial-agg cost that has to be paid).
+    if (wanted("stream")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      ev0.count() // warm
+      multiples.foreach { m =>
+        val feed = (0 until m).map(i =>
+          ev0.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+          .reduce(_ unionByName _)
+        val n = feed.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_stream_")
+        feed.write.parquet(s"$work/feed")
+        val t0 = System.nanoTime()
+        val out = graft.streaming.EventStreams.runToParquet(spark,
+          graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEvents(spark, s"$work/feed")),
+          s"$work/run", statePartitions = Some(8)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE stream  m=$m%2d rows=$n%7d out=$out%9d time=$dt%7.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.
