@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.job.JobRunner
-import graft.operators.{ErrorPolicy, IncrementalAgg, MappingOp, Profile, Quality}
+import graft.operators.{ErrorPolicy, IncrementalAgg, Maintenance, MappingOp, Profile, Quality}
 import graft.sinks.Writers
 import graft.sources.Readers
 import org.apache.spark.sql.functions._
@@ -580,6 +580,37 @@ object EtlQueries {
              |  UNION ALL
              |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
              |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ---- lake maintenance on the gate: a 48-file fragmented copy
+    //      of orders is compacted into ~4 range-clustered files via
+    //      the crash-safe rename-aside swap (Maintenance.compact);
+    //      the read-back must be exactly the original rows — the
+    //      oracle is the original table. The require pins that the
+    //      rewrite actually reduced the file count, so a silent
+    //      no-op can never stay green. ----
+    Q("etl_compact_roundtrip",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_compact_gate_").toString
+        val frag = s"$work/orders"
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(48).write.parquet(frag)
+        val fs = new org.apache.hadoop.fs.Path(frag)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes = Maintenance.dataFiles(fs, new org.apache.hadoop.fs.Path(frag))
+          .map(_.getLen).sum
+        val stats = Maintenance.compact(s, frag,
+          targetFileBytes = (bytes + 3) / 4, sortCols = Seq("o_orderkey"))
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction did not reduce file count: $stats")
+        s.read.parquet(frag)
+          .select(col("o_orderkey").as("order_id"), col("o_custkey").as("cust_id"),
+            col("o_totalprice").cast("double").as("total"))
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+             |CAST(o_totalprice AS DOUBLE) AS total FROM orders
+             |ORDER BY order_id""".stripMargin)),
 
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the

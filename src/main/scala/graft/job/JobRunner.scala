@@ -310,12 +310,7 @@ object JobRunner {
             // silently shrink the dimension to the incoming batch.
             // Fail loudly and name the stranded data instead.
             if (!fs.exists(fsPath)) {
-              val parent = fsPath.getParent
-              val prefix = s"${fsPath.getName}_old_"
-              val stranded =
-                if (parent != null && fs.exists(parent))
-                  fs.listStatus(parent).map(_.getPath.getName).filter(_.startsWith(prefix))
-                else Array.empty[String]
+              val stranded = graft.operators.Maintenance.strandedSiblings(fs, fsPath)
               if (stranded.nonEmpty)
                 throw new ErrorPolicy.JobFailedException(
                   s"MERGE_STRATEGY: $destPath is missing but a previous swap left " +
@@ -345,37 +340,41 @@ object JobRunner {
             // format merge cost; at 100 TB a dimension is a sliver of
             // the fact volume, and a transactional table format slots
             // in at this same seam.)
-            val suffix = java.util.UUID.randomUUID().toString.take(8)
-            val staged = s"${destPath.stripSuffix("/")}_merge_$suffix"
-            val stagedPath = new org.apache.hadoop.fs.Path(staged)
             val mergeObs = org.apache.spark.sql.Observation(s"graft_merge_${seq.incrementAndGet()}")
             val counted = merged.observe(mergeObs, org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("rows"))
-            try {
-              Writers.write(counted, dest.copy(connectionDetails =
-                dest.connectionDetails.copy(path = Some(staged), filePath = None)))
-              // swap via rename-aside, NOT delete-then-rename: a crash
-              // between a delete and the rename-in would leave no
-              // destination at all, and the next run would silently
-              // treat the job as a first load — the old data must stay
-              // addressable until the new data is in place.
-              val old = new org.apache.hadoop.fs.Path(s"${destPath.stripSuffix("/")}_old_$suffix")
-              val hadPrev = fs.exists(fsPath)
-              if (hadPrev && !fs.rename(fsPath, old))
-                throw new ErrorPolicy.JobFailedException(
-                  s"MERGE_STRATEGY: could not move current $destPath aside")
-              if (!fs.rename(stagedPath, fsPath)) {
-                val restored = !hadPrev || fs.rename(old, fsPath)
-                throw new ErrorPolicy.JobFailedException(
-                  s"MERGE_STRATEGY: could not move staged merge into $destPath" +
-                    (if (restored) "" else s"; RESTORE ALSO FAILED — previous data is at $old"))
-              }
-              if (hadPrev) fs.delete(old, true)
-            } finally {
-              if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
-            }
+            // swap protocol (rename-aside, crash-safe) shared with
+            // Maintenance.compact — see Maintenance.replaceDir.
+            graft.operators.Maintenance.replaceDir(fs, fsPath, "_merge_",
+              staged => Writers.write(counted, dest.copy(connectionDetails =
+                dest.connectionDetails.copy(path = Some(staged), filePath = None))),
+              m => new ErrorPolicy.JobFailedException(s"MERGE_STRATEGY: $m"))
             written = mergeObs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
             failedRows = enforced.rejected()
+            stepsRun ::= step
+          case "COMPACT_DESTINATION" =>
+            // Lake maintenance from the same config surface: rewrite
+            // the file destination into ~targetFileBytes files,
+            // optionally range-clustering on sortColumns — the
+            // post-load step that keeps a frequently-appended
+            // destination scannable (see Maintenance.compact).
+            // transformation.parameters: targetFileBytes (default
+            // 128 MiB), sortColumns (csv), compression.
+            val cDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("COMPACT_DESTINATION requires a destination"))
+            require(Set("PARQUET", "ORC")(cDest.`type`.toUpperCase),
+              s"COMPACT_DESTINATION supports PARQUET/ORC destinations, got ${cDest.`type`}")
+            val cPath = cDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("COMPACT_DESTINATION requires a file path destination"))
+            val cParams = cfg.transformation.parameters
+            val stats = graft.operators.Maintenance.compact(spark, cPath,
+              cDest.`type`.toLowerCase,
+              cParams.get("targetFileBytes").map(_.toLong).getOrElse(128L << 20),
+              cParams.get("sortColumns").toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+              cParams.get("compression").orElse(cDest.connectionDetails.compression),
+              m => new ErrorPolicy.JobFailedException(s"COMPACT_DESTINATION: $m"))
+            written = stats.rows
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and

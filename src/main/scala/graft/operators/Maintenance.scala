@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+/**
+ * Lake-maintenance operators: small-file compaction with optional
+ * range-cluster layout, over plain parquet/ORC directories.
+ *
+ * Why this is core at 100 TB: a streaming sink or a per-batch load
+ * (the reference's chunked loop, CoreLibInterfaces.java:78) leaves
+ * thousands of sub-megabyte files per partition; every downstream
+ * scan then pays one open + one footer read per file, and the
+ * NameNode/object-store listing itself becomes a bottleneck.
+ * Compaction rewrites a directory into ~targetFileBytes files —
+ * and, when `sortCols` is given, range-clusters rows while it's at
+ * it, so parquet row-group min/max stats actually skip for
+ * predicates on those columns (the poor man's Z-order: one sort
+ * dimension, which is the common case for time-keyed feeds).
+ *
+ * Scale shape: pure compaction is shuffle-FREE — the scan already
+ * packs small files into ~maxPartitionBytes splits, and `coalesce`
+ * merges those without moving rows. Range clustering shuffles once
+ * (`repartitionByRange`), which IS the clustering work. Either way
+ * the rewrite is staged next to the destination and swapped in via
+ * the same crash-safe rename-aside protocol as the merge job
+ * (`replaceDir`), so a reader never observes a half-written
+ * directory and a crash never strands the only copy.
+ *
+ * Flat directories only: a hive-partitioned root must be compacted
+ * one leaf at a time (each leaf is a flat dir — drive the loop from
+ * the partition listing). Compacting across leaves would rewrite
+ * the layout readers prune on.
+ */
+object Maintenance {
+
+  final case class CompactStats(
+      filesBefore: Long, bytesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** Data files under `dir`, excluding `_SUCCESS`/metadata and hidden
+    * files — the set a compaction pass rewrites. Flat dirs only:
+    * nested data files mean a partitioned layout and fail loudly. */
+  def dataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory)
+        throw new IllegalArgumentException(
+          s"$dir contains subdirectory $n: compact hive-partitioned layouts " +
+            "one leaf directory at a time (rewriting across leaves would " +
+            "destroy the layout readers prune on)")
+      else Seq(st)
+    }
+
+  /** Rename-aside siblings left by a swap that died between its two
+    * renames; a missing destination with one of these present must
+    * stop the job instead of being treated as a first load. */
+  def strandedSiblings(fs: FileSystem, dest: Path): Seq[String] = {
+    val parent = dest.getParent
+    val prefix = s"${dest.getName}_old_"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).toSeq.map(_.getPath.getName).filter(_.startsWith(prefix))
+    else Nil
+  }
+
+  /**
+   * Crash-safe replacement of `dest` with data written by
+   * `writeStaged` (which receives the staging path, a sibling of
+   * `dest` named `<dest><marker><uuid8>`). Swap is rename-aside, NOT
+   * delete-then-rename: a crash between a delete and the rename-in
+   * would leave no destination at all, and a rerun would silently
+   * treat the job as a first load — the old data stays addressable
+   * (as `<dest>_old_<uuid8>`) until the new data is in place.
+   * `err` builds the exception for swap failures, so the job layer
+   * can surface its own failure type.
+   */
+  def replaceDir(fs: FileSystem, dest: Path, marker: String,
+                 writeStaged: String => Unit,
+                 err: String => Exception): Unit = {
+    val destStr = dest.toString.stripSuffix("/")
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(s"$destStr$marker$suffix")
+    try {
+      writeStaged(staged.toString)
+      val old = new Path(s"${destStr}_old_$suffix")
+      val hadPrev = fs.exists(dest)
+      if (hadPrev && !fs.rename(dest, old))
+        throw err(s"could not move current $dest aside")
+      if (!fs.rename(staged, dest)) {
+        val restored = !hadPrev || fs.rename(old, dest)
+        throw err(s"could not move staged rewrite into $dest" +
+          (if (restored) "" else s"; RESTORE ALSO FAILED — previous data is at $old"))
+      }
+      if (hadPrev) fs.delete(old, true)
+    } finally {
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
+  }
+
+  /**
+   * Rewrite the flat `format` directory at `dir` into
+   * `ceil(bytes / targetFileBytes)` files (the on-disk byte size is
+   * the best stand-in for post-rewrite size without a dry run —
+   * same data, same format; pass `compression` to re-encode).
+   * `sortCols` switches the plan from shuffle-free `coalesce` to
+   * `repartitionByRange` + `sortWithinPartitions`: one shuffle that
+   * leaves per-file value ranges disjoint on the sort key.
+   */
+  def compact(spark: SparkSession, dir: String, format: String = "parquet",
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil,
+              compression: Option[String] = None,
+              err: String => Exception = m => new IllegalStateException(m)): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fmt = format.toLowerCase match {
+      case f @ ("parquet" | "orc") => f
+      case other => throw new IllegalArgumentException(
+        s"compact supports parquet/orc (self-describing schemas), got $other")
+    }
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) {
+      val stranded = strandedSiblings(fs, dest)
+      if (stranded.nonEmpty)
+        throw err(s"$dir is missing but a previous swap left " +
+          s"${stranded.mkString(", ")} — a prior run died mid-swap; rename " +
+          "the newest _old_ dir back to the destination before re-running")
+      throw new IllegalArgumentException(s"compact: $dir does not exist")
+    }
+    val files = dataFiles(fs, dest)
+    require(files.nonEmpty, s"compact: no data files under $dir")
+    val bytesBefore = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val df = spark.read.format(fmt).load(dir)
+    val laidOut =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(nOut)
+    val obs = Observation(s"graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    val counted = laidOut.observe(obs, count(lit(1)).as("rows"))
+    replaceDir(fs, dest, "_compact_", staged => {
+      val w = counted.write.mode("overwrite")
+      compression.fold(w)(c => w.option("compression", c)).format(fmt).save(staged)
+    }, err)
+    val rows = obs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    CompactStats(files.size.toLong, bytesBefore, dataFiles(fs, dest).size.toLong, rows)
+  }
+}

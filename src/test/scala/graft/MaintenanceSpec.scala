@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Maintenance
+import graft.job.JobRunner
+import graft.model._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fragmented(dir: String, n: Int = 24): Unit =
+    spark.range(0, 3000).select(col("id"), (col("id") * 7 % 100).as("v"))
+      .repartition(n).write.mode("overwrite").parquet(dir)
+
+  private def fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("compaction merges small files losslessly into the computed count") {
+    val dir = tmpDir("graft_compact_") + "/t"
+    fragmented(dir)
+    val before = Maintenance.dataFiles(fs, new Path(dir))
+    assert(before.size == 24)
+    val bytes = before.map(_.getLen).sum
+    // target = half the bytes -> exactly 2 output files
+    val stats = Maintenance.compact(spark, dir, targetFileBytes = (bytes + 1) / 2)
+    assert(stats.filesBefore == 24 && stats.filesAfter == 2 && stats.rows == 3000)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000)
+    assert(back.agg(sum("id"), sum("v")).head() ==
+      spark.range(0, 3000).select(col("id"), (col("id") * 7 % 100).as("v"))
+        .agg(sum("id"), sum("v")).head())
+  }
+
+  test("sortCols range-clusters: per-file ranges on the sort key are disjoint") {
+    val dir = tmpDir("graft_compact_") + "/t"
+    fragmented(dir)
+    val bytes = Maintenance.dataFiles(fs, new Path(dir)).map(_.getLen).sum
+    val stats = Maintenance.compact(spark, dir,
+      targetFileBytes = (bytes + 3) / 4, sortCols = Seq("id"))
+    assert(stats.filesAfter >= 2, s"want multiple clustered files, got $stats")
+    // each output file carries a disjoint id range (this is what makes
+    // row-group min/max stats selective for id predicates)
+    val ranges = Maintenance.dataFiles(fs, new Path(dir)).map { f =>
+      val r = spark.read.parquet(f.getPath.toString).agg(min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+  }
+
+  test("missing destination with a stranded _old_ sibling fails loudly") {
+    val root = tmpDir("graft_compact_")
+    val dir = s"$root/t"
+    fragmented(dir, 4)
+    // simulate a swap that died between its two renames
+    assert(fs.rename(new Path(dir), new Path(s"${dir}_old_dead1234")))
+    val e = intercept[IllegalStateException](Maintenance.compact(spark, dir))
+    assert(e.getMessage.contains("_old_dead1234") && e.getMessage.contains("mid-swap"))
+  }
+
+  test("compact refuses hive-partitioned roots and empty/missing dirs") {
+    val root = tmpDir("graft_compact_")
+    val part = s"$root/p"
+    spark.range(0, 100).withColumn("k", col("id") % 2)
+      .write.partitionBy("k").parquet(part)
+    val e = intercept[IllegalArgumentException](Maintenance.compact(spark, part))
+    assert(e.getMessage.contains("leaf"))
+    intercept[IllegalArgumentException](Maintenance.compact(spark, s"$root/absent"))
+  }
+
+  test("COMPACT_DESTINATION job step compacts the configured destination") {
+    val root = tmpDir("graft_compact_")
+    val dir = s"$root/dest"
+    fragmented(dir)
+    val bytes = Maintenance.dataFiles(fs, new Path(dir)).map(_.getLen).sum
+    val cfg = JobConfig(
+      jobId = "compact-1",
+      steps = List("COMPACT_DESTINATION"),
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(dir))),
+      destination = Some(DestinationConfig("PARQUET", ConnectionDetails(path = Some(dir)))),
+      mappings = Nil,
+      transformation = Transformation("NONE", parameters = Map(
+        "targetFileBytes" -> ((bytes + 1) / 2).toString, "sortColumns" -> "id")))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(res.recordsWritten == 3000)
+    assert(Maintenance.dataFiles(fs, new Path(dir)).size == 2)
+    assert(spark.read.parquet(dir).count() == 3000)
+  }
+}
