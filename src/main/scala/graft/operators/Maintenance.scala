@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit}
 
 /**
@@ -133,12 +133,7 @@ object Maintenance {
     val bytesBefore = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = spark.read.format(fmt).load(dir)
-    val laidOut =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else df.coalesce(nOut)
+    val laidOut = compactionPlan(spark.read.format(fmt).load(dir), nOut, sortCols)
     val obs = Observation(s"graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     val counted = laidOut.observe(obs, count(lit(1)).as("rows"))
     replaceDir(fs, dest, "_compact_", staged => {
@@ -147,5 +142,38 @@ object Maintenance {
     }, err)
     val rows = obs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     CompactStats(files.size.toLong, bytesBefore, dataFiles(fs, dest).size.toLong, rows)
+  }
+
+  /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
+    * pure compaction, or exactly one range exchange + in-partition
+    * sort when clustering. Factored out so plan-shape tests assert on
+    * the exact frame the operator executes. */
+  def compactionPlan(df: DataFrame, nOut: Int, sortCols: Seq[String]): DataFrame =
+    if (sortCols.nonEmpty)
+      df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    else df.coalesce(nOut)
+
+  /**
+   * Remove swap leftovers around `dest`: sibling directories named
+   * `<dest>_old_*` / `<dest>_merge_*` / `<dest>_compact_*` whose
+   * modification time is older than `olderThanMs`. Runs ONLY when
+   * `dest` itself exists — with the destination missing, an `_old_`
+   * sibling is the only surviving copy of the data (a swap died
+   * between its renames) and must never be vacuumed; that state
+   * demands the manual rename the stranded-guard message describes.
+   * Age-gating keeps a concurrent in-flight swap's staging dir safe.
+   * Returns the deleted directory names.
+   */
+  def vacuum(fs: FileSystem, dest: Path, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    if (!fs.exists(dest)) return Nil
+    val parent = dest.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val prefixes = Seq("_old_", "_merge_", "_compact_").map(dest.getName + _)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && prefixes.exists(st.getPath.getName.startsWith) &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
 }

@@ -191,6 +191,28 @@ object ScaleStress {
         graft.CacheDirs.deleteRecursively(new java.io.File(dbDir))
       }
     }
+    // Compaction: fragment the documents corpus into 64*m small
+    // files and rewrite with the shuffle-free coalesce path — the
+    // wall must track bytes ~linearly (a read + a write, nothing
+    // else), while the file count collapses to ceil(bytes/target)
+    // independent of how fragmented the input was.
+    if (wanted("compact")) {
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_compact_")
+        corpus.repartition(64 * m).write.parquet(s"$work/t")
+        val t0 = System.nanoTime()
+        val stats = graft.operators.Maintenance.compact(spark, s"$work/t",
+          targetFileBytes = 8L << 20)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE compact m=$m%2d files=${stats.filesBefore}%5d->${stats.filesAfter}%3d " +
+          f"rows=${stats.rows}%8d time=$dt%7.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     // Streaming execution: replicate the events feed mx into a
     // staging dir and run the tumbling-window aggregate through the
     // REAL streaming engine (readStream -> watermark ->

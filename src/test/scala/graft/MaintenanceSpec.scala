@@ -70,6 +70,26 @@ class MaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintenance.compact(spark, s"$root/absent"))
   }
 
+  test("vacuum removes aged swap leftovers only while the destination is healthy") {
+    val root = tmpDir("graft_vacuum_")
+    val dir = s"$root/t"
+    fragmented(dir, 2)
+    fs.mkdirs(new Path(s"${dir}_old_aaaa1111"))
+    fs.mkdirs(new Path(s"${dir}_merge_bbbb2222"))
+    fs.mkdirs(new Path(s"${dir}_compact_cccc3333"))
+    // fresh leftovers survive the age gate (an in-flight swap's staging)
+    assert(Maintenance.vacuum(fs, new Path(dir)).isEmpty)
+    // aged leftovers go
+    val gone = Maintenance.vacuum(fs, new Path(dir), olderThanMs = -1000)
+    assert(gone.toSet == Set("t_old_aaaa1111", "t_merge_bbbb2222", "t_compact_cccc3333"))
+    // with the destination MISSING, an _old_ sibling is the only copy:
+    // vacuum must refuse to touch anything
+    fs.mkdirs(new Path(s"${dir}_old_dddd4444"))
+    assert(fs.delete(new Path(dir), true))
+    assert(Maintenance.vacuum(fs, new Path(dir), olderThanMs = -1000).isEmpty)
+    assert(fs.exists(new Path(s"${dir}_old_dddd4444")), "sole-copy _old_ must survive")
+  }
+
   test("COMPACT_DESTINATION job step compacts the configured destination") {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/dest"

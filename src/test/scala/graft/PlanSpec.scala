@@ -160,6 +160,24 @@ class PlanSpec extends SparkTestBase {
       s"HLL mode must not Expand (constant sketch state per column):\n$approx")
   }
 
+  test("compaction plans shuffle-free; range clustering has exactly one range exchange") {
+    import graft.operators.Maintenance
+    val df = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val plain = planString(Maintenance.compactionPlan(df, 2, Nil))
+    assert(!plain.contains("Exchange"), s"pure compaction must not shuffle:\n$plain")
+    assert(plain.contains("Coalesce"), s"expected a coalesce merge:\n$plain")
+    val clustered = planString(Maintenance.compactionPlan(df, 2, Seq("o_orderkey")))
+    assert(clustered.contains("rangepartitioning"),
+      s"clustering must shuffle by range:\n$clustered")
+    assert(!clustered.contains("hashpartitioning"),
+      s"no hash shuffle expected in clustering:\n$clustered")
+    // one exchange in the executed tree (AQE prints it once per stage
+    // listing; the detail sections carry one numbered Exchange node
+    // per distinct operator — final + initial plan share it)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(clustered).size
+    assert(exchanges <= 2, s"more than one distinct exchange:\n$clustered")
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")
