@@ -29,7 +29,8 @@ object Bench {
     "etl_profile_columns", "etl_incremental_agg",
     "etl_jdbc_roundtrip", "sim_pq_topk", "etl_quality_rules",
     "etl_incremental_distinct",
-    "agg_approx_agreement", "events_stream_tumbling", "etl_media_binaryfile")
+    "agg_approx_agreement", "events_stream_tumbling", "etl_media_binaryfile",
+    "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,6 +203,29 @@ object PipelineQueries {
              |  CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 64, doc_id) - 1 AS BIGINT) AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- token-budget cap: keep documents per language, in
+    //      deterministic hash order, until 20k chars are spent — the
+    //      "N tokens per domain" mixture knob. Two-phase running sum
+    //      (per-bucket totals -> metadata prefix offsets -> local
+    //      cumsum), never one window per stratum; the oracle is the
+    //      naive global running sum, so membership parity IS the
+    //      two-phase correctness proof. ----
+    Q("sample_token_budget",
+      (s, dir) => Sampling.tokenBudgetCap(
+          Tables.t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("toks")),
+          "doc_id", "lang", "toks", budgetPerStratum = 20000L, buckets = 64,
+          bucketExpr = Some(pmod(col("doc_id") * 1103515245L + 12345L, lit(64L))))
+        .select("doc_id", "lang", "toks")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS toks,
+             |  (doc_id * 1103515245 + 12345) % 64 AS bkt FROM documents),
+             |c AS (SELECT doc_id, lang, toks,
+             |  SUM(toks) OVER (PARTITION BY lang ORDER BY bkt, doc_id
+             |                  ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+             |SELECT doc_id, lang, toks FROM c
+             |WHERE cum <= 20000 ORDER BY doc_id""".stripMargin)),
+
     // ---- weighted domain mixing: the "epochs per source" knob of a
     //      training mixture. src0 runs 2.5 epochs (2-3 deterministic
     //      copies), src1 exactly 1, src2 1.5, src3 is blocked (0),

@@ -125,6 +125,52 @@ object Sampling {
   }
 
   /**
+   * Token-budget cap: keep documents per stratum, in deterministic
+   * hash order, until the stratum's cumulative token count reaches
+   * `budgetPerStratum` — the "N tokens per domain" knob of a training
+   * mixture (row caps over-sample short documents; real budgets are
+   * stated in tokens).
+   *
+   * Scale shape: the naive form is a running `SUM OVER (PARTITION BY
+   * stratum ORDER BY hash)` — parallelism = stratum count, so one
+   * executor drags an entire domain. This is the two-phase form
+   * instead (same design as `deterministicShuffle`): (1) per
+   * (stratum, bucket) token sums — `strata x buckets` rows of
+   * METADATA; (2) prefix-sum those into per-bucket starting offsets
+   * and broadcast them back; (3) a local inclusive running sum within
+   * each (stratum, bucket) — parallelism = strata x buckets. A row
+   * survives iff bucket offset + local running sum <= budget, which
+   * matches the naive form's membership exactly, bucket by bucket.
+   * Rows with NULL tokens count as 0 (kept, free).
+   */
+  def tokenBudgetCap(df: DataFrame, idCol: String, strataCol: String,
+                     tokenCol: String, budgetPerStratum: Long,
+                     buckets: Int = 1 << 10, salt: Long = 42L,
+                     bucketExpr: Option[Column] = None): DataFrame = {
+    require(budgetPerStratum > 0, "budgetPerStratum must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val b = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(buckets)))
+    val withB = df.withColumn("_tb_bkt", b)
+      .withColumn("_tb_n", coalesce(col(tokenCol).cast("long"), lit(0L)))
+    // per-(stratum, bucket) sums -> exclusive prefix offsets: a window
+    // over strata x buckets rows of metadata, broadcast back
+    val wOff = Window.partitionBy(col("_tb_s")).orderBy(col("_tb_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB
+      .groupBy(col(strataCol).as("_tb_s"), col("_tb_bkt").as("_tb_b"))
+      .agg(sum("_tb_n").as("_tb_bn"))
+      .withColumn("_tb_off", coalesce(sum("_tb_bn").over(wOff), lit(0L)))
+      .drop("_tb_bn")
+    val wLocal = Window.partitionBy(col(strataCol), col("_tb_bkt"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)
+    withB.join(broadcast(offsets),
+        col(strataCol) <=> col("_tb_s") && col("_tb_bkt") === col("_tb_b"))
+      .withColumn("_tb_cum", col("_tb_off") + sum("_tb_n").over(wLocal))
+      .filter(col("_tb_cum") <= budgetPerStratum)
+      .drop("_tb_s", "_tb_b", "_tb_off", "_tb_bkt", "_tb_n", "_tb_cum")
+  }
+
+  /**
    * Weighted domain mixing: the "epochs per source" knob of a training
    * mixture (upsample curated domains, downsample bulk crawl). Each
    * row is emitted `floor(w)` times plus one more with probability

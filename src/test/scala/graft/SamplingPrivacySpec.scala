@@ -106,6 +106,34 @@ class SamplingPrivacySpec extends SparkTestBase {
     assert(rows.sortBy(_._3).toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("tokenBudgetCap: membership matches the naive global running sum; budget never exceeded") {
+    // skewed strata: one dominant domain, one tiny, one exactly at
+    // budget; token counts vary so the cut falls mid-bucket
+    val rows = (1L to 400L).map(i => (i, if (i % 7 == 0) "small" else "big", 10L + i % 37)) ++
+      Seq((1000L, "exact", 50L), (1001L, "exact", 50L))
+    val df = rows.toDF("doc_id", "s", "toks")
+    val budget = 1000L
+    val capped = Sampling.tokenBudgetCap(df, "doc_id", "s", "toks", budget, buckets = 8)
+    // naive oracle: global inclusive running sum in (bucket, id) order
+    val bkt = pmod(xxhash64(col("doc_id"), lit(42L)), lit(8))
+    val naive = df.withColumn("_b", bkt)
+      .withColumn("cum", sum(col("toks")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")
+          .orderBy("_b", "doc_id").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      naive.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // per-stratum spend stays within budget; the at-budget stratum is kept whole
+    val spend = capped.groupBy("s").agg(sum("toks").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spend.values.forall(_ <= budget), s"budget exceeded: $spend")
+    assert(spend("exact") == 100L, "a stratum within budget must be kept whole")
+    // deterministic
+    assert(capped.count() == Sampling.tokenBudgetCap(
+      df, "doc_id", "s", "toks", budget, buckets = 8).count())
+  }
+
   test("weightedMix: integer epochs exact, fractional epochs in expectation, zero drops, deterministic") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
     val weights = when(col("lang") === "en", 2500L)   // 2.5 epochs
