@@ -581,6 +581,35 @@ object EtlQueries {
              |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // ---- schema drift across load batches: batch 1 predates the
+    //      price column, batch 2 carries it; a mergeSchema read of
+    //      the shared directory must produce the union schema with
+    //      NULLs where the old files have no column — the daily
+    //      reality of a long-lived landing directory. The read goes
+    //      through the config surface (ConnectionDetails.mergeSchema
+    //      -> Readers), not a raw spark.read. ----
+    Q("etl_schema_evolution",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_evolve_gate_").toString
+        val orders = Tables.t(s, dir, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .write.mode("append").parquet(s"$work/landing")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .write.mode("append").parquet(s"$work/landing")
+        Readers.forConfig(s,
+            SourceConfig("PARQUET", ConnectionDetails(
+              path = Some(s"$work/landing"), mergeSchema = Some(true))), Nil)
+          .select(col("o_orderkey").as("order_id"), col("o_custkey").as("cust_id"),
+            col("o_totalprice").as("total"))
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+             |CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice AS DOUBLE) END AS total
+             |FROM orders ORDER BY order_id""".stripMargin)),
+
     // ---- lake maintenance on the gate: a 48-file fragmented copy
     //      of orders is compacted into ~4 range-clustered files via
     //      the crash-safe rename-aside swap (Maintenance.compact);

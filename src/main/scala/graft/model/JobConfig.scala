@@ -50,7 +50,12 @@ final case class ConnectionDetails(
     // codec choice IS a capacity decision — zstd halves parquet
     // footprint vs snappy at similar scan speed; defaults stay
     // Spark's when unset.
-    compression: Option[String] = None
+    compression: Option[String] = None,
+    // Parquet/ORC source: union the schemas of all files in the dir
+    // (schema drift across load batches — new columns read as NULL in
+    // older files). Off by default: merging reads every footer at
+    // planning time, a real cost on a 100k-file directory.
+    mergeSchema: Option[Boolean] = None
 ) {
   def pathOrFile: Option[String] = path.orElse(filePath)
 }
@@ -181,7 +186,8 @@ object JobConfig {
       sortKeys = strList(n, "sortKeys", "sortBy"),
       maxRecordsPerFile = optLong(n, "maxRecordsPerFile"),
       createTableColumnTypes = optText(n, "createTableColumnTypes"),
-      compression = optText(n, "compression", "codec")
+      compression = optText(n, "compression", "codec"),
+      mergeSchema = optBool(n, "mergeSchema")
     )
 
   private def parseMapping(n: JsonNode): FieldMapping = {

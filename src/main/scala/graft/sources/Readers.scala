@@ -22,11 +22,17 @@ object Readers {
     val c = cfg.connectionDetails
     cfg.`type`.toUpperCase match {
       case "PARQUET" =>
-        spark.read.parquet(requirePath(cfg))
+        // mergeSchema: schema drift across load batches — the union
+        // schema over every file's footer, NULLs where a file predates
+        // a column. Opt-in (ConnectionDetails.mergeSchema): merging
+        // reads all footers at planning time.
+        c.mergeSchema.fold(spark.read)(m =>
+          spark.read.option("mergeSchema", m.toString)).parquet(requirePath(cfg))
       case "ORC" =>
         // Columnar like parquet: pruning/pushdown/vectorized read all
         // apply; ORC's row-group (stripe) stats skip the same way.
-        spark.read.orc(requirePath(cfg))
+        c.mergeSchema.fold(spark.read)(m =>
+          spark.read.option("mergeSchema", m.toString)).orc(requirePath(cfg))
       case "CSV" | "FLAT_FILE" | "DELIMITED" =>
         // linesToSkip=1 usually MEANS "skip the header" (reference
         // convention) — but with an explicit includeHeader=false that

@@ -126,6 +126,14 @@ object ScaleStress {
     docRun("mix")(c => graft.operators.Sampling.weightedMix(
       c.select("doc_id"), "doc_id",
       weightPermille = when(col("doc_id") % 3 === 0, 2500L).otherwise(400L)).count())
+    // Token-budget cap: 5 synthetic strata, fixed per-stratum budget.
+    // The two-phase running sum keeps parallelism at strata x buckets
+    // — wall must track corpus ~linearly, NEVER the stratum count
+    // (the naive per-domain window caps at 5 tasks regardless of m).
+    docRun("budget")(c => graft.operators.Sampling.tokenBudgetCap(
+      c.select(col("doc_id"), pmod(col("doc_id"), lit(5L)).as("s"),
+        length(col("text")).cast("long").as("toks")),
+      "doc_id", "s", "toks", budgetPerStratum = 100000L, buckets = 256).count())
     // PQ serving: codebooks train ONCE on a fixed-size sample
     // (constant cost); encode + ADC shortlist + re-rank must track the
     // corpus ~linearly with the scan being 8-byte codes.
