@@ -146,12 +146,17 @@ object Maintenance {
 
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
-    * sort when clustering. Factored out so plan-shape tests assert on
-    * the exact frame the operator executes. */
+    * sort when clustering. `coalesce` can only MERGE partitions —
+    * when the target file count exceeds what the scan produced
+    * (splitting oversized files, not merging small ones), honoring
+    * the contract needs one round-robin shuffle, so that case plans
+    * `repartition` instead. Factored out so plan-shape tests assert
+    * on the exact frame the operator executes. */
   def compactionPlan(df: DataFrame, nOut: Int, sortCols: Seq[String]): DataFrame =
     if (sortCols.nonEmpty)
       df.repartitionByRange(nOut, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
+    else if (df.rdd.getNumPartitions < nOut) df.repartition(nOut)
     else df.coalesce(nOut)
 
   /**
@@ -162,8 +167,13 @@ object Maintenance {
    * sibling is the only surviving copy of the data (a swap died
    * between its renames) and must never be vacuumed; that state
    * demands the manual rename the stranded-guard message describes.
-   * Age-gating keeps a concurrent in-flight swap's staging dir safe.
-   * Returns the deleted directory names.
+   * Age-gating protects freshly WRITTEN staging dirs; it cannot
+   * protect an in-flight swap's `_old_` rollback dir, because rename
+   * preserves the directory's old mtime — so `dest` existence is
+   * re-checked immediately before each `_old_` delete (a swap in its
+   * rename window has `dest` absent), and like the merge step itself
+   * this operation assumes one maintainer per destination at a time.
+   * Returns the names of directories actually deleted.
    */
   def vacuum(fs: FileSystem, dest: Path, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     if (!fs.exists(dest)) return Nil
@@ -174,6 +184,10 @@ object Maintenance {
     fs.listStatus(parent).toSeq
       .filter(st => st.isDirectory && prefixes.exists(st.getPath.getName.startsWith) &&
         st.getModificationTime < cutoff)
-      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      .filter { st =>
+        val isRollback = st.getPath.getName.startsWith(s"${dest.getName}_old_")
+        (!isRollback || fs.exists(dest)) && fs.delete(st.getPath, true)
+      }
+      .map(_.getPath.getName)
   }
 }

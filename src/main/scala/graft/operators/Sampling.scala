@@ -103,25 +103,37 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     val b = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(buckets)))
     val withB = df.withColumn("shuffle_bucket", b)
-    // the prefix-sum frame is <= `buckets` rows of METADATA by
-    // construction; the constant partition key states the
-    // single-partition choice explicitly (an empty partition spec
-    // would execute identically but logs the scary
-    // "WindowExec: No Partition Defined" warning on every run).
-    // A bare lit(0) is foldable and EliminateWindowPartitions strips
-    // it back to an empty spec — derive the constant from the data
-    // column so it survives optimization.
-    val wOff = Window.partitionBy(pmod(col("shuffle_bucket"), lit(1)))
-      .orderBy("shuffle_bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy("shuffle_bucket").agg(count(lit(1)).as("_n"))
-      .withColumn("_offset", coalesce(sum(col("_n")).over(wOff), lit(0L)))
-      .drop("_n")
+    val offsets = bucketPrefixOffsets(withB, Nil, "shuffle_bucket",
+      count(lit(1)), "_offset")
     withB.join(broadcast(offsets), "shuffle_bucket")
       .withColumn("shuffle_pos",
         col("_offset") + row_number().over(
           Window.partitionBy("shuffle_bucket").orderBy(col(idCol))) - 1)
       .drop("_offset")
+  }
+
+  /**
+   * Shared scaffolding of the two-phase rank/budget forms: per-bucket
+   * totals of `measure`, prefix-summed (EXCLUSIVE) in bucket order
+   * within each stratum — a window over <= |strata| x buckets rows of
+   * METADATA, meant to be broadcast back to the data. With no strata
+   * the single-partition choice is stated via a constant key derived
+   * from the bucket column (a bare lit would be foldable and
+   * EliminateWindowPartitions would strip it back to the empty spec,
+   * resurrecting the "No Partition Defined" warning). Bucket order is
+   * Spark's ASC NULLS FIRST: a NULL bucket group sorts first and is
+   * charged first.
+   */
+  private[operators] def bucketPrefixOffsets(df: DataFrame, strata: Seq[String],
+                                             bucketCol: String, measure: Column,
+                                             offCol: String): DataFrame = {
+    val partKeys =
+      if (strata.nonEmpty) strata.map(col) else Seq(pmod(col(bucketCol), lit(1)))
+    val wOff = Window.partitionBy(partKeys: _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.groupBy((strata :+ bucketCol).map(col): _*).agg(measure.as("_bp_n"))
+      .withColumn(offCol, coalesce(sum(col("_bp_n")).over(wOff), lit(0L)))
+      .drop("_bp_n")
   }
 
   /**
@@ -141,7 +153,10 @@ object Sampling {
    * each (stratum, bucket) — parallelism = strata x buckets. A row
    * survives iff bucket offset + local running sum <= budget, which
    * matches the naive form's membership exactly, bucket by bucket.
-   * Rows with NULL tokens count as 0 (kept, free).
+   * Rows with NULL tokens count as 0 (kept, free); a NULL bucket (a
+   * nullable custom `bucketExpr`) forms its own group, joined
+   * null-safely and charged first (NULLS FIRST bucket order) — no row
+   * is ever silently dropped.
    */
   def tokenBudgetCap(df: DataFrame, idCol: String, strataCol: String,
                      tokenCol: String, budgetPerStratum: Long,
@@ -152,19 +167,13 @@ object Sampling {
     val b = bucketExpr.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(buckets)))
     val withB = df.withColumn("_tb_bkt", b)
       .withColumn("_tb_n", coalesce(col(tokenCol).cast("long"), lit(0L)))
-    // per-(stratum, bucket) sums -> exclusive prefix offsets: a window
-    // over strata x buckets rows of metadata, broadcast back
-    val wOff = Window.partitionBy(col("_tb_s")).orderBy(col("_tb_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB
-      .groupBy(col(strataCol).as("_tb_s"), col("_tb_bkt").as("_tb_b"))
-      .agg(sum("_tb_n").as("_tb_bn"))
-      .withColumn("_tb_off", coalesce(sum("_tb_bn").over(wOff), lit(0L)))
-      .drop("_tb_bn")
+    val offsets = bucketPrefixOffsets(withB.select(col(strataCol), col("_tb_bkt"),
+        col("_tb_n")), Seq(strataCol), "_tb_bkt", sum("_tb_n"), "_tb_off")
+      .withColumnRenamed(strataCol, "_tb_s").withColumnRenamed("_tb_bkt", "_tb_b")
     val wLocal = Window.partitionBy(col(strataCol), col("_tb_bkt"))
       .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)
     withB.join(broadcast(offsets),
-        col(strataCol) <=> col("_tb_s") && col("_tb_bkt") === col("_tb_b"))
+        col(strataCol) <=> col("_tb_s") && col("_tb_bkt") <=> col("_tb_b"))
       .withColumn("_tb_cum", col("_tb_off") + sum("_tb_n").over(wLocal))
       .filter(col("_tb_cum") <= budgetPerStratum)
       .drop("_tb_s", "_tb_b", "_tb_off", "_tb_bkt", "_tb_n", "_tb_cum")

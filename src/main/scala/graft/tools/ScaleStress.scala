@@ -232,24 +232,32 @@ object ScaleStress {
     // micro-batch path viable at 100 TB — while wall tracks input
     // ~linearly (the scan+partial-agg cost that has to be paid).
     if (wanted("stream")) {
+      // restore after the section: legacy nanos-as-long would leak a
+      // silently different timestamp schema into later sections
+      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-      ev0.count() // warm
-      multiples.foreach { m =>
-        val feed = (0 until m).map(i =>
-          ev0.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
-          .reduce(_ unionByName _)
-        val n = feed.count()
-        val work = graft.CacheDirs.tempWorkDir("graft_stress_stream_")
-        feed.write.parquet(s"$work/feed")
-        val t0 = System.nanoTime()
-        val out = graft.streaming.EventStreams.runToParquet(spark,
-          graft.streaming.EventStreams.tumblingCounts(
-            graft.streaming.EventStreams.readEvents(spark, s"$work/feed")),
-          s"$work/run", statePartitions = Some(8)).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE stream  m=$m%2d rows=$n%7d out=$out%9d time=$dt%7.1fs")
-        graft.CacheDirs.deleteRecursively(work.toFile)
+      try {
+        val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        ev0.count() // warm
+        multiples.foreach { m =>
+          val feed = (0 until m).map(i =>
+            ev0.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+            .reduce(_ unionByName _)
+          val n = feed.count()
+          val work = graft.CacheDirs.tempWorkDir("graft_stress_stream_")
+          feed.write.parquet(s"$work/feed")
+          val t0 = System.nanoTime()
+          val out = graft.streaming.EventStreams.runToParquet(spark,
+            graft.streaming.EventStreams.tumblingCounts(
+              graft.streaming.EventStreams.readEvents(spark, s"$work/feed")),
+            s"$work/run", statePartitions = Some(8)).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE stream  m=$m%2d rows=$n%7d out=$out%9d time=$dt%7.1fs")
+          graft.CacheDirs.deleteRecursively(work.toFile)
+        }
+      } finally prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
     }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same

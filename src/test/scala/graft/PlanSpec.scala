@@ -163,9 +163,14 @@ class PlanSpec extends SparkTestBase {
   test("compaction plans shuffle-free; range clustering has exactly one range exchange") {
     import graft.operators.Maintenance
     val df = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    val plain = planString(Maintenance.compactionPlan(df, 2, Nil))
+    val plain = planString(Maintenance.compactionPlan(df, 1, Nil))
     assert(!plain.contains("Exchange"), s"pure compaction must not shuffle:\n$plain")
     assert(plain.contains("Coalesce"), s"expected a coalesce merge:\n$plain")
+    // splitting into MORE files than the scan produced cannot be done
+    // by coalesce — that case must plan the round-robin shuffle
+    val split = planString(Maintenance.compactionPlan(df, 64, Nil))
+    assert(split.contains("RoundRobinPartitioning"),
+      s"file splitting must plan a round-robin repartition:\n$split")
     val clustered = planString(Maintenance.compactionPlan(df, 2, Seq("o_orderkey")))
     assert(clustered.contains("rangepartitioning"),
       s"clustering must shuffle by range:\n$clustered")

@@ -134,6 +134,21 @@ class SamplingPrivacySpec extends SparkTestBase {
       df, "doc_id", "s", "toks", budget, buckets = 8).count())
   }
 
+  test("tokenBudgetCap: a nullable bucketExpr never drops rows; null bucket charged first") {
+    val df = Seq((1L, "a", 10L, Some(0L)), (2L, "a", 10L, None),
+      (3L, "a", 10L, Some(1L)), (4L, "a", 10L, None))
+      .toDF("doc_id", "s", "toks", "shard")
+    // budget admits everything: every row must survive, null shard included
+    val all = Sampling.tokenBudgetCap(df, "doc_id", "s", "toks", 1000L,
+      bucketExpr = Some(col("shard")))
+    assert(all.count() == 4, "null-bucket rows must not be dropped")
+    // budget of 20: the null bucket (docs 2, 4) sorts first and spends
+    // the budget before buckets 0 and 1 see any
+    val tight = Sampling.tokenBudgetCap(df, "doc_id", "s", "toks", 20L,
+      bucketExpr = Some(col("shard")))
+    assert(tight.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
   test("weightedMix: integer epochs exact, fractional epochs in expectation, zero drops, deterministic") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
     val weights = when(col("lang") === "en", 2500L)   // 2.5 epochs
