@@ -1750,6 +1750,38 @@ object AnalyticsQueries {
       Some("""SELECT DISTINCT event_id, user_id, event_type, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- stream-STREAM interval join through the real engine:
+    //      signups joined to same-user purchases within the following
+    //      hour, watermarks on BOTH sides bounding join state (the
+    //      100 TB failure mode is an unwatermarked join buffering
+    //      forever). The single-file feed processes as ONE
+    //      AvailableNow micro-batch, so both sides coexist in state
+    //      before any eviction and the inner join emits exactly the
+    //      batch join result — which the oracle states directly. ----
+    Q("events_stream_correlate",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val joined = graft.streaming.EventStreams.correlate(
+          graft.streaming.EventStreams.readEvents(s, src),
+          leftType = "signup", rightType = "purchase",
+          interval = "1 hour", watermark = "2 hours")
+        graft.streaming.EventStreams.runToParquet(s, joined, work,
+            statePartitions = Some(8)) // tiny state; see tumbling note
+          .select(col("user_id"), col("l_id"), col("r_id"),
+            unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+          .orderBy("l_id", "r_id")
+      },
+      Some("""WITH su AS (SELECT user_id, event_id AS l_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+             |  FROM events WHERE event_type = 'signup'),
+             |pu AS (SELECT user_id AS p_user, event_id AS r_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT su.user_id, su.l_id, pu.r_id, su.l_us, pu.r_us
+             |FROM su JOIN pu ON pu.p_user = su.user_id
+             |  AND pu.r_us >= su.l_us AND pu.r_us <= su.l_us + 3600000000
+             |ORDER BY l_id, r_id""".stripMargin)),
+
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
     //      last-ignoring-nulls form of an as-of join (no range-join
