@@ -90,6 +90,46 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fs.exists(new Path(s"${dir}_old_dddd4444")), "sole-copy _old_ must survive")
   }
 
+  test("ORC directories compact through the same path") {
+    val dir = tmpDir("graft_compact_") + "/t"
+    spark.range(0, 2000).select(col("id"), (col("id") % 9).as("v"))
+      .repartition(8).write.orc(dir)
+    val stats = Maintenance.compact(spark, dir, format = "orc")
+    assert(stats.filesBefore == 8 && stats.filesAfter == 1 && stats.rows == 2000)
+    assert(spark.read.orc(dir).count() == 2000)
+  }
+
+  test("LOAD then COMPACT_DESTINATION chains; an already-compact destination skips the rewrite") {
+    val root = tmpDir("graft_compact_")
+    val src = s"$root/src"
+    val dest = s"$root/dest"
+    fragmented(src)
+    val mappings = List(
+      FieldMapping("id", "id", "NUMBER", "LONG", isDestNullable = false),
+      FieldMapping("v", "v", "NUMBER", "LONG"))
+    val cfg = JobConfig(
+      jobId = "load-compact-1",
+      steps = List("LOAD", "COMPACT_DESTINATION"),
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+      destination = Some(DestinationConfig("PARQUET", ConnectionDetails(path = Some(dest)))),
+      mappings = mappings,
+      transformation = Transformation("NONE"))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(res.stepsRun.contains("COMPACT_DESTINATION"), res.stepsRun.toString)
+    assert(Maintenance.dataFiles(fs, new Path(dest)).size == 1,
+      "default 128 MiB target must compact the tiny load to one file")
+    assert(spark.read.parquet(dest).count() == 3000)
+    // second maintenance pass on the now-compact destination: skipped
+    // (written = 0, files untouched)
+    val names = Maintenance.dataFiles(fs, new Path(dest)).map(_.getPath.getName).toSet
+    val res2 = JobRunner.run(spark, cfg.copy(jobId = "compact-again",
+      steps = List("COMPACT_DESTINATION")))
+    assert(res2.status == JobRunner.Completed, res2.message)
+    assert(res2.recordsWritten == 0, "already-compact destination must skip the rewrite")
+    assert(Maintenance.dataFiles(fs, new Path(dest)).map(_.getPath.getName).toSet == names)
+  }
+
   test("COMPACT_DESTINATION job step compacts the configured destination") {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/dest"
