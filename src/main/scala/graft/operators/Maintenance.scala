@@ -58,7 +58,7 @@ object Maintenance {
     * stop the job instead of being treated as a first load. */
   def strandedSiblings(fs: FileSystem, dest: Path): Seq[String] = {
     val parent = dest.getParent
-    val prefix = s"${dest.getName}_old_"
+    val prefix = s"_${dest.getName}_old_"
     if (parent != null && fs.exists(parent))
       fs.listStatus(parent).toSeq.map(_.getPath.getName).filter(_.startsWith(prefix))
     else Nil
@@ -67,23 +67,27 @@ object Maintenance {
   /**
    * Crash-safe replacement of `dest` with data written by
    * `writeStaged` (which receives the staging path, a sibling of
-   * `dest` named `<dest><marker><uuid8>`). Swap is rename-aside, NOT
-   * delete-then-rename: a crash between a delete and the rename-in
-   * would leave no destination at all, and a rerun would silently
-   * treat the job as a first load — the old data stays addressable
-   * (as `<dest>_old_<uuid8>`) until the new data is in place.
-   * `err` builds the exception for swap failures, so the job layer
-   * can surface its own failure type.
+   * `dest` named `_<dest><marker><uuid8>`). The leading underscore
+   * hides staging and rollback dirs from Spark's file/partition
+   * discovery, so a concurrent reader of the PARENT (a hive root
+   * whose leaf is mid-swap, a glob) never sees a transient non-data
+   * directory. Swap is rename-aside, NOT delete-then-rename: a crash
+   * between a delete and the rename-in would leave no destination at
+   * all, and a rerun would silently treat the job as a first load —
+   * the old data stays addressable (as `_<dest>_old_<uuid8>`) until
+   * the new data is in place. `err` builds the exception for swap
+   * failures, so the job layer can surface its own failure type.
    */
   def replaceDir(fs: FileSystem, dest: Path, marker: String,
                  writeStaged: String => Unit,
                  err: String => Exception): Unit = {
-    val destStr = dest.toString.stripSuffix("/")
+    val parent = dest.getParent
+    require(parent != null, s"cannot swap a filesystem root: $dest")
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val staged = new Path(s"$destStr$marker$suffix")
+    val staged = new Path(parent, s"_${dest.getName}$marker$suffix")
     try {
       writeStaged(staged.toString)
-      val old = new Path(s"${destStr}_old_$suffix")
+      val old = new Path(parent, s"_${dest.getName}_old_$suffix")
       val hadPrev = fs.exists(dest)
       if (hadPrev && !fs.rename(dest, old))
         throw err(s"could not move current $dest aside")
@@ -144,6 +148,41 @@ object Maintenance {
     CompactStats(files.size.toLong, bytesBefore, dataFiles(fs, dest).size.toLong, rows)
   }
 
+  /**
+   * Compact a hive-partitioned root: walk to the leaf directories
+   * (the dirs that directly hold data files) and compact each one in
+   * place — the layout readers prune on is untouched, because no
+   * rewrite crosses a partition boundary. The leaf loop is
+   * driver-side and sequential (each leaf is its own Spark job with
+   * full cluster parallelism inside); at very high partition counts,
+   * run it over a partition-predicate subset per maintenance window
+   * instead of the whole table. Returns (leaf path, stats) per
+   * compacted leaf; leaves already at one file are skipped (a rewrite
+   * would pay a full read+write to change nothing).
+   */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         format: String = "parquet",
+                         targetFileBytes: Long = 128L << 20,
+                         sortCols: Seq[String] = Nil,
+                         compression: Option[String] = None): Seq[(String, CompactStats)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"compactPartitioned: $root does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).filterNot(_.getPath.getName.matches("^[_.].*"))
+      val (dirs, files) = children.partition(_.isDirectory)
+      if (files.nonEmpty) {
+        require(dirs.isEmpty,
+          s"$p mixes data files and subdirectories — not a hive layout")
+        Seq(p)
+      } else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    leaves(rootPath)
+      .filter(l => dataFiles(fs, l).size > 1)
+      .map(l => l.toString ->
+        compact(spark, l.toString, format, targetFileBytes, sortCols, compression))
+  }
+
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
     * sort when clustering. `coalesce` can only MERGE partitions —
@@ -161,7 +200,7 @@ object Maintenance {
 
   /**
    * Remove swap leftovers around `dest`: sibling directories named
-   * `<dest>_old_*` / `<dest>_merge_*` / `<dest>_compact_*` whose
+   * `_<dest>_old_*` / `_<dest>_merge_*` / `_<dest>_compact_*` whose
    * modification time is older than `olderThanMs`. Runs ONLY when
    * `dest` itself exists — with the destination missing, an `_old_`
    * sibling is the only surviving copy of the data (a swap died
@@ -179,13 +218,13 @@ object Maintenance {
     if (!fs.exists(dest)) return Nil
     val parent = dest.getParent
     if (parent == null || !fs.exists(parent)) return Nil
-    val prefixes = Seq("_old_", "_merge_", "_compact_").map(dest.getName + _)
+    val prefixes = Seq("_old_", "_merge_", "_compact_").map("_" + dest.getName + _)
     val cutoff = System.currentTimeMillis() - olderThanMs
     fs.listStatus(parent).toSeq
       .filter(st => st.isDirectory && prefixes.exists(st.getPath.getName.startsWith) &&
         st.getModificationTime < cutoff)
       .filter { st =>
-        val isRollback = st.getPath.getName.startsWith(s"${dest.getName}_old_")
+        val isRollback = st.getPath.getName.startsWith(s"_${dest.getName}_old_")
         (!isRollback || fs.exists(dest)) && fs.delete(st.getPath, true)
       }
       .map(_.getPath.getName)

@@ -54,10 +54,28 @@ class MaintenanceSpec extends SparkTestBase {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/t"
     fragmented(dir, 4)
-    // simulate a swap that died between its two renames
-    assert(fs.rename(new Path(dir), new Path(s"${dir}_old_dead1234")))
+    // simulate a swap that died between its two renames (hidden
+    // rollback naming: _<dest>_old_<id>)
+    assert(fs.rename(new Path(dir), new Path(s"$root/_t_old_dead1234")))
     val e = intercept[IllegalStateException](Maintenance.compact(spark, dir))
-    assert(e.getMessage.contains("_old_dead1234") && e.getMessage.contains("mid-swap"))
+    assert(e.getMessage.contains("_t_old_dead1234") && e.getMessage.contains("mid-swap"))
+  }
+
+  test("compactPartitioned compacts each hive leaf in place; layout and data preserved") {
+    val root = tmpDir("graft_compact_") + "/p"
+    spark.range(0, 4000).select(col("id"), (col("id") % 2).as("k"), (col("id") * 3 % 11).as("v"))
+      .repartition(6).write.partitionBy("k").parquet(root)
+    val beforeSum = spark.read.parquet(root).agg(sum("id"), sum("v")).head()
+    val results = Maintenance.compactPartitioned(spark, root)
+    assert(results.size == 2, s"two leaves expected: $results")
+    results.foreach { case (_, st) =>
+      assert(st.filesBefore > 1 && st.filesAfter == 1, st.toString) }
+    val after = spark.read.parquet(root)
+    assert(after.count() == 4000)
+    assert(after.agg(sum("id"), sum("v")).head() == beforeSum)
+    assert(after.columns.toSet == Set("id", "v", "k"), "partition column must survive")
+    // second pass: every leaf already compact -> nothing to rewrite
+    assert(Maintenance.compactPartitioned(spark, root).isEmpty)
   }
 
   test("compact refuses hive-partitioned roots and empty/missing dirs") {
@@ -74,20 +92,20 @@ class MaintenanceSpec extends SparkTestBase {
     val root = tmpDir("graft_vacuum_")
     val dir = s"$root/t"
     fragmented(dir, 2)
-    fs.mkdirs(new Path(s"${dir}_old_aaaa1111"))
-    fs.mkdirs(new Path(s"${dir}_merge_bbbb2222"))
-    fs.mkdirs(new Path(s"${dir}_compact_cccc3333"))
+    fs.mkdirs(new Path(s"$root/_t_old_aaaa1111"))
+    fs.mkdirs(new Path(s"$root/_t_merge_bbbb2222"))
+    fs.mkdirs(new Path(s"$root/_t_compact_cccc3333"))
     // fresh leftovers survive the age gate (an in-flight swap's staging)
     assert(Maintenance.vacuum(fs, new Path(dir)).isEmpty)
     // aged leftovers go
     val gone = Maintenance.vacuum(fs, new Path(dir), olderThanMs = -1000)
-    assert(gone.toSet == Set("t_old_aaaa1111", "t_merge_bbbb2222", "t_compact_cccc3333"))
+    assert(gone.toSet == Set("_t_old_aaaa1111", "_t_merge_bbbb2222", "_t_compact_cccc3333"))
     // with the destination MISSING, an _old_ sibling is the only copy:
     // vacuum must refuse to touch anything
-    fs.mkdirs(new Path(s"${dir}_old_dddd4444"))
+    fs.mkdirs(new Path(s"$root/_t_old_dddd4444"))
     assert(fs.delete(new Path(dir), true))
     assert(Maintenance.vacuum(fs, new Path(dir), olderThanMs = -1000).isEmpty)
-    assert(fs.exists(new Path(s"${dir}_old_dddd4444")), "sole-copy _old_ must survive")
+    assert(fs.exists(new Path(s"$root/_t_old_dddd4444")), "sole-copy _old_ must survive")
   }
 
   test("ORC directories compact through the same path") {

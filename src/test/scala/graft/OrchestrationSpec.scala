@@ -198,14 +198,14 @@ class OrchestrationSpec extends SparkTestBase {
     // run must fail loudly, NEVER treat the batch as a first load
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$work/dest_kl"),
-      java.nio.file.Paths.get(s"$work/dest_kl_old_deadbeef"))
+      java.nio.file.Paths.get(s"$work/_dest_kl_old_deadbeef"))
     val crashed = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/kl2.json"))
     crashed.status match {
       case JobRunner.Failed(msg) => assert(msg.contains("mid-swap"), msg)
       case s => fail(s"expected Failed on stranded _old_ sibling, got $s")
     }
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$work/dest_kl_old_deadbeef"),
+      java.nio.file.Paths.get(s"$work/_dest_kl_old_deadbeef"),
       java.nio.file.Paths.get(s"$work/dest_kl"))
 
     // misconfiguration fails the job, not the JVM: CSV dest rejected
