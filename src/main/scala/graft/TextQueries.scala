@@ -326,6 +326,37 @@ object TextQueries {
           |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node != cluster_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-safe train/val/test split: the split key is the
+    //      near-dup CLUSTER label (own id when unclustered), so every
+    //      member of a near-dup cluster lands in ONE split — the eval
+    //      hygiene step that stops a val document's near-duplicate
+    //      from sitting in train. Composition of the dedup decision
+    //      tier with the deterministic hash split; the oracle replays
+    //      the WITH RECURSIVE clustering and the same split
+    //      arithmetic. ----
+    Q("sample_split_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val cl = graft.operators.Dedup
+          .clusters(graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val keyed = docs.select("doc_id").join(cl, Seq("doc_id"), "left")
+          .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        graft.operators.Sampling.hashSplit(keyed, "split_key",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10),
+            bucketExpr = Some(pmod(col("split_key") * 1103515245L + 12345L, lit(100L))))
+          .select("doc_id", "split_key", "split")
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """,keyed AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS split_key
+          |           FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+          |SELECT doc_id, split_key,
+          |  CASE WHEN (split_key * 1103515245 + 12345) % 100 < 80 THEN 'train'
+          |       WHEN (split_key * 1103515245 + 12345) % 100 < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM keyed ORDER BY doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: a fresh batch (doc_id % 10 = 0)
     //      joined against the corpus LSH sketch — cost scales with the
     //      batch, not the corpus (sketch is materializable:
