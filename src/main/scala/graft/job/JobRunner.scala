@@ -360,9 +360,10 @@ object JobRunner {
             // destination scannable (see Maintenance.compact).
             // transformation.parameters: targetFileBytes (default
             // 128 MiB), sortColumns (csv), compression, minFiles
-            // (default 2: skip the full rewrite when the destination
-            // is already at/below that many files — re-compacting a
-            // compact dir pays a whole read+write for nothing).
+            // (skip the rewrite when the destination is already
+            // at/below that many files; the skip — and the stranded-
+            // swap diagnostic for a missing destination — live in
+            // Maintenance.compact, the one place they are decided).
             val cDest = cfg.destination.getOrElse(
               throw new IllegalArgumentException("COMPACT_DESTINATION requires a destination"))
             require(Set("PARQUET", "ORC")(cDest.`type`.toUpperCase),
@@ -370,24 +371,17 @@ object JobRunner {
             val cPath = cDest.connectionDetails.pathOrFile.getOrElse(
               throw new IllegalArgumentException("COMPACT_DESTINATION requires a file path destination"))
             val cParams = cfg.transformation.parameters
-            val cFsPath = new org.apache.hadoop.fs.Path(cPath)
-            val cFs = cFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val minFiles = cParams.get("minFiles").map(_.toInt).getOrElse(2)
-            val present =
-              if (cFs.exists(cFsPath))
-                graft.operators.Maintenance.dataFiles(cFs, cFsPath).size
-              else throw new IllegalArgumentException(
-                s"COMPACT_DESTINATION: $cPath does not exist")
-            if (present > minFiles) {
-              val stats = graft.operators.Maintenance.compact(spark, cPath,
-                cDest.`type`.toLowerCase,
+            val stats = graft.operators.Maintenance.compact(spark, cPath,
+              cDest.`type`.toLowerCase,
+              targetFileBytes =
                 cParams.get("targetFileBytes").map(_.toLong).getOrElse(128L << 20),
-                cParams.get("sortColumns").toSeq
-                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-                cParams.get("compression").orElse(cDest.connectionDetails.compression),
-                m => new ErrorPolicy.JobFailedException(s"COMPACT_DESTINATION: $m"))
-              written = stats.rows
-            }
+              sortCols = cParams.get("sortColumns").toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+              compression = cParams.get("compression")
+                .orElse(cDest.connectionDetails.compression),
+              minFiles = cParams.get("minFiles").map(_.toInt).getOrElse(1),
+              err = m => new ErrorPolicy.JobFailedException(s"COMPACT_DESTINATION: $m"))
+            written = stats.rows
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and

@@ -36,7 +36,20 @@ import org.apache.spark.sql.functions.{col, count, lit}
 object Maintenance {
 
   final case class CompactStats(
-      filesBefore: Long, bytesBefore: Long, filesAfter: Long, rows: Long)
+      filesBefore: Long, bytesBefore: Long, filesAfter: Long, rows: Long,
+      skipped: Boolean = false)
+
+  /** Swap-artifact naming: `_<base><marker><uuid8>` (current, hidden
+    * from Spark's discovery) or `<base><marker><uuid8>` (legacy,
+    * written before the hidden scheme) — both must stay recognizable
+    * or the stranded-swap guard goes blind across an upgrade. */
+  private val artifactRx = "^(_?)(.+?)_(old|merge|compact)_[0-9a-f]{8}$".r
+
+  private[operators] def artifactBase(name: String): Option[(String, String)] =
+    name match {
+      case artifactRx(_, base, marker) => Some((base, marker))
+      case _ => None
+    }
 
   /** Data files under `dir`, excluding `_SUCCESS`/metadata and hidden
     * files — the set a compaction pass rewrites. Flat dirs only:
@@ -55,12 +68,15 @@ object Maintenance {
 
   /** Rename-aside siblings left by a swap that died between its two
     * renames; a missing destination with one of these present must
-    * stop the job instead of being treated as a first load. */
+    * stop the job instead of being treated as a first load. Matches
+    * BOTH the current hidden naming and the legacy visible naming —
+    * a leftover written by an older build must still trip the guard. */
   def strandedSiblings(fs: FileSystem, dest: Path): Seq[String] = {
     val parent = dest.getParent
-    val prefix = s"_${dest.getName}_old_"
     if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).toSeq.map(_.getPath.getName).filter(_.startsWith(prefix))
+      fs.listStatus(parent).toSeq.map(_.getPath.getName).filter(n =>
+        artifactBase(n).exists { case (base, marker) =>
+          base == dest.getName && marker == "old" })
     else Nil
   }
 
@@ -110,11 +126,16 @@ object Maintenance {
    * `sortCols` switches the plan from shuffle-free `coalesce` to
    * `repartitionByRange` + `sortWithinPartitions`: one shuffle that
    * leaves per-file value ranges disjoint on the sort key.
+   * `minFiles` is the skip guard: a dir already at that many files or
+   * fewer returns `skipped = true` without the rewrite (re-compacting
+   * a compact dir pays a full read+write for nothing) — the ONE place
+   * "already compact" is decided, for every caller.
    */
   def compact(spark: SparkSession, dir: String, format: String = "parquet",
               targetFileBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil,
               compression: Option[String] = None,
+              minFiles: Int = 1,
               err: String => Exception = m => new IllegalStateException(m)): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fmt = format.toLowerCase match {
@@ -135,6 +156,9 @@ object Maintenance {
     val files = dataFiles(fs, dest)
     require(files.nonEmpty, s"compact: no data files under $dir")
     val bytesBefore = files.map(_.getLen).sum
+    if (files.size <= minFiles)
+      return CompactStats(files.size.toLong, bytesBefore, files.size.toLong, 0L,
+        skipped = true)
     val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
 
     val laidOut = compactionPlan(spark.read.format(fmt).load(dir), nOut, sortCols)
@@ -157,8 +181,12 @@ object Maintenance {
    * full cluster parallelism inside); at very high partition counts,
    * run it over a partition-predicate subset per maintenance window
    * instead of the whole table. Returns (leaf path, stats) per
-   * compacted leaf; leaves already at one file are skipped (a rewrite
-   * would pay a full read+write to change nothing).
+   * compacted leaf; leaves already at one file are skipped via the
+   * walker's own listing (one listStatus per directory — the listing
+   * load is the thing compaction exists to reduce). A leaf lost
+   * mid-swap (an `_old_` rollback artifact with no base dir) fails
+   * the whole run loudly, exactly like flat `compact` does — hidden
+   * artifacts must not make a missing partition invisible.
    */
   def compactPartitioned(spark: SparkSession, root: String,
                          format: String = "parquet",
@@ -168,19 +196,36 @@ object Maintenance {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(rootPath), s"compactPartitioned: $root does not exist")
-    def leaves(p: Path): Seq[Path] = {
-      val children = fs.listStatus(p).filterNot(_.getPath.getName.matches("^[_.].*"))
-      val (dirs, files) = children.partition(_.isDirectory)
+    // one listing per dir: returns (leaf, visible data-file count)
+    def leaves(p: Path): Seq[(Path, Int)] = {
+      val children = fs.listStatus(p).toSeq
+      val names = children.map(_.getPath.getName).toSet
+      children.foreach { st =>
+        artifactBase(st.getPath.getName) match {
+          case Some((base, "old")) if !names.contains(base) =>
+            throw new IllegalStateException(
+              s"$p holds ${st.getPath.getName} but no $base — a prior swap died " +
+                s"mid-swap; rename it back to $base before compacting")
+          case _ => ()
+        }
+      }
+      val regular = children.filterNot { st =>
+        val n = st.getPath.getName
+        // hidden files/dirs, plus legacy visible swap artifacts whose
+        // base still exists (leftovers — vacuum's business, not data)
+        n.startsWith("_") || n.startsWith(".") || artifactBase(n).isDefined
+      }
+      val (dirs, files) = regular.partition(_.isDirectory)
       if (files.nonEmpty) {
         require(dirs.isEmpty,
           s"$p mixes data files and subdirectories — not a hive layout")
-        Seq(p)
-      } else dirs.toSeq.flatMap(d => leaves(d.getPath))
+        Seq(p -> files.size)
+      } else dirs.flatMap(d => leaves(d.getPath))
     }
     leaves(rootPath)
-      .filter(l => dataFiles(fs, l).size > 1)
-      .map(l => l.toString ->
-        compact(spark, l.toString, format, targetFileBytes, sortCols, compression))
+      .filter(_._2 > 1)
+      .map { case (l, _) => l.toString ->
+        compact(spark, l.toString, format, targetFileBytes, sortCols, compression) }
   }
 
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
@@ -199,8 +244,9 @@ object Maintenance {
     else df.coalesce(nOut)
 
   /**
-   * Remove swap leftovers around `dest`: sibling directories named
-   * `_<dest>_old_*` / `_<dest>_merge_*` / `_<dest>_compact_*` whose
+   * Remove swap leftovers around `dest`: sibling directories carrying
+   * the `_old_` / `_merge_` / `_compact_` swap markers for this
+   * destination (current hidden naming or legacy visible naming) whose
    * modification time is older than `olderThanMs`. Runs ONLY when
    * `dest` itself exists — with the destination missing, an `_old_`
    * sibling is the only surviving copy of the data (a swap died
@@ -218,13 +264,14 @@ object Maintenance {
     if (!fs.exists(dest)) return Nil
     val parent = dest.getParent
     if (parent == null || !fs.exists(parent)) return Nil
-    val prefixes = Seq("_old_", "_merge_", "_compact_").map("_" + dest.getName + _)
     val cutoff = System.currentTimeMillis() - olderThanMs
     fs.listStatus(parent).toSeq
-      .filter(st => st.isDirectory && prefixes.exists(st.getPath.getName.startsWith) &&
-        st.getModificationTime < cutoff)
       .filter { st =>
-        val isRollback = st.getPath.getName.startsWith(s"_${dest.getName}_old_")
+        st.isDirectory && st.getModificationTime < cutoff &&
+          artifactBase(st.getPath.getName).exists(_._1 == dest.getName)
+      }
+      .filter { st =>
+        val isRollback = artifactBase(st.getPath.getName).exists(_._2 == "old")
         (!isRollback || fs.exists(dest)) && fs.delete(st.getPath, true)
       }
       .map(_.getPath.getName)

@@ -88,6 +88,29 @@ class MaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintenance.compact(spark, s"$root/absent"))
   }
 
+  test("legacy visible swap leftovers still trip the guard and vacuum (upgrade path)") {
+    val root = tmpDir("graft_legacy_")
+    val dir = s"$root/t"
+    fragmented(dir, 2)
+    // legacy naming: <dest>_old_<8hex> (builds before the hidden scheme)
+    assert(fs.rename(new Path(dir), new Path(s"${dir}_old_deadbeef")))
+    val e = intercept[IllegalStateException](Maintenance.compact(spark, dir))
+    assert(e.getMessage.contains("t_old_deadbeef") && e.getMessage.contains("mid-swap"))
+    assert(fs.rename(new Path(s"${dir}_old_deadbeef"), new Path(dir)))
+    fs.mkdirs(new Path(s"${dir}_merge_cafe0123"))
+    assert(Maintenance.vacuum(fs, new Path(dir), olderThanMs = -1000)
+      .contains("t_merge_cafe0123"))
+  }
+
+  test("compactPartitioned fails loudly on a leaf lost mid-swap") {
+    val root = tmpDir("graft_compact_") + "/p"
+    spark.range(0, 100).withColumn("k", col("id") % 2)
+      .repartition(2).write.partitionBy("k").parquet(root)
+    assert(fs.rename(new Path(s"$root/k=0"), new Path(s"$root/_k=0_old_deadbeef")))
+    val e = intercept[IllegalStateException](Maintenance.compactPartitioned(spark, root))
+    assert(e.getMessage.contains("mid-swap") && e.getMessage.contains("k=0"))
+  }
+
   test("vacuum removes aged swap leftovers only while the destination is healthy") {
     val root = tmpDir("graft_vacuum_")
     val dir = s"$root/t"
