@@ -641,6 +641,29 @@ object EtlQueries {
              |CAST(o_totalprice AS DOUBLE) AS total FROM orders
              |ORDER BY order_id""".stripMargin)),
 
+    // ---- Z-order (Morton) values on the gate: the multi-column
+    //      data-skipping layout key (bit b of column i -> position
+    //      b*n+i), built from codegen'd shift/and expressions. The
+    //      oracle replays the identical bit arithmetic term by term,
+    //      so every interleaved bit of every row is pinned. ----
+    Q("layout_zorder",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderkey").as("order_id"),
+          (col("o_custkey") % 1024).as("qx"),
+          (col("o_orderkey") % 1024).as("qy"))
+        .withColumn("zv", Maintenance.zValue(Seq(col("qx"), col("qy")), bits = 10))
+        .orderBy("order_id"),
+      Some {
+        val terms = (for {
+          (cn, ci) <- Seq("qx", "qy").zipWithIndex
+          b <- 0 until 10
+        } yield s"((($cn >> $b) & 1) << ${b * 2 + ci})").mkString(" + ")
+        s"""WITH q AS (SELECT o_orderkey AS order_id,
+           |  o_custkey % 1024 AS qx, o_orderkey % 1024 AS qy FROM orders)
+           |SELECT order_id, qx, qy, CAST($terms AS BIGINT) AS zv
+           |FROM q ORDER BY order_id""".stripMargin
+      }),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows

@@ -228,6 +228,42 @@ object Maintenance {
         compact(spark, l.toString, format, targetFileBytes, sortCols, compression) }
   }
 
+  /**
+   * Z-order (Morton) value: interleave the low `bits` bits of each
+   * column — bit b of column i lands at position `b * n + i` — so
+   * sorting by the result clusters rows that are close in EVERY
+   * dimension. That is the multi-column data-skipping layout: a
+   * single-column sort gives perfect skipping on one predicate column
+   * and none on the others, while a Z-order sort gives good (not
+   * perfect) skipping on each of them. Composed from built-in
+   * shift/and expressions — whole-stage codegen, no UDF; the
+   * disjoint-bit terms combine by addition (== bitwise OR here).
+   * Inputs must be non-negative and fit in `bits` bits — quantize
+   * first (rank, bucket, or truncate); `bits * n` must stay <= 63.
+   */
+  def zValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 16): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 2, "zValue needs at least two columns (use a plain sort for one)")
+    require(bits > 0 && bits * n <= 63, s"bits * columns must fit a long, got $bits x $n")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** Range-partition and sort `df` by the Z-value of `cols` (the
+    * clustering `compact`'s single-key `sortCols` cannot express),
+    * then drop the helper column: one range exchange, parquet
+    * row-group min/max stats become selective for predicates on ANY
+    * of the clustered columns. */
+  def zOrdered(df: DataFrame, cols: Seq[String], nOut: Int, bits: Int = 16): DataFrame =
+    df.withColumn("_zv", zValue(cols.map(col), bits))
+      .repartitionByRange(nOut, col("_zv"))
+      .sortWithinPartitions(col("_zv"))
+      .drop("_zv")
+
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
     * sort when clustering. `coalesce` can only MERGE partitions —

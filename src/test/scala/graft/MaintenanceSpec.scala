@@ -88,6 +88,38 @@ class MaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintenance.compact(spark, s"$root/absent"))
   }
 
+  test("zValue matches a plain-Scala bit interleave; zOrdered files carry disjoint z ranges") {
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (for { (x, ci) <- xs.zipWithIndex; b <- 0 until bits }
+        yield ((x >> b) & 1L) << (b * xs.size + ci)).sum
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L), (512L, 7L), (345L, 678L))
+    val got = rows.toDF("x", "y")
+      .withColumn("zv", Maintenance.zValue(Seq(col("x"), col("y")), bits = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(Seq(x, y), 10), s"interleave mismatch at ($x,$y)") }
+    // three dimensions, and the range guard
+    val z3 = Seq((1L, 2L, 4L)).toDF("a", "b", "c")
+      .select(Maintenance.zValue(Seq(col("a"), col("b"), col("c")), bits = 4))
+      .head().getLong(0)
+    assert(z3 == ref(Seq(1L, 2L, 4L), 4))
+    intercept[IllegalArgumentException](Maintenance.zValue(Seq(col("a"), col("b")), bits = 32))
+    // layout: 4 z-clustered partitions hold disjoint z ranges
+    val dir = tmpDir("graft_z_") + "/t"
+    val df = spark.range(0, 4096).select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    Maintenance.zOrdered(df, Seq("x", "y"), nOut = 4, bits = 6).write.parquet(dir)
+    val ranges = Maintenance.dataFiles(fs, new Path(dir)).map { f =>
+      val r = spark.read.parquet(f.getPath.toString)
+        .select(Maintenance.zValue(Seq(col("x"), col("y")), 6).as("zv"))
+        .agg(min("zv"), max("zv")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping z ranges: $ranges")
+      case _ => ()
+    }
+  }
+
   test("legacy visible swap leftovers still trip the guard and vacuum (upgrade path)") {
     val root = tmpDir("graft_legacy_")
     val dir = s"$root/t"
