@@ -126,6 +126,12 @@ object ScaleStress {
     docRun("mix")(c => graft.operators.Sampling.weightedMix(
       c.select("doc_id"), "doc_id",
       weightPermille = when(col("doc_id") % 3 === 0, 2500L).otherwise(400L)).count())
+    // Z-order clustering: one range exchange on the interleaved key —
+    // wall must track corpus ~linearly like any single-shuffle sort.
+    docRun("zorder")(c => graft.operators.Maintenance.zOrdered(
+      c.select(pmod(col("doc_id"), lit(1024L)).as("x"),
+        pmod(col("doc_id") * 37L, lit(1024L)).as("y")),
+      Seq("x", "y"), nOut = 32, bits = 10).count())
     // Token-budget cap: 5 synthetic strata, fixed per-stratum budget.
     // The two-phase running sum keeps parallelism at strata x buckets
     // — wall must track corpus ~linearly, NEVER the stratum count
