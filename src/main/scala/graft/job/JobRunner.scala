@@ -381,7 +381,10 @@ object JobRunner {
                 .orElse(cDest.connectionDetails.compression),
               minFiles = cParams.get("minFiles").map(_.toInt).getOrElse(1),
               err = m => new ErrorPolicy.JobFailedException(s"COMPACT_DESTINATION: $m"))
-            written = stats.rows
+            // a skipped rewrite must not clobber a preceding LOAD's
+            // written count (steps [LOAD, COMPACT, VALIDATE_LOAD]
+            // would otherwise fail the validation with written=0)
+            if (!stats.skipped) written = stats.rows
             stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and

@@ -126,10 +126,12 @@ object Maintenance {
    * `sortCols` switches the plan from shuffle-free `coalesce` to
    * `repartitionByRange` + `sortWithinPartitions`: one shuffle that
    * leaves per-file value ranges disjoint on the sort key.
-   * `minFiles` is the skip guard: a dir already at that many files or
-   * fewer returns `skipped = true` without the rewrite (re-compacting
-   * a compact dir pays a full read+write for nothing) — the ONE place
-   * "already compact" is decided, for every caller.
+   * The skip guard lives HERE, for every caller ("already compact" is
+   * decided once): an empty dir, a dir already exactly at the computed
+   * target count, or a merge whose input is at/below the `minFiles`
+   * floor returns `skipped = true` without the rewrite. Splitting
+   * (target count above the current count) and `sortCols` clustering
+   * always run.
    */
   def compact(spark: SparkSession, dir: String, format: String = "parquet",
               targetFileBytes: Long = 128L << 20,
@@ -154,12 +156,19 @@ object Maintenance {
       throw new IllegalArgumentException(s"compact: $dir does not exist")
     }
     val files = dataFiles(fs, dest)
-    require(files.nonEmpty, s"compact: no data files under $dir")
     val bytesBefore = files.map(_.getLen).sum
-    if (files.size <= minFiles)
+    val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    // skip = empty, already EXACTLY at the computed target count
+    // (rewriting N files into the same N pays a full read+write for
+    // nothing), or a merge that would gain fewer files than the
+    // minFiles floor cares about. Splitting (nOut > files) always
+    // proceeds; a sortCols rewrite is never count-skipped — the
+    // clustering IS the point.
+    val skip = files.isEmpty || (sortCols.isEmpty &&
+      (files.size == nOut || (nOut < files.size && files.size <= minFiles)))
+    if (skip)
       return CompactStats(files.size.toLong, bytesBefore, files.size.toLong, 0L,
         skipped = true)
-    val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
 
     val laidOut = compactionPlan(spark.read.format(fmt).load(dir), nOut, sortCols)
     val obs = Observation(s"graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -201,19 +210,28 @@ object Maintenance {
       val children = fs.listStatus(p).toSeq
       val names = children.map(_.getPath.getName).toSet
       children.foreach { st =>
-        artifactBase(st.getPath.getName) match {
-          case Some((base, "old")) if !names.contains(base) =>
+        val n = st.getPath.getName
+        // only HIDDEN rollback artifacts trip the stranded guard: the
+        // hidden scheme is unambiguously ours, while a visible name
+        // that merely looks artifact-shaped could be a real partition
+        // value — aborting a healthy table on a naming coincidence is
+        // worse than leaving a legacy leftover for vacuum
+        artifactBase(n) match {
+          case Some((base, "old")) if n.startsWith("_") && !names.contains(base) =>
             throw new IllegalStateException(
-              s"$p holds ${st.getPath.getName} but no $base — a prior swap died " +
+              s"$p holds $n but no $base — a prior swap died " +
                 s"mid-swap; rename it back to $base before compacting")
           case _ => ()
         }
       }
       val regular = children.filterNot { st =>
         val n = st.getPath.getName
-        // hidden files/dirs, plus legacy visible swap artifacts whose
-        // base still exists (leftovers — vacuum's business, not data)
-        n.startsWith("_") || n.startsWith(".") || artifactBase(n).isDefined
+        // hidden files/dirs, plus visible artifact-shaped dirs whose
+        // base sibling exists (legacy leftovers — vacuum's business);
+        // a visible artifact-shaped dir WITHOUT its base is treated
+        // as data (could be a real partition value)
+        n.startsWith("_") || n.startsWith(".") ||
+          artifactBase(n).exists { case (base, _) => names.contains(base) }
       }
       val (dirs, files) = regular.partition(_.isDirectory)
       if (files.nonEmpty) {
@@ -244,7 +262,8 @@ object Maintenance {
   def zValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 16): org.apache.spark.sql.Column = {
     val n = cols.size
     require(n >= 2, "zValue needs at least two columns (use a plain sort for one)")
-    require(bits > 0 && bits * n <= 63, s"bits * columns must fit a long, got $bits x $n")
+    require(bits > 0 && bits.toLong * n <= 63,
+      s"bits * columns must fit a long, got $bits x $n")
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
     val terms = for {
       (c, ci) <- cols.zipWithIndex
@@ -258,11 +277,15 @@ object Maintenance {
     * then drop the helper column: one range exchange, parquet
     * row-group min/max stats become selective for predicates on ANY
     * of the clustered columns. */
-  def zOrdered(df: DataFrame, cols: Seq[String], nOut: Int, bits: Int = 16): DataFrame =
-    df.withColumn("_zv", zValue(cols.map(col), bits))
-      .repartitionByRange(nOut, col("_zv"))
-      .sortWithinPartitions(col("_zv"))
-      .drop("_zv")
+  def zOrdered(df: DataFrame, cols: Seq[String], nOut: Int, bits: Int = 16): DataFrame = {
+    // unique helper name: a fixed "_zv" would silently replace (and
+    // then drop) a user column of the same name
+    val zvCol = s"_zv_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(zvCol, zValue(cols.map(col), bits))
+      .repartitionByRange(nOut, col(zvCol))
+      .sortWithinPartitions(col(zvCol))
+      .drop(zvCol)
+  }
 
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
@@ -294,7 +317,11 @@ object Maintenance {
    * re-checked immediately before each `_old_` delete (a swap in its
    * rename window has `dest` absent), and like the merge step itself
    * this operation assumes one maintainer per destination at a time.
-   * Returns the names of directories actually deleted.
+   * The artifact patterns are a RESERVED namespace next to a managed
+   * destination: do not hand-create sibling dirs named
+   * `[_]<dest>_(old|merge|compact)_<8hex>` — vacuum will treat them
+   * as swap leftovers. Returns the names of directories actually
+   * deleted.
    */
   def vacuum(fs: FileSystem, dest: Path, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     if (!fs.exists(dest)) return Nil

@@ -201,6 +201,28 @@ class MaintenanceSpec extends SparkTestBase {
     assert(res2.status == JobRunner.Completed, res2.message)
     assert(res2.recordsWritten == 0, "already-compact destination must skip the rewrite")
     assert(Maintenance.dataFiles(fs, new Path(dest)).map(_.getPath.getName).toSet == names)
+    // [LOAD, COMPACT, VALIDATE_LOAD] with a load that lands already
+    // compact: the skipped rewrite must NOT clobber the LOAD count,
+    // or the validation fails with written=0
+    spark.range(0, 3000).select(col("id"), (col("id") * 7 % 100).as("v"))
+      .coalesce(1).write.parquet(s"$root/src1")
+    val res3 = JobRunner.run(spark, cfg.copy(jobId = "load-compact-validate",
+      steps = List("LOAD", "COMPACT_DESTINATION", "VALIDATE_LOAD"),
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(s"$root/src1")))))
+    assert(res3.status == JobRunner.Completed, res3.message)
+    assert(res3.recordsWritten == 3000, "skipped compact must preserve the LOAD count")
+  }
+
+  test("compact skips at-target dirs but still splits oversized files") {
+    val dir = tmpDir("graft_compact_") + "/t"
+    spark.range(0, 2000).coalesce(1).write.parquet(dir)
+    val bytes = Maintenance.dataFiles(fs, new Path(dir)).map(_.getLen).sum
+    // already exactly at target (1 file, nOut=1): skip
+    val st = Maintenance.compact(spark, dir)
+    assert(st.skipped && st.filesAfter == 1)
+    // target smaller than the single file: SPLIT into more files
+    val split = Maintenance.compact(spark, dir, targetFileBytes = (bytes + 2) / 3)
+    assert(!split.skipped && split.filesAfter == 3 && split.rows == 2000, split.toString)
   }
 
   test("COMPACT_DESTINATION job step compacts the configured destination") {
