@@ -641,6 +641,39 @@ object EtlQueries {
              |CAST(o_totalprice AS DOUBLE) AS total FROM orders
              |ORDER BY order_id""".stripMargin)),
 
+    // ---- change-data capture between two loads: every 11th key is
+    //      new (INSERT), every 7th gone (DELETE), every 5th surviving
+    //      key has a bumped amount (UPDATE), the rest UNCHANGED — one
+    //      null-safe full outer join on the key, classified where the
+    //      join ran. Oracle replays the same FULL JOIN + CASE. ----
+    Q("etl_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("order_id"),
+            round(col("o_totalprice") * 100).cast("long").as("amount_cents"))
+        val oldSnap = base.filter(col("order_id") % 11 =!= 0)
+        val newSnap = base.filter(col("order_id") % 7 =!= 0)
+          .withColumn("amount_cents",
+            when(col("order_id") % 5 === 0, col("amount_cents") + 1000L)
+              .otherwise(col("amount_cents")))
+        graft.operators.Upsert.snapshotDiff(oldSnap, newSnap, Seq("order_id"))
+          .orderBy("order_id")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS order_id,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents FROM orders),
+             |o AS (SELECT * FROM base WHERE order_id % 11 != 0),
+             |n AS (SELECT order_id,
+             |  CASE WHEN order_id % 5 = 0 THEN amount_cents + 1000
+             |       ELSE amount_cents END AS amount_cents
+             |  FROM base WHERE order_id % 7 != 0)
+             |SELECT COALESCE(n.order_id, o.order_id) AS order_id,
+             |  CASE WHEN o.order_id IS NULL THEN 'INSERT'
+             |       WHEN n.order_id IS NULL THEN 'DELETE'
+             |       WHEN o.amount_cents = n.amount_cents THEN 'UNCHANGED'
+             |       ELSE 'UPDATE' END AS change_type
+             |FROM o FULL JOIN n ON o.order_id = n.order_id
+             |ORDER BY order_id""".stripMargin)),
+
     // ---- Z-order (Morton) values on the gate: the multi-column
     //      data-skipping layout key (bit b of column i -> position
     //      b*n+i), built from codegen'd shift/and expressions. The

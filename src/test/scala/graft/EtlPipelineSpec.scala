@@ -235,6 +235,17 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("snapshotDiff classifies null-safely: null keys pair up, null values compare equal") {
+    val o = Seq((Option(1L), Option("a")), (Option.empty[Long], Option("x")),
+      (Option(2L), Option.empty[String]), (Option(3L), Option("c"))).toDF("k", "v")
+    val n = Seq((Option(1L), Option("a2")), (Option.empty[Long], Option("x")),
+      (Option(2L), Option.empty[String]), (Option(4L), Option("d"))).toDF("k", "v")
+    val got = graft.operators.Upsert.snapshotDiff(o, n, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "UPDATE", -1L -> "UNCHANGED", 2L -> "UNCHANGED",
+      3L -> "DELETE", 4L -> "INSERT"), got.toString)
+  }
+
   test("scd2Apply: closes only the current row, preserves history, chains batches") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
