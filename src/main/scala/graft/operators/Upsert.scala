@@ -90,9 +90,12 @@ object Upsert {
     require(oldDf.columns.toSet == newDf.columns.toSet,
       s"snapshots must share a schema: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val nonKeys = oldDf.columns.filterNot(keys.contains).toSeq
+    // marker name no input column can produce through the _o_/_n_
+    // prefixing (an input column literally named "present" would
+    // otherwise collide with a plain "_o_present" marker)
     def side(df: DataFrame, p: String) =
       df.select((df.columns.toSeq.map(c => col(c).as(s"$p$c")) :+
-        lit(true).as(s"${p}present")): _*)
+        lit(true).as(s"${p}__diff_present__")): _*)
     val o = side(oldDf, "_o_")
     val n = side(newDf, "_n_")
     val joinCond = keys.map(k => col(s"_o_$k") <=> col(s"_n_$k")).reduce(_ && _)
@@ -101,8 +104,8 @@ object Upsert {
       if (nonKeys.isEmpty) lit(true) else pack("_o_") <=> pack("_n_")
     o.join(n, joinCond, "full_outer")
       .withColumn("change_type",
-        when(col("_o_present").isNull, lit("INSERT"))
-          .when(col("_n_present").isNull, lit("DELETE"))
+        when(col("_o___diff_present__").isNull, lit("INSERT"))
+          .when(col("_n___diff_present__").isNull, lit("DELETE"))
           .when(sameCols, lit("UNCHANGED"))
           .otherwise(lit("UPDATE")))
       .select(keys.map(k => coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) :+

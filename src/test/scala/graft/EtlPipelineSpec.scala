@@ -244,6 +244,12 @@ class EtlPipelineSpec extends SparkTestBase {
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
     assert(got == Map(1L -> "UPDATE", -1L -> "UNCHANGED", 2L -> "UNCHANGED",
       3L -> "DELETE", 4L -> "INSERT"), got.toString)
+    // an input column literally named "present" must not collide with
+    // the diff's internal presence markers
+    val p1 = Seq((1L, "a")).toDF("k", "present")
+    val p2 = Seq((1L, "b")).toDF("k", "present")
+    val d = graft.operators.Upsert.snapshotDiff(p1, p2, Seq("k")).collect()
+    assert(d.length == 1 && d(0).getString(1) == "UPDATE")
   }
 
   test("scd2Apply: closes only the current row, preserves history, chains batches") {
