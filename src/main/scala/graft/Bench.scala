@@ -60,18 +60,23 @@ object Bench {
       // write evaluates the full output the query exists to produce.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed ::= name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed ::= name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            false
           }
-        }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries are independent: drop their persisted intermediates
         // so earlier queries' caches don't GC-tax later ones
         spark.catalog.clearCache()
-        dt
+        // a failed run's time-to-failure is not a benchmark number —
+        // NaN poisons min() so a failed query never records a timing
+        // (it is named in `failed` instead)
+        if (ok) dt else Double.NaN
       }
       // single runs carry the box's ±2-3x noise (r7: three headline
       // rows looked 2-5x slower until re-timed with medians) — the
@@ -85,19 +90,22 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // NaN rows (failures) are excluded from the map and the total —
+    // "NaN" is not valid JSON and a time-to-failure is not a timing
+    val timed = results.filterNot(_._2.isNaN)
+    val total = timed.map(_._2).sum
     // Full per-query detail goes to a file (not stdout — see headline
     // scaladoc). Best-effort: bench output must not fail on an
     // unwritable working directory.
     try {
       val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(timed)},"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val missing = headline -- results.map(_._1).toSet
     if (missing.nonEmpty)
       System.err.println(s"[bench] WARNING: headline names not in registry (renamed/removed?): ${missing.toSeq.sorted.mkString(", ")}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(results.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length}B nears the 2000B driver tail window")
     println(line)

@@ -459,7 +459,9 @@ object EtlQueries {
       Some("""SELECT doc_id AS media_id, 'application/octet-stream' AS modality,
              |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  [unicode(c) FOR c IN string_split(text, '')]),
+             |  [CAST(strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) * 16
+             |      + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)) AS BIGINT)
+             |   FOR i IN range(octet_length(encode(text)))]),
              |  (a, x) -> (a * 31 + x) % 1000000007) AS checksum
              |FROM documents WHERE doc_id % 10 = 0 AND octet_length(encode(text)) > 0
              |ORDER BY media_id""".stripMargin)),

@@ -241,7 +241,11 @@ object Maintenance {
       } else dirs.flatMap(d => leaves(d.getPath))
     }
     leaves(rootPath)
-      .filter(_._2 > 1)
+      // single-file leaves are skipped only when no clustering was
+      // asked for: with sortCols a lone unsorted file still needs the
+      // range rewrite (matching flat compact's contract, where the
+      // sortCols path is never count-skipped)
+      .filter { case (_, n) => n > 1 || sortCols.nonEmpty }
       .map { case (l, _) => l.toString ->
         compact(spark, l.toString, format, targetFileBytes, sortCols, compression) }
   }

@@ -90,12 +90,16 @@ object Upsert {
     require(oldDf.columns.toSet == newDf.columns.toSet,
       s"snapshots must share a schema: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val nonKeys = oldDf.columns.filterNot(keys.contains).toSeq
-    // marker name no input column can produce through the _o_/_n_
-    // prefixing (an input column literally named "present" would
-    // otherwise collide with a plain "_o_present" marker)
+    // marker name guaranteed absent from the input: prefixing is
+    // injective (prefix + name), so "_o_" + marker can only collide
+    // with "_o_" + some input column if that column IS the marker —
+    // grow the candidate until it matches nothing (an input column
+    // literally named "__diff_present__" would otherwise be ambiguous)
+    val marker = Iterator.iterate("__diff_present__")(_ + "_")
+      .dropWhile(oldDf.columns.contains).next()
     def side(df: DataFrame, p: String) =
       df.select((df.columns.toSeq.map(c => col(c).as(s"$p$c")) :+
-        lit(true).as(s"${p}__diff_present__")): _*)
+        lit(true).as(s"$p$marker")): _*)
     val o = side(oldDf, "_o_")
     val n = side(newDf, "_n_")
     val joinCond = keys.map(k => col(s"_o_$k") <=> col(s"_n_$k")).reduce(_ && _)
@@ -104,8 +108,8 @@ object Upsert {
       if (nonKeys.isEmpty) lit(true) else pack("_o_") <=> pack("_n_")
     o.join(n, joinCond, "full_outer")
       .withColumn("change_type",
-        when(col("_o___diff_present__").isNull, lit("INSERT"))
-          .when(col("_n___diff_present__").isNull, lit("DELETE"))
+        when(col(s"_o_$marker").isNull, lit("INSERT"))
+          .when(col(s"_n_$marker").isNull, lit("DELETE"))
           .when(sameCols, lit("UNCHANGED"))
           .otherwise(lit("UPDATE")))
       .select(keys.map(k => coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) :+
