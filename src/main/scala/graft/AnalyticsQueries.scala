@@ -40,6 +40,51 @@ object AnalyticsQueries {
     (src.toString, work.toString)
   }
 
+  /** Bucketed copies of lineitem/orders (16 buckets + sort on the
+    * order key, written once per corpus fingerprint into the cache
+    * warehouse), joined bucket-to-bucket. Both sides carry the SAME
+    * output partitioning, so the sort-merge join needs no exchange —
+    * shared by the `join_bucketed_colocated` gate row and PlanSpec's
+    * no-shuffle assertion. Table existence is re-checked per session
+    * (the in-memory catalog forgets tables across JVMs even when the
+    * warehouse files survive; `overwrite` handles the leftovers). */
+  def bucketedOrdersJoin(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = Tables.fingerprint(s, s"$dir/lineitem.parquet")
+    val db = s"graft_buck_$fp"
+    val wh = s"${CacheDirs.root}/buckwh_$fp"
+    if (!s.catalog.databaseExists(db))
+      s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    // the in-memory catalog forgets tables across JVMs while the
+    // warehouse files survive — saveAsTable refuses a managed
+    // location it didn't create, so a stale table dir (same
+    // fingerprint = same content, just orphaned metadata) is removed
+    // and rebuilt once per session
+    def rebuild(table: String)(write: => Unit): Unit =
+      if (!s.catalog.tableExists(s"$db.$table")) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$table")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        write
+      }
+    rebuild("lineitem_b") {
+      Tables.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+    }
+    rebuild("orders_b") {
+      Tables.t(s, dir, "orders")
+        // bucket column renamed to the join name: identical output
+        // partitioning expressions on both sides is what lets the
+        // planner prove co-location
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.orders_b")
+    }
+    s.table(s"$db.lineitem_b").join(s.table(s"$db.orders_b"), "l_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- aggregation (TPC-H Q1 shape) ----
@@ -955,6 +1000,27 @@ object AnalyticsQueries {
              |COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- bucketed co-located join: both sides pre-hash-partitioned
+    //      into the SAME bucket layout on the join key at WRITE time,
+    //      so the join itself plans with ZERO exchange — the
+    //      amortization strategy for repeated large-large joins at
+    //      100 TB (pay the shuffle once when the table lands, never
+    //      per query; salting handles skew, bucketing handles repeat
+    //      cost). Bucketed copies are cached per corpus fingerprint
+    //      (a regenerated corpus re-buckets); PlanSpec asserts the
+    //      executed plan carries no join-side shuffle. ----
+    Q("join_bucketed_colocated",
+      (s, dir) => bucketedOrdersJoin(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("revenue"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+              |CAST(SUM(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- window functions: ranking ----
     Q("window_rank",

@@ -183,6 +183,32 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"more than one distinct exchange:\n$clustered")
   }
 
+  test("bucketed co-located join carries no join-side exchange") {
+    // the gate row's 100 TB claim: both bucketed sides arrive
+    // pre-partitioned on the join key, so even when neither side can
+    // broadcast (forced here — at 100 TB neither side fits) the
+    // sort-merge join runs directly on the bucket layout with ZERO
+    // exchange beneath it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Queries.queries("join_bucketed_colocated")(spark, sf)
+      q.collect()
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+      val helper = new AdaptiveSparkPlanHelper {}
+      val joins = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty,
+        s"expected a sort-merge join with broadcast disabled:\n${q.queryExecution.executedPlan}")
+      val below = joins.flatMap(j => helper.collectWithSubqueries(j) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      })
+      assert(below.isEmpty,
+        s"bucketed sides must not shuffle into the join, got ${below.size}:\n${q.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")
