@@ -699,6 +699,45 @@ object EtlQueries {
            |FROM q ORDER BY order_id""".stripMargin
       }),
 
+    // ---- manifest-driven data skipping (zone maps) on the gate:
+    //      lineitem is Z-order-clustered into 16 files, a per-file
+    //      min/max manifest is computed in one scan, and the range
+    //      query reads ONLY the files whose stats admit the range —
+    //      the require() makes a silent no-skip fail loudly, so green
+    //      means file-level skipping actually happened AND the result
+    //      equals the full-scan oracle (skipping can only drop files
+    //      whose whole range misses). This is the scan-side payoff of
+    //      the clustering layouts (compact(sortCols) / zOrdered): at
+    //      100 TB the manifest is the table format's metadata and the
+    //      pruned read is every range query's entry path. ----
+    Q("layout_stats_skipping",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_skip_gate_").toString
+        val laid = s"$work/li_clustered"
+        Maintenance.zOrdered(
+            Tables.t(s, dir, "lineitem")
+              .select("l_orderkey", "l_partkey", "l_quantity"),
+            Seq("l_orderkey", "l_partkey"), nOut = 16, bits = 20)
+          .write.parquet(laid)
+        val fs = new org.apache.hadoop.fs.Path(laid)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val totalFiles = Maintenance.dataFiles(fs, new org.apache.hadoop.fs.Path(laid)).size
+        val manifest = Maintenance.statsManifest(s.read.parquet(laid), Seq("l_partkey"))
+        val paths = Maintenance.prunedPaths(manifest, "l_partkey", lit(1), lit(50))
+        require(paths.nonEmpty && paths.size < totalFiles,
+          s"manifest skipping had no effect: reading ${paths.size} of $totalFiles files")
+        s.read.parquet(paths: _*)
+          .filter(col("l_partkey").between(1, 50))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_partkey BETWEEN 1 AND 50
+             |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows

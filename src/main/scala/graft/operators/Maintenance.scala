@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 
 /**
  * Lake-maintenance operators: small-file compaction with optional
@@ -289,6 +289,56 @@ object Maintenance {
       .repartitionByRange(nOut, col(zvCol))
       .sortWithinPartitions(col(zvCol))
       .drop(zvCol)
+  }
+
+  /**
+   * Per-file column statistics — the zone map / manifest a lake table
+   * format maintains as metadata, computed here from the data in ONE
+   * scan grouped by file: one output row per data file with its row
+   * count and min/max of each stats column. Together with a clustered
+   * layout (`compact(sortCols)` / [[zOrdered]]) this is what turns a
+   * range predicate into file-level skips decided BEFORE any scan
+   * task launches; standalone it is the audit that a table's declared
+   * clustering actually holds.
+   */
+  def statsManifest(df: DataFrame, statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "statsManifest needs at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data-skipping file selection: the paths whose [min, max] range
+    * for `statCol` intersects [lo, hi]. The manifest is FILE-count
+    * sized, so collecting the surviving paths is the same
+    * metadata-scale operation scan planning itself performs — never
+    * data-sized. Files with a null min/max (all-null column) cannot
+    * hold a row in a non-null range and are skipped. */
+  def prunedPaths(manifest: DataFrame, statCol: String,
+                  lo: org.apache.spark.sql.Column,
+                  hi: org.apache.spark.sql.Column): Seq[String] =
+    manifest.filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Manifest-driven skipping read over a clustered directory: load
+    * only the files whose stats admit rows in [lo, hi], then re-apply
+    * the predicate (skipping selects FILES; rows inside a surviving
+    * file still need the row-level filter). Result == a full scan
+    * with the same predicate, by construction — the manifest only
+    * ever drops files whose whole range misses. An empty selection
+    * degrades to a footer-only read of the root so the schema (and
+    * the empty result) stay correct. */
+  def skippingRead(spark: SparkSession, root: String, manifest: DataFrame,
+                   statCol: String,
+                   lo: org.apache.spark.sql.Column,
+                   hi: org.apache.spark.sql.Column,
+                   format: String = "parquet"): DataFrame = {
+    val paths = prunedPaths(manifest, statCol, lo, hi)
+    if (paths.isEmpty)
+      spark.read.format(format).load(root).filter(lit(false))
+    else
+      spark.read.format(format).load(paths: _*)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for

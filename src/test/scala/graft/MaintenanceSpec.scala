@@ -225,6 +225,28 @@ class MaintenanceSpec extends SparkTestBase {
     assert(!split.skipped && split.filesAfter == 3 && split.rows == 2000, split.toString)
   }
 
+  test("stats manifest prunes files; skipping read equals the full scan") {
+    val dir = tmpDir("graft_skip_") + "/t"
+    // range-clustered on id: 8 files with disjoint id ranges
+    Maintenance.zOrdered(
+      spark.range(0, 8000).selectExpr("id", "id % 97 AS v"),
+      Seq("id", "v"), nOut = 8, bits = 13).write.parquet(dir)
+    val manifest = Maintenance.statsManifest(spark.read.parquet(dir), Seq("id", "v"))
+    assert(manifest.count() == 8)
+    // a tight id range must skip most files...
+    val paths = Maintenance.prunedPaths(manifest, "id", lit(100), lit(200))
+    assert(paths.nonEmpty && paths.size < 8, s"expected a real skip, read ${paths.size}/8")
+    // ...and the pruned read must equal the full scan with the filter
+    val pruned = Maintenance.skippingRead(spark, dir, manifest, "id", lit(100), lit(200))
+      .orderBy("id").collect().toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("id").between(100, 200)).orderBy("id").collect().toSeq
+    assert(pruned == full)
+    // empty selection: schema survives, result is empty, nothing read
+    val none = Maintenance.skippingRead(spark, dir, manifest, "id", lit(-50), lit(-10))
+    assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0)
+  }
+
   test("COMPACT_DESTINATION job step compacts the configured destination") {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/dest"
