@@ -1848,6 +1848,44 @@ object AnalyticsQueries {
              |  AND pu.r_us >= su.l_us AND pu.r_us <= su.l_us + 3600000000
              |ORDER BY l_id, r_id""".stripMargin)),
 
+    // ---- streaming keyed UPSERT through the real engine: the feed is
+    //      staged as TWO files and read with maxFilesPerTrigger=1, so
+    //      the merge genuinely happens ACROSS micro-batches — each
+    //      batch merges into the parquet destination via foreachBatch
+    //      + keepLatest + the crash-safe swap (the MERGE_STRATEGY job
+    //      step's streaming twin). The version column (event_id) is
+    //      unique per key, so the final state is batch-split- and
+    //      order-independent: the newest event per user — which the
+    //      oracle states as one window rewrite over the whole feed. ----
+    Q("events_stream_upsert",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_upsert_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.schema(graft.streaming.EventStreams.eventSchema)
+          .parquet(s"$dir/events.parquet")
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          raw.filter(col("event_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          java.nio.file.Files.move(part.toPath, src.resolve(s"h$h.parquet"))
+        }
+        graft.streaming.EventStreams.upsertStream(s,
+            graft.streaming.EventStreams.readEvents(s, src.toString,
+              maxFilesPerTrigger = Some(1)),
+            work.resolve("dest").toString,
+            keys = Seq("user_id"), versionCol = "event_id",
+            checkpoint = work.resolve("ckpt").toString)
+          .select("user_id", "event_id", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
     //      last-ignoring-nulls form of an as-of join (no range-join

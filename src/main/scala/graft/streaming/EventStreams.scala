@@ -32,12 +32,16 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming scan of an events parquet directory (file source —
-    * at scale this is the same code over a Kafka source). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    * at scale this is the same code over a Kafka source).
+    * `maxFilesPerTrigger` caps each micro-batch's file intake — the
+    * backpressure knob of the file source (and, in tests, the way to
+    * force a bounded feed through MULTIPLE micro-batches). */
+  def readEvents(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(path)
+    val r = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -267,6 +271,57 @@ object EventStreams {
       }
       .trigger(trigger)
       .start()
+
+  /**
+   * Streaming keyed upsert into a parquet destination — the streaming
+   * twin of the MERGE_STRATEGY job step: every micro-batch is merged
+   * into the destination with [[graft.operators.Upsert.keepLatest]]
+   * (highest version per key wins) through the same crash-safe
+   * rename-aside swap the batch merge step uses, so a reader of the
+   * destination never observes a half-written merge and a crash mid-
+   * swap strands nothing. This is the continuously-maintained keyed
+   * table a CDC/event feed converges into.
+   *
+   * Correctness across batches: with a version column UNIQUE per key,
+   * max(version) per key is independent of how rows are split into
+   * micro-batches AND of batch arrival order — so the final state
+   * equals the batch keep-latest over the whole feed (what the gate
+   * oracle states). Replays are idempotent for the same reason: the
+   * at-least-once redelivery of a batch merges to the same state.
+   *
+   * Scale posture: each micro-batch pays one keyed shuffle over
+   * (destination ∪ batch) — at 100 TB the destination would be
+   * partitioned/bucketed on the merge key so the rewrite touches only
+   * affected partitions; the flat-dir form here mirrors the job
+   * layer's MERGE_STRATEGY destination.
+   */
+  def upsertStream(spark: SparkSession, stream: DataFrame, destDir: String,
+                   keys: Seq[String], versionCol: String, checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val dest = new org.apache.hadoop.fs.Path(destDir)
+        val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(dest)) s.read.parquet(destDir)
+          else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            batch.schema)
+        val merged = graft.operators.Upsert.keepLatest(
+          existing, batch.toDF(), keys, versionCol)
+        // staged write first, rename after: the merged plan lazily
+        // READS the current destination while the staged copy writes
+        graft.operators.Maintenance.replaceDir(fs, dest, "_merge_",
+          staged => merged.write.parquet(staged),
+          m => new IllegalStateException(s"streaming upsert swap failed: $m"))
+      }
+      .trigger(trigger)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(destDir)
+  }
 
   /**
    * Execute a streaming aggregate through a PARQUET sink (append mode

@@ -17,6 +17,42 @@ class StreamingSpec extends SparkTestBase {
     d
   }
 
+  test("streaming upsert merges across micro-batches through the swap path") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_upsert_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    // two single-file halves: keys 0..49 carry version 1 in one file
+    // and version 2 in the other, keys 50..99 only version 1 — with
+    // maxFilesPerTrigger=1 the merge MUST happen across batches
+    def half(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    half("h0", spark.range(0, 100).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v"))
+    half("h1", spark.range(0, 50).selectExpr(
+      "id AS k", "CAST(2 AS BIGINT) AS ver", "'b' AS v"))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = EventStreams.upsertStream(spark, stream, s"$work/dest",
+      keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt")
+    assert(out.count() == 100)
+    // updated keys carry the newer version's payload, others the old
+    assert(out.filter(col("k") < 50 && col("ver") === 2 && col("v") === "b").count() == 50)
+    assert(out.filter(col("k") >= 50 && col("ver") === 1 && col("v") === "a").count() == 50)
+    // the file source really split the feed: one committed offset per batch
+    val batches = new java.io.File(s"$work/ckpt/offsets").listFiles()
+      .count(f => !f.getName.startsWith("."))
+    assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
+  }
+
   test("streaming tumbling window == batch events_tumbling_window") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(spark,
