@@ -643,6 +643,53 @@ object EtlQueries {
              |CAST(o_totalprice AS DOUBLE) AS total FROM orders
              |ORDER BY order_id""".stripMargin)),
 
+    // ---- hive-partitioned write + partition-pruned read on the
+    //      gate: orders lands partitioned by o_orderpriority (the
+    //      layout every time/priority-keyed 100 TB table uses), and
+    //      the query's equality predicate prunes to ONE partition
+    //      directory at PLANNING time — no task ever opens the other
+    //      four-fifths of the data. PlanSpec asserts the executed
+    //      scan's PartitionFilters + selected-partition count; this
+    //      row pins that the pruned read returns exactly the
+    //      full-table oracle's filtered result. The fixture is cached
+    //      per corpus fingerprint (stage + rename, same protocol as
+    //      the media fixture). ----
+    Q("etl_partition_pruning",
+      (s, dir) => {
+        val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
+        val fix = s"${CacheDirs.root}/fix_part_orders_$fp"
+        val fs = new org.apache.hadoop.fs.Path(fix)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
+        if (!fs.exists(marker)) {
+          val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+          try {
+            Tables.t(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                col("o_orderstatus"), col("o_orderpriority"))
+              .write.partitionBy("o_orderpriority").parquet(tmp)
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
+            val dst = new org.apache.hadoop.fs.Path(fix)
+            if (!fs.exists(dst)) fs.rename(tmpPath, dst)
+            val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          } finally {
+            if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+          }
+        }
+        s.read.parquet(fix)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ---- change-data capture between two loads: every 11th key is
     //      new (INSERT), every 7th gone (DELETE), every 5th surviving
     //      key has a bumped amount (UPDATE), the rest UNCHANGED — one

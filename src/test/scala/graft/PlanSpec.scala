@@ -183,6 +183,22 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"more than one distinct exchange:\n$clustered")
   }
 
+  test("hive-partitioned scan prunes to one partition at planning time") {
+    val q = Queries.queries("etl_partition_pruning")(spark, sf)
+    q.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no file scan found:\n${q.queryExecution.executedPlan}")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"priority predicate must be a PARTITION filter, not a data filter:\n$scan")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected exactly one pruned partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("bucketed co-located join carries no join-side exchange") {
     // the gate row's 100 TB claim: both bucketed sides arrive
     // pre-partitioned on the join key, so even when neither side can
