@@ -14,14 +14,15 @@ object Bench {
     "q16_supplier_variety", "q18_big_orders",
     "load_sales", "etl_cast_matrix", "etl_null_policy",
     "etl_upsert_keep_latest", "etl_scd2_history",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_clusters", "dedup_incremental", "map_funcs",
+    "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_incremental",
     "embed_near_dups_lsh", "sim_bruteforce_topk", "sim_ivf_topk",
     "window_rank_variants", "window_running",
     "events_sessionize", "events_asof_enrich", "events_funnel",
     "json_extract", "tfidf_keywords", "corpus_pipeline", "decontaminate",
-    "multimodal_features", "pack_sequences", "text_repetition",
-    "token_count_bpe",
+    "multimodal_features", "pack_sequences",
+    "join_bucketed_colocated", "layout_stats_skipping",
+    "events_stream_upsert", "etl_partition_pruning",
     "q9_product_profit", "decontaminate_bloom", "window_rank_scalable",
     "topk_per_group_agg",
     "mix_domains", "score_unigram_logprob", "events_interval_join",

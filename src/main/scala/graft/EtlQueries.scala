@@ -761,10 +761,10 @@ object EtlQueries {
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_skip_gate_").toString
         val laid = s"$work/li_clustered"
-        Maintenance.zOrdered(
+        Maintenance.zOrderedAuto(
             Tables.t(s, dir, "lineitem")
               .select("l_orderkey", "l_partkey", "l_quantity"),
-            Seq("l_orderkey", "l_partkey"), nOut = 16, bits = 20)
+            Seq("l_orderkey", "l_partkey"), nOut = 16, bits = 12)
           .write.parquet(laid)
         val fs = new org.apache.hadoop.fs.Path(laid)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

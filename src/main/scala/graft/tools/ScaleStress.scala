@@ -266,6 +266,84 @@ object ScaleStress {
         case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
     }
+    // Bucketed co-located join: the bucketed WRITE pays the one-time
+    // keyed shuffle (reported separately — it amortizes over every
+    // later join); the JOIN, with broadcast disabled so the bucket
+    // layout itself must carry it, runs exchange-free and its wall
+    // must track rows ~linearly (a zipped scan + merge, no shuffle).
+    if (wanted("bucket")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val or0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val li = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("l_extendedprice"))).reduce(_ unionByName _)
+        val or = (0 until m).map(i => or0.select(
+          (col("o_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("o_orderstatus"))).reduce(_ unionByName _)
+        val n = li.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_buck_")
+        val db = s"stress_buck_$m"
+        spark.sql(s"CREATE DATABASE $db LOCATION '$work/wh'")
+        val t0 = System.nanoTime()
+        li.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable(s"$db.li_b")
+        or.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable(s"$db.or_b")
+        val tw = (System.nanoTime() - t0) / 1e9
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val t1 = System.nanoTime()
+        val out =
+          try spark.table(s"$db.li_b").join(spark.table(s"$db.or_b"), "l_orderkey")
+            .groupBy("o_orderstatus").count().count()
+          finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        val tj = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE bucket  m=$m%2d rows=$n%8d out=$out%9d write=$tw%7.1fs join=$tj%7.1fs")
+        spark.sql(s"DROP DATABASE $db CASCADE")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
+    // Manifest data skipping: corpus Z-ordered into 16*m files (file
+    // size held ~constant), FIXED l_partkey range. The pruned read's
+    // file count must stay ~flat as m grows (the range lives in the
+    // same few files whatever the corpus size) and its wall must stay
+    // ~flat while the full filter scan tracks the corpus — that gap
+    // IS the zone-map payoff. Manifest build (one scan) reported
+    // separately: a table format maintains it incrementally.
+    if (wanted("skip")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          col("l_partkey"), col("l_quantity"))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_skip_")
+        graft.operators.Maintenance.zOrderedAuto(corpus,
+          Seq("l_partkey", "l_orderkey"), nOut = 16 * m, bits = 12)
+          .write.parquet(s"$work/t")
+        val tm0 = System.nanoTime()
+        val manifest = graft.operators.Maintenance.statsManifest(
+          spark.read.parquet(s"$work/t"), Seq("l_partkey"))
+        val paths = graft.operators.Maintenance.prunedPaths(
+          manifest, "l_partkey", lit(1), lit(50))
+        val tm = (System.nanoTime() - tm0) / 1e9
+        val t0 = System.nanoTime()
+        val out = spark.read.parquet(paths: _*)
+          .filter(col("l_partkey").between(1, 50)).count()
+        val tr = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        spark.read.parquet(s"$work/t")
+          .filter(col("l_partkey").between(1, 50)).count()
+        val tf = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE skip    m=$m%2d rows=$n%8d files=${paths.size}%3d/${16 * m}%3d " +
+          f"out=$out%8d read=$tr%6.1fs fullscan=$tf%6.1fs manifest=$tm%6.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
     // hyperplane signature -> guaranteed candidates), so true pairs
     // grow linearly while candidate volume tracks bucket population.

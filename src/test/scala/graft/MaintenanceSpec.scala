@@ -247,6 +247,20 @@ class MaintenanceSpec extends SparkTestBase {
     assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0)
   }
 
+  test("zOrderedAuto rescales imbalanced domains so BOTH columns skip") {
+    // x spans [0, 1e9), y spans [0, 100): raw bit-interleave would let
+    // x's high bits own the curve and y ranges would prune nothing
+    val df = spark.range(0, 20000).selectExpr("id * 50000 AS x", "id % 100 AS y")
+    val dir = tmpDir("graft_zauto_") + "/t"
+    Maintenance.zOrderedAuto(df, Seq("x", "y"), nOut = 16, bits = 12).write.parquet(dir)
+    assert(spark.read.parquet(dir).count() == 20000)
+    val manifest = Maintenance.statsManifest(spark.read.parquet(dir), Seq("x", "y"))
+    // a ~5%-wide range on EACH dimension must skip most files
+    val px = Maintenance.prunedPaths(manifest, "x", lit(0L), lit(50000000L))
+    val py = Maintenance.prunedPaths(manifest, "y", lit(0L), lit(4L))
+    assert(px.size < 12 && py.size < 12, s"both dims must skip: x=${px.size}/16, y=${py.size}/16")
+  }
+
   test("COMPACT_DESTINATION job step compacts the configured destination") {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/dest"
