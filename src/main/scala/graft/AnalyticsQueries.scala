@@ -2230,6 +2230,38 @@ object AnalyticsQueries {
              |TRUE AS distinct_within_5pct, TRUE AS p50_within_5pct
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Count-Min Sketch agreement ON the hard gate (completes the
+    //      sketch family: HLL distinct, Misra-Gries heavy hitters,
+    //      Bloom membership, MinHash/SimHash similarity, PQ — and now
+    //      CMS frequency). One pass builds the sketch; the ~5 fixed
+    //      event-type values are probed against it and shipped beside
+    //      the exact counts. With width 2/eps = 20k cells vs ~5
+    //      distinct keys the estimate equals the exact count unless
+    //      all depth rows collide (deterministic seed, fixed key
+    //      strings — stable at every SF), so the oracle states
+    //      est_n == n. The sketch is ONE bounded binary on the driver
+    //      and the probe set is enum-sized — both metadata, never
+    //      data-scaled. ----
+    Q("agg_cms_agreement",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val bytes = ev.agg(
+          expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val types = ev.select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted // fixed enum, ~5 values
+        import s.implicits._
+        val est = types.toSeq.map(t => (t, cms.estimateCount(t)))
+          .toDF("event_type", "est_n")
+        ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .join(broadcast(est), Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(*) AS est_n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- sliding (overlapping) time window: each event lands in two
     //      1h windows on the 30-min grid. Oracle expands the two
     //      candidate windows explicitly. ----

@@ -32,6 +32,39 @@ object EtlQueries {
     errorHandling = ErrorHandling("LOG_ONLY")
   )
 
+  /** Orders partitioned by o_orderpriority, cached per corpus
+    * fingerprint — staged into a tmp dir and renamed into place (the
+    * `_STAGED` marker gates completeness; a lost rename race leaves a
+    * nested copy that is cleaned, content identical either way).
+    * Shared by the `etl_partition_pruning` gate row and PlanSpec's
+    * partition-filter / dynamic-pruning assertions. */
+  private[graft] def partitionedOrdersFixture(s: org.apache.spark.sql.SparkSession,
+                                              dir: String): String = {
+    val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
+    val fix = s"${CacheDirs.root}/fix_part_orders_$fp"
+    val fs = new org.apache.hadoop.fs.Path(fix)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
+    if (!fs.exists(marker)) {
+      val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      try {
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .write.partitionBy("o_orderpriority").parquet(tmp)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
+        val dst = new org.apache.hadoop.fs.Path(fix)
+        if (!fs.exists(dst)) fs.rename(tmpPath, dst)
+        val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      } finally {
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      }
+    }
+    fix
+  }
+
   val all: Seq[Q] = Seq(
     Q("load_sales",
       (s, dir) => {
@@ -145,6 +178,58 @@ object EtlQueries {
              |CAST(s_nationkey AS INTEGER) AS nation_key,
              |CAST(s_acctbal AS DOUBLE) AS balance
              |FROM supplier ORDER BY supp_id""".stripMargin)),
+
+    // ---- the REST DSv2 source LIVE on the hard gate (S8): a local
+    //      HTTP server serves the nation dimension as 5 ND-JSON
+    //      pages; the DSv2 source fetches ONE PAGE PER PARTITION
+    //      (task-side transport, declared all-string schema,
+    //      source-level pruning — no inference pass over a remote
+    //      API), the result commits to parquet (distributed write, no
+    //      driver materialization of the FEED), the server stops, and
+    //      the committed files are the query result. Nation is a
+    //      FIXED 25-row dimension at every SF, so staging it through
+    //      the driver is metadata-sized by construction (same
+    //      justification as the IVF centroid collect). ----
+    Q("etl_rest_source",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_rest_gate_")
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+          .orderBy("n_nationkey").collect()
+        def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+        val pages = rows.grouped(5).zipWithIndex.map { case (g, i) =>
+          (i + 1).toString -> g.map(r =>
+            s"""{"n_nationkey":"${r.getLong(0)}","n_name":"${esc(r.getString(1))}","n_regionkey":"${r.getLong(2)}"}""")
+            .mkString("\n")
+        }.toMap
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/feed", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val page = Option(ex.getRequestURI.getQuery)
+            .map(_.stripPrefix("page=")).getOrElse("")
+          val body = pages.getOrElse(page, "").getBytes("UTF-8")
+          ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+          ex.close()
+        })
+        server.start()
+        try {
+          s.read.format("graft.sources.RestDataSource")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/feed?page={page}")
+            .option("pages", "5")
+            .option("fields", "n_nationkey,n_name,n_regionkey")
+            .load()
+            .write.parquet(s"$work/out")
+        } finally server.stop(0) // the feed is committed; nothing reads it lazily
+        s.read.parquet(s"$work/out")
+          .select(col("n_nationkey").cast("long").as("nation_id"),
+            col("n_name").as("name"), col("n_regionkey").cast("long").as("region_id"))
+          .orderBy("nation_id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS name,
+             |CAST(n_regionkey AS BIGINT) AS region_id
+             |FROM nation ORDER BY nation_id""".stripMargin)),
 
     // ---- incremental aggregate maintenance: the materialized summary
     //      refreshed by MERGING the delta's summary (mergeable
@@ -656,29 +741,7 @@ object EtlQueries {
     //      the media fixture). ----
     Q("etl_partition_pruning",
       (s, dir) => {
-        val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
-        val fix = s"${CacheDirs.root}/fix_part_orders_$fp"
-        val fs = new org.apache.hadoop.fs.Path(fix)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
-        if (!fs.exists(marker)) {
-          val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-          try {
-            Tables.t(s, dir, "orders")
-              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-                col("o_orderstatus"), col("o_orderpriority"))
-              .write.partitionBy("o_orderpriority").parquet(tmp)
-            java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
-            val dst = new org.apache.hadoop.fs.Path(fix)
-            if (!fs.exists(dst)) fs.rename(tmpPath, dst)
-            val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
-          } finally {
-            if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-          }
-        }
-        s.read.parquet(fix)
+        s.read.parquet(partitionedOrdersFixture(s, dir))
           .filter(col("o_orderpriority") === "1-URGENT")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),

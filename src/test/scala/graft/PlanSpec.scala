@@ -199,6 +199,34 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one pruned partition, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("join against the partitioned fact plans dynamic partition pruning") {
+    // the runtime analog of static pruning: the partition filter is
+    // only known after the dim side is filtered, and the scan must
+    // still receive it (as a DynamicPruning subquery/broadcast reuse)
+    // instead of reading all partitions
+    val fact = spark.read.parquet(EtlQueries.partitionedOrdersFixture(spark, sf))
+    import spark.implicits._
+    // the dim must be a REAL scan with a filter above it: a filtered
+    // local Seq constant-folds into a bare LocalRelation and the
+    // pruning rule no longer sees a selective predicate to derive the
+    // runtime filter from
+    val dimDir = tmpDir("graft_dpp_dim_")
+    Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3))
+      .toDF("prio", "grp").write.parquet(s"$dimDir/d")
+    val dim = spark.read.parquet(s"$dimDir/d").filter(col("grp") === 1)
+    val q = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .groupBy("o_orderstatus").count()
+    q.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"expected a dynamic pruning partition filter:\n${q.queryExecution.executedPlan}")
+  }
+
   test("bucketed co-located join carries no join-side exchange") {
     // the gate row's 100 TB claim: both bucketed sides arrive
     // pre-partitioned on the join key, so even when neither side can
