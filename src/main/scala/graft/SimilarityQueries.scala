@@ -365,6 +365,56 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- IVF-PQ (the composed production ANN: cells bound WHICH rows
+    //      a query touches, residual PQ codes bound WHAT each row
+    //      costs). Approximate by design -> rows only; the _exact twin
+    //      below puts the identical plan on the hard gate. ----
+    Q("sim_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("e").collect()(0).getSeq[Double](0).toArray
+        graft.operators.Similarity.ivfPqTopK(enc, cents, cb, probe,
+            k = 10, nProbe = 4, rerankVecCol = Some("e"))
+          .select("vec_id", "label", "adc_dist", "l2_dist")
+      },
+      None),
+
+    // ---- IVF-PQ exactness-by-construction twin ON the hard gate:
+    //      nProbe = nLists makes the probed-cell union the whole
+    //      corpus, and a shortlist wider than the corpus makes the
+    //      exact re-rank score EVERY row — quantization error then
+    //      only orders a shortlist it no longer controls, so the
+    //      result is exact L2 top-k whatever the codebooks learned.
+    //      The full composed plan (assignment, residual encode,
+    //      per-cell distance tables, union, re-rank) executes and
+    //      must reproduce DuckDB's exact distances. ----
+    Q("sim_ivfpq_exact",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("e").collect()(0).getSeq[Double](0).toArray
+        graft.operators.Similarity.ivfPqTopK(enc, cents, cb, probe,
+            k = 10, nProbe = 16, rerankVecCol = Some("e"),
+            shortlistFactor = 1000000)
+          .select("vec_id", "label", "l2_dist")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, v) - 2 * list_dot_product(v, pv)
+             |    + list_dot_product(pv, pv) AS l2_dist
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- PQ exactness-by-construction twin: binarizing each element
     //      (x >= 0 -> 1.0 else 0.0) leaves every 2-dim subvector one
     //      of 4 patterns <= k=16 codes, so trained codebooks represent

@@ -347,6 +347,90 @@ object Similarity {
     }
   }
 
+  /**
+   * IVF-PQ composed index — the standard production ANN architecture:
+   * IVF cell partitioning bounds WHICH rows a query touches
+   * (nProbe/nLists of the corpus; at 100 TB the corpus is partitioned
+   * BY cell on disk so a probe is a partition read), and PQ codes
+   * bound WHAT each touched row costs (m bytes scanned + m table
+   * lookups). Vectors encode as RESIDUALS from their cell centroid:
+   * recentring tightens the distribution each codebook must cover, so
+   * the same code budget quantizes finer than raw PQ — the reason the
+   * composition beats either tier alone. Returns (encoded corpus
+   * carrying (cell, pq_code) beside the caller's columns, the
+   * centroid table, codebooks trained on residuals).
+   */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nLists: Int = 16, m: Int = 8, k: Int = 16)
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+    val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, nLists)
+    val withRes = assigned.join(broadcast(centroids), "cell")
+      .withColumn("_res",
+        expr(s"zip_with(cast($vecCol as array<double>), centroid, (x, y) -> x - y)"))
+    val cbs = trainPqCodebooks(withRes, idCol, "_res", dim, m, k)
+    (pqEncode(withRes, "_res", cbs).drop("_res", "centroid"), centroids, cbs)
+  }
+
+  /**
+   * Query the IVF-PQ index: probe the `nProbe` cells nearest the
+   * probe vector (L2 over the metadata-sized centroid set), ADC-score
+   * ONLY rows in probed cells — each probed cell gets its own
+   * residual distance table (the probe re-expressed relative to that
+   * cell's centroid), so every branch is a cell filter + codes scan
+   * and the union is nProbe partition reads, never a full scan. The
+   * ADC shortlist then optionally re-ranks exactly, same contract as
+   * [[pqTopK]]: quantization error decides the shortlist, never the
+   * final ranking. With nProbe = nLists and a shortlist wider than
+   * the corpus the result is EXACT L2 top-k by construction — the
+   * `sim_ivfpq_exact` gate twin.
+   */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame,
+                codebooks: Array[Array[Array[Double]]], probe: Array[Double],
+                k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+                rerankVecCol: Option[String] = None,
+                shortlistFactor: Int = 8): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val probed = cents.map { case (cell, c) => (cell, d2(probe, c)) }
+      .sortBy { case (cell, d) => (d, cell) }.take(nProbe)
+    val branches = probed.map { case (cell, _) =>
+      val cent = cents.collectFirst { case (c, v) if c == cell => v }.get
+      val dtable: Array[Array[Double]] = Array.tabulate(m) { j =>
+        codebooks(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val x = (probe(j * sub + i) - cent(j * sub + i)) - cw(i)
+            s += x * x; i += 1
+          }
+          s
+        }
+      }
+      encoded.filter(col("cell") === cell)
+        .withColumn("adc_dist", graft.functions.PqCodec.adc(col("pq_code"), dtable))
+    }
+    val byAdc = branches.reduce(_ unionByName _)
+    // k * shortlistFactor can overflow Int for the exhaustive twin
+    val shortN = math.min(Int.MaxValue.toLong, k.toLong * shortlistFactor).toInt
+    rerankVecCol match {
+      case None => byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(k)
+      case Some(vc) =>
+        val v = col(vc).cast(ArrayType(DoubleType))
+        val probeLit = array(probe.map(lit): _*)
+        val pNorm2 = probe.map(x => x * x).sum
+        val exact = dot(v, v) - lit(2.0) * dot(v, probeLit) + lit(pNorm2)
+        byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(shortN)
+          .withColumn("l2_dist", exact)
+          .orderBy(asc("l2_dist"), asc(idCol)).limit(k)
+    }
+  }
+
   /** All near-duplicate embedding pairs (cosine >= threshold) via
     * signature-bucket candidates + exact verify — the embedding
     * analog of MinHash near-dup. Buckets on 4-bit signature chunks

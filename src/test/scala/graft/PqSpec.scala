@@ -151,4 +151,34 @@ class PqSpec extends SparkTestBase {
     info(s"PQ rerank recall@10 = $recall")
     assert(recall >= 0.7, s"reranked recall collapsed: $recall")
   }
+
+  test("IVF-PQ: exhaustive probe is exact; production probe keeps recall") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val (enc, cents, cb) = Similarity.ivfPqIndex(
+      corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+    val probe = emb.filter(col("vec_id") === 0).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val exact = corpus.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    // nProbe = nLists + corpus-wide shortlist => exact by construction
+    val exhaustive = Similarity.ivfPqTopK(enc, cents, cb, probe, k = 10,
+        nProbe = 16, rerankVecCol = Some("e"), shortlistFactor = 1000000)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(exhaustive == exact, s"exhaustive IVF-PQ must equal exact L2:\n$exhaustive\n$exact")
+    // production probe (a quarter of the cells): on this UNIFORM
+    // synthetic corpus cells carry no geometry, so recall cannot beat
+    // the nProbe/nLists ≈ 0.25 chance baseline by much — the
+    // correctness pin is the exhaustive equality above; this bound
+    // only catches a probe path that stops returning neighbors at all
+    val probed = Similarity.ivfPqTopK(enc, cents, cb, probe, k = 10,
+        nProbe = 4, rerankVecCol = Some("e"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (probed & exact.toSet).size / 10.0
+    info(s"IVF-PQ nProbe=4 recall@10 = $recall (chance baseline 0.25 on uniform data)")
+    assert(recall >= 0.2, s"IVF-PQ recall collapsed below chance: $recall")
+  }
 }
