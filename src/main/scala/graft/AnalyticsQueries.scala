@@ -1886,6 +1886,51 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- Spark 4 transformWithState (typed ValueState on the
+    //      RocksDB provider — the arbitrary-state successor to
+    //      mapGroupsWithState) ON the hard gate: the alert-once
+    //      purchase-quota processor runs through the REAL streaming
+    //      engine over a single-file feed. ONE micro-batch means each
+    //      user's cumulative total crosses the threshold at most
+    //      once, so the emitted alert set is exactly the users whose
+    //      total >= threshold — which the oracle states as GROUP BY +
+    //      HAVING. (Multi-batch alert-ONCE semantics — state
+    //      surviving across batches, no re-alert — are pinned by
+    //      StreamingSpec's MemoryStream test.) ----
+    Q("events_stream_quota",
+      (s, dir) => {
+        val (src, _) = stageStreamWork(dir)
+        val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        // transformWithState supports only RocksDB; 8 state partitions
+        // (tiny state — one tuple per user), not the batch default
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val alerts = graft.streaming.EventStreams.quotaAlerts(
+            graft.streaming.EventStreams.readEvents(s, src),
+            thresholdCents = 100000L)(s)
+          val name = s"q_quota_${java.util.UUID.randomUUID().toString.take(8)}"
+          graft.streaming.EventStreams.runToMemory(s, alerts.toDF(), name,
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .orderBy("user_id")
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL)
+             |SELECT user_id, CAST(SUM(cents) AS BIGINT) AS total_cents,
+             |  COUNT(*) AS n_purchases
+             |FROM p GROUP BY user_id HAVING SUM(cents) >= 100000
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
     //      last-ignoring-nulls form of an as-of join (no range-join
