@@ -1886,6 +1886,55 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- stream-STATIC enrichment join through the real engine: the
+    //      arriving event stream joins the static customer dimension
+    //      (broadcast — the bounded side) with NO state store and NO
+    //      watermark: a stateless per-batch join, so the committed
+    //      set equals the batch join regardless of how the feed
+    //      splits into micro-batches — which the oracle states as the
+    //      plain join. The production shape of every streaming
+    //      dimension lookup (the stream side never buffers). ----
+    Q("events_stream_enrich",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val cust = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val joined = graft.streaming.EventStreams.readEvents(s, src)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"))
+        graft.streaming.EventStreams.runToParquet(s, joined, work)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, c_mktsegment
+             |FROM events JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- UNPIVOT (melt): wide metric columns to long (entity,
+    //      metric, value) rows — the inverse reshape of pivot_status,
+    //      built into Dataset.unpivot; the oracle is the UNION ALL
+    //      rewrite. ----
+    Q("unpivot_metrics",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extended_price"),
+          col("l_discount").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extended_price"), col("discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'extended_price' AS metric, l_extendedprice AS value
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // ---- Spark 4 transformWithState (typed ValueState on the
     //      RocksDB provider — the arbitrary-state successor to
     //      mapGroupsWithState) ON the hard gate: the alert-once
