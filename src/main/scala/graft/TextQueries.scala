@@ -598,6 +598,27 @@ object TextQueries {
              |list_reduce(list_prepend(CAST(0 AS BIGINT),
              |  [unicode(c) FOR c IN string_split(text, '')]),
              |  (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- text normalization (corpus cleaning): lowercase, strip
+    //      latin accents via an explicit finite map (no locale, no
+    //      UDF — `translate` stays in codegen), collapse everything
+    //      outside [a-z0-9 ] to spaces, squeeze runs, trim. The
+    //      normalize-before-hash step in front of every dedup /
+    //      decontamination pipeline; DuckDB replays the identical
+    //      function chain. ----
+    Q("text_normalize",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(
+            translate(lower(col("text")),
+              "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy"),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |  translate(lower(text),
+             |    'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
+             |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,43 @@ object TypedQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |COUNT(*) AS n
-             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- typed flatMapGroups: the per-group imperative escape hatch
+    //      for state machines window frames can't express — here they
+    //      CAN, which is the point: the oracle is the LAG rewrite, so
+    //      the typed path is pinned to reproduce the declarative one
+    //      exactly. Each customer's orders sort IN MEMORY per group
+    //      (group-sized, bounded per key at any corpus scale — the
+    //      shuffle is the same keyed exchange a window would pay) and
+    //      emit the seconds-gap to the previous order. ----
+    Q("typed_order_gaps",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"))
+          .as[OrderRow]
+          .groupByKey(_.o_custkey)
+          .flatMapGroups { (k: Long, rows: Iterator[OrderRow]) =>
+            val sorted = rows.toIndexedSeq.sortBy(r => (r.epoch_s, r.o_orderkey))
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              OrderGap(k, r.o_orderkey,
+                if (i == 0) -1L else r.epoch_s - sorted(i - 1).epoch_s)
+            }
+          }
+          .toDF()
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |  epoch(CAST(o_orderdate AS TIMESTAMP)) AS e
+             |  FROM orders WHERE o_custkey % 10 = 0)
+             |SELECT o_custkey, o_orderkey,
+             |  COALESCE(CAST(e - LAG(e) OVER (PARTITION BY o_custkey ORDER BY e, o_orderkey) AS BIGINT), -1) AS gap_s
+             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
+
+  final case class OrderRow(o_custkey: Long, o_orderkey: Long, epoch_s: Long)
+  final case class OrderGap(o_custkey: Long, o_orderkey: Long, gap_s: Long)
 }
