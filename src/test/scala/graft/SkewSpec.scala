@@ -34,4 +34,35 @@ class SkewSpec extends SparkTestBase {
     assert(salted.count() == direct.count())
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
+    // the runtime complement of manual salting: AQE detects the
+    // oversized post-shuffle partition and splits it into parallel
+    // subtasks — no query rewrite needed. Thresholds forced low so
+    // the local-scale fixture trips the same path a 100 TB hot key
+    // would; broadcast disabled so the join actually shuffles.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 200000)
+        .selectExpr("if(id < 190000, 0L, id) AS k", "id AS v")
+      val small = spark.range(0, 64).selectExpr("id AS k", "id AS w")
+      val j = big.join(small, "k")
+      // materialize THIS dataframe (count() would plan its own
+      // execution and leave j's plan unexecuted/un-adapted)
+      assert(j.collect().length == 190000) // only key 0 matches the small side
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join, plan:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
