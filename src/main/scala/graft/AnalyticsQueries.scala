@@ -50,7 +50,10 @@ object AnalyticsQueries {
     * warehouse files survive; `overwrite` handles the leftovers). */
   def bucketedOrdersJoin(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
-    val fp = Tables.fingerprint(s, s"$dir/lineitem.parquet")
+    // BOTH inputs in the cache key: orders regenerating while
+    // lineitem stays byte-identical must not serve a stale orders_b
+    val fp = Tables.fingerprint(s, s"$dir/lineitem.parquet") +
+      Tables.fingerprint(s, s"$dir/orders.parquet")
     val db = s"graft_buck_$fp"
     val wh = s"${CacheDirs.root}/buckwh_$fp"
     if (!s.catalog.databaseExists(db))
@@ -2344,13 +2347,15 @@ object AnalyticsQueries {
           .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bytes))
-        val types = ev.select("event_type").distinct()
-          .collect().map(_.getString(0)).sorted // fixed enum, ~5 values
+        // the exact groupBy (enum-sized result) doubles as the probe
+        // key source — no third scan of events just to list the keys
+        val exact = Tables.t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
         import s.implicits._
-        val est = types.toSeq.map(t => (t, cms.estimateCount(t)))
-          .toDF("event_type", "est_n")
-        ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-          .join(broadcast(est), Seq("event_type"))
+        exact.toSeq
+          .map { case (t, n) => (t, n, cms.estimateCount(t)) }
+          .toDF("event_type", "n", "est_n")
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n, COUNT(*) AS est_n

@@ -100,13 +100,15 @@ object Bench {
     // unwritable working directory.
     try {
       val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(timed)},"failed":$failedJson,"sf":"$sfDir"}""")
+      // nq counts TIMED queries (consistent with the queries map and
+      // the total) — failures are named in `failed`, not counted
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"queries":${qmap(timed)},"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val missing = headline -- results.map(_._1).toSet
     if (missing.nonEmpty)
       System.err.println(s"[bench] WARNING: headline names not in registry (renamed/removed?): ${missing.toSeq.sorted.mkString(", ")}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length}B nears the 2000B driver tail window")
     println(line)

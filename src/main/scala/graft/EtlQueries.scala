@@ -32,16 +32,20 @@ object EtlQueries {
     errorHandling = ErrorHandling("LOG_ONLY")
   )
 
-  /** Orders partitioned by o_orderpriority, cached per corpus
-    * fingerprint — staged into a tmp dir and renamed into place (the
-    * `_STAGED` marker gates completeness; a lost rename race leaves a
-    * nested copy that is cleaned, content identical either way).
-    * Shared by the `etl_partition_pruning` gate row and PlanSpec's
-    * partition-filter / dynamic-pruning assertions. */
-  private[graft] def partitionedOrdersFixture(s: org.apache.spark.sql.SparkSession,
-                                              dir: String): String = {
-    val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
-    val fix = s"${CacheDirs.root}/fix_part_orders_$fp"
+  /**
+   * Stage-and-publish protocol for fingerprint-keyed fixture dirs:
+   * when `fix` lacks its `_STAGED` marker, run `write` against a
+   * unique tmp sibling, plant the marker, and rename into place. A
+   * lost publish race leaves a nested copy that is removed (content
+   * is identical either way — fixtures are pure functions of the
+   * corpus; Hadoop rename into an EXISTING dir nests src as a child
+   * and still returns true), and the tmp dir is cleaned whatever
+   * happens. ONE implementation on purpose: the rename-race and
+   * marker semantics are subtle enough that a second inlined copy
+   * would drift.
+   */
+  private[graft] def stagedFixture(s: org.apache.spark.sql.SparkSession,
+                                   fix: String)(write: String => Unit): String = {
     val fs = new org.apache.hadoop.fs.Path(fix)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
@@ -49,10 +53,7 @@ object EtlQueries {
       val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       try {
-        Tables.t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col("o_orderstatus"), col("o_orderpriority"))
-          .write.partitionBy("o_orderpriority").parquet(tmp)
+        write(tmp)
         java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
         val dst = new org.apache.hadoop.fs.Path(fix)
         if (!fs.exists(dst)) fs.rename(tmpPath, dst)
@@ -63,6 +64,20 @@ object EtlQueries {
       }
     }
     fix
+  }
+
+  /** Orders partitioned by o_orderpriority, cached per corpus
+    * fingerprint. Shared by the `etl_partition_pruning` gate row and
+    * PlanSpec's partition-filter / dynamic-pruning assertions. */
+  private[graft] def partitionedOrdersFixture(s: org.apache.spark.sql.SparkSession,
+                                              dir: String): String = {
+    val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
+    stagedFixture(s, s"${CacheDirs.root}/fix_part_orders_$fp") { tmp =>
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .write.partitionBy("o_orderpriority").parquet(tmp)
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -502,36 +517,17 @@ object EtlQueries {
     Q("etl_media_binaryfile",
       (s, dir) => {
         val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
-        val fix = s"${CacheDirs.root}/fix_media_$fp"
-        val fs = new org.apache.hadoop.fs.Path(fix)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$fix/_STAGED")
-        if (!fs.exists(marker)) {
-          // stage into a unique tmp dir, rename into place (Hadoop
-          // rename into an EXISTING dir nests src as a child — clean
-          // the nested copy on a lost race; content is identical
-          // either way, the fixture is a pure function of the corpus)
-          val tmp = s"$fix.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-          try {
-            // empty texts excluded on BOTH sides: Spark's split
-            // planning drops zero-byte files before the source runs
-            graft.multimodal.Multimodal.writeMediaFiles(
-              Tables.t(s, dir, "documents")
-                .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0)
-                .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-              "doc_id", "payload", tmp, prefix = "doc_", suffix = ".bin")
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, "doc_888888888.bin"),
-              new Array[Byte](2 << 20)) // poison: over the maxBytes cap
-            java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_STAGED"))
-            val dst = new org.apache.hadoop.fs.Path(fix)
-            if (!fs.exists(dst)) fs.rename(tmpPath, dst)
-            val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
-          } finally {
-            if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-          }
+        val fix = stagedFixture(s, s"${CacheDirs.root}/fix_media_$fp") { tmp =>
+          // empty texts excluded on BOTH sides: Spark's split
+          // planning drops zero-byte files before the source runs
+          graft.multimodal.Multimodal.writeMediaFiles(
+            Tables.t(s, dir, "documents")
+              .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0)
+              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+            "doc_id", "payload", tmp, prefix = "doc_", suffix = ".bin")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "doc_888888888.bin"),
+            new Array[Byte](2 << 20)) // poison: over the maxBytes cap
         }
         graft.multimodal.Multimodal.extractFeatures(
             graft.multimodal.Multimodal.readMediaDir(s, fix,

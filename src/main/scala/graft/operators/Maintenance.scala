@@ -313,9 +313,14 @@ object Maintenance {
       max(col(c)).cast("double").as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
+    // an empty frame or an all-null column yields null stats: getAs
+    // would NPE unboxing — degrade to a [0,1] span (quantization of
+    // nothing / of nulls is harmless; null inputs stay null z-values)
+    def stat(name: String, dflt: Double): Double =
+      if (r.isNullAt(r.fieldIndex(name))) dflt else r.getAs[Double](name)
     val qcols = cols.map { c =>
-      val lo = r.getAs[Double](s"lo_$c")
-      val hi = r.getAs[Double](s"hi_$c")
+      val lo = stat(s"lo_$c", 0.0)
+      val hi = stat(s"hi_$c", 1.0)
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       val scaled = (col(c).cast("double") - lit(lo)) / lit(span) * lit(top.toDouble)
       least(lit(top), greatest(lit(0L), floor(scaled).cast("long")))

@@ -373,11 +373,13 @@ object Similarity {
 
   /**
    * Query the IVF-PQ index: probe the `nProbe` cells nearest the
-   * probe vector (L2 over the metadata-sized centroid set), ADC-score
-   * ONLY rows in probed cells — each probed cell gets its own
-   * residual distance table (the probe re-expressed relative to that
-   * cell's centroid), so every branch is a cell filter + codes scan
-   * and the union is nProbe partition reads, never a full scan. The
+   * probe vector (by the assignment's own metric — cosine — over the
+   * metadata-sized centroid set), ADC-score ONLY rows in probed cells
+   * in ONE pass: an isin cell filter (a partition read on a
+   * cell-partitioned corpus, never a full scan) with each probed
+   * cell's residual distance table (the probe re-expressed relative
+   * to that cell's centroid) dispatched through a CASE on the cell
+   * column. The
    * ADC shortlist then optionally re-ranks exactly, same contract as
    * [[pqTopK]]: quantization error decides the shortlist, never the
    * final ranking. With nProbe = nLists and a shortlist wider than
@@ -393,16 +395,24 @@ object Similarity {
     val sub = codebooks(0)(0).length
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
-      s
+    // probe-cell selection uses the SAME metric as the assignment
+    // (cosine, ivfIndex): ranking cells by L2 here would search a
+    // different cell set than the one the index partitioned by and
+    // recall would silently drop toward chance on unnormalized data
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probed = cents.map { case (cell, c) => (cell, d2(probe, c)) }
-      .sortBy { case (cell, d) => (d, cell) }.take(nProbe)
-    val branches = probed.map { case (cell, _) =>
-      val cent = cents.collectFirst { case (c, v) if c == cell => v }.get
-      val dtable: Array[Array[Double]] = Array.tabulate(m) { j =>
+    val probed = cents.map { case (cell, c) => (cell, c, cos(probe, c)) }
+      .sortBy { case (cell, _, s) => (-s, cell) }.take(nProbe)
+    // ONE pass over the probed subset: per-cell residual distance
+    // tables dispatch through a chained CASE on the cell column — a
+    // union of per-cell filtered branches would re-execute the whole
+    // assignment+encode subtree once per probed cell inside a single
+    // action (measured nProbe x the work)
+    val dtables = probed.map { case (cell, cent, _) =>
+      cell -> Array.tabulate(m) { j =>
         codebooks(j).map { cw =>
           var s = 0.0; var i = 0
           while (i < sub) {
@@ -412,10 +422,15 @@ object Similarity {
           s
         }
       }
-      encoded.filter(col("cell") === cell)
-        .withColumn("adc_dist", graft.functions.PqCodec.adc(col("pq_code"), dtable))
     }
-    val byAdc = branches.reduce(_ unionByName _)
+    val adcByCell = dtables.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (cell, dtable)) =>
+        when(col("cell") === cell,
+          graft.functions.PqCodec.adc(col("pq_code"), dtable)).otherwise(acc)
+    }
+    val byAdc = encoded
+      .filter(col("cell").isin(dtables.map(_._1.asInstanceOf[Any]).toIndexedSeq: _*))
+      .withColumn("adc_dist", adcByCell)
     // k * shortlistFactor can overflow Int for the exhaustive twin
     val shortN = math.min(Int.MaxValue.toLong, k.toLong * shortlistFactor).toInt
     rerankVecCol match {

@@ -320,7 +320,14 @@ object EventStreams {
       .trigger(trigger)
       .start()
     q.awaitTermination()
-    spark.read.parquet(destDir)
+    // an empty feed commits no batch and never creates the
+    // destination — the contract (return destination state) then
+    // means an EMPTY frame, not a PATH_NOT_FOUND crash
+    val destPath = new org.apache.hadoop.fs.Path(destDir)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) spark.read.parquet(destDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
   }
 
   /**
