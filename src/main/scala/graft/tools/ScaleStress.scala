@@ -162,6 +162,38 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // IVF-PQ serving: the index MATERIALIZES once (assignment +
+    // residual encode written as codes — the build wall, amortized
+    // over every query) and the query serves from the materialized
+    // codes: probe-cell selection is metadata, the scan is an isin
+    // cell filter over 8-byte codes in ONE pass (the union-per-cell
+    // form measured nProbe x this). Query wall must track the probed
+    // fraction of the corpus, not the corpus.
+    if (wanted("ivfpq")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_ivfpq_")
+        val t0 = System.nanoTime()
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          corpus, "vec_id", "e", dim = 64, nLists = 16)
+        enc.write.parquet(s"$work/idx")
+        val tb = (System.nanoTime() - t0) / 1e9
+        val served = spark.read.parquet(s"$work/idx")
+        val probe = emb0.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1).toArray
+        val t1 = System.nanoTime()
+        val out = graft.operators.Similarity.ivfPqTopK(served, cents, cb, probe,
+          k = 10, nProbe = 4, rerankVecCol = Some("e")).count()
+        val tq = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE ivfpq   m=$m%2d vecs=$n%7d out=$out%9d build=$tb%7.1fs query=$tq%7.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     // JDBC round-trip (S1/S3/W1): W1 batch insert OUT, 4-stride
     // partitioned read BACK (data-derived bounds). The write wall is
     // the destination's price — embedded Derby is one process doing
