@@ -160,9 +160,18 @@ class PqSpec extends SparkTestBase {
       corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
     val probe = emb.filter(col("vec_id") === 0).select("e")
       .collect()(0).getSeq[Double](0).toArray
+    // expected distances use the SAME expanded L2 form the operator's
+    // re-rank computes (dot(v,v) - 2 dot(v,p) + ||p||^2, left-to-
+    // right): the factored sum((a-b)^2) differs by cancellation error
+    // and a near-tie at the rank-10 boundary could flip the order
+    val pNorm2 = probe.map(x => x * x).sum
+    def expandedL2(v: Array[Double]): Double = {
+      var vv = 0.0; var vp = 0.0; var i = 0
+      while (i < v.length) { vv += v(i) * v(i); vp += v(i) * probe(i); i += 1 }
+      vv - 2.0 * vp + pNorm2
+    }
     val exact = corpus.collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Double](1).toArray.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum))
+      .map(r => (r.getLong(0), expandedL2(r.getSeq[Double](1).toArray)))
       .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
     // nProbe = nLists + corpus-wide shortlist => exact by construction
     val exhaustive = Similarity.ivfPqTopK(enc, cents, cb, probe, k = 10,
@@ -170,15 +179,19 @@ class PqSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(exhaustive == exact, s"exhaustive IVF-PQ must equal exact L2:\n$exhaustive\n$exact")
     // production probe (a quarter of the cells): on this UNIFORM
-    // synthetic corpus cells carry no geometry, so recall cannot beat
-    // the nProbe/nLists ≈ 0.25 chance baseline by much — the
-    // correctness pin is the exhaustive equality above; this bound
-    // only catches a probe path that stops returning neighbors at all
-    val probed = Similarity.ivfPqTopK(enc, cents, cb, probe, k = 10,
+    // synthetic corpus cells carry no geometry, so recall hovers at
+    // the nProbe/nLists ≈ 0.25 chance baseline — a hard recall bound
+    // here would fail spuriously on a regenerated corpus (overlap is
+    // ~Binomial(10, 0.25)). The non-flaky pins: the probe path must
+    // return a full, correctly ordered top-k from the probed cells;
+    // recall is reported for information.
+    val probedRows = Similarity.ivfPqTopK(enc, cents, cb, probe, k = 10,
         nProbe = 4, rerankVecCol = Some("e"))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = (probed & exact.toSet).size / 10.0
+      .select("vec_id", "l2_dist").collect()
+    assert(probedRows.length == 10, s"expected a full top-10, got ${probedRows.length}")
+    val dists = probedRows.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted, s"probed top-k must be distance-ordered: $dists")
+    val recall = (probedRows.map(_.getLong(0)).toSet & exact.toSet).size / 10.0
     info(s"IVF-PQ nProbe=4 recall@10 = $recall (chance baseline 0.25 on uniform data)")
-    assert(recall >= 0.2, s"IVF-PQ recall collapsed below chance: $recall")
   }
 }
