@@ -386,6 +386,30 @@ object JobRunner {
             // would otherwise fail the validation with written=0)
             if (!stats.skipped) written = stats.rows
             stepsRun ::= step
+          case "MANIFEST_DESTINATION" =>
+            // Zone-map maintenance from the same config surface: one
+            // scan of the destination writes its per-file min/max
+            // manifest (Maintenance.statsManifest) into the hidden
+            // `_manifest` child — invisible to partition discovery,
+            // versioned WITH the data it describes, and the input of
+            // every manifest-driven skipping read (prunedPaths /
+            // skippingRead). transformation.parameters:
+            // manifestColumns (csv, required).
+            val mDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("MANIFEST_DESTINATION requires a destination"))
+            require(Set("PARQUET", "ORC")(mDest.`type`.toUpperCase),
+              s"MANIFEST_DESTINATION supports PARQUET/ORC destinations, got ${mDest.`type`}")
+            val mPath = mDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("MANIFEST_DESTINATION requires a file path destination"))
+            val mCols = cfg.transformation.parameters.get("manifestColumns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            require(mCols.nonEmpty,
+              "MANIFEST_DESTINATION requires transformation.parameters.manifestColumns")
+            graft.operators.Maintenance.statsManifest(
+                spark.read.format(mDest.`type`.toLowerCase).load(mPath), mCols)
+              .coalesce(1) // one row per data FILE — metadata-sized
+              .write.mode("overwrite").parquet(s"$mPath/_manifest")
+            stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
             // row count == recordsWritten. The read-back must mirror the

@@ -219,6 +219,41 @@ class OrchestrationSpec extends SparkTestBase {
     }
   }
 
+  test("MANIFEST_DESTINATION step writes the zone-map beside the data it describes") {
+    import spark.implicits._
+    val work = tmpDir("manifest_step")
+    spark.range(0, 3000).selectExpr("id AS k", "id % 7 AS v")
+      .repartition(4).write.parquet(s"$work/src")
+    val cfgJson =
+      s"""{"jobId":"manifest-1","steps":["LOAD","MANIFEST_DESTINATION"],
+         |"source":{"type":"PARQUET","connectionDetails":{"path":"$work/src"}},
+         |"destination":{"type":"PARQUET","connectionDetails":{"path":"$work/dest"}},
+         |"mappings":[
+         |  {"sourceFieldName":"k","destinationFieldName":"k","destFieldType":"LONG"},
+         |  {"sourceFieldName":"v","destinationFieldName":"v","destFieldType":"LONG"}],
+         |"transformation":{"type":"NONE","parameters":{"manifestColumns":"k,v"}}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/m.json"), cfgJson)
+    val res = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/m.json"))
+    assert(res.status == JobRunner.Completed, res.message)
+    val manifest = spark.read.parquet(s"$work/dest/_manifest")
+    val fs = new org.apache.hadoop.fs.Path(s"$work/dest")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = graft.operators.Maintenance.dataFiles(fs,
+      new org.apache.hadoop.fs.Path(s"$work/dest"))
+    assert(manifest.count() == dataFiles.size,
+      s"one manifest row per data file: ${manifest.count()} vs ${dataFiles.size}")
+    // the hidden manifest must be invisible to a plain read of dest...
+    assert(spark.read.parquet(s"$work/dest").count() == 3000)
+    // ...and global min/max must agree with the data
+    val m = manifest.agg(min("min_k"), max("max_k"), sum("n_rows")).head()
+    assert(m.getLong(0) == 0L && m.getLong(1) == 2999L && m.getLong(2) == 3000L)
+    // the persisted manifest drives a skipping read that equals the filter
+    val pruned = graft.operators.Maintenance.skippingRead(
+      spark, s"$work/dest", manifest, "k", lit(100), lit(200))
+    val full = spark.read.parquet(s"$work/dest").filter(col("k").between(100, 200))
+    assert(pruned.orderBy("k").collect().toSeq == full.orderBy("k").collect().toSeq)
+  }
+
   test("cooperative cancellation via job groups (O11)") {
     val t = new Thread(() => {
       try {
