@@ -393,8 +393,12 @@ object JobRunner {
             // `_manifest` child — invisible to partition discovery,
             // versioned WITH the data it describes, and the input of
             // every manifest-driven skipping read (prunedPaths /
-            // skippingRead). transformation.parameters:
-            // manifestColumns (csv, required).
+            // skippingRead). The manifest names data FILES, so any
+            // rewrite of the destination (COMPACT_DESTINATION, a
+            // merge swap) invalidates it — order this step AFTER
+            // compaction in the step list and re-run it per load.
+            // transformation.parameters: manifestColumns (csv,
+            // required).
             val mDest = cfg.destination.getOrElse(
               throw new IllegalArgumentException("MANIFEST_DESTINATION requires a destination"))
             require(Set("PARQUET", "ORC")(mDest.`type`.toUpperCase),
