@@ -246,6 +246,45 @@ object EtlQueries {
              |CAST(n_regionkey AS BIGINT) AS region_id
              |FROM nation ORDER BY nation_id""".stripMargin)),
 
+    // ---- the REST SINK live on the hard gate (W4): nation rows POST
+    //      as ND-JSON batches from inside each partition through the
+    //      DEFAULT HTTP transport (real connections, batchSize=7 so
+    //      batching actually engages) to a local server accumulating
+    //      the received lines; what the remote side actually received
+    //      parses back and must equal the dimension — wire format,
+    //      partition-parallel POST path, and batching all
+    //      round-tripped. Nation is fixed 25 rows at every SF, so the
+    //      server-side accumulation is metadata-sized. ----
+    Q("etl_rest_sink",
+      (s, dir) => {
+        val received = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[String]())
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          body.linesIterator.filter(_.nonEmpty).foreach(received.add)
+          ex.sendResponseHeaders(204, -1)
+          ex.close()
+        })
+        server.start()
+        try {
+          Writers.rest(
+            Tables.t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+            DestinationConfig("REST", ConnectionDetails(
+                path = Some(s"http://127.0.0.1:${server.getAddress.getPort}/ingest")),
+              batchSize = 7))
+        } finally server.stop(0) // the feed is fully received; nothing lazy
+        import scala.jdk.CollectionConverters._
+        import s.implicits._
+        s.read.json(s.createDataset(received.asScala.toSeq))
+          .select(col("n_nationkey").cast("long").as("nation_id"),
+            col("n_name").as("name"))
+          .orderBy("nation_id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS name
+             |FROM nation ORDER BY nation_id""".stripMargin)),
+
     // ---- incremental aggregate maintenance: the materialized summary
     //      refreshed by MERGING the delta's summary (mergeable
     //      count/DECIMAL-sum/min/max algebra) — the oracle aggregates
