@@ -80,6 +80,23 @@ object EtlQueries {
     }
   }
 
+  /** Run `body` against a local ephemeral-port HTTP server exposing
+    * `handler` at `path`, stopping the server whatever happens — ONE
+    * lifecycle implementation for the live-HTTP gate rows (a leak of
+    * the bound socket on a start failure, or a forgotten stop, would
+    * hang sbt: the JDK server's dispatcher thread is non-daemon). */
+  private def withLocalHttpServer[A](path: String,
+                                     handler: com.sun.net.httpserver.HttpExchange => Unit)
+                                    (body: Int => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => handler(ex))
+      server.start()
+      body(server.getAddress.getPort)
+    } finally server.stop(0)
+  }
+
   val all: Seq[Q] = Seq(
     Q("load_sales",
       (s, dir) => {
@@ -218,25 +235,23 @@ object EtlQueries {
             s"""{"n_nationkey":"${r.getLong(0)}","n_name":"${esc(r.getString(1))}","n_regionkey":"${r.getLong(2)}"}""")
             .mkString("\n")
         }.toMap
-        val server = com.sun.net.httpserver.HttpServer.create(
-          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-        server.createContext("/feed", (ex: com.sun.net.httpserver.HttpExchange) => {
+        withLocalHttpServer("/feed", ex => {
           val page = Option(ex.getRequestURI.getQuery)
             .map(_.stripPrefix("page=")).getOrElse("")
           val body = pages.getOrElse(page, "").getBytes("UTF-8")
           ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
           if (body.nonEmpty) ex.getResponseBody.write(body)
           ex.close()
-        })
-        server.start()
-        try {
+        }) { port =>
+          // the feed commits to parquet INSIDE the server's lifetime;
+          // nothing reads it lazily after stop
           s.read.format("graft.sources.RestDataSource")
-            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/feed?page={page}")
+            .option("url", s"http://127.0.0.1:$port/feed?page={page}")
             .option("pages", "5")
             .option("fields", "n_nationkey,n_name,n_regionkey")
             .load()
             .write.parquet(s"$work/out")
-        } finally server.stop(0) // the feed is committed; nothing reads it lazily
+        }
         s.read.parquet(s"$work/out")
           .select(col("n_nationkey").cast("long").as("nation_id"),
             col("n_name").as("name"), col("n_regionkey").cast("long").as("region_id"))
@@ -259,22 +274,19 @@ object EtlQueries {
       (s, dir) => {
         val received = java.util.Collections.synchronizedList(
           new java.util.ArrayList[String]())
-        val server = com.sun.net.httpserver.HttpServer.create(
-          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-        server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+        withLocalHttpServer("/ingest", ex => {
           val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
           body.linesIterator.filter(_.nonEmpty).foreach(received.add)
           ex.sendResponseHeaders(204, -1)
           ex.close()
-        })
-        server.start()
-        try {
+        }) { port =>
+          // rest() is eager — the feed is fully received before stop
           Writers.rest(
             Tables.t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
             DestinationConfig("REST", ConnectionDetails(
-                path = Some(s"http://127.0.0.1:${server.getAddress.getPort}/ingest")),
+                path = Some(s"http://127.0.0.1:$port/ingest")),
               batchSize = 7))
-        } finally server.stop(0) // the feed is fully received; nothing lazy
+        }
         import scala.jdk.CollectionConverters._
         import s.implicits._
         s.read.json(s.createDataset(received.asScala.toSeq))

@@ -409,6 +409,14 @@ object JobRunner {
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             require(mCols.nonEmpty,
               "MANIFEST_DESTINATION requires transformation.parameters.manifestColumns")
+            // flat layouts only, enforced like COMPACT: a hive root's
+            // manifest would name leaf files that a later skippingRead
+            // loads WITHOUT the partition columns (dataFiles throws on
+            // nested layouts — manifest each leaf instead)
+            val mFs = new org.apache.hadoop.fs.Path(mPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            graft.operators.Maintenance.dataFiles(mFs,
+              new org.apache.hadoop.fs.Path(mPath))
             graft.operators.Maintenance.statsManifest(
                 spark.read.format(mDest.`type`.toLowerCase).load(mPath), mCols)
               .coalesce(1) // one row per data FILE — metadata-sized

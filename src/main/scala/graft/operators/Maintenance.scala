@@ -368,13 +368,39 @@ object Maintenance {
     * with the same predicate, by construction — the manifest only
     * ever drops files whose whole range misses. An empty selection
     * degrades to a footer-only read of the root so the schema (and
-    * the empty result) stay correct. */
+    * the empty result) stay correct.
+    *
+    * STALENESS is detected, not tolerated: a data file present under
+    * `root` but absent from the manifest (an append since the
+    * manifest was written) would be silently skipped whatever the
+    * predicate — wrong answers with no error — so the file sets are
+    * cross-checked (one directory listing, the same metadata cost
+    * scan planning pays) and a stale manifest fails loudly. */
   def skippingRead(spark: SparkSession, root: String, manifest: DataFrame,
                    statCol: String,
                    lo: org.apache.spark.sql.Column,
                    hi: org.apache.spark.sql.Column,
                    format: String = "parquet"): DataFrame = {
-    val paths = prunedPaths(manifest, statCol, lo, hi)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = dataFiles(fs, rootPath).map(_.getPath.getName).toSet
+    // the check + prune read the manifest twice — persist so a
+    // freshly-COMPUTED manifest (a scan over the data) runs once
+    val m = manifest.persist()
+    val paths =
+      try {
+        // basenames, not full URIs: input_file_name records a file:
+        // URI while listings may carry a bare path; part-file names
+        // are unique within a directory
+        val manifested = m.select("file").collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+        val unmanifested = live -- manifested
+        require(unmanifested.isEmpty,
+          s"manifest for $root is STALE: ${unmanifested.size} data file(s) it does not " +
+            s"cover (e.g. ${unmanifested.take(3).mkString(", ")}) — rewrite the manifest " +
+            "(MANIFEST_DESTINATION / statsManifest) after appends or rewrites")
+        prunedPaths(m, statCol, lo, hi)
+      } finally m.unpersist()
     if (paths.isEmpty)
       spark.read.format(format).load(root).filter(lit(false))
     else

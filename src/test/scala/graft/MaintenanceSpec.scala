@@ -247,6 +247,22 @@ class MaintenanceSpec extends SparkTestBase {
     assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0)
   }
 
+  test("skippingRead fails loudly on a stale manifest (appended file uncovered)") {
+    val dir = tmpDir("graft_skipstale_") + "/t"
+    spark.range(0, 1000).selectExpr("id", "id % 5 AS v").coalesce(1).write.parquet(dir)
+    // persist the manifest (a lazily recomputed one would see the
+    // append and mask the staleness this test is about)
+    Maintenance.statsManifest(spark.read.parquet(dir), Seq("id"))
+      .write.parquet(s"$dir/_manifest")
+    val persisted = spark.read.parquet(s"$dir/_manifest")
+    spark.range(1000, 1200).selectExpr("id", "id % 5 AS v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.skippingRead(spark, dir, persisted, "id", lit(0), lit(5000))
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
   test("zOrderedAuto rescales imbalanced domains so BOTH columns skip") {
     // x spans [0, 1e9), y spans [0, 100): raw bit-interleave would let
     // x's high bits own the curve and y ranges would prune nothing
