@@ -187,12 +187,58 @@ object SimilarityQueries {
       (s, dir) => graft.multimodal.Multimodal.documentFeatures(s, dir)
         .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
         .orderBy("media_id"),
+      // oracle iterates UTF-8 BYTES (hex-pair extraction) to match the
+      // byte-hashing decode stub — a code-point fold would silently
+      // depend on the corpus staying ASCII
       Some("""SELECT doc_id AS media_id, 'text/utf-8' AS modality,
              |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  [unicode(c) FOR c IN string_split(text, '')]),
+             |  [CAST(strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) * 16
+             |      + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)) AS BIGINT)
+             |   FOR i IN range(octet_length(encode(text)))]),
              |  (a, x) -> (a * 31 + x) % 1000000007) AS checksum
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- frame sampling on the gate: each payload slices into
+    //      fixed-width 64-byte frames, every 2nd kept — the
+    //      video-frame-sampling contract (byte-slicing stub standing
+    //      in for codec-aware extraction; the Spark-side plumbing —
+    //      typed flatMap, bounded output |payload|/everyK — is real).
+    //      The oracle replays the identical slice arithmetic AND the
+    //      per-frame byte checksum via hex-pair extraction, so frame
+    //      boundaries and frame CONTENT are both pinned. ----
+    Q("multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = graft.multimodal.Multimodal.asMedia(
+          Tables.t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/utf-8")
+        graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 2)
+          .map { f =>
+            var h = 0L; var i = 0
+            while (i < f.frame.length) {
+              h = (h * 31L + (f.frame(i) & 0xff)) % 1000000007L; i += 1
+            }
+            (f.media_id, f.frame_idx, f.frame.length, h)
+          }
+          .toDF("media_id", "frame_idx", "n_bytes", "checksum")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            octet_length(encode(text)) AS L FROM documents),
+             |f AS (SELECT doc_id, i, LEAST(64, L - i*64) AS n,
+             |        substr(hex(b), i*128 + 1, CAST(LEAST(64, L - i*64) * 2 AS BIGINT)) AS hx
+             |      FROM d, UNNEST(range(CAST(ceil(L / 64.0) AS BIGINT))) AS t(i)
+             |      WHERE i % 2 = 0)
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+             |  CAST(n AS INTEGER) AS n_bytes,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    [CAST(strpos('123456789ABCDEF', substr(hx, 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hx, 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))]),
+             |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
 
     // ---- ANN via random-hyperplane LSH: signature filter + exact
     //      re-rank. Approximate BY DESIGN (recall < 1 on these
