@@ -1793,6 +1793,33 @@ object AnalyticsQueries {
              |HAVING MAX(ts) + INTERVAL '10 minutes' <= wm
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- SLIDING windows through the real streaming engine (each
+    //      event feeds TWO overlapping 1h windows on the 30-min grid
+    //      — the state-fan-out shape tumbling doesn't exercise: one
+    //      input row updates multiple window states). Append emission:
+    //      a window flushes once the watermark passes its END, so the
+    //      committed set is the windows with start + 1h <= max(ts) −
+    //      2h — the oracle expands each event into its two candidate
+    //      windows and states that filter directly. ----
+    Q("events_stream_sliding",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val agg = graft.streaming.EventStreams.slidingCounts(
+          graft.streaming.EventStreams.readEvents(s, src),
+          windowLen = "1 hour", slide = "30 minutes", watermark = "2 hours")
+        graft.streaming.EventStreams.runToParquet(s, agg, work,
+            statePartitions = Some(8)) // tiny state; see tumbling note
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |cut AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM e),
+             |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM e
+             |      UNION ALL
+             |      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM e)
+             |SELECT window_start, event_type, COUNT(*) AS n FROM w, cut
+             |WHERE window_start + INTERVAL '1 hour' <= wm
+             |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin)),
+
     // ---- streaming exact dedup through the real engine: the events
     //      file staged TWICE (a full at-least-once redelivery),
     //      dropDuplicatesWithinWatermark keeps one copy per event_id
@@ -1865,9 +1892,10 @@ object AnalyticsQueries {
         val work = CacheDirs.tempWorkDir("graft_stream_upsert_")
         val src = work.resolve("src")
         java.nio.file.Files.createDirectory(src)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.schema(graft.streaming.EventStreams.eventSchema)
-          .parquet(s"$dir/events.parquet")
+        // stage the NORMALIZED feed (ts already TimestampType), so the
+        // staged halves are vintage-independent — readEvents re-detects
+        // the type from the staged footers
+        val raw = Tables.t(s, dir, "events")
         Seq(0, 1).foreach { h =>
           val half = work.resolve(s"h$h").toString
           raw.filter(col("event_id") % 2 === h).coalesce(1).write.parquet(half)

@@ -108,10 +108,17 @@ object Bench {
     val missing = headline -- results.map(_._1).toSet
     if (missing.nonEmpty)
       System.err.println(s"[bench] WARNING: headline names not in registry (renamed/removed?): ${missing.toSeq.sorted.mkString(", ")}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"n_failed":${failed.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length}B nears the 2000B driver tail window")
     println(line)
     spark.stop()
+    // an incomplete bench must not look green (r9: 16 queries erred
+    // under rc=0 and the headline silently excluded them) — the JSON
+    // line is already on stdout, so a nonzero exit loses nothing
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] INCOMPLETE: ${failed.size} queries failed to run: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

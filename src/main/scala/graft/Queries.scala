@@ -18,16 +18,34 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is a NANOS parquet timestamp, which Spark has no
-    * native type for — read it as long (legacy conf) and truncate to
-    * microseconds, matching what DuckDB's CAST(ts AS TIMESTAMP) does. */
+  /** `events.ts` has drifted across fixture generations — nanos
+    * int64 (no native Spark type; the legacy conf surfaces it as
+    * LongType), now plain timestamp[us] (TIMESTAMP_NTZ). Branch on
+    * the type the footer actually carries instead of assuming a
+    * vintage, so a regeneration can't silently break every events
+    * read again. All sessions pin spark.sql.session.timeZone=UTC,
+    * so the NTZ->instant cast is a pure reinterpretation. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Land `ts` as a UTC TimestampType column whatever physical type
+    * the source read produced. Shared by the batch reader above and
+    * the streaming reader (EventStreams.readEvents). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // `div` = integer division: ns-epoch values exceed double's 53-bit
-    // mantissa, so `/` (true division) would corrupt the low digits.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // legacy nanos feed: `div` = integer division — ns-epoch values
+      // exceed double's 53-bit mantissa, so `/` (true division) would
+      // corrupt the low digits.
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — extend Tables.normalizeEventTs")
+    }
   }
 
   /** Register tables as temp views so queries can use spark.sql with

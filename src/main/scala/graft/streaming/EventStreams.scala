@@ -22,27 +22,27 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** The events schema as Spark sees it AFTER ns->us conversion. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw NANOS int64 in the parquet file
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming scan of an events parquet directory (file source —
     * at scale this is the same code over a Kafka source).
     * `maxFilesPerTrigger` caps each micro-batch's file intake — the
     * backpressure knob of the file source (and, in tests, the way to
-    * force a bounded feed through MULTIPLE micro-batches). */
+    * force a bounded feed through MULTIPLE micro-batches).
+    *
+    * The file source requires a user-supplied schema, which round 9
+    * proved is a fixture-drift trap when hard-coded: the feed's `ts`
+    * regenerated from nanos-int64 to timestamp[us] and the pinned
+    * LongType schema silently read raw micros (timestamps collapsed
+    * 1000x; watermarks never fired). So take the schema from the
+    * directory's own parquet footers (one cheap batch footer read)
+    * and normalize `ts` by its ACTUAL type via
+    * [[graft.Tables.normalizeEventTs]]. */
   def readEvents(spark: SparkSession, path: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(eventSchema)
+    val footerSchema = spark.read.parquet(path).schema
+    val r = spark.readStream.schema(footerSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(r.parquet(path))
   }
 
   /** Tumbling-window counts with late-data handling via watermark. */

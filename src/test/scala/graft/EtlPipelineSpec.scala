@@ -250,6 +250,14 @@ class EtlPipelineSpec extends SparkTestBase {
     val p2 = Seq((1L, "b")).toDF("k", "present")
     val d = graft.operators.Upsert.snapshotDiff(p1, p2, Seq("k")).collect()
     assert(d.length == 1 && d(0).getString(1) == "UPDATE")
+    // worst case: an input column literally named the marker itself —
+    // the suffix-growing guard must sidestep it (VERDICT r9 item 5)
+    val m1 = Seq((1L, "a", true), (2L, "x", false)).toDF("k", "__diff_present__", "v")
+      .select("k", "__diff_present__")
+    val m2 = Seq((1L, "b")).toDF("k", "__diff_present__")
+    val dm = graft.operators.Upsert.snapshotDiff(m1, m2, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dm == Map(1L -> "UPDATE", 2L -> "DELETE"), dm.toString)
   }
 
   test("scd2Apply: closes only the current row, preserves history, chains batches") {

@@ -78,6 +78,36 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.compactPartitioned(spark, root).isEmpty)
   }
 
+  test("compactPartitioned with sortCols range-clusters even a single-file leaf") {
+    // VERDICT r9 item 7: count-skipping applies only to the plain
+    // compaction contract — with sortCols a lone UNSORTED file still
+    // needs the range rewrite, matching flat compact's behavior
+    val root = tmpDir("graft_compact_") + "/p1"
+    spark.range(0, 4000).select((col("id") * 2654435761L % 4000).as("id"),
+        lit(0).as("k"))
+      .coalesce(1).write.partitionBy("k").parquet(root)
+    val leaf = new Path(s"$root/k=0")
+    assert(Maintenance.dataFiles(fs, leaf).size == 1, "fixture must be a single file")
+    val bytes = Maintenance.dataFiles(fs, leaf).map(_.getLen).sum
+    // no sortCols: the single-file leaf is skipped entirely
+    assert(Maintenance.compactPartitioned(spark, root,
+      targetFileBytes = (bytes + 3) / 4).isEmpty)
+    // sortCols: the leaf is rewritten into range-clustered files
+    val results = Maintenance.compactPartitioned(spark, root,
+      targetFileBytes = (bytes + 3) / 4, sortCols = Seq("id"))
+    assert(results.size == 1, s"single leaf expected: $results")
+    val ranges = Maintenance.dataFiles(fs, leaf).map { f =>
+      val r = spark.read.parquet(f.getPath.toString).agg(min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size >= 2, s"want multiple clustered files, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+    assert(spark.read.parquet(root).count() == 4000)
+  }
+
   test("compact refuses hive-partitioned roots and empty/missing dirs") {
     val root = tmpDir("graft_compact_")
     val part = s"$root/p"

@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1).frame.length == 500 && frames(1).frame(0) == 2000.toByte)
   }
 
+  test("checksum hashes UTF-8 BYTES, not code points (non-ASCII round trip)") {
+    // VERDICT r9 item 4: prove the Spark-side checksum and the
+    // byte-wise polynomial the DuckDB oracle computes agree beyond
+    // ASCII — one 2-byte (é), one 3-byte (€), one 4-byte (𝕊) char
+    val text = "héllo €1 𝕊"
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.codePointCount(0, text.length), "fixture must be non-ASCII")
+    val expected = bytes.foldLeft(0L)((a, b) => (a * 31L + (b & 0xff)) % 1000000007L)
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Seq((1L, text)).toDF("id", "t").select(col("id"), encode(col("t"), "UTF-8").as("p")),
+        "id", "p", "text")).collect()
+    assert(out.length == 1)
+    assert(out(0).n_bytes == bytes.length, "n_bytes must count bytes, not chars")
+    assert(out(0).checksum == expected,
+      s"checksum ${out(0).checksum} != byte-wise $expected — code-point drift")
+  }
+
   test("batching bounds batch size and loses no rows") {
     val media = Multimodal.asMedia(
       Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4)), (3L, Array[Byte]()))
