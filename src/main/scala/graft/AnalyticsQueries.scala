@@ -1878,6 +1878,53 @@ object AnalyticsQueries {
              |  AND pu.r_us >= su.l_us AND pu.r_us <= su.l_us + 3600000000
              |ORDER BY l_id, r_id""".stripMargin)),
 
+    // ---- stream-stream LEFT OUTER interval join through the real
+    //      engine: matched pairs emit immediately (the inner result),
+    //      while an UNMATCHED signup emits a null-purchase row only at
+    //      state eviction — once the watermark proves no future
+    //      purchase can land in its hour-long join window (wm past
+    //      l_ts + 1h). That eviction moment is exactly what bounds
+    //      outer-join state at 100 TB, and it is oracle-stateable:
+    //      inner pairs ∪ anti-join survivors whose window closed
+    //      before the final watermark. The watermark is the MIN over
+    //      BOTH sides' watermark operators (each tracks only its own
+    //      filtered feed), so the cut is
+    //      least(max signup ts, max purchase ts) − 2h — verified
+    //      against the engine: max(ts) over all events overstates the
+    //      cut and strands the last pre-cut signups. ----
+    Q("events_stream_correlate_outer",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val joined = graft.streaming.EventStreams.correlate(
+          graft.streaming.EventStreams.readEvents(s, src),
+          leftType = "signup", rightType = "purchase",
+          interval = "1 hour", watermark = "2 hours",
+          joinType = "leftOuter")
+        graft.streaming.EventStreams.runToParquet(s, joined, work,
+            statePartitions = Some(8)) // tiny state; see tumbling note
+          .select(col("user_id"), col("l_id"), col("r_id"),
+            unix_micros(col("l_ts")).as("l_us"))
+          .orderBy("l_id", "r_id")
+      },
+      Some("""WITH su AS (SELECT user_id, event_id AS l_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+             |  FROM events WHERE event_type = 'signup'),
+             |pu AS (SELECT user_id AS p_user, event_id AS r_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |cut AS (SELECT least(
+             |    max(CASE WHEN event_type = 'signup'
+             |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END),
+             |    max(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)) - 7200000000 AS wm
+             |        FROM events)
+             |SELECT su.user_id, su.l_id, pu.r_id, su.l_us
+             |FROM su LEFT JOIN pu ON pu.p_user = su.user_id
+             |  AND pu.r_us >= su.l_us AND pu.r_us <= su.l_us + 3600000000
+             |CROSS JOIN cut
+             |WHERE pu.r_id IS NOT NULL OR su.l_us + 3600000000 < cut.wm
+             |ORDER BY l_id, r_id""".stripMargin)),
+
     // ---- streaming keyed UPSERT through the real engine: the feed is
     //      staged as TWO files and read with maxFilesPerTrigger=1, so
     //      the merge genuinely happens ACROSS micro-batches — each
