@@ -40,6 +40,28 @@ object AnalyticsQueries {
     (src.toString, work.toString)
   }
 
+  /** Stage the NORMALIZED events feed (ts already TimestampType, so
+    * the staged halves are vintage-independent — readEvents re-detects
+    * the type from the staged footers) as TWO single-file halves;
+    * read with maxFilesPerTrigger=1 this forces a genuinely
+    * cross-micro-batch run. Returns (srcDir, workDir). */
+  private def stageTwoFileFeed(s: org.apache.spark.sql.SparkSession, dir: String,
+                               prefix: String): (String, java.nio.file.Path) = {
+    val work = CacheDirs.tempWorkDir(prefix)
+    val src = work.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val raw = Tables.t(s, dir, "events")
+    Seq(0, 1).foreach { h =>
+      val half = work.resolve(s"h$h").toString
+      raw.filter(col("event_id") % 2 === h).coalesce(1).write.parquet(half)
+      val part = new java.io.File(half).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $half"))
+      java.nio.file.Files.move(part.toPath, src.resolve(s"h$h.parquet"))
+    }
+    (src.toString, work)
+  }
+
   /** Bucketed copies of lineitem/orders (16 buckets + sort on the
     * order key, written once per corpus fingerprint into the cache
     * warehouse), joined bucket-to-bucket. Both sides carry the SAME
@@ -1936,28 +1958,47 @@ object AnalyticsQueries {
     //      oracle states as one window rewrite over the whole feed. ----
     Q("events_stream_upsert",
       (s, dir) => {
-        val work = CacheDirs.tempWorkDir("graft_stream_upsert_")
-        val src = work.resolve("src")
-        java.nio.file.Files.createDirectory(src)
-        // stage the NORMALIZED feed (ts already TimestampType), so the
-        // staged halves are vintage-independent — readEvents re-detects
-        // the type from the staged footers
-        val raw = Tables.t(s, dir, "events")
-        Seq(0, 1).foreach { h =>
-          val half = work.resolve(s"h$h").toString
-          raw.filter(col("event_id") % 2 === h).coalesce(1).write.parquet(half)
-          val part = new java.io.File(half).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file under $half"))
-          java.nio.file.Files.move(part.toPath, src.resolve(s"h$h.parquet"))
-        }
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_upsert_")
         graft.streaming.EventStreams.upsertStream(s,
-            graft.streaming.EventStreams.readEvents(s, src.toString,
+            graft.streaming.EventStreams.readEvents(s, src,
               maxFilesPerTrigger = Some(1)),
             work.resolve("dest").toString,
             keys = Seq("user_id"), versionCol = "event_id",
             checkpoint = work.resolve("ckpt").toString)
           .select("user_id", "event_id", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming keyed upsert into a RELATIONAL destination: the
+    //      same two-file/maxFilesPerTrigger=1 feed, but each
+    //      micro-batch lands in a Derby staging table through the
+    //      executor-parallel JDBC writer and ONE server-side MERGE
+    //      folds it into the target (newest event_id per user wins —
+    //      the version guard in the MERGE predicate is what makes a
+    //      replayed batch idempotent). The result is the TARGET TABLE
+    //      read back over JDBC, so green pins the full streaming →
+    //      staging insert → MERGE → serving-database path; the oracle
+    //      is the same keep-latest rewrite as the parquet twin. Fresh
+    //      per-run db under the work dir: embedded Derby boots one
+    //      JVM per database and state must not leak across runs. ----
+    Q("events_stream_jdbc_upsert",
+      (s, dir) => {
+        graft.sources.Readers.ensureDerbyHome()
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_jdbcup_")
+        val url = s"jdbc:derby:${work.resolve("db")}/db;create=true"
+        graft.streaming.EventStreams.jdbcUpsertStream(s,
+            graft.streaming.EventStreams.readEvents(s, src,
+                maxFilesPerTrigger = Some(1))
+              .select("user_id", "event_id", "event_type", "value"),
+            url, table = "EVENTS_LATEST", stagingTable = "EVENTS_STAGE",
+            keys = Seq("user_id"), versionCol = "event_id",
+            ddl = "\"user_id\" BIGINT NOT NULL PRIMARY KEY, \"event_id\" BIGINT, " +
+              "\"event_type\" VARCHAR(32), \"value\" DOUBLE",
+            checkpoint = work.resolve("ckpt").toString,
+            stagingColumnTypes = Some("event_type VARCHAR(32)"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id, event_id, event_type, value FROM events

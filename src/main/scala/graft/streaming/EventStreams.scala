@@ -331,6 +331,89 @@ object EventStreams {
   }
 
   /**
+   * Streaming keyed upsert into a RELATIONAL destination — the
+   * streaming twin of the W1 JDBC batch-insert sink, and the shape a
+   * 100 TB pipeline uses to keep a serving database current from a
+   * feed. Per micro-batch: (1) reduce the batch to newest-per-key
+   * (`keepLatest` over an empty base — a server-side MERGE throws a
+   * cardinality violation if two source rows hit one target row),
+   * (2) land it in a staging table through the executor-parallel JDBC
+   * writer, (3) ONE server-side `MERGE INTO` folds staging into the
+   * target, newest `versionCol` wins. The version guard makes a
+   * replayed batch (at-least-once redelivery, foreachBatch reruns
+   * after a crash) converge to the same final state — idempotence
+   * lives in the MERGE predicate, not in fragile sink dedup.
+   *
+   * Scale posture: the expensive half (batch dedup + staging insert)
+   * is distributed; the MERGE is one set-based server-side statement
+   * per batch (no per-row driver round-trips). At warehouse scale the
+   * same shape runs against any MERGE-capable store.
+   *
+   * `ddl` gives the target's column DDL (Derby maps strings to CLOB
+   * by default, which can't even be compared server-side — the caller
+   * states VARCHAR widths). Identifiers are double-quoted to match
+   * the Spark JDBC writer's quoted (case-preserving) staging columns.
+   */
+  def jdbcUpsertStream(spark: SparkSession, stream: DataFrame,
+                       url: String, table: String, stagingTable: String,
+                       keys: Seq[String], versionCol: String, ddl: String,
+                       checkpoint: String,
+                       stagingColumnTypes: Option[String] = None,
+                       trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    require(keys.nonEmpty, "jdbcUpsertStream needs at least one merge key")
+    val cols = stream.schema.fieldNames.toSeq
+    val nonKeys = cols.filterNot(c => keys.contains(c))
+    require(nonKeys.contains(versionCol), s"versionCol $versionCol must be a non-key column")
+    def q(c: String) = "\"" + c + "\""
+    val onClause = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val setClause = nonKeys.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    val mergeSql =
+      s"""MERGE INTO $table t USING $stagingTable s ON $onClause
+         |WHEN MATCHED AND s.${q(versionCol)} > t.${q(versionCol)}
+         |  THEN UPDATE SET $setClause
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+    val props = new java.util.Properties()
+    // target created up front (driver connection also boots the db):
+    // an empty feed then returns an empty TABLE, not a read error.
+    // CREATE ... IF NOT EXISTS doesn't exist in Derby: try, swallow
+    // only the table-already-exists state (X0Y32).
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table ($ddl)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    } finally conn0.close()
+    val query: StreamingQuery = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val deduped = graft.operators.Upsert.keepLatest(
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            batch.schema),
+          batch.toDF(), keys, versionCol)
+        // string columns must land as comparable VARCHARs, not
+        // Derby's default CLOB, or the MERGE's SET/compare fails
+        val w = deduped.write.mode("overwrite")
+        stagingColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+        w.jdbc(url, stagingTable, props)
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(mergeSql) finally st.close()
+        } finally conn.close()
+        () // foreachBatch wants Unit, not executeUpdate's row count
+      }
+      .trigger(trigger)
+      .start()
+    query.awaitTermination()
+    spark.read.jdbc(url, table, props)
+  }
+
+  /**
    * Execute a streaming aggregate through a PARQUET sink (append mode
    * — the only mode file sinks support) with `Trigger.AvailableNow`,
    * then read the committed files back. This is the production

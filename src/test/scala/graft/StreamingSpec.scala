@@ -53,6 +53,53 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
   }
 
+  test("streaming JDBC upsert: cross-batch MERGE, replay is idempotent") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.sources.Readers.ensureDerbyHome()
+    val work = tmpDir("graft_jdbcup_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def half(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // duplicate versions per key WITHIN one file: the pre-MERGE batch
+    // dedup must reduce them or Derby throws a cardinality violation
+    half("h0", spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v")
+      .unionAll(spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(0 AS BIGINT) AS ver", "'stale' AS v")))
+    half("h1", spark.range(0, 50).selectExpr(
+      "id AS k", "CAST(2 AS BIGINT) AS ver", "'b' AS v"))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val url = s"jdbc:derby:$work/db;create=true"
+    def run(ckpt: String) = EventStreams.jdbcUpsertStream(spark,
+      spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src),
+      url, table = "T_LATEST", stagingTable = "T_STAGE",
+      keys = Seq("k"), versionCol = "ver",
+      ddl = "\"k\" BIGINT NOT NULL PRIMARY KEY, \"ver\" BIGINT, \"v\" VARCHAR(8)",
+      checkpoint = s"$work/$ckpt",
+      stagingColumnTypes = Some("v VARCHAR(8)"))
+    val out = run("ckpt1")
+    assert(out.count() == 100)
+    assert(out.filter(col("k") < 50 && col("ver") === 2 && col("v") === "b").count() == 50)
+    assert(out.filter(col("k") >= 50 && col("ver") === 1 && col("v") === "a").count() == 50)
+    val batches = new java.io.File(s"$work/ckpt1/offsets").listFiles()
+      .count(f => !f.getName.startsWith("."))
+    assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
+    // full at-least-once replay (fresh checkpoint, same db): the MERGE
+    // version guard must converge to the identical final state
+    val replay = run("ckpt2")
+    assert(replay.count() == 100)
+    assert(replay.filter(col("k") < 50 && col("ver") === 2 && col("v") === "b").count() == 50)
+    assert(replay.filter(col("k") >= 50 && col("ver") === 1 && col("v") === "a").count() == 50)
+  }
+
   test("streaming tumbling window == batch events_tumbling_window") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(spark,
