@@ -2514,6 +2514,43 @@ object AnalyticsQueries {
              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
              |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- DYNAMIC-gap session windows: the gap is a per-ROW column
+    //      (purchases hold a session open 30 min, everything else
+    //      10 min) — the `session_window(ts, Column)` form fixed-gap
+    //      sessionization can't express. Each event claims
+    //      [ts, ts+gap); overlapping claims merge. The oracle is the
+    //      gaps-and-islands rewrite generalized to variable gaps: a
+    //      new session starts when ts clears the RUNNING MAX of all
+    //      previous claims' ends (a plain running max window — order-
+    //      insensitive under ts ties, so both engines agree). ----
+    Q("events_sessionize_dynamic",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"),
+            // string gaps: session_window's dynamic form takes a
+            // string or CalendarInterval column (ANSI DayTimeInterval
+            // literals are rejected)
+            when(col("event_type") === "purchase", lit("30 minutes"))
+              .otherwise(lit("10 minutes"))),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  CASE WHEN event_type = 'purchase' THEN INTERVAL '30 minutes'
+             |       ELSE INTERVAL '10 minutes' END AS gap FROM events),
+             |m AS (SELECT user_id, ts,
+             |  MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+             |flags AS (SELECT user_id, ts,
+             |  CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS new_s FROM m),
+             |sess AS (SELECT user_id, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
+             |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -619,6 +619,41 @@ object TextQueries {
              |  translate(lower(text),
              |    'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
              |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- inverted-index keyword search (corpus curation's grep):
+    //      docs containing ALL of {spark, merge, window} and NONE of
+    //      {slow}. The scalable form: explode to DISTINCT (token,
+    //      doc) postings, filter to the k query tokens BEFORE the
+    //      shuffle (only candidate hits move), count-distinct == k
+    //      for the conjunction, left-anti against the negative
+    //      token's postings. The naive form — re-scan every document
+    //      per predicate — is what the oracle states; at 100 TB the
+    //      postings persist bucketed BY TOKEN (same fingerprint-keyed
+    //      pattern as the bucketed join), so a query touches k token
+    //      shards instead of the corpus. ----
+    Q("text_keyword_search",
+      (s, dir) => {
+        val must = Seq("spark", "merge", "window")
+        val mustNot = "slow"
+        val docs = Tables.t(s, dir, "documents")
+        val postings = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+        val hits = postings.filter(col("token").isin(must: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+          .filter(col("n_terms") === must.size)
+        val negative = postings.filter(col("token") === mustNot)
+          .select("doc_id")
+        hits.join(negative, Seq("doc_id"), "left_anti")
+          .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'spark')
+             |  AND list_contains(string_split(text, ' '), 'merge')
+             |  AND list_contains(string_split(text, ' '), 'window')
+             |  AND NOT list_contains(string_split(text, ' '), 'slow')
+             |ORDER BY doc_id""".stripMargin))
   )
 }
