@@ -86,6 +86,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"candidates must broadcast-join:\n$plan")
   }
 
+  test("keyword search filters postings BEFORE the shuffle (candidates only)") {
+    val plan = planString(Queries.queries("text_keyword_search")(spark, sf))
+    // the query-token predicate must be a Filter on the exploded
+    // postings feeding a PARTIAL aggregate — candidates are pruned
+    // and combined map-side, so only hits cross the one exchange
+    assert(plan.contains("spark") && plan.contains("Filter"),
+      s"query-token filter missing from the plan:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count"),
+      s"conjunction count must partial-aggregate before its exchange:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"negative term + doc metadata must broadcast-join, never SMJ:\n$plan")
+  }
+
   test("segmented rank shuffles on (p, bucket), not p alone") {
     val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
     assert(plan.contains("_bkt"),
