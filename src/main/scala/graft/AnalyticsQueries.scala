@@ -46,18 +46,35 @@ object AnalyticsQueries {
     * read with maxFilesPerTrigger=1 this forces a genuinely
     * cross-micro-batch run. Returns (srcDir, workDir). */
   private def stageTwoFileFeed(s: org.apache.spark.sql.SparkSession, dir: String,
-                               prefix: String): (String, java.nio.file.Path) = {
+                               prefix: String,
+                               byTime: Boolean = false): (String, java.nio.file.Path) = {
     val work = CacheDirs.tempWorkDir(prefix)
     val src = work.resolve("src")
     java.nio.file.Files.createDirectory(src)
     val raw = Tables.t(s, dir, "events")
+    // byTime: h0 = the chronologically EARLIER half (time-ordered
+    // replay — what order-sensitive stateful ops need); default: an
+    // id-parity split (interleaved keys — what merge ops need)
+    val halfPred: Int => org.apache.spark.sql.Column =
+      if (byTime) {
+        val mm = raw.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        h => if (h == 0) unix_micros(col("ts")) <= cut else unix_micros(col("ts")) > cut
+      } else h => col("event_id") % 2 === h
     Seq(0, 1).foreach { h =>
       val half = work.resolve(s"h$h").toString
-      raw.filter(col("event_id") % 2 === h).coalesce(1).write.parquet(half)
+      raw.filter(halfPred(h)).coalesce(1).write.parquet(half)
       val part = new java.io.File(half).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file under $half"))
-      java.nio.file.Files.move(part.toPath, src.resolve(s"h$h.parquet"))
+      val staged = src.resolve(s"h$h.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      // the file source batches files in MODIFICATION-TIME order; the
+      // two writes usually land ms apart, but order-sensitive readers
+      // (debounce) must not depend on write-duration luck — pin it
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (1 - h) * 10000L))
     }
     (src.toString, work)
   }
@@ -2004,6 +2021,38 @@ object AnalyticsQueries {
       Some("""SELECT user_id, event_id, event_type, value FROM events
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- stateful streaming DEBOUNCE through the real engine: per
+    //      (user, event_type), an event passes only if it arrives
+    //      more than 10 min after the key's PREVIOUS event. One long
+    //      of state per key via flatMapGroupsWithState, carried
+    //      ACROSS micro-batches: the feed is staged as two
+    //      TIME-SPLIT files read with maxFilesPerTrigger=1, so the
+    //      second batch's first events debounce against state left by
+    //      the first — a time-ordered replay, which is the only feed
+    //      shape where cross-batch debounce is well-defined. The
+    //      oracle is the batch twin's LAG rewrite over the whole
+    //      feed. ----
+    Q("events_stream_debounce",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_debounce_",
+          byTime = true)
+        val out = graft.streaming.EventStreams.debounceStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)),
+          quietUs = 600L * 1000000L)(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8)) // state = one long per live key
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, event_type,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+             |  FROM events)
+             |SELECT event_id, user_id, event_type FROM l
+             |WHERE prev_us IS NULL OR us - prev_us > 600000000
+             |ORDER BY event_id""".stripMargin)),
 
     // ---- stream-STATIC enrichment join through the real engine: the
     //      arriving event stream joins the static customer dimension

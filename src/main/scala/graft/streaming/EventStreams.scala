@@ -147,6 +147,49 @@ object EventStreams {
       }
   }
 
+  final case class DebouncedEvent(event_id: Long, user_id: Long, event_type: String)
+
+  /**
+   * Streaming debounce: per (user, event_type), emit an event only
+   * when it arrives more than `quietUs` after the PREVIOUS event of
+   * that key (emitted or not — a throttle on consecutive gaps,
+   * matching the batch `events_debounce` LAG form exactly). State is
+   * ONE long per key (the last event time), carried across
+   * micro-batches by `flatMapGroupsWithState` — the escape hatch for
+   * state machines the built-in windows can't express, and bounded by
+   * key cardinality, not stream history.
+   *
+   * Within a micro-batch the group's rows arrive UNORDERED (shuffle
+   * order); the batch twin's semantics are defined on (ts, event_id)
+   * order, so each batch's group is sorted first — bounded by the
+   * key's per-batch volume. Correct cross-batch output additionally
+   * needs the FEED to be time-split across batches (replay in time
+   * order), which is how the gate stages it.
+   */
+  def debounceStream(events: DataFrame, quietUs: Long)
+                    (implicit spark: SparkSession): Dataset[DebouncedEvent] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, DebouncedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), rows, state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DebouncedEvent]
+          sorted.foreach { r =>
+            if (last == Long.MinValue || r._3 - last > quietUs)
+              out += DebouncedEvent(r._4, uid, etype)
+            last = r._3
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Alert emitted the first time a user's cumulative purchase total
     * crosses the threshold. */
   final case class QuotaAlert(user_id: Long, total_cents: Long, n_purchases: Long)
