@@ -100,6 +100,57 @@ class StreamingSpec extends SparkTestBase {
     assert(replay.filter(col("k") >= 50 && col("ver") === 1 && col("v") === "a").count() == 50)
   }
 
+  test("debounce state survives a RESTART from checkpoint (not just cross-batch)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+    val work = tmpDir("graft_debounce_restart_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkEvents(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "off_s")
+        .select(col("event_id"), col("user_id"),
+          (lit(base) / 1000 + col("off_s")).cast(TimestampType).as("ts"),
+          lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    }
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, ageMs: Long): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def runOnce(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema(sch).parquet(src)
+      val out = EventStreams.debounceStream(stream, quietUs = 600L * 1000000L)(spark)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType))))
+        .parquet(s"$work/out")
+    }
+    // run 1: user 7's last event at t=1000s
+    stage("h0", mkEvents(Seq((1L, 7L, 0L), (2L, 7L, 1000L))), ageMs = 10000)
+    assert(runOnce().count() == 2) // 0 -> emit, 1000 (gap 1000s > 600) -> emit
+    // RESTART (fresh query, same checkpoint): user 7 at t=1300s is
+    // only 300s after the pre-restart event — recovered state must
+    // suppress it; t=2000s (gap 700s) passes
+    stage("h1", mkEvents(Seq((3L, 7L, 1300L), (4L, 7L, 2000L))), ageMs = 0)
+    val finalOut = runOnce().collect().map(_.getLong(0)).toSet
+    assert(finalOut == Set(1L, 2L, 4L),
+      s"restart lost or corrupted debounce state: emitted $finalOut")
+  }
+
   test("streaming tumbling window == batch events_tumbling_window") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(spark,
