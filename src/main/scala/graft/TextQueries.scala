@@ -17,6 +17,35 @@ import org.apache.spark.sql.types._
  */
 object TextQueries {
 
+  /** Persisted inverted index: DISTINCT (token, doc_id) postings
+    * written ONCE per corpus fingerprint, bucketed BY TOKEN — a
+    * `token IN (...)` query then reads k/64 of the index via bucket
+    * pruning (SelectedBucketsCount in the plan, PlanSpec-asserted)
+    * instead of re-tokenizing the corpus per query. This is the
+    * serving shape at 100 TB: index build is one corpus pass paid
+    * once; every query after touches only its terms' buckets. Same
+    * rebuild discipline as the bucketed join (the in-memory catalog
+    * forgets tables across JVMs while the warehouse files survive). */
+  def tokenPostingsTable(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
+    val db = s"graft_tix_$fp"
+    val wh = s"${CacheDirs.root}/tixwh_$fp"
+    if (!s.catalog.databaseExists(db))
+      s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    if (!s.catalog.tableExists(s"$db.postings")) {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/postings")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+        .write.bucketBy(64, "token").sortBy("token")
+        .saveAsTable(s"$db.postings")
+    }
+    s.table(s"$db.postings")
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -646,6 +675,40 @@ object TextQueries {
           .select("doc_id")
         hits.join(negative, Seq("doc_id"), "left_anti")
           .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'spark')
+             |  AND list_contains(string_split(text, ' '), 'merge')
+             |  AND list_contains(string_split(text, ' '), 'window')
+             |  AND NOT list_contains(string_split(text, ' '), 'slow')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- the same search served from the PERSISTED inverted index:
+    //      postings bucketed by token (built once per corpus
+    //      fingerprint), so the `token IN (...)` probe reads k of 64
+    //      buckets via bucket pruning instead of re-tokenizing the
+    //      corpus — the index amortizes across every query after the
+    //      first. Identical semantics and oracle as the inline form;
+    //      PlanSpec pins SelectedBucketsCount < 64. ----
+    Q("text_keyword_search_indexed",
+      (s, dir) => {
+        val must = Seq("spark", "merge", "window")
+        val mustNot = "slow"
+        // keep the BUCKETED scan: the auto-disable rule only weighs
+        // exchange reuse (the agg keys on doc_id, not token) and
+        // would silently drop the bucket-PRUNING benefit this index
+        // exists for — k of 64 buckets read instead of all files
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val postings = tokenPostingsTable(s, dir)
+        val hits = postings.filter(col("token").isin(must: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+          .filter(col("n_terms") === must.size)
+        val negative = postings.filter(col("token") === mustNot).select("doc_id")
+        hits.join(negative, Seq("doc_id"), "left_anti")
+          .join(Tables.t(s, dir, "documents").select("doc_id", "lang", "source"),
+            Seq("doc_id"))
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },

@@ -99,6 +99,14 @@ class PlanSpec extends SparkTestBase {
       s"negative term + doc metadata must broadcast-join, never SMJ:\n$plan")
   }
 
+  test("indexed keyword search prunes token buckets (reads k of 64)") {
+    val plan = planString(Queries.queries("text_keyword_search_indexed")(spark, sf))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"bucket pruning missing from the plan:\n${plan.take(1500)}")
+    val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel < tot, s"no buckets pruned: $sel of $tot")
+  }
+
   test("segmented rank shuffles on (p, bucket), not p alone") {
     val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
     assert(plan.contains("_bkt"),
