@@ -54,6 +54,41 @@ object ScaleStress {
     // `buckets` rows regardless of corpus size.
     docRun("shuffle")(c =>
       graft.operators.Sampling.deterministicShuffle(c.select("doc_id"), "doc_id").count())
+    // Inverted-index serving: inline search re-tokenizes the corpus
+    // per query (tracks corpus size); the persisted token-bucketed
+    // index pays one build pass, then each query reads k of 64
+    // buckets — qidx should grow far slower than qinline as m grows.
+    if (wanted("tokidx")) {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val must = Seq("spark", "merge", "window")
+      def search(postings: org.apache.spark.sql.DataFrame): Long =
+        postings.filter(col("token").isin(must: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") === must.size).count()
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_tokidx_")
+        corpus.withColumn("lang", lit("en")).withColumn("source", lit("x"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.parquet(s"$work/documents.parquet")
+        val t0 = System.nanoTime()
+        val inlineHits = search(spark.read.parquet(s"$work/documents.parquet")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token")))
+        val t1 = System.nanoTime()
+        val postings = graft.TextQueries.tokenPostingsTable(spark, work.toString)
+        postings.count() // force the build
+        val t2 = System.nanoTime()
+        val idxHits = search(postings)
+        val t3 = System.nanoTime()
+        require(inlineHits == idxHits, s"index disagrees: $inlineHits vs $idxHits")
+        println(f"SCALE tokidx  m=$m%2d docs=$n%7d hits=$idxHits%7d " +
+          f"qinline=${(t1 - t0) / 1e9}%6.1fs build=${(t2 - t1) / 1e9}%6.1fs qidx=${(t3 - t2) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     // Dedup decision tier: clusters = minhash pairs + CC iterations
     // (pair graph is tiny vs corpus — iteration cost must NOT scale
     // like the corpus); incremental = 10% fresh batch vs 90% corpus
