@@ -692,6 +692,37 @@ object TextQueries {
     //      corpus — the index amortizes across every query after the
     //      first. Identical semantics and oracle as the inline form;
     //      PlanSpec pins SelectedBucketsCount < 64. ----
+    // ---- phrase search over POSITIONAL postings: "merge strategy"
+    //      matches only where the tokens are ADJACENT — (token, doc,
+    //      pos) postings for the two phrase terms, equi-joined on
+    //      (doc, pos+1). The conjunctive index can't express
+    //      adjacency; the positional form is what search engines
+    //      store. Only the two terms' postings ever join (filtered
+    //      before the shuffle, same candidate-pruning shape as the
+    //      keyword search); the oracle is a delimiter-padded
+    //      substring match on the space-joined text ("hash join":
+    //      vocab-checked collision-free — no token ends with "hash"
+    //      or extends "join", so substring count == adjacency
+    //      count). ----
+    Q("text_phrase_search",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pos = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        val first = pos.filter(col("token") === "hash")
+          .select(col("doc_id"), col("pos"))
+        val second = pos.filter(col("token") === "join")
+          .select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"))
+        first.join(second,
+            first("doc_id") === second("d2") && first("pos") === second("p2"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, (len(string_split(text, 'hash join')) - 1) AS n_matches
+             |FROM documents
+             |WHERE ' ' || text || ' ' LIKE '% hash join %'
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("text_keyword_search_indexed",
       (s, dir) => {
         val must = Seq("spark", "merge", "window")
