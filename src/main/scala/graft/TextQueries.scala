@@ -699,11 +699,10 @@ object TextQueries {
     //      adjacency; the positional form is what search engines
     //      store. Only the two terms' postings ever join (filtered
     //      before the shuffle, same candidate-pruning shape as the
-    //      keyword search); the oracle is a delimiter-padded
-    //      substring match on the space-joined text ("hash join":
-    //      vocab-checked collision-free — no token ends with "hash"
-    //      or extends "join", so substring count == adjacency
-    //      count). ----
+    //      keyword search); the oracle counts the same token-level
+    //      adjacency directly (consecutive-pair expansion — a
+    //      substring LIKE would silently diverge if a regenerated
+    //      vocab ever gained a token ending in "hash"). ----
     Q("text_phrase_search",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
@@ -718,10 +717,12 @@ object TextQueries {
           .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, (len(string_split(text, 'hash join')) - 1) AS n_matches
-             |FROM documents
-             |WHERE ' ' || text || ' ' LIKE '% hash join %'
-             |ORDER BY doc_id""".stripMargin)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |pairs AS (SELECT doc_id, w[i] AS t1, w[i+1] AS t2
+             |          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM pairs
+             |WHERE t1 = 'hash' AND t2 = 'join'
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("text_keyword_search_indexed",
       (s, dir) => {
