@@ -33,6 +33,16 @@ class FixtureCanarySpec extends SparkTestBase {
     assert(maxYear >= 2000, s"events.ts max year $maxYear — timestamps collapsed")
   }
 
+  test("canary: embedding dimension matches the ANN queries' pinned dim=64") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.t(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(d == 64,
+      s"embeddings regenerated at dim $d — update the dim = 64 call sites in " +
+        "SimilarityQueries (annTopK/pq*/ivf*/embeddingNearDups) and their " +
+        "m-subquantizer choices (dim % m must stay 0)")
+  }
+
   test("canary: normalizeEventTs handles all three vintages") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
