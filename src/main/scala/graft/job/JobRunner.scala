@@ -422,6 +422,47 @@ object JobRunner {
               .coalesce(1) // one row per data FILE — metadata-sized
               .write.mode("overwrite").parquet(s"$mPath/_manifest")
             stepsRun ::= step
+          case "INDEX_DESTINATION" =>
+            // Inverted-index maintenance from the config surface: one
+            // tokenization pass over the destination writes DISTINCT
+            // (token, id) postings into the hidden `_token_index`
+            // child, bucketed by token (64 buckets) so a later
+            // `token IN (...)` probe bucket-prunes to its terms. Like
+            // the manifest, the index is versioned WITH the data —
+            // rewrites invalidate it; order this step after them.
+            // transformation.parameters: indexIdColumn + indexTextColumn
+            // (required).
+            val iDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("INDEX_DESTINATION requires a destination"))
+            require(Set("PARQUET", "ORC")(iDest.`type`.toUpperCase),
+              s"INDEX_DESTINATION supports PARQUET/ORC destinations, got ${iDest.`type`}")
+            val iPath = iDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("INDEX_DESTINATION requires a file path destination"))
+            val idCol = cfg.transformation.parameters.getOrElse("indexIdColumn",
+              throw new IllegalArgumentException(
+                "INDEX_DESTINATION requires transformation.parameters.indexIdColumn"))
+            val txtCol = cfg.transformation.parameters.getOrElse("indexTextColumn",
+              throw new IllegalArgumentException(
+                "INDEX_DESTINATION requires transformation.parameters.indexTextColumn"))
+            import org.apache.spark.sql.functions.{array_distinct, col, explode, split}
+            // bucketBy needs the session catalog — register against a
+            // temp table name, then the files live under the hidden
+            // child like the manifest (invisible to discovery)
+            val idxTmp = s"graft_idx_tmp_${java.lang.Long.toHexString(System.nanoTime())}"
+            val idxPath = s"$iPath/_token_index"
+            val idxFs = new org.apache.hadoop.fs.Path(idxPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (idxFs.exists(new org.apache.hadoop.fs.Path(idxPath)))
+              idxFs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+            try {
+              spark.read.format(iDest.`type`.toLowerCase).load(iPath)
+                .select(col(idCol),
+                  explode(array_distinct(split(col(txtCol), " "))).as("token"))
+                .write.bucketBy(64, "token").sortBy("token")
+                .option("path", idxPath)
+                .saveAsTable(idxTmp)
+            } finally spark.sql(s"DROP TABLE IF EXISTS $idxTmp")
+            stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
             // row count == recordsWritten. The read-back must mirror the

@@ -307,6 +307,36 @@ class MaintenanceSpec extends SparkTestBase {
     assert(px.size < 12 && py.size < 12, s"both dims must skip: x=${px.size}/16, y=${py.size}/16")
   }
 
+  test("INDEX_DESTINATION job step writes hidden bucketed token postings") {
+    import spark.implicits._
+    val root = tmpDir("graft_index_")
+    val dir = s"$root/dest"
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "alpha"))
+      .toDF("id", "body").write.parquet(dir)
+    val cfg = JobConfig(
+      jobId = "index-1",
+      steps = List("INDEX_DESTINATION"),
+      source = SourceConfig("PARQUET", ConnectionDetails(path = Some(dir))),
+      destination = Some(DestinationConfig("PARQUET", ConnectionDetails(path = Some(dir)))),
+      mappings = Nil,
+      transformation = Transformation("NONE", parameters = Map(
+        "indexIdColumn" -> "id", "indexTextColumn" -> "body")))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    // postings are DISTINCT (token, id) pairs
+    val postings = spark.read.parquet(s"$dir/_token_index")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(postings == Set(("alpha", 1L), ("beta", 1L), ("beta", 2L),
+      ("gamma", 2L), ("alpha", 3L)), postings.toString)
+    // the hidden child is invisible to a plain destination read
+    assert(spark.read.parquet(dir).count() == 3)
+    // 64-bucket layout: every data file carries a bucket suffix
+    val files = new java.io.File(s"$dir/_token_index").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getName)
+    assert(files.nonEmpty && files.forall(_.contains("_000")),
+      s"expected bucketed file names, got ${files.take(3).mkString(",")}")
+  }
+
   test("COMPACT_DESTINATION job step compacts the configured destination") {
     val root = tmpDir("graft_compact_")
     val dir = s"$root/dest"
