@@ -256,6 +256,40 @@ object PipelineQueries {
              |FROM r WHERE reps > 0
              |ORDER BY doc_id, mix_rep""".stripMargin)),
 
+    // ---- temperature sampling (the multilingual rebalancing rule:
+    //      keep probability per doc ∝ n_domain^(α−1), α=0.5 — big
+    //      domains down-sampled toward the small ones' scale, the
+    //      smallest kept whole). The per-domain permille derives from
+    //      the SIZES: floor(1000·sqrt(n_min/n)) — sqrt and division
+    //      are IEEE correctly-rounded, so both engines compute the
+    //      identical integer; membership is the same deterministic
+    //      LCG coin as the mixture ops. Scale: sizes are |domains|
+    //      rows of broadcast metadata; the keep decision is map-side. ----
+    Q("sample_temperature",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "source")
+        val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val pm = sizes
+          .crossJoin(broadcast(sizes.agg(min("n").as("n_min"))))
+          .withColumn("keep_pm",
+            floor(lit(1000.0) *
+              sqrt(col("n_min").cast("double") / col("n").cast("double")))
+              .cast("long"))
+        docs.join(broadcast(pm.select("source", "keep_pm")), "source")
+          .filter(pmod(col("doc_id") * 2654435761L + 7L, lit(1000L)) < col("keep_pm"))
+          .select("doc_id", "source", "keep_pm")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+             |mn AS (SELECT MIN(n) AS n_min FROM sz),
+             |p AS (SELECT source, CAST(floor(1000.0 *
+             |        sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS keep_pm
+             |      FROM sz, mn)
+             |SELECT d.doc_id, d.source, p.keep_pm
+             |FROM documents d JOIN p ON d.source = p.source
+             |WHERE (d.doc_id * 2654435761 + 7) % 1000 < p.keep_pm
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- the composed corpus pipeline — the end-to-end flagship of
     //      the training-data tier, as ONE declarative plan Catalyst
     //      optimizes whole: quality gate -> exact dedup (keep min id
