@@ -304,6 +304,33 @@ object ScaleStress {
     // must stay constant — the bounded-state claim that makes the
     // micro-batch path viable at 100 TB — while wall tracks input
     // ~linearly (the scan+partial-agg cost that has to be paid).
+    // Stateful debounce under GROWING KEY CARDINALITY: replicas shift
+    // user_id, so live state (one long per (user, type)) grows m-fold
+    // with the input. Wall should track input ~linearly and the
+    // output replicate exactly m-fold (replica feeds are disjoint in
+    // key space, so each replica debounces independently).
+    if (wanted("debounce")) {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      ev0.count() // warm
+      multiples.foreach { m =>
+        val feed = (0 until m).map(i =>
+          ev0.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val n = feed.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_debounce_")
+        feed.write.parquet(s"$work/feed")
+        val t0 = System.nanoTime()
+        val out = graft.streaming.EventStreams.runToParquet(spark,
+          graft.streaming.EventStreams.debounceStream(
+            graft.streaming.EventStreams.readEvents(spark, s"$work/feed"),
+            quietUs = 600L * 1000000L)(spark).toDF(),
+          s"$work/run", statePartitions = Some(8)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE debounce m=$m%2d rows=$n%7d out=$out%9d time=$dt%7.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
     if (wanted("stream")) {
       // restore after the section: legacy nanos-as-long would leak a
       // silently different timestamp schema into later sections
