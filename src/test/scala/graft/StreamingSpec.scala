@@ -470,6 +470,53 @@ class StreamingSpec extends SparkTestBase {
     assert(lateRows == 0, "event 10h behind the watermark must be dropped")
   }
 
+  test("dedup state is EVICTED past the watermark (bounded, measured)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+    val work = tmpDir("graft_dedup_evict_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mk(name: String, ids: Range, offMs: Long, ageMs: Long): Unit = {
+      import spark.implicits._
+      val df = ids.map(i => (i.toLong, new java.sql.Timestamp(t0 + offMs),
+        i.toLong, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    // batch 1: ids 0-999 at T0; batch 2: ids 1000-1999 at T0+10h.
+    // With a 2h watermark, batch 2 advances it to T0+8h — every
+    // batch-1 key is past eviction before the final batch runs.
+    mk("h0", 0 until 1000, 0L, ageMs = 20000)
+    mk("h1", 1000 until 2000, 10L * 3600 * 1000, ageMs = 0)
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val deduped = EventStreams.dedupEvents(stream, watermark = "2 hours")
+      .select("event_id")
+    val q = deduped.writeStream.format("memory").queryName("t_evict")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_evict").count() == 2000, "all distinct ids must emit")
+    // the CLAIM under test: state is bounded by the watermark delay,
+    // not stream history — the last progress's state rows must hold
+    // only the live (batch-2) keys, the 1000 evicted keys gone
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+    assert(lastState <= 1000,
+      s"state holds $lastState rows — batch-1 keys were not evicted")
+  }
+
   test("transformWithState quota gate: alert exactly once, state survives batches") {
     implicit val s = spark
     import spark.implicits._
