@@ -46,6 +46,30 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- truncated-embedding retrieval (matryoshka serving): top-k
+    //      by cosine over the FIRST 16 of 64 dims — the cheap
+    //      first-stage whose production composition is
+    //      truncate-shortlist -> full-dim re-rank (4x less memory
+    //      traffic and 4x more vectors per cache line in stage one).
+    //      The truncated metric itself is exact cross-engine: both
+    //      sides slice the same doubles and sum in list order. ----
+    Q("sim_truncated_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", slice(col("embedding").cast(ArrayType(DoubleType)), 1, 16))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("e").as("probe_e"))
+        graft.operators.Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 10)
+          .select(col("vec_id"), col("label"), col("cos_sim"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("embed_norms",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
