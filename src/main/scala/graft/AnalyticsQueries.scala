@@ -876,6 +876,32 @@ object AnalyticsQueries {
     //      Spark expresses FILTER (WHERE p) as sum(when(p, x)) (nulls
     //      are ignored by SQL aggregates, so the two are identical);
     //      the sum itself follows the exact-DECIMAL convention. ----
+    // ---- argmax/argmin aggregation (max_by/min_by): per nation, the
+    //      richest and poorest customer. The ordering key is a
+    //      tie-proof integer composite (cents * 1e7 + custkey — keys
+    //      stay < 1e7 at every tested SF, REQUIRE-guarded), so both
+    //      engines pick the identical row without relying on
+    //      tie-breaking order. One partial-aggregating pass — at
+    //      100 TB this is the "representative row per group" query
+    //      that would otherwise cost a window + filter. ----
+    Q("agg_argmax",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val key = round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")
+        c.select(col("c_nationkey"), col("c_name"), key.as("k"))
+          .groupBy("c_nationkey")
+          .agg(max_by(col("c_name"), col("k")).as("richest"),
+            min_by(col("c_name"), col("k")).as("poorest"),
+            count(lit(1)).as("n_cust"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH k AS (SELECT c_nationkey, c_name,
+             |  CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS k
+             |  FROM customer)
+             |SELECT c_nationkey, arg_max(c_name, k) AS richest,
+             |  arg_min(c_name, k) AS poorest, COUNT(*) AS n_cust
+             |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     Q("agg_conditional",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
