@@ -382,6 +382,34 @@ object EtlQueries {
              |    nd_key / nn_key, CAST(1.0 AS DOUBLE), nd_key = nn_key FROM m
              |) ORDER BY rule, col_name""".stripMargin)),
 
+    // ---- fuzzy dimension lookup (edit distance): dirty reference
+    //      names — three customer names each with one char dropped —
+    //      matched back against the dimension by levenshtein <= 2.
+    //      The dirty-data join every config-driven loader eventually
+    //      needs (misspelled keys from hand-entered feeds). Scale
+    //      shape: the probe list is reference-data-sized and
+    //      BROADCAST; the dimension is scanned once map-side — never
+    //      an all-pairs product between data-scaled sides. ----
+    Q("etl_fuzzy_match",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "customer")
+        val probes = cust.filter(col("c_custkey").isin(1L, 7L, 13L))
+          .select(concat(substring(col("c_name"), 1, 2),
+            expr("substring(c_name, 4)")).as("probe"))
+        cust.crossJoin(broadcast(probes))
+          .filter(levenshtein(col("c_name"), col("probe")) <= 2)
+          .select(col("probe"), col("c_custkey"), col("c_name"),
+            levenshtein(col("c_name"), col("probe")).as("dist"))
+          .orderBy("probe", "c_custkey")
+      },
+      Some("""WITH probes AS (SELECT substr(c_name, 1, 2) || substr(c_name, 4) AS probe
+             |  FROM customer WHERE c_custkey IN (1, 7, 13))
+             |SELECT probe, c_custkey, c_name,
+             |  CAST(levenshtein(c_name, probe) AS INTEGER) AS dist
+             |FROM customer, probes
+             |WHERE levenshtein(c_name, probe) <= 2
+             |ORDER BY probe, c_custkey""".stripMargin)),
+
     // ---- TIME-of-day cast on the gate (reference Types.TIME,
     //      JdbcTypeHandler.java:87-92): lenient single-digit "H:m:s"
     //      inputs normalize to "HH:mm:ss" strings — the portable form
