@@ -2282,6 +2282,54 @@ object AnalyticsQueries {
              |GROUP BY cohort_week, act_week
              |ORDER BY cohort_week, act_week""".stripMargin)),
 
+    // ---- time-series resample + forward-fill: each user's sparse
+    //      event feed regularized onto a daily grid spanning that
+    //      user's own [first, last] day, value = last observation
+    //      carried forward (the gap-filling every metrics store /
+    //      feature pipeline performs before joining series). Scale
+    //      shape: day-close is ONE partial-aggregating pass (max_by
+    //      on a tie-proof (ts, event_id) key), the grid explodes
+    //      from |users| span rows — never from events — and the
+    //      forward-fill is a per-user window (series parallelism ==
+    //      key cardinality). No arithmetic touches the carried
+    //      double, so both engines ferry identical bits. ----
+    Q("events_resample_ffill",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val daily = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("day_close"),
+            count(lit(1)).as("n_obs"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("day_close"), ignoreNulls = true).over(w).as("value_ffill"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             |                       ORDER BY ts DESC, event_id DESC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_obs
+             |  FROM events),
+             |daily AS (SELECT user_id, day, value AS day_close, n_obs
+             |          FROM ranked WHERE rn = 1),
+             |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+             |grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+             |                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             |         FROM span),
+             |j AS (SELECT g.user_id, g.day, d.day_close, COALESCE(d.n_obs, 0) AS n_obs
+             |      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day)
+             |SELECT user_id, day,
+             |  last_value(day_close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+             |  n_obs
+             |FROM j ORDER BY user_id, day""".stripMargin)),
+
     // ---- binned interval join: per-signup purchase activity within
     //      the following hour, as an EQUI-join. A naive range join is
     //      O(|S|x|P|) per user (BroadcastNestedLoop at scale); binning

@@ -31,7 +31,8 @@ object Bench {
     "etl_jdbc_roundtrip", "sim_pq_topk", "etl_quality_rules",
     "etl_incremental_distinct",
     "agg_approx_agreement", "events_stream_tumbling", "etl_media_binaryfile",
-    "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget")
+    "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget",
+    "dedup_prefix_pairs", "layout_bloom_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -923,6 +923,39 @@ object EtlQueries {
              |FROM lineitem WHERE l_partkey BETWEEN 1 AND 50
              |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
 
+    // ---- per-file BLOOM manifest skipping on the gate: documents
+    //      are hash-scattered across 16 files (every file's doc_id
+    //      min/max spans the whole domain — zone maps provably skip
+    //      NOTHING on this layout), yet the point lookup reads only
+    //      the files whose Bloom filter fires for one of the probe
+    //      keys. The require() proves a real file-level skip
+    //      happened on a layout where min/max skipping is
+    //      structurally blind — the equality-predicate complement of
+    //      layout_stats_skipping, and at 100 TB the difference
+    //      between a point lookup touching ~k files and touching
+    //      every file of an unclustered table. ----
+    Q("layout_bloom_skipping",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_bloom_gate_").toString
+        val laid = s"$work/docs_hashed"
+        val probes: Seq[Any] = Seq(7L, 42L, 99L)
+        Tables.t(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .repartition(16, col("doc_id"))
+          .write.parquet(laid)
+        val fs = new org.apache.hadoop.fs.Path(laid)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val totalFiles = Maintenance.dataFiles(fs, new org.apache.hadoop.fs.Path(laid)).size
+        val manifest = Maintenance.bloomManifest(s.read.parquet(laid), "doc_id")
+        val paths = Maintenance.bloomPrunedPaths(manifest, "doc_id", probes)
+        require(paths.nonEmpty && paths.size < totalFiles,
+          s"bloom skipping had no effect: reading ${paths.size} of $totalFiles files")
+        Maintenance.bloomSkippingRead(s, laid, manifest, "doc_id", probes)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id IN (7, 42, 99) ORDER BY doc_id""".stripMargin)),
+
     // ---- incremental upsert (SCD-1 keep-latest): every 10th order
     //      gets a newer-versioned update with a bumped price; the
     //      merge must keep updates for those keys and existing rows

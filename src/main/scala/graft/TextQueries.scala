@@ -316,6 +316,19 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracle)),
 
+    // ---- prefix-filtered EXACT similarity join (AllPairs/PPJoin
+    //      family): equals the quadratic all-pairs result by
+    //      construction — no recall caveat — while self-joining only
+    //      on each doc's rarest-token prefix. The scalable exact
+    //      form the quadratic dedup_jaccard_pairs is the oracle twin
+    //      of. Same shared oracle text as the other two pair queries:
+    //      one ground truth, three execution strategies. ----
+    Q("dedup_prefix_pairs",
+      (s, dir) => graft.operators.Dedup
+        .prefixFilterNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b"),
+      Some(jaccardOracle)),
+
     // ---- near-dup CLUSTERS: transitive closure over the verified
     //      MinHash pairs (a~b, b~c => one {a,b,c} cluster keyed by its
     //      min doc_id). The stage that turns pair lists into a dedup

@@ -284,4 +284,64 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /**
+   * EXACT set-similarity join via prefix filtering (the AllPairs /
+   * PPJoin family, Bayardo et al. WWW'07 — public algorithm,
+   * re-derived here): provably equal to the quadratic all-pairs
+   * Jaccard join, but the only self-join is on each document's
+   * PREFIX tokens under a global rarity order.
+   *
+   * Why it is exact: order every shingle by (corpus document
+   * frequency ASC, shingle ASC) — a total order both documents
+   * compute identically. A document with n shingles keeps a prefix of
+   * p = n - ceil(t*n) + 1 rarest shingles. If Jaccard(a,b) >= t then
+   * |a ∩ b| >= ceil(t * max(na, nb)), and a shared element must fall
+   * inside BOTH prefixes (if all common elements sat past a's prefix,
+   * a could share at most ceil(t*na) - 1 < |a ∩ b| elements —
+   * contradiction; symmetrically for b). So the prefix-token
+   * equi-join loses no qualifying pair, and exact verification on the
+   * candidates reproduces the all-pairs output bit for bit.
+   *
+   * Why it scales where the all-pairs join cannot: the quadratic
+   * form's join fan-out is Σ_tokens df(token)^2 — dominated by stop
+   * shingles. Here a token joins only while it sits in prefixes, and
+   * ascending-df ordering pushes frequent tokens OUT of prefixes, so
+   * bucket populations are bounded by rare-token frequencies. The df
+   * table is one corpus groupBy (the same inverted-index pass the
+   * postings tier already pays once per corpus) and the length filter
+   * den*min >= num*max prunes cross-size candidates before verify.
+   */
+  def prefixFilterNearDups(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
+    val docs = withShingleArray(df, idCol, textCol, shingleN)
+    val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("tdf"))
+    // Per-doc shingles sorted by the global (df, shingle) order, then
+    // cut to the prefix; ceil(t*n) in exact integer arithmetic.
+    val ordered = sh.join(freq, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("shingle")))).as("ord"))
+      .select(col(idCol), col("ord"), size(col("ord")).as("n_sh"))
+      .withColumn("p", col("n_sh") - expr(s"(n_sh * $num + ${den - 1}) div $den") + lit(1))
+    val prefixRows = ordered
+      .select(col(idCol), col("n_sh"),
+        explode(expr("transform(slice(ord, 1, p), x -> x.shingle)")).as("ptok"))
+    val a = prefixRows.select(col(idCol).as("id_a"), col("n_sh").as("na"), col("ptok"))
+    val b = prefixRows.select(col(idCol).as("id_b"), col("n_sh").as("nb"), col("ptok"))
+    val cands = a.join(b, Seq("ptok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num)
+      .select("id_a", "id_b").distinct()
+    // Same exact verify as the MinHash path: candidates are few, the
+    // per-pair array_intersect runs where the candidate rows land.
+    val da = docs.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
+    val db = docs.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
+    cands.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"),
+        size(col("_sh_b")).cast("long").as("nb"))
+      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+  }
 }

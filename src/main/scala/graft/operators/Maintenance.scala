@@ -408,6 +408,99 @@ object Maintenance {
         .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
+  /**
+   * Per-file BLOOM membership manifest — the equality-predicate
+   * complement of [[statsManifest]]'s min/max zone maps. A min/max
+   * range says nothing when files are NOT clustered on the probe
+   * column (every file's range spans the domain, zero skips); a
+   * per-file Bloom filter answers "might this file contain key k?"
+   * regardless of layout, so point lookups skip to the handful of
+   * files whose filters fire (false-positive files are read and
+   * yield nothing — never a wrong answer, only a wasted open).
+   *
+   * Built in ONE scan grouped by file via Spark's native
+   * `BloomFilterAggregate` (the same sketch the runtime-filter
+   * optimizer injects for shuffle pruning — a TypedImperativeAggregate,
+   * so partial filters merge map-side). Keys are xxhash64'd to LongType
+   * first: that keeps the aggregate's input contract uniform across
+   * key types and makes the driver-side probe a `mightContainLong`.
+   * Manifest size: numBits/8 bytes per file (~120 KB at the defaults)
+   * — table-format metadata scale, file-count-sized rows.
+   */
+  def bloomManifest(df: DataFrame, keyCol: String,
+                    expectedPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedPerFile, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftSqlBridge.expression(org.apache.spark.sql.functions.xxhash64(col(keyCol))),
+      Literal(expectedPerFile), Literal(numBits))
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        GraftSqlBridge.column(agg.toAggregateExpression()).as(s"bloom_$keyCol"))
+  }
+
+  /** xxhash64 of a probe literal, evaluated driver-side through the
+    * SAME expression the manifest build hashed data rows with — the
+    * two can never drift. */
+  private def probeHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // the same XxHash64(seed=42) the Column-API xxhash64 resolves to;
+    // built directly so it is evaluable without an analyzer pass
+    new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
+  }
+
+  /** Files whose Bloom filter might contain ANY of the probe values.
+    * The manifest is file-count-sized, so deserializing each filter
+    * on the driver is the same metadata-scale work scan planning
+    * performs; no false negatives, so the selection can only ADD
+    * files beyond the true homes, never lose one. */
+  def bloomPrunedPaths(manifest: DataFrame, keyCol: String, values: Seq[Any]): Seq[String] = {
+    val hashes = values.map(probeHash)
+    manifest.select(col("file"), col(s"bloom_$keyCol")).collect().toSeq
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]](1))
+        hashes.exists(bf.mightContainLong)
+      }
+      .map(_.getString(0))
+  }
+
+  /** Bloom-manifest point-lookup read: load only the files whose
+    * filter fires for one of the probe keys, then re-apply the
+    * row-level IN predicate (a Bloom selects FILES; false-positive
+    * files still carry no matching rows past the filter). Result ==
+    * full scan + same predicate by construction. Staleness is
+    * detected exactly as in [[skippingRead]]: a data file the
+    * manifest does not cover fails loudly instead of being silently
+    * skipped. */
+  def bloomSkippingRead(spark: SparkSession, root: String, manifest: DataFrame,
+                        keyCol: String, values: Seq[Any],
+                        format: String = "parquet"): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = dataFiles(fs, rootPath).map(_.getPath.getName).toSet
+    val m = manifest.persist()
+    val paths =
+      try {
+        val manifested = m.select("file").collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+        val unmanifested = live -- manifested
+        require(unmanifested.isEmpty,
+          s"bloom manifest for $root is STALE: ${unmanifested.size} data file(s) it does not " +
+            s"cover (e.g. ${unmanifested.take(3).mkString(", ")}) — rebuild the manifest " +
+            "after appends or rewrites")
+        bloomPrunedPaths(m, keyCol, values)
+      } finally m.unpersist()
+    val inList = values.map(v => lit(v))
+    if (paths.isEmpty)
+      spark.read.format(format).load(root).filter(lit(false))
+    else
+      spark.read.format(format).load(paths: _*)
+        .filter(col(keyCol).isin(inList: _*))
+  }
+
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
     * sort when clustering. `coalesce` can only MERGE partitions —

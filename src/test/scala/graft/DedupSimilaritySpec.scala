@@ -22,6 +22,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("prefix-filtered join equals the exact all-pairs Jaccard result (no recall caveat)") {
+    val exact = Queries.queries("dedup_jaccard_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilterNearDups(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf == exact, s"prefix filter must be lossless: missed=${exact -- pf} extra=${pf -- exact}")
+  }
+
+  test("prefix filter: candidate fan-out is bounded below the all-pairs join") {
+    // the stop-shingle that dominates the quadratic join must not
+    // dominate the prefix join: with every doc sharing one frequent
+    // shingle and only true near-dups sharing rare ones, candidates
+    // stay near the true pair count instead of n^2/2
+    import spark.implicits._
+    val n = 40
+    val corpus = ((1 to n).map { i =>
+      (i.toLong, s"common filler words here unique$i token$i tail$i extra$i")
+    } :+ (100L, "common filler words here unique1 token1 tail1 extra1"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.prefixFilterNearDups(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)))
+  }
+
   test("documents shorter than the shingle width yield empty shingle sets, not errors") {
     import spark.implicits._
     val corpus = Seq(

@@ -293,6 +293,46 @@ class MaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("STALE"), e.getMessage)
   }
 
+  test("bloom manifest prunes hash-scattered files where zone maps are blind; read equals full scan") {
+    val dir = tmpDir("graft_bloom_") + "/t"
+    // hash-scattered on id: every file's [min,max] spans the domain
+    spark.range(0, 8000).selectExpr("id", "id % 97 AS v")
+      .repartition(8, col("id")).write.parquet(dir)
+    val manifest = Maintenance.bloomManifest(spark.read.parquet(dir), "id",
+      expectedPerFile = 2000L)
+    assert(manifest.count() == 8)
+    // min/max skipping is structurally useless on this layout
+    val zones = Maintenance.statsManifest(spark.read.parquet(dir), Seq("id"))
+    assert(Maintenance.prunedPaths(zones, "id", lit(123), lit(123)).size == 8,
+      "fixture must defeat zone maps or the test proves nothing")
+    // ...but the bloom homes each key to few files, never losing one
+    val probes: Seq[Any] = Seq(123L, 4567L)
+    val paths = Maintenance.bloomPrunedPaths(manifest, "id", probes)
+    assert(paths.nonEmpty && paths.size < 8, s"expected a real skip, read ${paths.size}/8")
+    val pruned = Maintenance.bloomSkippingRead(spark, dir, manifest, "id", probes)
+      .orderBy("id").collect().toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("id").isin(123L, 4567L)).orderBy("id").collect().toSeq
+    assert(pruned == full && full.size == 2)
+    // absent key: either no file fires (empty short-circuit) or only
+    // false-positive files are read — the row filter still yields zero
+    assert(Maintenance.bloomSkippingRead(spark, dir, manifest, "id",
+      Seq(999999L)).count() == 0)
+  }
+
+  test("bloomSkippingRead fails loudly on a stale manifest (appended file uncovered)") {
+    val dir = tmpDir("graft_bloomstale_") + "/t"
+    spark.range(0, 1000).selectExpr("id").coalesce(1).write.parquet(dir)
+    Maintenance.bloomManifest(spark.read.parquet(dir), "id", expectedPerFile = 1000L)
+      .write.parquet(s"$dir/_bloom_manifest")
+    val persisted = spark.read.parquet(s"$dir/_bloom_manifest")
+    spark.range(1000, 1200).selectExpr("id").coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.bloomSkippingRead(spark, dir, persisted, "id", Seq(5L))
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
   test("zOrderedAuto rescales imbalanced domains so BOTH columns skip") {
     // x spans [0, 1e9), y spans [0, 100): raw bit-interleave would let
     // x's high bits own the curve and y ranges would prune nothing
