@@ -2374,6 +2374,85 @@ object AnalyticsQueries {
              |GROUP BY su.event_id, su.user_id
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- one PageRank power-iteration step over the customer ->
+    //      supplier purchase graph, in EXACT integer micro-units:
+    //      each customer splits 1e6 micros of rank mass equally over
+    //      its distinct suppliers (integer div), suppliers sum
+    //      received mass, damping 0.85 applied as 850·tot div 1000.
+    //      The building block of iterative graph analytics as ONE
+    //      edge-list groupBy per step — contributions combine
+    //      map-side, state per iteration is one (node, rank) table,
+    //      and nothing is driver-resident. Integer division end to
+    //      end: both engines derive identical ranks, no float
+    //      accumulation-order drift. ----
+    Q("graph_pagerank_step",
+      (s, dir) => {
+        val edges = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(Tables.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct()
+        val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
+        edges.join(deg, "c")
+          .select(col("sup"), expr("1000000 div d").as("share"))
+          .groupBy("sup")
+          .agg(sum("share").as("tot"))
+          .select(col("sup").as("supp_key"),
+            (lit(150000L) + expr("(850 * tot) div 1000")).as("pr_micros"))
+          .orderBy("supp_key")
+      },
+      Some("""WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |deg AS (SELECT c, COUNT(*) AS d FROM edges GROUP BY c),
+             |contrib AS (SELECT sup, SUM(1000000 // d) AS tot
+             |            FROM edges JOIN deg USING (c) GROUP BY sup)
+             |SELECT sup AS supp_key,
+             |  CAST(150000 + (850 * tot) // 1000 AS BIGINT) AS pr_micros
+             |FROM contrib ORDER BY supp_key""".stripMargin)),
+
+    // ---- winsorization (outlier capping): per event type, clamp
+    //      value into [p05, p95] where the bounds are RANK-DEFINED
+    //      (the ceil(q·n)-th smallest value) — no interpolation
+    //      arithmetic, so the clamped doubles are carried bit-exact
+    //      through both engines. The feature-cleaning pass every
+    //      training pipeline runs before normalization; two window
+    //      ranks + a broadcast-sized bounds join, never a global
+    //      sort. ----
+    Q("events_winsorize",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        val ranked = ev
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val bounds = ranked
+          .filter(col("rn") === expr("cast(ceil(0.05 * n) as bigint)") ||
+            col("rn") === expr("cast(ceil(0.95 * n) as bigint)"))
+          .groupBy("event_type")
+          .agg(min("value").as("lo"), max("value").as("hi"))
+        ev.join(bounds, "event_type")
+          .select(col("event_id"), col("event_type"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("value_capped"),
+            (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_id, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |bounds AS (
+             |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+             |  FROM ranked
+             |  WHERE rn = CAST(ceil(0.05 * n) AS BIGINT) OR rn = CAST(ceil(0.95 * n) AS BIGINT)
+             |  GROUP BY event_type)
+             |SELECT event_id, e.event_type,
+             |  least(greatest(e.value, b.lo), b.hi) AS value_capped,
+             |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
+             |FROM events e JOIN bounds b ON e.event_type = b.event_type
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- equi-width histogram (the dashboard distribution shape):
     //      20 bins over [min, max] of purchase value, entirely in
     //      integer cents — bin = (v - lo) * 20 div (hi - lo + 1), the

@@ -591,6 +591,37 @@ object SimilarityQueries {
              |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- embedding near-dups, EXACT grid-blocked form: the same
+    //      constructed corpus and all-pairs oracle as the LSH
+    //      headline, but through unit-sphere grid blocking — cells
+    //      of width sqrt(2(1-t)) on the quantized normalized leading
+    //      coordinates cover every qualifying pair by integer
+    //      adjacency, so the result provably equals the quadratic
+    //      join with NO recall caveat (the embedding-space analog of
+    //      dedup_prefix_pairs). Pruning is strong in the true
+    //      near-dup regime (t >= ~0.99); exactness holds at any t —
+    //      see the operator's honest scale note. ----
+    Q("embed_near_dups_exact_blocked",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+        val perturbed = emb.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("transform(e, x -> x * 1.0625)").as("e"))
+        graft.operators.Similarity
+          .exactBlockedNearDups(emb.union(perturbed), "vec_id", "e", threshold = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |aug AS (SELECT vec_id, v FROM base
+             |        UNION ALL
+             |        SELECT vec_id + 100000, list_transform(v, x -> x * 1.0625) FROM base)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+             |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("embed_near_dups",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")

@@ -479,4 +479,68 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /**
+   * EXACT cosine near-dup join via unit-sphere grid blocking — the
+   * embedding-space analog of the prefix-filtered set join: provably
+   * equal to the quadratic all-pairs form, no recall caveat.
+   *
+   * Geometry: cos(a,b) >= t implies the NORMALIZED vectors satisfy
+   * ||u_a - u_b||^2 = 2(1 - cos) <= 2(1 - t), so per coordinate
+   * |u_i(a) - u_i(b)| <= w = sqrt(2(1-t)). Quantize the first
+   * `blockDims` normalized coordinates to integer thousandths
+   * (q = floor(u*1000): |Δq| <= 1000w + 1 <= W by the +1 slack,
+   * which also absorbs the few-ulp FP error of the normalization)
+   * and bin with width W: qualifying pairs land in cells differing
+   * by at most 1 per dimension — INTEGER arithmetic end to end, so
+   * the cover is exact, not probabilistic. One side joins on its
+   * (unique) home cell, the other explodes to its 3^d neighborhood;
+   * a pair can match in at most one probe cell, so candidates are
+   * already distinct. Exact cosine verification then reproduces the
+   * all-pairs output bit for bit.
+   *
+   * Scale shape — stated honestly: the probe explode is a bounded
+   * 3^blockDims fan-out of one side and the join is a hash join on
+   * the cell key, confining the quadratic blow-up to single cells.
+   * Pruning power is ~(spread/(3·w))^blockDims, where spread is the
+   * per-coordinate range of the normalized data: strong exactly when
+   * the cell width w = sqrt(2(1-t)) is SMALL relative to the
+   * coordinate spread — i.e. for true near-dup thresholds (t >=
+   * ~0.99, w <= 0.14). For isotropic d-dim embeddings the coordinate
+   * spread is only ~2/sqrt(d), so at looser thresholds one cell can
+   * cover most of the mass and the join degrades toward all-pairs
+   * (use the LSH form there — at loose thresholds NO exact method
+   * prunes isotropic data). Exactness is unconditional either way;
+   * only the pruning ratio varies. Zero-norm vectors quantize to
+   * null cells and drop, matching the quadratic form (their NaN
+   * cosine fails every >= t filter).
+   */
+  def exactBlockedNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, blockDims: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val W = math.ceil(math.sqrt(2.0 * (1.0 - threshold)) * 1000.0).toLong + 1
+    val binned = (0 until blockDims).foldLeft(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))) { (d, i) =>
+      // +1000000 shift keeps the dividend positive so truncating
+      // `div` IS floor division (bins must floor or the |Δ|<=1
+      // adjacency property breaks for negative coordinates)
+      d.withColumn(s"b_$i",
+        expr(s"(cast(floor(element_at(v, ${i + 1}) / nrm * 1000.0) as bigint) + 1000000) div $W"))
+    }
+    val dims = 0 until blockDims
+    val home = binned.select(col("id").as("id_a"), col("v").as("va"),
+      struct(dims.map(i => col(s"b_$i")): _*).as("cell"))
+    val offsets = dims.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
+    val probeCells = offsets.map(o =>
+      struct(dims.map(i => (col(s"b_$i") + o(i)).as(s"b_$i")): _*))
+    val probe = binned.select(col("id").as("id_b"), col("v").as("vb"),
+      explode(array(probeCells: _*)).as("cell"))
+    home.join(probe, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
 }

@@ -46,6 +46,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs == Set((1L, 100L)))
   }
 
+  test("grid-blocked exact cosine join equals the quadratic form at several thresholds") {
+    import graft.operators.Similarity
+    val base = emb.select(col("vec_id").as("id"), col("e"))
+    def quadratic(t: Double) = {
+      val a = base.select(col("id").as("id_a"), col("e").as("va"))
+      val b = base.select(col("id").as("id_b"), col("e").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cs") >= t).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // 0.4 catches many pairs (negative-coordinate bins exercised);
+    // 0.95 catches none on this corpus — both must match exactly
+    for (t <- Seq(0.4, 0.95); d <- Seq(1, 2)) {
+      val blocked = Similarity.exactBlockedNearDups(base, "id", "e", t, blockDims = d)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = quadratic(t)
+      assert(blocked == exact,
+        s"t=$t d=$d: missed=${exact -- blocked} extra=${blocked -- exact}")
+    }
+  }
+
   test("documents shorter than the shingle width yield empty shingle sets, not errors") {
     import spark.implicits._
     val corpus = Seq(
