@@ -2453,6 +2453,82 @@ object AnalyticsQueries {
              |FROM events e JOIN bounds b ON e.event_type = b.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- rolling 7-day distinct users per active day: COUNT
+    //      DISTINCT over a sliding range cannot ride a window frame
+    //      (distinct isn't frame-mergeable), and the naive day x
+    //      activity range join is quadratic in the span. The scalable
+    //      equi-form: dedup to (user, day) once, explode each row to
+    //      the <= 7 future days it can serve, semi-join to the active
+    //      -day list, ONE distinct-count groupBy — bounded 7x
+    //      expansion of the deduped activity, never of raw events. ----
+    Q("rolling_distinct_users",
+      (s, dir) => {
+        val du = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val activeDays = du.select(col("day").as("d")).distinct()
+        du.select(col("user_id"),
+            explode(expr("transform(sequence(0, 6), i -> date_add(day, i))")).as("d"))
+          .join(activeDays, Seq("d"), "left_semi")
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct("user_id").as("n7_users"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |days AS (SELECT DISTINCT day FROM du)
+             |SELECT d.day, COUNT(DISTINCT u.user_id) AS n7_users
+             |FROM days d JOIN du u
+             |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             |GROUP BY d.day ORDER BY d.day""".stripMargin)),
+
+    // ---- robust outliers by median absolute deviation: median and
+    //      MAD are RANK-DEFINED picks (the ceil(n/2)-th value by
+    //      (key, id) order — no interpolation), |value - med| and
+    //      3*mad are single IEEE ops, so both engines flag the
+    //      identical rows. The robust twin of events_anomaly_zscore:
+    //      one contaminated reading can't drag the threshold the way
+    //      it drags a mean/stddev. ----
+    Q("events_anomaly_mad",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        def pick(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                 out: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+            .filter(col("rn") === expr("cast(ceil(0.5 * n) as bigint)"))
+            .select(col("event_type"), col(valueCol).as(out))
+        }
+        val med = pick(ev, "value", "med")
+        val dev = ev.join(med, "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = pick(dev.select("event_id", "event_type", "dev"), "dev", "mad")
+        dev.join(mad, "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("dev") > col("mad") * 3.0).as("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r1 AS (
+             |  SELECT event_id, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |med AS (SELECT event_type, value AS med FROM r1
+             |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+             |dev AS (SELECT e.event_id, e.event_type, e.value,
+             |          abs(e.value - m.med) AS dev
+             |        FROM events e JOIN med m ON e.event_type = m.event_type),
+             |r2 AS (SELECT event_type, dev,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM dev),
+             |mad AS (SELECT event_type, dev AS mad FROM r2
+             |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+             |SELECT d.event_id, d.event_type, d.value,
+             |  (d.dev > mad.mad * 3.0) AS is_outlier
+             |FROM dev d JOIN mad ON d.event_type = mad.event_type
+             |ORDER BY d.event_id""".stripMargin)),
+
     // ---- equi-width histogram (the dashboard distribution shape):
     //      20 bins over [min, max] of purchase value, entirely in
     //      integer cents — bin = (v - lo) * 20 div (hi - lo + 1), the

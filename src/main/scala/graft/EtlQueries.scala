@@ -636,6 +636,43 @@ object EtlQueries {
     //      destination path is value-preserving; the oracle is the
     //      same keep-latest rewrite the operator-level
     //      etl_upsert_keep_latest row uses. ----
+    // ---- P8 plugin transform stage ON the gate: the reference's
+    //      stage-2 hook (Transformation type PYTHON_SCRIPT ->
+    //      pluggable DataFrame => DataFrame) runs through the full
+    //      config -> job -> LOAD -> destination path: the plugin
+    //      uppercases a mapped column and derives a flag column, and
+    //      the DESTINATION is read back — green means plugin output
+    //      survives mapping, error enforcement, and the write,
+    //      upgrading P8 from unit-only to a hard oracle row. ----
+    Q("etl_plugin_transform",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_plugin_gate_").toString
+        val destDir = s"$work/dest"
+        val cfg = JobConfig(
+          jobId = "plugin-gate-1",
+          steps = List("LOAD"),
+          source = SourceConfig("PARQUET",
+            ConnectionDetails(path = Some(s"$dir/orders.parquet"))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("o_orderkey", "order_id", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("o_orderpriority", "priority", "VARCHAR2", "STRING"),
+            FieldMapping("o_totalprice", "total", "NUMBER", "DOUBLE")),
+          transformation = Transformation("PLUGIN", name = Some("priority_flag")))
+        val plugins = Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+          "priority_flag" -> (df => df
+            .withColumn("priority", upper(col("priority")))
+            .withColumn("is_urgent", col("priority").startsWith("1"))))
+        val r = JobRunner.run(s, cfg, plugins = plugins)
+        require(r.status == JobRunner.Completed, s"plugin job failed: ${r.message}")
+        s.read.parquet(destDir).orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, upper(o_orderpriority) AS priority,
+             |CAST(o_totalprice AS DOUBLE) AS total,
+             |(upper(o_orderpriority) LIKE '1%') AS is_urgent
+             |FROM orders ORDER BY order_id""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

@@ -273,6 +273,36 @@ object TextQueries {
              |  FROM c) WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // ---- one BPE merge-selection step: the top-10 most frequent
+    //      adjacent character pairs over the WEIGHTED word vocabulary
+    //      (pair count = sum over vocab of word-frequency x
+    //      occurrences in the word, positions counted with
+    //      multiplicity — exactly the statistic byte-pair encoding
+    //      maximizes each merge round). Scale shape: the corpus pass
+    //      collapses to the vocabulary first (one groupBy), then the
+    //      pair explode is vocabulary-sized, not corpus-sized —
+    //      tokenizer training's iterative step as two aggregations. ----
+    Q("text_bpe_merge_step",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        vocab.select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(10)
+      },
+      Some("""WITH vocab AS (
+             |  SELECT w, COUNT(*) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2 GROUP BY w),
+             |pairs AS (
+             |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i))
+             |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+             |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin)),
+
     // ---- exact deduplication: keeper = min doc_id per identical text ----
     Q("dedup_exact",
       (s, dir) => Tables.t(s, dir, "documents")

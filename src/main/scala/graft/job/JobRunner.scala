@@ -421,6 +421,20 @@ object JobRunner {
                 spark.read.format(mDest.`type`.toLowerCase).load(mPath), mCols)
               .coalesce(1) // one row per data FILE — metadata-sized
               .write.mode("overwrite").parquet(s"$mPath/_manifest")
+            // optional per-file Bloom membership filters for point
+            // lookups on unclustered columns (zone maps only serve
+            // range predicates on clustered layouts). Same lifecycle
+            // as `_manifest`: versioned with the data, invalidated by
+            // any rewrite — re-run this step after compaction/merge.
+            // transformation.parameters: bloomColumns (csv, optional).
+            val bCols = cfg.transformation.parameters.get("bloomColumns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            if (bCols.nonEmpty)
+              graft.operators.Maintenance.bloomManifest(
+                  spark.read.format(mDest.`type`.toLowerCase).load(mPath), bCols,
+                  expectedPerFile = 100000L, fpp = 0.01)
+                .coalesce(1)
+                .write.mode("overwrite").parquet(s"$mPath/_bloom_manifest")
             stepsRun ::= step
           case "INDEX_DESTINATION" =>
             // Inverted-index maintenance from the config surface: one

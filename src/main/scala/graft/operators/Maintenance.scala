@@ -428,18 +428,26 @@ object Maintenance {
    * — table-format metadata scale, file-count-sized rows.
    */
   def bloomManifest(df: DataFrame, keyCol: String,
-                    expectedPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+                    expectedPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame =
+    bloomManifest(df, Seq(keyCol), expectedPerFile, fpp)
+
+  /** Multi-column form: one scan, one `bloom_<col>` filter per key
+    * column — the shape the MANIFEST_DESTINATION job step persists. */
+  def bloomManifest(df: DataFrame, keyCols: Seq[String],
+                    expectedPerFile: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(keyCols.nonEmpty, "bloomManifest needs at least one key column")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedPerFile, fpp)
-    val agg = new BloomFilterAggregate(
-      GraftSqlBridge.expression(org.apache.spark.sql.functions.xxhash64(col(keyCol))),
-      Literal(expectedPerFile), Literal(numBits))
-    df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        GraftSqlBridge.column(agg.toAggregateExpression()).as(s"bloom_$keyCol"))
+    val aggs = count(lit(1)).as("n_rows") +: keyCols.map { c =>
+      val agg = new BloomFilterAggregate(
+        GraftSqlBridge.expression(org.apache.spark.sql.functions.xxhash64(col(c))),
+        Literal(expectedPerFile), Literal(numBits))
+      GraftSqlBridge.column(agg.toAggregateExpression()).as(s"bloom_$c")
+    }
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** xxhash64 of a probe literal, evaluated driver-side through the

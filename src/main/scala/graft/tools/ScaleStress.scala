@@ -46,6 +46,10 @@ object ScaleStress {
     // Replicas are exact near-dups of their originals: sub-quadratic
     // growth here is the banding/bucket evidence.
     docRun("minhash")(c => Dedup.minhashNearDups(c, "doc_id", "text").count())
+    // Prefix-filtered EXACT join: same ground truth as minhash (which
+    // has a recall caveat) — time should track the prefix-token join
+    // fan-out, staying far below the quadratic form's growth.
+    docRun("prefix")(c => Dedup.prefixFilterNearDups(c, "doc_id", "text").count())
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>
@@ -436,6 +440,66 @@ object ScaleStress {
         println(f"SCALE skip    m=$m%2d rows=$n%8d files=${paths.size}%3d/${16 * m}%3d " +
           f"out=$out%8d read=$tr%6.1fs fullscan=$tf%6.1fs manifest=$tm%6.1fs")
         graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
+    // Bloom-manifest point lookup on a hash-scattered layout (zone
+    // maps blind by construction): the probed file count must stay
+    // ~flat (the keys live in ~|probes| files + false positives at
+    // fpp) and the pruned read's wall ~flat while the full filter
+    // scan tracks the corpus — the equality-predicate twin of the
+    // `skip` section.
+    if (wanted("bloomskip")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          col("l_partkey"), col("l_quantity"))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_bloom_")
+        corpus.repartition(16 * m, col("l_orderkey")).write.parquet(s"$work/t")
+        val probes: Seq[Any] = Seq(7L, 4242L, 999999L)
+        val tm0 = System.nanoTime()
+        val manifest = graft.operators.Maintenance.bloomManifest(
+          spark.read.parquet(s"$work/t"), "l_orderkey",
+          expectedPerFile = math.max(n / (16 * m), 1000L))
+        val paths = graft.operators.Maintenance.bloomPrunedPaths(
+          manifest, "l_orderkey", probes)
+        val tm = (System.nanoTime() - tm0) / 1e9
+        val t0 = System.nanoTime()
+        val out = spark.read.parquet(paths: _*)
+          .filter(col("l_orderkey").isin(probes.map(lit(_)): _*)).count()
+        val tr = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        spark.read.parquet(s"$work/t")
+          .filter(col("l_orderkey").isin(probes.map(lit(_)): _*)).count()
+        val tf = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE bloomsk m=$m%2d rows=$n%8d files=${paths.size}%3d/${16 * m}%3d " +
+          f"out=$out%8d read=$tr%6.1fs fullscan=$tf%6.1fs manifest=$tm%6.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
+    // Exact grid-blocked cosine join in its STRONG regime (t=0.995,
+    // blockDims=4): replicas are scaled copies (cosine exactly 1 in
+    // real arithmetic), so true pairs grow with replica pairs while
+    // wall should track cell-confined candidates, not all-pairs.
+    if (wanted("exactblk")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          (if (i == 0) col("e") else expr(s"transform(e, x -> x * ${1.0 + 0.0625 / i})")).as("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val pairs = Similarity.exactBlockedNearDups(
+          corpus, "vec_id", "e", threshold = 0.995, blockDims = 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE exactbk m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
       }
     }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same

@@ -231,7 +231,7 @@ class OrchestrationSpec extends SparkTestBase {
          |"mappings":[
          |  {"sourceFieldName":"k","destinationFieldName":"k","destFieldType":"LONG"},
          |  {"sourceFieldName":"v","destinationFieldName":"v","destFieldType":"LONG"}],
-         |"transformation":{"type":"NONE","parameters":{"manifestColumns":"k,v"}}}""".stripMargin
+         |"transformation":{"type":"NONE","parameters":{"manifestColumns":"k,v","bloomColumns":"k"}}}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/m.json"), cfgJson)
     val res = JobRunner.run(spark, graft.model.JobConfig.fromFile(s"$work/m.json"))
     assert(res.status == JobRunner.Completed, res.message)
@@ -252,6 +252,15 @@ class OrchestrationSpec extends SparkTestBase {
       spark, s"$work/dest", manifest, "k", lit(100), lit(200))
     val full = spark.read.parquet(s"$work/dest").filter(col("k").between(100, 200))
     assert(pruned.orderBy("k").collect().toSeq == full.orderBy("k").collect().toSeq)
+    // bloomColumns writes the sibling point-lookup manifest, also
+    // hidden, also one row per data file, and it drives a bloom
+    // skipping read equal to the plain filter
+    val bloom = spark.read.parquet(s"$work/dest/_bloom_manifest")
+    assert(bloom.count() == dataFiles.size &&
+      bloom.columns.contains("bloom_k"))
+    val bPruned = graft.operators.Maintenance.bloomSkippingRead(
+      spark, s"$work/dest", bloom, "k", Seq(1234L))
+    assert(bPruned.collect().map(_.getLong(0)).toSeq == Seq(1234L))
   }
 
   test("cooperative cancellation via job groups (O11)") {
