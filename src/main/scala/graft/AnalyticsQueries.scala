@@ -2015,6 +2015,32 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- streaming per-user TOP-K through the real engine: the
+    //      two-file/maxFilesPerTrigger=1 feed makes batch 2 able to
+    //      EVICT batch-1 rows from the bounded per-key state —
+    //      the semilattice merge (topK(topK(A) ∪ B) = topK(A ∪ B))
+    //      that append sinks can't express. State is <= k rows per
+    //      user regardless of stream history; oracle is the whole-
+    //      feed window rewrite. ----
+    Q("events_stream_topk",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_topk_")
+        graft.streaming.EventStreams.topKStream(s,
+            graft.streaming.EventStreams.readEvents(s, src,
+                maxFilesPerTrigger = Some(1))
+              .filter(col("event_type") === "purchase")
+              .select("user_id", "event_id", "value"),
+            work.resolve("dest").toString,
+            keys = Seq("user_id"), orderCol = "value", tieCol = "event_id", k = 3,
+            checkpoint = work.resolve("ckpt").toString)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value FROM events
+             |WHERE event_type = 'purchase'
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY value DESC, event_id DESC) <= 3
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- streaming keyed upsert into a RELATIONAL destination: the
     //      same two-file/maxFilesPerTrigger=1 feed, but each
     //      micro-batch lands in a Derby staging table through the

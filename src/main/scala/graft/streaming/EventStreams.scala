@@ -374,6 +374,59 @@ object EventStreams {
   }
 
   /**
+   * Streaming per-key TOP-K maintenance: each micro-batch folds into
+   * a parquet state table holding at most k rows per key — union the
+   * batch with the current state, re-rank, keep k, crash-safe swap
+   * (same rename-aside protocol as the upsert sink). Correct across
+   * ANY batch split because bounded top-k is a semilattice:
+   * topK(topK(A) ∪ B) = topK(A ∪ B) — an early row can be EVICTED by
+   * a later batch, which plain append sinks cannot express and
+   * watermarked aggregation only approximates. The rank's tiebreak
+   * column must be unique per key so the kept set is batch-split-
+   * and order-independent; replays merge to the same state
+   * (idempotent for the same reason the upsert is).
+   *
+   * Scale posture: state is <= k rows per key — the destination stays
+   * keys x k regardless of stream history; each batch pays one keyed
+   * shuffle over (state ∪ batch), and at 100 TB the state table would
+   * be bucketed on the key so the rewrite is co-located.
+   */
+  def topKStream(spark: SparkSession, stream: DataFrame, destDir: String,
+                 keys: Seq[String], orderCol: String, tieCol: String, k: Int,
+                 checkpoint: String,
+                 trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val dest = new org.apache.hadoop.fs.Path(destDir)
+        val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(dest)) s.read.parquet(destDir)
+          else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            batch.schema)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(desc(orderCol), desc(tieCol))
+        val merged = existing.unionByName(batch.toDF())
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") <= k).drop("_rn")
+        graft.operators.Maintenance.replaceDir(fs, dest, "_merge_",
+          staged => merged.write.parquet(staged),
+          m => new IllegalStateException(s"streaming top-k swap failed: $m"))
+      }
+      .trigger(trigger)
+      .start()
+    q.awaitTermination()
+    val destPath = new org.apache.hadoop.fs.Path(destDir)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) spark.read.parquet(destDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
+  }
+
+  /**
    * Streaming keyed upsert into a RELATIONAL destination — the
    * streaming twin of the W1 JDBC batch-insert sink, and the shape a
    * 100 TB pipeline uses to keep a serving database current from a

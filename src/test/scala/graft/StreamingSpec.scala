@@ -53,6 +53,48 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
   }
 
+  test("streaming top-k: later batches EVICT earlier rows from the bounded state") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val work = tmpDir("graft_topk_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def half(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // batch 1: key 0 scores 10,20,30 (ids 1,2,3) — fills k=2 with
+    // {30,20}; batch 2: scores 25,40 (ids 4,5) — 40 evicts 20, 25
+    // bounces off the state. Final must be {30,40} = top-2 of the
+    // UNION, proving the semilattice merge, not an append.
+    half("h0", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, 1L, 10L), org.apache.spark.sql.Row(0L, 2L, 20L),
+      org.apache.spark.sql.Row(0L, 3L, 30L))),
+      StructType(Seq(StructField("k", LongType), StructField("id", LongType),
+        StructField("score", LongType)))))
+    half("h1", spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, 4L, 25L), org.apache.spark.sql.Row(0L, 5L, 40L))),
+      StructType(Seq(StructField("k", LongType), StructField("id", LongType),
+        StructField("score", LongType)))))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("id", LongType), StructField("score", LongType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = EventStreams.topKStream(spark, stream, s"$work/dest",
+      keys = Seq("k"), orderCol = "score", tieCol = "id", k = 2,
+      checkpoint = s"$work/ckpt")
+    val kept = out.select("id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((3L, 30L), (5L, 40L)),
+      s"state must be top-2 of the union, got $kept")
+    val batches = new java.io.File(s"$work/ckpt/offsets").listFiles()
+      .count(f => !f.getName.startsWith("."))
+    assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
+  }
+
   test("streaming JDBC upsert: cross-batch MERGE, replay is idempotent") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     graft.sources.Readers.ensureDerbyHome()
