@@ -386,6 +386,29 @@ object JobRunner {
             // would otherwise fail the validation with written=0)
             if (!stats.skipped) written = stats.rows
             stepsRun ::= step
+          case "VACUUM_DESTINATION" =>
+            // Swap-debris cleanup from the config surface: delete the
+            // rename-aside leftovers (`_<dest>_(old|merge|compact)_*`)
+            // older than retentionHours beside the destination — the
+            // step a pipeline schedules after MERGE/COMPACT so crash
+            // artifacts don't accumulate. Age-gated because a
+            // CONCURRENT swap's staging dir must never be deleted;
+            // a rollback `_old_` is kept while the destination is
+            // missing (it is the only copy). See Maintenance.vacuum.
+            // transformation.parameters: retentionHours (default 24).
+            val vDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("VACUUM_DESTINATION requires a destination"))
+            val vPath = vDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("VACUUM_DESTINATION requires a file path destination"))
+            val retainMs = cfg.transformation.parameters.get("retentionHours")
+              .map(_.toDouble).getOrElse(24.0) * 3600 * 1000
+            val vp = new org.apache.hadoop.fs.Path(vPath)
+            val vFs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val removed = graft.operators.Maintenance.vacuum(vFs, vp, retainMs.toLong)
+            if (removed.nonEmpty)
+              System.err.println(s"[graft-job] VACUUM_DESTINATION removed " +
+                s"${removed.size} swap leftover(s): ${removed.mkString(", ")}")
+            stepsRun ::= step
           case "MANIFEST_DESTINATION" =>
             // Zone-map maintenance from the same config surface: one
             // scan of the destination writes its per-file min/max

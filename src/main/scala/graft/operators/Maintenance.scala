@@ -509,6 +509,48 @@ object Maintenance {
         .filter(col(keyCol).isin(inList: _*))
   }
 
+  /** Predicate shapes the manifest dispatcher understands. */
+  sealed trait SkipPredicate
+  /** `col BETWEEN lo AND hi` — served by the min/max zone maps. */
+  final case class RangePred(col: String, lo: Any, hi: Any) extends SkipPredicate
+  /** `col IN (values...)` — served by the per-file Bloom filters. */
+  final case class EqualityPred(col: String, values: Seq[Any]) extends SkipPredicate
+
+  /** Manifest dispatcher: route a predicate to the pruning structure
+    * that can actually serve it — ranges to the `_manifest` zone
+    * maps, point lookups to the `_bloom_manifest` filters — reading
+    * whichever hidden child exists beside `root`. This is the scan
+    * entry a table format exposes as one "read with predicate" call;
+    * a predicate whose manifest is absent falls back to a plain
+    * filtered scan (correct, just unpruned) rather than failing —
+    * file-skipping is an optimization, never a requirement. */
+  def autoSkippingRead(spark: SparkSession, root: String, pred: SkipPredicate,
+                       format: String = "parquet"): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def child(name: String): Option[DataFrame] = {
+      val p = new Path(root, name)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    pred match {
+      case RangePred(c, lo, hi) =>
+        child("_manifest") match {
+          case Some(m) if m.columns.contains(s"min_$c") =>
+            skippingRead(spark, root, m, c, lit(lo), lit(hi), format)
+          case _ =>
+            spark.read.format(format).load(root)
+              .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+        }
+      case EqualityPred(c, vs) =>
+        child("_bloom_manifest") match {
+          case Some(m) if m.columns.contains(s"bloom_$c") =>
+            bloomSkippingRead(spark, root, m, c, vs, format)
+          case _ =>
+            spark.read.format(format).load(root)
+              .filter(col(c).isin(vs.map(lit(_)): _*))
+        }
+    }
+  }
+
   /** The rewrite frame `compact` writes: shuffle-FREE `coalesce` for
     * pure compaction, or exactly one range exchange + in-partition
     * sort when clustering. `coalesce` can only MERGE partitions —

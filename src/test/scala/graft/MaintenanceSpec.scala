@@ -193,6 +193,53 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fs.exists(new Path(s"$root/_t_old_dddd4444")), "sole-copy _old_ must survive")
   }
 
+  test("VACUUM_DESTINATION job step clears aged swap debris from the config surface") {
+    val root = tmpDir("graft_vacstep_")
+    val dir = s"$root/t"
+    fragmented(dir, 2)
+    fs.mkdirs(new Path(s"$root/_t_merge_abcd1234"))
+    val cfg = graft.model.JobConfig(
+      jobId = "vac-1",
+      steps = List("VACUUM_DESTINATION"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dir))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dir)))),
+      mappings = List(graft.model.FieldMapping("id", "id", "NUMBER", "LONG")),
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map("retentionHours" -> "-1")))
+    val res = JobRunner.run(spark, cfg)
+    assert(res.status == JobRunner.Completed, res.message)
+    assert(!fs.exists(new Path(s"$root/_t_merge_abcd1234")), "aged debris must be vacuumed")
+    assert(fs.exists(new Path(dir)), "destination untouched")
+  }
+
+  test("autoSkippingRead dispatches ranges to zone maps, points to blooms, absent manifests to plain scans") {
+    val dir = tmpDir("graft_autoskip_") + "/t"
+    // clustered on id so the zone maps are real; bloom on v
+    Maintenance.zOrdered(
+      spark.range(0, 8000).selectExpr("id", "id % 1000 AS v"),
+      Seq("id", "id"), nOut = 8, bits = 13).write.parquet(dir)
+    Maintenance.statsManifest(spark.read.parquet(dir), Seq("id"))
+      .coalesce(1).write.parquet(s"$dir/_manifest")
+    Maintenance.bloomManifest(spark.read.parquet(dir), "id", expectedPerFile = 2000L)
+      .coalesce(1).write.parquet(s"$dir/_bloom_manifest")
+    val r = Maintenance.autoSkippingRead(spark, dir,
+      Maintenance.RangePred("id", 100L, 200L))
+    assert(r.orderBy("id").collect().toSeq ==
+      spark.read.parquet(dir).filter(col("id").between(100, 200)).orderBy("id").collect().toSeq)
+    val e = Maintenance.autoSkippingRead(spark, dir,
+      Maintenance.EqualityPred("id", Seq(4567L)))
+    assert(e.collect().map(_.getLong(0)).toSeq == Seq(4567L))
+    // no manifest covers v: both shapes fall back to plain scans, still correct
+    val fb = Maintenance.autoSkippingRead(spark, dir,
+      Maintenance.EqualityPred("v", Seq(7L)))
+    assert(fb.count() == spark.read.parquet(dir).filter(col("v") === 7).count())
+    val fb2 = Maintenance.autoSkippingRead(spark, dir,
+      Maintenance.RangePred("v", 1L, 3L))
+    assert(fb2.count() == spark.read.parquet(dir).filter(col("v").between(1, 3)).count())
+  }
+
   test("ORC directories compact through the same path") {
     val dir = tmpDir("graft_compact_") + "/t"
     spark.range(0, 2000).select(col("id"), (col("id") % 9).as("v"))

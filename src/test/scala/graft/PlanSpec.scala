@@ -158,6 +158,43 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"no full-vocabulary SMJ expected:\n$plan")
   }
 
+  test("runtime bloom-filter join injection fires: the optimizer's own bloom pruning") {
+    // the runtime complement of the manifest tier's bloom skipping:
+    // a selective filter on the small join side must inject a
+    // might_contain(bloom_filter_agg(...)) guard into the BIG side's
+    // scan path, so non-joining rows die before the shuffle — at
+    // 100 TB this is the difference between shuffling the fact table
+    // and shuffling the matching slice. Thresholds are tuned because
+    // the defaults (10 GB application side) never fire at test scale;
+    // what is pinned is that the rule CAN fire on this engine build
+    // and our plans don't structurally prevent it.
+    val work = tmpDir("graft_rtbloom_")
+    spark.range(0, 200000).selectExpr("id AS k", "id % 100 AS f")
+      .write.parquet(s"$work/big")
+    spark.range(0, 5000).selectExpr("id AS k", "id % 10 AS g")
+      .write.parquet(s"$work/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.read.parquet(s"$work/big")
+      val dim = spark.read.parquet(s"$work/dim").filter(col("g") === 3)
+      val joined = big.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$optimized")
+      // and the guarded plan still returns the exact join result
+      assert(joined.count() == 500)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("binned interval join plans as an equi hash join, never nested-loop") {
     val plan = planString(Queries.queries("events_interval_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
