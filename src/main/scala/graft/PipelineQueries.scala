@@ -366,6 +366,26 @@ object PipelineQueries {
              |    '\b\d{6,}\b', '[ID]', 'g') AS scrubbed,
              |  CAST(len(regexp_extract_all(raw,
              |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- k-anonymity audit over the release quasi-identifiers:
+    //      every (lang, source, size-bucket) combination must hide
+    //      each record among >= k lookalikes, or the release leaks
+    //      re-identification handles. One aggregation pass reports
+    //      each quasi-group's population and verdict — the privacy
+    //      gate a dataset release runs AFTER pii_scrub (scrubbing
+    //      direct identifiers does nothing about quasi-identifier
+    //      joins). Map-side combinable; never row-expanding. ----
+    Q("privacy_k_anonymity",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 200").as("size_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("meets_k", col("n") >= 3)
+        .orderBy("lang", "source", "size_bucket"),
+      Some("""SELECT lang, source, n_chars // 200 AS size_bucket,
+             |  COUNT(*) AS n, (COUNT(*) >= 3) AS meets_k
+             |FROM documents GROUP BY lang, source, n_chars // 200
+             |ORDER BY lang, source, size_bucket""".stripMargin))
   )
 }

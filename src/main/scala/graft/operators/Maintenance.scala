@@ -509,6 +509,43 @@ object Maintenance {
         .filter(col(keyCol).isin(inList: _*))
   }
 
+  /**
+   * Incremental zone-map maintenance: scan ONLY the data files the
+   * old manifest does not cover (appends since it was written), and
+   * drop rows for files that no longer exist (compaction/merge
+   * rewrites). Result == a full [[statsManifest]] rebuild over the
+   * current directory — pinned by unit test — but the scan cost is
+   * proportional to the APPENDED data, not the table. This is how a
+   * table format actually maintains its metadata at 100 TB: the full
+   * rebuild is a disaster-recovery path, not the steady state.
+   */
+  def statsManifestIncremental(spark: SparkSession, root: String,
+                               oldManifest: DataFrame, statsCols: Seq[String],
+                               format: String = "parquet"): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = dataFiles(fs, rootPath)
+    val liveNames = live.map(_.getPath.getName).toSet
+    val kept = oldManifest.filter(
+      udfFreeBasenameIn(col("file"), liveNames))
+    val knownNames = oldManifest.select("file").collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    val freshPaths = live.filterNot(f => knownNames(f.getPath.getName))
+      .map(_.getPath.toString)
+    if (freshPaths.isEmpty) kept
+    else kept.unionByName(
+      statsManifest(spark.read.format(format).load(freshPaths: _*), statsCols))
+  }
+
+  /** `basename(file) IN names` as a pure Column expression (no UDF):
+    * element_at on a reversed split isolates the basename. */
+  private def udfFreeBasenameIn(file: org.apache.spark.sql.Column,
+                                names: Set[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, reverse, split}
+    if (names.isEmpty) lit(false)
+    else element_at(reverse(split(file, "/")), 1).isin(names.toSeq: _*)
+  }
+
   /** Predicate shapes the manifest dispatcher understands. */
   sealed trait SkipPredicate
   /** `col BETWEEN lo AND hi` — served by the min/max zone maps. */
