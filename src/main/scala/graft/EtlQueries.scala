@@ -636,6 +636,40 @@ object EtlQueries {
     //      destination path is value-preserving; the oracle is the
     //      same keep-latest rewrite the operator-level
     //      etl_upsert_keep_latest row uses. ----
+    // ---- range-dimension enrichment: classify each order into a
+    //      price tier by a BROADCAST non-equi join against a
+    //      boundary table. The dimension is rows-of-metadata sized,
+    //      so the correct 100 TB plan is a broadcast nested-loop
+    //      with the band condition — the fact side streams in place,
+    //      no shuffle, no sort — NOT a sort-merge over a range key.
+    //      Tiers are half-open [lo, hi) so every value lands in
+    //      exactly one row and the join is 1:1. ----
+    Q("etl_tier_lookup",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("T1_SMALL", 0.0, 50000.0),
+          ("T2_MEDIUM", 50000.0, 150000.0),
+          ("T3_LARGE", 150000.0, 300000.0),
+          ("T4_JUMBO", 300000.0, Double.MaxValue))
+          .toDF("tier", "lo", "hi")
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("tier"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH tiers(tier, lo, hi) AS (VALUES
+             |  ('T1_SMALL', 0.0, 50000.0),
+             |  ('T2_MEDIUM', 50000.0, 150000.0),
+             |  ('T3_LARGE', 150000.0, 300000.0),
+             |  ('T4_JUMBO', 300000.0, 1e308))
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, tier
+             |FROM orders JOIN tiers
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- P8 plugin transform stage ON the gate: the reference's
     //      stage-2 hook (Transformation type PYTHON_SCRIPT ->
     //      pluggable DataFrame => DataFrame) runs through the full

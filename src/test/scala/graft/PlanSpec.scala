@@ -195,6 +195,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("range-dimension tier lookup broadcasts the boundary table (nested-loop on the hint)") {
+    // a non-equi band join has no hash key; the only scale-correct
+    // plan with a metadata-sized dimension is broadcast nested-loop —
+    // the fact side must NOT shuffle or sort
+    val plan = planString(Queries.queries("etl_tier_lookup")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"tier lookup must broadcast the boundary table:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"fact side must stream in place:\n$plan")
+  }
+
   test("binned interval join plans as an equi hash join, never nested-loop") {
     val plan = planString(Queries.queries("events_interval_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
