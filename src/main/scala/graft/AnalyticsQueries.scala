@@ -2506,6 +2506,37 @@ object AnalyticsQueries {
              |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
              |GROUP BY d.day ORDER BY d.day""".stripMargin)),
 
+    // ---- running DISTINCT count per user: distinct is not
+    //      frame-mergeable, so the running form can't ride a window
+    //      frame directly — the rewrite marks each (user, type)'s
+    //      FIRST occurrence (one rank pass) and running-sums the
+    //      flags (one frame pass). Two windows, both partitioned by
+    //      user — the general trick for any running set-cardinality. ----
+    Q("events_running_distinct",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "ts")
+        val first = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("is_first",
+            when(row_number().over(first) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum("is_first").over(running))
+          .select("event_id", "user_id", "event_type", "n_types_seen")
+          .orderBy("event_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |                                 ORDER BY ts, event_id) = 1
+             |         THEN 1 ELSE 0 END AS is_first, ts
+             |  FROM events)
+             |SELECT event_id, user_id, event_type,
+             |  CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+             |FROM f ORDER BY event_id""".stripMargin)),
+
     // ---- robust outliers by median absolute deviation: median and
     //      MAD are RANK-DEFINED picks (the ceil(n/2)-th value by
     //      (key, id) order — no interpolation), |value - med| and

@@ -609,7 +609,7 @@ object SimilarityQueries {
           (col("vec_id") + 100000).as("vec_id"),
           expr("transform(e, x -> x * 1.0625)").as("e"))
         graft.operators.Similarity
-          .exactBlockedNearDups(emb.union(perturbed), "vec_id", "e", threshold = 0.9)
+          .exactBlockedNearDups(emb.union(perturbed), "vec_id", "e", threshold = 0.99, blockDims = 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -619,7 +619,7 @@ object SimilarityQueries {
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
              |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-             |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+             |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("embed_near_dups",

@@ -529,17 +529,20 @@ object Similarity {
         expr(s"(cast(floor(element_at(v, ${i + 1}) / nrm * 1000.0) as bigint) + 1000000) div $W"))
     }
     val dims = 0 until blockDims
+    // norms ride the join sides: computed once per VECTOR, not once
+    // per candidate pair — same expression fold, so na*nb is
+    // bit-identical to the per-pair sqrt(dot(a,a))*sqrt(dot(b,b))
     val home = binned.select(col("id").as("id_a"), col("v").as("va"),
-      struct(dims.map(i => col(s"b_$i")): _*).as("cell"))
+      col("nrm").as("na"), struct(dims.map(i => col(s"b_$i")): _*).as("cell"))
     val offsets = dims.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
       acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
     val probeCells = offsets.map(o =>
       struct(dims.map(i => (col(s"b_$i") + o(i)).as(s"b_$i")): _*))
     val probe = binned.select(col("id").as("id_b"), col("v").as("vb"),
-      explode(array(probeCells: _*)).as("cell"))
+      col("nrm").as("nb"), explode(array(probeCells: _*)).as("cell"))
     home.join(probe, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -37,6 +37,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered join == quadratic all-pairs on generated corpora (losslessness property)") {
+    // random short documents over a tiny vocabulary force heavy
+    // shingle collisions, near-threshold Jaccard values, and docs
+    // shorter than the shingle width — the boundary soup where a
+    // wrong prefix length or a broken total order would lose pairs
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (seed <- Seq(11L, 23L)) {
+      val texts = sample(doc, 60, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = graft.operators.Dedup.shingles(df, "doc_id", "text")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val quad = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 7)
+      val pf = graft.operators.Dedup.prefixFilterNearDups(df, "doc_id", "text")
+      assert(pairs(pf) == pairs(quad),
+        s"seed=$seed: missed=${pairs(quad) -- pairs(pf)} extra=${pairs(pf) -- pairs(quad)}")
+    }
+  }
+
   test("PqCodec kernels agree with straightforward reference implementations on random input") {
     // one generated corpus, one Spark round-trip: random vectors +
     // random codebooks through the native encode/ADC/batch-ADC/sig
