@@ -2586,6 +2586,105 @@ object AnalyticsQueries {
              |FROM dev d JOIN mad ON d.event_type = mad.event_type
              |ORDER BY d.event_id""".stripMargin)),
 
+    // ---- equi-DEPTH histogram: 10 same-population value buckets per
+    //      event type via ntile (identical rank-split definition in
+    //      both engines), with each bucket's [min, max] span and
+    //      population — the quantile-sketch shape for skewed
+    //      distributions where equi-width buckets collapse into one
+    //      bar. One window rank + one aggregation. ----
+    Q("events_equidepth_histogram",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, value,
+             |    CAST(ntile(10) OVER (PARTITION BY event_type
+             |                         ORDER BY value, event_id) AS INTEGER) AS bucket
+             |  FROM events)
+             |SELECT event_type, bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+             |FROM b GROUP BY event_type, bucket
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // ---- Pearson correlation per group in EXACT integer moments:
+    //      built-in corr() accumulates doubles in partition order —
+    //      never cross-engine-stable. Here value is quantized to
+    //      cents (exact: the fixture carries 2-decimal doubles) and
+    //      the JSON k field is already integral, so n, Σx, Σy, Σxy,
+    //      Σx², Σy² are exact BIGINTs; the final covariance/stddev
+    //      arithmetic is a fixed dag of double ops on identical
+    //      integers. ONE aggregation pass — the moments ARE the
+    //      shuffle, combine map-side. ----
+    Q("events_correlation",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("corr_xy",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .select("event_type", "n", "corr_xy")
+        .orderBy("event_type"),
+      Some("""WITH q AS (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS x,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+             |  FROM events),
+             |m AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM q GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- OLS trend slope per group, same exact-moments discipline:
+    //      slope of value (cents) against time (epoch day) from the
+    //      five integer sums; slope and intercept are double ops on
+    //      identical BIGINTs. The metric-drift detector every
+    //      monitoring pipeline computes — one combinable pass, no
+    //      window, no sort. ----
+    Q("events_trend_slope",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_cents_per_day",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select("event_type", "n", "slope_cents_per_day")
+        .orderBy("event_type"),
+      Some("""WITH q AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+             |    CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events),
+             |m AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM q GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     // ---- equi-width histogram (the dashboard distribution shape):
     //      20 bins over [min, max] of purchase value, entirely in
     //      integer cents — bin = (v - lo) * 20 div (hi - lo + 1), the
