@@ -636,6 +636,40 @@ object EtlQueries {
     //      destination path is value-preserving; the oracle is the
     //      same keep-latest rewrite the operator-level
     //      etl_upsert_keep_latest row uses. ----
+    // ---- snapshot time travel: two commits to a versioned
+    //      destination (immutable v=N dirs + an atomically-renamed
+    //      _current pointer — the minimal lake snapshot isolation),
+    //      then ONE query reads BOTH versions and reports the rows
+    //      that changed between them. At 100 TB the pointer swap is
+    //      what makes concurrent readers consistent during writes,
+    //      and pinned-version reads are the reproducibility story
+    //      for training-data releases. ----
+    Q("etl_time_travel",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_timetravel_").toString
+        val root = s"$work/orders_versioned"
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val v1 = graft.operators.Snapshots.write(base, root)
+        val updated = base.withColumn("price_cents",
+          when(col("o_orderkey") % 10 === 0, col("price_cents") + 100000L)
+            .otherwise(col("price_cents")))
+        graft.operators.Snapshots.write(updated, root)
+        val old = graft.operators.Snapshots.read(s, root, Some(v1))
+          .withColumnRenamed("price_cents", "price_v1")
+        graft.operators.Snapshots.read(s, root) // live = v2
+          .withColumnRenamed("price_cents", "price_v2")
+          .join(old, "o_orderkey")
+          .filter(col("price_v1") =!= col("price_v2"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice * 100) + 100000 AS BIGINT) AS price_v2,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_v1
+             |FROM orders WHERE o_orderkey % 10 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- range-dimension enrichment: classify each order into a
     //      price tier by a BROADCAST non-equi join against a
     //      boundary table. The dimension is rows-of-metadata sized,

@@ -273,6 +273,32 @@ class MaintenanceSpec extends SparkTestBase {
     m0.unpersist()
   }
 
+  test("snapshots: pinned reads, rollback without data movement, expire spares current") {
+    import graft.operators.Snapshots
+    val root = tmpDir("graft_snap_") + "/t"
+    val v1 = Snapshots.write(spark.range(0, 100).selectExpr("id", "id AS v"), root)
+    val v2 = Snapshots.write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), root)
+    val v3 = Snapshots.write(spark.range(0, 50).selectExpr("id", "id * 3 AS v"), root)
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    // live = newest; time travel pins an old consistent view
+    assert(Snapshots.read(spark, root).agg(sum("v")).head().getLong(0) ==
+      (0 until 50).map(_ * 3L).sum)
+    assert(Snapshots.read(spark, root, Some(1L)).agg(sum("v")).head().getLong(0) ==
+      (0 until 100).map(_.toLong).sum)
+    // rollback is a pointer move: v2 becomes live, data untouched
+    Snapshots.rollback(spark, root, 2L)
+    assert(Snapshots.read(spark, root).count() == 100)
+    // expire keeps the newest keepLast AND the (older) current version
+    val gone = Snapshots.expire(spark, root, keepLast = 1)
+    assert(gone == Seq(1L), s"expected only v1 retired, got $gone")
+    assert(Snapshots.versions(fs, new Path(root)) == Seq(2L, 3L))
+    assert(Snapshots.read(spark, root).count() == 100, "current survived expire")
+    // a pointer naming a deleted directory fails loudly
+    fs.delete(new Path(s"$root/v=2"), true)
+    val e = intercept[IllegalArgumentException](Snapshots.read(spark, root))
+    assert(e.getMessage.contains("missing"), e.getMessage)
+  }
+
   test("ORC directories compact through the same path") {
     val dir = tmpDir("graft_compact_") + "/t"
     spark.range(0, 2000).select(col("id"), (col("id") % 9).as("v"))
