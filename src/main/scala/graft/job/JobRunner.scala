@@ -278,6 +278,33 @@ object JobRunner {
             written = counts._1
             failedRows = counts._2()
             stepsRun ::= step
+          case "LOAD_SNAPSHOT" =>
+            // LOAD into a VERSIONED destination: the mapped batch
+            // commits as the next immutable v=N under the destination
+            // path with an atomic pointer move (Snapshots.write) —
+            // every run of the job is a new pinned, time-travelable
+            // version instead of an overwrite. PARQUET/ORC only
+            // (self-describing read-back, like MERGE_STRATEGY).
+            val sDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("LOAD_SNAPSHOT requires a destination"))
+            require(Set("PARQUET", "ORC")(sDest.`type`.toUpperCase),
+              s"LOAD_SNAPSHOT supports PARQUET/ORC destinations, got ${sDest.`type`}")
+            val sPath = sDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("LOAD_SNAPSHOT requires a file path destination"))
+            var sCounts: (Long, () => Long) = null
+            Retry.withRetry() { () =>
+              val enforced = ErrorPolicy.enforceObserved(
+                buildDataFrame(spark, cfg, plugins), cfg.mappings, cfg.errorHandling)
+              val obs = org.apache.spark.sql.Observation(s"graft_snap_${seq.incrementAndGet()}")
+              val counted = enforced.good.observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("rows"))
+              graft.operators.Snapshots.write(counted, sPath, sDest.`type`.toLowerCase)
+              sCounts = (obs.get.get("rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+                enforced.rejected)
+            }
+            written = sCounts._1
+            failedRows = sCounts._2()
+            stepsRun ::= step
           case "MERGE_STRATEGY" =>
             // Incremental load: merge the incoming batch into the
             // EXISTING destination instead of replacing it — LOAD's

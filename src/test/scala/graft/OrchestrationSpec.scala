@@ -263,6 +263,30 @@ class OrchestrationSpec extends SparkTestBase {
     assert(bPruned.collect().map(_.getLong(0)).toSeq == Seq(1234L))
   }
 
+  test("LOAD_SNAPSHOT: each job run commits a new pinned version of the destination") {
+    val work = tmpDir("snap_step")
+    spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v")
+      .write.parquet(s"$work/src")
+    def cfg(run: Int) = graft.model.JobConfig(
+      jobId = s"snap-$run",
+      steps = List("LOAD_SNAPSHOT"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(s"$work/src"),
+          filter = if (run == 2) Some("k < 500") else None)),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(s"$work/dest")))),
+      mappings = List(
+        graft.model.FieldMapping("k", "k", "NUMBER", "LONG"),
+        graft.model.FieldMapping("v", "v", "NUMBER", "LONG")))
+    val r1 = JobRunner.run(spark, cfg(1))
+    val r2 = JobRunner.run(spark, cfg(2))
+    assert(r1.status == JobRunner.Completed && r2.status == JobRunner.Completed)
+    assert(r1.recordsWritten == 1000 && r2.recordsWritten == 500)
+    // live = the second run's filtered batch; v1 pinned and intact
+    assert(graft.operators.Snapshots.read(spark, s"$work/dest").count() == 500)
+    assert(graft.operators.Snapshots.read(spark, s"$work/dest", Some(1L)).count() == 1000)
+  }
+
   test("cooperative cancellation via job groups (O11)") {
     val t = new Thread(() => {
       try {
