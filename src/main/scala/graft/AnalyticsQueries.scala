@@ -2506,6 +2506,38 @@ object AnalyticsQueries {
              |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
              |GROUP BY d.day ORDER BY d.day""".stripMargin)),
 
+    // ---- event-type transition matrix (first-order Markov counts):
+    //      per user, each consecutive (prev -> next) pair by time
+    //      order, counted corpus-wide, with the row-normalized
+    //      probability in exact permille (integer div on exact
+    //      counts). One LAG pass + one aggregation — the sequence
+    //      statistic behind next-event prediction and funnel design. ----
+    Q("events_type_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.t(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type").agg(sum("n").as("row_total"))
+        pairs.join(totals, "prev_type")
+          .withColumn("permille", expr("(n * 1000) div row_total"))
+          .select("prev_type", "next_type", "n", "permille")
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+             |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+             |      FROM c GROUP BY 1)
+             |SELECT c.prev_type, c.next_type, c.n, (c.n * 1000) // t.row_total AS permille
+             |FROM c JOIN t ON c.prev_type = t.prev_type
+             |ORDER BY c.prev_type, c.next_type""".stripMargin)),
+
     // ---- running DISTINCT count per user: distinct is not
     //      frame-mergeable, so the running form can't ride a window
     //      frame directly — the rewrite marks each (user, type)'s
