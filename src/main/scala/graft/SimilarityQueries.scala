@@ -294,6 +294,35 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- hard-negative mining (retrieval-training data prep): for
+    //      each probe in the batch, the 3 most-similar vectors with a
+    //      DIFFERENT label — the "close but wrong" examples a
+    //      contrastive loss pairs against each anchor. Label mismatch
+    //      is filtered BEFORE the per-probe rank shuffle; scoring is
+    //      map-side against the broadcast probe batch. Exact, so fully
+    //      oracle-checked (self is excluded by its own label). ----
+    Q("sim_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+            col("e").as("probe_e"))
+        graft.operators.Similarity.hardNegatives(emb, probes, "e", k = 3)
+          .select("probe_id", "rk", "vec_id", "label", "cos_sim")
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv
+             |      FROM e WHERE vec_id % 50 = 0),
+             |scored AS (SELECT probe_id, vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |  FROM e, p WHERE label <> probe_label),
+             |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+             |      FROM scored)
+             |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
+             |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
+
     Q("sim_ann_topk",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
@@ -621,6 +650,55 @@ object SimilarityQueries {
              |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SemDeDup-style semantic dedup: nearest-seed-centroid cells
+    //      bound the quadratic cosine stage (Σ cell² , never corpus²),
+    //      then keep-lowest-id canonical inside each cell at
+    //      cosine >= 0.99. Near-dups are CONSTRUCTED (scaled copies,
+    //      x1.0625 — dyadic, so round(q*1000) quantizes identically in
+    //      both engines and the copy's cosine to its base is ~1); the
+    //      oracle replays seed selection, exact-BIGINT assignment,
+    //      intra-cell pairing, and the keeper rule verbatim. The copy
+    //      is NOT guaranteed to share its base's cell — when a cell
+    //      boundary separates them the pair survives, the documented
+    //      SemDeDup recall trade both engines agree on. ----
+    Q("dedup_semantic_clusters",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+        val perturbed = emb.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("transform(e, x -> x * 1.0625)").as("e"))
+        graft.operators.Similarity
+          .semanticDedup(emb.union(perturbed), "vec_id", "e",
+            nClusters = 8, threshold = 0.99)
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |aug AS (SELECT vec_id, v FROM base
+             |        UNION ALL
+             |        SELECT vec_id + 100000, list_transform(v, x -> x * 1.0625) FROM base),
+             |d AS (SELECT vec_id, i AS pos, CAST(round(v[i] * 1000) AS BIGINT) AS q
+             |      FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM aug)),
+             |seeds AS (SELECT vec_id AS c_id FROM aug ORDER BY vec_id LIMIT 8),
+             |sd AS (SELECT s.c_id, d.pos, d.q AS cq
+             |       FROM d JOIN seeds s ON d.vec_id = s.c_id),
+             |sc AS (SELECT d.vec_id, sd.c_id,
+             |         CAST(SUM(sd.cq * sd.cq) - 2 * SUM(d.q * sd.cq) AS BIGINT) AS score
+             |       FROM d JOIN sd USING (pos) GROUP BY 1, 2),
+             |a AS (SELECT vec_id, c_id AS cluster_id FROM (
+             |        SELECT vec_id, c_id,
+             |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, c_id) AS rn
+             |        FROM sc) WHERE rn = 1),
+             |pruned AS (SELECT DISTINCT y.vec_id
+             |           FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+             |           JOIN aug va ON va.vec_id = x.vec_id
+             |           JOIN aug vb ON vb.vec_id = y.vec_id
+             |           WHERE list_dot_product(va.v, vb.v) /
+             |                 (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) >= 0.99)
+             |SELECT a.vec_id, a.cluster_id,
+             |  a.vec_id NOT IN (SELECT vec_id FROM pruned) AS kept
+             |FROM a ORDER BY a.vec_id""".stripMargin)),
 
     Q("embed_near_dups",
       (s, dir) => {

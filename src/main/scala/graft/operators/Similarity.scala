@@ -70,6 +70,90 @@ object Similarity {
       .drop("probe_e", "_norm", "_pnorm")
   }
 
+  /**
+   * Hard-negative mining for retrieval training: for every probe, the
+   * k most-similar corpus vectors whose label DIFFERS from the
+   * probe's — the "close but wrong" rows contrastive training pairs
+   * against each anchor. Same scale shape as [[batchTopK]] (broadcast
+   * query batch, map-side scoring over the corpus, one per-probe rank
+   * shuffle), but the label-mismatch filter runs BEFORE the rank, so
+   * same-label rows never enter the shuffle at all.
+   *
+   * `probes` columns: (`probeIdCol`, `probe_label`, `probe_e`).
+   */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, vecCol: String, k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    probeIdCol: String = "probe_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(probes.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
+      .filter(col(labelCol) =!= col("probe_label"))
+      .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "probe_label", "_norm", "_pnorm")
+  }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, public): the
+   * quadratic cosine comparison is confined to k-means cells so the
+   * pairwise term is Σ(cell size)², never corpus².
+   *
+   *  1. Assign every vector to the Euclidean-nearest of `nClusters`
+   *     seed centroids (the `nClusters` lowest-id vectors — a
+   *     deterministic, metadata-sized seed set). The argmin runs in
+   *     exact BIGINT over round(v*1000)-quantized components — with
+   *     single-vector seeds ||q−c||² argmin collapses to
+   *     (||c||² − 2·dot(q,c)), so there are no cross-engine float
+   *     ties — and lands as ONE `min_by` aggregation (no window).
+   *  2. Inside each cell, drop every vector that has a LOWER-id
+   *     cell-mate with cosine >= `threshold` (keep-lowest-id
+   *     canonical — the same deterministic keeper rule as
+   *     [[graft.operators.Dedup.keepCanonical]]).
+   *
+   * Returns (`idCol`, cluster_id, kept). Scale posture: seeds
+   * broadcast; assignment scoring multiplies rows by nClusters only;
+   * the self-join carries a cell-id equi-key, so Spark hash-partitions
+   * by cell — the 100 TB knob is nClusters (more cells = smaller
+   * quadratic blocks), exactly the lever the algorithm exposes.
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int = 8, threshold: Double = 0.99): DataFrame = {
+    val d = corpus.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("q", round(col("v") * 1000).cast(LongType))
+    // seed ids = nClusters smallest ids: one tiny top-k, no collect
+    val seedIds = corpus.select(col(idCol).as("_seed_id"))
+      .orderBy(col("_seed_id")).limit(nClusters)
+    val seeds = d.join(broadcast(seedIds), col(idCol) === col("_seed_id"))
+      .select(col("_seed_id").as("c_id"), col("pos"), col("q").as("cq"))
+    val assign = d.join(broadcast(seeds), Seq("pos"))
+      .groupBy(col(idCol), col("c_id"))
+      .agg((sum(col("cq") * col("cq")) - lit(2L) * sum(col("q") * col("cq"))).as("score"))
+      // argmin as ONE second aggregation (min over a (score, c_id)
+      // struct — lexicographic, tie-proof) instead of a window rank:
+      // both shuffles are keyed by idCol, and AQE coalesces them.
+      .groupBy(col(idCol))
+      .agg(min(struct(col("score"), col("c_id"))).as("_best"))
+      .select(col(idCol), col("_best.c_id").as("cluster_id"))
+    val vecs = corpus.select(col(idCol), col(vecCol))
+      .join(assign, idCol)
+      .withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+    val a = vecs.select(col("cluster_id"), col(idCol).as("_id_a"),
+      col(vecCol).as("_va"), col("_norm").as("_na"))
+    val b = vecs.select(col("cluster_id"), col(idCol).as("_id_b"),
+      col(vecCol).as("_vb"), col("_norm").as("_nb"))
+    val pruned = a.join(b, Seq("cluster_id"))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= threshold)
+      .select(col("_id_b").as(idCol)).distinct()
+    vecs.select(col(idCol), col("cluster_id"))
+      .join(pruned.withColumn("_pruned", lit(true)), Seq(idCol), "left")
+      .withColumn("kept", col("_pruned").isNull)
+      .select(col(idCol), col("cluster_id"), col("kept"))
+  }
+
   /** nBits-bit hyperplane signature of an array<double> column —
     * the native [[graft.functions.HyperplaneSigExpr]] kernel: planes
     * (derived from a splitmix64 mix of (plane, dim), no RNG state)

@@ -205,4 +205,64 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(d.count() == docs.select("text").distinct().count())
     assert(d.agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
   }
+
+  test("hardNegatives: k rows per probe, never the probe's own label, " +
+    "and each is the true best among label-mismatched vectors") {
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("e").as("probe_e"))
+    val hn = Similarity.hardNegatives(emb, probes, "e", k = 3)
+      .select("probe_id", "rk", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeIds = labels.keys.filter(_ % 50 == 0)
+    assert(hn.groupBy(_._1).forall(_._2.length == 3))
+    assert(probeIds.forall(p => hn.exists(_._1 == p)))
+    hn.foreach { case (p, _, v, _) =>
+      assert(labels(v) != labels(p), s"probe $p got same-label negative $v")
+    }
+    // rk=1 must beat the unrestricted top-1 only when that top-1
+    // shares the probe's label — i.e. it IS the best mismatched row
+    val top1 = hn.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    val all = Similarity.batchTopK(emb, probes.drop("probe_label"), "e", k = 50)
+      .select("probe_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    probeIds.foreach { p =>
+      val bestMismatch = all.filter(t => t._1 == p && labels(t._2) != labels(p))
+        .map(_._3).max
+      assert(top1(p) == bestMismatch,
+        s"probe $p: hard-negative top-1 ${top1(p)} != best mismatched $bestMismatch")
+    }
+  }
+
+  test("semanticDedup: scaled copies are pruned, canonicals kept, clusters seed-bounded") {
+    val base = emb.select(col("vec_id"), col("e"))
+    val copies = base.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(e, x -> x * 2.0d)").as("e"))
+    val out = Similarity.semanticDedup(base.union(copies), "vec_id", "e",
+      nClusters = 8, threshold = 0.99)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == base.count() * 2)
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    val kept = rows.map(t => t._1 -> t._3).toMap
+    // every cluster id is one of the 8 seed ids (the 8 smallest)
+    assert(rows.map(_._2).toSet.subsetOf((0L to 7L).toSet))
+    // a x2 copy keeps its direction: cosine to its base is 1, so
+    // whenever the pair lands in one cell the copy (higher id) is
+    // pruned and the base survives that pair
+    val sameCell = rows.collect { case (id, c, _) if id < 100000 &&
+      cluster.contains(id + 100000) && cluster(id + 100000) == c => id }
+    assert(sameCell.nonEmpty, "no co-located base/copy pair — test vacuous")
+    sameCell.foreach { id =>
+      assert(!kept(id + 100000), s"copy of $id in same cell must be pruned")
+    }
+    // keeper rule is canonical: base vectors have no lower-id twin
+    // except possibly another base at cosine >= .99 — on this corpus
+    // (max pair cosine ~0.51) every base row must be kept
+    rows.filter(_._1 < 100000).foreach { case (id, _, k) =>
+      assert(k, s"base $id should be kept")
+    }
+  }
 }
