@@ -902,6 +902,30 @@ object AnalyticsQueries {
              |  arg_min(c_name, k) AS poorest, COUNT(*) AS n_cust
              |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- grouped MODE (most frequent value per group): counts, then
+    //      the argmin of (-n, value) as ONE struct-min aggregation —
+    //      largest count wins, ties break to the lexicographically
+    //      smallest value, no window. The second aggregation runs on
+    //      the (group, value)-distinct counts — already collapsed,
+    //      so nothing corpus-sized shuffles twice. ----
+    Q("agg_grouped_mode",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("n")).as("neg_n"),
+          col("o_orderpriority").as("mode_priority"))).as("m"))
+        .select(col("o_orderstatus"),
+          col("m.mode_priority").as("mode_priority"),
+          (-col("m.neg_n")).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |        FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
     Q("agg_conditional",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -2478,6 +2502,46 @@ object AnalyticsQueries {
              |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
              |FROM events e JOIN bounds b ON e.event_type = b.event_type
              |ORDER BY event_id""".stripMargin)),
+
+    // ---- EWMA smoothing with DYADIC weights, exact cross-engine:
+    //      per user, the weighted average of the last <= 16 values
+    //      where weights halve backwards in time (newest 2^(n-1) …
+    //      oldest 2^0, denominator 2^n − 1). Values quantize to
+    //      permille BIGINTs; every weight is a power of two, so the
+    //      numerator/denominator are EXACT integers (< 2^53) and the
+    //      one closing division is a single correctly-rounded IEEE op
+    //      — the recursive float EWMA (s_t = α·v + (1−α)·s_{t−1})
+    //      would accumulate engine-ordered rounding instead. The
+    //      frame array is re-sorted by (ts, event_id) inside the
+    //      expression, so the result never leans on collect_list's
+    //      frame-order guarantee. One window pass, frame bounded at
+    //      16 rows — state is O(1) per row at any scale. ----
+    Q("events_ewma_dyadic",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("q", round(col("value") * 1000).cast(LongType))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-15, 0)
+        ev.withColumn("arr0",
+            collect_list(struct(col("ts"), col("event_id"), col("q"))).over(w))
+          .withColumn("arr", expr("transform(array_sort(arr0), s -> s.q)"))
+          .withColumn("num", expr(
+            "aggregate(transform(arr, (x, i) -> x * shiftleft(1L, i)), 0L, (a, x) -> a + x)"))
+          .withColumn("den", expr("shiftleft(1L, size(arr)) - 1"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("ewma_permille"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+             |         CAST(round(value * 1000) AS BIGINT) AS q FROM events),
+             |f AS (SELECT event_id, user_id, ts,
+             |        list(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+             |      FROM e)
+             |SELECT event_id, user_id, ts,
+             |  CAST(list_sum([arr[i+1] * (CAST(1 AS BIGINT) << i) FOR i IN range(len(arr))]) AS DOUBLE)
+             |    / CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE) AS ewma_permille
+             |FROM f ORDER BY user_id, ts, event_id""".stripMargin)),
 
     // ---- rolling 7-day distinct users per active day: COUNT
     //      DISTINCT over a sliding range cannot ride a window frame

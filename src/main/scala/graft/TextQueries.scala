@@ -273,6 +273,59 @@ object TextQueries {
              |  FROM c) WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // ---- collocation mining by LIFT: bigrams whose observed count
+    //      exceeds the unigram-independence expectation — the
+    //      association statistic behind multi-word-expression
+    //      extraction (PMI's ratio without the log, so it stays in
+    //      EXACT integer arithmetic: lift_permille =
+    //      (c_xy·Nu·Nu·1000) intdiv (c_x·c_y·Nb), computed in
+    //      DECIMAL(38,0)/HUGEINT — the numerator overflows BIGINT at
+    //      corpus scale, and a float log would order differently per
+    //      engine at ties). Min-support c_xy >= 5 keeps the
+    //      hapax-pair noise out. Scale shape: two token-keyed
+    //      aggregations + two vocab-sized equi-joins; totals are two
+    //      scalar aggregates broadcast into the plan. ----
+    Q("text_collocations_lift",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").withColumn("w", split(col("text"), " "))
+        val uni = docs.select(explode(col("w")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val bi = docs.select(explode(expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1)," +
+              " i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y)) " +
+              "ELSE array() END")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        val totals = uni.agg(sum("c").as("nu"))
+          .crossJoin(broadcast(bi.agg(sum("cxy").as("nb"))))
+        bi.filter(col("cxy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+          .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+          .crossJoin(broadcast(totals))
+          .withColumn("lift_permille", expr(
+            "CAST((CAST(cxy AS DECIMAL(38,0)) * nu * nu * 1000) div " +
+              "(CAST(cx AS DECIMAL(38,0)) * cy * nb) AS BIGINT)"))
+          .select("x", "y", "cxy", "lift_permille")
+          .orderBy(desc("lift_permille"), asc("x"), asc("y"))
+          .limit(20)
+      },
+      Some("""WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |uni AS (SELECT tok, COUNT(*) AS c
+             |        FROM (SELECT unnest(w) AS tok FROM docs) GROUP BY 1),
+             |bi AS (SELECT x, y, COUNT(*) AS cxy FROM (
+             |         SELECT w[i] AS x, w[i+1] AS y
+             |         FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+             |               FROM docs))
+             |       GROUP BY 1, 2),
+             |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nu,
+             |               (SELECT CAST(SUM(cxy) AS BIGINT) FROM bi) AS nb)
+             |SELECT x, y, cxy,
+             |  CAST((cxy::HUGEINT * nu::HUGEINT * nu::HUGEINT * 1000) //
+             |       (ux.c::HUGEINT * uy.c::HUGEINT * nb::HUGEINT) AS BIGINT) AS lift_permille
+             |FROM bi JOIN uni ux ON ux.tok = bi.x JOIN uni uy ON uy.tok = bi.y, tot
+             |WHERE cxy >= 5
+             |ORDER BY lift_permille DESC, x, y LIMIT 20""".stripMargin)),
+
     // ---- one BPE merge-selection step: the top-10 most frequent
     //      adjacent character pairs over the WEIGHTED word vocabulary
     //      (pair count = sum over vocab of word-frequency x
@@ -358,6 +411,65 @@ object TextQueries {
         .prefixFilterNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracle)),
+
+    // ---- asymmetric CONTAINMENT pairs: |S_a ∩ S_b| / |S_a| >= 9/10
+    //      over 3-gram shingle sets — the sub-document duplication
+    //      Jaccard misses (a short doc embedded in a long one has
+    //      low Jaccard but containment 1). Pairs are DIRECTIONAL:
+    //      (contained, container). Near-containments are CONSTRUCTED
+    //      (each >= 8-token doc contributes a first-half copy at
+    //      id + 200000, floor division identical in both engines —
+    //      its shingles are a subset of its base's). Integer
+    //      cross-multiplication for the threshold; permille ratio by
+    //      integral division, both exact. Scale posture: the shingle
+    //      equi-join is the same shape as dedup_jaccard_pairs; at
+    //      100 TB the prefix-filter order (PPJoin's containment
+    //      variant: prefix length n - ceil(t*n) + 1 on the CONTAINED
+    //      side only) bounds the fan-out exactly as in
+    //      dedup_prefix_pairs. ----
+    Q("text_containment_pairs",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val halves = docs.withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 8)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            expr("array_join(slice(w, 1, CAST(size(w) div 2 AS INT)), ' ')").as("text"))
+        val aug = docs.select("doc_id", "text").union(halves)
+        val sh = graft.operators.Dedup.shingles(aug, "doc_id", "text")
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "contained")
+            .withColumnRenamed("n_sh", "na"), "contained")
+          .filter(col("n_common") * 10 >= col("na") * 9)
+          .withColumn("containment_permille",
+            expr("CAST(n_common * 1000 div na AS BIGINT)"))
+          .select("contained", "container", "n_common", "na", "containment_permille")
+          .orderBy("contained", "container")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |halves AS (SELECT doc_id + 200000 AS doc_id,
+             |             array_to_string(w[1: len(w) // 2], ' ') AS text
+             |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |           WHERE len(w) >= 8),
+             |aug AS (SELECT * FROM base UNION ALL SELECT * FROM halves),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS contained, b.doc_id AS container, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT contained, container, n_common, sa.n_sh AS na,
+             |  CAST(n_common * 1000 // sa.n_sh AS BIGINT) AS containment_permille
+             |FROM common JOIN sizes sa ON sa.doc_id = contained
+             |WHERE n_common * 10 >= sa.n_sh * 9
+             |ORDER BY contained, container""".stripMargin)),
 
     // ---- near-dup CLUSTERS: transitive closure over the verified
     //      MinHash pairs (a~b, b~c => one {a,b,c} cluster keyed by its
