@@ -2130,6 +2130,43 @@ object AnalyticsQueries {
              |WHERE prev_us IS NULL OR us - prev_us > 600000000
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- stateful streaming ANOMALY detection through the real
+    //      engine: per event_type, exact integer moments (n, Σq, Σq²)
+    //      carried across micro-batches flag events whose deviation
+    //      from PRIOR-ONLY statistics exceeds 3σ, decided by the
+    //      division-free cross-multiplication (q·n − S)² > 9(nQ − S²)
+    //      in BigInt — so the streamed flags equal the batch twin's
+    //      cumulative-window HUGEINT comparison bit for bit. Feed
+    //      time-split into two files, maxFilesPerTrigger=1: the
+    //      second batch's flags depend on moments accumulated in the
+    //      first — genuinely cross-batch numeric state, the shape
+    //      quota (a counter) doesn't exercise. ----
+    Q("events_stream_anomaly",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_anomaly_",
+          byTime = true)
+        val out = graft.streaming.EventStreams.anomalyStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)))(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8)) // state = 3 longs per event type
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, ts,
+             |        CAST(round(value * 1000) AS BIGINT) AS q FROM events),
+             |c AS (SELECT event_id, event_type, q,
+             |        COUNT(*) OVER w AS n_prev,
+             |        CAST(SUM(q) OVER w AS BIGINT) AS s_prev,
+             |        CAST(SUM(q * q) OVER w AS BIGINT) AS qq_prev
+             |      FROM e
+             |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, event_type, q, n_prev FROM c
+             |WHERE n_prev >= 30
+             |  AND (q::HUGEINT * n_prev - s_prev) * (q::HUGEINT * n_prev - s_prev)
+             |      > 9 * (n_prev::HUGEINT * qq_prev - s_prev::HUGEINT * s_prev)
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- stream-STATIC enrichment join through the real engine: the
     //      arriving event stream joins the static customer dimension
     //      (broadcast — the bounded side) with NO state store and NO

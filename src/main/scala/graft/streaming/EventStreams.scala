@@ -190,6 +190,60 @@ object EventStreams {
       }
   }
 
+  final case class AnomalyFlag(event_id: Long, event_type: String,
+                               q: Long, n_prev: Long)
+
+  /**
+   * Streaming z-score anomaly detection with EXACT integer moments:
+   * per event_type, carry (n, Σq, Σq²) across micro-batches
+   * (q = round(value·1000)) and flag an event when its deviation
+   * from the PRIOR-ONLY statistics exceeds 3σ:
+   *   (q·n − S)² > 9·(n·Q − S²)   [cross-multiplied z² > 9 — no
+   * division, no sqrt, so the decision is integer-exact and the
+   * batch twin (cumulative window sums + the same HUGEINT
+   * comparison) states it verbatim]. The comparison runs in BigInt —
+   * (q·n)² overflows a long at corpus scale — while the STATE stays
+   * three longs per event type. Σq² caps the per-type volume at
+   * ~9e6 rows for |value| <= 1e3; the loud guard below marks where
+   * production state graduates to DECIMAL columns.
+   *
+   * Prior-only semantics need (ts, event_id) replay order: each
+   * batch's group is sorted, and the feed must be time-split across
+   * batches (the gate stages it so). Key cardinality = |event
+   * types| — per-type statistics are inherently that parallel; the
+   * detector shape shards further only if the statistic itself is
+   * sharded (e.g. per (type, user)).
+   */
+  def anomalyStream(events: DataFrame, minN: Long = 30)
+                   (implicit spark: SparkSession): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    events.select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 1000).cast("long").as("q"))
+      .filter(col("event_type").isNotNull && col("q").isNotNull)
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (n, s, qq) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomalyFlag]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val q = r._4
+            if (n >= minN) {
+              val d = BigInt(q) * n - s
+              val v = BigInt(n) * qq - BigInt(s) * s
+              if (d * d > v * 9) out += AnomalyFlag(r._3, etype, q, n)
+            }
+            n += 1; s += q
+            require(qq <= Long.MaxValue - q * q,
+              s"$etype: sumsq would overflow long state — carry (Σq, Σq²) as DECIMAL at this volume")
+            qq += q * q
+          }
+          state.update((n, s, qq))
+          out.result().iterator
+      }
+  }
+
   /** Alert emitted the first time a user's cumulative purchase total
     * crosses the threshold. */
   final case class QuotaAlert(user_id: Long, total_cents: Long, n_purchases: Long)

@@ -589,4 +589,37 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("anomaly stream: flags depend on moments accumulated in EARLIER batches") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val events = in.toDF().toDF("event_id", "value")
+      .select(col("event_id"), col("value"),
+        (lit(base) + col("event_id")).cast(
+          org.apache.spark.sql.types.TimestampType).as("ts"),
+        lit("click").as("event_type"))
+    val flags = EventStreams.anomalyStream(events, minN = 3)
+    val q = flags.toDF().writeStream.format("memory").queryName("t_anom")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: three steady values — n never reaches minN before any
+    // of them, so nothing can be flagged
+    in.addData((1L, 1.0), (2L, 1.0), (3L, 1.0))
+    q.processAllAvailable()
+    assert(spark.table("t_anom").count() == 0)
+    // batch 2: a spike then a return to normal. Flagging the spike
+    // REQUIRES the (n=3, S=3000, Q=3e6) moments from batch 1:
+    //   q=2000: d = 2000*3-3000 = 3000, v = 3*3e6 - 3000^2 = 0,
+    //   d^2 > 9v  ->  flag.
+    //   then q=1000 vs n=4,S=5000,Q=7e6: d^2 = 1e6 < 9*3e6 -> pass.
+    in.addData((4L, 2.0), (5L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_anom").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((4L, 2000L, 3L)),
+      s"expected exactly the cross-batch spike flag, got $got")
+  }
 }
