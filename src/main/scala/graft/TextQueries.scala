@@ -421,12 +421,13 @@ object TextQueries {
     //      id + 200000, floor division identical in both engines —
     //      its shingles are a subset of its base's). Integer
     //      cross-multiplication for the threshold; permille ratio by
-    //      integral division, both exact. Scale posture: the shingle
-    //      equi-join is the same shape as dedup_jaccard_pairs; at
-    //      100 TB the prefix-filter order (PPJoin's containment
-    //      variant: prefix length n - ceil(t*n) + 1 on the CONTAINED
-    //      side only) bounds the fan-out exactly as in
-    //      dedup_prefix_pairs. ----
+    //      integral division, both exact. Runs through the
+    //      PREFIX-FILTERED containment join (Dedup.containmentPairs:
+    //      contained-side rarest-token prefix probes the container
+    //      postings — exact by pigeonhole, fan-out bounded by
+    //      rare-token dfs); the oracle is the plain quadratic
+    //      shingle join, so the filter's losslessness is ON the
+    //      gate. ----
     Q("text_containment_pairs",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
@@ -435,19 +436,7 @@ object TextQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             expr("array_join(slice(w, 1, CAST(size(w) div 2 AS INT)), ' ')").as("text"))
         val aug = docs.select("doc_id", "text").union(halves)
-        val sh = graft.operators.Dedup.shingles(aug, "doc_id", "text")
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val a = sh.as("a"); val b = sh.as("b")
-        val common = a.join(b, col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
-          .agg(count(lit(1)).as("n_common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "contained")
-            .withColumnRenamed("n_sh", "na"), "contained")
-          .filter(col("n_common") * 10 >= col("na") * 9)
-          .withColumn("containment_permille",
-            expr("CAST(n_common * 1000 div na AS BIGINT)"))
+        graft.operators.Dedup.containmentPairs(aug, "doc_id", "text")
           .select("contained", "container", "n_common", "na", "containment_permille")
           .orderBy("contained", "container")
       },

@@ -344,4 +344,55 @@ object Dedup {
         size(col("_sh_b")).cast("long").as("nb"))
       .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
   }
+
+  /**
+   * EXACT asymmetric CONTAINMENT join, prefix-filtered: directional
+   * pairs (contained a, container b) with |Sa ∩ Sb| / |Sa| >= num/den
+   * over word `shingleN`-gram sets — the sub-document duplication
+   * Jaccard misses (a short doc embedded in a long one has low
+   * Jaccard but containment 1).
+   *
+   * Candidate generation joins ONLY the contained side's prefix
+   * (its p = na − ceil(t·na) + 1 rarest shingles under the global
+   * (df, shingle) order) against the container side's FULL postings.
+   * Exact by the same pigeonhole as [[prefixFilterNearDups]]: if
+   * |Sa ∩ Sb| >= ceil(t·na) and every common shingle sat past a's
+   * prefix, a could share at most ceil(t·na) − 1 — contradiction, so
+   * a common shingle lands in a's prefix and the equi-join keeps the
+   * pair. The container side needs no prefix (containment bounds
+   * nothing about b beyond nb >= ceil(t·na), applied as the
+   * nb·den >= na·num prune). Fan-out = Σ_{t ∈ prefixes} df(t):
+   * ascending-df ordering keeps stop shingles out of prefixes, so at
+   * 100 TB the probe touches rare-token postings only — the same
+   * inverted-index shape the keyword tier persists.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, num: Int = 9, den: Int = 10): DataFrame = {
+    val docs = withShingleArray(df, idCol, textCol, shingleN)
+    val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("tdf"))
+    val ordered = sh.join(freq, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("shingle")))).as("ord"))
+      .select(col(idCol), col("ord"), size(col("ord")).as("n_sh"))
+      .withColumn("p", col("n_sh") - expr(s"(n_sh * $num + ${den - 1}) div $den") + lit(1))
+    val aPrefix = ordered
+      .select(col(idCol).as("id_a"), col("n_sh").as("na"),
+        explode(expr("transform(slice(ord, 1, p), x -> x.shingle)")).as("ptok"))
+    val bAll = sh.select(col(idCol).as("id_b"), col("shingle").as("ptok"))
+      .join(ordered.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+    val cands = aPrefix.join(bAll, Seq("ptok"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("nb") * den >= col("na") * num)
+      .select("id_a", "id_b").distinct()
+    val da = docs.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
+    val db = docs.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
+    cands.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a").as("contained"), col("id_b").as("container"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"))
+      .filter(col("n_common") * den >= col("na") * num)
+      .withColumn("containment_permille",
+        expr("CAST(n_common * 1000 div na AS BIGINT)"))
+  }
 }

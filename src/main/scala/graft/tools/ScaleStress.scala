@@ -50,6 +50,12 @@ object ScaleStress {
     // has a recall caveat) — time should track the prefix-token join
     // fan-out, staying far below the quadratic form's growth.
     docRun("prefix")(c => Dedup.prefixFilterNearDups(c, "doc_id", "text").count())
+    // Prefix-filtered EXACT containment join: identical replicas are
+    // mutual containments, so true directional pairs grow with
+    // replica pairs (n·m·(m−1)); wall should track the contained-side
+    // prefix probe fan-out (rare-token postings), far below the
+    // quadratic shingle join.
+    docRun("contain")(c => Dedup.containmentPairs(c, "doc_id", "text").count())
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>
@@ -499,6 +505,30 @@ object ScaleStress {
           corpus, "vec_id", "e", threshold = 0.995, blockDims = 4).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE exactbk m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+    // SemDeDup cells: the intra-cell stage is Σ(cell size)²; the
+    // 100 TB knob is nClusters GROWING with the corpus. k = 8·m keeps
+    // expected cell size constant, so wall should grow ~linearly
+    // (assignment is rows × k, pairing stays cell-bounded) while
+    // pruned copies (scaled replicas) grow with replica pairs.
+    if (wanted("semded")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          (if (i == 0) col("e") else expr(s"transform(e, x -> x * ${1.0 + 0.0625 / i})")).as("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val k = 8 * m
+        val t0 = System.nanoTime()
+        val pruned = Similarity.semanticDedup(corpus, "vec_id", "e",
+          nClusters = k, threshold = 0.99).filter(!col("kept")).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE semded  m=$m%2d vecs=$n%7d pruned=$pruned%9d k=$k%3d time=$dt%7.1fs")
         spark.catalog.clearCache()
       }
     }
