@@ -741,6 +741,42 @@ object EtlQueries {
              |(upper(o_orderpriority) LIKE '1%') AS is_urgent
              |FROM orders ORDER BY order_id""".stripMargin)),
 
+    // ---- DEDUP_DESTINATION on the hard gate: a destination seeded
+    //      with duplicate keys (every even order twice, ver 2 and
+    //      ver 1) is rewritten in place by the job step — keeper =
+    //      struct-min over (ver, other columns), crash-safe swap —
+    //      and read back. The oracle states the expected survivor
+    //      set in closed form: even keys keep their ver-1 copy, odd
+    //      keys their only (ver-2) row. ----
+    Q("etl_dedup_destination",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_dedup_gate_").toString
+        val destDir = s"$work/dest"
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        base.withColumn("ver", lit(2L))
+          .union(base.filter(col("o_orderkey") % 2 === 0).withColumn("ver", lit(1L)))
+          .write.parquet(destDir)
+        val cfg = JobConfig(
+          jobId = "dedup-gate-1",
+          steps = List("DEDUP_DESTINATION"),
+          source = SourceConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("o_orderkey", "o_orderkey", "NUMBER", "LONG", isDestNullable = false)),
+          transformation = Transformation("NONE", parameters = Map(
+            "dedupKeyColumns" -> "o_orderkey",
+            "dedupOrderColumn" -> "ver")))
+        val r = JobRunner.run(s, cfg)
+        require(r.status == JobRunner.Completed, s"dedup job failed: ${r.message}")
+        s.read.parquet(destDir).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ver
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

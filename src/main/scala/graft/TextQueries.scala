@@ -681,6 +681,67 @@ object TextQueries {
     //      cell-compared against a regex oracle, which pins
     //      parse_url's semantics externally. Domain-level counts are
     //      the blocklist-filter shape. ----
+    // ---- Gini inequality of document lengths per source, EXACT: the
+    //      domain-concentration audit (is one source dominated by a
+    //      few huge documents?) via the sorted-rank identity
+    //      G = Σ(2i−n−1)·x_i / (n·Σx), reported as an integral
+    //      permille — every term is BIGINT, and the sum is invariant
+    //      under permutation of tied lengths, so the window rank's
+    //      tie order never leaks into the result. One window rank +
+    //      one aggregation; no quadratic |x_i − x_j| form. ----
+    Q("text_gini_lengths",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("i", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            sum((lit(2L) * col("i") - col("n") - 1L) * col("n_chars")).as("gnum"))
+          .withColumn("gini_permille",
+            expr("CAST(gnum * 1000 div (n_docs * total_chars) AS BIGINT)"))
+          .select("source", "n_docs", "total_chars", "gini_permille")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(CAST(SUM((2 * i - n - 1) * n_chars) AS BIGINT) * 1000
+             |       // (COUNT(*) * CAST(SUM(n_chars) AS BIGINT)) AS BIGINT) AS gini_permille
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Gini-Simpson vocabulary diversity per source, EXACT: the
+    //      repetition/diversity quality signal 1 − Σp_i² as an
+    //      integral permille — a Shannon entropy would drag in
+    //      engine-ordered float logs, while Σc_i² / N² is pure
+    //      BIGINT rationals. Two aggregations, both map-side
+    //      combinable; the token counts collapse to the vocabulary
+    //      before the per-source reduce. ----
+    Q("text_diversity_simpson",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .withColumn("simpson_permille",
+          expr("CAST(1000 - sumsq * 1000 div (n_tokens * n_tokens) AS BIGINT)"))
+        .select("source", "vocab", "n_tokens", "simpson_permille")
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, tok, COUNT(*) AS c FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  CAST(1000 - CAST(SUM(c * c) AS BIGINT) * 1000
+             |       // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS BIGINT) AS simpson_permille
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("url_domain_stats",
       (s, dir) => Tables.t(s, dir, "documents")
         .withColumn("url", concat(

@@ -527,6 +527,57 @@ object JobRunner {
                 .saveAsTable(idxTmp)
             } finally spark.sql(s"DROP TABLE IF EXISTS $idxTmp")
             stepsRun ::= step
+          case "DEDUP_DESTINATION" =>
+            // Exact-dedup maintenance from the config surface: rewrite
+            // the destination keeping ONE row per dedupKeyColumns
+            // group. The keeper is the MIN over a (dedupOrderColumn,
+            // every-other-column) struct — a total order over row
+            // content, so the choice is deterministic even when the
+            // order column ties (the same canonical-keeper discipline
+            // as the dedup tier), and the reduce is one partial-
+            // aggregating pass, no window. Crash-safe rename-aside
+            // swap (the dedup plan lazily READS the current
+            // destination while the staged copy writes). The rewrite
+            // invalidates `_manifest`/`_bloom_manifest`/`_token_index`
+            // — order those steps AFTER this one.
+            // transformation.parameters: dedupKeyColumns (csv,
+            // required), dedupOrderColumn (required).
+            val ddDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("DEDUP_DESTINATION requires a destination"))
+            require(Set("PARQUET", "ORC")(ddDest.`type`.toUpperCase),
+              s"DEDUP_DESTINATION supports PARQUET/ORC destinations, got ${ddDest.`type`}")
+            val ddPath = ddDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("DEDUP_DESTINATION requires a file path destination"))
+            val ddKeys = cfg.transformation.parameters.get("dedupKeyColumns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            require(ddKeys.nonEmpty,
+              "DEDUP_DESTINATION requires transformation.parameters.dedupKeyColumns")
+            val ddOrd = cfg.transformation.parameters.getOrElse("dedupOrderColumn",
+              throw new IllegalArgumentException(
+                "DEDUP_DESTINATION requires transformation.parameters.dedupOrderColumn"))
+            import org.apache.spark.sql.functions.{col, count, lit, min, struct, sum}
+            val ddCur = spark.read.format(ddDest.`type`.toLowerCase).load(ddPath)
+            val others = ddCur.columns.toSeq.filterNot(ddKeys.contains)
+            require(others.contains(ddOrd),
+              s"dedupOrderColumn $ddOrd must be a non-key destination column")
+            val payload = ddOrd +: others.filterNot(_ == ddOrd)
+            val deduped = ddCur
+              .groupBy(ddKeys.map(col): _*)
+              .agg(min(struct(payload.map(col): _*)).as("_keep"),
+                count(lit(1)).as("_grp_n"))
+            val nBefore = deduped.agg(sum("_grp_n")).head().getLong(0)
+            val kept = deduped
+              .select(ddKeys.map(col) ++ payload.map(c => col(s"_keep.$c")): _*)
+              .select(ddCur.columns.map(col): _*) // original column order
+            val ddP = new org.apache.hadoop.fs.Path(ddPath)
+            val ddFs = ddP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            graft.operators.Maintenance.replaceDir(ddFs, ddP, "_dedup_",
+              staged => kept.write.format(ddDest.`type`.toLowerCase).save(staged),
+              m => new ErrorPolicy.JobFailedException(s"DEDUP_DESTINATION: $m"))
+            val nAfter = spark.read.format(ddDest.`type`.toLowerCase).load(ddPath).count()
+            System.err.println(s"[graft-job] DEDUP_DESTINATION kept $nAfter of " +
+              s"$nBefore row(s) by ${ddKeys.mkString(",")}")
+            stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
             // row count == recordsWritten. The read-back must mirror the

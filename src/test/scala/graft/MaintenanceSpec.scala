@@ -214,6 +214,32 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fs.exists(new Path(dir)), "destination untouched")
   }
 
+  test("DEDUP_DESTINATION job step rewrites with a deterministic keeper, ties included") {
+    val root = tmpDir("graft_dedupstep_")
+    val dir = s"$root/t"
+    import spark.implicits._
+    Seq((1L, "a", 3L, "x"), (1L, "a", 1L, "y"), (1L, "a", 1L, "b"),
+        (2L, "b", 5L, "z")).toDF("k1", "k2", "ver", "payload")
+      .write.parquet(dir)
+    val cfg = graft.model.JobConfig(
+      jobId = "dedup-1",
+      steps = List("DEDUP_DESTINATION"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dir))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dir)))),
+      mappings = List(graft.model.FieldMapping("k1", "k1", "NUMBER", "LONG")),
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map("dedupKeyColumns" -> "k1,k2", "dedupOrderColumn" -> "ver")))
+    val res = graft.job.JobRunner.run(spark, cfg)
+    assert(res.status == graft.job.JobRunner.Completed, res.message)
+    val got = spark.read.parquet(dir).orderBy("k1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    // key (1,a): ver ties at 1 — the (ver, payload) struct-min picks
+    // "b" over "y" deterministically; the ver=3 row loses outright
+    assert(got == Seq((1L, "a", 1L, "b"), (2L, "b", 5L, "z")), got.toString)
+  }
+
   test("autoSkippingRead dispatches ranges to zone maps, points to blooms, absent manifests to plain scans") {
     val dir = tmpDir("graft_autoskip_") + "/t"
     // clustered on id so the zone maps are real; bloom on v
