@@ -2461,6 +2461,70 @@ object AnalyticsQueries {
              |GROUP BY su.event_id, su.user_id
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- as-of join, NEAREST direction with tolerance (the pandas
+    //      merge_asof(direction='nearest', tolerance=30min) axis the
+    //      backward-only events_asof_enrich doesn't cover): each
+    //      purchase matches the closest signup within ±30 min, ties
+    //      at equal |Δ| to the EARLIER signup, then by event id —
+    //      a total order, so the pick is deterministic. Execution is
+    //      the 3-bin exact cover (a signup within ±W of a purchase
+    //      must sit in one of the purchase's three W-wide bins, and
+    //      in exactly ONE — the signup's home bin — so candidates
+    //      never duplicate); the oracle is the plain quadratic user
+    //      join, putting the binning's losslessness on the gate.
+    //      Unmatched purchases survive with NULLs (left join). ----
+    Q("events_asof_nearest",
+      (s, dir) => {
+        val W = 1800L * 1000000L // 30 min tolerance = the bin width
+        val ev = Tables.t(s, dir, "events")
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_eid"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_eid"), col("user_id"),
+            unix_micros(col("ts")).as("s_us"))
+          .withColumn("bin", expr(s"s_us div $W"))
+        val cand = pu
+          .withColumn("bin", explode(array(
+            expr(s"p_us div $W - 1"), expr(s"p_us div $W"), expr(s"p_us div $W + 1"))))
+          .join(su, Seq("user_id", "bin"))
+          .filter(abs(col("p_us") - col("s_us")) <= W)
+          .withColumn("abs_d", abs(col("p_us") - col("s_us")))
+        val best = cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p_eid").orderBy("abs_d", "s_us", "s_eid")))
+          .filter(col("rn") === 1)
+          .select(col("p_eid"), col("s_eid").as("signup_event_id"),
+            col("abs_d").as("delta_us"),
+            when(col("s_us") <= col("p_us"), "backward")
+              .otherwise("forward").as("direction"))
+        pu.join(best, Seq("p_eid"), "left")
+          .select(col("p_eid").as("event_id"), col("user_id"),
+            col("signup_event_id"), col("delta_us"), col("direction"))
+          .orderBy("event_id")
+      },
+      Some("""WITH pu AS (SELECT event_id AS p_eid, user_id,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+             |      FROM events WHERE event_type = 'purchase'),
+             |su AS (SELECT event_id AS s_eid, user_id,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+             |      FROM events WHERE event_type = 'signup'),
+             |cand AS (SELECT p_eid, pu.user_id, p_us, s_eid, s_us,
+             |           abs(p_us - s_us) AS abs_d
+             |         FROM pu JOIN su USING (user_id)
+             |         WHERE abs(p_us - s_us) <= 1800000000),
+             |best AS (SELECT * FROM (
+             |           SELECT *, ROW_NUMBER() OVER (PARTITION BY p_eid
+             |             ORDER BY abs_d, s_us, s_eid) AS rn FROM cand)
+             |         WHERE rn = 1)
+             |SELECT pu.p_eid AS event_id, pu.user_id, best.s_eid AS signup_event_id,
+             |  best.abs_d AS delta_us,
+             |  CASE WHEN best.s_eid IS NULL THEN NULL
+             |       WHEN best.s_us <= pu.p_us THEN 'backward'
+             |       ELSE 'forward' END AS direction
+             |FROM pu LEFT JOIN best ON best.p_eid = pu.p_eid
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- one PageRank power-iteration step over the customer ->
     //      supplier purchase graph, in EXACT integer micro-units:
     //      each customer splits 1e6 micros of rank mass equally over

@@ -323,6 +323,78 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- MMR diversified retrieval (Carbonell & Goldstein '98,
+    //      public): greedy re-rank of the exact top-20 shortlist —
+    //      each pick maximizes λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    //      at λ=0.5, ties to the smaller id. The DISTRIBUTED stage is
+    //      the shortlist (map-side scoring, TakeOrdered); the greedy
+    //      loop runs driver-side over 20 vectors — metadata, like
+    //      centroids and codebooks (MMR is inherently sequential in
+    //      k; the corpus-sized work is all in the shortlist). Driver
+    //      cosines are the same sequential index-order fold the
+    //      codegen kernel and DuckDB's list_dot_product compute, and
+    //      every MMR score is single-op IEEE arithmetic on them, so
+    //      the DuckDB WITH RECURSIVE greedy replays the selection
+    //      exactly. ----
+    Q("sim_mmr_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probeDf = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val short = graft.operators.Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probeDf, "e", 20)
+          .select(col("vec_id"), col("cos_sim"), col("e")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+        }
+        def cos(a: Array[Double], b: Array[Double]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        val vecById = short.map(t => t._1 -> t._3).toMap
+        val relById = short.map(t => t._1 -> t._2).toMap
+        val ids = short.map(_._1)
+        var selected = Vector.empty[Long]
+        while (selected.size < 5) {
+          val next =
+            if (selected.isEmpty) ids.minBy(id => (-relById(id), id))
+            else ids.filterNot(selected.contains).minBy { id =>
+              val m = selected.map(sid => cos(vecById(id), vecById(sid))).max
+              (-(0.5 * relById(id) - 0.5 * m), id)
+            }
+          selected :+= next
+        }
+        selected.zipWithIndex
+          .map { case (id, i) => (i + 1, id) }.toDF("rk", "vec_id")
+          .orderBy("rk")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+             |scored AS (SELECT vec_id, v,
+             |    list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS rel
+             |  FROM e, probe WHERE vec_id <> 0),
+             |cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT 20),
+             |pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+             |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+             |sel AS (
+             |  SELECT 1 AS rk,
+             |    (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1) AS vec_id,
+             |    [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+             |  UNION ALL
+             |  SELECT rk + 1, nxt.vec_id, list_append(picked, nxt.vec_id)
+             |  FROM sel, LATERAL (
+             |    SELECT c.vec_id
+             |    FROM cand c
+             |    WHERE NOT list_contains(sel.picked, c.vec_id)
+             |    ORDER BY 0.5 * c.rel - 0.5 * (SELECT MAX(p.s) FROM pair p
+             |        WHERE p.ia = c.vec_id AND list_contains(sel.picked, p.ib)) DESC,
+             |      c.vec_id
+             |    LIMIT 1) nxt
+             |  WHERE rk < 5)
+             |SELECT CAST(rk AS INTEGER) AS rk, vec_id FROM sel ORDER BY rk""".stripMargin)),
+
     Q("sim_ann_topk",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
