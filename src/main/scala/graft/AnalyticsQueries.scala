@@ -902,6 +902,34 @@ object AnalyticsQueries {
              |  arg_min(c_name, k) AS poorest, COUNT(*) AS n_cust
              |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- market-basket co-purchase pairs (association mining's
+    //      support-counting stage): part pairs appearing together in
+    //      >= 5 orders, top-20 by support. The pair explode is
+    //      per-order and bounded by basket size squared — the join
+    //      key is the order, so fan-out never crosses orders; at
+    //      100 TB the same plan holds because baskets stay small
+    //      while order count grows. DISTINCT (order, part) first so
+    //      multi-line parts don't inflate support. ----
+    Q("orders_copurchase_pairs",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 5)
+          .orderBy(desc("support"), asc("part_a"), asc("part_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+             |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |  AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+             |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
     // ---- grouped MODE (most frequent value per group): counts, then
     //      the argmin of (-n, value) as ONE struct-min aggregation —
     //      largest count wins, ties break to the lexicographically

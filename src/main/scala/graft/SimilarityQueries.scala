@@ -70,6 +70,37 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- one PCA power-iteration step in EXACT integer arithmetic:
+    //      v' = Xᵀ(X·w) over the round(v·1000)-quantized corpus with
+    //      the all-ones start vector — so v'_j = Σ_rows q_j · (Σ_k q_k),
+    //      pure BIGINT. The identity Xᵀ(Xw) = (XᵀX)w means the Gram
+    //      matrix is NEVER materialized: each further iteration is
+    //      the same one-pass shape with w = the previous (metadata-
+    //      sized, 64-long) result broadcast into the row-dot — the
+    //      distributed PCA building block for embedding whitening /
+    //      dimensionality reduction. One map-side row dot + one
+    //      64-key aggregation; nothing corpus-sized shuffles. ----
+    Q("embed_pca_power_step",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("q", expr(
+            "transform(cast(embedding as array<double>), x -> CAST(round(x * 1000) AS BIGINT))"))
+          .withColumn("srow", expr("aggregate(q, 0L, (a, x) -> a + x)"))
+        emb.select(col("srow"), posexplode(col("q")).as(Seq("pos", "qi")))
+          .groupBy("pos")
+          .agg(sum(col("qi") * col("srow")).as("v1"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |                   x -> CAST(round(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |r AS (SELECT q, CAST(list_sum(q) AS BIGINT) AS srow FROM e),
+             |d AS (SELECT CAST(i - 1 AS INTEGER) AS pos, q[i] AS qi, srow
+             |      FROM (SELECT q, srow, unnest(generate_series(1, len(q))) AS i FROM r))
+             |SELECT pos, CAST(SUM(qi * srow) AS BIGINT) AS v1
+             |FROM d GROUP BY pos ORDER BY pos""".stripMargin)),
+
     Q("embed_norms",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
