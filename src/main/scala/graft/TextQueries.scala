@@ -681,6 +681,111 @@ object TextQueries {
     //      cell-compared against a regex oracle, which pins
     //      parse_url's semantics externally. Domain-level counts are
     //      the blocklist-filter shape. ----
+    // ---- winnowing fingerprints (Schleimer et al. SIGMOD'03 — the
+    //      MOSS local-similarity algorithm, public, re-derived):
+    //      hash every 3-gram shingle IN SEQUENCE (polynomial char
+    //      fold mod 1e9+7 — the repo's standard cross-engine hash),
+    //      slide a w=4 window over the hash sequence, keep each
+    //      window's minimum (ties to the RIGHTMOST, the standard
+    //      rule), dedup. Guarantees every shared substring of
+    //      >= w+2 tokens contributes a shared fingerprint — the
+    //      LOCAL-overlap detector whole-doc hashes and set-Jaccard
+    //      both miss. The (min-hash, rightmost-tie) pick runs as ONE
+    //      integer MIN per window: key = h·2^20 + (2^20−1−i), so
+    //      min(key) = min h then max i — no struct aggregation, no
+    //      second window pass. Per-doc windows only; corpus-scale
+    //      cost is one explode + one bounded window. ----
+    Q("text_winnow_fingerprints",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+        Tables.t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"),
+            // IN-ORDER shingle sequence with duplicates — winnowing is
+            // positional, so the distinct wordShingles kernel doesn't
+            // apply (same short-doc guard as text_bigram_topk)
+            posexplode(expr(
+              "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2)," +
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) " +
+                "ELSE array() END")).as(Seq("i0", "shingle")))
+          .withColumn("i", col("i0").cast(LongType) + 1L)
+          .withColumn("h", expr(
+            "aggregate(transform(sequence(1, length(shingle)), " +
+              "j -> CAST(ascii(substring(shingle, j, 1)) AS BIGINT)), " +
+              "0L, (a, x) -> (a * 31 + x) % 1000000007)"))
+          .withColumn("key", col("h") * 1048576L + (lit(1048575L) - col("i")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+          .withColumn("sel", min("key").over(w))
+          .filter(col("rn") >= 4)
+          .select(col("doc_id"),
+            expr("sel div 1048576").as("fp"),
+            (lit(1048575L) - expr("sel % 1048576")).as("pos"))
+          .distinct()
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH sh AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+             |            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             |h AS (SELECT doc_id, i,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(substr(shingle, j + 1, 1)) AS BIGINT)
+             |           FOR j IN range(length(shingle))]),
+             |          (a, x) -> (a * 31 + x) % 1000000007) AS hv
+             |      FROM sh),
+             |k AS (SELECT doc_id, i, hv * 1048576 + (1048575 - i) AS key,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+             |      FROM h),
+             |sel AS (SELECT doc_id,
+             |          MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+             |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+             |        FROM k WHERE TRUE QUALIFY rn >= 4)
+             |SELECT DISTINCT doc_id, sel // 1048576 AS fp,
+             |  1048575 - sel % 1048576 AS pos
+             |FROM sel ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- the MOSS match stage over the winnowing fingerprints:
+    //      document pairs sharing >= 2 DISTINCT selected fingerprints
+    //      — local plagiarism/boilerplate overlap detection. The join
+    //      key is the fingerprint (selected hashes are ~2/(w+1) of
+    //      the shingles, so the posting lists this joins are already
+    //      winnowed down); support counts distinct shared values so a
+    //      repeated selection inside one doc can't inflate a pair. ----
+    Q("text_winnow_overlaps",
+      (s, dir) => {
+        val fps = Queries.queries("text_winnow_fingerprints")(s, dir)
+          .select(col("doc_id"), col("fp")).distinct()
+        val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH sh AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+             |            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             |h AS (SELECT doc_id, i,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(substr(shingle, j + 1, 1)) AS BIGINT)
+             |           FOR j IN range(length(shingle))]),
+             |          (a, x) -> (a * 31 + x) % 1000000007) AS hv
+             |      FROM sh),
+             |k AS (SELECT doc_id, i, hv * 1048576 + (1048575 - i) AS key,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+             |      FROM h),
+             |sel AS (SELECT doc_id,
+             |          MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+             |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+             |        FROM k WHERE TRUE QUALIFY rn >= 4),
+             |fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM sel)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- Gini inequality of document lengths per source, EXACT: the
     //      domain-concentration audit (is one source dominated by a
     //      few huge documents?) via the sorted-rank identity
