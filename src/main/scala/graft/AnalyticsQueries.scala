@@ -2632,6 +2632,51 @@ object AnalyticsQueries {
              |FROM events e JOIN bounds b ON e.event_type = b.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- CUSUM drift detection, EXACT: the sequential-change
+    //      statistic S_i = max(0, S_{i-1} + (q_i − target)) rewritten
+    //      into its closed window form S_i = P_i − min(0, min_{j<=i}
+    //      P_j) (P = prefix sum of deviations) — the recursion that
+    //      looks stateful is two cumulative windows, all BIGINT, so
+    //      both engines agree bit for bit. target = the type's
+    //      integer mean (positive sums, so trunc vs floor division
+    //      never diverges); drift flagged when the statistic exceeds
+    //      50 value units. The mean-shift detector z-scores miss
+    //      (many small same-sign deviations, none individually
+    //      anomalous). ----
+    Q("events_cusum_drift",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("q", round(col("value") * 1000).cast(LongType))
+        val tgt = ev.groupBy("event_type")
+          .agg(expr("CAST(sum(q) div count(1) AS BIGINT)").as("target"))
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(broadcast(tgt), "event_type")
+          .withColumn("pf", sum(col("q") - col("target")).over(w))
+          .withColumn("minp", min(col("pf")).over(w))
+          .withColumn("cusum_plus", col("pf") - least(lit(0L), col("minp")))
+          .select(col("event_id"), col("event_type"), col("cusum_plus"),
+            (col("cusum_plus") > 50000L).as("drift"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, ts,
+             |        CAST(round(value * 1000) AS BIGINT) AS q FROM events),
+             |t AS (SELECT event_type,
+             |        CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS target
+             |      FROM e GROUP BY 1),
+             |p AS (SELECT event_id, e.event_type, ts,
+             |        CAST(SUM(q - target) OVER (PARTITION BY e.event_type
+             |          ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+             |      FROM e JOIN t USING (event_type)),
+             |c AS (SELECT event_id, event_type,
+             |        pf - LEAST(0, CAST(MIN(pf) OVER (PARTITION BY event_type
+             |          ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_plus
+             |      FROM p)
+             |SELECT event_id, event_type, cusum_plus, cusum_plus > 50000 AS drift
+             |FROM c ORDER BY event_id""".stripMargin)),
+
     // ---- EWMA smoothing with DYADIC weights, exact cross-engine:
     //      per user, the weighted average of the last <= 16 values
     //      where weights halve backwards in time (newest 2^(n-1) …

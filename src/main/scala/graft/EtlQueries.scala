@@ -741,6 +741,37 @@ object EtlQueries {
              |(upper(o_orderpriority) LIKE '1%') AS is_urgent
              |FROM orders ORDER BY order_id""".stripMargin)),
 
+    // ---- migration/row-content AUDIT: an ORDER-INDEPENDENT table
+    //      checksum (sum of per-row canonical-string hashes mod p —
+    //      addition commutes, so partitioning and row order never
+    //      matter) plus the row count: the cheap "did the copy land
+    //      bit-identical?" handshake two engines can compute
+    //      independently, which is how this oracle row works. The
+    //      canonical string avoids doubles (cents as BIGINT) because
+    //      double→string formatting is engine-specific; every
+    //      numeric is cast through exact integers. Map-side
+    //      everything; the reduce is one scalar aggregate. ----
+    Q("etl_rowhash_audit",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long")).as("canon"))
+        .withColumn("rh", expr(
+          "aggregate(transform(sequence(1, length(canon)), " +
+            "j -> CAST(ascii(substring(canon, j, 1)) AS BIGINT)), " +
+            "0L, (a, x) -> (a * 31 + x) % 1000000007)"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(rh) % 1000000007 AS BIGINT)").as("table_checksum")),
+      Some("""WITH c AS (SELECT CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             |         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS canon
+             |       FROM orders),
+             |h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ascii(substr(canon, j + 1, 1)) AS BIGINT)
+             |         FOR j IN range(length(canon))]),
+             |        (a, x) -> (a * 31 + x) % 1000000007) AS rh FROM c)
+             |SELECT COUNT(*) AS n_rows,
+             |  CAST(CAST(SUM(rh) AS BIGINT) % 1000000007 AS BIGINT) AS table_checksum
+             |FROM h""".stripMargin)),
+
     // ---- DEDUP_DESTINATION on the hard gate: a destination seeded
     //      with duplicate keys (every even order twice, ver 2 and
     //      ver 1) is rewritten in place by the job step — keeper =

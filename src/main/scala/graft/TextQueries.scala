@@ -273,6 +273,40 @@ object TextQueries {
              |  FROM c) WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // ---- n-gram NOVELTY per document: the fraction (permille) of a
+    //      doc's distinct 3-gram shingles that no lower-id document
+    //      contains — the curation signal for incremental corpus
+    //      growth ("how much genuinely new text does this doc add?").
+    //      First-introduction is min(doc_id) per shingle — one
+    //      shingle-keyed aggregation — joined back to the doc's own
+    //      shingles; no pairwise comparison anywhere. Docs with no
+    //      shingles (< 3 tokens) are absent, matching the oracle. ----
+    Q("text_ngram_novelty",
+      (s, dir) => {
+        val sh = graft.operators.Dedup
+          .shingles(Tables.t(s, dir, "documents"), "doc_id", "text")
+        val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        sh.join(first, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_permille",
+            expr("CAST(n_novel * 1000 div n_sh AS BIGINT)"))
+          .select("doc_id", "n_sh", "n_novel", "novelty_permille")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+             |SELECT doc_id, COUNT(*) AS n_sh,
+             |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000
+             |       // COUNT(*) AS BIGINT) AS novelty_permille
+             |FROM sh JOIN first USING (shingle)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- collocation mining by LIFT: bigrams whose observed count
     //      exceeds the unigram-independence expectation — the
     //      association statistic behind multi-word-expression
