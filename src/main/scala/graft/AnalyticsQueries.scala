@@ -902,6 +902,44 @@ object AnalyticsQueries {
              |  arg_min(c_name, k) AS poorest, COUNT(*) AS n_cust
              |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- WEIGHTED median (rank-defined, exact): the smallest price
+    //      whose cumulative quantity-weight reaches half the group's
+    //      total — quantity-weighted so a 50-unit line counts 50x,
+    //      the "median unit price actually paid" plain median
+    //      misstates. Qualification (2·cum >= tot) is monotone along
+    //      the price order, so the answer is min() over qualifying
+    //      rows — no interpolation arithmetic, the winning double is
+    //      carried bit-exact. Weights are integral in the fixture
+    //      (TPC-H quantities), kept in BIGINT. ----
+    Q("agg_weighted_median",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity").cast("long").as("wt"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ord = Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("cum", sum("wt").over(ord))
+          .withColumn("tot", sum("wt").over(Window.partitionBy("l_returnflag")))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(min("l_extendedprice").as("weighted_median_price"),
+            max("tot").as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+             |    CAST(l_quantity AS BIGINT) AS wt,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+             |  FROM lineitem)
+             |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price,
+             |  CAST(MAX(tot) AS BIGINT) AS total_weight
+             |FROM r WHERE cum * 2 >= tot
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- market-basket co-purchase pairs (association mining's
     //      support-counting stage): part pairs appearing together in
     //      >= 5 orders, top-20 by support. The pair explode is

@@ -1056,6 +1056,40 @@ object EtlQueries {
            |FROM q ORDER BY order_id""".stripMargin
       }),
 
+    // ---- Hilbert curve indices on the gate: the space-filling
+    //      layout key with strictly better locality than Morton
+    //      order (every curve step is a unit move — no quadrant
+    //      jumps splitting a range across distant files). Spark runs
+    //      the xy2d bit-descent as ONE higher-order aggregate with a
+    //      (x, y, d) struct accumulator; the oracle unrolls the
+    //      identical descent level by level, so every curve index of
+    //      every row is pinned bit for bit. ----
+    Q("layout_hilbert",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderkey").as("order_id"),
+          (col("o_custkey") % 256).as("qx"),
+          (col("o_orderkey") % 256).as("qy"))
+        .withColumn("hv", Maintenance.hilbertValue(col("qx"), col("qy"), bits = 8))
+        .orderBy("order_id"),
+      Some {
+        val b = 8; val top = (1 << b) - 1
+        val steps = (1 to b).map { i =>
+          val sLvl = 1 << (b - i); val p = i - 1
+          s"""q$i AS (SELECT order_id, qx, qy,
+             |  CASE WHEN (y$p & $sLvl) > 0 THEN x$p WHEN (x$p & $sLvl) > 0 THEN $top - y$p ELSE y$p END AS x$i,
+             |  CASE WHEN (y$p & $sLvl) > 0 THEN y$p WHEN (x$p & $sLvl) > 0 THEN $top - x$p ELSE x$p END AS y$i,
+             |  d$p + ${sLvl.toLong * sLvl} * (CASE WHEN (y$p & $sLvl) > 0 THEN CASE WHEN (x$p & $sLvl) > 0 THEN 2 ELSE 1 END
+             |                  ELSE CASE WHEN (x$p & $sLvl) > 0 THEN 3 ELSE 0 END END) AS d$i
+             |  FROM q$p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT o_orderkey AS order_id, o_custkey % 256 AS qx,
+           |  o_orderkey % 256 AS qy FROM orders),
+           |q0 AS (SELECT order_id, qx, qy, CAST(qx AS BIGINT) AS x0,
+           |  CAST(qy AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM q),
+           |$steps
+           |SELECT order_id, qx, qy, d$b AS hv FROM q$b ORDER BY order_id""".stripMargin
+      }),
+
     // ---- manifest-driven data skipping (zone maps) on the gate:
     //      lineitem is Z-order-clustered into 16 files, a per-file
     //      min/max manifest is computed in one scan, and the range

@@ -386,6 +386,35 @@ object PipelineQueries {
       Some("""SELECT lang, source, n_chars // 200 AS size_bucket,
              |  COUNT(*) AS n, (COUNT(*) >= 3) AS meets_k
              |FROM documents GROUP BY lang, source, n_chars // 200
-             |ORDER BY lang, source, size_bucket""".stripMargin))
+             |ORDER BY lang, source, size_bucket""".stripMargin)),
+
+    // ---- l-DIVERSITY audit, the companion k-anonymity cannot
+    //      replace: a quasi-identifier group can be large (meets k)
+    //      yet expose its members because the SENSITIVE attribute is
+    //      uniform inside it. Per (lang, size-bucket) QI group:
+    //      distinct sensitive values (source), l >= 2 verdict, and
+    //      the dominant value's share in exact permille (the
+    //      homogeneity-attack measure). One aggregation over the
+    //      (QI, sensitive) counts — combinable, no window. ----
+    Q("privacy_l_diversity",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .groupBy(col("lang"), expr("n_chars div 200").as("size_bucket"),
+          col("source"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang", "size_bucket")
+        .agg(count(lit(1)).as("l_distinct"), sum("c").as("n"),
+          max("c").as("max_c"))
+        .withColumn("meets_l", col("l_distinct") >= 2)
+        .withColumn("dominant_permille",
+          expr("CAST(max_c * 1000 div n AS BIGINT)"))
+        .select("lang", "size_bucket", "n", "l_distinct", "meets_l", "dominant_permille")
+        .orderBy("lang", "size_bucket"),
+      Some("""WITH c AS (SELECT lang, n_chars // 200 AS size_bucket, source, COUNT(*) AS c
+             |        FROM documents GROUP BY 1, 2, 3)
+             |SELECT lang, size_bucket, CAST(SUM(c) AS BIGINT) AS n,
+             |  COUNT(*) AS l_distinct, (COUNT(*) >= 2) AS meets_l,
+             |  CAST(MAX(c) * 1000 // CAST(SUM(c) AS BIGINT) AS BIGINT) AS dominant_permille
+             |FROM c GROUP BY lang, size_bucket
+             |ORDER BY lang, size_bucket""".stripMargin))
   )
 }

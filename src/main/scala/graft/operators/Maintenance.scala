@@ -276,6 +276,76 @@ object Maintenance {
     terms.reduce(_ + _)
   }
 
+  /**
+   * 2-D Hilbert curve index of two ALREADY-QUANTIZED long columns in
+   * [0, 2^bits) — the space-filling layout key with strictly better
+   * locality than the Z-curve: every Hilbert step is a unit move, so
+   * a contiguous index range maps to a compact region, where Morton
+   * order's quadrant jumps make some range queries span distant
+   * files. The standard xy2d bit-descent (Wikipedia's public
+   * formulation, re-derived) runs as ONE SQL fold: aggregate over
+   * the bit levels with a (x, y, d) struct accumulator — a pure
+   * Catalyst higher-order expression, codegen-friendly, no UDF —
+   * and the identical fold is expressible in DuckDB (list_reduce),
+   * which is how the gate row pins every curve index bit-exact.
+   * The quadrant flip uses the FULL-grid mask (n−1 − coord), per
+   * the reference algorithm — a level-local mask would corrupt
+   * high bits on the first level.
+   */
+  def hilbertValue(xq: org.apache.spark.sql.Column, yq: org.apache.spark.sql.Column,
+                   bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits > 0 && 2L * bits <= 62, s"2*bits must fit a long, got $bits")
+    import org.apache.spark.sql.functions.{aggregate => hoAggregate, array, lit, struct, when}
+    import org.apache.spark.sql.Column
+    val top = lit((1L << bits) - 1L)
+    val levels = array((bits - 1 to 0 by -1).map(i => lit(1L << i)): _*)
+    val init = struct(xq.cast("long").as("x"), yq.cast("long").as("y"), lit(0L).as("d"))
+    def step(a: Column, s: Column): Column = {
+      val rx = a.getField("x").bitwiseAND(s) > 0
+      val ry = a.getField("y").bitwiseAND(s) > 0
+      struct(
+        when(ry, a.getField("x"))
+          .when(rx, top - a.getField("y"))
+          .otherwise(a.getField("y")).as("x"),
+        when(ry, a.getField("y"))
+          .when(rx, top - a.getField("x"))
+          .otherwise(a.getField("x")).as("y"),
+        (a.getField("d") + s * s *
+          when(ry, when(rx, lit(2L)).otherwise(lit(1L)))
+            .otherwise(when(rx, lit(3L)).otherwise(lit(0L)))).as("d"))
+    }
+    hoAggregate(levels, init, step, _.getField("d"))
+  }
+
+  /** Range-partition and sort `df` by the 2-D Hilbert index of two
+    * columns, each auto-quantized from its own [min, max] onto
+    * [0, 2^bits) (same normalization argument as [[zOrderedAuto]]).
+    * One metadata-sized min/max aggregation + one range exchange. */
+  def hilbertOrderedAuto(df: DataFrame, xCol: String, yCol: String,
+                         nOut: Int, bits: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.{floor, greatest, least}
+    val cols = Seq(xCol, yCol)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"lo_$c"),
+      max(col(c)).cast("double").as(s"hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    def stat(name: String, dflt: Double): Double =
+      if (r.isNullAt(r.fieldIndex(name))) dflt else r.getAs[Double](name)
+    val Seq(qx, qy) = cols.map { c =>
+      val lo = stat(s"lo_$c", 0.0)
+      val hi = stat(s"hi_$c", 1.0)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val scaled = (col(c).cast("double") - lit(lo)) / lit(span) * lit(top.toDouble)
+      least(lit(top), greatest(lit(0L), floor(scaled).cast("long")))
+    }
+    val hvCol = s"_hv_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(hvCol, hilbertValue(qx, qy, bits))
+      .repartitionByRange(nOut, col(hvCol))
+      .sortWithinPartitions(col(hvCol))
+      .drop(hvCol)
+  }
+
   /** Range-partition and sort `df` by the Z-value of `cols` (the
     * clustering `compact`'s single-key `sortCols` cannot express),
     * then drop the helper column: one range exchange, parquet

@@ -214,6 +214,36 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fs.exists(new Path(dir)), "destination untouched")
   }
 
+  test("hilbert curve: unit-step locality and real file skipping under zone maps") {
+    // the defining curve property: consecutive indices are adjacent
+    // cells (|dx| + |dy| = 1) — Morton order violates this at every
+    // quadrant boundary
+    val b = 4; val n = 1 << b
+    val grid = spark.range(0, n.toLong * n)
+      .selectExpr(s"id % $n AS qx", s"id div $n AS qy")
+      .withColumn("hv", Maintenance.hilbertValue(col("qx"), col("qy"), bits = b))
+    val cells = grid.collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until n.toLong * n).toSeq,
+      "hilbert index must be a bijection onto [0, n^2)")
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step ($x1,$y1)->($x2,$y2) is not a unit move")
+    }
+    // layout payoff: hilbert-clustered files + zone maps skip files
+    // for a range predicate on either clustered column
+    val dir = tmpDir("graft_hilbert_") + "/t"
+    Maintenance.hilbertOrderedAuto(
+      spark.range(0, 8000).selectExpr("id AS a", "(id * 37) % 8000 AS b"),
+      "a", "b", nOut = 8, bits = 10).write.parquet(dir)
+    val manifest = Maintenance.statsManifest(spark.read.parquet(dir), Seq("a", "b"))
+    val pruned = Maintenance.prunedPaths(manifest, "a", lit(100L), lit(600L))
+    assert(pruned.size < 8, s"expected file skipping, read ${pruned.size}/8")
+    val got = Maintenance.skippingRead(spark, dir, manifest, "a", lit(100L), lit(600L))
+      .count()
+    assert(got == 501)
+  }
+
   test("DEDUP_DESTINATION job step rewrites with a deterministic keeper, ties included") {
     val root = tmpDir("graft_dedupstep_")
     val dir = s"$root/t"
