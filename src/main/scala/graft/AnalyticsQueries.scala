@@ -2233,6 +2233,51 @@ object AnalyticsQueries {
              |      > 9 * (n_prev::HUGEINT * qq_prev - s_prev::HUGEINT * s_prev)
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- streaming CUSUM drift through the real engine — the
+    //      train-batch/serve-stream split: per-type integer-mean
+    //      targets come from ONE batch aggregation (metadata-sized,
+    //      broadcast into the processor), and the stream carries the
+    //      recursion S = max(0, S + (q − target)) as one long of
+    //      state per type. The oracle is the batch closed form
+    //      (identical to events_cusum_drift's two-window rewrite) —
+    //      equality under the time-split two-file feed proves the
+    //      recursion and the closed form agree ACROSS the batch
+    //      boundary, with second-batch values depending on
+    //      first-batch state. ----
+    Q("events_stream_cusum",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_cusum_",
+          byTime = true)
+        val targets = Tables.t(s, dir, "events")
+          .withColumn("q", round(col("value") * 1000).cast("long"))
+          .groupBy("event_type")
+          .agg(expr("CAST(sum(q) div count(1) AS BIGINT)").as("target"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out = graft.streaming.EventStreams.cusumStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)), targets)(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8)) // state = one long per event type
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, ts,
+             |        CAST(round(value * 1000) AS BIGINT) AS q FROM events),
+             |t AS (SELECT event_type,
+             |        CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS target
+             |      FROM e GROUP BY 1),
+             |p AS (SELECT event_id, e.event_type, ts,
+             |        CAST(SUM(q - target) OVER (PARTITION BY e.event_type
+             |          ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+             |      FROM e JOIN t USING (event_type)),
+             |c AS (SELECT event_id, event_type,
+             |        pf - LEAST(0, CAST(MIN(pf) OVER (PARTITION BY event_type
+             |          ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_plus
+             |      FROM p)
+             |SELECT event_id, event_type, cusum_plus, cusum_plus > 50000 AS drift
+             |FROM c ORDER BY event_id""".stripMargin)),
+
     // ---- stream-STATIC enrichment join through the real engine: the
     //      arriving event stream joins the static customer dimension
     //      (broadcast — the bounded side) with NO state store and NO

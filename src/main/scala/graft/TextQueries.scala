@@ -564,6 +564,32 @@ object TextQueries {
           |       ELSE 'test' END AS split
           |FROM keyed ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-safe K-FOLD assignment (cross-validation's split
+    //      shape): every near-dup cluster lands WHOLE in one of 5
+    //      folds — fold = LCG(cluster key) mod 5, so fold sizes are
+    //      hash-balanced and a held-out fold never shares a near-dup
+    //      with its training folds (the same guarantee the
+    //      train/val/test split gives, extended to rotation). ----
+    Q("sample_kfold_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val cl = graft.operators.Dedup
+          .clusters(graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        docs.select("doc_id").join(cl, Seq("doc_id"), "left")
+          .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("fold",
+            pmod(col("split_key") * 1103515245L + 12345L, lit(5L)))
+          .select("doc_id", "split_key", "fold")
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """,keyed AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS split_key
+          |           FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+          |SELECT doc_id, split_key,
+          |  (split_key * 1103515245 + 12345) % 5 AS fold
+          |FROM keyed ORDER BY doc_id""".stripMargin)),
+
     // ---- incremental near-dedup: a fresh batch (doc_id % 10 = 0)
     //      joined against the corpus LSH sketch — cost scales with the
     //      batch, not the corpus (sketch is materializable:

@@ -244,6 +244,48 @@ object EventStreams {
       }
   }
 
+  final case class CusumPoint(event_id: Long, event_type: String,
+                              cusum_plus: Long, drift: Boolean)
+
+  /**
+   * Streaming CUSUM drift — the train-batch/serve-stream split: the
+   * per-type `targets` (integer means) are TRAINED on the batch
+   * table and broadcast as a reference map; the stream carries the
+   * sequential recursion S = max(0, S + (q − target)) as ONE long of
+   * state per event type across micro-batches. The recursion is the
+   * streaming-native form of the batch query's closed two-window
+   * rewrite (events_cusum_drift) — identical outputs under
+   * time-ordered replay, which is how the gate's oracle pins it.
+   * Types absent from `targets` (never seen in training) pass
+   * through untracked rather than drifting against a meaningless 0.
+   */
+  def cusumStream(events: DataFrame, targets: Map[String, Long],
+                  threshold: Long = 50000L)
+                 (implicit spark: SparkSession): Dataset[CusumPoint] = {
+    import spark.implicits._
+    events.select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 1000).cast("long").as("q"))
+      .filter(col("event_type").isNotNull && col("q").isNotNull)
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[Long]) =>
+          targets.get(etype) match {
+            case None => Iterator.empty
+            case Some(target) =>
+              var cusum = state.getOption.getOrElse(0L)
+              val out = Seq.newBuilder[CusumPoint]
+              rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+                cusum = math.max(0L, cusum + (r._4 - target))
+                out += CusumPoint(r._3, etype, cusum, cusum > threshold)
+              }
+              state.update(cusum)
+              out.result().iterator
+          }
+      }
+  }
+
   /** Alert emitted the first time a user's cumulative purchase total
     * crosses the threshold. */
   final case class QuotaAlert(user_id: Long, total_cents: Long, n_purchases: Long)
