@@ -3303,6 +3303,52 @@ object AnalyticsQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- interval-OVERLAP join (two interval relations, not the
+    //      point-in-range shape events_interval_join covers): each
+    //      user's CLICK sessions joined to their PURCHASE sessions
+    //      wherever the intervals overlap (a.start <= b.end AND
+    //      b.start <= a.end, touch counts), with the exact overlap
+    //      span in micros. The join key is the user (equi), so the
+    //      quadratic term is per-user session counts — bounded by
+    //      activity, never cross-user; both interval sets derive
+    //      from one sessionization pass each. ----
+    Q("events_session_overlap_join",
+      (s, dir) => {
+        def sess(t: String, p: String) = Tables.t(s, dir, "events")
+          .filter(col("event_type") === t)
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(min("ts").as("s0"), max("ts").as("s1"))
+          .select(col("user_id"),
+            unix_micros(col("s0")).as(s"${p}_start"),
+            unix_micros(col("s1")).as(s"${p}_end"))
+        sess("click", "click").join(sess("purchase", "purchase"), Seq("user_id"))
+          .filter(col("click_start") <= col("purchase_end") &&
+            col("purchase_start") <= col("click_end"))
+          .withColumn("overlap_us",
+            least(col("click_end"), col("purchase_end")) -
+              greatest(col("click_start"), col("purchase_start")))
+          .orderBy("user_id", "click_start", "purchase_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |        WHERE event_type IN ('click', 'purchase')),
+             |flags AS (SELECT user_id, event_type, ts,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) >= INTERVAL '10 minutes'
+             |       OR LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (SELECT user_id, event_type, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags),
+             |iv AS (SELECT user_id, event_type,
+             |         epoch_us(MIN(ts)) AS s0, epoch_us(MAX(ts)) AS s1
+             |       FROM sess GROUP BY user_id, event_type, sid)
+             |SELECT c.user_id, c.s0 AS click_start, c.s1 AS click_end,
+             |  p.s0 AS purchase_start, p.s1 AS purchase_end,
+             |  LEAST(c.s1, p.s1) - GREATEST(c.s0, p.s0) AS overlap_us
+             |FROM iv c JOIN iv p ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND c.s0 <= p.s1 AND p.s0 <= c.s1
+             |ORDER BY c.user_id, click_start, purchase_start""".stripMargin)),
+
     // ---- DYNAMIC-gap session windows: the gap is a per-ROW column
     //      (purchases hold a session open 30 min, everything else
     //      10 min) — the `session_window(ts, Column)` form fixed-gap

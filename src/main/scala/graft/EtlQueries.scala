@@ -1268,6 +1268,39 @@ object EtlQueries {
              |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // ---- SCD2 POINT-IN-TIME read (the consumer side of the history
+    //      the scd2 row builds): "what did every dimension row look
+    //      like at T?" — valid_from <= T < coalesce(valid_to, ∞).
+    //      Probed at a T between the two generations, so updated
+    //      keys must surface their ORIGINAL segment while the
+    //      current table would show NEW- — the exact bug a naive
+    //      latest-read introduces into backtests. One filter over
+    //      the history; at 100 TB the history partitions by
+    //      valid_from range so a PIT read prunes to the generations
+    //      alive at T. ----
+    Q("etl_scd2_point_in_time",
+      (s, dir) => {
+        val ts0 = lit("1990-01-01").cast(org.apache.spark.sql.types.TimestampType)
+        val ts1 = lit("2000-06-15").cast(org.apache.spark.sql.types.TimestampType)
+        val dim = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          .withColumn("valid_from", ts0)
+          .withColumn("valid_to", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+        val upd = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
+          .withColumn("valid_from", ts1)
+        val hist = graft.operators.Upsert.scd2Apply(dim, upd, Seq("c_custkey"))
+        val at = lit("1995-01-01").cast(org.apache.spark.sql.types.TimestampType)
+        hist.filter(col("valid_from") <= at &&
+            (col("valid_to").isNull || col("valid_to") > at))
+          .select("c_custkey", "segment", "valid_from")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS segment,
+             |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     Q("etl_transform_defaults",
       (s, dir) => {
         // P5 defaults + P6 transformation rules.

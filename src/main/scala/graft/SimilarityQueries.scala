@@ -354,6 +354,36 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- RANGE similarity search (the "everything within distance
+    //      t" query, vs top-k's fixed cardinality): all vectors with
+    //      cosine >= 0.3 to the probe — the recall-complete retrieval
+    //      shape dedup audits and threshold alerts need, where top-k
+    //      would silently truncate. Same map-side scoring as
+    //      bruteForceTopK (probe broadcast, no corpus shuffle); the
+    //      predicate pushes into the scan stage so non-matches never
+    //      leave their partition. ----
+    Q("sim_range_search",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("e").as("probe_e"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos_sim",
+            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
+          .filter(col("cos_sim") >= 0.3)
+          .select("vec_id", "label", "cos_sim")
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |  AND list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) >= 0.3
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- MMR diversified retrieval (Carbonell & Goldstein '98,
     //      public): greedy re-rank of the exact top-20 shortlist —
     //      each pick maximizes λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
