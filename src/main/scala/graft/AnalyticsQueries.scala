@@ -2715,6 +2715,43 @@ object AnalyticsQueries {
              |FROM events e JOIN bounds b ON e.event_type = b.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- one stationary-distribution power step over the event-type
+    //      Markov chain (the companion of events_type_transitions and
+    //      the same integer discipline as the PageRank step): from
+    //      the uniform distribution (1e6 micros per observed type),
+    //      π'_j = Σ_i (1e6 · c_ij) div r_i — per-edge integral
+    //      division, so both engines derive the identical micros.
+    //      Each further iteration re-broadcasts the (|types|-sized)
+    //      π and repeats the one edge-list aggregation; the full
+    //      fixpoint is this step iterated, exactly like PageRank. ----
+    Q("events_stationary_step",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.t(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type").agg(sum("n").as("row_total"))
+        pairs.join(totals, "prev_type")
+          .withColumn("contrib", expr("(1000000 * n) div row_total"))
+          .groupBy(col("next_type").as("event_type"))
+          .agg(sum("contrib").as("pi1_micros"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+             |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+             |      FROM c GROUP BY 1)
+             |SELECT c.next_type AS event_type,
+             |  CAST(SUM((1000000 * c.n) // t.row_total) AS BIGINT) AS pi1_micros
+             |FROM c JOIN t ON c.prev_type = t.prev_type
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // ---- CUSUM drift detection, EXACT: the sequential-change
     //      statistic S_i = max(0, S_{i-1} + (q_i − target)) rewritten
     //      into its closed window form S_i = P_i − min(0, min_{j<=i}
