@@ -968,6 +968,44 @@ object AnalyticsQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 5
              |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    // ---- association RULES from the co-purchase pairs: directional
+    //      confidence in exact permille — conf(a→b) = support(a,b)·
+    //      1000 div support(a) — plus the pair support, top-20. The
+    //      per-item supports come from the same DISTINCT (order,
+    //      part) relation as the pairs, so numerator and denominator
+    //      count the same universe; integral division keeps the
+    //      ranking engine-identical. ----
+    Q("orders_association_rules",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val item = li.groupBy(col("l_partkey").as("part_a"))
+          .agg(count(lit(1)).as("support_a"))
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("part_a") =!= col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("support_ab"))
+          .filter(col("support_ab") >= 5)
+          .join(item, "part_a")
+          .withColumn("confidence_permille",
+            expr("CAST(support_ab * 1000 div support_a AS BIGINT)"))
+          .select("part_a", "part_b", "support_ab", "confidence_permille")
+          .orderBy(desc("confidence_permille"), desc("support_ab"), asc("part_a"), asc("part_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |item AS (SELECT l_partkey AS part_a, COUNT(*) AS support_a FROM li GROUP BY 1),
+             |pair AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support_ab
+             |         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |           AND a.l_partkey <> b.l_partkey
+             |         GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT part_a, part_b, support_ab,
+             |  CAST(support_ab * 1000 // support_a AS BIGINT) AS confidence_permille
+             |FROM pair JOIN item USING (part_a)
+             |ORDER BY confidence_permille DESC, support_ab DESC, part_a, part_b
+             |LIMIT 20""".stripMargin)),
+
     // ---- grouped MODE (most frequent value per group): counts, then
     //      the argmin of (-n, value) as ONE struct-min aggregation —
     //      largest count wins, ties break to the lexicographically

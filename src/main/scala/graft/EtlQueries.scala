@@ -1268,6 +1268,50 @@ object EtlQueries {
              |  SELECT c_custkey, segment, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM upd)
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // ---- ANONYMIZE_DESTINATION on the hard gate: a destination
+    //      seeded with synthetic PII (email + phone + long id per
+    //      row) is rewritten in place by the job step through the
+    //      standard scrub chain and read back; the oracle replays
+    //      the same regex chain (patterns stay in the Java∩RE2
+    //      subset, which pii_scrub already pins). ----
+    Q("etl_anonymize_destination",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_anon_gate_").toString
+        val destDir = s"$work/dest"
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-"),
+              lpad(expr("doc_id % 10000").cast("string"), 4, "0"),
+              lit("-1234 ref "),
+              (col("doc_id") * 1000003L + 7111111L).cast("string")).as("body"))
+          .write.parquet(destDir)
+        val cfg = JobConfig(
+          jobId = "anon-gate-1",
+          steps = List("ANONYMIZE_DESTINATION"),
+          source = SourceConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("doc_id", "doc_id", "NUMBER", "LONG", isDestNullable = false)),
+          transformation = Transformation("NONE", parameters = Map(
+            "scrubColumns" -> "body")))
+        val r = JobRunner.run(s, cfg)
+        require(r.status == JobRunner.Completed, s"anonymize job failed: ${r.message}")
+        s.read.parquet(destDir).orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+             |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234 ref ' ||
+             |  CAST(doc_id * 1000003 + 7111111 AS VARCHAR) AS body FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(body,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g'),
+             |    '\b\d{6,}\b', '[ID]', 'g') AS body
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- SCD2 POINT-IN-TIME read (the consumer side of the history
     //      the scd2 row builds): "what did every dimension row look
     //      like at T?" — valid_from <= T < coalesce(valid_to, ∞).

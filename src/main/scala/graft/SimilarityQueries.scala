@@ -354,6 +354,45 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- k-NN CLASSIFICATION (majority vote over the exact top-5
+    //      cosine neighbors, excluding self): the embedding-space
+    //      label-quality probe — compare predicted vs true label per
+    //      probe. Vote counting and the (count, label) argmin pick
+    //      are the same struct-min discipline as agg_grouped_mode;
+    //      neighbor ranks tie-break by vec_id, so the vote set is
+    //      deterministic cross-engine. ----
+    Q("sim_knn_classify",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+            col("e").as("probe_e"))
+        val nn = graft.operators.Similarity
+          .batchTopK(emb, probes.select("probe_id", "probe_e"), "e", k = 5)
+        nn.join(probes.select("probe_id", "true_label"), "probe_id")
+          .groupBy("probe_id", "true_label", "label").agg(count(lit(1)).as("votes"))
+          .groupBy("probe_id", "true_label")
+          .agg(min(struct((-col("votes")).as("neg"), col("label").as("l"))).as("m"))
+          .select(col("probe_id"), col("true_label"),
+            col("m.l").as("predicted_label"), (-col("m.neg")).as("votes"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, label AS true_label, v AS pv
+             |      FROM e WHERE vec_id % 50 = 0),
+             |scored AS (SELECT probe_id, true_label, vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |  FROM e, p WHERE vec_id <> probe_id),
+             |nn AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |         ORDER BY cos_sim DESC, vec_id) AS rk FROM scored) WHERE rk <= 5),
+             |votes AS (SELECT probe_id, true_label, label, COUNT(*) AS votes
+             |          FROM nn GROUP BY 1, 2, 3)
+             |SELECT probe_id, true_label, label AS predicted_label, votes FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |    ORDER BY votes DESC, label) AS rn FROM votes)
+             |WHERE rn = 1 ORDER BY probe_id""".stripMargin)),
+
     // ---- RANGE similarity search (the "everything within distance
     //      t" query, vs top-k's fixed cardinality): all vectors with
     //      cosine >= 0.3 to the probe — the recall-complete retrieval

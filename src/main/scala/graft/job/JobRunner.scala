@@ -578,6 +578,38 @@ object JobRunner {
             System.err.println(s"[graft-job] DEDUP_DESTINATION kept $nAfter of " +
               s"$nBefore row(s) by ${ddKeys.mkString(",")}")
             stepsRun ::= step
+          case "ANONYMIZE_DESTINATION" =>
+            // PII-scrub maintenance from the config surface: rewrite
+            // the destination with the standard email/phone/id
+            // placeholder chain (operators.Privacy.scrubPii — pure
+            // codegen'd regexp_replace, no UDF) applied to the named
+            // columns — the pre-release sanitation pass as a job
+            // step, with the same crash-safe rename-aside swap as
+            // DEDUP_DESTINATION. transformation.parameters:
+            // scrubColumns (csv, required).
+            val anDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("ANONYMIZE_DESTINATION requires a destination"))
+            require(Set("PARQUET", "ORC")(anDest.`type`.toUpperCase),
+              s"ANONYMIZE_DESTINATION supports PARQUET/ORC destinations, got ${anDest.`type`}")
+            val anPath = anDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("ANONYMIZE_DESTINATION requires a file path destination"))
+            val anCols = cfg.transformation.parameters.get("scrubColumns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            require(anCols.nonEmpty,
+              "ANONYMIZE_DESTINATION requires transformation.parameters.scrubColumns")
+            import org.apache.spark.sql.functions.{col => anCol}
+            val anCur = spark.read.format(anDest.`type`.toLowerCase).load(anPath)
+            val missing = anCols.filterNot(anCur.columns.contains)
+            require(missing.isEmpty,
+              s"scrubColumns not in destination: ${missing.mkString(", ")}")
+            val scrubbed = anCols.foldLeft(anCur)((d, c) =>
+              d.withColumn(c, graft.operators.Privacy.scrubPii(anCol(c))))
+            val anP = new org.apache.hadoop.fs.Path(anPath)
+            val anFs = anP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            graft.operators.Maintenance.replaceDir(anFs, anP, "_anon_",
+              staged => scrubbed.write.format(anDest.`type`.toLowerCase).save(staged),
+              m => new ErrorPolicy.JobFailedException(s"ANONYMIZE_DESTINATION: $m"))
+            stepsRun ::= step
           case "VALIDATE_LOAD" =>
             // Post-load row-count check (O4): destination readable and
             // row count == recordsWritten. The read-back must mirror the
