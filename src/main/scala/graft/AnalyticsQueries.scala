@@ -968,6 +968,45 @@ object AnalyticsQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 5
              |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    // ---- ABC (Pareto) revenue classification: parts ranked by
+    //      revenue, classed A/B/C at 80%/95% of the CUMULATIVE total
+    //      — the inventory-analytics cut. Revenue accumulates in
+    //      exact DECIMAL cents; class thresholds compare integer
+    //      cross-products (cum·100 vs tot·80), so the class of every
+    //      boundary part is engine-identical. Two windows over the
+    //      part-level aggregate (already collapsed from lineitem). ----
+    Q("lineitem_abc_classification",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+        val w = Window.orderBy(desc("rev_cents"), asc("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_cents", sum("rev_cents").over(w))
+          .withColumn("tot_cents", sum("rev_cents").over(
+            Window.partitionBy(lit(1))))
+          .withColumn("abc_class",
+            when(col("cum_cents") * 100 <= col("tot_cents") * 80, "A")
+              .when(col("cum_cents") * 100 <= col("tot_cents") * 95, "B")
+              .otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"), sum("rev_cents").as("class_cents"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (SELECT l_partkey,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT l_partkey, rev_cents,
+             |    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+             |    CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot_cents
+             |  FROM rev)
+             |SELECT CASE WHEN cum_cents * 100 <= tot_cents * 80 THEN 'A'
+             |            WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B'
+             |            ELSE 'C' END AS abc_class,
+             |  COUNT(*) AS n_parts, CAST(SUM(rev_cents) AS BIGINT) AS class_cents
+             |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin)),
+
     // ---- association RULES from the co-purchase pairs: directional
     //      confidence in exact permille — conf(a→b) = support(a,b)·
     //      1000 div support(a) — plus the pair support, top-20. The
@@ -2789,6 +2828,39 @@ object AnalyticsQueries {
              |  CAST(SUM((1000000 * c.n) // t.row_total) AS BIGINT) AS pi1_micros
              |FROM c JOIN t ON c.prev_type = t.prev_type
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- hour-of-day seasonality profile: per event type, each
+    //      hour's share of the type's volume in exact permille plus
+    //      the type's peak hour (struct-min argmax, tie to the
+    //      earliest hour) — the load-shape fingerprint capacity
+    //      planning and anomaly baselines start from. One counts
+    //      aggregation + one broadcast-sized totals join. ----
+    Q("events_hourly_profile",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy("event_type")
+          .agg(sum("n").as("n_type"),
+            min(struct((-col("n")).as("neg"), col("hh").as("h"))).as("pk"))
+        c.join(broadcast(tot), "event_type")
+          .withColumn("share_permille", expr("CAST(n * 1000 div n_type AS BIGINT)"))
+          .withColumn("is_peak", col("hh") === col("pk.h"))
+          .select("event_type", "hh", "n", "share_permille", "is_peak")
+          .orderBy("event_type", "hh")
+      },
+      Some("""WITH c AS (SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hh,
+             |        COUNT(*) AS n FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM c GROUP BY 1),
+             |p AS (SELECT event_type, hh AS peak_h FROM (
+             |        SELECT event_type, hh,
+             |          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hh) AS rn
+             |        FROM c) WHERE rn = 1)
+             |SELECT event_type, CAST(hh AS INTEGER) AS hh, n,
+             |  CAST(n * 1000 // n_type AS BIGINT) AS share_permille,
+             |  (hh = peak_h) AS is_peak
+             |FROM c JOIN t USING (event_type) JOIN p USING (event_type)
+             |ORDER BY event_type, hh""".stripMargin)),
 
     // ---- CUSUM drift detection, EXACT: the sequential-change
     //      statistic S_i = max(0, S_{i-1} + (q_i − target)) rewritten

@@ -217,6 +217,45 @@ object TextQueries {
               |     THEN 'en' ELSE 'unknown' END AS predicted_lang
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- classifier EVALUATION: the confusion matrix + per-class
+    //      precision/recall (exact permille) of the lang-id heuristic
+    //      against the labeled corpus — the eval report every
+    //      filtering classifier owes before it gates data. One
+    //      aggregation for the matrix; precision/recall divide
+    //      integer counts by integral division. ----
+    Q("text_langid_eval",
+      (s, dir) => {
+        val pred = Tables.t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_stop_en", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+          .select(col("lang"),
+            when(col("n_stop_en") * 20 >= size(col("toks")), lit("en"))
+              .otherwise(lit("unknown")).as("predicted"))
+        val m = pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        val byPred = m.groupBy("predicted").agg(sum("n").as("n_pred"))
+        val byTrue = m.groupBy("lang").agg(sum("n").as("n_true"))
+        m.join(byPred, "predicted").join(byTrue, "lang")
+          .withColumn("precision_permille",
+            expr("CAST(n * 1000 div n_pred AS BIGINT)"))
+          .withColumn("recall_permille",
+            expr("CAST(n * 1000 div n_true AS BIGINT)"))
+          .select("lang", "predicted", "n", "precision_permille", "recall_permille")
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""WITH pred AS (SELECT lang,
+              |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $stopwordSql)) * 20
+              |            >= len(string_split(text, ' '))
+              |       THEN 'en' ELSE 'unknown' END AS predicted
+              |  FROM documents),
+              |m AS (SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+              |bp AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_pred FROM m GROUP BY 1),
+              |bt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM m GROUP BY 1)
+              |SELECT lang, predicted, n,
+              |  CAST(n * 1000 // n_pred AS BIGINT) AS precision_permille,
+              |  CAST(n * 1000 // n_true AS BIGINT) AS recall_permille
+              |FROM m JOIN bp USING (predicted) JOIN bt USING (lang)
+              |ORDER BY lang, predicted""".stripMargin)),
+
     // ---- global token frequency (explode -> count) ----
     Q("token_topk",
       (s, dir) => Tables.t(s, dir, "documents")
