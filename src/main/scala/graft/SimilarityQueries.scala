@@ -101,6 +101,51 @@ object SimilarityQueries {
              |SELECT pos, CAST(SUM(qi * srow) AS BIGINT) AS v1
              |FROM d GROUP BY pos ORDER BY pos""".stripMargin)),
 
+    // ---- TWO power-iteration steps — the proof the one-step shape
+    //      composes: v2 = Xᵀ(X·v1) with v1 the first step's 64-long
+    //      BIGINT vector (joined in at metadata size). Row dots
+    //      q·v1 stay in BIGINT (~2e17); the second projection's
+    //      products (~6e20) graduate to DECIMAL(38,0)/HUGEINT —
+    //      exactly the promotion the one-step Scaladoc promises at
+    //      corpus scale, demonstrated cross-engine-exact here. Still
+    //      two map-side joins + two bounded-key aggregations; the
+    //      Gram matrix is never built. ----
+    Q("embed_pca_two_steps",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(expr(
+              "transform(cast(embedding as array<double>), x -> CAST(round(x * 1000) AS BIGINT))"))
+              .as(Seq("pos", "q")))
+        val v1 = d.groupBy("vec_id").agg(sum("q").as("srow"))
+          .join(d, "vec_id")
+          .groupBy("pos").agg(sum(col("q") * col("srow")).as("w"))
+        val rowdot = d.join(broadcast(v1), "pos")
+          .groupBy("vec_id").agg(sum(col("q") * col("w")).as("t"))
+        d.join(rowdot, "vec_id")
+          .groupBy("pos")
+          .agg(sum(expr("CAST(q AS DECIMAL(38,0)) * t")).as("v2raw"))
+          // both engines ferry the 128-bit-scale integer as a STRING:
+          // decimal vs hugeint physical types would never hash-match
+          .select(col("pos"), expr("CAST(CAST(v2raw AS DECIMAL(38,0)) AS STRING)").as("v2"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |                   x -> CAST(round(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |d AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, q[i] AS qi
+             |      FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM e)),
+             |v1 AS (SELECT d.pos, CAST(SUM(d.qi * r.srow) AS BIGINT) AS w
+             |       FROM d JOIN (SELECT vec_id, CAST(SUM(qi) AS BIGINT) AS srow
+             |                    FROM d GROUP BY 1) r USING (vec_id)
+             |       GROUP BY d.pos),
+             |rowdot AS (SELECT vec_id, CAST(SUM(qi * w) AS BIGINT) AS t
+             |           FROM d JOIN v1 USING (pos) GROUP BY 1)
+             |SELECT pos, CAST(SUM(qi::HUGEINT * t) AS VARCHAR) AS v2
+             |FROM d JOIN rowdot USING (vec_id)
+             |GROUP BY pos ORDER BY pos""".stripMargin)),
+
     Q("embed_norms",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
