@@ -3461,9 +3461,12 @@ object AnalyticsQueries {
     //      from one sessionization pass each. ----
     Q("events_session_overlap_join",
       (s, dir) => {
+        // 1-day gap: at the fixture's density 10-minute sessions are
+        // isolated points and the join is vacuous — a day-long gap
+        // yields real multi-event intervals that actually overlap
         def sess(t: String, p: String) = Tables.t(s, dir, "events")
           .filter(col("event_type") === t)
-          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .groupBy(session_window(col("ts"), "1 day"), col("user_id"))
           .agg(min("ts").as("s0"), max("ts").as("s1"))
           .select(col("user_id"),
             unix_micros(col("s0")).as(s"${p}_start"),
@@ -3479,7 +3482,7 @@ object AnalyticsQueries {
       Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
              |        WHERE event_type IN ('click', 'purchase')),
              |flags AS (SELECT user_id, event_type, ts,
-             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) >= INTERVAL '10 minutes'
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) >= INTERVAL '1 day'
              |       OR LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL
              |       THEN 1 ELSE 0 END AS new_s FROM e),
              |sess AS (SELECT user_id, event_type, ts,

@@ -590,6 +590,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("anomaly stream: moments survive a RESTART from checkpoint") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+    val work = tmpDir("graft_anomaly_restart_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkEvents(rows: Seq[(Long, Double)]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      rows.toDF("event_id", "value")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          (lit(base) / 1000 + col("event_id")).cast(TimestampType).as("ts"),
+          lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+    }
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, ageMs: Long): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def runOnce(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema(sch).parquet(src)
+      val out = EventStreams.anomalyStream(stream, minN = 3)(spark)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("q", LongType),
+        StructField("n_prev", LongType)))).parquet(s"$work/out")
+    }
+    // run 1: three steady values — nothing flaggable (n < minN throughout)
+    stage("h0", mkEvents(Seq((1L, 1.0), (2L, 1.0), (3L, 1.0))), ageMs = 10000)
+    assert(runOnce().count() == 0)
+    // RESTART (fresh query, same checkpoint): the spike at event 4 is
+    // only anomalous against the RECOVERED (n=3, S=3000, Q=3e6)
+    // moments — a lost state would leave n=0 < minN and emit nothing
+    stage("h1", mkEvents(Seq((4L, 2.0), (5L, 1.0))), ageMs = 0)
+    val got = runOnce().collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((4L, 3L)),
+      s"restart lost or corrupted anomaly moments: emitted $got")
+  }
+
   test("anomaly stream: flags depend on moments accumulated in EARLIER batches") {
     implicit val s = spark
     import spark.implicits._
