@@ -2449,6 +2449,63 @@ object AnalyticsQueries {
              |FROM p GROUP BY user_id HAVING SUM(cents) >= 100000
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- EVENT-TIME TIMERS on the hard gate: session-timeout
+    //      summaries through transformWithState — a session emits
+    //      when a successor event closes it (inline) or when the
+    //      WATERMARK passes last+gap and the registered timer fires
+    //      (the emission no arriving row would ever produce). The
+    //      single-file feed runs one data batch, and AvailableNow's
+    //      trailing no-data batch fires the timers whose expiry the
+    //      terminal watermark (max ts − 2h) has passed — so the
+    //      emitted set is: every non-final session, plus each user's
+    //      final session iff it timed out before the terminal
+    //      watermark. The oracle states exactly that, from the
+    //      1-day-gap islands rewrite. (Cross-batch timer firing and
+    //      the boundary convention are pinned by StreamingSpec.) ----
+    Q("events_stream_session_timeout",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = graft.streaming.EventStreams.sessionTimeoutStream(
+            graft.streaming.EventStreams.readEvents(s, src),
+            gapUs = 86400L * 1000000L)(s)
+          graft.streaming.EventStreams.runToParquet(s, out.toDF(), work)
+            .orderBy("user_id", "session_start_us")
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |        WHERE user_id IS NOT NULL),
+             |flags AS (SELECT user_id, ts,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '1 day'
+             |       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (SELECT user_id, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags),
+             |iv AS (SELECT user_id, sid,
+             |         epoch_us(MIN(ts)) AS session_start_us,
+             |         epoch_us(MAX(ts)) AS session_end_us,
+             |         COUNT(*) AS n_events,
+             |         MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+             |       FROM sess GROUP BY user_id, sid),
+             |wm AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 7200000000 AS cut FROM events)
+             |SELECT user_id, session_start_us, session_end_us, n_events
+             |FROM iv, wm
+             |WHERE sid < max_sid
+             |   OR session_end_us + 86400000000 <= cut
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     // ---- as-of enrichment (time-series): each event carries the most
     //      recent prior 'signup' value for its user — the windowed
     //      last-ignoring-nulls form of an as-of join (no range-join

@@ -244,6 +244,85 @@ object EventStreams {
       }
   }
 
+  final case class SessionSummary(user_id: Long, session_start_us: Long,
+                                  session_end_us: Long, n_events: Long)
+
+  /**
+   * Session-timeout summaries via EVENT-TIME TIMERS — the
+   * transformWithState facility none of the other stateful gates
+   * exercise: a session closes EITHER when a later event of the same
+   * user arrives past the gap (emitted inline from handleInputRows)
+   * OR when the WATERMARK passes `last + gap` with no successor — the
+   * registered timer fires in `handleExpiredTimer` and emits the
+   * summary no arriving row ever would. State is one (start, last, n)
+   * tuple per user plus at most one live timer (stale timers are
+   * deleted on every input); the session rule (same session iff
+   * gap NOT reached, `diff < gap`) matches the batch islands rewrite
+   * exactly.
+   */
+  class SessionTimeoutProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), SessionSummary] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[SessionSummary] = {
+      val out = Seq.newBuilder[SessionSummary]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      rows.toSeq.map(_._2).sorted.foreach { us =>
+        cur match {
+          case Some((st, last, n)) if us - last < gapUs =>
+            cur = Some((st, math.max(last, us), n + 1))
+          case Some((st, last, n)) =>
+            out += SessionSummary(user, st, last, n)
+            cur = Some((us, us, 1L))
+          case None =>
+            cur = Some((us, us, 1L))
+        }
+      }
+      cur.foreach { case (st, last, n) =>
+        sess.update((st, last, n))
+        // one live timer per key: drop whatever an earlier batch set
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer((last + gapUs) / 1000L)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      // stale timers are deleted on every input, so a firing timer
+      // always refers to the CURRENT open session
+      if (sess.exists()) {
+        val (st, last, n) = sess.get()
+        sess.clear()
+        Iterator.single(SessionSummary(user, st, last, n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Session-timeout stream over events: see [[SessionTimeoutProcessor]].
+    * Requires the RocksDB state store provider (transformWithState's
+    * only supported provider). */
+  def sessionTimeoutStream(events: DataFrame, gapUs: Long,
+                           watermarkDelay: String = "2 hours")
+                          (implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .filter(col("user_id").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class CusumPoint(event_id: Long, event_type: String,
                               cusum_plus: Long, drift: Boolean)
 

@@ -590,6 +590,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("session timeout: a timer fires when ANOTHER user's events advance the watermark") {
+    implicit val s = spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      val events = in.toDF().toDF("user_id", "off_s")
+        .select(col("user_id"),
+          (lit(base) + col("off_s")).cast(
+            org.apache.spark.sql.types.TimestampType).as("ts"))
+      val out = EventStreams.sessionTimeoutStream(events,
+        gapUs = 3600L * 1000000L, watermarkDelay = "10 minutes")
+      val q = out.toDF().writeStream.format("memory").queryName("t_sess_to")
+        .outputMode(OutputMode.Append()).start()
+      // batch 1: user 1 has a 2-event session; no successor ever comes
+      in.addData((1L, 0L), (1L, 60L))
+      q.processAllAvailable()
+      assert(spark.table("t_sess_to").count() == 0,
+        "session must stay open while the watermark is behind its expiry")
+      // batch 2: USER 2, a day later — the watermark jump (1d - 10min)
+      // passes user 1's expiry (last + 1h); only the TIMER can emit
+      // user 1's summary, no user-1 row ever arrives again
+      in.addData((2L, 86400L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_sess_to").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == Set((1L, 2L)),
+        s"expected user 1's session emitted by timer, got $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("anomaly stream: moments survive a RESTART from checkpoint") {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
     val work = tmpDir("graft_anomaly_restart_")
