@@ -79,6 +79,33 @@ object AnalyticsQueries {
     (src.toString, work)
   }
 
+  /** Stage the normalized events feed as `n` single-file slices by
+    * event_id mod n (each slice spans the WHOLE time range), mtimes
+    * ascending so maxFilesPerTrigger=1 replays slice 0, 1, … — the
+    * out-of-order multi-batch feed late-data semantics need (the
+    * watermark established by earlier slices makes later slices'
+    * old rows genuinely late). */
+  private def stageModSplitFeed(s: org.apache.spark.sql.SparkSession, dir: String,
+                                prefix: String, n: Int): (String, java.nio.file.Path) = {
+    val work = CacheDirs.tempWorkDir(prefix)
+    val src = work.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val raw = Tables.t(s, dir, "events")
+    (0 until n).foreach { h =>
+      val half = work.resolve(s"h$h").toString
+      raw.filter(col("event_id") % n === h).coalesce(1).write.parquet(half)
+      val part = new java.io.File(half).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $half"))
+      val staged = src.resolve(s"h$h.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (n - 1 - h) * 10000L))
+    }
+    (src.toString, work)
+  }
+
   /** Bucketed copies of lineitem/orders (16 buckets + sort on the
     * order key, written once per corpus fingerprint into the cache
     * warehouse), joined bucket-to-bucket. Both sides carry the SAME
@@ -2448,6 +2475,80 @@ object AnalyticsQueries {
              |  COUNT(*) AS n_purchases
              |FROM p GROUP BY user_id HAVING SUM(cents) >= 100000
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- LATE-DATA DROP accounting on the hard gate: the feed is
+    //      replayed OUT of time order (three id-mod slices, each
+    //      spanning the whole year), so later batches carry rows the
+    //      watermark has already finalized windows for. Empirically
+    //      pinned semantics: the watermark a batch DROPS against is
+    //      the one committed after the previous batch, itself
+    //      computed from data through the batch before that — a
+    //      TWO-batch lag (probed live: a 2-file feed drops nothing;
+    //      with 3 files only the third batch drops, against
+    //      max(slice0) − delay). So slice-1/slice-2 rows are never
+    //      late here, and slice-3 rows drop iff their window end <=
+    //      max ts of slice 0 minus the 2h delay; emission is the
+    //      terminal-watermark cut as in events_stream_tumbling. A
+    //      green row means watermark semantics under disorder are
+    //      the stated ones, not that ordered replay happens to
+    //      work. ----
+    Q("events_stream_late_drop",
+      (s, dir) => {
+        val (src, work) = stageModSplitFeed(s, dir, "graft_stream_late_", n = 3)
+        val agg = graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)),
+          windowLen = "1 hour", watermark = "2 hours")
+        graft.streaming.EventStreams.runToParquet(s, agg, work.toString,
+            statePartitions = Some(8))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+             |wm3 AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM e WHERE event_id % 3 = 0),
+             |cut AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM e),
+             |kept AS (SELECT e.* FROM e, wm3
+             |         WHERE NOT (event_id % 3 = 2
+             |                    AND date_trunc('hour', ts) + INTERVAL '1 hour' <= wm3.w))
+             |SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM kept, cut
+             |WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- typed MAP STATE on the hard gate: per-user per-type
+    //      running counts through transformWithState's MapState —
+    //      keyed sub-state with per-entry access, the shape ValueState
+    //      would pay a whole-map rewrite for. Single-file feed ⇒ one
+    //      batch ⇒ the Update-mode emission is each user's final
+    //      entries — the GROUP BY oracle. (Cross-batch increments are
+    //      the same state machinery Update-mode quota pins.) ----
+    Q("events_stream_type_counts",
+      (s, dir) => {
+        val (src, _) = stageStreamWork(dir)
+        val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = graft.streaming.EventStreams.typeCountsStream(
+            graft.streaming.EventStreams.readEvents(s, src))(s)
+          val name = s"q_tc_${java.util.UUID.randomUUID().toString.take(8)}"
+          graft.streaming.EventStreams.runToMemory(s, out.toDF(), name,
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .orderBy("user_id", "event_type")
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""SELECT user_id, event_type, COUNT(*) AS n FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
 
     // ---- EVENT-TIME TIMERS on the hard gate: session-timeout
     //      summaries through transformWithState — a session emits

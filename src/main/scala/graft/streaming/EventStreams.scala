@@ -323,6 +323,52 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /**
+   * Per-user per-type running counts in a typed MAP STATE — the
+   * transformWithState MapState facility (keyed sub-state with
+   * per-entry point reads/writes, vs ValueState's whole-blob
+   * update): each batch increments only the types it saw and emits
+   * the user's updated entries (Update-mode snapshot). At 100 TB the
+   * point is that a user with a wide type map pays per-ENTRY RocksDB
+   * access for the entries a batch touches, not a full
+   * deserialize/serialize of the map.
+   */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { case (_, etype) =>
+        val cur = if (counts.containsKey(etype)) counts.getValue(etype) else 0L
+        counts.updateValue(etype, cur + 1L)
+        touched += etype
+      }
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t)))
+    }
+  }
+
+  /** Running per-(user, type) counts over the events stream: see
+    * [[TypeCountsProcessor]]. RocksDB provider required. */
+  def typeCountsStream(events: DataFrame)
+                      (implicit spark: SparkSession): Dataset[TypeCount] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class CusumPoint(event_id: Long, event_type: String,
                               cusum_plus: Long, drift: Boolean)
 
