@@ -2515,6 +2515,41 @@ object AnalyticsQueries {
              |WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm
              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // ---- typed LIST STATE on the hard gate: each user's last-3
+    //      event-type path through transformWithState's ListState,
+    //      trimmed per batch so state stays O(k) per key. Single-file
+    //      feed ⇒ one batch ⇒ the Update emission is the final last-3
+    //      path — which the oracle states as the (ts, event_id)-
+    //      ordered tail of the user's full path. ----
+    Q("events_stream_recent_path",
+      (s, dir) => {
+        val (src, _) = stageStreamWork(dir)
+        val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = graft.streaming.EventStreams.recentPathStream(
+            graft.streaming.EventStreams.readEvents(s, src))(s)
+          val name = s"q_rp_${java.util.UUID.randomUUID().toString.take(8)}"
+          graft.streaming.EventStreams.runToMemory(s, out.toDF(), name,
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .orderBy("user_id")
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+             |SELECT user_id, string_agg(event_type, '>' ORDER BY rn DESC) AS path
+             |FROM o WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- typed MAP STATE on the hard gate: per-user per-type
     //      running counts through transformWithState's MapState —
     //      keyed sub-state with per-entry access, the shape ValueState

@@ -369,6 +369,49 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class RecentPath(user_id: Long, path: String)
+
+  /**
+   * Per-user LAST-3 event types in a typed LIST STATE — the
+   * transformWithState ListState facility (append-oriented ordered
+   * sub-state): each batch appends its arrivals in (ts, event_id)
+   * order and trims to the newest 3, emitting the user's updated
+   * path. Completes the state-type surface next to the quota
+   * ValueState and the type-count MapState; the bounded trim is what
+   * keeps state O(k) per key however long the stream runs.
+   */
+  class RecentPathProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String), RecentPath] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, String)],
+                                 tv: TimerValues): Iterator[RecentPath] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+      val merged = (recent.get().toSeq ++ sorted).takeRight(3)
+      recent.clear()
+      merged.foreach(recent.appendValue)
+      Iterator.single(RecentPath(user, merged.mkString(">")))
+    }
+  }
+
+  /** Last-3 event-type path per user over the events stream: see
+    * [[RecentPathProcessor]]. RocksDB provider required. */
+  def recentPathStream(events: DataFrame)
+                      (implicit spark: SparkSession): Dataset[RecentPath] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentPathProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class CusumPoint(event_id: Long, event_type: String,
                               cusum_plus: Long, drift: Boolean)
 
