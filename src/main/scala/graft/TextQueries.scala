@@ -346,6 +346,80 @@ object TextQueries {
              |FROM sh JOIN first USING (shingle)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- RAKE keyphrase extraction (Rose et al. 2010, public,
+    //      re-derived): candidate phrases are maximal stopword-free
+    //      token runs (segmented by GAPS-AND-ISLANDS over the token
+    //      stream — pure window arithmetic, no regex splitting to
+    //      drift cross-engine); each word scores deg/freq where
+    //      deg(w) = Σ length of phrases containing w and freq(w) =
+    //      w's occurrences in phrases; a phrase scores the sum of
+    //      its words' scores. Scores stay integral:
+    //      score_millis = Σ_w (deg(w)·1000 div freq(w)), summed
+    //      with multiplicity exactly as RAKE defines. Corpus-level
+    //      top-20 (phrase support aggregated first). ----
+    Q("text_keyphrases_rake",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("is_stop", col("tok").isin(stopwords: _*))
+          .withColumn("boundary",
+            when(col("is_stop") ||
+              lag("is_stop", 1, true).over(w), 1L).otherwise(0L))
+          .withColumn("phrase_id", sum("boundary").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy("pos").rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+          .filter(!col("is_stop"))
+        val phrases = toks.groupBy("doc_id", "phrase_id")
+          .agg(array_join(transform(array_sort(collect_list(
+              struct(col("pos"), col("tok")))), x => x.getField("tok")), " ").as("phrase"),
+            count(lit(1)).as("plen"))
+        val wordStats = toks.join(
+            phrases.select(col("doc_id"), col("phrase_id"), col("plen")),
+            Seq("doc_id", "phrase_id"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .withColumn("wscore_millis", expr("CAST(deg * 1000 div freq AS BIGINT)"))
+        val phraseScores = toks
+          .join(phrases.select("doc_id", "phrase_id", "phrase"), Seq("doc_id", "phrase_id"))
+          .join(wordStats.select("tok", "wscore_millis"), "tok")
+          .groupBy(col("doc_id"), col("phrase_id"), col("phrase"))
+          .agg(sum("wscore_millis").as("score_millis"))
+        phraseScores.groupBy("phrase")
+          .agg(count(lit(1)).as("support"), max("score_millis").as("score_millis"))
+          .orderBy(desc("score_millis"), desc("support"), asc("phrase"))
+          .limit(20)
+      },
+      Some(s"""WITH toks0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+              |      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+              |              unnest(generate_series(1, len(w))) AS i FROM documents)),
+              |f AS (SELECT doc_id, pos, tok, (tok IN $stopwordSql) AS is_stop,
+              |        CASE WHEN (tok IN $stopwordSql)
+              |             OR COALESCE(LAG(tok IN $stopwordSql) OVER (PARTITION BY doc_id ORDER BY pos), TRUE)
+              |             THEN 1 ELSE 0 END AS boundary
+              |      FROM toks0),
+              |t AS (SELECT doc_id, pos, tok,
+              |        SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+              |      FROM f WHERE NOT is_stop),
+              |ph AS (SELECT doc_id, phrase_id,
+              |         string_agg(tok, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+              |       FROM t GROUP BY 1, 2),
+              |ws AS (SELECT tok, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg,
+              |         CAST(CAST(SUM(plen) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS wscore_millis
+              |       FROM t JOIN ph USING (doc_id, phrase_id) GROUP BY tok),
+              |ps AS (SELECT t.doc_id, t.phrase_id, ph.phrase,
+              |         CAST(SUM(ws.wscore_millis) AS BIGINT) AS score_millis
+              |       FROM t JOIN ph USING (doc_id, phrase_id) JOIN ws USING (tok)
+              |       GROUP BY 1, 2, 3)
+              |SELECT phrase, COUNT(*) AS support,
+              |  CAST(MAX(score_millis) AS BIGINT) AS score_millis
+              |FROM ps GROUP BY phrase
+              |ORDER BY score_millis DESC, support DESC, phrase LIMIT 20""".stripMargin)),
+
     // ---- collocation mining by LIFT: bigrams whose observed count
     //      exceeds the unigram-independence expectation — the
     //      association statistic behind multi-word-expression
