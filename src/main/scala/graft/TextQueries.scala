@@ -646,6 +646,39 @@ object TextQueries {
           |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node != cluster_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- QUALITY-AWARE dedup keeper: keep the BEST document per
+    //      near-dup cluster (longest n_chars, ties to the lowest id)
+    //      instead of the lowest-id canonical — the keeper rule
+    //      production pipelines actually want (drop the truncated
+    //      mirror, keep the full article). One struct-min per
+    //      cluster over the cluster-keyed docs; unclustered docs are
+    //      their own cluster and always survive. ----
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val cl = graft.operators.Dedup
+          .clusters(graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val keyed = docs.select("doc_id", "n_chars")
+          .join(cl, Seq("doc_id"), "left")
+          .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        val keepers = keyed.groupBy("cid")
+          .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id"))).as("k"))
+          .select(col("k.id").as("doc_id"))
+        docs.join(keepers, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """,keyed AS (SELECT d.doc_id, d.n_chars, COALESCE(cl.cluster_id, d.doc_id) AS cid
+          |           FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+          |,keep AS (SELECT doc_id FROM (
+          |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cid
+          |      ORDER BY n_chars DESC, doc_id) AS rn FROM keyed) WHERE rn = 1)
+          |SELECT d.doc_id, lang, source, n_chars
+          |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- leakage-safe train/val/test split: the split key is the
     //      near-dup CLUSTER label (own id when unclustered), so every
     //      member of a near-dup cluster lands in ONE split — the eval
