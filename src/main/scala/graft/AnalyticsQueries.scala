@@ -3022,6 +3022,42 @@ object AnalyticsQueries {
              |FROM c JOIN t ON c.prev_type = t.prev_type
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- longest ACTIVITY STREAK per user (consecutive active
+    //      days): the gaps-and-islands date trick — day minus
+    //      row-number is constant exactly across a consecutive run —
+    //      then one struct-min argmax (longest, ties to the earliest
+    //      start). The engagement metric sessionization doesn't
+    //      express (days, not event gaps). Dedup to (user, day)
+    //      first so volume never inflates a streak. ----
+    Q("events_activity_streaks",
+      (s, dir) => {
+        val days = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("grp", expr("date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+          .groupBy("user_id")
+          .agg(min(struct((-col("len")).as("neg"), col("start_day").as("sd"))).as("m"),
+            count(lit(1)).as("n_streaks"))
+          .select(col("user_id"), (-col("m.neg")).as("longest_streak"),
+            col("m.sd").as("streak_start"), col("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |g AS (SELECT user_id, day,
+             |        day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+             |      FROM d),
+             |st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+             |       FROM g GROUP BY 1, 2)
+             |SELECT user_id, len AS longest_streak, start_day AS streak_start,
+             |  n_streaks FROM (
+             |  SELECT user_id, len, start_day,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+             |  FROM st) WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- hour-of-day seasonality profile: per event type, each
     //      hour's share of the type's volume in exact permille plus
     //      the type's peak hour (struct-min argmax, tie to the

@@ -741,6 +741,37 @@ object EtlQueries {
              |(upper(o_orderpriority) LIKE '1%') AS is_urgent
              |FROM orders ORDER BY order_id""".stripMargin)),
 
+    // ---- JSON-lines destination on the gate (the W-side format the
+    //      REST sink streams and the JSON source reads, here as a
+    //      stored destination through the full job path): LOAD maps
+    //      orders into a JSON dir, read back with an explicit schema
+    //      (inference would make types feed-dependent). Integer and
+    //      string columns only — a double would round-trip through
+    //      JSON text, which is exact in Spark but a formatting
+    //      dependency this row doesn't need. ----
+    Q("etl_json_sink",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_jsonsink_gate_").toString
+        val destDir = s"$work/dest"
+        val cfg = JobConfig(
+          jobId = "jsonsink-gate-1",
+          steps = List("LOAD"),
+          source = SourceConfig("PARQUET",
+            ConnectionDetails(path = Some(s"$dir/orders.parquet"))),
+          destination = Some(DestinationConfig("JSON",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("o_orderkey", "order_id", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("o_orderstatus", "status", "VARCHAR2", "STRING"),
+            FieldMapping("o_orderpriority", "priority", "VARCHAR2", "STRING")))
+        val r = JobRunner.run(s, cfg)
+        require(r.status == JobRunner.Completed, s"json sink job failed: ${r.message}")
+        s.read.schema("order_id LONG, status STRING, priority STRING")
+          .json(destDir).orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |o_orderpriority AS priority FROM orders ORDER BY order_id""".stripMargin)),
+
     // ---- migration/row-content AUDIT: an ORDER-INDEPENDENT table
     //      checksum (sum of per-row canonical-string hashes mod p —
     //      addition commutes, so partitioning and row order never

@@ -312,6 +312,48 @@ object TextQueries {
              |  FROM c) WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // ---- VOCABULARY GROWTH curve (Heaps-law empirics): new and
+    //      cumulative distinct tokens per corpus decile, ingesting
+    //      docs in doc_id order — the curve that says whether more
+    //      data still buys vocabulary. Decile of a token = decile of
+    //      its FIRST document (one min-per-token pass); doc deciles
+    //      come from the doc_id rank so the cut is exact whatever
+    //      the id distribution; the cumulative sum is a 10-row
+    //      window. ----
+    Q("text_vocab_growth",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val ranked = docs.select(col("doc_id"))
+          .withColumn("dr", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+          .withColumn("decile", expr("CAST((dr - 1) * 10 div n AS INT) + 1"))
+        val firstDoc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+        firstDoc.join(ranked.select(col("doc_id").as("first_doc"), col("decile")), "first_doc")
+          .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+          .withColumn("cum_vocab", sum("new_tokens").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy("decile")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+          .orderBy("decile")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY doc_id) AS dr,
+             |    COUNT(*) OVER () AS n FROM documents),
+             |rd AS (SELECT doc_id, CAST((dr - 1) * 10 // n AS INTEGER) + 1 AS decile FROM r),
+             |fd AS (SELECT tok, MIN(doc_id) AS first_doc FROM (
+             |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |       GROUP BY tok),
+             |nt AS (SELECT decile, COUNT(*) AS new_tokens
+             |       FROM fd JOIN rd ON rd.doc_id = fd.first_doc GROUP BY decile)
+             |SELECT decile, new_tokens,
+             |  CAST(SUM(new_tokens) OVER (ORDER BY decile
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+             |FROM nt ORDER BY decile""".stripMargin)),
+
     // ---- n-gram NOVELTY per document: the fraction (permille) of a
     //      doc's distinct 3-gram shingles that no lower-id document
     //      contains — the curation signal for incremental corpus
