@@ -929,6 +929,50 @@ object AnalyticsQueries {
              |  arg_min(c_name, k) AS poorest, COUNT(*) AS n_cust
              |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- order CYCLE TIME (order date → FIRST shipment) with
+    //      rank-defined median and p90 per priority: the operational
+    //      latency report joining the two fact tables' time axes.
+    //      Lag is exact integer DAYS; the percentile picks are the
+    //      ceil(q·n)-th smallest (no interpolation), so every output
+    //      is engine-identical. One join + one per-order min + two
+    //      window ranks over the order-level aggregate. ----
+    Q("orders_cycle_time",
+      (s, dir) => {
+        val firstShip = Tables.t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+        val lagDays = Tables.t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))).as("lag_days"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("lag_days", "o_orderkey")
+        val ranked = lagDays
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        ranked
+          .filter(col("rn") === expr("CAST(ceil(0.5 * n) AS BIGINT)") ||
+            col("rn") === expr("CAST(ceil(0.9 * n) AS BIGINT)"))
+          .groupBy(col("o_orderpriority"), col("n").as("n_orders"))
+          .agg(min("lag_days").as("median_days"), max("lag_days").as("p90_days"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+             |        FROM lineitem GROUP BY 1),
+             |lag AS (SELECT o_orderkey, o_orderpriority,
+             |          datediff('day', CAST(o_orderdate AS DATE),
+             |                   CAST(first_ship AS DATE)) AS lag_days
+             |        FROM orders JOIN fs ON o_orderkey = l_orderkey),
+             |r AS (SELECT o_orderpriority, lag_days,
+             |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY lag_days, o_orderkey) AS rn,
+             |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM lag)
+             |SELECT o_orderpriority, n AS n_orders,
+             |  CAST(MIN(lag_days) AS INTEGER) AS median_days,
+             |  CAST(MAX(lag_days) AS INTEGER) AS p90_days
+             |FROM r
+             |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) OR rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |GROUP BY o_orderpriority, n ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- WEIGHTED median (rank-defined, exact): the smallest price
     //      whose cumulative quantity-weight reaches half the group's
     //      total — quantity-weighted so a 50-unit line counts 50x,
