@@ -3080,6 +3080,46 @@ object AnalyticsQueries {
              |FROM c JOIN t ON c.prev_type = t.prev_type
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- INTER-ARRIVAL (dwell) time distribution: per event type,
+    //      rank-defined median and p90 of the gap to the user's next
+    //      event of that type, in exact seconds — the engagement-
+    //      cadence report behind session-gap and debounce-window
+    //      tuning. One LAG-style LEAD pass for the gaps, two window
+    //      ranks over the gap relation; percentile picks are the
+    //      ceil(q·n)-th smallest, no interpolation. ----
+    Q("events_dwell_time",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        val gaps = Tables.t(s, dir, "events")
+          .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST((next_us - unix_micros(ts)) div 1000000 AS BIGINT)").as("gap_s"))
+        val wr = Window.partitionBy("event_type").orderBy("gap_s", "event_id")
+        gaps.withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("CAST(ceil(0.5 * n) AS BIGINT)") ||
+            col("rn") === expr("CAST(ceil(0.9 * n) AS BIGINT)"))
+          .groupBy(col("event_type"), col("n").as("n_gaps"))
+          .agg(min("gap_s").as("median_gap_s"), max("gap_s").as("p90_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, event_id,
+             |    (LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |       (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             |     - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS gap_s
+             |  FROM events),
+             |r AS (SELECT event_type, gap_s,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s, event_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS n
+             |      FROM g WHERE gap_s IS NOT NULL)
+             |SELECT event_type, n AS n_gaps,
+             |  CAST(MIN(gap_s) AS BIGINT) AS median_gap_s,
+             |  CAST(MAX(gap_s) AS BIGINT) AS p90_gap_s
+             |FROM r
+             |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) OR rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |GROUP BY event_type, n ORDER BY event_type""".stripMargin)),
+
     // ---- longest ACTIVITY STREAK per user (consecutive active
     //      days): the gaps-and-islands date trick — day minus
     //      row-number is constant exactly across a consecutive run —
