@@ -934,25 +934,34 @@ object AnalyticsQueries {
     //      latency report joining the two fact tables' time axes.
     //      Lag is exact integer DAYS; the percentile picks are the
     //      ceil(q·n)-th smallest (no interpolation), so every output
-    //      is engine-identical. One join + one per-order min + two
-    //      window ranks over the order-level aggregate. ----
+    //      is engine-identical. Two-phase: the only fact-sized
+    //      shuffle is groupBy(priority, lag_days) — lag is integer
+    //      DAYS, so the cumulative table is |priority| x |day domain|
+    //      metadata (Ranking.groupedCumWeights) and the rank-r pick
+    //      is a conditional min: value at rank r = min(v) with
+    //      cum(v) >= r, exact because cum is monotone in v. The
+    //      5-key row_number window this replaces would sort all of
+    //      orders in 5 tasks at 100x. ----
     Q("orders_cycle_time",
       (s, dir) => {
         val firstShip = Tables.t(s, dir, "lineitem")
           .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
         val lagDays = Tables.t(s, dir, "orders")
           .join(firstShip, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_orderkey"), col("o_orderpriority"),
+          .select(col("o_orderpriority"),
             datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))).as("lag_days"))
-        val w = Window.partitionBy("o_orderpriority").orderBy("lag_days", "o_orderkey")
-        val ranked = lagDays
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
-        ranked
-          .filter(col("rn") === expr("CAST(ceil(0.5 * n) AS BIGINT)") ||
-            col("rn") === expr("CAST(ceil(0.9 * n) AS BIGINT)"))
-          .groupBy(col("o_orderpriority"), col("n").as("n_orders"))
-          .agg(min("lag_days").as("median_days"), max("lag_days").as("p90_days"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          lagDays, Seq("o_orderpriority"), "lag_days", lit(1L), bandWidth = 16.0)
+        // integral cum >= ceil(q*n) <=> cum >= q*n <=> cum/q >= n,
+        // cross-multiplied in exact BIGINTs
+        cw.groupBy("o_orderpriority")
+          .agg(max("tot_w").as("n_orders"),
+            min(when(col("cum_w") * 2 >= col("tot_w"), col("lag_days")))
+              .as("median_days"),
+            min(when(col("cum_w") * 10 >= col("tot_w") * 9, col("lag_days")))
+              .as("p90_days"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            col("median_days"), col("p90_days"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
@@ -982,21 +991,26 @@ object AnalyticsQueries {
     //      rows — no interpolation arithmetic, the winning double is
     //      carried bit-exact. Weights are integral in the fixture
     //      (TPC-H quantities), kept in BIGINT. ----
+    //      Two-phase: the row-level 3-key cumulative window this
+    //      once used would sort all of lineitem in 3 tasks at 100x;
+    //      value-level cumulative weights (Ranking.groupedCumWeights,
+    //      shuffle keyed by the high-cardinality (flag, price) pair)
+    //      give the identical winner — the first qualifying ROW lies
+    //      inside the first qualifying PRICE, and every lower price's
+    //      full cumulative weight is below the threshold, so the
+    //      conditional min over price-level cums picks the same
+    //      bit-exact double. ----
     Q("agg_weighted_median",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"),
-            col("l_quantity").cast("long").as("wt"),
-            col("l_orderkey"), col("l_linenumber"))
-        val ord = Window.partitionBy("l_returnflag")
-          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        li.withColumn("cum", sum("wt").over(ord))
-          .withColumn("tot", sum("wt").over(Window.partitionBy("l_returnflag")))
-          .filter(col("cum") * 2 >= col("tot"))
+            col("l_quantity").cast("long").as("wt"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          li, Seq("l_returnflag"), "l_extendedprice", col("wt"), bandWidth = 1000.0)
+        cw.filter(col("cum_w") * 2 >= col("tot_w"))
           .groupBy("l_returnflag")
           .agg(min("l_extendedprice").as("weighted_median_price"),
-            max("tot").as("total_weight"))
+            max("tot_w").as("total_weight"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
@@ -3084,24 +3098,33 @@ object AnalyticsQueries {
     //      rank-defined median and p90 of the gap to the user's next
     //      event of that type, in exact seconds — the engagement-
     //      cadence report behind session-gap and debounce-window
-    //      tuning. One LAG-style LEAD pass for the gaps, two window
-    //      ranks over the gap relation; percentile picks are the
-    //      ceil(q·n)-th smallest, no interpolation. ----
+    //      tuning. One LAG-style LEAD pass for the gaps (partitioned
+    //      by the HIGH-cardinality (user, type) key — scale-safe),
+    //      then the percentile picks run two-phase: the only
+    //      gap-relation-sized shuffle is groupBy(type, gap_s) inside
+    //      Ranking.groupedCumWeights (gap domain is bounded by the
+    //      time span in seconds, not the row count), and the
+    //      ceil(q·n)-th smallest is a conditional min over the
+    //      cumulative table — no 5-key window rank over a fact-sized
+    //      relation. ----
     Q("events_dwell_time",
       (s, dir) => {
         val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
         val gaps = Tables.t(s, dir, "events")
           .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
           .filter(col("next_us").isNotNull)
-          .select(col("event_type"), col("event_id"),
+          .select(col("event_type"),
             expr("CAST((next_us - unix_micros(ts)) div 1000000 AS BIGINT)").as("gap_s"))
-        val wr = Window.partitionBy("event_type").orderBy("gap_s", "event_id")
-        gaps.withColumn("rn", row_number().over(wr))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-          .filter(col("rn") === expr("CAST(ceil(0.5 * n) AS BIGINT)") ||
-            col("rn") === expr("CAST(ceil(0.9 * n) AS BIGINT)"))
-          .groupBy(col("event_type"), col("n").as("n_gaps"))
-          .agg(min("gap_s").as("median_gap_s"), max("gap_s").as("p90_gap_s"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          gaps, Seq("event_type"), "gap_s", lit(1L), bandWidth = 3600.0)
+        cw.groupBy("event_type")
+          .agg(max("tot_w").as("n_gaps"),
+            min(when(col("cum_w") * 2 >= col("tot_w"), col("gap_s")))
+              .as("median_gap_s"),
+            min(when(col("cum_w") * 10 >= col("tot_w") * 9, col("gap_s")))
+              .as("p90_gap_s"))
+          .select(col("event_type"), col("n_gaps"),
+            col("median_gap_s"), col("p90_gap_s"))
           .orderBy("event_type")
       },
       Some("""WITH g AS (SELECT event_type, event_id,

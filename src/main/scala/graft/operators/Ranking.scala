@@ -167,6 +167,84 @@ object Ranking {
   }
 
   /**
+   * Per-(group, value) CUMULATIVE WEIGHTS for rank-defined group
+   * percentiles over fact-sized relations with low-cardinality
+   * groups — the primitive behind `value at rank ceil(q·n)` /
+   * `smallest value whose cumulative weight reaches W` reports.
+   *
+   * The naive form — `sum(w) OVER (PARTITION BY g ORDER BY v ROWS
+   * UNBOUNDED PRECEDING)` — hash-distributes on `g`: with 3-5 group
+   * values a 1000-executor cluster sorts the whole fact table in 3-5
+   * tasks. Here the only full-data shuffle is the partial-aggregating
+   * `groupBy(g, v)` — keyed by the HIGH-cardinality (g, v) pair — and
+   * every window afterwards runs over value-level rows (|g| ×
+   * |distinct v|, bounded by the value DOMAIN, not the row count):
+   *
+   *   phase 1  `groupBy(g, v).agg(sum(w))` with map-side combine —
+   *            the one fact-sized exchange, well-keyed;
+   *   band     `floor(v / bandWidth)` — a STATIC band (no sampling
+   *            job, so the upstream plan executes exactly once, and
+   *            no boundary collect on the driver). Band membership
+   *            is a pure function of the value, so tied values never
+   *            straddle a band and the width influences only band
+   *            SIZES, never results — pick it from the value DOMAIN
+   *            (which is bounded by semantics: days, seconds of
+   *            span, cents), not the row count;
+   *   phase 2  per-(g, band) totals prefix-sum into exclusive band
+   *            offsets (a |g|×bands metadata window), join back on
+   *            (g, band), and a band-local running sum completes the
+   *            exact global cumulative: cum(v) = band offset + local.
+   *
+   * Output: `groupCols :+ valueCol :+ (cum_w, tot_w)` — one row per
+   * distinct (group, value); `cum_w` = total weight of rows with
+   * value <= v in the group, `tot_w` = the group total. The caller
+   * resolves rank-defined picks declaratively, e.g. the rank-r
+   * smallest value is `min(v) FILTER (WHERE cum_w >= r)` and a
+   * weighted median is `min(v) FILTER (WHERE 2*cum_w >= tot_w)` —
+   * both monotone in `v`, so a conditional min is exact.
+   *
+   * NULL values rank first (reserved band -1, matching Spark's ASC
+   * NULLS FIRST) and keep their group's rows counted; NULL group
+   * values form their own group (null-safe join). The value column
+   * must be numeric (band comparison is in DOUBLE — monotonic, so
+   * equal values stay equal and order never flips).
+   */
+  def groupedCumWeights(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weight: Column,
+                        bandWidth: Double): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(bandWidth > 0.0, "bandWidth must be positive")
+    val vType = df.schema(valueCol).dataType
+    require(vType.isInstanceOf[NumericType] || vType == TimestampType,
+      s"value column must be numeric or timestamp, got $vType")
+    val g = groupCols.map(col)
+    val counts = df
+      .groupBy((g :+ col(valueCol)): _*)
+      .agg(sum(weight).as("_w"))
+    val banded = counts.withColumn("_band",
+      when(col(valueCol).isNull, lit(-1L))
+        .otherwise(floor(col(valueCol).cast("double") / bandWidth)))
+    // phase 2: exclusive band offsets over |g| × bands metadata rows
+    val bandTot = banded
+      .groupBy((groupCols.map(c => col(c).as("_g_" + c)) :+ col("_band").as("_bb")): _*)
+      .agg(sum("_w").as("_bw"))
+    val gAlias = groupCols.map(c => col("_g_" + c))
+    val wOff = Window.partitionBy(gAlias: _*).orderBy(col("_bb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bandTot
+      .withColumn("_boff", coalesce(sum("_bw").over(wOff), lit(0L)))
+      .withColumn("tot_w", sum("_bw").over(Window.partitionBy(gAlias: _*)))
+      .drop("_bw")
+    val joinCond = groupCols.map(c => col(c) <=> col("_g_" + c))
+      .reduce(_ && _) && col("_band") === col("_bb")
+    val wIn = Window.partitionBy((g :+ col("_band")): _*).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offs), joinCond)
+      .withColumn("cum_w", col("_boff") + sum("_w").over(wIn))
+      .select((g :+ col(valueCol) :+ col("cum_w") :+ col("tot_w")): _*)
+  }
+
+  /**
    * EXACT interpolated quantile (SQL percentile_cont semantics:
    * position (n−1)·q, linear interpolation) without a global sort and
    * without holding values in memory — the scalable form of exact

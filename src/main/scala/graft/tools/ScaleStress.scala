@@ -119,6 +119,49 @@ object ScaleStress {
       c.select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("p"),
         length(col("text")).cast("long").as("q")),
       "p", Seq("q", "doc_id"), buckets = 32, ntiles = Some(10)).count())
+    // Grouped cumulative weights (rank-defined group percentiles):
+    // 3-value group key over a growing fact table. The naive form —
+    // sum() OVER (PARTITION BY flag ORDER BY price ROWS UNBOUNDED
+    // PRECEDING) — caps at 3 tasks whatever the corpus size; the
+    // two-phase form's only fact-sized exchange is the well-keyed
+    // groupBy(flag, price), so its wall tracks rows on a 32-way box
+    // while the window form tracks rows-per-key on 3 threads. Both
+    // computed to the same weighted-median answer each m.
+    if (wanted("cumw")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+      li0.count() // warm
+      multiples.foreach { m =>
+        val li = (0 until m).map(i =>
+          li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+          .reduce(_ unionByName _)
+        val n = li.count()
+        val t0 = System.nanoTime()
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          li, Seq("l_returnflag"), "l_extendedprice", col("wt"), bandWidth = 1000.0)
+        val out = cw.filter(col("cum_w") * 2 >= col("tot_w"))
+          .groupBy("l_returnflag")
+          .agg(min("l_extendedprice").as("wm")).count()
+        val t2p = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val ord = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        li.withColumn("cum", sum("wt").over(ord))
+          .withColumn("tot", sum("wt").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(min("l_extendedprice").as("wm")).count()
+        val tw = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE cumw    m=$m%2d rows=$n%8d out=$out%3d twophase=$t2p%6.1fs window3key=$tw%6.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Exact quantiles: the bucket-recursion pipeline's JOB COUNT is
     // O(log_buckets(n) + distinct target buckets) and every driver
     // transfer is bounded (boundary sample, histogram, <= probeLimit

@@ -202,4 +202,48 @@ class RankingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sizes == Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 2L)))
   }
+
+  test("groupedCumWeights matches per-value window cumulative (weighted)") {
+    val li2 = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("wt"))
+    // reference: cumulative weight per distinct (flag, price) from a
+    // value-level window — tiny at sf0.001, the semantics oracle
+    val ref = li2.groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("wt").as("w"))
+      .withColumn("cum_w", sum("w").over(
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_w", sum("w").over(Window.partitionBy("l_returnflag")))
+      .select("l_returnflag", "l_extendedprice", "cum_w", "tot_w")
+      .orderBy("l_returnflag", "l_extendedprice").collect().toSeq
+    // narrow bands force many band partitions; wide bands force one —
+    // results must be identical either way (bands size, never decide)
+    for (bw <- Seq(100.0, 1e9)) {
+      val got = Ranking.groupedCumWeights(li2, Seq("l_returnflag"),
+          "l_extendedprice", col("wt"), bandWidth = bw)
+        .orderBy("l_returnflag", "l_extendedprice").collect().toSeq
+      assert(got == ref, s"bandWidth=$bw")
+    }
+  }
+
+  test("groupedCumWeights: null values rank first, null groups kept, multi-group key") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(3L), 1L), (Some("a"), None, 2L), (Some("a"), Some(1L), 4L),
+      (None, Some(5L), 3L), (None, Some(5L), 1L), (Some("b"), None, 7L))
+      .toDF("g", "v", "w").withColumn("g2", lit("k"))
+    val got = Ranking.groupedCumWeights(df, Seq("g", "g2"), "v", col("w"),
+        bandWidth = 2.0)
+      .select("g", "v", "cum_w", "tot_w")
+      .collect().map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    // group a: null(w=2) first -> cum 2; v=1 cum 6; v=3 cum 7; tot 7
+    // group null: v=5 (w=4) -> cum 4, tot 4; group b: null-only kept
+    assert(got == Set(
+      (Some("a"), None, 2L, 7L), (Some("a"), Some(1L), 6L, 7L),
+      (Some("a"), Some(3L), 7L, 7L),
+      (None, Some(5L), 4L, 4L), (Some("b"), None, 7L, 7L)))
+  }
 }
