@@ -1071,6 +1071,12 @@ object AnalyticsQueries {
         // a band-local running sum reconstruct the global cumulative
         // exactly — parts scale with the catalog, and a global
         // unpartitioned window over them would not survive 100x.
+        // PRECONDITION: rev_cents >= 0. `div` truncates toward zero,
+        // so b = -(rev div 1e6) is monotone with (rev DESC) only on
+        // the non-negative range — gross extended price is (TPC-H
+        // semantics); a dataset with net returns/credits must clamp
+        // or shift rev_cents before banding, else boundary parts
+        // could land in the wrong band.
         val withB = rev.withColumn("b", expr("-(rev_cents div 1000000)"))
         val offsets = withB.groupBy("b").agg(sum("rev_cents").as("_bn"))
           .withColumn("coff", coalesce(sum("_bn").over(

@@ -557,6 +557,13 @@ object JobRunner {
                 "DEDUP_DESTINATION requires transformation.parameters.dedupOrderColumn"))
             import org.apache.spark.sql.functions.{col, count, lit, min, struct, sum}
             val ddCur = spark.read.format(ddDest.`type`.toLowerCase).load(ddPath)
+            // validate BOTH column sets up front: a typo'd key column
+            // must fail with the step's contract message, not a later
+            // unresolved-column AnalysisException mid-rewrite
+            val ddMissing = ddKeys.filterNot(ddCur.columns.contains)
+            require(ddMissing.isEmpty,
+              s"dedupKeyColumns not in destination schema: ${ddMissing.mkString(",")} " +
+                s"(have: ${ddCur.columns.mkString(",")})")
             val others = ddCur.columns.toSeq.filterNot(ddKeys.contains)
             require(others.contains(ddOrd),
               s"dedupOrderColumn $ddOrd must be a non-key destination column")
@@ -565,7 +572,12 @@ object JobRunner {
               .groupBy(ddKeys.map(col): _*)
               .agg(min(struct(payload.map(col): _*)).as("_keep"),
                 count(lit(1)).as("_grp_n"))
-            val nBefore = deduped.agg(sum("_grp_n")).head().getLong(0)
+            // both log counts from ONE job over the dedup aggregation
+            // itself (kept rows = groups, input rows = Σ group sizes) —
+            // no post-swap read-back scan of the destination
+            val ddStats = deduped
+              .agg(sum("_grp_n").as("_nb"), count(lit(1)).as("_na")).head()
+            val (nBefore, nAfter) = (ddStats.getLong(0), ddStats.getLong(1))
             val kept = deduped
               .select(ddKeys.map(col) ++ payload.map(c => col(s"_keep.$c")): _*)
               .select(ddCur.columns.map(col): _*) // original column order
@@ -574,7 +586,6 @@ object JobRunner {
             graft.operators.Maintenance.replaceDir(ddFs, ddP, "_dedup_",
               staged => kept.write.format(ddDest.`type`.toLowerCase).save(staged),
               m => new ErrorPolicy.JobFailedException(s"DEDUP_DESTINATION: $m"))
-            val nAfter = spark.read.format(ddDest.`type`.toLowerCase).load(ddPath).count()
             System.err.println(s"[graft-job] DEDUP_DESTINATION kept $nAfter of " +
               s"$nBefore row(s) by ${ddKeys.mkString(",")}")
             stepsRun ::= step

@@ -235,6 +235,11 @@ object EventStreams {
               if (d * d > v * 9) out += AnomalyFlag(r._3, etype, q, n)
             }
             n += 1; s += q
+            // guard BEFORE squaring: for |q| > floor(sqrt(Long.Max))
+            // the square itself wraps, so a post-hoc check could pass
+            // on corrupted state
+            require(math.abs(q) <= 3037000499L,
+              s"$etype: |value| too large to square in long state — carry (Σq, Σq²) as DECIMAL at this volume")
             require(qq <= Long.MaxValue - q * q,
               s"$etype: sumsq would overflow long state — carry (Σq, Σq²) as DECIMAL at this volume")
             qq += q * q
@@ -259,6 +264,13 @@ object EventStreams {
    * deleted on every input); the session rule (same session iff
    * gap NOT reached, `diff < gap`) matches the batch islands rewrite
    * exactly.
+   *
+   * Replay-order assumption (same as [[anomalyStream]]): rows are
+   * sorted within a batch, but `session_start` never moves backwards
+   * across batches — micro-batches must replay in event-time order
+   * (a time-split feed, as the gate uses) for session boundaries to
+   * equal the batch oracle. An out-of-order feed would need the
+   * session start revisited (min-merged) on every arrival.
    */
   class SessionTimeoutProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), SessionSummary] {
@@ -379,6 +391,13 @@ object EventStreams {
    * path. Completes the state-type surface next to the quota
    * ValueState and the type-count MapState; the bounded trim is what
    * keeps state O(k) per key however long the stream runs.
+   *
+   * Replay-order assumption (same as [[anomalyStream]]): each batch's
+   * rows are sorted locally, but appends land AFTER recovered state —
+   * micro-batches must replay in event-time order (a time-split feed,
+   * as the gate uses) for the path to equal the batch oracle. An
+   * out-of-order feed needs (us, event_id) carried in the ListState
+   * and a merge-sort on recovery instead of the bounded trim.
    */
   class RecentPathProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String), RecentPath] {

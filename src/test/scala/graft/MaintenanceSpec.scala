@@ -268,6 +268,19 @@ class MaintenanceSpec extends SparkTestBase {
     // key (1,a): ver ties at 1 — the (ver, payload) struct-min picks
     // "b" over "y" deterministically; the ver=3 row loses outright
     assert(got == Seq((1L, "a", 1L, "b"), (2L, "b", 5L, "z")), got.toString)
+    // a typo'd KEY column must fail with the step's contract message
+    // (not a later unresolved-column AnalysisException), and must not
+    // touch the destination
+    val bad = cfg.copy(jobId = "dedup-2",
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map("dedupKeyColumns" -> "k1,nope", "dedupOrderColumn" -> "ver")))
+    val r2 = graft.job.JobRunner.run(spark, bad)
+    r2.status match {
+      case graft.job.JobRunner.Failed(msg) =>
+        assert(msg.contains("dedupKeyColumns not in destination schema: nope"), msg)
+      case s => fail(s"expected Failed on typo'd key column, got $s")
+    }
+    assert(spark.read.parquet(dir).count() == 2)
   }
 
   test("autoSkippingRead dispatches ranges to zone maps, points to blooms, absent manifests to plain scans") {
