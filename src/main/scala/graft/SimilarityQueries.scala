@@ -540,6 +540,13 @@ object SimilarityQueries {
              |  WHERE rk < 5)
              |SELECT CAST(rk AS INTEGER) AS rk, vec_id FROM sel ORDER BY rk""".stripMargin)),
 
+    // ---- LSH ANN production form. Exact twin: sim_lsh_exhaustive
+    //      below runs the IDENTICAL pipeline and parameters (same
+    //      deterministic nBits=16 hyperplanes, same k=10) with the
+    //      single approximation knob opened — probeHamming 6 -> 16
+    //      admits every signature — and is green against the hard
+    //      DuckDB top-k oracle; DedupSimilaritySpec ("ANN top-k
+    //      recall vs brute force") bounds this form's recall. ----
     Q("sim_ann_topk",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
