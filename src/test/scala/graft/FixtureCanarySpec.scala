@@ -43,6 +43,66 @@ class FixtureCanarySpec extends SparkTestBase {
         "m-subquantizer choices (dim % m must stay 0)")
   }
 
+  test("canary: every load-bearing column of every table survives regeneration (name + type family)") {
+    // Family-level pin for ALL 10 tables (VERDICT r10 item 5): a
+    // regeneration that renames a column or flips its type family
+    // (string->binary, numeric->string, timestamp dropped) must fail
+    // HERE with a table/column message, not as a scattered
+    // AnalysisException mid-registry. Families — not exact types — so
+    // benign width drift (int32<->int64, float<->double) stays green;
+    // the queries all cast at use sites.
+    sealed trait Fam { def ok(dt: DataType): Boolean }
+    case object I extends Fam { // integral
+      def ok(dt: DataType) = Seq(ByteType, ShortType, IntegerType, LongType).contains(dt)
+    }
+    case object F extends Fam { // fractional (or integral widened by a regen)
+      def ok(dt: DataType) = dt.isInstanceOf[NumericType]
+    }
+    case object S extends Fam { def ok(dt: DataType) = dt == StringType }
+    case object T extends Fam { // event-time axis: timestamp or date
+      def ok(dt: DataType) = dt == TimestampType || dt == TimestampNTZType || dt == DateType
+    }
+    case object VEC extends Fam { // embedding vector
+      def ok(dt: DataType) = dt match {
+        case ArrayType(e, _) => e.isInstanceOf[NumericType]
+        case _ => false
+      }
+    }
+    val expected: Map[String, Seq[(String, Fam)]] = Map(
+      "region" -> Seq("r_regionkey" -> I, "r_name" -> S),
+      "nation" -> Seq("n_nationkey" -> I, "n_name" -> S, "n_regionkey" -> I),
+      "customer" -> Seq("c_custkey" -> I, "c_name" -> S, "c_nationkey" -> I,
+        "c_acctbal" -> F, "c_mktsegment" -> S),
+      "supplier" -> Seq("s_suppkey" -> I, "s_name" -> S, "s_nationkey" -> I,
+        "s_acctbal" -> F),
+      "part" -> Seq("p_partkey" -> I, "p_name" -> S, "p_brand" -> S,
+        "p_type" -> S, "p_size" -> I, "p_retailprice" -> F),
+      "orders" -> Seq("o_orderkey" -> I, "o_custkey" -> I, "o_orderstatus" -> S,
+        "o_totalprice" -> F, "o_orderdate" -> T, "o_orderpriority" -> S),
+      "lineitem" -> Seq("l_orderkey" -> I, "l_partkey" -> I, "l_suppkey" -> I,
+        "l_linenumber" -> I, "l_quantity" -> F, "l_extendedprice" -> F,
+        "l_discount" -> F, "l_tax" -> F, "l_returnflag" -> S,
+        "l_linestatus" -> S, "l_shipdate" -> T),
+      "events" -> Seq("event_id" -> I, "ts" -> T, "user_id" -> I,
+        "event_type" -> S, "value" -> F, "props" -> S),
+      "documents" -> Seq("doc_id" -> I, "text" -> S, "lang" -> S,
+        "source" -> S, "n_chars" -> I),
+      "embeddings" -> Seq("vec_id" -> I, "embedding" -> VEC, "label" -> I))
+    assert(expected.keySet == Tables.all.toSet,
+      s"canary table list drifted from Tables.all: ${Tables.all.mkString(",")}")
+    expected.foreach { case (table, cols) =>
+      val schema = Tables.t(spark, sf, table).schema
+      cols.foreach { case (name, fam) =>
+        val field = schema.find(_.name == name)
+        assert(field.isDefined,
+          s"$table.$name missing after regeneration — present: ${schema.fieldNames.mkString(",")}")
+        assert(fam.ok(field.get.dataType),
+          s"$table.$name type family drifted: got ${field.get.dataType} — " +
+            "audit the queries that read it, then update this canary")
+      }
+    }
+  }
+
   test("canary: normalizeEventTs handles all three vintages") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
