@@ -373,6 +373,9 @@ object ScaleStress {
         val n = feed.count()
         val work = graft.CacheDirs.tempWorkDir("graft_stress_debounce_")
         feed.write.parquet(s"$work/feed")
+        // live state rows = one long per (user, type) key — report the
+        // bound so the table shows state growing with KEYS, not rows
+        val stateKeys = feed.select("user_id", "event_type").distinct().count()
         val t0 = System.nanoTime()
         val out = graft.streaming.EventStreams.runToParquet(spark,
           graft.streaming.EventStreams.debounceStream(
@@ -380,7 +383,36 @@ object ScaleStress {
             quietUs = 600L * 1000000L)(spark).toDF(),
           s"$work/run", statePartitions = Some(8)).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE debounce m=$m%2d rows=$n%7d out=$out%9d time=$dt%7.1fs")
+        println(f"SCALE debounce m=$m%2d rows=$n%7d out=$out%9d state=$stateKeys%7d time=$dt%7.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+      }
+    }
+    // Streaming bounded per-key TOP-K under GROWING KEY CARDINALITY:
+    // replicas shift user_id, so the state table's bound (keys x k)
+    // grows m-fold while per-key state stays <= k rows FOREVER —
+    // reported as state= (final destination row count). Wall should
+    // track input ~linearly (each batch pays one keyed shuffle over
+    // state ∪ batch).
+    if (wanted("topk")) {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      ev0.count() // warm
+      multiples.foreach { m =>
+        val feed = (0 until m).map(i =>
+          ev0.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val n = feed.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_topk_")
+        feed.write.parquet(s"$work/feed")
+        val t0 = System.nanoTime()
+        val state = graft.streaming.EventStreams.topKStream(spark,
+          graft.streaming.EventStreams.readEvents(spark, s"$work/feed")
+            .filter(col("event_type") === "purchase")
+            .select("user_id", "event_id", "value"),
+          s"$work/dest", keys = Seq("user_id"), orderCol = "value",
+          tieCol = "event_id", k = 3, checkpoint = s"$work/ckpt").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE topk    m=$m%2d rows=$n%7d state=$state%7d time=$dt%7.1fs")
         graft.CacheDirs.deleteRecursively(work.toFile)
       }
     }
