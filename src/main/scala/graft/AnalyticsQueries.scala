@@ -1053,6 +1053,70 @@ object AnalyticsQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 5
              |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    // ---- TRIANGLE COUNT on the co-purchase graph — the graph-
+    //      analytics clustering primitive (cohesion of the part
+    //      catalog's basket structure). DEGREE-ORDERED orientation:
+    //      each edge points from its lower-(degree, id) endpoint to
+    //      the higher, so every triangle is counted exactly once at
+    //      its lowest-rank apex AND wedge fan-out per node is
+    //      bounded by O(sqrt(E)) (the classic compact-forward
+    //      guarantee) — a hub part with degree d generates d² wedges
+    //      under id-ordering but only its higher-rank pairs here.
+    //      The rank packs (degree, id) into one BIGINT (degree·1e10
+    //      + id — ids stay far below 1e10 at every SF, so the pack
+    //      is a true lexicographic order). The oracle counts the
+    //      same triangles under plain id-ordering — orientation
+    //      choice never changes the count, so the rewrite's
+    //      losslessness is ON the gate. ----
+    Q("orders_triangle_count",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v")).select("u", "v").distinct()
+        val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val ranked = e
+          .join(deg.select(col("x").as("u"), (col("d") * 10000000000L + col("u")).as("ru")), "u")
+          .join(deg.select(col("x").as("v"), (col("d") * 10000000000L + col("v")).as("rv")), "v")
+        // materialize the oriented graph ONCE: three consumers below
+        // (edge count, adjacency lists, closure probe) would each
+        // replay the basket self-join otherwise. On a cluster this is
+        // the persisted edge-list table a graph pipeline maintains.
+        val oriented = ranked.select(
+          when(col("ru") < col("rv"),
+            struct(col("u").as("s"), col("v").as("t"), col("rv").as("rt")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"), col("ru").as("rt"))).as("o"))
+          .select(col("o.s").as("s"), col("o.t").as("t"), col("o.rt").as("rt"))
+          .localCheckpoint()
+        // EDGE-INTERSECTION closure (no wedge materialization): a
+        // triangle rank-ordered a<b<c is counted exactly once at its
+        // lowest edge (a,b) as c ∈ N+(a) ∩ N+(b). The adjacency
+        // table's TOTAL payload is Σ out-deg = |E| (each edge sits in
+        // exactly one list), so it broadcasts at dimension scale —
+        // the Σ out-deg² wedge set (41M rows here vs 1.2M edges)
+        // never shuffles; per-edge intersections run map-side where
+        // the edges live. If the graph outgrew the broadcast, the
+        // fallback is the wedge self-join re-keyed on (t1, t2).
+        val adj = oriented.groupBy("s").agg(collect_list(col("t")).as("nb"))
+        val tri = oriented
+          .join(broadcast(adj.select(col("s"), col("nb").as("nbs"))), Seq("s"))
+          .join(broadcast(adj.select(col("s").as("t"), col("nb").as("nbt"))), Seq("t"))
+          .select(size(array_intersect(col("nbs"), col("nbt"))).cast("long").as("c"))
+          .agg(sum("c").as("n_triangles"))
+        oriented.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             |       CAST(COUNT(*) AS BIGINT) AS n_triangles
+             |FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
     // ---- ABC (Pareto) revenue classification: parts ranked by
     //      revenue, classed A/B/C at 80%/95% of the CUMULATIVE total
     //      — the inventory-analytics cut. Revenue accumulates in
@@ -3148,6 +3212,49 @@ object AnalyticsQueries {
              |FROM r
              |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) OR rn = CAST(ceil(0.9 * n) AS BIGINT)
              |GROUP BY event_type, n ORDER BY event_type""".stripMargin)),
+
+    // ---- TIME-WEIGHTED average value per event type (TWAP shape):
+    //      each event's value holds until the user's next event, so
+    //      it weighs by its lifetime — the metric a plain mean
+    //      misstates whenever sampling is irregular (a value held
+    //      for an hour counts 3600x one held a second). Exact
+    //      integer discipline end to end: value quantizes to
+    //      BIGINT micro-units, products value_µ x gap_µs accumulate
+    //      in DECIMAL(38,0)/HUGEINT (they exceed BIGINT), and ONE
+    //      closing division produces the double — both engines
+    //      divide the identical integers, so the output is
+    //      bit-identical. LEAD partitions by user (high-cardinality
+    //      — scale-safe); the aggregate is one partial-combining
+    //      groupBy over 5 types. ----
+    Q("events_time_weighted_value",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val spans = Tables.t(s, dir, "events")
+          .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micros"),
+            (col("next_us") - unix_micros(col("ts"))).as("gap_us"))
+        spans.groupBy("event_type")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("v_micros").cast("decimal(20,0)") *
+              col("gap_us").cast("decimal(18,0)")).as("num"),
+            sum(col("gap_us").cast("decimal(38,0)")).as("den"))
+          .select(col("event_type"), col("n_spans"),
+            expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e6").as("twa_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH sp AS (SELECT event_type,
+             |    CAST(round(value * 1000000) AS BIGINT) AS v_micros,
+             |    LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_spans,
+             |  CAST(SUM(CAST(v_micros AS HUGEINT) * gap_us) AS DOUBLE)
+             |    / CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) / 1e6 AS twa_value
+             |FROM sp WHERE gap_us IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- longest ACTIVITY STREAK per user (consecutive active
     //      days): the gaps-and-islands date trick — day minus

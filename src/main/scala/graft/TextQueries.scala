@@ -1313,6 +1313,28 @@ object TextQueries {
              |  AND list_contains(string_split(text, ' '), 'merge')
              |  AND list_contains(string_split(text, ' '), 'window')
              |  AND NOT list_contains(string_split(text, ' '), 'slow')
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- EXACT edit-distance-<=1 join via deletion neighborhoods
+    //      (FastSS): supplier names differ in single digit positions,
+    //      so natural distance-1 pairs exist without any construction.
+    //      The Spark side self-joins ONLY on deletion variants (one
+    //      equi-join keyed by the high-cardinality variant string —
+    //      an aggregation-shaped plan that survives a 100 TB
+    //      vocabulary); the oracle is the plain quadratic levenshtein
+    //      join, so the neighborhood's completeness is ON the gate.
+    //      Complements etl_fuzzy_match, whose broadcast probe side
+    //      must stay small — this form is symmetric corpus-x-corpus
+    //      with no broadcast requirement. ----
+    Q("text_editdist1_pairs",
+      (s, dir) => graft.operators.Dedup
+        .editDistance1Pairs(Tables.t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy("id_a", "id_b"),
+      Some("""WITH n AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |FROM n a JOIN n b ON a.id < b.id
+             |WHERE levenshtein(a.nm, b.nm) <= 1
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -420,4 +420,50 @@ object Dedup {
       .withColumn("containment_permille",
         expr("CAST(n_common * 1000 div na AS BIGINT)"))
   }
+
+  /**
+   * EXACT edit-distance-<=1 string join via the deletion
+   * neighborhood (the FastSS family, Bocek et al. 2007 — public
+   * algorithm, re-derived): provably equal to the quadratic
+   * `levenshtein(a, b) <= 1` self-join, but the only self-join is an
+   * equi-join on deletion VARIANTS.
+   *
+   * Why it is complete: ed(a, b) <= 1 means a = b (both keep their
+   * identity variant), b = a with one char deleted (then b IS one of
+   * a's deletion variants, and b's identity variant matches it), or
+   * a substitution at position i (then deleting position i from BOTH
+   * sides yields the same string — a shared variant). Every
+   * qualifying pair therefore collides in at least one variant
+   * bucket; the final codegen'd `levenshtein <= 1` filter discards
+   * the false candidates (e.g. del_i(a) = del_j(b) at i != j), so
+   * the output equals the all-pairs join exactly.
+   *
+   * Why it scales: a string of length L emits L+1 variants — output
+   * is corpus x avg-length rows, shuffled once on the
+   * high-cardinality variant key; bucket populations are bounded by
+   * how many strings actually share a variant (near-dup families),
+   * never by corpus size. The quadratic form compares n^2 pairs; at
+   * a 100 TB vocabulary that join never finishes, while this one is
+   * an aggregation-shaped equi-join. Candidates are deduped BEFORE
+   * the verify so a pair sharing many variants is scored once.
+   */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    // identity variant + one variant per deleted position, emitted by
+    // pure Catalyst expressions (no UDF)
+    val variants = base.select(col("_id"), col("_s"),
+      explode(expr(
+        "array_union(array(_s), transform(sequence(1, length(_s)), " +
+          "i -> concat(substring(_s, 1, i - 1), substring(_s, i + 1, length(_s)))))"))
+        .as("_v"))
+    val a = variants.select(col("_id").as("id_a"), col("_s").as("_sa"), col("_v"))
+    val b = variants.select(col("_id").as("id_b"), col("_s").as("_sb"), col("_v"))
+    a.join(b, Seq("_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "_sa", "id_b", "_sb").distinct()
+      .filter(expr("levenshtein(_sa, _sb) <= 1"))
+      .select(col("id_a"), col("id_b"),
+        expr("levenshtein(_sa, _sb)").cast("long").as("dist"))
+  }
 }
