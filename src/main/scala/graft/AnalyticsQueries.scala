@@ -1025,6 +1025,46 @@ object AnalyticsQueries {
              |FROM r WHERE cum * 2 >= tot
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- ALL NINE deciles per group from ONE cumulative table:
+    //      the full-report form of the rank-defined percentile
+    //      family. Every decile is a conditional min over the same
+    //      Ranking.groupedCumWeights output (decile d = smallest
+    //      price with 10·cum >= d·n — integral cum makes the
+    //      cross-product comparison exact), so nine order statistics
+    //      cost ONE well-keyed shuffle + one metadata pass — against
+    //      nine window ranks, or percentile_approx's approximation,
+    //      or percentile()'s per-group value buffer. ----
+    Q("agg_decile_report",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          li, Seq("l_returnflag"), "l_extendedprice", lit(1L), bandWidth = 1000.0)
+        val picks = (1 to 9).map(d =>
+          min(when(col("cum_w") * 10 >= col("tot_w") * d, col("l_extendedprice")))
+            .as(s"d$d"))
+        cw.groupBy("l_returnflag")
+          .agg(max("tot_w").as("n_rows"), picks: _*)
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS f, l_extendedprice AS p, COUNT(*) AS n
+             |          FROM lineitem GROUP BY 1, 2),
+             |cum AS (SELECT f, p,
+             |          CAST(SUM(n) OVER (PARTITION BY f ORDER BY p) AS BIGINT) AS cw,
+             |          CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS tw
+             |        FROM c)
+             |SELECT f AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS n_rows,
+             |  MIN(CASE WHEN cw * 10 >= tw * 1 THEN p END) AS d1,
+             |  MIN(CASE WHEN cw * 10 >= tw * 2 THEN p END) AS d2,
+             |  MIN(CASE WHEN cw * 10 >= tw * 3 THEN p END) AS d3,
+             |  MIN(CASE WHEN cw * 10 >= tw * 4 THEN p END) AS d4,
+             |  MIN(CASE WHEN cw * 10 >= tw * 5 THEN p END) AS d5,
+             |  MIN(CASE WHEN cw * 10 >= tw * 6 THEN p END) AS d6,
+             |  MIN(CASE WHEN cw * 10 >= tw * 7 THEN p END) AS d7,
+             |  MIN(CASE WHEN cw * 10 >= tw * 8 THEN p END) AS d8,
+             |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN p END) AS d9
+             |FROM cum GROUP BY f ORDER BY l_returnflag""".stripMargin)),
+
     // ---- market-basket co-purchase pairs (association mining's
     //      support-counting stage): part pairs appearing together in
     //      >= 5 orders, top-20 by support. The pair explode is
@@ -1116,6 +1156,58 @@ object AnalyticsQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_triangles
              |FROM e e1 JOIN e e2 ON e1.v = e2.u
              |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // ---- K-CORE PEEL on the support-filtered co-purchase graph:
+    //      one exact peeling step (drop nodes of degree < 3, report
+    //      survivors' degree before and after the induced-subgraph
+    //      cut) — the building block of core decomposition, dense-
+    //      subgraph mining and the fringe-trim that bounds
+    //      clustering inputs. The step is one degree aggregation +
+    //      two semi-joins (Graphs.peel); the FULL fixpoint loop
+    //      (Graphs.kCore) is pinned in GraphsSpec against a
+    //      brute-force reference — iterated deletion has no
+    //      WITH-RECURSIVE form in the oracle engine (the recursive
+    //      term only sees the previous iteration's rows), so the
+    //      gate states the step and the spec states the loop. ----
+    Q("graph_kcore_peel",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val before = graft.operators.Graphs.degrees(e)
+        val after = graft.operators.Graphs.degrees(
+          graft.operators.Graphs.peel(e, 3))
+        before.filter(col("deg") >= 3)
+          .select(col("node").as("part"), col("deg").as("deg_before"))
+          .join(after.select(col("node").as("part"), col("deg").as("deg_after")),
+            Seq("part"), "left")
+          .select(col("part"), col("deg_before"),
+            coalesce(col("deg_after"), lit(0L)).as("deg_after"))
+          .orderBy("part")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM sym GROUP BY 1),
+             |keep AS (SELECT node FROM deg WHERE deg >= 3),
+             |pe AS (SELECT u, v FROM e
+             |       WHERE u IN (SELECT node FROM keep)
+             |         AND v IN (SELECT node FROM keep)),
+             |psym AS (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+             |pdeg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             |         FROM psym GROUP BY 1)
+             |SELECT d.node AS part, d.deg AS deg_before,
+             |  COALESCE(p.deg, 0) AS deg_after
+             |FROM deg d LEFT JOIN pdeg p ON p.node = d.node
+             |WHERE d.deg >= 3 ORDER BY part""".stripMargin)),
 
     // ---- ABC (Pareto) revenue classification: parts ranked by
     //      revenue, classed A/B/C at 80%/95% of the CUMULATIVE total

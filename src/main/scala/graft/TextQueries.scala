@@ -111,17 +111,31 @@ object TextQueries {
     // ---- n-gram repetition ratio (training-data quality signal:
     //      boilerplate/spam shows as one trigram dominating the doc).
     //      Trigram MULTIPLICITY matters here, so no distinct — the
-    //      short-doc guard mirrors Dedup.shingleArrayExpr. ----
+    //      short-doc guard mirrors Dedup.shingleArrayExpr. Computed
+    //      ENTIRELY IN-ROW: the statistic is per-document, so the
+    //      max multiplicity is the longest equal-run of the doc's
+    //      SORTED trigram array (one sort_array + one higher-order
+    //      aggregate with a (run, best) struct accumulator — the
+    //      Hilbert-tier idiom), and the count phase needs NO shuffle
+    //      at all. The former corpus-token explode + two gram-keyed
+    //      groupBys moved every trigram of every document through
+    //      two exchanges — this was the top bench row (6.8 s); the
+    //      map-side form is the plan a 100 TB corpus needs. ----
     Q("text_repetition",
       (s, dir) => Tables.t(s, dir, "documents")
         .withColumn("_w", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w) - 2), " +
-            "i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1), element_at(_w, i + 2))) " +
-            "ELSE array() END")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_trigrams"), max("c").as("max_repeat"))
+        .filter(size(col("_w")) >= 3)
+        .withColumn("_tri", expr(
+          "sort_array(transform(sequence(1, size(_w) - 2), " +
+            "i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1), element_at(_w, i + 2))))"))
+        .select(col("doc_id"),
+          size(col("_tri")).cast(LongType).as("n_trigrams"),
+          expr("CASE WHEN size(_tri) = 1 THEN CAST(1 AS BIGINT) ELSE " +
+            "aggregate(sequence(2, size(_tri)), named_struct('run', 1, 'best', 1), " +
+            "(acc, i) -> IF(element_at(_tri, i) = element_at(_tri, i - 1), " +
+            "named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)), " +
+            "named_struct('run', 1, 'best', acc.best)), " +
+            "acc -> CAST(acc.best AS BIGINT)) END").as("max_repeat"))
         .withColumn("rep_ratio",
           col("max_repeat").cast(DoubleType) / col("n_trigrams").cast(DoubleType))
         .orderBy("doc_id"),

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Graphs
+import org.apache.spark.sql.functions._
+
+/** Full k-core fixpoint vs an in-memory brute-force peel — the loop
+  * half of the split the gate's one-step `graph_kcore_peel` oracle
+  * cannot state (iterated deletion has no WITH RECURSIVE form). */
+class GraphsSpec extends SparkTestBase {
+
+  private def bruteKCore(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var cur = edges
+    var changed = true
+    while (changed) {
+      val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = cur.filter(e => keep(e._1) && keep(e._2))
+      changed = next != cur
+      cur = next
+    }
+    cur
+  }
+
+  test("kCore equals brute-force peeling, including a diameter-deep fringe") {
+    import spark.implicits._
+    // 5-clique (the 4-core) + a path fringe hanging off node 0 that
+    // peels one layer per round at k=2, + an isolated 3-cycle
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val path = (0L until 6L).map(i => (if (i == 0) 0L else 100L + i - 1, 100L + i))
+    val cycle = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (clique ++ path ++ cycle).toSet
+    val df = edges.toSeq.toDF("u", "v")
+    for (k <- Seq(2, 3, 4, 5)) {
+      val got = Graphs.kCore(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteKCore(edges, k), s"k=$k")
+    }
+  }
+
+  test("peel: one step only removes the current fringe; degrees count both sides") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val deg = Graphs.degrees(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // k=2 peel removes endpoints 1 and 4 -> only (2,3) survives round 1
+    val once = Graphs.peel(df, 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == Set((2L, 3L)))
+    // fixpoint is empty (path has no 2-core)
+    assert(Graphs.kCore(df, 2).count() == 0)
+  }
+}
