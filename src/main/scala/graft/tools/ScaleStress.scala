@@ -162,6 +162,50 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // FastSS edit-distance-1 join: corpus of formatted id-names (the
+    // supplier-name shape) — true pairs are ids differing in one
+    // digit, so output grows with the corpus while the quadratic
+    // form's comparisons grow with its square. Wall must track
+    // corpus x name-length (the variant fan-out), nowhere near n².
+    if (wanted("editd")) {
+      multiples.foreach { m =>
+        val n = 5000L * m
+        val names = spark.range(n).select(col("id"),
+          format_string("Item#%09d", col("id")).as("nm"))
+        names.count() // warm
+        val t0 = System.nanoTime()
+        val out = graft.operators.Dedup.editDistance1Pairs(names, "id", "nm").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE editd   m=$m%2d names=$n%7d out=$out%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+    // Full k-core fixpoint under replication: replica graphs are
+    // key-disjoint, so peeling depth stays the base graph's fringe
+    // depth (driver round count CONSTANT) while the per-round
+    // aggregation tracks the edge set ~linearly.
+    if (wanted("kcore")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val it = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val ne = e.count()
+        val t0 = System.nanoTime()
+        val core = graft.operators.Graphs.kCore(e, 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE kcore   m=$m%2d edges=$ne%8d core=$core%8d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Exact quantiles: the bucket-recursion pipeline's JOB COUNT is
     // O(log_buckets(n) + distinct target buckets) and every driver
     // transfer is bounded (boundary sample, histogram, <= probeLimit
