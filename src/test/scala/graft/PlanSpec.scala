@@ -348,4 +348,26 @@ class PlanSpec extends SparkTestBase {
       assert(out(0).getDecimal(1) == new java.math.BigDecimal("12.50"))
     } finally Readers.restTransport = orig
   }
+
+  test("triangle closure joins the broadcast adjacency (the wedge set never shuffles)") {
+    val plan = planString(Queries.queries("orders_triangle_count")(spark, sf))
+    // both adjacency joins must be broadcast-built; a shuffled join
+    // here would mean the Sum(out-deg^2) wedge relation materializes
+    // through an exchange
+    assert(plan.contains("BroadcastHashJoin"), "adjacency joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"wedge-side SMJ crept in:\n$plan")
+  }
+
+  test("grouped cumulative weights shuffle on (group, value), not group alone") {
+    val cw = graft.operators.Ranking.groupedCumWeights(
+      Tables.t(spark, sf, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+      Seq("l_returnflag"), "l_extendedprice", lit(1L), bandWidth = 1000.0)
+    val plan = planString(cw)
+    // the fact-sized exchange must carry the high-cardinality value
+    // key; the group-only partitionings may appear only on the
+    // value-level (post-aggregate) windows
+    val keyed = """hashpartitioning\(l_returnflag#\d+, l_extendedprice#\d+""".r
+    assert(keyed.findFirstIn(plan).isDefined,
+      s"no (group, value)-keyed exchange found:\n${plan.take(2000)}")
+  }
 }
