@@ -446,6 +446,13 @@ object Dedup {
    * a 100 TB vocabulary that join never finishes, while this one is
    * an aggregation-shaped equi-join. Candidates are deduped BEFORE
    * the verify so a pair sharing many variants is scored once.
+   *
+   * Intended for short identifier-like strings (names, codes, SKUs):
+   * a string of length L emits L+1 variants of length L-1 — O(L²)
+   * bytes per input row. For document-scale text use the shingle
+   * joins ([[prefixFilterNearDups]]); for distance k >= 2 the
+   * neighborhood is L-choose-k deletions — compose k=1 passes or
+   * fall back to [[graft.EtlQueries]]'s broadcast levenshtein probe.
    */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.filter(col(strCol).isNotNull)

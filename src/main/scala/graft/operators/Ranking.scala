@@ -203,7 +203,7 @@ object Ranking {
    * weighted median is `min(v) FILTER (WHERE 2*cum_w >= tot_w)` —
    * both monotone in `v`, so a conditional min is exact.
    *
-   * NULL values rank first (reserved band -1, matching Spark's ASC
+   * NULL values rank first (reserved band Long.MinValue, matching Spark's ASC
    * NULLS FIRST) and keep their group's rows counted; NULL group
    * values form their own group (null-safe join). The value column
    * must be numeric (band comparison is in DOUBLE — monotonic, so
@@ -221,8 +221,14 @@ object Ranking {
     val counts = df
       .groupBy((g :+ col(valueCol)): _*)
       .agg(sum(weight).as("_w"))
+    // NULL values take the reserved band Long.MinValue so NO value
+    // band can sort before them (a band of -1 would order AFTER a
+    // negative value's band — caught by the PropertySpec reference
+    // check). If an extreme value's band saturates onto the same
+    // Long.MinValue, the within-band window below still ranks nulls
+    // first (Spark ASC NULLS FIRST), so the cumulative stays exact.
     val banded = counts.withColumn("_band",
-      when(col(valueCol).isNull, lit(-1L))
+      when(col(valueCol).isNull, lit(Long.MinValue))
         .otherwise(floor(col(valueCol).cast("double") / bandWidth)))
     // phase 2: exclusive band offsets over |g| × bands metadata rows
     val bandTot = banded

@@ -281,4 +281,56 @@ class PropertySpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b, "membership must not depend on partitioning")
   }
+
+  test("editDistance1Pairs == quadratic levenshtein join on generated short strings") {
+    // tiny alphabet + short lengths force dense dist-1 families,
+    // equal strings, and length-1/length-2 edge cases where a wrong
+    // deletion index or a lost identity variant drops pairs
+    val str = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- Seq(7L, 31L)) {
+      val names = sample(str, 50, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = names.toDF("id", "nm")
+      val got = graft.operators.Dedup.editDistance1Pairs(df, "id", "nm")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val quad = (for {
+        (ia, a) <- names; (ib, b) <- names if ia < ib
+        if levRef(a, b) <= 1
+      } yield (ia, ib)).toSet
+      assert(got == quad, s"seed=$seed missed=${quad -- got} extra=${got -- quad}")
+    }
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("groupedCumWeights == window reference on generated weighted groups with nulls") {
+    import org.apache.spark.sql.expressions.Window
+    val row = for {
+      g <- Gen.oneOf(Some("x"), Some("y"), None)
+      v <- Gen.oneOf(Gen.const(None), Gen.choose(-5L, 5L).map(Some(_)))
+      w <- Gen.choose(1L, 4L)
+    } yield (g, v, w)
+    for (seed <- Seq(3L, 19L)) {
+      val df = sample(row, 80, seed).toDF("g", "v", "w")
+      val ref = df.groupBy("g", "v").agg(sum("w").as("wv"))
+        .withColumn("cum_w", sum("wv").over(
+          Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot_w", sum("wv").over(Window.partitionBy("g")))
+        .select("g", "v", "cum_w", "tot_w")
+        .orderBy("g", "v").collect().toSeq
+      for (bw <- Seq(1.0, 3.0, 100.0)) {
+        val got = graft.operators.Ranking.groupedCumWeights(
+            df, Seq("g"), "v", col("w"), bandWidth = bw)
+          .orderBy("g", "v").collect().toSeq
+        assert(got == ref, s"seed=$seed bandWidth=$bw")
+      }
+    }
+  }
 }
