@@ -1209,6 +1209,47 @@ object AnalyticsQueries {
              |FROM deg d LEFT JOIN pdeg p ON p.node = d.node
              |WHERE d.deg >= 3 ORDER BY part""".stripMargin)),
 
+    // ---- HIERARCHICAL ROLLUP (BOM/category-tree shape): revenue
+    //      aggregated to every ANCESTOR of a variable-depth parts
+    //      hierarchy — the operation WITH RECURSIVE expresses and
+    //      Spark has no operator for. Hierarchy is the deterministic
+    //      decimal tree parent = child div 10 (depth ~4, both
+    //      engines compute it identically). The fact-sized shuffle
+    //      happens ONCE (leaf revenue aggregation in exact cents);
+    //      Graphs.ancestorRollup then iterates the dimension-scale
+    //      closure: frontier ⋈ parent-edges per level, Σ depth(node)
+    //      total rows, row-count-only driver scalars. The oracle IS
+    //      WITH RECURSIVE over the same edges — the iterated-join
+    //      closure is proved against the declarative fixpoint. ----
+    Q("part_hierarchy_rollup",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("node"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val edges = Tables.t(s, dir, "part")
+          .filter(col("p_partkey") >= 10)
+          .select(col("p_partkey").as("child"),
+            expr("p_partkey div 10").as("parent"))
+        graft.operators.Graphs.ancestorRollup(edges, rev)
+          .select(col("node").as("part"), col("subtree_w").as("subtree_rev_cents"))
+          .orderBy("part")
+      },
+      Some("""WITH rev AS (SELECT l_partkey AS node,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1),
+             |edges AS (SELECT p_partkey AS child, p_partkey // 10 AS parent
+             |          FROM part WHERE p_partkey >= 10),
+             |anc AS (
+             |  WITH RECURSIVE a(node, leaf) AS (
+             |    SELECT node, node FROM rev
+             |    UNION ALL
+             |    SELECT e.parent, a.leaf FROM a JOIN edges e ON e.child = a.node)
+             |  SELECT node, leaf FROM a)
+             |SELECT a.node AS part,
+             |  CAST(SUM(r.w) AS BIGINT) AS subtree_rev_cents
+             |FROM anc a JOIN rev r ON r.node = a.leaf
+             |GROUP BY 1 ORDER BY part""".stripMargin)),
+
     // ---- ABC (Pareto) revenue classification: parts ranked by
     //      revenue, classed A/B/C at 80%/95% of the CUMULATIVE total
     //      — the inventory-analytics cut. Revenue accumulates in

@@ -803,6 +803,58 @@ object EtlQueries {
              |  CAST(CAST(SUM(rh) AS BIGINT) % 1000000007 AS BIGINT) AS table_checksum
              |FROM h""".stripMargin)),
 
+    // ---- cross-table REFERENTIAL-INTEGRITY audit: orphan counts
+    //      for every FK relation of the star schema in one report —
+    //      the validation the single-table quality rules (P4/P9,
+    //      etl_quality_rules) cannot express. Each relation is one
+    //      LEFT ANTI join; at scale the dimension side broadcasts
+    //      (nation/region/customer) or hash-joins on the key
+    //      (orders/part), and the audit output is relation-count
+    //      rows of metadata. union keeps relation order stable;
+    //      sort by relation for the gate. ----
+    Q("etl_referential_audit",
+      (s, dir) => {
+        def orphans(name: String, fact: org.apache.spark.sql.DataFrame,
+                    fk: String, dim: org.apache.spark.sql.DataFrame,
+                    pk: String) =
+          fact.select(col(fk)).filter(col(fk).isNotNull)
+            .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("relation"), col("n_orphans"))
+        val li = Tables.t(s, dir, "lineitem")
+        orphans("customer->nation", Tables.t(s, dir, "customer"), "c_nationkey",
+            Tables.t(s, dir, "nation"), "n_nationkey")
+          .unionByName(orphans("lineitem->orders", li, "l_orderkey",
+            Tables.t(s, dir, "orders"), "o_orderkey"))
+          .unionByName(orphans("lineitem->part", li, "l_partkey",
+            Tables.t(s, dir, "part"), "p_partkey"))
+          .unionByName(orphans("nation->region", Tables.t(s, dir, "nation"), "n_regionkey",
+            Tables.t(s, dir, "region"), "r_regionkey"))
+          .unionByName(orphans("orders->customer", Tables.t(s, dir, "orders"), "o_custkey",
+            Tables.t(s, dir, "customer"), "c_custkey"))
+          .orderBy("relation")
+      },
+      Some("""SELECT 'customer->nation' AS relation, CAST(COUNT(*) AS BIGINT) AS n_orphans
+             |FROM customer WHERE c_nationkey IS NOT NULL
+             |  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             |UNION ALL
+             |SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT) FROM lineitem
+             |WHERE l_orderkey IS NOT NULL
+             |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT) FROM lineitem
+             |WHERE l_partkey IS NOT NULL
+             |  AND l_partkey NOT IN (SELECT p_partkey FROM part)
+             |UNION ALL
+             |SELECT 'nation->region', CAST(COUNT(*) AS BIGINT) FROM nation
+             |WHERE n_regionkey IS NOT NULL
+             |  AND n_regionkey NOT IN (SELECT r_regionkey FROM region)
+             |UNION ALL
+             |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT) FROM orders
+             |WHERE o_custkey IS NOT NULL
+             |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |ORDER BY relation""".stripMargin)),
+
     // ---- DEDUP_DESTINATION on the hard gate: a destination seeded
     //      with duplicate keys (every even order twice, ver 2 and
     //      ver 1) is rewritten in place by the job step — keeper =

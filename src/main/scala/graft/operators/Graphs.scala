@@ -66,4 +66,40 @@ object Graphs {
     require(done, s"k-core peeling did not converge in $maxIters iterations")
     cur
   }
+
+  /**
+   * ANCESTOR ROLLUP: aggregate per-node contributions up a parent
+   * hierarchy — each node's result is the sum of `w` over itself and
+   * every descendant (BOM explosion, org-chart rollup, category-tree
+   * revenue). `edges` is the parent relation `(child, parent)`;
+   * `contrib` is `(node, w)`.
+   *
+   * The fact-sized work happens BEFORE this call (aggregate facts to
+   * per-node contributions once); the closure then iterates over
+   * dimension-scale data: each round joins the shrinking frontier to
+   * the edge table and re-aims contributions at the parent, so total
+   * rows processed are Σ_nodes depth(node) — the transitive-closure
+   * size, reached in depth rounds with a row-count-only driver
+   * scalar per round. `localCheckpoint` truncates lineage. Cycles in
+   * `edges` would never drain the frontier: the `maxIters` require
+   * fires rather than looping silently.
+   */
+  def ancestorRollup(edges: DataFrame, contrib: DataFrame,
+                     maxIters: Int = 30): DataFrame = {
+    val e = edges.select(col("child"), col("parent"))
+    var acc = contrib.select(col("node"), col("w"))
+    var frontier = acc.localCheckpoint()
+    var it = 0
+    while (frontier.limit(1).count() > 0 && it < maxIters) {
+      frontier = frontier
+        .join(e, frontier("node") === e("child"))
+        .select(col("parent").as("node"), col("w"))
+        .localCheckpoint()
+      acc = acc.union(frontier)
+      it += 1
+    }
+    require(it < maxIters || frontier.limit(1).count() == 0,
+      s"hierarchy deeper than $maxIters levels (or cyclic)")
+    acc.groupBy("node").agg(sum("w").as("subtree_w"))
+  }
 }
