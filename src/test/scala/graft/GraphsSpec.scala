@@ -49,4 +49,19 @@ class GraphsSpec extends SparkTestBase {
     // fixpoint is empty (path has no 2-core)
     assert(Graphs.kCore(df, 2).count() == 0)
   }
+
+  test("ancestorRollup: deep chain sums every descendant; a cycle fails loudly") {
+    import spark.implicits._
+    // chain 1 <- 2 <- 3 <- 4 plus a second child 5 of node 1
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 1L)).toDF("child", "parent")
+    val contrib = Seq((1L, 10L), (2L, 1L), (3L, 2L), (4L, 4L), (5L, 8L)).toDF("node", "w")
+    val got = Graphs.ancestorRollup(edges, contrib).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 25L, 2L -> 7L, 3L -> 6L, 4L -> 4L, 5L -> 8L))
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("child", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.ancestorRollup(cyc, Seq((1L, 1L)).toDF("node", "w"), maxIters = 5)
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
 }
