@@ -218,9 +218,18 @@ object Ranking {
     require(vType.isInstanceOf[NumericType] || vType == TimestampType,
       s"value column must be numeric or timestamp, got $vType")
     val g = groupCols.map(col)
+    // materialize the counts table ONCE: three consumers (band
+    // assignment, band totals, the final window) would otherwise
+    // re-execute the fact scan + keyed aggregate per lineage (AQE's
+    // exchange reuse recovers only part of it — measured 6 scans in
+    // the executed cycle-time plan). The table is value-level —
+    // bounded by |groups| x |value domain|, the same contract that
+    // makes phase 2 metadata — so the checkpoint is domain-sized,
+    // never fact-sized.
     val counts = df
       .groupBy((g :+ col(valueCol)): _*)
       .agg(sum(weight).as("_w"))
+      .localCheckpoint()
     // NULL values take the reserved band Long.MinValue so NO value
     // band can sort before them (a band of -1 would order AFTER a
     // negative value's band — caught by the PropertySpec reference

@@ -358,16 +358,25 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"wedge-side SMJ crept in:\n$plan")
   }
 
-  test("grouped cumulative weights shuffle on (group, value), not group alone") {
-    val cw = graft.operators.Ranking.groupedCumWeights(
-      Tables.t(spark, sf, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
-      Seq("l_returnflag"), "l_extendedprice", lit(1L), bandWidth = 1000.0)
-    val plan = planString(cw)
-    // the fact-sized exchange must carry the high-cardinality value
-    // key; the group-only partitionings may appear only on the
-    // value-level (post-aggregate) windows
+  test("grouped cumulative weights: keyed fact aggregate runs once (checkpointed counts)") {
+    val fact = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    // the one fact-sized exchange is the (group, value)-keyed counts
+    // aggregate — pin it on the counts plan itself...
+    val counts = fact.groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum(lit(1L)).as("_w"))
     val keyed = """hashpartitioning\(l_returnflag#\d+, l_extendedprice#\d+""".r
-    assert(keyed.findFirstIn(plan).isDefined,
-      s"no (group, value)-keyed exchange found:\n${plan.take(2000)}")
+    assert(keyed.findFirstIn(planString(counts)).isDefined,
+      "counts aggregate must shuffle on (group, value)")
+    // ...and pin that groupedCumWeights' own plan reads the
+    // CHECKPOINTED value-level table instead of re-scanning the fact
+    // per consumer (pre-checkpoint, the executed plan held 6 file
+    // scans across the three counts lineages)
+    val cw = graft.operators.Ranking.groupedCumWeights(
+      fact, Seq("l_returnflag"), "l_extendedprice", lit(1L), bandWidth = 1000.0)
+    val plan = planString(cw)
+    assert(!plan.contains("FileScan parquet"),
+      s"cumulative plan re-scans the fact table:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"), "expected the checkpointed counts scan")
   }
 }
