@@ -1175,10 +1175,15 @@ object AnalyticsQueries {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
         val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        // materialize the support-filtered graph once: five degree/
+        // semi-join consumers below would each replay the basket
+        // self-join (measured 25 file scans pre-checkpoint); the
+        // edge set is dimension-scale by the support cut
         val e = a.join(b, Seq("l_orderkey"))
           .filter(col("u") < col("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint()
         val before = graft.operators.Graphs.degrees(e)
         val after = graft.operators.Graphs.degrees(
           graft.operators.Graphs.peel(e, 3))
