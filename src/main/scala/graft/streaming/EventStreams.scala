@@ -386,34 +386,41 @@ object EventStreams {
   /**
    * Per-user LAST-3 event types in a typed LIST STATE — the
    * transformWithState ListState facility (append-oriented ordered
-   * sub-state): each batch appends its arrivals in (ts, event_id)
-   * order and trims to the newest 3, emitting the user's updated
-   * path. Completes the state-type surface next to the quota
+   * sub-state): each batch merge-sorts its arrivals with recovered
+   * state by (ts, event_id) and trims to the newest 3, emitting the
+   * user's updated path. Completes the state-type surface next to the quota
    * ValueState and the type-count MapState; the bounded trim is what
    * keeps state O(k) per key however long the stream runs.
    *
-   * Replay-order assumption (same as [[anomalyStream]]): each batch's
-   * rows are sorted locally, but appends land AFTER recovered state —
-   * micro-batches must replay in event-time order (a time-split feed,
-   * as the gate uses) for the path to equal the batch oracle. An
-   * out-of-order feed needs (us, event_id) carried in the ListState
-   * and a merge-sort on recovery instead of the bounded trim.
+   * ORDER-ROBUST across micro-batches: the state carries (us,
+   * event_id, type) and each batch merge-sorts recovered state with
+   * its arrivals before trimming — keeping the newest k by (us,
+   * event_id) is a semilattice fold (top-k of per-batch top-ks =
+   * top-k of the union, the [[topKStream]] argument), so the kept
+   * path is exact for ANY batch split or replay order, unlike
+   * [[anomalyStream]]/[[SessionTimeoutProcessor]] whose recursions
+   * are inherently order-dependent. Pinned by the StreamingSpec
+   * out-of-order replay test.
    */
   class RecentPathProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String), RecentPath] {
     import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
-    @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      recent = getHandle.getListState[String]("recent",
-        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+      recent = getHandle.getListState[(Long, Long, String)]("recent",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING),
+        TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, String)],
                                  tv: TimerValues): Iterator[RecentPath] = {
-      val sorted = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
-      val merged = (recent.get().toSeq ++ sorted).takeRight(3)
+      val merged = (recent.get().toSeq ++ rows.map(r => (r._2, r._3, r._4)))
+        .sortBy(e => (e._1, e._2)).takeRight(3)
       recent.clear()
       merged.foreach(recent.appendValue)
-      Iterator.single(RecentPath(user, merged.mkString(">")))
+      Iterator.single(RecentPath(user, merged.map(_._3).mkString(">")))
     }
   }
 

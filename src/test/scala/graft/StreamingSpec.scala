@@ -710,4 +710,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((4L, 2000L, 3L)),
       s"expected exactly the cross-batch spike flag, got $got")
   }
+
+  test("recent path is ORDER-ROBUST: out-of-order batch replay converges to the event-time path") {
+    implicit val s = spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // (us, event_id, type): batch 2 delivers events EARLIER in
+      // event time than batch 1 — the semilattice merge must still
+      // land on the newest-3-by-(us, event_id) path, not append-order
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      val events = in.toDF().toDF("us", "event_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withColumn("user_id", lit(7L))
+      val q = EventStreams.recentPathStream(events).toDF()
+        .writeStream.format("memory").queryName("t_rpath")
+        .outputMode(OutputMode.Update()).start()
+      in.addData((40L, 4L, "d"), (50L, 5L, "e"))
+      q.processAllAvailable()
+      in.addData((10L, 1L, "a"), (30L, 3L, "c"), (20L, 2L, "b")) // all LATE
+      q.processAllAvailable()
+      in.addData((45L, 6L, "x")) // lands between d and e
+      q.processAllAvailable()
+      q.stop()
+      val paths = spark.table("t_rpath").collect().map(_.getString(1)).toSeq
+      // per-batch emissions: after b1 d>e; after the late batch the
+      // newest three are STILL c>d>e (a, b evicted); after b3 d>x>e
+      assert(paths == Seq("d>e", "c>d>e", "d>x>e"), paths.toString)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
