@@ -12,11 +12,27 @@ object ReuseCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.Queries.queries(name)(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    println("SCANS=" + p.linesIterator.count(_.contains("FileScan parquet")))
-    println("REUSED=" + p.linesIterator.count(_.contains("ReusedExchange")))
+    if (name == "--all") {
+      graft.Queries.registry.foreach { q =>
+        try {
+          val df = q.fn(spark, sfDir)
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+          if (scans >= 8) println(f"SCANHOG $scans%3d ${q.name}")
+        } catch { case e: Throwable => println(s"ERR ${q.name}: ${e.getMessage.take(60)}") }
+        spark.catalog.clearCache()
+      }
+      println("AUDIT DONE")
+    } else {
+      val df = graft.Queries.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val fin = p.split("== Initial Plan ==").head // AQE toString appends the initial plan too
+      println("SCANS=" + fin.linesIterator.count(_.contains("FileScan parquet")))
+      println("REUSED=" + fin.linesIterator.count(_.contains("ReusedExchange")))
+    }
     spark.stop()
   }
 }
