@@ -1083,6 +1083,41 @@ object EtlQueries {
              |FROM orders WHERE o_orderpriority = '1-URGENT'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- idempotent PARTITION BACKFILL (dynamic partition
+    //      overwrite): a priority-partitioned copy of orders gets a
+    //      corrected batch for TWO priorities (prices doubled);
+    //      Writers.backfillPartitions must replace exactly those two
+    //      hive partitions and leave the other three byte-untouched —
+    //      the re-run primitive of a date-partitioned lake table.
+    //      The oracle states the end state as a CASE over the
+    //      original table, so both the overwrite (doubled rows
+    //      present once, not appended) and the isolation (untouched
+    //      priorities keep original prices) are ON the gate. ----
+    Q("etl_partition_backfill",
+      (s, dir) => {
+        val fp = Tables.fingerprint(s, s"$dir/orders.parquet")
+        val path = stagedFixture(s, s"${CacheDirs.root}/fix_backfill_orders_$fp") { tmp =>
+          val base = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus"), col("o_orderpriority"))
+          base.write.partitionBy("o_orderpriority").parquet(tmp)
+          graft.sinks.Writers.backfillPartitions(
+            base.filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+              .withColumn("o_totalprice", col("o_totalprice") * 2),
+            tmp, Seq("o_orderpriority"))
+        }
+        s.read.parquet(path)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+             |    THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+             |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- change-data capture between two loads: every 11th key is
     //      new (INSERT), every 7th gone (DELETE), every 5th surviving
     //      key has a bumped amount (UPDATE), the rest UNCHANGED — one

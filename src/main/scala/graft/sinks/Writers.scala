@@ -136,6 +136,31 @@ object Writers {
    * `df.write.format("es").options(...)`. The REST sink (`rest`)
    * covers the "push JSON docs over HTTP" shape natively meanwhile.
    */
+  /**
+   * PARTITION BACKFILL: overwrite ONLY the hive partitions present in
+   * `df`, leaving every other partition untouched — the idempotent
+   * re-run primitive of a date/priority-partitioned lake table (a
+   * failed day re-runs without touching its neighbors; the same
+   * batch re-applied converges to the same bytes). Implemented with
+   * Spark's dynamic partitionOverwriteMode, SCOPED to this write and
+   * restored after: the session default (static) would silently DROP
+   * every partition absent from the batch — the classic backfill
+   * footgun this helper exists to fence off.
+   */
+  def backfillPartitions(df: DataFrame, destDir: String,
+                         partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "backfill requires at least one partition column")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(destDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def elasticsearchOptions(dest: DestinationConfig): Map[String, String] = {
     val c = dest.connectionDetails
     val nodes = c.jdbcUrl.getOrElse(

@@ -533,4 +533,28 @@ class EtlPipelineSpec extends SparkTestBase {
     // counts/min/max identical; sums identical as exact decimals
     assert(merged.collect().toSeq.map(_.toSeq) == full.collect().toSeq.map(_.toSeq))
   }
+
+  test("backfillPartitions replaces only the batch's partitions and restores the conf") {
+    import spark.implicits._
+    val dir = tmpDir("graft_backfill_") + "/t"
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "p").write.partitionBy("p").parquet(dir)
+    // sanity of the footgun this helper fences: session default is
+    // NOT dynamic (static would drop partitions a and c)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+    graft.sinks.Writers.backfillPartitions(
+      Seq((30L, "b"), (31L, "b")).toDF("id", "p"), dir, Seq("p"))
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // partition b fully replaced (3 gone, 30/31 present once); a, c intact
+    assert(got == Set((1L, "a"), (2L, "a"), (30L, "b"), (31L, "b"), (4L, "c")), got)
+    // conf restored to the pre-call state
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+    // idempotent: the same batch re-applied converges to the same rows
+    graft.sinks.Writers.backfillPartitions(
+      Seq((30L, "b"), (31L, "b")).toDF("id", "p"), dir, Seq("p"))
+    assert(spark.read.parquet(dir).count() == 5)
+  }
 }
