@@ -589,6 +589,32 @@ object JobRunner {
             System.err.println(s"[graft-job] DEDUP_DESTINATION kept $nAfter of " +
               s"$nBefore row(s) by ${ddKeys.mkString(",")}")
             stepsRun ::= step
+          case "BACKFILL_DESTINATION" =>
+            // Idempotent partition re-run from the config surface:
+            // load the (filtered, mapped) source batch through the
+            // standard LOAD pipeline and overwrite EXACTLY the hive
+            // partitions present in it (Writers.backfillPartitions —
+            // dynamic partition overwrite scoped to the write), so a
+            // corrected day/priority re-lands without touching its
+            // neighbors and a replay converges to the same bytes.
+            // transformation.parameters: partitionColumns (csv,
+            // required, must be destination columns).
+            val bfDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("BACKFILL_DESTINATION requires a destination"))
+            require(bfDest.`type`.toUpperCase == "PARQUET",
+              s"BACKFILL_DESTINATION supports PARQUET destinations, got ${bfDest.`type`}")
+            val bfPath = bfDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException("BACKFILL_DESTINATION requires a file path destination"))
+            val bfParts = cfg.transformation.parameters.get("partitionColumns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            require(bfParts.nonEmpty,
+              "BACKFILL_DESTINATION requires transformation.parameters.partitionColumns")
+            val bfBatch = buildDataFrame(spark, cfg, plugins)
+            val bfMissing = bfParts.filterNot(bfBatch.columns.contains)
+            require(bfMissing.isEmpty,
+              s"partitionColumns not in the mapped batch: ${bfMissing.mkString(", ")}")
+            graft.sinks.Writers.backfillPartitions(bfBatch, bfPath, bfParts)
+            stepsRun ::= step
           case "ANONYMIZE_DESTINATION" =>
             // PII-scrub maintenance from the config surface: rewrite
             // the destination with the standard email/phone/id

@@ -303,4 +303,42 @@ class OrchestrationSpec extends SparkTestBase {
     t.join(30000)
     assert(!t.isAlive, "cancelled job thread should have terminated")
   }
+
+  test("BACKFILL_DESTINATION overwrites only the batch's partitions through the job path") {
+    import spark.implicits._
+    val root = tmpDir("graft_bfstep_")
+    val dest = s"$root/dest"
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("id", "v", "p").write.partitionBy("p").parquet(dest)
+    // corrected source carries ONLY partition b, with a new value
+    Seq((2L, 99.0, "b"), (20L, 98.0, "b")).toDF("id", "v", "p")
+      .write.parquet(s"$root/src")
+    val cfg = graft.model.JobConfig(
+      jobId = "backfill-1",
+      steps = List("BACKFILL_DESTINATION"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(s"$root/src"))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dest)))),
+      mappings = List(
+        graft.model.FieldMapping("id", "id", destFieldType = "LONG"),
+        graft.model.FieldMapping("v", "v", destFieldType = "DOUBLE"),
+        graft.model.FieldMapping("p", "p", destFieldType = "STRING")),
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map("partitionColumns" -> "p")))
+    val res = graft.job.JobRunner.run(spark, cfg)
+    assert(res.status == graft.job.JobRunner.Completed, res.message)
+    val got = spark.read.parquet(dest).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10.0, "a"), (2L, 99.0, "b"), (20L, 98.0, "b"), (3L, 30.0, "c")), got)
+    // a typo'd partition column fails with the step's contract message
+    val bad = cfg.copy(jobId = "backfill-2",
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map("partitionColumns" -> "nope")))
+    graft.job.JobRunner.run(spark, bad).status match {
+      case graft.job.JobRunner.Failed(m) =>
+        assert(m.contains("partitionColumns not in the mapped batch"), m)
+      case st => fail(s"expected Failed, got $st")
+    }
+  }
 }
