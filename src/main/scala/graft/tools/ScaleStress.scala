@@ -206,6 +206,34 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // Ancestor rollup: replicated part catalogs keep the decimal
+    // tree's DEPTH constant (ids only widen), so the closure's round
+    // count stays fixed while per-round work tracks the catalog —
+    // wall must grow ~linearly in nodes, never in nodes x depth².
+    if (wanted("rollup")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_partkey", "l_extendedprice")
+      val pt0 = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val li = (0 until m).map(i => li0.select(
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"),
+          col("l_extendedprice"))).reduce(_ unionByName _)
+        val pt = (0 until m).map(i => pt0.select(
+          (col("p_partkey") + lit(i * 10000000L)).as("p_partkey")))
+          .reduce(_ unionByName _)
+        val n = pt.count()
+        val t0 = System.nanoTime()
+        val rev = li.groupBy(col("l_partkey").as("node"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val edges = pt.filter(col("p_partkey") >= 10)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 10").as("parent"))
+        val out = graft.operators.Graphs.ancestorRollup(edges, rev).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE rollup  m=$m%2d parts=$n%8d out=$out%8d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Exact quantiles: the bucket-recursion pipeline's JOB COUNT is
     // O(log_buckets(n) + distinct target buckets) and every driver
     // transfer is bounded (boundary sample, histogram, <= probeLimit
