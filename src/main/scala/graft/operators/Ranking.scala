@@ -225,7 +225,9 @@ object Ranking {
     // the executed cycle-time plan). The table is value-level —
     // bounded by |groups| x |value domain|, the same contract that
     // makes phase 2 metadata — so the checkpoint is domain-sized,
-    // never fact-sized.
+    // never fact-sized. (As with the repo's other checkpointed
+    // operators: on a multi-executor cluster prefer reliable
+    // checkpoint() if executor loss mid-query must be survivable.)
     val counts = df
       .groupBy((g :+ col(valueCol)): _*)
       .agg(sum(weight).as("_w"))
