@@ -32,6 +32,8 @@ object ReuseCheck {
       val fin = p.split("== Initial Plan ==").head // AQE toString appends the initial plan too
       println("SCANS=" + fin.linesIterator.count(_.contains("FileScan parquet")))
       println("REUSED=" + fin.linesIterator.count(_.contains("ReusedExchange")))
+      println("SMJ=" + fin.linesIterator.count(_.contains("SortMergeJoin")))
+      println("BHJ=" + fin.linesIterator.count(_.contains("BroadcastHashJoin")))
     }
     spark.stop()
   }
