@@ -1349,6 +1349,39 @@ object TextQueries {
              |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
              |FROM n a JOIN n b ON a.id < b.id
              |WHERE levenshtein(a.nm, b.nm) <= 1
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- ENTITY RESOLUTION composition: FastSS edit-distance pairs
+    //      feed the connected-components labeller — "these supplier
+    //      names are the same entity up to one typo" as transitive
+    //      groups with a deterministic canonical (min id). Composes
+    //      two gate-proven operators end to end; the oracle replays
+    //      the quadratic levenshtein pair graph through the same
+    //      WITH RECURSIVE reachability the dedup cluster oracle
+    //      uses. Singletons (no pair) stay out, matching
+    //      dedup_clusters' convention. ----
+    Q("text_editdist1_clusters",
+      (s, dir) => {
+        val pairs = graft.operators.Dedup
+          .editDistance1Pairs(Tables.t(s, dir, "supplier"), "s_suppkey", "s_name")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        graft.operators.Dedup.clusters(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .select(col("node").as("s_suppkey"), col("cluster_id"), col("n_members"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+             |p AS (SELECT a.id AS ia, b.id AS ib FROM n a JOIN n b
+             |      ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1),
+             |edges AS (SELECT ia AS src, ib AS dst FROM p
+             |          UNION SELECT ib, ia FROM p),
+             |reach(node, lbl) AS (SELECT src, src FROM edges
+             |                     UNION
+             |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+             |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+             |SELECT node AS s_suppkey, cluster_id,
+             |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             |FROM cl ORDER BY s_suppkey""".stripMargin))
   )
 }
