@@ -142,23 +142,20 @@ object Writers {
    * re-run primitive of a date/priority-partitioned lake table (a
    * failed day re-runs without touching its neighbors; the same
    * batch re-applied converges to the same bytes). Implemented with
-   * Spark's dynamic partitionOverwriteMode, SCOPED to this write and
-   * restored after: the session default (static) would silently DROP
-   * every partition absent from the batch — the classic backfill
-   * footgun this helper exists to fence off.
+   * Spark's dynamic partitionOverwriteMode as a PER-WRITE DataSource
+   * option (not a session conf flip): the session default (static)
+   * would silently DROP every partition absent from the batch — the
+   * classic backfill footgun this helper exists to fence off — and
+   * the write-scoped option can't leak into a concurrent overwrite on
+   * the same SparkSession the way a set/restore of the global conf
+   * could.
    */
   def backfillPartitions(df: DataFrame, destDir: String,
                          partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "backfill requires at least one partition column")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(destDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(destDir)
   }
 
   def elasticsearchOptions(dest: DestinationConfig): Map[String, String] = {

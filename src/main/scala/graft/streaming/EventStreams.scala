@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -605,15 +605,21 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** Bucket assignment of [[upsertStream]]'s destination layout —
+    * exposed so out-of-band seeds/compactions of the same destination
+    * align with the streaming writer's partitioning. */
+  def upsertBucket(keys: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+
   /**
    * Streaming keyed upsert into a parquet destination — the streaming
    * twin of the MERGE_STRATEGY job step: every micro-batch is merged
-   * into the destination with [[graft.operators.Upsert.keepLatest]]
-   * (highest version per key wins) through the same crash-safe
-   * rename-aside swap the batch merge step uses, so a reader of the
-   * destination never observes a half-written merge and a crash mid-
-   * swap strands nothing. This is the continuously-maintained keyed
-   * table a CDC/event feed converges into.
+   * into a key-hash-BUCKETED destination with
+   * [[graft.operators.Upsert.keepLatest]] (highest version per key
+   * wins), rewriting ONLY the bucket partitions the batch's keys hash
+   * into. This is the continuously-maintained keyed table a CDC/event
+   * feed converges into — the parquet mirror of
+   * [[jdbcUpsertStream]]'s one-MERGE-per-batch discipline.
    *
    * Correctness across batches: with a version column UNIQUE per key,
    * max(version) per key is independent of how rows are split into
@@ -622,33 +628,80 @@ object EventStreams {
    * oracle states). Replays are idempotent for the same reason: the
    * at-least-once redelivery of a batch merges to the same state.
    *
-   * Scale posture: each micro-batch pays one keyed shuffle over
-   * (destination ∪ batch) — at 100 TB the destination would be
-   * partitioned/bucketed on the merge key so the rewrite touches only
-   * affected partitions; the flat-dir form here mirrors the job
-   * layer's MERGE_STRATEGY destination.
+   * Scale posture — per-batch work is O(touched buckets), NOT
+   * O(destination): the destination is hive-partitioned on
+   * `_bucket = pmod(xxhash64(keys), nBuckets)`, each micro-batch
+   * reads back ONLY the bucket partitions its keys hash into
+   * (partition pruning on the `isin` filter), merges, and rewrites
+   * only those partitions via a write-scoped dynamic
+   * partitionOverwriteMode. A batch touching 3 of 1024 buckets of a
+   * 100 TB table reads and rewrites 3 buckets. The touched-bucket
+   * list is a `collect()` of at most `nBuckets` ints — metadata-
+   * sized by construction.
+   *
+   * Crash-safety: merged buckets are written to a staging dir (the
+   * lazy plan can still READ the live partitions while staging
+   * writes), then each touched bucket dir is swapped in with one
+   * rename — atomic PER BUCKET, not across the batch's bucket set. A
+   * crash mid-swap leaves a prefix of the touched buckets rewritten;
+   * that is repaired, not corrupted: the streaming checkpoint only
+   * records the batch AFTER foreachBatch returns, so the replayed
+   * batch re-merges the same rows into the same buckets and
+   * keep-latest converges to the identical state.
    */
   def upsertStream(spark: SparkSession, stream: DataFrame, destDir: String,
                    keys: Seq[String], versionCol: String, checkpoint: String,
-                   trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   nBuckets: Int = 32): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val bucketExpr = upsertBucket(keys, nBuckets)
     val q: StreamingQuery = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val dest = new org.apache.hadoop.fs.Path(destDir)
         val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(dest)) s.read.parquet(destDir)
-          else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            batch.schema)
-        val merged = graft.operators.Upsert.keepLatest(
-          existing, batch.toDF(), keys, versionCol)
-        // staged write first, rename after: the merged plan lazily
-        // READS the current destination while the staged copy writes
-        graft.operators.Maintenance.replaceDir(fs, dest, "_merge_",
-          staged => merged.write.parquet(staged),
-          m => new IllegalStateException(s"streaming upsert swap failed: $m"))
+        val bucketed = batch.toDF().withColumn("_bucket", bucketExpr)
+        // <= nBuckets ints: the one driver-side collect, metadata-sized
+        val touched = bucketed.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val existingTouched =
+            if (fs.exists(dest))
+              s.read.parquet(destDir) // partition-pruned to touched buckets
+                .filter(col("_bucket").isin(touched.map(Integer.valueOf): _*))
+            else s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), bucketed.schema)
+          graft.operators.Upsert.keepLatest(
+              existingTouched, bucketed, keys, versionCol)
+            // ~one task (=> one output file) per touched bucket: the
+            // keyed window shuffle scatters a bucket's rows across all
+            // partitions, and partitionBy would then write up to
+            // |tasks| tiny files PER bucket — a file-count explosion
+            // the next batch pays for on read-back
+            .repartition(touched.length, col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(new org.apache.hadoop.fs.Path(dest.getParent,
+              dest.getName + s"_stage_$batchId").toString)
+          // swap each touched bucket dir in with one rename (atomic
+          // per bucket); untouched buckets are never listed or moved
+          val staging = new org.apache.hadoop.fs.Path(dest.getParent,
+            dest.getName + s"_stage_$batchId")
+          if (!fs.exists(dest)) fs.mkdirs(dest)
+          touched.foreach { b =>
+            val src = new org.apache.hadoop.fs.Path(staging, s"_bucket=$b")
+            val dst = new org.apache.hadoop.fs.Path(dest, s"_bucket=$b")
+            if (fs.exists(src)) {
+              if (fs.exists(dst) && !fs.delete(dst, true))
+                throw new IllegalStateException(s"streaming upsert: cannot clear $dst")
+              if (!fs.rename(src, dst))
+                throw new IllegalStateException(s"streaming upsert: cannot swap in $dst")
+            }
+          }
+          fs.delete(staging, true)
+          ()
+        }
       }
       .trigger(trigger)
       .start()
@@ -658,7 +711,7 @@ object EventStreams {
     // means an EMPTY frame, not a PATH_NOT_FOUND crash
     val destPath = new org.apache.hadoop.fs.Path(destDir)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(destPath)) spark.read.parquet(destDir)
+    if (fs.exists(destPath)) spark.read.parquet(destDir).drop("_bucket")
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
   }

@@ -459,6 +459,65 @@ object ScaleStress {
         graft.CacheDirs.deleteRecursively(work.toFile)
       }
     }
+    // Streaming keyed UPSERT under a GROWING DESTINATION and a FIXED
+    // batch: the destination is seeded at m× the events table
+    // (disjoint user_id replicas spread over all buckets), then ONE
+    // fixed micro-batch (users 0..7) streams in. With nBuckets=64
+    // the batch touches only its keys' buckets (≤8 of 64), so
+    // per-batch wall must stay ~flat as the destination grows;
+    // nBuckets=1 IS the old full-destination rewrite (every batch
+    // touches the single bucket = everything) and its wall must
+    // track destination size.
+    // The bucketed-vs-flat slope ratio is the scale evidence.
+    if (wanted("upsert")) {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("user_id", "event_id", "event_type", "value")
+      ev0.count() // warm
+      val batchFeed = ev0.filter(col("user_id") < 8)
+      multiples.foreach { m =>
+        // destination seeded in keep-latest form (one row per key —
+        // m×1M DISTINCT users): a non-deduped seed would collapse on
+        // first merge and fake a small rewrite for the flat variant
+        val destN = m * 1000000L
+        val destRows = spark.range(destN).select(ev0.schema.fields.map { f =>
+          (f.name match {
+            case "user_id" | "event_id" => col("id")
+            case "event_type" => lit("seed")
+            case _ => col("id") % 100
+          }).cast(f.dataType).as(f.name)
+        }: _*)
+        Seq(64 -> "bkt64", 1 -> "flat ").foreach { case (nb, label) =>
+          val work = graft.CacheDirs.tempWorkDir("graft_stress_upsert_")
+          destRows
+            .withColumn("_bucket",
+              graft.streaming.EventStreams.upsertBucket(Seq("user_id"), nb))
+            .write.partitionBy("_bucket").parquet(s"$work/dest")
+          batchFeed.coalesce(1).write.parquet(s"$work/feed")
+          val batchN = batchFeed.count()
+          // wall at this corpus size is stream-startup-dominated for
+          // BOTH variants; the structural evidence is bytes REWRITTEN
+          // per batch (files newer than stream start) vs total bytes
+          def destFiles(): Seq[java.io.File] = {
+            def walk(f: java.io.File): Seq[java.io.File] =
+              if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+              else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+            walk(new java.io.File(s"$work/dest"))
+          }
+          val totalBytes = destFiles().map(_.length).sum
+          val wallClock0 = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          graft.streaming.EventStreams.upsertStream(spark,
+            spark.readStream.schema(batchFeed.schema).parquet(s"$work/feed"),
+            s"$work/dest", keys = Seq("user_id"), versionCol = "event_id",
+            checkpoint = s"$work/ckpt", nBuckets = nb)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val rewritten = destFiles().filter(_.lastModified >= wallClock0).map(_.length).sum
+          println(f"SCALE upsert  m=$m%2d dest=$destN%8d batch=$batchN%6d $label " +
+            f"rewrote=${rewritten / 1024}%7dKB of=${totalBytes / 1024}%7dKB time=$dt%7.1fs")
+          graft.CacheDirs.deleteRecursively(work.toFile)
+        }
+      }
+    }
     // Streaming bounded per-key TOP-K under GROWING KEY CARDINALITY:
     // replicas shift user_id, so the state table's bound (keys x k)
     // grows m-fold while per-key state stays <= k rows FOREVER —
