@@ -1131,22 +1131,17 @@ object AnalyticsQueries {
             .otherwise(struct(col("v").as("s"), col("u").as("t"), col("ru").as("rt"))).as("o"))
           .select(col("o.s").as("s"), col("o.t").as("t"), col("o.rt").as("rt"))
           .localCheckpoint()
-        // EDGE-INTERSECTION closure (no wedge materialization): a
-        // triangle rank-ordered a<b<c is counted exactly once at its
-        // lowest edge (a,b) as c ∈ N+(a) ∩ N+(b). The adjacency
-        // table's TOTAL payload is Σ out-deg = |E| (each edge sits in
-        // exactly one list), so it broadcasts at dimension scale —
-        // the Σ out-deg² wedge set (41M rows here vs 1.2M edges)
-        // never shuffles; per-edge intersections run map-side where
-        // the edges live. If the graph outgrew the broadcast, the
-        // fallback is the wedge self-join re-keyed on (t1, t2).
-        val adj = oriented.groupBy("s").agg(collect_list(col("t")).as("nb"))
-        val tri = oriented
-          .join(broadcast(adj.select(col("s"), col("nb").as("nbs"))), Seq("s"))
-          .join(broadcast(adj.select(col("s").as("t"), col("nb").as("nbt"))), Seq("t"))
-          .select(size(array_intersect(col("nbs"), col("nbt"))).cast("long").as("c"))
-          .agg(sum("c").as("n_triangles"))
-        oriented.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
+        // SIZE-GATED closure (Graphs.triangleCount): below the gate,
+        // the edge-intersection form broadcasts the out-adjacency
+        // (total payload Σ out-deg = |E|) and the Σ out-deg² wedge
+        // set (41M rows here vs 1.2M edges) never shuffles; above it
+        // (the 100× case) the wedge self-join re-keyed on (t1, t2)
+        // runs with no broadcast at all. The edge count is ONE
+        // driver scalar off the checkpointed frame, reused as both
+        // the gate input and the n_edges output column.
+        val nEdges = oriented.count()
+        graft.operators.Graphs.triangleCount(oriented, nEdges)
+          .select(lit(nEdges).as("n_edges"), col("n_triangles"))
       },
       Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b

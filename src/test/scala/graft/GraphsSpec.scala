@@ -50,6 +50,32 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.kCore(df, 2).count() == 0)
   }
 
+  test("triangleCount: wedge-join fallback (forced tiny gate) equals the broadcast form") {
+    import spark.implicits._
+    // 5-clique (C(5,3)=10 triangles) + a 4-cycle (0 triangles) + a
+    // pendant edge; orient by (degree, id) pack exactly as the gate
+    // query does so both strategies see the same compact-forward graph
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val edges = (clique ++ square ++ Seq((0L, 20L))).toDF("u", "v")
+    val deg = Graphs.degrees(edges)
+    val ranked = edges
+      .join(deg.select(col("node").as("u"), (col("deg") * 10000000000L + col("u")).as("ru")), "u")
+      .join(deg.select(col("node").as("v"), (col("deg") * 10000000000L + col("v")).as("rv")), "v")
+    val oriented = ranked.select(
+      when(col("ru") < col("rv"),
+        struct(col("u").as("s"), col("v").as("t"), col("rv").as("rt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("ru").as("rt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.rt").as("rt"))
+    val n = oriented.count()
+    val viaBroadcast = Graphs.triangleCount(oriented, n).collect()(0).getLong(0)
+    val viaWedges = Graphs.triangleCount(oriented, n, broadcastMaxEdges = 0L)
+      .collect()(0).getLong(0)
+    assert(viaBroadcast == 10L)
+    assert(viaWedges == viaBroadcast,
+      "size-gated fallback must count the same triangles")
+  }
+
   test("ancestorRollup: deep chain sums every descendant; a cycle fails loudly") {
     import spark.implicits._
     // chain 1 <- 2 <- 3 <- 4 plus a second child 5 of node 1

@@ -351,9 +351,13 @@ class PlanSpec extends SparkTestBase {
 
   test("triangle closure joins the broadcast adjacency (the wedge set never shuffles)") {
     val plan = planString(Queries.queries("orders_triangle_count")(spark, sf))
-    // both adjacency joins must be broadcast-built; a shuffled join
+    // the fixture's edge count is far below Graphs.triangleCount's
+    // broadcast gate, so the plan must take the edge-intersection
+    // branch: both adjacency joins broadcast-built — a shuffled join
     // here would mean the Sum(out-deg^2) wedge relation materializes
-    // through an exchange
+    // through an exchange. (Above the gate the wedge self-join
+    // branch is the intended shape; GraphsSpec pins its equality on
+    // a forced-zero threshold.)
     assert(plan.contains("BroadcastHashJoin"), "adjacency joins must broadcast")
     assert(!plan.contains("SortMergeJoin"), s"wedge-side SMJ crept in:\n$plan")
   }
