@@ -121,26 +121,37 @@ object Graphs {
    * dimension-scale data: each round joins the shrinking frontier to
    * the edge table and re-aims contributions at the parent, so total
    * rows processed are Σ_nodes depth(node) — the transitive-closure
-   * size, reached in depth rounds with a row-count-only driver
-   * scalar per round. `localCheckpoint` truncates lineage. Cycles in
-   * `edges` would never drain the frontier: the `maxIters` require
-   * fires rather than looping silently.
+   * size, reached in depth rounds with ONE driver job per round: the
+   * count on the freshly checkpointed frontier doubles as the
+   * materialization trigger and the loop guard (a separate
+   * limit(1).count() probe would pay an extra job launch per level
+   * for metadata-scale work). Cycles in `edges` would never drain
+   * the frontier: the `maxIters` require fires rather than looping
+   * silently.
+   *
+   * Precondition: `edges` is a FOREST projection — at most one
+   * parent per child, no duplicate (child, parent) rows (the
+   * `.distinct()` here removes exact duplicates; a genuine
+   * multi-parent DAG would still double-count one contribution per
+   * extra ancestor path, which is path-counting, not a rollup).
    */
   def ancestorRollup(edges: DataFrame, contrib: DataFrame,
                      maxIters: Int = 30): DataFrame = {
-    val e = edges.select(col("child"), col("parent"))
+    val e = edges.select(col("child"), col("parent")).distinct()
     var acc = contrib.select(col("node"), col("w"))
     var frontier = acc.localCheckpoint()
+    var n = frontier.count()
     var it = 0
-    while (frontier.limit(1).count() > 0 && it < maxIters) {
+    while (n > 0 && it < maxIters) {
       frontier = frontier
         .join(e, frontier("node") === e("child"))
         .select(col("parent").as("node"), col("w"))
         .localCheckpoint()
+      n = frontier.count()
       acc = acc.union(frontier)
       it += 1
     }
-    require(it < maxIters || frontier.limit(1).count() == 0,
+    require(it < maxIters || n == 0,
       s"hierarchy deeper than $maxIters levels (or cyclic)")
     acc.groupBy("node").agg(sum("w").as("subtree_w"))
   }

@@ -256,7 +256,14 @@ object Ranking {
       .reduce(_ && _) && col("_band") === col("_bb")
     val wIn = Window.partitionBy((g :+ col("_band")): _*).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    banded.join(broadcast(offs), joinCond)
+    // the offsets table is |groups| x bands — bounded by the CALLER's
+    // bandWidth choice, so gate the broadcast hint on its actual row
+    // count (one cheap agg off the checkpointed counts): a bandWidth
+    // far below the value-domain scale then degrades to whatever join
+    // AQE picks instead of a driver-fatal forced broadcast
+    val nOffs = bandTot.count()
+    val offsSide = if (nOffs <= 1000000L) broadcast(offs) else offs
+    banded.join(offsSide, joinCond)
       .withColumn("cum_w", col("_boff") + sum("_w").over(wIn))
       .select((g :+ col(valueCol) :+ col("cum_w") :+ col("tot_w")): _*)
   }

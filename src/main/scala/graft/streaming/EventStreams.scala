@@ -237,8 +237,11 @@ object EventStreams {
             n += 1; s += q
             // guard BEFORE squaring: for |q| > floor(sqrt(Long.Max))
             // the square itself wraps, so a post-hoc check could pass
-            // on corrupted state
-            require(math.abs(q) <= 3037000499L,
+            // on corrupted state. Explicit range (not math.abs): the
+            // abs of Long.MinValue is NEGATIVE, so a saturating
+            // double->long extreme would slip through an abs guard
+            // and q*q would wrap to 0, corrupting state silently.
+            require(q > -3037000500L && q < 3037000500L,
               s"$etype: |value| too large to square in long state — carry (Σq, Σq²) as DECIMAL at this volume")
             require(qq <= Long.MaxValue - q * q,
               s"$etype: sumsq would overflow long state — carry (Σq, Σq²) as DECIMAL at this volume")
@@ -405,10 +408,16 @@ object EventStreams {
   class RecentPathProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String), RecentPath] {
     import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
+    // STATE-SCHEMA BREAK (round 11): the list element type changed
+    // String -> (Long, Long, String) to carry the (ts, event_id) sort
+    // key. The handle is renamed "recent_v2" so a checkpoint written
+    // by the String-state processor fails on the MISSING handle at
+    // restore — an explicit break, not a silent mis-decode of old
+    // state bytes. Operators must discard pre-break checkpoints.
     @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      recent = getHandle.getListState[(Long, Long, String)]("recent",
+      recent = getHandle.getListState[(Long, Long, String)]("recent_v2",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
