@@ -1209,6 +1209,47 @@ object AnalyticsQueries {
              |FROM deg d LEFT JOIN pdeg p ON p.node = d.node
              |WHERE d.deg >= 3 ORDER BY part""".stripMargin)),
 
+    // ---- FULL CORE DECOMPOSITION on the same support-filtered
+    //      co-purchase graph: the core NUMBER of every node — the
+    //      standard graph-quality summary (k-core membership for all
+    //      k at once). Computed by the h-index fixpoint
+    //      (Graphs.coreNumbers): c(v) starts at degree and iterates
+    //      to H(neighbor values); the sequence is non-increasing and
+    //      its fixpoint is exactly coreness, so a FIXED-iteration
+    //      WITH RECURSIVE oracle (50 rounds, idempotent past
+    //      convergence) states the identical per-node result — the
+    //      iterated-deletion loop that round 9's peel gate could not
+    //      oracle becomes oracle-able through this reformulation. ----
+    Q("graph_core_numbers",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        graft.operators.Graphs.coreNumbers(e)
+          .select(col("node").as("part"), col("core_k"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |est(iter, node, c) AS (
+             |  SELECT 0, u, CAST(COUNT(*) AS BIGINT) FROM sym GROUP BY 2
+             |  UNION ALL
+             |  SELECT iter, node, CAST(MAX(m) AS BIGINT) FROM (
+             |    SELECT p.iter + 1 AS iter, s.u AS node,
+             |      LEAST(ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY p.c DESC), p.c) AS m
+             |    FROM sym s JOIN est p ON p.node = s.v
+             |    WHERE p.iter < 50) GROUP BY 1, 2)
+             |SELECT node AS part, c AS core_k FROM est
+             |WHERE iter = 50 ORDER BY part""".stripMargin)),
+
     // ---- HIERARCHICAL ROLLUP (BOM/category-tree shape): revenue
     //      aggregated to every ANCESTOR of a variable-depth parts
     //      hierarchy — the operation WITH RECURSIVE expresses and

@@ -68,6 +68,53 @@ object Graphs {
   }
 
   /**
+   * CORE DECOMPOSITION: the core number of every node — the largest
+   * k such that the node survives in the k-core — via the h-index
+   * fixpoint (Lü et al., "The H-index of a network node and its
+   * relation to degree and coreness", 2016 — a public, provably
+   * convergent distributed algorithm): initialize c(v) = deg(v) and
+   * iterate c(v) = H({c(u) : u ~ v}), the largest h such that at
+   * least h neighbors currently hold a value >= h. Every node's
+   * sequence is non-increasing and the fixpoint is exactly coreness,
+   * so extra rounds past convergence are no-ops — which is what lets
+   * a fixed-iteration WITH RECURSIVE oracle state the same result.
+   *
+   * Distributed shape per round: one (edges ⋈ estimates) equi-join +
+   * one node-keyed window (rank neighbor values desc; H =
+   * max(min(rank, c))) — all shuffles are keyed on the node, nothing
+   * broadcasts, per-round data is exactly |sym edges| rows. The
+   * per-round driver scalar is the changed-node count off the two
+   * checkpointed estimate tables. Round count is bounded by the
+   * longest strictly-decreasing estimate chain — empirically a few
+   * dozen on real graphs (vs the peel-per-k alternative whose rounds
+   * are Σ_k depth_k).
+   */
+  def coreNumbers(edges: DataFrame, maxIters: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symmetric(edges).localCheckpoint()
+    var est = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nb = sym.join(est.select(col("node").as("v"), col("c").as("cv")), "v")
+        .select(col("u").as("node"), col("cv"))
+      val w = Window.partitionBy("node").orderBy(col("cv").desc)
+      val next = nb
+        .withColumn("m", least(row_number().over(w).cast("long"), col("cv")))
+        .groupBy("node").agg(max("m").as("c"))
+        .localCheckpoint()
+      changed = next.join(est.select(col("node"), col("c").as("_prev")), "node")
+        .filter(col("c") =!= col("_prev")).count()
+      est = next
+      it += 1
+    }
+    require(changed == 0,
+      s"core-number h-index iteration did not converge in $maxIters rounds")
+    est.select(col("node"), col("c").as("core_k"))
+  }
+
+  /**
    * TRIANGLE COUNT over a rank-oriented edge list `(s, t, rt)` where
    * every edge points from lower to higher rank and `rt` is the
    * target's rank (compact-forward orientation — the caller packs

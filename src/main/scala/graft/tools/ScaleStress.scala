@@ -206,6 +206,34 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // Full core decomposition (h-index fixpoint): disjoint replicas
+    // leave every node's coreness unchanged, so the ROUND count is
+    // m-invariant (the fixpoint depth of one replica) while per-round
+    // work tracks edges — wall must grow ~linearly in edges, never
+    // in edges x rounds².
+    if (wanted("corenum")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val it = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val ne = e.count()
+        val t0 = System.nanoTime()
+        val maxCore = graft.operators.Graphs.coreNumbers(e)
+          .agg(max("core_k")).collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE corenum m=$m%2d edges=$ne%8d maxk=$maxCore%4d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Ancestor rollup: replicated part catalogs keep the decimal
     // tree's DEPTH constant (ids only widen), so the closure's round
     // count stays fixed while per-round work tracks the catalog —

@@ -50,6 +50,47 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.kCore(df, 2).count() == 0)
   }
 
+  private def bruteCoreNumbers(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val rem = scala.collection.mutable.Map(adj.toSeq.map { case (n, a) => n -> a.size }: _*)
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val core = scala.collection.mutable.Map[Long, Long]()
+    while (alive.nonEmpty) {
+      val k = alive.iterator.map(rem).min
+      val todo = scala.collection.mutable.Queue(alive.filter(rem(_) <= k).toSeq: _*)
+      while (todo.nonEmpty) {
+        val n = todo.dequeue()
+        if (alive(n)) {
+          core(n) = k.toLong; alive -= n
+          adj(n).foreach { m =>
+            if (alive(m)) { rem(m) -= 1; if (rem(m) <= k) todo += m }
+          }
+        }
+      }
+    }
+    core.toMap
+  }
+
+  test("coreNumbers: h-index fixpoint equals brute-force min-degree peeling") {
+    import spark.implicits._
+    // 5-clique (core 4) + a path fringe off node 0 (core 1) + a
+    // 3-cycle (core 2) + a 4-clique bridged to the 5-clique by one
+    // edge (bridge endpoints keep their own cliques' core numbers)
+    val clique5 = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val path = (0L until 4L).map(i => (if (i == 0) 0L else 100L + i - 1, 100L + i))
+    val cycle = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val clique4 = for (i <- 300L to 303L; j <- i + 1 to 303L) yield (i, j)
+    val bridge = Seq((4L, 300L))
+    val edges = (clique5 ++ path ++ cycle ++ clique4 ++ bridge).toSet
+    val got = Graphs.coreNumbers(edges.toSeq.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteCoreNumbers(edges))
+  }
+
   test("triangleCount: wedge-join fallback (forced tiny gate) equals the broadcast form") {
     import spark.implicits._
     // 5-clique (C(5,3)=10 triangles) + a 4-cycle (0 triangles) + a
