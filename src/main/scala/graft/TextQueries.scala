@@ -1351,6 +1351,24 @@ object TextQueries {
              |WHERE levenshtein(a.nm, b.nm) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- FastSS at distance 2 — the real-world name-matching
+    //      setting (two typos): same deletion-neighborhood equi-join,
+    //      neighborhood widened to the C(L,2) two-deletion variants.
+    //      Oracle is the plain quadratic levenshtein <= 2 self-join,
+    //      so the index's completeness at k=2 (every qualifying pair
+    //      shares a <= 2-deletion variant) is proved ON the gate. ----
+    Q("text_editdist2_pairs",
+      (s, dir) => graft.operators.Dedup
+        .editDistancePairs(Tables.t(s, dir, "supplier"), "s_suppkey", "s_name",
+          maxDist = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH n AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |FROM n a JOIN n b ON a.id < b.id
+             |WHERE levenshtein(a.nm, b.nm) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- ENTITY RESOLUTION composition: FastSS edit-distance pairs
     //      feed the connected-components labeller — "these supplier
     //      names are the same entity up to one typo" as transitive

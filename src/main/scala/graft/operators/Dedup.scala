@@ -449,27 +449,58 @@ object Dedup {
    *
    * Intended for short identifier-like strings (names, codes, SKUs):
    * a string of length L emits L+1 variants of length L-1 — O(L²)
-   * bytes per input row. For document-scale text use the shingle
-   * joins ([[prefixFilterNearDups]]); for distance k >= 2 the
-   * neighborhood is L-choose-k deletions — compose k=1 passes or
-   * fall back to [[graft.EtlQueries]]'s broadcast levenshtein probe.
+   * bytes per input row (O(L³) at maxDist = 2, whose neighborhood
+   * adds the C(L,2) two-deletion variants). For document-scale text
+   * use the shingle joins ([[prefixFilterNearDups]]).
    */
-  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    editDistancePairs(df, idCol, strCol, maxDist = 1)
+
+  /**
+   * FastSS deletion-neighborhood join at `maxDist` ∈ {1, 2}: pairs
+   * with levenshtein distance <= maxDist, via an equi-join on
+   * deletion variants of up to `maxDist` characters. Completeness is
+   * the FastSS invariant: for any alignment witnessing ed(a, b) = d
+   * <= k, deleting a's side of each edit from a and b's side from b
+   * leaves the SAME string with <= k deletions on each side, so
+   * every qualifying pair collides in at least one variant bucket
+   * and the closing exact `levenshtein <= k` filter makes the output
+   * equal the quadratic all-pairs join. Variants are generated by
+   * pure Catalyst expressions (no UDF); candidate pairs are deduped
+   * BEFORE the verify so a pair sharing many variants is scored
+   * once. maxDist = 2 is the real-world name-matching setting (two
+   * typos); beyond 2 the L-choose-k neighborhood outgrows the rows
+   * it indexes — use the shingle joins instead.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods are indexed for maxDist 1 or 2, got $maxDist")
     val base = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
-    // identity variant + one variant per deleted position, emitted by
-    // pure Catalyst expressions (no UDF)
+    // identity variant + one variant per deleted position (+ the
+    // two-deletion variants at maxDist = 2). The `case when length
+    // >= 2` guard matters: Spark's sequence(a, b) DESCENDS when
+    // a > b, which would fabricate bogus indices on 0/1-char strings
+    // (the else-arm reuses array(_s) — already present, union dedups).
+    val del1 =
+      "array_union(array(_s), transform(sequence(1, length(_s)), " +
+        "i -> concat(substring(_s, 1, i - 1), substring(_s, i + 1, length(_s)))))"
+    val variantExpr =
+      if (maxDist == 1) del1
+      else s"array_union($del1, " +
+        "case when length(_s) >= 2 then flatten(transform(sequence(1, length(_s) - 1), " +
+        "i -> transform(sequence(i + 1, length(_s)), " +
+        "j -> concat(substring(_s, 1, i - 1), substring(_s, i + 1, j - i - 1), " +
+        "substring(_s, j + 1, length(_s)))))) else array(_s) end)"
     val variants = base.select(col("_id"), col("_s"),
-      explode(expr(
-        "array_union(array(_s), transform(sequence(1, length(_s)), " +
-          "i -> concat(substring(_s, 1, i - 1), substring(_s, i + 1, length(_s)))))"))
-        .as("_v"))
+      explode(expr(variantExpr)).as("_v"))
     val a = variants.select(col("_id").as("id_a"), col("_s").as("_sa"), col("_v"))
     val b = variants.select(col("_id").as("id_b"), col("_s").as("_sb"), col("_v"))
     a.join(b, Seq("_v"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "_sa", "id_b", "_sb").distinct()
-      .filter(expr("levenshtein(_sa, _sb) <= 1"))
+      .filter(expr(s"levenshtein(_sa, _sb) <= $maxDist"))
       .select(col("id_a"), col("id_b"),
         expr("levenshtein(_sa, _sb)").cast("long").as("dist"))
   }

@@ -180,6 +180,24 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // FastSS at k=2: the C(L,2) two-deletion neighborhood multiplies
+    // the index (~L²/2 variants per name) but the join stays
+    // variant-keyed — wall must track index + output size, never
+    // names².
+    if (wanted("editd2")) {
+      multiples.foreach { m =>
+        val n = 2000L * m
+        val names = spark.range(n).select(col("id"),
+          format_string("Item#%09d", col("id")).as("nm"))
+        names.count() // warm
+        val t0 = System.nanoTime()
+        val out = graft.operators.Dedup
+          .editDistancePairs(names, "id", "nm", maxDist = 2).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE editd2  m=$m%2d names=$n%7d out=$out%9d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Full k-core fixpoint under replication: replica graphs are
     // key-disjoint, so peeling depth stays the base graph's fringe
     // depth (driver round count CONSTANT) while the per-round

@@ -301,6 +301,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("editDistancePairs(maxDist=2) == quadratic levenshtein join on generated short strings") {
+    // same adversarial generator as k=1 plus the k=2 traps: pure
+    // 2-char insertions (len 1 vs 3), double substitutions, and the
+    // 0/1-char strings where an unguarded sequence() would descend
+    val str = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- Seq(7L, 31L)) {
+      val names = sample(str, 50, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = names.toDF("id", "nm")
+      val got = graft.operators.Dedup.editDistancePairs(df, "id", "nm", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val quad = (for {
+        (ia, a) <- names; (ib, b) <- names if ia < ib
+        d = levRef(a, b) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == quad, s"seed=$seed missed=${quad -- got} extra=${got -- quad}")
+    }
+  }
+
   private def levRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)
