@@ -4171,6 +4171,122 @@ object AnalyticsQueries {
              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
              |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- FUNNEL CONVERSION: how many users complete
+    //      signup → view → purchase IN ORDER — the product-analytics
+    //      staple. Each stage is an arg-min aggregation (earliest
+    //      qualifying event strictly after the previous stage's
+    //      anchor, ordered by the unique (µs, event_id) pair so the
+    //      anchor is engine-deterministic under timestamp ties) +
+    //      one keyed join — no per-user sequence materialization, no
+    //      window over the fact table; per-stage state is one row
+    //      per surviving user. ----
+    Q("events_funnel_conversion",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(struct(col("us"), col("event_id"))).as("ks"))
+        val vw = ev.filter(col("event_type") === "view")
+          .join(su, "user_id")
+          .filter(struct(col("us"), col("event_id")) > col("ks"))
+          .groupBy("user_id")
+          .agg(min(struct(col("us"), col("event_id"))).as("kv"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .join(vw, "user_id")
+          .filter(struct(col("us"), col("event_id")) > col("kv"))
+          .groupBy("user_id")
+          .agg(min(struct(col("us"), col("event_id"))).as("kp"))
+        su.join(vw, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("kv")).as("n_view_after"),
+            count(col("kp")).as("n_purchase_after"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+             |su AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'signup'
+             |       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1),
+             |vw AS (SELECT v.user_id, v.us, v.event_id FROM e v JOIN su ON su.user_id = v.user_id
+             |       WHERE v.event_type = 'view' AND (v.us, v.event_id) > (su.us, su.event_id)
+             |       QUALIFY ROW_NUMBER() OVER (PARTITION BY v.user_id ORDER BY v.us, v.event_id) = 1),
+             |pu AS (SELECT p.user_id FROM e p JOIN vw ON vw.user_id = p.user_id
+             |       WHERE p.event_type = 'purchase' AND (p.us, p.event_id) > (vw.us, vw.event_id)
+             |       QUALIFY ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.us, p.event_id) = 1)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS n_signup,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vw) AS n_view_after,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n_purchase_after""".stripMargin)),
+
+    // ---- RETENTION COHORTS: users grouped by first-activity week,
+    //      activity counted per week offset — the cohort matrix every
+    //      growth dashboard draws. Two keyed aggregations (first
+    //      touch per user; distinct users per (cohort, offset)) —
+    //      both shuffles on high-cardinality keys; week arithmetic is
+    //      exact integer day-diff // 7 on both engines. ----
+    Q("events_retention_cohorts",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort").cast("date").as("cohort_week"),
+            (datediff(col("wk"), col("cohort")).cast("long") / 7)
+              .cast("long").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+             |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1)
+             |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+             |       CAST(datediff('day', f.cohort, e.wk) // 7 AS BIGINT) AS week_offset,
+             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN f ON f.user_id = e.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- RFM SEGMENTATION: customers classed into quartiles on
+    //      Recency / Frequency / Monetary — the classic CRM cut. The
+    //      per-customer aggregate collapses facts ONCE (exact cents,
+    //      epoch-day recency); the three quartile assignments run on
+    //      Ranking.segmentedRanks' two-phase exact NTILE (sampled
+    //      boundary buckets + offset arithmetic — no single-task
+    //      global window even though the order is global), tie-broken
+    //      by custkey so every class is engine-deterministic. ----
+    Q("orders_rfm_segments",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c"))
+          .agg(unix_date(max(col("o_orderdate")).cast("date")).cast("long").as("recency"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("monet"))
+          .withColumn("_g", lit(1))
+          .localCheckpoint() // three ntile consumers; customer-dimension-sized
+        def cls(vcol: String, out: String) = graft.operators.Ranking
+          .segmentedRanks(m, "_g", Seq(vcol, "c"), ntiles = Some(4))
+          .select(col("c"), col("ntile").as(out))
+        cls("recency", "r_class")
+          .join(cls("freq", "f_class"), "c")
+          .join(cls("monet", "m_class"), "c")
+          .groupBy("r_class", "f_class", "m_class")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("r_class", "f_class", "m_class")
+      },
+      Some("""WITH m AS (SELECT o_custkey AS c,
+             |    CAST(datediff('day', DATE '1970-01-01', MAX(o_orderdate)) AS BIGINT) AS recency,
+             |    CAST(COUNT(*) AS BIGINT) AS freq,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monet
+             |  FROM orders GROUP BY 1),
+             |cls AS (SELECT c,
+             |    NTILE(4) OVER (ORDER BY recency, c) AS r_class,
+             |    NTILE(4) OVER (ORDER BY freq, c) AS f_class,
+             |    NTILE(4) OVER (ORDER BY monet, c) AS m_class
+             |  FROM m)
+             |SELECT CAST(r_class AS BIGINT) AS r_class,
+             |       CAST(f_class AS BIGINT) AS f_class,
+             |       CAST(m_class AS BIGINT) AS m_class,
+             |       CAST(COUNT(*) AS BIGINT) AS n_customers
+             |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

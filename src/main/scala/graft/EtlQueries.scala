@@ -1351,6 +1351,42 @@ object EtlQueries {
              |SELECT o_orderkey, price, o_orderstatus FROM r
              |WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- CDC incremental apply: a delete-carrying change batch
+    //      folds into an EXISTING keyed destination (the other half
+    //      of the CDC story — etl_cdc_apply above compacts a log
+    //      from scratch; this one converges yesterday's table). The
+    //      destination is the keep-latest state of the even-id half
+    //      of the events feed; the odd half arrives as changes where
+    //      'error' events are tombstones. Because max(version) per
+    //      key is split-independent, the composed result equals one
+    //      keep-latest over the WHOLE feed with the winner's
+    //      tombstone dropping the key — which is what the oracle
+    //      states (Upsert.applyCdc: one keyed shuffle, no per-row
+    //      lookups; replays idempotent). ----
+    Q("etl_cdc_incremental",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("user_id", "event_id", "event_type", "value")
+        val evens = ev.filter(col("event_id") % 2 === 0)
+        val existing = graft.operators.Upsert.keepLatest(
+          evens, evens.filter(lit(false)), Seq("user_id"), "event_id")
+        val changes = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("op",
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        graft.operators.Upsert
+          .applyCdc(existing, changes, Seq("user_id"), "event_id", "op")
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |    CASE WHEN event_id % 2 = 1 AND event_type = 'error'
+             |         THEN 'D' ELSE 'U' END AS op,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id, event_type, value FROM ranked
+             |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)),
+
     // ---- SCD-2 history merge: every 7th customer gets a re-segmented
     //      update; its current row must close at the update timestamp
     //      and a new open row appear, history/untouched rows intact. ----

@@ -72,6 +72,32 @@ object Upsert {
   }
 
   /**
+   * Apply a CDC change batch WITH DELETES: `changes` carries the key
+   * columns, a version column, an op column ('D' = delete, anything
+   * else = upsert) and the payload. Final state per key = the
+   * highest-version record ACROSS (existing ∪ changes) — if that
+   * winner is a delete, the key is absent; otherwise its payload
+   * stands. This is the missing half of [[keepLatest]]: a keyed
+   * MERGE target fed by a debezium-style feed converges through this
+   * exactly (replays idempotent for the keepLatest reason — max
+   * version per key is split- and order-independent given unique
+   * versions).
+   *
+   * `existing` rows are treated as non-delete records at their own
+   * stored version (the destination is itself the product of prior
+   * CDC applies, so it carries versionCol); a change only wins with
+   * a strictly-newer-or-tied version. ONE keyed shuffle, same budget
+   * as keepLatest.
+   */
+  def applyCdc(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+               versionCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyCdc needs at least one merge key")
+    val base = existing.withColumn(opCol, lit("U"))
+    val merged = keepLatest(base, changes, keys, versionCol)
+    merged.filter(col(opCol) =!= "D").drop(opCol)
+  }
+
+  /**
    * Change-data capture between two loads of the same keyed table:
    * every key classified INSERT (new only), DELETE (old only), UPDATE
    * (present in both, any non-key column differs, null-safely) or
