@@ -1250,6 +1250,87 @@ object AnalyticsQueries {
              |SELECT node AS part, c AS core_k FROM est
              |WHERE iter = 50 ORDER BY part""".stripMargin)),
 
+    // ---- MULTI-SOURCE BFS hop distances: "how many links from a
+    //      flagged part" over the co-purchase graph — frontier
+    //      iteration (Graphs.bfsHops) where every node enters once at
+    //      its minimal distance and total work is the BFS tree's
+    //      fan-out. The shared maxHops cap is the contract that lets
+    //      the fixed-depth recursive oracle state the identical
+    //      reachable set (both engines stop expanding at 15 hops). ----
+    Q("graph_bfs_hops",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val seeds = graft.operators.Graphs.symmetric(e)
+          .filter(col("u") % 10 === 0).select(col("u").as("node")).distinct()
+        graft.operators.Graphs.bfsHops(e, seeds, maxHops = 15)
+          .select(col("node").as("part"), col("dist"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |seeds AS (SELECT DISTINCT u AS node FROM sym WHERE u % 10 = 0),
+             |reach(node, d) AS (
+             |  SELECT node, 0 FROM seeds
+             |  UNION
+             |  SELECT s.v, r.d + 1 FROM reach r JOIN sym s ON s.u = r.node
+             |  WHERE r.d < 15)
+             |SELECT node AS part, CAST(MIN(d) AS BIGINT) AS dist
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- COMMON-NEIGHBOR LINK PREDICTION: non-adjacent part pairs
+    //      sharing >= 2 co-purchase neighbors — the integer-exact
+    //      core of the Adamic-Adar family ("these two products are
+    //      bought with the same things but never together"). One
+    //      wedge self-join keyed on the shared middle node + a count
+    //      + an anti-join against the edge list. The wedge set is
+    //      Σ deg² — same growth as the triangle closure; at 100× the
+    //      same degree-ordered split applies (rank the wedge ends,
+    //      generate at the lower-rank middle). ----
+    Q("graph_common_neighbors",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // consumed by wedges (x2) and the anti-join
+        val sym = graft.operators.Graphs.symmetric(e)
+        val w1 = sym.select(col("u").as("x"), col("v").as("a"))
+        val w2 = sym.select(col("u").as("x"), col("v").as("b"))
+        val cn = w1.join(w2, Seq("x"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 2)
+        cn.join(e.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
+          .orderBy("a", "b")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |cn AS (SELECT w1.v AS a, w2.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+             |       FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+             |       GROUP BY 1, 2)
+             |SELECT a, b, n_common FROM cn
+             |WHERE n_common >= 2
+             |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+             |ORDER BY a, b""".stripMargin)),
+
     // ---- HIERARCHICAL ROLLUP (BOM/category-tree shape): revenue
     //      aggregated to every ANCESTOR of a variable-depth parts
     //      hierarchy — the operation WITH RECURSIVE expresses and
@@ -2550,6 +2631,31 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id
              |  ORDER BY value DESC, event_id DESC) <= 3
              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- streaming EXACT DEDUP through the real engine: the
+    //      first-class dropDuplicates state operator — one state row
+    //      per distinct (user_id, event_type) carried ACROSS
+    //      micro-batches (the two-file/maxFilesPerTrigger=1 feed puts
+    //      each key's duplicates in BOTH batches, so an append sink
+    //      without the state op would double-emit). Output restricted
+    //      to the key columns: WHICH occurrence survives is
+    //      batch-order-dependent, the key SET is not — and the set is
+    //      what the distinct oracle states. State is bounded by
+    //      distinct keys (the watermarked variant trades that bound
+    //      for a horizon; this gate pins the exact form). ----
+    Q("events_stream_dedup",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_dedup_")
+        graft.streaming.EventStreams.runToParquet(s,
+            graft.streaming.EventStreams.readEvents(s, src,
+                maxFilesPerTrigger = Some(1))
+              .select("user_id", "event_type")
+              .dropDuplicates("user_id", "event_type"),
+            work.toString, statePartitions = Some(8))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
 
     // ---- streaming keyed upsert into a RELATIONAL destination: the
     //      same two-file/maxFilesPerTrigger=1 feed, but each

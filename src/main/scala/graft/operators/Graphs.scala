@@ -68,6 +68,44 @@ object Graphs {
   }
 
   /**
+   * BFS HOP DISTANCES from a seed set: (node, dist) for every node
+   * within `maxHops` of any seed — multi-source unweighted shortest
+   * paths, the reachability primitive behind influence radii and
+   * "within N links of a flagged entity" audits. Classic frontier
+   * iteration: each round joins the CURRENT frontier to the edge
+   * list and anti-joins everything already visited, so a node enters
+   * exactly once at its minimal distance and total rows processed
+   * are Σ_frontier deg — the BFS tree's edge fan-out, never
+   * rounds × |E|. Rounds = min(eccentricity, maxHops) with one
+   * frontier-count driver scalar each; `localCheckpoint` truncates
+   * the growing lineage. `maxHops` doubles as the contract an
+   * oracle's fixed-depth recursive expansion can state exactly.
+   */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 15): DataFrame = {
+    val sym = symmetric(edges).localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var d = 0L
+    var n = frontier.count()
+    while (n > 0 && d < maxHops) {
+      d += 1
+      frontier = frontier
+        .join(sym, frontier("node") === sym("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint()
+      n = frontier.count()
+      // visited stays a plain union OVER checkpointed frontiers — a
+      // flat lineage that replays nothing; checkpointing it would
+      // re-materialize the whole visited set every round
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
+  /**
    * CORE DECOMPOSITION: the core number of every node — the largest
    * k such that the node survives in the k-core — via the h-index
    * fixpoint (Lü et al., "The H-index of a network node and its

@@ -75,6 +75,24 @@ class GraphsSpec extends SparkTestBase {
     core.toMap
   }
 
+  test("bfsHops: minimal distances from a multi-source seed set; cap excludes the far tail") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus a branch 2-10-11; seeds {0, 11}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 10L), (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(0L, 11L).toDF("node")
+    val got = Graphs.bfsHops(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2 is 2 hops from 0 and 2 from 11 — min wins either way;
+    // node 10 is 1 from 11 (not 3 via 0's side)
+    assert(got == Map(0L -> 0L, 11L -> 0L, 1L -> 1L, 10L -> 1L,
+      2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // a maxHops cap strictly excludes nodes beyond it
+    val capped = Graphs.bfsHops(edges, Seq(0L).toDF("node"), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("coreNumbers: h-index fixpoint equals brute-force min-degree peeling") {
     import spark.implicits._
     // 5-clique (core 4) + a path fringe off node 0 (core 1) + a
