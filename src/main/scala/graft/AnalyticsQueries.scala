@@ -4393,6 +4393,76 @@ object AnalyticsQueries {
              |       CAST(f_class AS BIGINT) AS f_class,
              |       CAST(m_class AS BIGINT) AS m_class,
              |       CAST(COUNT(*) AS BIGINT) AS n_customers
-             |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- BURST DETECTION: hours where an event type's count
+    //      exceeds 3x its trailing-24h hourly average — the ops
+    //      alerting cut. Integer-exact: the flag n > 3·(trail/24)
+    //      cross-multiplies to 8·n > trail (no float average), hours
+    //      are epoch-µs div 3600e6, and the trailing window is a
+    //      RANGE frame over the integer hour index (gaps in sparse
+    //      hours count as zero, which a ROWS frame would silently
+    //      miss). The window input is the (type, hour) AGGREGATE —
+    //      facts collapse first, the frame never sees raw events. ----
+    Q("events_burst_hours",
+      (s, dir) => {
+        val h = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rangeBetween(-24, -1)
+        h.withColumn("trail24", sum("n").over(w))
+          .filter(col("trail24").isNotNull && col("n") * 8 > col("trail24"))
+          .select("event_type", "hr", "n", "trail24")
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+             |    SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+             |                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail
+             |  FROM h)
+             |SELECT event_type, hr, n, CAST(trail AS BIGINT) AS trail24
+             |FROM w WHERE trail IS NOT NULL AND n * 8 > trail
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // ---- 2D SKYLINE (Pareto front): parts not dominated on
+    //      (min price, max quantity) — "no other part is both
+    //      cheaper and carries more" — the multi-objective shortlist
+    //      operator. One sort-order trick replaces the quadratic
+    //      NOT-EXISTS: ordered by price, a part is on the front iff
+    //      its quantity beats the running max over STRICTLY cheaper
+    //      parts (RANGE frame keeps price ties out of their own
+    //      prefix) AND it tops its own price tie-group. All integer
+    //      cents/units. The windows run on the per-part AGGREGATE
+    //      (dimension-sized); at 100x the price axis bands exactly
+    //      like groupedCumWeights. ----
+    Q("lineitem_skyline_2d",
+      (s, dir) => {
+        val pq = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("p"),
+            max(col("l_quantity").cast("long")).as("q"))
+        val w1 = Window.orderBy("p").rangeBetween(Window.unboundedPreceding, -1)
+        val w2 = Window.partitionBy("p")
+        pq.withColumn("m1", max("q").over(w1))
+          .withColumn("m2", max("q").over(w2))
+          .filter((col("m1").isNull || col("m1") < col("q")) && col("q") === col("m2"))
+          .select("part", "p", "q")
+          .orderBy("part")
+      },
+      Some("""WITH pq AS (SELECT l_partkey AS part,
+             |    CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p,
+             |    CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             |  FROM lineitem GROUP BY 1),
+             |w AS (SELECT part, p, q,
+             |    MAX(q) OVER (ORDER BY p RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+             |    MAX(q) OVER (PARTITION BY p) AS m2
+             |  FROM pq)
+             |SELECT part, p, q FROM w
+             |WHERE (m1 IS NULL OR m1 < q) AND q = m2 ORDER BY part""".stripMargin))
   )
 }

@@ -1499,6 +1499,80 @@ object EtlQueries {
              |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ---- INCREMENTAL AGGREGATE MAINTENANCE: a monthly rollup table
+    //      absorbs a new batch by COMBINING partials (sum-of-sums,
+    //      sum-of-counts) instead of recomputing from all facts —
+    //      the discipline that keeps a 100 TB rollup's refresh
+    //      proportional to the batch. Both the standing table and the
+    //      batch aggregate map-side; the oracle is the full
+    //      recompute, so the gate proves combine(partial(A),
+    //      partial(B)) = aggregate(A ∪ B) on real data. Exact cents
+    //      throughout. ----
+    Q("etl_incremental_agg",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def part(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val standing = part(o.filter(col("o_orderkey") % 4 =!= 0))
+        val batch = part(o.filter(col("o_orderkey") % 4 === 0))
+        standing.unionByName(batch)
+          .groupBy("month")
+          .agg(sum("n").as("n"), sum("cents").as("cents"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- SCD-2 POINT-IN-TIME JOIN AT EVENT TIME: each order joins
+    //      the dimension row that was valid ON ITS ORDER DATE — the
+    //      as-of enrichment a history-preserving dimension exists
+    //      for (etl_scd2_point_in_time reads one fixed instant; this
+    //      gate reads a DIFFERENT instant per fact row). The dim is
+    //      built through the real Upsert.scd2Apply path (every 7th
+    //      customer re-segmented mid-history), then one equi-join on
+    //      the key with the validity-interval predicate — the range
+    //      rides the custkey shuffle, never a cross join. ----
+    Q("etl_scd2_event_join",
+      (s, dir) => {
+        val ts0 = lit("1990-01-01").cast(org.apache.spark.sql.types.TimestampType)
+        val ts1 = lit("1995-06-15").cast(org.apache.spark.sql.types.TimestampType)
+        val dim0 = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          .withColumn("valid_from", ts0)
+          .withColumn("valid_to", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+        val upd = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("RESEGMENTED").as("segment"))
+          .withColumn("valid_from", ts1)
+        val dim = graft.operators.Upsert.scd2Apply(dim0, upd, Seq("c_custkey"))
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType).as("odt"))
+        o.join(dim, o("o_custkey") === dim("c_custkey") &&
+            o("odt") >= dim("valid_from") &&
+            (dim("valid_to").isNull || o("odt") < dim("valid_to")))
+          .select(col("o_orderkey"), col("segment"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey, c_mktsegment AS segment,
+             |         TIMESTAMP '1990-01-01' AS valid_from,
+             |         CASE WHEN c_custkey % 7 = 0
+             |              THEN TIMESTAMP '1995-06-15' END AS valid_to
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, 'RESEGMENTED', TIMESTAMP '1995-06-15', NULL
+             |  FROM customer WHERE c_custkey % 7 = 0)
+             |SELECT o.o_orderkey, d.segment
+             |FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+             |  AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+             |  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     Q("etl_transform_defaults",
       (s, dir) => {
         // P5 defaults + P6 transformation rules.

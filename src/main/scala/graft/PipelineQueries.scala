@@ -415,6 +415,73 @@ object PipelineQueries {
              |  COUNT(*) AS l_distinct, (COUNT(*) >= 2) AS meets_l,
              |  CAST(MAX(c) * 1000 // CAST(SUM(c) AS BIGINT) AS BIGINT) AS dominant_permille
              |FROM c GROUP BY lang, size_bucket
-             |ORDER BY lang, size_bucket""".stripMargin))
+             |ORDER BY lang, size_bucket""".stripMargin)),
+
+    // ---- PER-USER TEMPORAL SPLIT: each user's first 80% of events
+    //      (by time) train, the tail 20% test — the backtest split
+    //      sequence models need (a global time cut degenerates on
+    //      cohort-aligned data: every user starts in week 0 here, so
+    //      user-level assignment would put EVERYONE in train; the
+    //      per-entity cut keeps both splits populated AND leaks no
+    //      future events into a user's training prefix). rn·10 <=
+    //      cnt·8 is the exact-integer form of rank <= 0.8n; the rank
+    //      window partitions by user — high cardinality, scale-safe.
+    //      Tie-broken by event_id so the boundary event is
+    //      engine-deterministic. ----
+    Q("sample_temporal_split",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val n = Window.partitionBy("user_id")
+        b.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(n))
+          .withColumn("split",
+            when(col("rn") * 10 <= col("cnt") * 8, lit("train")).otherwise(lit("test")))
+          .groupBy("split")
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |t AS (SELECT user_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM b)
+             |SELECT CASE WHEN rn * 10 <= cnt * 8 THEN 'train' ELSE 'test' END AS split,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- EMBEDDING-TABLE QUALITY REPORT: per-dimension moments of
+    //      the embedding column — the drift/collapse check a vector
+    //      pipeline runs before indexing (a dead dimension shows as
+    //      sumsq ≈ 0, a scale blowout as an outlier sumsq). Values
+    //      quantize to BIGINT micro-units; Σq is BIGINT, Σq² rides
+    //      DECIMAL(38,0)/HUGEINT so the report is bit-exact at any
+    //      corpus size. One posexplode + one combinable groupBy on
+    //      the 64 dims. ----
+    Q("embed_dim_moments",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum("q").as("sum_q"),
+            sum((col("q").cast("decimal(20,0)") * col("q").cast("decimal(18,0)")))
+              .cast("decimal(38,0)").as("sumsq_q"))
+          .orderBy("dim")
+      },
+      Some("""SELECT CAST(t.i AS BIGINT) AS dim,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+             |  CAST(SUM(CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT) *
+             |           CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT)) AS DECIMAL(38,0)) AS sumsq_q
+             |FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x,
+             |                            generate_subscripts(e.embedding, 1) AS i) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

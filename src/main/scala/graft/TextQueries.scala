@@ -1400,6 +1400,29 @@ object TextQueries {
              |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
              |SELECT node AS s_suppkey, cluster_id,
              |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
-             |FROM cl ORDER BY s_suppkey""".stripMargin))
+             |FROM cl ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- TEXT NORMALIZATION: the cleaning pass every corpus
+    //      pipeline runs before dedup/tokenization — lowercase,
+    //      collapse all whitespace runs to one space, trim. Pure
+    //      codegen'd string expressions, map-side only; the gate
+    //      hash-compares the CLEANED STRINGS themselves, pinning
+    //      that Spark's Java-regex `\s+` and DuckDB's RE2 agree on
+    //      the whitespace class over the whole corpus (the dialect
+    //      drift that silently forks a pipeline's notion of
+    //      "identical document"). ----
+    Q("text_normalize_clean",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("cleaned"),
+          length(col("text")).cast("long").as("n_before"),
+          length(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .cast("long").as("n_after"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS cleaned,
+             |  CAST(length(text) AS BIGINT) AS n_before,
+             |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS n_after
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
