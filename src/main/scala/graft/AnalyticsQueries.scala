@@ -1331,6 +1331,101 @@ object AnalyticsQueries {
              |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
              |ORDER BY a, b""".stripMargin)),
 
+    // ---- K-HOP WEIGHTED SHORTEST PATHS (distributed Bellman-Ford):
+    //      minimum-weight route from the seed set within 12 edges,
+    //      edge weight 11 − min(support, 10) so stronger co-purchase
+    //      ties are shorter. After round k the distance is EXACTLY
+    //      "min weight over paths with <= k edges" — well-defined
+    //      with or without global convergence, which is what the
+    //      fixed-depth recursive oracle states (both engines expand
+    //      12 rounds; extra rounds past a fixpoint are no-ops). ----
+    Q("graph_weighted_paths",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u"), col("v"),
+            (lit(11L) - least(col("c"), lit(10L))).cast("long").as("w"))
+        val seeds = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .filter(col("node") % 10 === 0).distinct()
+        graft.operators.Graphs.weightedHops(e, seeds, rounds = 12)
+          .select(col("node").as("part"), col("dist"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+             |        CAST(11 - LEAST(COUNT(*), 10) AS BIGINT) AS w
+             |      FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+             |seeds AS (SELECT DISTINCT u AS node FROM sym WHERE u % 10 = 0),
+             |reach(node, d, i) AS (
+             |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+             |  UNION
+             |  SELECT s.v, r.d + s.w, r.i + 1 FROM reach r JOIN sym s ON s.u = r.node
+             |  WHERE r.i < 12)
+             |SELECT node AS part, CAST(MIN(d) AS BIGINT) AS dist
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- LOCAL CLUSTERING COEFFICIENT: per-node closed-wedge
+    //      fraction in exact permille — "do my co-purchase partners
+    //      also co-purchase each other", the community-tightness
+    //      score next to coreness. Closed wedges come from the same
+    //      wedge-join-closing-edge shape as graph_common_neighbors
+    //      (credited at the wedge's MIDDLE node); denominator is
+    //      C(deg, 2) from one degree aggregate; the ratio is integer
+    //      division, no floats. ----
+    Q("graph_clustering_coeff",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // wedges (x2), closing join, and degrees all read it
+        val sym = graft.operators.Graphs.symmetric(e)
+        val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val w1 = sym.select(col("u").as("node"), col("v").as("a"))
+        val w2 = sym.select(col("u").as("node"), col("v").as("b"))
+        val closed = w1.join(w2, Seq("node"))
+          .filter(col("a") < col("b"))
+          .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("d") >= 2)
+          .join(closed, Seq("node"), "left_outer")
+          .select(col("node").as("part"),
+            coalesce(col("n_tri"), lit(0L)).as("n_closed"),
+            expr("(d * (d - 1)) div 2").as("n_wedges"),
+            expr("(coalesce(n_tri, 0L) * 1000) div ((d * (d - 1)) div 2)")
+              .as("cc_permille"))
+          .orderBy("part")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+             |closed AS (SELECT w1.u AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+             |  FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+             |  JOIN e ON e.u = w1.v AND e.v = w2.v
+             |  GROUP BY 1)
+             |SELECT deg.node AS part, COALESCE(closed.n_tri, 0) AS n_closed,
+             |  CAST((deg.d * (deg.d - 1)) // 2 AS BIGINT) AS n_wedges,
+             |  CAST((COALESCE(closed.n_tri, 0) * 1000) // ((deg.d * (deg.d - 1)) // 2) AS BIGINT) AS cc_permille
+             |FROM deg LEFT JOIN closed ON closed.node = deg.node
+             |WHERE deg.d >= 2 ORDER BY part""".stripMargin)),
+
     // ---- HIERARCHICAL ROLLUP (BOM/category-tree shape): revenue
     //      aggregated to every ANCESTOR of a variable-depth parts
     //      hierarchy — the operation WITH RECURSIVE expresses and
@@ -2632,18 +2727,53 @@ object AnalyticsQueries {
              |  ORDER BY value DESC, event_id DESC) <= 3
              |ORDER BY user_id, event_id""".stripMargin)),
 
-    // ---- streaming EXACT DEDUP through the real engine: the
-    //      first-class dropDuplicates state operator — one state row
-    //      per distinct (user_id, event_type) carried ACROSS
+    // ---- streaming CDC APPLY with tombstones through the real
+    //      engine: the same two-file/maxFilesPerTrigger=1 feed as the
+    //      upsert gate, but 'error' events arrive as DELETES. The
+    //      bucketed destination keeps each key's winning record
+    //      INCLUDING tombstones (dropping them would let an older
+    //      version in a later batch resurrect a deleted key — the
+    //      classic CDC-sink bug); the read-back filters them. With
+    //      unique versions the final state is batch-split- and
+    //      order-independent: the oracle states one whole-feed
+    //      keep-latest with the winner's tombstone dropping the key. ----
+    Q("events_stream_cdc",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_cdc_")
+        graft.streaming.EventStreams.cdcStream(s,
+            graft.streaming.EventStreams.readEvents(s, src,
+                maxFilesPerTrigger = Some(1))
+              .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+              .withColumn("op",
+                when(col("event_type") === "error", lit("D")).otherwise(lit("U"))),
+            work.resolve("dest").toString,
+            keys = Seq("user_id"), versionCol = "event_id", opCol = "op",
+            checkpoint = work.resolve("ckpt").toString)
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id, event_type, value FROM ranked
+             |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming DISTINCT KEYS through the real engine: the
+    //      UNWATERMARKED dropDuplicates state operator — one state
+    //      row per distinct (user_id, event_type) carried ACROSS
     //      micro-batches (the two-file/maxFilesPerTrigger=1 feed puts
     //      each key's duplicates in BOTH batches, so an append sink
     //      without the state op would double-emit). Output restricted
     //      to the key columns: WHICH occurrence survives is
     //      batch-order-dependent, the key SET is not — and the set is
-    //      what the distinct oracle states. State is bounded by
-    //      distinct keys (the watermarked variant trades that bound
-    //      for a horizon; this gate pins the exact form). ----
-    Q("events_stream_dedup",
+    //      what the distinct oracle states. Complements
+    //      events_stream_dedup (the watermarked redelivery form whose
+    //      state EVICTS): this one's state is bounded by distinct
+    //      keys and never expires — the right trade for key-universe
+    //      tracking, the wrong one for unbounded id streams. ----
+    Q("events_stream_distinct_keys",
       (s, dir) => {
         val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_dedup_")
         graft.streaming.EventStreams.runToParquet(s,
@@ -4325,33 +4455,6 @@ object AnalyticsQueries {
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vw) AS n_view_after,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n_purchase_after""".stripMargin)),
 
-    // ---- RETENTION COHORTS: users grouped by first-activity week,
-    //      activity counted per week offset — the cohort matrix every
-    //      growth dashboard draws. Two keyed aggregations (first
-    //      touch per user; distinct users per (cohort, offset)) —
-    //      both shuffles on high-cardinality keys; week arithmetic is
-    //      exact integer day-diff // 7 on both engines. ----
-    Q("events_retention_cohorts",
-      (s, dir) => {
-        val e = Tables.t(s, dir, "events")
-          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
-        e.join(first, "user_id")
-          .groupBy(col("cohort").cast("date").as("cohort_week"),
-            (datediff(col("wk"), col("cohort")).cast("long") / 7)
-              .cast("long").as("week_offset"))
-          .agg(countDistinct("user_id").as("n_users"))
-          .orderBy("cohort_week", "week_offset")
-      },
-      Some("""WITH e AS (SELECT user_id,
-             |  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
-             |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1)
-             |SELECT CAST(f.cohort AS DATE) AS cohort_week,
-             |       CAST(datediff('day', f.cohort, e.wk) // 7 AS BIGINT) AS week_offset,
-             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
-             |FROM e JOIN f ON f.user_id = e.user_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
     // ---- RFM SEGMENTATION: customers classed into quartiles on
     //      Recency / Frequency / Monetary — the classic CRM cut. The
     //      per-customer aggregate collapses facts ONCE (exact cents,
@@ -4394,6 +4497,71 @@ object AnalyticsQueries {
              |       CAST(m_class AS BIGINT) AS m_class,
              |       CAST(COUNT(*) AS BIGINT) AS n_customers
              |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- TOP EVENT-TYPE PATHS: the 10 most frequent consecutive
+    //      type TRIGRAMS across user timelines — the navigation-
+    //      pattern miner behind "what do users do right before
+    //      purchasing". Two LEADs in one user-keyed window (high
+    //      cardinality, scale-safe) + one combinable count; the
+    //      top-10 rank runs on the trigram AGGREGATE (at most
+    //      |types|³ rows — metadata), tie-broken by path so the
+    //      cut is engine-deterministic. ----
+    Q("events_top_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val tri = Tables.t(s, dir, "events")
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+        val r = Window.orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+        tri.withColumn("_rn", row_number().over(r))
+          .filter(col("_rn") <= 10).drop("_rn")
+          .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3
+             |  FROM (SELECT user_id, event_type,
+             |          epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |c AS (SELECT event_type AS t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM e WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+             |SELECT t1, t2, t3, n FROM c
+             |QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) <= 10
+             |ORDER BY n DESC, t1, t2, t3""".stripMargin)),
+
+    // ---- JOIN-KEY SKEW DIAGNOSIS: the top-10 heaviest l_partkey
+    //      values with their load as a permille multiple of the
+    //      average key — the report that decides whether a join
+    //      needs salting/AQE skew handling BEFORE it runs. One
+    //      combinable count per key; the global stats (total, key
+    //      count) are a second tiny aggregate broadcast back; all
+    //      integer division. ----
+    Q("diag_key_skew",
+      (s, dir) => {
+        val k = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val tot = k.agg(sum("n").as("t"), count(lit(1)).as("nk"))
+        val r = Window.orderBy(desc("n"), col("key"))
+        k.crossJoin(broadcast(tot))
+          .withColumn("x_avg_permille", expr("(n * 1000) div (t div nk)"))
+          .withColumn("_rn", row_number().over(r))
+          .filter(col("_rn") <= 10)
+          .select("key", "n", "x_avg_permille")
+          .orderBy(desc("n"), col("key"))
+      },
+      Some("""WITH k AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+             |          FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+             |               CAST(COUNT(*) AS BIGINT) AS nk FROM k)
+             |SELECT k.key, k.n,
+             |  CAST(k.n * 1000 // (tot.t // tot.nk) AS BIGINT) AS x_avg_permille
+             |FROM k CROSS JOIN tot
+             |QUALIFY ROW_NUMBER() OVER (ORDER BY k.n DESC, k.key) <= 10
+             |ORDER BY k.n DESC, k.key""".stripMargin)),
 
     // ---- BURST DETECTION: hours where an event type's count
     //      exceeds 3x its trailing-24h hourly average — the ops

@@ -34,6 +34,17 @@ object Bench {
     "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget",
     "dedup_prefix_pairs", "layout_bloom_skipping")
 
+  /** Exactness TWINS excluded from the bench loop: each re-runs its
+    * approximate sibling's pipeline PLUS an exact reference purely to
+    * pin agreement — a correctness artifact, not an operator a user
+    * times (its sibling, which IS timed, does the real work). They
+    * stay registered and fully oracle-checked in Verify; skipping
+    * them here keeps bench wall proportional to the operator surface
+    * as the registry grows (r11 verdict item 8). */
+  private val exactnessTwins: Set[String] = Set(
+    "sim_lsh_exhaustive", "sim_ivf_exhaustive", "sim_ivfpq_exact",
+    "sim_pq_exact", "sim_pq_batch_exact", "dedup_simhash_identical")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,7 +66,9 @@ object Bench {
     // (Map iteration order would shuffle which query pays warm-cache
     // effects as the registry grows).
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => exactnessTwins(name) }
+      .map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune every
       // projected column and eliminate the final sort, so map-only
       // queries would be timed as bare row-count scans — the noop

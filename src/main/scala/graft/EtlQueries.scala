@@ -1499,34 +1499,6 @@ object EtlQueries {
              |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
-    // ---- INCREMENTAL AGGREGATE MAINTENANCE: a monthly rollup table
-    //      absorbs a new batch by COMBINING partials (sum-of-sums,
-    //      sum-of-counts) instead of recomputing from all facts —
-    //      the discipline that keeps a 100 TB rollup's refresh
-    //      proportional to the batch. Both the standing table and the
-    //      batch aggregate map-side; the oracle is the full
-    //      recompute, so the gate proves combine(partial(A),
-    //      partial(B)) = aggregate(A ∪ B) on real data. Exact cents
-    //      throughout. ----
-    Q("etl_incremental_agg",
-      (s, dir) => {
-        val o = Tables.t(s, dir, "orders")
-        def part(df: org.apache.spark.sql.DataFrame) = df
-          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        val standing = part(o.filter(col("o_orderkey") % 4 =!= 0))
-        val batch = part(o.filter(col("o_orderkey") % 4 === 0))
-        standing.unionByName(batch)
-          .groupBy("month")
-          .agg(sum("n").as("n"), sum("cents").as("cents"))
-          .orderBy("month")
-      },
-      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             |  CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
-
     // ---- SCD-2 POINT-IN-TIME JOIN AT EVENT TIME: each order joins
     //      the dimension row that was valid ON ITS ORDER DATE — the
     //      as-of enrichment a history-preserving dimension exists

@@ -106,6 +106,47 @@ object Graphs {
   }
 
   /**
+   * K-HOP-BOUNDED WEIGHTED SHORTEST PATHS (distributed Bellman-Ford)
+   * from a seed set over an undirected weighted edge list
+   * `(u, v, w)`: after round k, `dist(v)` is EXACTLY the minimum
+   * total weight over paths from any seed using <= k edges — a
+   * well-defined quantity whether or not the global fixpoint is
+   * reached, which is what lets a fixed-depth recursive oracle state
+   * the identical result (and why this runs exactly `rounds`
+   * relaxations with an early exit only when a round changes
+   * nothing, after which further rounds are no-ops — sound for any
+   * weights, because an unchanged round IS a fixpoint of the
+   * deterministic relaxation map). Each round is one
+   * (frontier ⋈ edges) join + a min-aggregate keyed on the node —
+   * per-round data is |sym edges| + |reached|, nothing broadcasts.
+   */
+  def weightedHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1, "at least one relaxation round")
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var it = 0
+    var changed = true
+    while (changed && it < rounds) {
+      val next = dist
+        .join(sym, dist("node") === sym("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      changed = next.join(dist.withColumnRenamed("dist", "_prev"),
+          Seq("node"), "left_outer")
+        .filter(col("_prev").isNull || col("dist") =!= col("_prev"))
+        .limit(1).count() > 0
+      dist = next
+      it += 1
+    }
+    dist
+  }
+
+  /**
    * CORE DECOMPOSITION: the core number of every node — the largest
    * k such that the node survives in the k-core — via the h-index
    * fixpoint (Lü et al., "The H-index of a network node and its

@@ -726,6 +726,29 @@ object EventStreams {
   }
 
   /**
+   * Streaming CDC apply WITH DELETES into the bucketed parquet
+   * destination — the streaming twin of
+   * [[graft.operators.Upsert.applyCdc]]: the feed carries a version
+   * column and an op column ('D' = tombstone, anything else =
+   * upsert). Rides [[upsertStream]] unchanged (keepLatest is
+   * schema-generic, so the op column travels with each key's winning
+   * record); the one CDC-specific rule is that TOMBSTONES PERSIST AS
+   * STATE ROWS and are filtered only on read-back — dropping them
+   * from the destination would let a late-arriving OLDER version
+   * resurrect a deleted key, which is the classic CDC-sink bug this
+   * operator exists to prevent. Unique versions make the final state
+   * batch-split- and order-independent; replays are idempotent.
+   */
+  def cdcStream(spark: SparkSession, stream: DataFrame, destDir: String,
+                keys: Seq[String], versionCol: String, opCol: String,
+                checkpoint: String,
+                trigger: Trigger = Trigger.AvailableNow(),
+                nBuckets: Int = 32): DataFrame =
+    upsertStream(spark, stream, destDir, keys, versionCol, checkpoint,
+        trigger, nBuckets)
+      .filter(col(opCol) =!= "D").drop(opCol)
+
+  /**
    * Streaming per-key TOP-K maintenance: each micro-batch folds into
    * a parquet state table holding at most k rows per key — union the
    * batch with the current state, re-rank, keep k, crash-safe swap

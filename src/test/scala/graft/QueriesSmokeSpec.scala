@@ -3,6 +3,11 @@ package graft
 /** Every registered query must run and return rows at sf0.001 —
   * the driver's weaker check for oracle-less entries, applied to all. */
 class QueriesSmokeSpec extends SparkTestBase {
+  test("registry names are unique (a duplicate silently shadows its twin in the Map)") {
+    val dups = Queries.registry.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   Queries.registry.foreach { q =>
     test(s"${q.name} returns rows") {
       val df = q.fn(spark, sf)
