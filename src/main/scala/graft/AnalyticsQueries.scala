@@ -4597,6 +4597,73 @@ object AnalyticsQueries {
              |FROM w WHERE trail IS NOT NULL AND n * 8 > trail
              |ORDER BY event_type, hr""".stripMargin)),
 
+    // ---- IQR OUTLIER FENCE per order status: Q1/Q3 from the
+    //      two-phase cumulative-weights primitive (NOT a 3-partition
+    //      window over the fact table — the shape r11 migrated off),
+    //      fence at Q3 + 0.5·IQR via the integer cross-multiplication
+    //      2v > 2·Q3 + (Q3−Q1), outliers counted from the value-level
+    //      aggregate. The rank definition (smallest v whose cumulative
+    //      weight reaches ceil(q·n)) is stated identically by the
+    //      oracle's ROW_NUMBER form — cum_w(v)·4 >= n iff some row of
+    //      v has rank·4 >= n. ----
+    Q("orders_iqr_outliers",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("v"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          o, Seq("st"), "v", lit(1L), bandWidth = 1000000.0)
+        val qs = cw.groupBy("st").agg(
+          min(when(col("cum_w") * 4 >= col("tot_w"), col("v"))).as("q1"),
+          min(when(col("cum_w") * 4 >= col("tot_w") * 3, col("v"))).as("q3"))
+        val vc = o.groupBy("st", "v").agg(count(lit(1)).as("w"))
+        vc.join(qs, "st")
+          .groupBy(col("st").as("status"), col("q1"), col("q3"))
+          .agg(sum(when(col("v") * 2 > col("q3") * 2 + (col("q3") - col("q1")),
+            col("w")).otherwise(lit(0L))).as("n_outliers"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT o_orderstatus AS st,
+             |            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+             |r AS (SELECT st, v, ROW_NUMBER() OVER (PARTITION BY st ORDER BY v) AS rn,
+             |             COUNT(*) OVER (PARTITION BY st) AS n FROM o),
+             |qs AS (SELECT st, MIN(CASE WHEN rn * 4 >= n THEN v END) AS q1,
+             |              MIN(CASE WHEN rn * 4 >= 3 * n THEN v END) AS q3
+             |       FROM r GROUP BY 1)
+             |SELECT o.st AS status, qs.q1, qs.q3,
+             |  CAST(COUNT(CASE WHEN 2 * o.v > 2 * qs.q3 + (qs.q3 - qs.q1)
+             |             THEN 1 END) AS BIGINT) AS n_outliers
+             |FROM o JOIN qs ON qs.st = o.st
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // ---- MONTH-OVER-MONTH GROWTH per status: the reporting staple,
+    //      growth in integer permille off a LAG over the MONTHLY
+    //      AGGREGATE (the window input is |statuses| × |months| rows
+    //      — metadata; the facts collapse in one combinable count
+    //      first). (n − prev)·1000 // prev floors identically on
+    //      both engines for the negative months too because both
+    //      operands stay integers end to end. ----
+    Q("orders_mom_growth",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("status"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("status").orderBy("month")
+        m.withColumn("prev", lag("n", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("growth_permille", expr("((n - prev) * 1000) div prev"))
+          .orderBy("status", "month")
+      },
+      Some("""WITH m AS (SELECT o_orderstatus AS status,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),
+             |g AS (SELECT status, month, n,
+             |    LAG(n) OVER (PARTITION BY status ORDER BY month) AS prev FROM m)
+             |SELECT status, month, n, prev,
+             |  CAST(((n - prev) * 1000) // prev AS BIGINT) AS growth_permille
+             |FROM g WHERE prev IS NOT NULL ORDER BY status, month""".stripMargin)),
+
     // ---- 2D SKYLINE (Pareto front): parts not dominated on
     //      (min price, max quantity) — "no other part is both
     //      cheaper and carries more" — the multi-objective shortlist

@@ -1499,6 +1499,64 @@ object EtlQueries {
              |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ---- CALENDAR-SPINE GAP FILL: a generated date dimension from
+    //      the data's own min/max span, left-joined to per-day order
+    //      counts so EMPTY DAYS SURFACE AS ZEROS — the gap-filling
+    //      shape every time-series report needs (a groupBy alone
+    //      silently drops absent days, which downstream
+    //      moving-averages then misread). The spine comes from ONE
+    //      sequence() over the two-scalar span aggregate — no
+    //      driver-side date loop; the join is day-keyed. ----
+    Q("etl_calendar_dim",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val span = o.agg(min(col("o_orderdate")).cast("date").as("lo"),
+          max(col("o_orderdate")).cast("date").as("hi"))
+        val days = span.select(explode(
+          expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val per = o.groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        days.join(per, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH span AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders),
+             |days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |           CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |per AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             |               CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1)
+             |SELECT d.day, COALESCE(per.n, 0) AS n_orders
+             |FROM days d LEFT JOIN per ON per.day = d.day
+             |ORDER BY d.day""".stripMargin)),
+
+    // ---- FEED-ORDER AUDIT: per user, how many adjacent event pairs
+    //      (in event_id order) carry a REGRESSING timestamp — the
+    //      data-quality check that decides whether event_id can serve
+    //      as a replay/merge version. One LAG in a user-keyed window
+    //      (high cardinality, scale-safe) + a combinable count. Zero
+    //      inversions on this feed IS the finding — the oracle proves
+    //      the engine counts the same (n_pairs pins the non-vacuous
+    //      denominator). ----
+    Q("etl_feed_order_audit",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("pus", lag("us", 1).over(w))
+          .groupBy("user_id")
+          .agg(count(col("pus")).as("n_pairs"),
+            count(when(col("us") < col("pus"), lit(1))).as("n_inversions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |l AS (SELECT user_id, us,
+             |    LAG(us) OVER (PARTITION BY user_id ORDER BY event_id) AS pus FROM e)
+             |SELECT user_id, CAST(COUNT(pus) AS BIGINT) AS n_pairs,
+             |  CAST(COUNT(CASE WHEN us < pus THEN 1 END) AS BIGINT) AS n_inversions
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- SCD-2 POINT-IN-TIME JOIN AT EVENT TIME: each order joins
     //      the dimension row that was valid ON ITS ORDER DATE — the
     //      as-of enrichment a history-preserving dimension exists

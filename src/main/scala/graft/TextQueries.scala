@@ -1402,6 +1402,51 @@ object TextQueries {
              |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
              |FROM cl ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- CHARACTER-BIGRAM DICE SIMILARITY JOIN: name pairs with
+    //      Dice(A, B) = 2|A∩B| / (|A|+|B|) >= 0.8 over distinct
+    //      char-bigram sets — the fuzzy-matching staple that catches
+    //      transpositions edit distance weights heavily. All
+    //      integer: |A∩B| falls out of the bigram-postings equi-join
+    //      (one row per shared bigram after per-name dedup), the
+    //      threshold is the cross-multiplication 2000·c >= 800·(na+nb)
+    //      and the reported score is integer permille. Postings
+    //      bucket by bigram, so fan-out is bounded by bigram
+    //      frequency, never names². ----
+    Q("text_bigram_dice_pairs",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+        val bg = n.select(col("id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(nm) - 1), " +
+            "i -> substring(nm, i, 2)))")).as("b"))
+        val sz = bg.groupBy("id").agg(count(lit(1)).as("nb"))
+        val a = bg.select(col("id").as("id_a"), col("b"))
+        val b = bg.select(col("id").as("id_b"), col("b"))
+        val common = a.join(b, Seq("b"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sz.select(col("id").as("id_a"), col("nb").as("na")), "id_a")
+          .join(sz.select(col("id").as("id_b"), col("nb").as("nbb")), "id_b")
+          .filter(col("n_common") * 2000 >= (col("na") + col("nbb")) * 800)
+          .select(col("id_a"), col("id_b"), col("n_common"),
+            expr("(2000 * n_common) div (na + nbb)").as("dice_permille"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH n AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+             |bg AS (SELECT id, unnest(list_distinct(
+             |         list_transform(generate_series(1, length(nm) - 1),
+             |           i -> substr(nm, CAST(i AS INT), 2)))) AS b
+             |       FROM n),
+             |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1),
+             |common AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+             |           FROM bg a JOIN bg b ON a.b = b.b AND a.id < b.id GROUP BY 1, 2)
+             |SELECT c.id_a, c.id_b, c.c AS n_common,
+             |  CAST((2000 * c.c) // (sa.nb + sb.nb) AS BIGINT) AS dice_permille
+             |FROM common c JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b
+             |WHERE 2000 * c.c >= 800 * (sa.nb + sb.nb)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- TEXT NORMALIZATION: the cleaning pass every corpus
     //      pipeline runs before dedup/tokenization — lowercase,
     //      collapse all whitespace runs to one space, trim. Pure
