@@ -1267,6 +1267,7 @@ object AnalyticsQueries {
           .filter(col("u") < col("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // seeds AND the operator's sym both read it
         val seeds = graft.operators.Graphs.symmetric(e)
           .filter(col("u") % 10 === 0).select(col("u").as("node")).distinct()
         graft.operators.Graphs.bfsHops(e, seeds, maxHops = 15)
@@ -1351,6 +1352,7 @@ object AnalyticsQueries {
           .filter(col("c") >= 2)
           .select(col("u"), col("v"),
             (lit(11L) - least(col("c"), lit(10L))).cast("long").as("w"))
+          .localCheckpoint() // seeds AND the operator's sym both read it
         val seeds = e.select(col("u").as("node"))
           .union(e.select(col("v").as("node")))
           .filter(col("node") % 10 === 0).distinct()

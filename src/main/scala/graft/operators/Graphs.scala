@@ -56,7 +56,9 @@ object Graphs {
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      val next = peel(cur, k).localCheckpoint()
+      // lazy checkpoint: the count right after materializes it — one
+      // driver job per round instead of eager-materialize + count
+      val next = peel(cur, k).localCheckpoint(false)
       val m = next.count()
       done = m == n
       cur = next
@@ -95,7 +97,7 @@ object Graphs {
         .select(col("v").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count materializes it
       n = frontier.count()
       // visited stays a plain union OVER checkpointed frontiers — a
       // flat lineage that replays nothing; checkpointing it would
@@ -135,7 +137,7 @@ object Graphs {
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the changed-probe materializes it
       changed = next.join(dist.withColumnRenamed("dist", "_prev"),
           Seq("node"), "left_outer")
         .filter(col("_prev").isNull || col("dist") =!= col("_prev"))
@@ -182,7 +184,7 @@ object Graphs {
       val next = nb
         .withColumn("m", least(row_number().over(w).cast("long"), col("cv")))
         .groupBy("node").agg(max("m").as("c"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the changed-count materializes it
       changed = next.join(est.select(col("node"), col("c").as("_prev")), "node")
         .filter(col("c") =!= col("_prev")).count()
       est = next
@@ -272,7 +274,7 @@ object Graphs {
       frontier = frontier
         .join(e, frontier("node") === e("child"))
         .select(col("parent").as("node"), col("w"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count materializes it
       n = frontier.count()
       acc = acc.union(frontier)
       it += 1
