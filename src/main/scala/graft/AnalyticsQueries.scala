@@ -4599,6 +4599,110 @@ object AnalyticsQueries {
              |FROM w WHERE trail IS NOT NULL AND n * 8 > trail
              |ORDER BY event_type, hr""".stripMargin)),
 
+    // ---- FREQUENT 3-ITEMSETS: the apriori step past the pair
+    //      counting orders_copurchase_pairs gates — part TRIPLES
+    //      co-bought in >= 2 orders. The three-way basket self-join
+    //      stays equi-keyed on the order (the ordering predicates
+    //      p1 < p2 < p3 canonicalize each triple once); the shared
+    //      basket projection is checkpointed so the three legs read
+    //      one materialization. At 100x the standard mining move
+    //      applies unchanged: prune to frequent PAIRS first, then
+    //      extend — support >= s for a triple implies it for every
+    //      sub-pair. ----
+    Q("orders_copurchase_triples",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint() // three join legs read it
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        val c = it.select(col("l_orderkey"), col("l_partkey").as("p3"))
+        a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+          .join(c, Seq("l_orderkey")).filter(col("p2") < col("p3"))
+          .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy("p1", "p2", "p3")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |tri AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             |          CAST(COUNT(*) AS BIGINT) AS support
+             |        FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+             |          AND a.l_partkey < b.l_partkey
+             |        JOIN it c ON a.l_orderkey = c.l_orderkey
+             |          AND b.l_partkey < c.l_partkey
+             |        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+             |SELECT p1, p2, p3, support FROM tri ORDER BY p1, p2, p3""".stripMargin)),
+
+    // ---- TIME-TO-CONVERSION SURVIVAL CURVE: hours from first
+    //      signup to first subsequent purchase, as a histogram with
+    //      a cumulative count — the retention-analysis staple. Two
+    //      arg-min aggregations + one keyed join produce the
+    //      per-user delay; the cumulative window runs over the HOUR
+    //      HISTOGRAM (bounded by the delay horizon — metadata), not
+    //      the users. All integer µs/hour arithmetic. ----
+    Q("events_conversion_survival",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("s_us"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("us") >= col("s_us"))
+          .groupBy("user_id").agg(min("us").as("p_us"), min("s_us").as("s_us"))
+        val h = fp.select(expr("(p_us - s_us) div 3600000000L").as("delay_hours"))
+          .groupBy("delay_hours").agg(count(lit(1)).as("n"))
+        h.withColumn("cum_n", sum("n").over(Window.orderBy("delay_hours")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("delay_hours")
+      },
+      Some("""WITH su AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+             |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |fp AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us,
+             |              MIN(su.s_us) AS s_us
+             |       FROM events e JOIN su ON su.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase'
+             |         AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= su.s_us
+             |       GROUP BY 1),
+             |h AS (SELECT CAST((p_us - s_us) // 3600000000 AS BIGINT) AS delay_hours,
+             |             CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM fp GROUP BY 1)
+             |SELECT delay_hours, n,
+             |  CAST(SUM(n) OVER (ORDER BY delay_hours
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+             |FROM h ORDER BY delay_hours""".stripMargin)),
+
+    // ---- ROLLING 7-DAY ACTIVE USERS: distinct users active in
+    //      [day−6, day] for every active day — the WAU series. The
+    //      sliding-distinct trap (re-counting 7 days of raw events
+    //      per output day) is avoided by the coverage explode: each
+    //      (user, day) activity covers its next 7 report days (a
+    //      bounded 7× fan-out of the DISTINCT activity table, not the
+    //      events), then one distinct count per day. ----
+    Q("events_weekly_active",
+      (s, dir) => {
+        val act = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+          .localCheckpoint() // the day spine and the coverage both read it
+        val cover = act.select(col("user_id"),
+          explode(expr("sequence(0, 6)")).as("o"), col("day"))
+          .select(col("user_id"), expr("date_add(day, o)").as("day"))
+        val dayset = act.select("day").distinct()
+        cover.join(dayset, "day")
+          .groupBy("day").agg(countDistinct("user_id").as("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),
+             |cover AS (SELECT user_id, CAST(day + CAST(o.o AS INT) AS DATE) AS day
+             |          FROM act, generate_series(0, 6) AS o(o)),
+             |dayset AS (SELECT DISTINCT day FROM act)
+             |SELECT d.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+             |FROM dayset d JOIN cover c ON c.day = d.day
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- IQR OUTLIER FENCE per order status: Q1/Q3 from the
     //      two-phase cumulative-weights primitive (NOT a 3-partition
     //      window over the fact table — the shape r11 migrated off),

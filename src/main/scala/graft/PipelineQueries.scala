@@ -482,6 +482,33 @@ object PipelineQueries {
              |           CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT)) AS DECIMAL(38,0)) AS sumsq_q
              |FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x,
              |                            generate_subscripts(e.embedding, 1) AS i) t
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- NORMALIZATION CHECK: histogram of squared L2 norms in
+    //      exact micro-unit integers (a unit-normalized corpus piles
+    //      up around 1e12; drift or an unnormalized batch shows as
+    //      outlying buckets — caught BEFORE cosine math silently
+    //      degrades to dot-product-of-arbitrary-scales). One
+    //      higher-order aggregate() per row — no explode, no
+    //      shuffle until the bucket count; sums stay far inside
+    //      BIGINT (64 dims × (1.4e6)² ≈ 1.3e14). ----
+    Q("embed_sqnorm_histogram",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(expr(
+            "aggregate(embedding, 0L, (acc, x) -> acc + " +
+              "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * " +
+              "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("sq"))
+          .select(expr("sq div 100000").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH n AS (SELECT CAST(list_sum(list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS HUGEINT) *
+             |           CAST(round(CAST(x AS DOUBLE) * 1000000) AS HUGEINT))) AS BIGINT) AS sq
+             |  FROM embeddings)
+             |SELECT CAST(sq // 100000 AS BIGINT) AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
