@@ -4703,6 +4703,80 @@ object AnalyticsQueries {
              |FROM dayset d JOIN cover c ON c.day = d.day
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- CENTERED 7-DAY MOVING WINDOW over the GAP-FILLED daily
+    //      revenue series: the calendar spine supplies empty days as
+    //      zeros FIRST, so the centered RANGE frame (±3 on the
+    //      integer day index) divides by the true day count — the MA
+    //      a groupBy-only series silently inflates across gaps. Sum
+    //      and count ship as exact integers (cents; the caller does
+    //      the one float division). Window input is the DAILY
+    //      aggregate — 2.4k rows here, |days| anywhere. ----
+    Q("orders_daily_ma7",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val span = o.agg(min(col("o_orderdate")).cast("date").as("lo"),
+          max(col("o_orderdate")).cast("date").as("hi"))
+        val days = span.select(explode(
+          expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val per = o.groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val f = days.join(per, Seq("day"), "left_outer")
+          .select(col("day"), expr("datediff(day, DATE '1970-01-01')").as("di"),
+            coalesce(col("cents"), lit(0L)).as("cents"))
+        val w = Window.orderBy("di").rangeBetween(-3, 3)
+        f.withColumn("ma7_sum", sum("cents").over(w))
+          .withColumn("ma7_n", count(lit(1)).over(w))
+          .select("day", "cents", "ma7_sum", "ma7_n")
+          .orderBy("day")
+      },
+      Some("""WITH span AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders),
+             |days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |           CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |per AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             |          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |        FROM orders GROUP BY 1),
+             |f AS (SELECT d.day, datediff('day', DATE '1970-01-01', d.day) AS di,
+             |             COALESCE(per.cents, 0) AS cents
+             |      FROM days d LEFT JOIN per ON per.day = d.day)
+             |SELECT day, cents,
+             |  CAST(SUM(cents) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ma7_sum,
+             |  CAST(COUNT(*) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ma7_n
+             |FROM f ORDER BY day""".stripMargin)),
+
+    // ---- SEASONAL-BASELINE RESIDUAL anomalies: hours whose count
+    //      exceeds 1.5× their own HOUR-OF-DAY baseline (the mean of
+    //      that slot across all days) — the residual check that
+    //      doesn't false-alarm on a normal daily peak the trailing-
+    //      average burst detector flags. Exact integer test:
+    //      n·nslots·2 > tot·3 cross-multiplies the n > 1.5·(tot/
+    //      nslots) mean comparison. Two aggregates, one key-join —
+    //      baselines are |types|×24 rows. ----
+    Q("events_seasonal_residual",
+      (s, dir) => {
+        val h = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // baseline and probe both read it
+        val b = h.groupBy(col("event_type").as("_bt"), (col("hr") % 24).as("_hod"))
+          .agg(sum("n").as("tot"), count(lit(1)).as("nslots"))
+        h.join(b, col("event_type") === col("_bt") &&
+            (col("hr") % 24) === col("_hod"))
+          .filter(col("n") * col("nslots") * 2 > col("tot") * 3)
+          .select(col("event_type"), col("hr"), col("n"), col("tot"), col("nslots"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, hr % 24 AS hod, CAST(SUM(n) AS BIGINT) AS tot,
+             |             CAST(COUNT(*) AS BIGINT) AS nslots
+             |      FROM h GROUP BY 1, 2)
+             |SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr, h.n, b.tot, b.nslots
+             |FROM h JOIN b ON b.event_type = h.event_type AND b.hod = h.hr % 24
+             |WHERE h.n * b.nslots * 2 > b.tot * 3
+             |ORDER BY h.event_type, hr""".stripMargin)),
+
     // ---- IQR OUTLIER FENCE per order status: Q1/Q3 from the
     //      two-phase cumulative-weights primitive (NOT a 3-partition
     //      window over the fact table — the shape r11 migrated off),
