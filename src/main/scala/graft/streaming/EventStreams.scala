@@ -661,7 +661,25 @@ object EventStreams {
   def upsertStream(spark: SparkSession, stream: DataFrame, destDir: String,
                    keys: Seq[String], versionCol: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   nBuckets: Int = 32): DataFrame = {
+                   nBuckets: Int = 32): DataFrame =
+    bucketedMergeStream(spark, stream, destDir, keys, checkpoint, trigger,
+      nBuckets, (existing, batch) =>
+        graft.operators.Upsert.keepLatest(existing, batch, keys, versionCol))
+
+  /**
+   * The shared micro-batch machinery behind [[upsertStream]],
+   * [[cdcStream]] and [[topKStream]]: bucket the batch, read back
+   * ONLY the touched bucket partitions, apply `merge(existing,
+   * batch)`, stage, and swap touched bucket dirs in with per-bucket
+   * renames. `merge` must be a per-key semilattice fold (its result
+   * for a key must be independent of batch split and replay) for the
+   * final state to be deterministic and replays idempotent.
+   */
+  private def bucketedMergeStream(spark: SparkSession, stream: DataFrame,
+                                  destDir: String, keys: Seq[String],
+                                  checkpoint: String, trigger: Trigger,
+                                  nBuckets: Int,
+                                  merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val bucketExpr = upsertBucket(keys, nBuckets)
     val q: StreamingQuery = stream.writeStream
@@ -682,8 +700,7 @@ object EventStreams {
                 .filter(col("_bucket").isin(touched.map(Integer.valueOf): _*))
             else s.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), bucketed.schema)
-          graft.operators.Upsert.keepLatest(
-              existingTouched, bucketed, keys, versionCol)
+          merge(existingTouched, bucketed)
             // ~one task (=> one output file) per touched bucket: the
             // keyed window shuffle scatters a bucket's rows across all
             // partitions, and partitionBy would then write up to
@@ -703,9 +720,9 @@ object EventStreams {
             val dst = new org.apache.hadoop.fs.Path(dest, s"_bucket=$b")
             if (fs.exists(src)) {
               if (fs.exists(dst) && !fs.delete(dst, true))
-                throw new IllegalStateException(s"streaming upsert: cannot clear $dst")
+                throw new IllegalStateException(s"streaming merge: cannot clear $dst")
               if (!fs.rename(src, dst))
-                throw new IllegalStateException(s"streaming upsert: cannot swap in $dst")
+                throw new IllegalStateException(s"streaming merge: cannot swap in $dst")
             }
           }
           fs.delete(staging, true)
@@ -762,43 +779,25 @@ object EventStreams {
    * (idempotent for the same reason the upsert is).
    *
    * Scale posture: state is <= k rows per key — the destination stays
-   * keys x k regardless of stream history; each batch pays one keyed
-   * shuffle over (state ∪ batch), and at 100 TB the state table would
-   * be bucketed on the key so the rewrite is co-located.
+   * keys x k regardless of stream history — and, like the upsert, the
+   * destination is BUCKETED on the key hash: each batch reads back
+   * and rewrites only the bucket partitions its keys touch (the
+   * shared [[bucketedMergeStream]] machinery), so per-batch work is
+   * O(touched buckets), not O(all keys x k).
    */
   def topKStream(spark: SparkSession, stream: DataFrame, destDir: String,
                  keys: Seq[String], orderCol: String, tieCol: String, k: Int,
                  checkpoint: String,
-                 trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 nBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q: StreamingQuery = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val dest = new org.apache.hadoop.fs.Path(destDir)
-        val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(dest)) s.read.parquet(destDir)
-          else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            batch.schema)
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(desc(orderCol), desc(tieCol))
-        val merged = existing.unionByName(batch.toDF())
-          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-          .filter(col("_rn") <= k).drop("_rn")
-        graft.operators.Maintenance.replaceDir(fs, dest, "_merge_",
-          staged => merged.write.parquet(staged),
-          m => new IllegalStateException(s"streaming top-k swap failed: $m"))
-      }
-      .trigger(trigger)
-      .start()
-    q.awaitTermination()
-    val destPath = new org.apache.hadoop.fs.Path(destDir)
-    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(destPath)) spark.read.parquet(destDir)
-    else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(orderCol), desc(tieCol))
+    bucketedMergeStream(spark, stream, destDir, keys, checkpoint, trigger,
+      nBuckets, (existing, batch) =>
+        existing.unionByName(batch)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k).drop("_rn"))
   }
 
   /**
