@@ -4703,6 +4703,46 @@ object AnalyticsQueries {
              |FROM dayset d JOIN cover c ON c.day = d.day
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- COHORT VALUE CURVE: cumulative purchase value per
+    //      first-touch-week cohort by week offset — the LTV-by-cohort
+    //      report next to the retention matrix. Exact micro-unit
+    //      BIGINTs end to end; the cumulative window runs over the
+    //      (cohort, offset) AGGREGATE — |cohorts|×|offsets| rows,
+    //      metadata — partitioned by cohort. ----
+    Q("events_cohort_value",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("v_mic"),
+            date_trunc("week", col("ts")).as("wk"))
+        val f = e.groupBy("user_id").agg(min("wk").as("cohort"))
+        val pv = e.filter(col("event_type") === "purchase")
+          .join(f, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("wk"), col("cohort")).cast("long") / 7)
+              .cast("long").as("week_offset"))
+          .agg(sum("v_mic").as("val"))
+        pv.withColumn("cum_val", sum("val").over(
+            Window.partitionBy("cohort").orderBy("week_offset")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("cohort").cast("date").as("cohort_week"),
+            col("week_offset"), col("val"), col("cum_val"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    CAST(round(value * 1000000) AS BIGINT) AS v_mic,
+             |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+             |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+             |pv AS (SELECT f.cohort, datediff('day', f.cohort, e.wk) // 7 AS wo,
+             |              CAST(SUM(e.v_mic) AS BIGINT) AS val
+             |       FROM e JOIN f ON f.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT CAST(cohort AS DATE) AS cohort_week,
+             |  CAST(wo AS BIGINT) AS week_offset, val,
+             |  CAST(SUM(val) OVER (PARTITION BY cohort ORDER BY wo
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_val
+             |FROM pv ORDER BY 1, 2""".stripMargin)),
+
     // ---- CENTERED 7-DAY MOVING WINDOW over the GAP-FILLED daily
     //      revenue series: the calendar spine supplies empty days as
     //      zeros FIRST, so the centered RANGE frame (±3 on the

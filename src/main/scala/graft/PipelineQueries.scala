@@ -509,6 +509,43 @@ object PipelineQueries {
              |  FROM embeddings)
              |SELECT CAST(sq // 100000 AS BIGINT) AS bucket,
              |       CAST(COUNT(*) AS BIGINT) AS n
-             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- PAIRWISE-SIMILARITY DISTRIBUTION on a deterministic probe
+    //      subset (vec_id < 40): the histogram of dot products a
+    //      retrieval pipeline inspects to pick thresholds (a corpus
+    //      whose mass sits near 1.0 is near-duplicate-heavy; near
+    //      0.0, unclusterable). Exact integer dots via one
+    //      zip_with+aggregate per pair — both engines truncate the
+    //      bucket division toward zero, negative dots included
+    //      (probed, not assumed). The quadratic stays on the BOUNDED
+    //      probe set; the corpus-scale versions of this question are
+    //      the ANN/near-dup gates. ----
+    Q("embed_pairwise_histogram",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "embeddings")
+          .filter(col("vec_id") < 40)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("q"))
+        val a = p.select(col("vec_id").as("ia"), col("q").as("qa"))
+        val b = p.select(col("vec_id").as("ib"), col("q").as("qb"))
+        a.join(broadcast(b), col("ia") < col("ib"))
+          .select(expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+            .as("dot"))
+          .select(expr("dot div 100000000000L").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH p AS (SELECT vec_id, list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             |    FROM embeddings WHERE vec_id < 40),
+             |pairs AS (SELECT CAST(list_sum(list_transform(list_zip(a.q, b.q),
+             |      t -> CAST(t[1] AS HUGEINT) * CAST(t[2] AS HUGEINT))) AS BIGINT) AS dot
+             |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+             |SELECT CAST(dot // 100000000000 AS BIGINT) AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1447,6 +1447,54 @@ object TextQueries {
              |WHERE 2000 * c.c >= 800 * (sa.nb + sb.nb)
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- FUZZY-NAME ENTITY RESOLUTION on the Dice graph: the
+    //      bigram-Dice pairs feed the connected-components labeller —
+    //      the second entity-resolution composition next to the
+    //      edit-distance one, proving the cluster operator composes
+    //      with ANY pair generator. Oracle replays the same pair
+    //      graph through WITH RECURSIVE reachability. ----
+    Q("text_dice_clusters",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+        val bg = n.select(col("id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(nm) - 1), " +
+            "i -> substring(nm, i, 2)))")).as("b"))
+        val sz = bg.groupBy("id").agg(count(lit(1)).as("nb"))
+        val a = bg.select(col("id").as("id_a"), col("b"))
+        val bb = bg.select(col("id").as("id_b"), col("b"))
+        val pairs = a.join(bb, Seq("b"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+          .join(sz.select(col("id").as("id_a"), col("nb").as("na")), "id_a")
+          .join(sz.select(col("id").as("id_b"), col("nb").as("nbb")), "id_b")
+          .filter(col("c") * 2000 >= (col("na") + col("nbb")) * 800)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        graft.operators.Dedup.clusters(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .select(col("node").as("s_suppkey"), col("cluster_id"), col("n_members"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+             |bg AS (SELECT id, unnest(list_distinct(
+             |         list_transform(generate_series(1, length(nm) - 1),
+             |           i -> substr(nm, CAST(i AS INT), 2)))) AS b FROM n),
+             |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1),
+             |common AS (SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS c
+             |           FROM bg a JOIN bg b ON a.b = b.b AND a.id < b.id GROUP BY 1, 2),
+             |p AS (SELECT c.ia, c.ib FROM common c
+             |      JOIN sz sa ON sa.id = c.ia JOIN sz sb ON sb.id = c.ib
+             |      WHERE 2000 * c.c >= 800 * (sa.nb + sb.nb)),
+             |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+             |reach(node, lbl) AS (SELECT src, src FROM edges
+             |                     UNION
+             |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+             |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+             |SELECT node AS s_suppkey, cluster_id,
+             |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             |FROM cl ORDER BY s_suppkey""".stripMargin)),
+
     // ---- TEXT NORMALIZATION: the cleaning pass every corpus
     //      pipeline runs before dedup/tokenization — lowercase,
     //      collapse all whitespace runs to one space, trim. Pure
