@@ -1447,6 +1447,43 @@ object TextQueries {
              |WHERE 2000 * c.c >= 800 * (sa.nb + sb.nb)
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- CROSS-CORPUS DEDUP (incremental-crawl shape): which NEW
+    //      documents (odd ids) near-duplicate any BASE document (even
+    //      ids) — the "dedupe today's crawl against the standing
+    //      corpus" question an LLM ingestion pipeline asks every
+    //      batch. Runs the gate-proven exact prefix join and keeps
+    //      only cross-side pairs; at 100 TB the same join runs
+    //      probe-only (new docs' prefixes against the persisted base
+    //      postings index — the inverted-index tier), touching
+    //      O(new × rare-token df), never the base corpus pairwise.
+    //      Oracle is the quadratic cross join. ----
+    Q("dedup_cross_corpus",
+      (s, dir) => {
+        graft.operators.Dedup
+          .prefixFilterNearDups(Tables.t(s, dir, "documents"), "doc_id", "text")
+          .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+          .select(when(col("doc_a") % 2 === 1, col("doc_a"))
+            .otherwise(col("doc_b")).as("new_id"))
+          .groupBy("new_id").agg(count(lit(1)).as("n_base_matches"))
+          .orderBy("new_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w,
+             |               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |           GROUP BY 1, 2),
+             |p AS (SELECT doc_a, doc_b FROM common
+             |      JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+             |      WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
+             |        AND doc_a % 2 <> doc_b % 2)
+             |SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_base_matches
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- FUZZY-NAME ENTITY RESOLUTION on the Dice graph: the
     //      bigram-Dice pairs feed the connected-components labeller —
     //      the second entity-resolution composition next to the
