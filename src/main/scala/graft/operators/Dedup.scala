@@ -500,8 +500,12 @@ object Dedup {
     a.join(b, Seq("_v"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "_sa", "id_b", "_sb").distinct()
-      .filter(expr(s"levenshtein(_sa, _sb) <= $maxDist"))
-      .select(col("id_a"), col("id_b"),
-        expr("levenshtein(_sa, _sb)").cast("long").as("dist"))
+      // thresholded levenshtein (Spark 3.5+): banded DP that abandons
+      // a pair the moment the band exceeds maxDist (returns -1) —
+      // O(maxDist·L) per verify instead of the full O(L²) matrix, the
+      // textbook verify-stage cut for edit-distance joins
+      .withColumn("dist", expr(s"levenshtein(_sa, _sb, $maxDist)").cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
   }
 }
