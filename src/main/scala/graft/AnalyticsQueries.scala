@@ -1250,6 +1250,34 @@ object AnalyticsQueries {
              |SELECT node AS part, c AS core_k FROM est
              |WHERE iter = 50 ORDER BY part""".stripMargin)),
 
+    // ---- DEGREE DISTRIBUTION: the first diagnostic of any graph —
+    //      how many nodes carry each degree (a heavy tail here is
+    //      what motivates the degree-ordered triangle orientation and
+    //      the salted-join tier). One symmetric groupBy + one count
+    //      over the degree table. ----
+    Q("graph_degree_histogram",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        graft.operators.Graphs.degrees(e)
+          .groupBy(col("deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+             |SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- MULTI-SOURCE BFS hop distances: "how many links from a
     //      flagged part" over the co-purchase graph — frontier
     //      iteration (Graphs.bfsHops) where every node enters once at

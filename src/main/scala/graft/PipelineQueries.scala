@@ -546,6 +546,51 @@ object PipelineQueries {
              |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
              |SELECT CAST(dot // 100000000000 AS BIGINT) AS bucket,
              |       CAST(COUNT(*) AS BIGINT) AS n
-             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- THRESHOLD SWEEP: candidate-pair counts at a ladder of
+    //      similarity cutoffs over the probe subset — the tuning
+    //      table that picks a near-dup threshold BEFORE running the
+    //      corpus-scale join (each row answers "how many pairs would
+    //      threshold t admit"). One pass over the exact integer dots
+    //      crossed with a 5-row literal threshold frame; the
+    //      comparison dot >= t·1e9 keeps permille thresholds in
+    //      BIGINT. ----
+    Q("sim_threshold_sweep",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "embeddings")
+          .filter(col("vec_id") < 60)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("q"))
+        val a = p.select(col("vec_id").as("ia"), col("q").as("qa"))
+        val b = p.select(col("vec_id").as("ib"), col("q").as("qb"))
+        val dots = a.join(broadcast(b), col("ia") < col("ib"))
+          .select(expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+            .as("dot"))
+        val ths = s.createDataFrame(
+          java.util.Arrays.asList(Seq(-200L, -100L, 0L, 50L, 100L)
+            .map(org.apache.spark.sql.Row(_)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("threshold_permille",
+              org.apache.spark.sql.types.LongType))))
+        dots.crossJoin(broadcast(ths))
+          .groupBy("threshold_permille")
+          .agg(count(when(col("dot") >= col("threshold_permille") * 1000000000L,
+            lit(1))).as("n_pairs"))
+          .orderBy("threshold_permille")
+      },
+      Some("""WITH p AS (SELECT vec_id, list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             |    FROM embeddings WHERE vec_id < 60),
+             |pairs AS (SELECT CAST(list_sum(list_transform(list_zip(a.q, b.q),
+             |      t -> CAST(t[1] AS HUGEINT) * CAST(t[2] AS HUGEINT))) AS BIGINT) AS dot
+             |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+             |SELECT CAST(t.th AS BIGINT) AS threshold_permille,
+             |  CAST(COUNT(CASE WHEN dot >= CAST(t.th AS BIGINT) * 1000000000
+             |             THEN 1 END) AS BIGINT) AS n_pairs
+             |FROM pairs, (VALUES (-200), (-100), (0), (50), (100)) AS t(th)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
