@@ -4055,6 +4055,57 @@ object AnalyticsQueries {
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    // ---- LAG-1 AUTOCORRELATION per series — the "is this metric
+    //      momentum or noise" diagnostic (near 0 ⇒ i.i.d., the
+    //      precondition every anomaly rule above assumes; high ⇒
+    //      trending/sticky and thresholds need detrending first).
+    //      Same exact-moments discipline as events_correlation: pair
+    //      each value with its successor via one LEAD over the
+    //      (ts, event_id) total order, then Pearson over the pairs
+    //      from six exact BIGINT sums and one closing double dag.
+    //      The window partitions by event_type — the adjacency is
+    //      BY DEFINITION per-series sequential; at 100 TB the
+    //      two-phase split (segment per day, stitch boundary pairs
+    //      with a per-segment first/last exchange) keeps partitions
+    //      bounded, same as the resample/EWMA family. ----
+    Q("events_autocorr_lag1",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("x"))
+          .withColumn("y", lead(col("x"), 1).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("autocorr1",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .select("event_type", "n", "autocorr1")
+          .orderBy("event_type")
+      },
+      Some("""WITH q AS (SELECT event_type, ts, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+             |p AS (SELECT event_type, x,
+             |    LEAD(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+             |  FROM q),
+             |m AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr1
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     // ---- OLS trend slope per group, same exact-moments discipline:
     //      slope of value (cents) against time (epoch day) from the
     //      five integer sums; slope and intercept are double ops on

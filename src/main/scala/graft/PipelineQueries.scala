@@ -417,6 +417,55 @@ object PipelineQueries {
              |FROM c GROUP BY lang, size_bucket
              |ORDER BY lang, size_bucket""".stripMargin)),
 
+    // ---- t-CLOSENESS audit, the third rung of the release-privacy
+    //      ladder: a group can meet k AND carry >= l sensitive values
+    //      yet still leak by SKEW — its sensitive distribution far
+    //      from the corpus-wide one narrows an attacker's prior. Per
+    //      QI group, the total-variation distance between the group's
+    //      `source` distribution and the global one, in EXACT
+    //      permille: TVD = Σ|n·N − nv·ng| · 1000 / (2·ng·N) keeps
+    //      every term a BIGINT cross-product (no per-cell float
+    //      division). The cell frame is |QI groups| × |sensitive
+    //      values| — metadata-sized whatever the corpus size, built
+    //      from two broadcast-joined aggregate tables; absent cells
+    //      COALESCE to 0 so missing values count their full mass.
+    //      The fact-sized work is one combinable groupBy. ----
+    Q("privacy_t_closeness",
+      (s, dir) => {
+        val gc = Tables.t(s, dir, "documents")
+          .groupBy(col("lang"), expr("n_chars div 200").as("size_bucket"),
+            col("source"))
+          .agg(count(lit(1)).as("n"))
+        val gt = gc.groupBy("lang", "size_bucket").agg(sum("n").as("ng"))
+        val ov = gc.groupBy("source").agg(sum("n").as("nv"))
+        val tot = gc.agg(sum("n").as("nt"))
+        gt.crossJoin(broadcast(ov)).crossJoin(broadcast(tot))
+          .join(gc, Seq("lang", "size_bucket", "source"), "left")
+          .withColumn("nc", coalesce(col("n"), lit(0L)))
+          .groupBy(col("lang"), col("size_bucket"), col("ng"), col("nt"))
+          .agg(sum(abs(col("nc") * col("nt") - col("nv") * col("ng"))).as("num"))
+          .select(col("lang"), col("size_bucket"), col("ng").as("group_n"),
+            expr("CAST(1000 * num div (2 * ng * nt) AS BIGINT)").as("tvd_permille"),
+            (expr("CAST(1000 * num div (2 * ng * nt) AS BIGINT)") <= 300L).as("meets_t"))
+          .orderBy("lang", "size_bucket")
+      },
+      Some("""WITH gc AS (SELECT lang, n_chars // 200 AS size_bucket, source,
+             |            CAST(COUNT(*) AS BIGINT) AS n
+             |            FROM documents GROUP BY 1, 2, 3),
+             |gt AS (SELECT lang, size_bucket, CAST(SUM(n) AS BIGINT) AS ng FROM gc GROUP BY 1, 2),
+             |ov AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nv FROM gc GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM gc),
+             |cells AS (SELECT g.lang, g.size_bucket, o.source, COALESCE(gc.n, 0) AS n,
+             |            g.ng, o.nv, t.nt
+             |  FROM gt g CROSS JOIN ov o CROSS JOIN tot t
+             |  LEFT JOIN gc ON gc.lang = g.lang AND gc.size_bucket = g.size_bucket
+             |             AND gc.source = o.source)
+             |SELECT lang, size_bucket, ng AS group_n,
+             |  CAST((1000 * SUM(abs(n * nt - nv * ng))) // (2 * ng * nt) AS BIGINT) AS tvd_permille,
+             |  (CAST((1000 * SUM(abs(n * nt - nv * ng))) // (2 * ng * nt) AS BIGINT) <= 300) AS meets_t
+             |FROM cells GROUP BY lang, size_bucket, ng, nt
+             |ORDER BY lang, size_bucket""".stripMargin)),
+
     // ---- PER-USER TEMPORAL SPLIT: each user's first 80% of events
     //      (by time) train, the tail 20% test — the backtest split
     //      sequence models need (a global time cut degenerates on

@@ -1553,6 +1553,62 @@ object TextQueries {
              |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS cleaned,
              |  CAST(length(text) AS BIGINT) AS n_before,
              |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS n_after
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- GOPHER-STYLE QUALITY RULES: the published repetition /
+    //      word-statistics filter battery (Rae et al. 2021 §A1.1)
+    //      re-expressed on this corpus's non-degenerate axes — word
+    //      count bounds, mean word length band, most-common-word
+    //      share, distinct-word ratio, minimum stopword evidence —
+    //      with the per-rule evidence AND the verdict in one row per
+    //      doc. Computed ENTIRELY IN-ROW (top-word share = longest
+    //      equal run of the sorted word array, the text_repetition
+    //      idiom; no explode, no shuffle beyond the final sort), so
+    //      at 100 TB the filter is a map-only pass. All ratios are
+    //      integer permille/milli — no float thresholds to drift. ----
+    Q("text_gopher_rules",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .withColumn("_w", split(col("text"), " "))
+        .withColumn("n_words", size(col("_w")).cast(LongType))
+        .withColumn("_sorted", sort_array(col("_w")))
+        .withColumn("sum_len", expr(
+          "aggregate(transform(_w, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("top_cnt", expr(
+          "CASE WHEN size(_sorted) = 1 THEN CAST(1 AS BIGINT) ELSE " +
+            "aggregate(sequence(2, size(_sorted)), named_struct('run', 1, 'best', 1), " +
+            "(acc, i) -> IF(element_at(_sorted, i) = element_at(_sorted, i - 1), " +
+            "named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)), " +
+            "named_struct('run', 1, 'best', acc.best)), " +
+            "acc -> CAST(acc.best AS BIGINT)) END"))
+        .withColumn("n_stop",
+          size(filter(col("_w"), t => t.isin(stopwords: _*))).cast(LongType))
+        .select(col("doc_id"), col("n_words"),
+          expr("sum_len * 1000 div n_words").as("mean_len_milli"),
+          expr("top_cnt * 1000 div n_words").as("top_word_permille"),
+          expr("CAST(size(array_distinct(_w)) AS BIGINT) * 1000 div n_words")
+            .as("distinct_permille"),
+          col("n_stop"),
+          (col("n_words").between(50L, 100000L) &&
+            expr("sum_len * 1000 div n_words").between(3000L, 10000L) &&
+            expr("top_cnt * 1000 div n_words") <= 200L &&
+            col("n_stop") >= 2L).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |ex AS (SELECT doc_id, unnest(w) AS word FROM t),
+              |cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+              |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM cnt GROUP BY 1),
+              |st AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+              |   CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+              |   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+              |   CAST(len(list_filter(w, x -> x IN $stopwordSql)) AS BIGINT) AS n_stop
+              | FROM t)
+              |SELECT st.doc_id, n_words,
+              |  (sum_len * 1000) // n_words AS mean_len_milli,
+              |  (top_cnt * 1000) // n_words AS top_word_permille,
+              |  (n_distinct * 1000) // n_words AS distinct_permille, n_stop,
+              |  (n_words BETWEEN 50 AND 100000
+              |   AND (sum_len * 1000) // n_words BETWEEN 3000 AND 10000
+              |   AND (top_cnt * 1000) // n_words <= 200 AND n_stop >= 2) AS keep
+              |FROM st JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 }
