@@ -1278,6 +1278,93 @@ object AnalyticsQueries {
              |SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
              |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- LABEL PROPAGATION, one synchronous step — the community-
+    //      detection primitive (Raghavan et al. 2007): every node
+    //      adopts its neighbors' plurality label, ties to the
+    //      smallest label so the step is a deterministic function of
+    //      the graph (the published algorithm breaks ties randomly —
+    //      useless for a reproducible pipeline). One groupBy over the
+    //      adjacency (|E| rows keyed by (node, label) — map-side
+    //      combinable since labels collide) + one struct-max argmax
+    //      per node; no window, no iteration state beyond the label
+    //      column itself, so at 100 TB each round is two well-keyed
+    //      exchanges and the loop composes with the lazy-checkpoint
+    //      discipline the other fixpoints use. ----
+    Q("graph_label_prop_step",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val nl = graft.operators.Graphs.symmetric(e)
+          .select(col("u").as("node"), (col("v") % 7).as("lbl"))
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        nl.groupBy("node")
+          .agg(max(struct(col("c").as("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node").as("part"),
+            (-col("m.neg")).cast("long").as("new_label"),
+            col("m.c").as("n_votes"))
+          .orderBy("part")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |nl AS (SELECT s.u AS node, s.v % 7 AS lbl, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM sym s GROUP BY 1, 2),
+             |pick AS (SELECT node, lbl, c,
+             |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+             |         FROM nl)
+             |SELECT node AS part, CAST(lbl AS BIGINT) AS new_label, c AS n_votes
+             |FROM pick WHERE rk = 1 ORDER BY part""".stripMargin)),
+
+    // ---- RECIPROCITY of the line-ordered co-purchase digraph: how
+    //      often "u precedes v in a basket" also happens the other
+    //      way round — the directionality diagnostic that separates
+    //      a hierarchy (near 0) from a peer graph (near 1). The
+    //      distinct directed edge set is built once; the reciprocal
+    //      count is ONE semi-join of the edge list against its own
+    //      transpose (shuffle keyed on (src, dst) — never a per-edge
+    //      subquery), and the three scalars reduce map-side. ----
+    Q("graph_reciprocity",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+          .distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("src"),
+          col("l_linenumber").as("la"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("dst"),
+          col("l_linenumber").as("lb"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("la") < col("lb") && col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .localCheckpoint() // consumed by the count AND both semi-join sides
+        val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+        val tot = e.agg(count(lit(1)).as("n_edges"))
+        val rec = recip.agg(count(lit(1)).as("n_reciprocal"))
+        tot.crossJoin(broadcast(rec))
+          .select(col("n_edges"), col("n_reciprocal"),
+            expr("CAST(1000 * n_reciprocal div n_edges AS BIGINT)")
+              .as("reciprocity_permille"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey, l_linenumber FROM lineitem),
+             |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |      FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+             |      AND a.l_partkey <> b.l_partkey)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+             |  CAST(1000 * SUM(CASE WHEN EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+             |       THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS reciprocity_permille
+             |FROM e""".stripMargin)),
+
     // ---- MULTI-SOURCE BFS hop distances: "how many links from a
     //      flagged part" over the co-purchase graph — frontier
     //      iteration (Graphs.bfsHops) where every node enters once at
@@ -2248,6 +2335,33 @@ object AnalyticsQueries {
       Some("""SELECT event_id, props->>'$.k' AS k_str,
              |CAST(props->>'$.k' AS INTEGER) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- VARIANT ingestion path (Spark 4's semi-structured type):
+    //      parse_json lands the payload as an open-schema VARIANT —
+    //      the shape a 100 TB event lake stores when producers add
+    //      fields faster than schemas migrate — and variant_get
+    //      extracts typed leaves WITHOUT a per-query reparse or a
+    //      schema-on-write migration. try_variant_get probes a path
+    //      that never materialized (absent → null, not an error —
+    //      the open-schema contract). Aggregated per type so the
+    //      gate pins the extracted VALUES, while the VARIANT column
+    //      itself stays executor-side (parquet can't sink it). ----
+    Q("json_variant_extract",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count(col("miss")).as("n_missing_hits"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+             |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+             |  CAST(0 AS BIGINT) AS n_missing_hits
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- map scalar functions: build a status->count map per return
     //      flag, then read it back with element_at / map_keys /
@@ -4329,6 +4443,41 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
              |TRUE AS distinct_within_5pct, TRUE AS p50_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- HLL SKETCH RE-AGGREGATION — the "sketch as data" pattern
+    //      a 100 TB lake lives on: each shard (here l_orderkey % 8,
+    //      in production a date partition) builds its own DataSketches
+    //      HLL ONCE; any shard combination is then answered by
+    //      UNIONING the fixed-size binaries — no rescan of the facts.
+    //      The union path is NOT bit-identical to the direct sketch
+    //      (the union target re-encodes registers), so the contract
+    //      the gate pins is the accuracy envelope: both the merged
+    //      and the direct estimate within 5% of exact (lgK=12 ⇒
+    //      ~1.6% RSE; 5% is >3σ — stable at every SF). Tolerance
+    //      math in BIGINT cross-products, no float thresholds. ----
+    Q("agg_hll_partial_merge",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"),
+            (col("l_orderkey") % 8).as("shard"))
+        val shards = base.groupBy("l_returnflag", "shard")
+          .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+        val merged = shards.groupBy("l_returnflag")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_m"))
+        val direct = base.groupBy("l_returnflag")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("est_d"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+        direct.join(broadcast(merged), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("est_m") - col("n_parts")) * 20 <= col("n_parts"))
+              .as("merged_within_5pct"),
+            (abs(col("est_d") - col("n_parts")) * 20 <= col("n_parts"))
+              .as("direct_within_5pct"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Count-Min Sketch agreement ON the hard gate (completes the
