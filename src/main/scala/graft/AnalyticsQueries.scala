@@ -4220,6 +4220,39 @@ object AnalyticsQueries {
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr1
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    // ---- EXACT ROLLING MEDIAN (7-row trailing frame) — the robust
+    //      smoother that survives the outliers a rolling MEAN chases
+    //      (the MAD/winsorize family's windowed sibling). The frame
+    //      is BOUNDED (7 rows), so collect_list + in-row sort_array
+    //      is O(k log k) per row with no giant aggregation buffer —
+    //      the rank-defined element (size+1) div 2 needs no
+    //      interpolation and no float, staying engine-exact on the
+    //      cents-quantized values. Short prefixes take the median of
+    //      what exists (frame shorter than 7), stated identically by
+    //      both engines' frame semantics. ----
+    Q("events_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(-6, 0)
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("x"))
+          .withColumn("frame", sort_array(collect_list(col("x")).over(w)))
+          .select(col("event_type"), col("event_id"), col("x"),
+            expr("element_at(frame, CAST((size(frame) + 1) div 2 AS INT))")
+              .as("roll_med"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""WITH b AS (SELECT event_type, event_id, ts,
+             |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+             |f AS (SELECT event_type, event_id, x,
+             |    list(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+             |  FROM b)
+             |SELECT event_type, event_id, x,
+             |  CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT) AS roll_med
+             |FROM f ORDER BY event_type, event_id""".stripMargin)),
+
     // ---- OLS trend slope per group, same exact-moments discipline:
     //      slope of value (cents) against time (epoch day) from the
     //      five integer sums; slope and intercept are double ops on
@@ -4479,6 +4512,60 @@ object AnalyticsQueries {
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
              |TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- THETA-SKETCH SET ALGEBRA — the overlap question HLL
+    //      cannot answer: "how many distinct parts move under BOTH
+    //      return flags", per flag pair, from per-segment sketches.
+    //      One pass builds a theta sketch per segment via the custom
+    //      `theta_sketch_agg` TypedImperativeAggregate (functions/
+    //      ThetaSketchAgg.scala — map-side partial sketches, shuffle
+    //      carries one bounded binary per group); the pairwise
+    //      INTERSECTIONS run driver-side on the |segments| compact
+    //      binaries — metadata, never re-touching facts. The exact
+    //      overlap rides the partkey-keyed distinct self-join; the
+    //      gate pins exact counts + the sketch's 5% envelope (below
+    //      2^lgK entries theta is exact by construction, so the
+    //      estimate-vs-exact contract is stable at every test SF). ----
+    Q("agg_theta_intersection",
+      (s, dir) => {
+        import org.apache.datasketches.memory.Memory
+        import org.apache.datasketches.theta.{SetOperation, Sketches}
+        val fp = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("f"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // feeds the sketch agg AND the exact self-join
+        val skRows = fp.groupBy("f")
+          .agg(expr("theta_sketch_agg(p, 12)").as("sk"))
+          .collect() // |flags| bounded binaries — metadata-sized
+        val sketches = skRows.map(r => r.getString(0) ->
+          Sketches.heapifySketch(Memory.wrap(r.getAs[Array[Byte]]("sk")))).toMap
+        val flags = sketches.keys.toSeq.sorted
+        val ests = for { a <- flags; b <- flags if a < b } yield {
+          val it = SetOperation.builder().setLogNominalEntries(12).buildIntersection()
+          it.intersect(sketches(a))
+          it.intersect(sketches(b))
+          (a, b, it.getResult().getEstimate)
+        }
+        import s.implicits._
+        val estDf = ests.toDF("flag_a", "flag_b", "est")
+        val x = fp.select(col("f").as("flag_a"), col("p"))
+        val y = fp.select(col("f").as("flag_b"), col("p"))
+        x.join(y, Seq("p"))
+          .filter(col("flag_a") < col("flag_b"))
+          .groupBy("flag_a", "flag_b")
+          .agg(countDistinct(col("p")).as("n_common"))
+          .join(broadcast(estDf), Seq("flag_a", "flag_b"))
+          .select(col("flag_a"), col("flag_b"), col("n_common"),
+            (abs(col("est") - col("n_common")) * 20 <= col("n_common"))
+              .as("est_within_5pct"))
+          .orderBy("flag_a", "flag_b")
+      },
+      Some("""WITH fp AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS p FROM lineitem)
+             |SELECT x.f AS flag_a, y.f AS flag_b,
+             |  CAST(COUNT(DISTINCT x.p) AS BIGINT) AS n_common,
+             |  TRUE AS est_within_5pct
+             |FROM fp x JOIN fp y ON x.p = y.p AND x.f < y.f
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- Count-Min Sketch agreement ON the hard gate (completes the
     //      sketch family: HLL distinct, Misra-Gries heavy hitters,
