@@ -3102,6 +3102,34 @@ object AnalyticsQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- stream-static LEFT ANTI — the streaming BLOCKLIST filter
+    //      (opted-out users, abusive sources, contamination ids):
+    //      arriving events are dropped when their user appears in the
+    //      static deny list, the complement of the enrichment join
+    //      above. Stateless like it — the anti-join against the
+    //      broadcast static side needs no watermark and no state
+    //      store, so the committed set is batch-split-invariant and
+    //      the oracle states the plain NOT IN. At 100 TB the deny
+    //      list is the bounded side (broadcast); a fact-sized deny
+    //      list would instead go through the Bloom-prune
+    //      decontamination path the batch tier ships. ----
+    Q("events_stream_blocklist",
+      (s, dir) => {
+        val (src, work) = stageStreamWork(dir)
+        val blocked = Tables.t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val kept = graft.streaming.EventStreams.readEvents(s, src)
+          .join(broadcast(blocked), col("user_id") === col("c_custkey"), "left_anti")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        graft.streaming.EventStreams.runToParquet(s, kept, work)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE user_id NOT IN
+             |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- UNPIVOT (melt): wide metric columns to long (entity,
     //      metric, value) rows — the inverse reshape of pivot_status,
     //      built into Dataset.unpivot; the oracle is the UNION ALL

@@ -772,6 +772,34 @@ object EtlQueries {
       Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
              |o_orderpriority AS priority FROM orders ORDER BY order_id""".stripMargin)),
 
+    // ---- line-oriented TEXT source/sink round-trip: the lowest
+    //      common denominator of data interchange (log shipping,
+    //      one-doc-per-line corpora). Written via the text sink,
+    //      read back with spark.read.text and re-parsed on a \x01
+    //      field separator; the gate hash-compares the ROUND-TRIPPED
+    //      STRINGS against the origin table, pinning that the
+    //      text path neither re-encodes nor trims content. Plain
+    //      (uncompressed) text stays line-splittable, so at 100 TB
+    //      the read parallelizes by blocks — unlike the .gz variant
+    //      whose files are single-task each. ----
+    Q("etl_text_roundtrip",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_textsrc_gate_").toString
+        val dest = s"$work/lines"
+        Tables.t(s, dir, "documents")
+          .select(concat_ws("\u0001", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(dest)
+        s.read.text(dest)
+          .select(split(col("value"), "\u0001").as("p"))
+          .select(expr("CAST(p[0] AS BIGINT)").as("doc_id"),
+            col("p").getItem(1).as("text_rt"))
+          .withColumn("n_chars_rt", length(col("text_rt")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text AS text_rt,
+             |CAST(length(text) AS BIGINT) AS n_chars_rt
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- migration/row-content AUDIT: an ORDER-INDEPENDENT table
     //      checksum (sum of per-row canonical-string hashes mod p —
     //      addition commutes, so partitioning and row order never
