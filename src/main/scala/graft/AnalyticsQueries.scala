@@ -2741,6 +2741,36 @@ object AnalyticsQueries {
       Some("""SELECT DISTINCT event_id, user_id, event_type, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- COMPLETE output mode over a cross-micro-batch feed: the
+    //      live-dashboard aggregate that RE-EMITS the whole result
+    //      table every batch (append/update are deltas; complete is
+    //      the full-state snapshot). The two-file feed with
+    //      maxFilesPerTrigger=1 forces two micro-batches, so the
+    //      memory sink's final table is the SECOND emission — the
+    //      gate pins that complete-mode re-emission converges to the
+    //      batch aggregate, not batch-1's partial. No watermark:
+    //      complete mode retains all groups by definition, which is
+    //      exactly why it is only safe when |groups| is bounded
+    //      (event-type cardinality here; an unbounded key would make
+    //      this operator the 100 TB failure mode, which is what the
+    //      windowed/append family above exists for). ----
+    Q("events_stream_complete_counts",
+      (s, dir) => {
+        val (src, _) = stageTwoFileFeed(s, dir, "graft_stream_complete_")
+        val counts = graft.streaming.EventStreams
+          .readEvents(s, src.toString, maxFilesPerTrigger = Some(1))
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        graft.streaming.EventStreams
+          .runToMemory(s, counts, "q_stream_complete_counts")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- stream-STREAM interval join through the real engine:
     //      signups joined to same-user purchases within the following
     //      hour, watermarks on BOTH sides bounding join state (the

@@ -533,6 +533,73 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- INT8 SYMMETRIC QUANTIZATION QA — the compression every
+    //      embedding store applies (4× smaller, ANN-shortlist-grade
+    //      recall) audited per vector: scale = max|x|/127, q =
+    //      round(x/scale) ∈ [-127, 127], and the reconstruction
+    //      error |x − q·scale| bounded by half a step. Entirely
+    //      in-row (transform/zip_with — no explode, map-only at
+    //      corpus scale); every float lifts to DOUBLE first so both
+    //      engines run the identical IEEE dag, and the verdict
+    //      booleans use one shared epsilon literal. max_q == 127 by
+    //      construction (the max element quantizes to ±127) — kept
+    //      as an output because a clamp-bug would break exactly that
+    //      invariant. ----
+    Q("embed_quantize_int8",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .withColumn("scale", expr("array_max(transform(e, x -> abs(x))) / 127.0D"))
+          .withColumn("q", expr("transform(e, x -> CAST(round(x / scale) AS BIGINT))"))
+          .select(col("vec_id"),
+            expr("array_max(transform(q, x -> abs(x)))").as("max_q"),
+            expr("array_max(zip_with(e, q, (x, qq) -> abs(x - CAST(qq AS DOUBLE) * scale)))")
+              .as("max_err"),
+            expr("array_max(zip_with(e, q, (x, qq) -> abs(x - CAST(qq AS DOUBLE) * scale)))" +
+              " <= scale * 0.5000001D").as("within_half_step"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH s AS (SELECT vec_id,
+             |    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+             |      / 127.0 AS scale,
+             |    embedding FROM embeddings),
+             |qd AS (SELECT vec_id, scale,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q,
+             |    embedding FROM s),
+             |err AS (SELECT vec_id, scale,
+             |    CAST(list_max(list_transform(generate_series(1, len(q)),
+             |        i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale))) AS DOUBLE)
+             |      AS max_err,
+             |    CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS max_q
+             |  FROM qd)
+             |SELECT vec_id, max_q, max_err,
+             |  (max_err <= scale * 0.5000001) AS within_half_step
+             |FROM err ORDER BY vec_id""".stripMargin)),
+
+    // ---- DATALOADER SHARD ASSIGNMENT: the deterministic doc→worker
+    //      map a distributed training job needs (every rank derives
+    //      the SAME assignment with no coordination — restart-stable,
+    //      unlike round-robin over an arbitrary scan order). Knuth
+    //      multiplicative hash mod 2^32 then mod world size, all in
+    //      BIGINT so both engines agree bit-for-bit; the report pins
+    //      the balance (docs and token mass per shard). Shards are
+    //      disjoint and exhaustive by construction — the count sum
+    //      equals the corpus. ----
+    Q("sample_shard_assignment",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(
+          expr("((doc_id * 2654435761) % 4294967296) % 8").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("shard"),
+      Some("""WITH h AS (SELECT ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+             |    len(string_split(text, ' ')) AS n_tok FROM documents)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- NORMALIZATION CHECK: histogram of squared L2 norms in
     //      exact micro-unit integers (a unit-normalized corpus piles
     //      up around 1e12; drift or an unnormalized batch shows as
