@@ -1323,6 +1323,59 @@ object AnalyticsQueries {
              |SELECT node AS part, CAST(lbl AS BIGINT) AS new_label, c AS n_votes
              |FROM pick WHERE rk = 1 ORDER BY part""".stripMargin)),
 
+    // ---- DEGREE ASSORTATIVITY: do high-degree parts co-purchase
+    //      with other hubs (r > 0, social-network shape) or with
+    //      leaves (r < 0, hub-and-spoke)? The single scalar that
+    //      says which skew-mitigation applies — assortative graphs
+    //      concentrate wedge work in hub-hub edges (salt those
+    //      keys); disassortative ones spread it. Pearson over the
+    //      (deg(u), deg(v)) pairs of the SYMMETRIC edge list, on the
+    //      exact six-BIGINT-sum discipline: two degree lookups (each
+    //      a |E|-keyed equi-join against the node-sized degree
+    //      table) and one combinable moment pass. ----
+    Q("graph_assortativity",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // degree table AND the edge join both read it
+        val sym = graft.operators.Graphs.symmetric(e)
+        val deg = graft.operators.Graphs.degrees(e)
+        sym
+          .join(deg.select(col("node").as("u"), col("deg").as("x")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("y")), Seq("v"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("assortativity"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+             |ed AS (SELECT du.d AS x, dv.d AS y FROM sym s
+             |       JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v),
+             |m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+             |      FROM ed)
+             |SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+             |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+             |FROM m""".stripMargin)),
+
     // ---- RECIPROCITY of the line-ordered co-purchase digraph: how
     //      often "u precedes v in a basket" also happens the other
     //      way round — the directionality diagnostic that separates

@@ -800,6 +800,35 @@ object EtlQueries {
              |CAST(length(text) AS BIGINT) AS n_chars_rt
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- GZIP-compressed CSV source: the codec path of the CSV
+    //      reader (vendor drops arrive as .csv.gz far more often
+    //      than plain). Staged from orders with the gzip codec, read
+    //      back through the schema-pinned CSV source; the gate
+    //      hash-compares the full round trip including the DOUBLE
+    //      price (shortest-roundtrip formatting) and the
+    //      day-granularity date. The honest scale note: a .gz file
+    //      is NOT splittable — one task per file regardless of size,
+    //      so at 100 TB the ingest parallelism is the FILE COUNT;
+    //      land many medium files (or re-encode to a splittable
+    //      codec) before the heavy transforms. ----
+    Q("etl_csv_gzip_source",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_csvgz_gate_").toString
+        val dest = s"$work/csv"
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_day"))
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(dest)
+        s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_day DATE")
+          .csv(dest)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS o_day
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- migration/row-content AUDIT: an ORDER-INDEPENDENT table
     //      checksum (sum of per-row canonical-string hashes mod p —
     //      addition commutes, so partitioning and row order never

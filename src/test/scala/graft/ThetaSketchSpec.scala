@@ -45,6 +45,15 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(sk("a").getEstimate == 2000.0 && sk("b").getEstimate == 2000.0)
   }
 
+  test("plans through ObjectHashAggregateExec (map-side partial sketches)") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i % 3, i)).toDF("g", "k")
+      .groupBy("g").agg(ThetaSketchAgg.sketch(col("k"), 12).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+  }
+
   test("nulls are ignored, all-null group yields the empty sketch") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(2L), None).toDF("k")
