@@ -252,6 +252,60 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // One label-propagation step: two well-keyed exchanges over the
+    // symmetric adjacency — wall must track edges ~linearly (the
+    // (node, label) groupBy combines map-side; labels are a bounded
+    // domain so combine actually collapses rows).
+    if (wanted("lblprop")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val it = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val ne = e.count()
+        val t0 = System.nanoTime()
+        val nodes = graft.operators.Graphs.symmetric(e)
+          .select(col("u").as("node"), (col("v") % 7).as("lbl"))
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c").as("c"), (-col("lbl")).as("neg"))).as("m"))
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE lblprop m=$m%2d edges=$ne%8d nodes=$nodes%8d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+    // Theta-sketch aggregation: per-group state is one bounded
+    // binary (<= 8·2^lgK bytes) however many rows feed it — wall
+    // must track rows ~linearly and the result byte size must be
+    // FLAT in m (the shuffle-payload bound the UDAF exists for).
+    if (wanted("theta")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_returnflag", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val rows = (0 until m).map(i => li0.select(col("l_returnflag"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _)
+        val n = rows.count()
+        val t0 = System.nanoTime()
+        val sk = rows.groupBy("l_returnflag")
+          .agg(graft.functions.ThetaSketchAgg.sketch(col("l_partkey"), 12).as("sk"))
+          .select(max(length(col("sk"))).cast("long").as("maxb"))
+          .collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE theta   m=$m%2d rows=$n%8d sketchB=$sk%7d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Ancestor rollup: replicated part catalogs keep the decimal
     // tree's DEPTH constant (ids only widen), so the closure's round
     // count stays fixed while per-round work tracks the catalog —
