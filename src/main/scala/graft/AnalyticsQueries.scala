@@ -3213,6 +3213,36 @@ object AnalyticsQueries {
              |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- MULTI-SOURCE STREAM UNION: two independent feeds (two
+    //      directories — the two-topic / two-region consolidation
+    //      shape) unioned into ONE streaming query with a per-feed
+    //      provenance tag. Stateless, so the committed set is the
+    //      union of whatever each source delivers regardless of
+    //      batch interleaving — the oracle derives the tag from the
+    //      same parity that split the feeds. Each source keeps its
+    //      own discovery/offset tracking; at 100 TB this is how a
+    //      consolidation job scales sources independently instead of
+    //      pre-merging upstream. ----
+    Q("events_stream_union_sources",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_union_")
+        val raw = Tables.t(s, dir, "events")
+        raw.filter(col("event_id") % 2 === 0).write.parquet(s"$work/srcA")
+        raw.filter(col("event_id") % 2 === 1).write.parquet(s"$work/srcB")
+        val a = graft.streaming.EventStreams.readEvents(s, s"$work/srcA")
+          .withColumn("feed", lit("a"))
+        val b = graft.streaming.EventStreams.readEvents(s, s"$work/srcB")
+          .withColumn("feed", lit("b"))
+        val unioned = a.unionByName(b)
+          .select(col("event_id"), col("feed"), col("event_type"))
+        graft.streaming.EventStreams.runToParquet(s, unioned, work.toString)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS feed,
+             |  event_type
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- UNPIVOT (melt): wide metric columns to long (entity,
     //      metric, value) rows — the inverse reshape of pivot_status,
     //      built into Dataset.unpivot; the oracle is the UNION ALL

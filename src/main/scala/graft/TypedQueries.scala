@@ -87,9 +87,62 @@ object TypedQueries {
              |  FROM orders WHERE o_custkey % 10 = 0)
              |SELECT o_custkey, o_orderkey,
              |  COALESCE(CAST(e - LAG(e) OVER (PARTITION BY o_custkey ORDER BY e, o_orderkey) AS BIGINT), -1) AS gap_s
-             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- typed flatMapGroups SESSIONIZATION: the imperative
+    //      state-machine form of events_sessionize (which rides the
+    //      declarative session_window) — pinned against the SAME
+    //      gaps-and-islands oracle, so the typed escape hatch is
+    //      proven to reproduce the engine operator exactly, gap
+    //      convention included (a 10-minute-or-more silence opens a
+    //      new session). Each user's events sort IN MEMORY per group
+    //      — bounded by per-user activity at any corpus scale, and
+    //      the shuffle is the same user-keyed exchange session_window
+    //      pays. Timestamps ride exact epoch MICROS end to end. ----
+    Q("typed_sessionize_mapgroups",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .as[EventRow]
+          .groupByKey(_.user_id)
+          .flatMapGroups { (k: Long, rows: Iterator[EventRow]) =>
+            val sorted = rows.toIndexedSeq.sortBy(r => (r.us, r.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TypedSession]
+            var start = sorted.head.us
+            var end = sorted.head.us
+            var n = 0L
+            sorted.foreach { r =>
+              if (n > 0L && r.us - end >= 600000000L) {
+                out += TypedSession(k, start, end, n)
+                start = r.us; n = 0L
+              }
+              end = r.us; n += 1
+            }
+            out += TypedSession(k, start, end, n)
+            out.iterator
+          }
+          .toDF()
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |flags AS (SELECT user_id, us,
+             |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+             |       OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (SELECT user_id, us,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flags)
+             |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+             |  CAST(MAX(us) AS BIGINT) AS end_us, COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 
   final case class OrderRow(o_custkey: Long, o_orderkey: Long, epoch_s: Long)
   final case class OrderGap(o_custkey: Long, o_orderkey: Long, gap_s: Long)
+  final case class EventRow(user_id: Long, us: Long, event_id: Long)
+  final case class TypedSession(user_id: Long, start_us: Long, end_us: Long,
+                                n_events: Long)
 }
