@@ -4394,6 +4394,33 @@ object AnalyticsQueries {
              |  CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT) AS roll_med
              |FROM f ORDER BY event_type, event_id""".stripMargin)),
 
+    // ---- BENFORD FIRST-DIGIT AUDIT: the fraud/corruption screen for
+    //      any organically-grown measure — natural multiplicative
+    //      data leads with 1 about 30% of the time; fabricated or
+    //      truncated feeds flatten the curve. Leading digit of the
+    //      cents-quantized value, counts and exact permille shares
+    //      (integer division against the one-row total — no float
+    //      thresholds). Map-side combinable into 9 rows whatever the
+    //      corpus size. ----
+    Q("events_value_benford",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "events")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("cents") >= 1)
+          .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum("n").as("tot"))
+        d.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("CAST(1000 * n div tot AS BIGINT)").as("permille"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+             |          FROM events WHERE round(value * 100) >= 1)
+             |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(1000 * COUNT(*) // SUM(COUNT(*)) OVER () AS BIGINT) AS permille
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- OLS trend slope per group, same exact-moments discipline:
     //      slope of value (cents) against time (epoch day) from the
     //      five integer sums; slope and intercept are double ops on
@@ -4707,6 +4734,64 @@ object AnalyticsQueries {
              |  TRUE AS est_within_5pct
              |FROM fp x JOIN fp y ON x.p = y.p AND x.f < y.f
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- THETA A-NOT-B — "net-new distinct parts this month":
+    //      the incremental-lake question (which keys did this
+    //      partition introduce?) answered from per-month sketches by
+    //      SET DIFFERENCE, no rescan of history. One pass sketches
+    //      each month; the month-over-month AnotB runs driver-side
+    //      on the |months| compact binaries. The exact answer rides
+    //      a (prev_month, part)-keyed anti-join of the distinct
+    //      month-part table against itself — at 100 TB that is the
+    //      expensive path the sketches exist to replace, kept here
+    //      as the gate's ground truth. Sketches are in exact mode at
+    //      per-month cardinality, so the 5% envelope is stable. ----
+    Q("agg_theta_anotb",
+      (s, dir) => {
+        import org.apache.datasketches.memory.Memory
+        import org.apache.datasketches.theta.{SetOperation, Sketches}
+        val mp = Tables.t(s, dir, "lineitem")
+          .select(date_trunc("month", col("l_shipdate")).cast("date").as("mon"),
+            col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // sketch agg AND both sides of the anti-join
+        val skRows = mp.groupBy("mon")
+          .agg(expr("theta_sketch_agg(p, 12)").as("sk"))
+          .collect()
+        val sk = skRows.map(r => r.getDate(0).toString ->
+          Sketches.heapifySketch(Memory.wrap(r.getAs[Array[Byte]]("sk")))).toMap
+        val months = sk.keys.toSeq.sorted
+        val ests = months.map { m =>
+          val prev = java.time.LocalDate.parse(m).minusMonths(1).toString
+          val est = sk.get(prev) match {
+            case Some(ps) =>
+              val op = SetOperation.builder().buildANotB()
+              op.setA(sk(m)); op.notB(ps)
+              op.getResult(true).getEstimate
+            case None => sk(m).getEstimate
+          }
+          (java.sql.Date.valueOf(m), est)
+        }
+        import s.implicits._
+        val estDf = ests.toDF("mon", "est")
+        val prevShift = mp.select(add_months(col("mon"), 1).as("mon"),
+          col("p"))
+        mp.join(prevShift, Seq("mon", "p"), "left_anti")
+          .groupBy("mon").agg(count(lit(1)).as("n_new"))
+          .join(broadcast(estDf), Seq("mon"))
+          .select(col("mon"), col("n_new"),
+            (abs(col("est") - col("n_new")) * 20 <= col("n_new"))
+              .as("est_within_5pct"))
+          .orderBy("mon")
+      },
+      Some("""WITH mp AS (SELECT DISTINCT
+             |    CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS mon,
+             |    l_partkey AS p FROM lineitem)
+             |SELECT cur.mon, CAST(COUNT(*) AS BIGINT) AS n_new, TRUE AS est_within_5pct
+             |FROM mp cur
+             |WHERE NOT EXISTS (SELECT 1 FROM mp prev
+             |   WHERE prev.mon = cur.mon - INTERVAL 1 MONTH AND prev.p = cur.p)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Count-Min Sketch agreement ON the hard gate (completes the
     //      sketch family: HLL distinct, Misra-Gries heavy hitters,
