@@ -3243,6 +3243,51 @@ object AnalyticsQueries {
              |  event_type
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- foreachBatch DUAL-SINK FANOUT: one streaming pass feeding
+    //      TWO destinations (parquet for the lake, JSON-lines for a
+    //      downstream consumer) — the multi-sink shape writeStream's
+    //      single-sink contract can't express. The micro-batch is
+    //      persisted once and written twice, so the source is read
+    //      once per batch; maxFilesPerTrigger=1 forces the fanout to
+    //      run per-batch twice. foreachBatch is at-least-once PER
+    //      SINK — a replayed batch would need batchId-keyed
+    //      idempotent writes (the MERGE/overwrite discipline the
+    //      upsert gates ship); a single AvailableNow run is
+    //      replay-free, which is what lets the gate join both
+    //      destinations and pin row-level agreement. ----
+    Q("events_stream_fanout_dual_sink",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_fanout_")
+        val pq = s"$work/pq"
+        val js = s"$work/js"
+        val q = graft.streaming.EventStreams
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.persist()
+            df.write.mode("append").parquet(pq)
+            df.write.mode("append").json(js)
+            df.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val p = s.read.parquet(pq)
+        val j = s.read.schema("event_id LONG, event_type STRING, user_id LONG")
+          .json(js)
+          .select(col("event_id"), col("event_type").as("event_type_json"))
+        p.join(j, Seq("event_id"))
+          .select(col("event_id"), col("event_type"), col("event_type_json"),
+            (col("event_type") === col("event_type_json")).as("sinks_agree"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, event_type AS event_type_json,
+             |TRUE AS sinks_agree
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- UNPIVOT (melt): wide metric columns to long (entity,
     //      metric, value) rows — the inverse reshape of pivot_status,
     //      built into Dataset.unpivot; the oracle is the UNION ALL

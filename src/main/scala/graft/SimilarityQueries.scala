@@ -340,6 +340,51 @@ object SimilarityQueries {
              |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
              |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- per-frame ENERGY/PEAK extraction — the audio-feature
+    //      shape (RMS energy + clipping peak per fixed-width window)
+    //      over the byte-slicing decode stub: every 64-byte frame
+    //      reports Σ byte² and max byte as exact integers. The
+    //      Spark-side plumbing (typed flatMap framing, per-frame
+    //      integer reduce, bounded |payload|/64 fan-out) is the real
+    //      production shape a codec-aware decoder would slot into;
+    //      the oracle replays the identical slice arithmetic AND the
+    //      per-byte math via hex-pair extraction, so window
+    //      boundaries and CONTENT are both pinned byte-exactly. ----
+    Q("multimodal_audio_energy",
+      (s, dir) => {
+        import s.implicits._
+        val media = graft.multimodal.Multimodal.asMedia(
+          Tables.t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/utf-8")
+        graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 1)
+          .map { f =>
+            var e = 0L; var p = 0L; var i = 0
+            while (i < f.frame.length) {
+              val u = (f.frame(i) & 0xff).toLong
+              e += u * u; if (u > p) p = u; i += 1
+            }
+            (f.media_id, f.frame_idx, f.frame.length, e, p)
+          }
+          .toDF("media_id", "frame_idx", "n_bytes", "energy", "peak")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            octet_length(encode(text)) AS L FROM documents),
+             |f AS (SELECT doc_id, i, LEAST(64, L - i*64) AS n,
+             |        substr(hex(b), i*128 + 1, CAST(LEAST(64, L - i*64) * 2 AS BIGINT)) AS hx
+             |      FROM d, UNNEST(range(CAST(ceil(L / 64.0) AS BIGINT))) AS t(i)),
+             |bytes AS (SELECT doc_id, i, n,
+             |    [CAST(strpos('123456789ABCDEF', substr(hx, 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hx, 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))] AS bs
+             |  FROM f)
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+             |  CAST(n AS INTEGER) AS n_bytes,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, x) -> a + x * x) AS energy,
+             |  CAST(list_max(bs) AS BIGINT) AS peak
+             |FROM bytes ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- ANN via random-hyperplane LSH: signature filter + exact
     //      re-rank. Approximate BY DESIGN (recall < 1 on these
     //      near-random synthetic vectors, where no sublinear method is
