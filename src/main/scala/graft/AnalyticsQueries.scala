@@ -4729,38 +4729,33 @@ object AnalyticsQueries {
     // ---- THETA-SKETCH SET ALGEBRA — the overlap question HLL
     //      cannot answer: "how many distinct parts move under BOTH
     //      return flags", per flag pair, from per-segment sketches.
-    //      One pass builds a theta sketch per segment via the custom
-    //      `theta_sketch_agg` TypedImperativeAggregate (functions/
-    //      ThetaSketchAgg.scala — map-side partial sketches, shuffle
-    //      carries one bounded binary per group); the pairwise
-    //      INTERSECTIONS run driver-side on the |segments| compact
-    //      binaries — metadata, never re-touching facts. The exact
-    //      overlap rides the partkey-keyed distinct self-join; the
-    //      gate pins exact counts + the sketch's 5% envelope (below
-    //      2^lgK entries theta is exact by construction, so the
-    //      estimate-vs-exact contract is stable at every test SF). ----
+    //      Spark 4.1 ships the DataSketches theta suite BUILTIN
+    //      (theta_sketch_agg / theta_intersection /
+    //      theta_sketch_estimate — TypedImperativeAggregate through
+    //      ObjectHashAggregate, map-side partial sketches, one
+    //      bounded binary per group on the shuffle), so the whole
+    //      pipeline stays IN the plan: one pass sketches each
+    //      segment, then the pairwise intersections are a
+    //      |segments|²-bounded sketch-on-sketch join that never
+    //      re-touches facts. The exact overlap rides the
+    //      partkey-keyed distinct self-join; the gate pins exact
+    //      counts + the sketch's 5% envelope (below 2^lgK entries
+    //      theta is exact by construction, so the estimate-vs-exact
+    //      contract is stable at every test SF). ----
     Q("agg_theta_intersection",
       (s, dir) => {
-        import org.apache.datasketches.memory.Memory
-        import org.apache.datasketches.theta.{SetOperation, Sketches}
         val fp = Tables.t(s, dir, "lineitem")
           .select(col("l_returnflag").as("f"), col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint() // feeds the sketch agg AND the exact self-join
-        val skRows = fp.groupBy("f")
-          .agg(expr("theta_sketch_agg(p, 12)").as("sk"))
-          .collect() // |flags| bounded binaries — metadata-sized
-        val sketches = skRows.map(r => r.getString(0) ->
-          Sketches.heapifySketch(Memory.wrap(r.getAs[Array[Byte]]("sk")))).toMap
-        val flags = sketches.keys.toSeq.sorted
-        val ests = for { a <- flags; b <- flags if a < b } yield {
-          val it = SetOperation.builder().setLogNominalEntries(12).buildIntersection()
-          it.intersect(sketches(a))
-          it.intersect(sketches(b))
-          (a, b, it.getResult().getEstimate)
-        }
-        import s.implicits._
-        val estDf = ests.toDF("flag_a", "flag_b", "est")
+        val sk = fp.groupBy("f")
+          .agg(expr("theta_sketch_agg(p, 12)").as("sk")) // |flags| bounded binaries
+        val a = sk.select(col("f").as("flag_a"), col("sk").as("ska"))
+        val b = sk.select(col("f").as("flag_b"), col("sk").as("skb"))
+        val estDf = a.crossJoin(broadcast(b))
+          .filter(col("flag_a") < col("flag_b"))
+          .select(col("flag_a"), col("flag_b"),
+            expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("est"))
         val x = fp.select(col("f").as("flag_a"), col("p"))
         val y = fp.select(col("f").as("flag_b"), col("p"))
         x.join(y, Seq("p"))
@@ -4784,41 +4779,33 @@ object AnalyticsQueries {
     //      the incremental-lake question (which keys did this
     //      partition introduce?) answered from per-month sketches by
     //      SET DIFFERENCE, no rescan of history. One pass sketches
-    //      each month; the month-over-month AnotB runs driver-side
-    //      on the |months| compact binaries. The exact answer rides
-    //      a (prev_month, part)-keyed anti-join of the distinct
-    //      month-part table against itself — at 100 TB that is the
-    //      expensive path the sketches exist to replace, kept here
-    //      as the gate's ground truth. Sketches are in exact mode at
-    //      per-month cardinality, so the 5% envelope is stable. ----
+    //      each month; the month-over-month difference is then a
+    //      month-keyed self-join of the |months|-row sketch table
+    //      with the builtin theta_difference — sketch-on-sketch work
+    //      entirely IN the plan, never re-touching facts (a month
+    //      with no predecessor keeps its own estimate: everything is
+    //      new). The exact answer rides a (prev_month, part)-keyed
+    //      anti-join of the distinct month-part table against itself
+    //      — at 100 TB that is the expensive path the sketches exist
+    //      to replace, kept here as the gate's ground truth.
+    //      Sketches are in exact mode at per-month cardinality, so
+    //      the 5% envelope is stable. ----
     Q("agg_theta_anotb",
       (s, dir) => {
-        import org.apache.datasketches.memory.Memory
-        import org.apache.datasketches.theta.{SetOperation, Sketches}
         val mp = Tables.t(s, dir, "lineitem")
           .select(date_trunc("month", col("l_shipdate")).cast("date").as("mon"),
             col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint() // sketch agg AND both sides of the anti-join
-        val skRows = mp.groupBy("mon")
-          .agg(expr("theta_sketch_agg(p, 12)").as("sk"))
-          .collect()
-        val sk = skRows.map(r => r.getDate(0).toString ->
-          Sketches.heapifySketch(Memory.wrap(r.getAs[Array[Byte]]("sk")))).toMap
-        val months = sk.keys.toSeq.sorted
-        val ests = months.map { m =>
-          val prev = java.time.LocalDate.parse(m).minusMonths(1).toString
-          val est = sk.get(prev) match {
-            case Some(ps) =>
-              val op = SetOperation.builder().buildANotB()
-              op.setA(sk(m)); op.notB(ps)
-              op.getResult(true).getEstimate
-            case None => sk(m).getEstimate
-          }
-          (java.sql.Date.valueOf(m), est)
-        }
-        import s.implicits._
-        val estDf = ests.toDF("mon", "est")
+        val sk = mp.groupBy("mon")
+          .agg(expr("theta_sketch_agg(p, 12)").as("sk")) // |months| binaries
+        val prevSk = sk.select(add_months(col("mon"), 1).as("mon"),
+          col("sk").as("sk_prev"))
+        val estDf = sk.join(broadcast(prevSk), Seq("mon"), "left")
+          .select(col("mon"),
+            when(col("sk_prev").isNull, expr("theta_sketch_estimate(sk)"))
+              .otherwise(expr("theta_sketch_estimate(theta_difference(sk, sk_prev))"))
+              .as("est"))
         val prevShift = mp.select(add_months(col("mon"), 1).as("mon"),
           col("p"))
         mp.join(prevShift, Seq("mon", "p"), "left_anti")
@@ -4837,6 +4824,49 @@ object AnalyticsQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM mp prev
              |   WHERE prev.mon = cur.mon - INTERVAL 1 MONTH AND prev.p = cur.p)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- KLL QUANTILE-SKETCH RE-AGGREGATION — the quantile
+    //      companion to the theta tier, on Spark 4.1's builtin KLL
+    //      suite: per-shard kll_sketch_agg_double binaries MERGE to
+    //      any rollup level via kll_merge_agg_double — which
+    //      approx_percentile's buffer never leaves the one
+    //      aggregation for — and the whole two-level rollup stays IN
+    //      the plan (sketch → merge → kll_sketch_get_quantile, no
+    //      driver-side sketch ops). The merged median estimate is
+    //      validated the way KLL's contract is actually stated — by
+    //      RANK: the exact rank of the estimate (one distributed
+    //      count against the broadcast estimate) must land within 2%
+    //      of 0.5 (k=200 ⇒ ~1.3% bound). The exact interpolated
+    //      median rides the counting-quantile path and is what the
+    //      oracle states. ----
+    Q("agg_kll_quantile_merge",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"),
+            (col("l_orderkey") % 8).as("shard"))
+          .localCheckpoint() // sketch pass, exact quantile AND the rank count
+        val estDf = li.groupBy("l_returnflag", "shard")
+          .agg(expr("kll_sketch_agg_double(q, 200)").as("sk"))
+          .groupBy("l_returnflag")
+          .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+          .select(col("l_returnflag"),
+            expr("kll_sketch_get_quantile_double(sk, 0.5d)").as("est50"))
+        val exact = graft.operators.Ranking
+          .groupedCountingQuantile(li, "l_returnflag", "q", 0.5, out = "p50")
+        val rank = li.join(broadcast(estDf), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("q") <= col("est50"), 1L).otherwise(0L)).as("n_le"))
+          .select(col("l_returnflag"),
+            expr("CAST(1000 * n_le div n AS BIGINT)").as("rank_permille"))
+        exact.join(broadcast(rank), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("p50"),
+            (abs(col("rank_permille") - 500L) <= 20L).as("rank_within_2pct"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+             |TRUE AS rank_within_2pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Count-Min Sketch agreement ON the hard gate (completes the
     //      sketch family: HLL distinct, Misra-Gries heavy hitters,

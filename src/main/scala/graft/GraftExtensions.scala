@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCountLess, DotProduct, FreqSketch, MinHashBandKeys, RollingHashFingerprint, SimHash64, ThetaSketchAgg, TopKPairs, WordShingles}
+import graft.functions.{ArrayCountLess, DotProduct, FreqSketch, MinHashBandKeys, RollingHashFingerprint, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -77,12 +77,6 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "freq_sketch(key, k) takes two arguments")
         FreqSketch(args.head, intArg(args(1), "k"))
-      }),
-    (new FunctionIdentifier("theta_sketch_agg"),
-      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "theta_sketch_agg(key, lgK) takes two arguments")
-        ThetaSketchAgg(args.head, intArg(args(1), "lgK"))
       }))
 
   /** Sketch geometry must be fixed at plan time (it defines the

@@ -385,6 +385,41 @@ object SimilarityQueries {
              |  CAST(list_max(bs) AS BIGINT) AS peak
              |FROM bytes ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- EXACT MEDIA DEDUP by content digest — byte-identical
+    //      payloads (the re-crawled image / re-uploaded clip case)
+    //      collapse on md5 of the BINARY payload: one map-side
+    //      digest, one digest-keyed groupBy; the payload bytes never
+    //      shuffle, only the 16-byte digest does — the property that
+    //      makes this the first pass over any 100 TB media corpus.
+    //      The corpus has no byte-identical docs, so every 5th doc
+    //      is re-keyed and unioned back in (the doubled-corpus
+    //      construction the simhash gate uses); the gate reports
+    //      each duplicate group's digest, multiplicity and min-id
+    //      keeper. Spark hashes the UTF-8 payload bytes, DuckDB the
+    //      VARCHAR's UTF-8 — the same bytes by construction. ----
+    Q("multimodal_dedup_exact",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val doubled = docs.unionByName(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+        doubled
+          .select(col("doc_id"), md5(col("payload")).as("digest"))
+          .groupBy("digest")
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
+          .filter(col("n_copies") >= 2)
+          .orderBy("keeper_id")
+      },
+      Some("""WITH doubled AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+             |SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+             |FROM doubled GROUP BY 1 HAVING COUNT(*) >= 2
+             |ORDER BY keeper_id""".stripMargin)),
+
     // ---- ANN via random-hyperplane LSH: signature filter + exact
     //      re-rank. Approximate BY DESIGN (recall < 1 on these
     //      near-random synthetic vectors, where no sublinear method is

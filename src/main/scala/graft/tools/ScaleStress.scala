@@ -298,7 +298,7 @@ object ScaleStress {
         val n = rows.count()
         val t0 = System.nanoTime()
         val sk = rows.groupBy("l_returnflag")
-          .agg(graft.functions.ThetaSketchAgg.sketch(col("l_partkey"), 12).as("sk"))
+          .agg(expr("theta_sketch_agg(l_partkey, 12)").as("sk"))
           .select(max(length(col("sk"))).cast("long").as("maxb"))
           .collect()(0).getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
