@@ -2389,6 +2389,42 @@ object AnalyticsQueries {
              |CAST(props->>'$.k' AS INTEGER) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- NESTED-JSON FLATTEN: schema-on-read with from_json's full
+    //      nested schema (struct-in-struct + array leaf) and a
+    //      generator explode to one row per array element — the
+    //      "flatten the payload" stage every ingest of nested JSON
+    //      runs, distinct from the path-extraction (json_extract) and
+    //      open-schema (VARIANT) siblings. The nested document is
+    //      BUILT deterministically from the flat columns, so the
+    //      oracle can state the flatten's result directly without a
+    //      JSON engine — the gate pins parse + navigation + explode
+    //      round-tripping the construction exactly. Map-side until
+    //      the final sort; the explode fan-out is the array length. ----
+    Q("etl_json_nested_flatten",
+      (s, dir) => Tables.t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          concat(lit("{\"meta\":{\"k\":"),
+            get_json_object(col("props"), "$.k"),
+            lit(",\"tags\":[\"t_"), col("event_type"), lit("\",\"u_"),
+            (col("user_id") % 3).cast("string"), lit("\"]},\"v\":"),
+            expr("CAST(round(value * 100) AS BIGINT)").cast("string"),
+            lit("}")).as("doc"))
+        .select(col("event_id"),
+          from_json(col("doc"),
+            "meta STRUCT<k: BIGINT, tags: ARRAY<STRING>>, v BIGINT",
+            java.util.Collections.emptyMap[String, String]()).as("j"))
+        .select(col("event_id"), col("j.meta.k").as("k"),
+          explode(col("j.meta.tags")).as("tag"), col("j.v").as("v"))
+        .orderBy("event_id", "tag"),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, t.tag,
+             |  CAST(round(value * 100) AS BIGINT) AS v
+             |FROM events,
+             |  UNNEST(['t_' || event_type,
+             |          'u_' || CAST(user_id % 3 AS VARCHAR)]) AS t(tag)
+             |WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |ORDER BY event_id, tag""".stripMargin)),
+
     // ---- VARIANT ingestion path (Spark 4's semi-structured type):
     //      parse_json lands the payload as an open-schema VARIANT —
     //      the shape a 100 TB event lake stores when producers add
@@ -3287,6 +3323,57 @@ object AnalyticsQueries {
       Some("""SELECT event_id, event_type, event_type AS event_type_json,
              |TRUE AS sinks_agree
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- transformWithState INITIAL STATE on the hard gate: the
+    //      go-live-against-history shape — per-user counts over the
+    //      chronologically earlier half are computed BATCH-side and
+    //      seed the processor's ValueState via handleInitialState;
+    //      the stream then replays only the later half. The final
+    //      totals must equal counts over the WHOLE feed (for users
+    //      the stream touches — seeded-but-silent users emit nothing,
+    //      exactly the initial-state contract), proving state really
+    //      started from the bootstrap, not zero. Both engines derive
+    //      the identical time cut as (min+max) div 2 epoch-micros. ----
+    Q("events_stream_bootstrap_state",
+      (s, dir) => {
+        val raw = Tables.t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .withColumn("us", unix_micros(col("ts")))
+        val mm = raw.agg(min("us"), max("us")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val work = CacheDirs.tempWorkDir("graft_stream_boot_")
+        raw.filter(col("us") > cut).drop("us").write.parquet(s"$work/stream")
+        val history = raw.filter(col("us") <= cut)
+        val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = graft.streaming.EventStreams.bootstrapCountStream(
+            graft.streaming.EventStreams.readEvents(s, s"$work/stream"),
+            history)(s)
+          val name = s"q_boot_${java.util.UUID.randomUUID().toString.take(8)}"
+          graft.streaming.EventStreams.runToMemory(s, out.toDF(), name,
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            // totals are monotone per user; the LAST emission is max
+            .groupBy("user_id").agg(max("total").as("total"))
+            .orderBy("user_id")
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE user_id IS NOT NULL),
+             |c AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM e)
+             |SELECT user_id, COUNT(*) AS total
+             |FROM e
+             |WHERE user_id IN (SELECT DISTINCT user_id FROM e, c WHERE us > cut)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- UNPIVOT (melt): wide metric columns to long (entity,
     //      metric, value) rows — the inverse reshape of pivot_status,

@@ -539,6 +539,62 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class UserTotal(user_id: Long, total: Long)
+
+  /**
+   * BOOTSTRAP-FROM-HISTORY: transformWithState's INITIAL-STATE
+   * surface (`StatefulProcessorWithInitialState` + the
+   * initial-state `transformWithState` overload) — the query's first
+   * batch seeds every key's state from a BATCH dataset before any
+   * stream row is processed. This is how a stateful job goes live
+   * against years of history without replaying it through the
+   * stream: the historical aggregate (here per-user event counts) is
+   * computed once batch-side, handed over as the initial
+   * KeyValueGroupedDataset, and the stream continues from there.
+   * State stays one long per user; emissions are the running total
+   * AFTER each batch, so totals are monotone per user.
+   */
+  class BootstrapCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Long, UserTotal, Long] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInitialState(user: Long, seed: Long,
+                                    tv: TimerValues): Unit =
+      n.update(seed)
+    override def handleInputRows(user: Long, rows: Iterator[Long],
+                                 tv: TimerValues): Iterator[UserTotal] = {
+      val cur = if (n.exists()) n.get() else 0L
+      val nv = cur + rows.size
+      n.update(nv)
+      Iterator.single(UserTotal(user, nv))
+    }
+  }
+
+  /** Seeded running per-user counts: history (batch) initializes the
+    * state, the stream increments it. See [[BootstrapCountProcessor]].
+    * RocksDB provider required. */
+  def bootstrapCountStream(stream: DataFrame, history: DataFrame)
+                          (implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    val init = history
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    stream
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new BootstrapCountProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(), init)
+  }
+
   /**
    * Streaming ingestion near-dup gate: arriving documents whose LSH
    * band keys collide with the STATIC corpus sketch

@@ -743,4 +743,35 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("initial state seeds ValueState; silent seeded users emit nothing; state accrues across batches") {
+    implicit val s = spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // history: user 1 has 5 events, user 3 has 7 (never streams)
+      val history = Seq.fill(5)(1L).map(u => (u, "x")).union(Seq.fill(7)(3L).map(u => (u, "x")))
+        .toDF("user_id", "pad")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val stream = in.toDF().toDF("user_id")
+      val out = EventStreams.bootstrapCountStream(stream, history)
+      val q = out.toDF().writeStream.format("memory").queryName("t_boot")
+        .outputMode(OutputMode.Update()).start()
+      in.addData(1L, 1L, 2L) // user 1: 5 seeded + 2 = 7; user 2: unseeded = 1
+      q.processAllAvailable()
+      in.addData(1L)         // cross-batch: 7 + 1 = 8
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_boot")
+        .groupBy("user_id").agg(max("total").as("t"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 8L), (2L, 1L)),
+        s"expected seeded totals (1->8, 2->1) and NO row for silent user 3, got $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
