@@ -4912,6 +4912,40 @@ object AnalyticsQueries {
              |   WHERE prev.mon = cur.mon - INTERVAL 1 MONTH AND prev.p = cur.p)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- THETA DAILY→MONTHLY ROLLUP — the canonical sketch
+    //      deployment: one DISTINCT-KEY sketch per day partition,
+    //      materialized once at ingest, then ANY coarser window
+    //      (month here; week, quarter, trailing-28-day alike) is a
+    //      theta_union_agg over the daily binaries — never a rescan
+    //      of facts. Both levels stay in the plan; the shuffle above
+    //      the daily pass carries |days| bounded binaries. Exact
+    //      monthly distincts ride the fact-sized countDistinct the
+    //      sketches replace at scale, kept as ground truth; per-day
+    //      cardinality is far below 2^12 so the rollup's 5% envelope
+    //      is stable. ----
+    Q("agg_theta_daily_rollup",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "lineitem")
+          .select(col("l_shipdate").cast("date").as("day"),
+            date_trunc("month", col("l_shipdate")).cast("date").as("mon"),
+            col("l_partkey").as("p"))
+          .localCheckpoint() // daily sketch pass AND the exact countDistinct
+        val est = e.groupBy("mon", "day")
+          .agg(expr("theta_sketch_agg(p, 12)").as("sk"))
+          .groupBy("mon")
+          .agg(expr("theta_sketch_estimate(theta_union_agg(sk, 12))").as("est"))
+        val exact = e.groupBy("mon").agg(countDistinct(col("p")).as("n_parts"))
+        exact.join(broadcast(est), Seq("mon"))
+          .select(col("mon"), col("n_parts"),
+            (abs(col("est") - col("n_parts")) * 20 <= col("n_parts"))
+              .as("est_within_5pct"))
+          .orderBy("mon")
+      },
+      Some("""SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS mon,
+             |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |  TRUE AS est_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- KLL QUANTILE-SKETCH RE-AGGREGATION — the quantile
     //      companion to the theta tier, on Spark 4.1's builtin KLL
     //      suite: per-shard kll_sketch_agg_double binaries MERGE to

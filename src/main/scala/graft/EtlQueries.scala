@@ -829,6 +829,58 @@ object EtlQueries {
              |CAST(o_orderdate AS DATE) AS o_day
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- WRITE-AUDIT-PUBLISH (WAP): candidates are staged BESIDE
+    //      the destination, audited AS WRITTEN (the staged files are
+    //      read back — auditing the plan would miss writer bugs),
+    //      and only a passing audit swaps into place via the
+    //      rename-aside protocol (`Maintenance.replaceDir`); a
+    //      failing audit leaves the published data byte-identical
+    //      and cleans its staging. The gate runs one passing cycle,
+    //      then a corrupted candidate (half the rows, null keys
+    //      injected) whose audit must REJECT — the read-back proves
+    //      the destination still holds cycle-1 content and both
+    //      verdicts ride the row as pinned booleans. ----
+    Q("etl_write_audit_publish",
+      (s, dir) => {
+        import org.apache.hadoop.fs.{FileSystem, Path}
+        val work = CacheDirs.tempWorkDir("graft_wap_gate_").toString
+        val dest = s"$work/published"
+        val fs = FileSystem.get(new java.net.URI(dest),
+          s.sparkContext.hadoopConfiguration)
+        def wapCycle(candidate: org.apache.spark.sql.DataFrame): Boolean =
+          try {
+            graft.operators.Maintenance.replaceDir(fs, new Path(dest), "_wap_",
+              staged => {
+                candidate.write.parquet(staged)
+                val audit = s.read.parquet(staged)
+                val nullKeys = audit.filter(col("order_id").isNull).limit(1).count()
+                val n = audit.count()
+                if (n < 1000L || nullKeys > 0)
+                  throw new IllegalStateException(
+                    s"WAP audit failed: rows=$n nullKeys=$nullKeys")
+              },
+              msg => new IllegalStateException(msg))
+            true
+          } catch { case _: IllegalStateException => false }
+        val good = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"))
+        val corrupted = Tables.t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_orderkey")).as("order_id"),
+            col("o_orderstatus").as("status"))
+        val p1 = wapCycle(good)
+        val p2 = wapCycle(corrupted)
+        s.read.parquet(dest)
+          .withColumn("cycle1_published", lit(p1))
+          .withColumn("cycle2_rejected", lit(!p2))
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |TRUE AS cycle1_published, TRUE AS cycle2_rejected
+             |FROM orders ORDER BY order_id""".stripMargin)),
+
     // ---- migration/row-content AUDIT: an ORDER-INDEPENDENT table
     //      checksum (sum of per-row canonical-string hashes mod p —
     //      addition commutes, so partitioning and row order never
