@@ -5277,18 +5277,19 @@ object AnalyticsQueries {
     //      needs salting/AQE skew handling BEFORE it runs. One
     //      combinable count per key; the global stats (total, key
     //      count) are a second tiny aggregate broadcast back; all
-    //      integer division. ----
+    //      integer division. Top-10 via orderBy+limit — Spark plans
+    //      TakeOrderedAndProject (per-partition heaps, no global
+    //      single-partition sort), so the cut stays O(k·10) however
+    //      large the key dimension grows. ----
     Q("diag_key_skew",
       (s, dir) => {
         val k = Tables.t(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("key"))
           .agg(count(lit(1)).as("n"))
         val tot = k.agg(sum("n").as("t"), count(lit(1)).as("nk"))
-        val r = Window.orderBy(desc("n"), col("key"))
-        k.crossJoin(broadcast(tot))
+        k.orderBy(desc("n"), col("key")).limit(10)
+          .crossJoin(broadcast(tot))
           .withColumn("x_avg_permille", expr("(n * 1000) div (t div nk)"))
-          .withColumn("_rn", row_number().over(r))
-          .filter(col("_rn") <= 10)
           .select("key", "n", "x_avg_permille")
           .orderBy(desc("n"), col("key"))
       },
@@ -5629,19 +5630,40 @@ object AnalyticsQueries {
     //      its quantity beats the running max over STRICTLY cheaper
     //      parts (RANGE frame keeps price ties out of their own
     //      prefix) AND it tops its own price tie-group. All integer
-    //      cents/units. The windows run on the per-part AGGREGATE
-    //      (dimension-sized); at 100x the price axis bands exactly
-    //      like groupedCumWeights. ----
+    //      cents/units. The prefix max is BANDED two-phase (the
+    //      groupedCumWeights discipline): the price axis splits into
+    //      64 integer bands off a broadcast min/max, the running max
+    //      over strictly-cheaper rows runs WITHIN each band
+    //      (partitioned window — no single-partition sort anywhere),
+    //      and the cross-band carry-in is a 65x65 broadcast self-join
+    //      over the per-band maxima (metadata-sized, window-free).
+    //      Band membership is a pure monotone function of p, so rows
+    //      in a strictly earlier band have strictly smaller p and the
+    //      two-phase max equals the global RANGE-frame max exactly. ----
     Q("lineitem_skyline_2d",
       (s, dir) => {
         val pq = Tables.t(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("part"))
           .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("p"),
             max(col("l_quantity").cast("long")).as("q"))
-        val w1 = Window.orderBy("p").rangeBetween(Window.unboundedPreceding, -1)
-        val w2 = Window.partitionBy("p")
-        pq.withColumn("m1", max("q").over(w1))
-          .withColumn("m2", max("q").over(w2))
+        val bounds = pq.agg(min("p").as("_lo"), max("p").as("_hi"))
+        val banded = pq.crossJoin(broadcast(bounds))
+          .withColumn("_band",
+            expr("(p - _lo) div (((_hi - _lo) div 64) + 1)"))
+          .drop("_lo", "_hi")
+        val bandMax = banded.groupBy("_band").agg(max("q").as("_bq"))
+        // exclusive prefix max over strictly earlier bands — left join
+        // keeps band 0 (null carry-in == empty prefix)
+        val prev = bandMax.select(col("_band").as("_pb"), col("_bq").as("_pq"))
+        val carry = bandMax.select("_band")
+          .join(broadcast(prev), col("_pb") < col("_band"), "left")
+          .groupBy("_band").agg(max("_pq").as("_pref"))
+        val wIn = Window.partitionBy("_band").orderBy("p")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wTie = Window.partitionBy("p")
+        banded.join(broadcast(carry), Seq("_band"))
+          .withColumn("m1", greatest(max("q").over(wIn), col("_pref")))
+          .withColumn("m2", max("q").over(wTie))
           .filter((col("m1").isNull || col("m1") < col("q")) && col("q") === col("m2"))
           .select("part", "p", "q")
           .orderBy("part")

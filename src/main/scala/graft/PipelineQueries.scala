@@ -509,7 +509,10 @@ object PipelineQueries {
     //      sumsq ≈ 0, a scale blowout as an outlier sumsq). Values
     //      quantize to BIGINT micro-units; Σq is BIGINT, Σq² rides
     //      DECIMAL(38,0)/HUGEINT so the report is bit-exact at any
-    //      corpus size. One posexplode + one combinable groupBy on
+    //      corpus size, and is ferried as a STRING on the gate (the
+    //      embed_pca_two_steps precedent — the driver's exact hasher
+    //      rejects a raw DECIMAL(38,0) canonical form even when every
+    //      cell matches). One posexplode + one combinable groupBy on
     //      the 64 dims. ----
     Q("embed_dim_moments",
       (s, dir) => {
@@ -521,14 +524,14 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"),
             sum("q").as("sum_q"),
             sum((col("q").cast("decimal(20,0)") * col("q").cast("decimal(18,0)")))
-              .cast("decimal(38,0)").as("sumsq_q"))
+              .cast("decimal(38,0)").cast("string").as("sumsq_q"))
           .orderBy("dim")
       },
       Some("""SELECT CAST(t.i AS BIGINT) AS dim,
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
-             |  CAST(SUM(CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT) *
-             |           CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT)) AS DECIMAL(38,0)) AS sumsq_q
+             |  CAST(CAST(SUM(CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT) *
+             |           CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_q
              |FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x,
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

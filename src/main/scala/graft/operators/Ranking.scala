@@ -257,13 +257,14 @@ object Ranking {
     val wIn = Window.partitionBy((g :+ col("_band")): _*).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the offsets table is |groups| x bands — bounded by the CALLER's
-    // bandWidth choice, so gate the broadcast hint on its actual row
-    // count (one cheap agg off the checkpointed counts): a bandWidth
-    // far below the value-domain scale then degrades to whatever join
-    // AQE picks instead of a driver-fatal forced broadcast
-    val nOffs = bandTot.count()
-    val offsSide = if (nOffs <= 1000000L) broadcast(offs) else offs
-    banded.join(offsSide, joinCond)
+    // bandWidth choice. No forced broadcast hint and no eager count
+    // gate here: this is a lazy plan builder (a construction-time
+    // count() would run a job even if the caller never executes the
+    // result), and AQE sees the offsets side's ACTUAL post-shuffle
+    // size at runtime, converting to broadcast when it fits and
+    // degrading safely when a mis-chosen bandWidth blows the domain
+    // up — the exact behavior the old row-count gate approximated.
+    banded.join(offs, joinCond)
       .withColumn("cum_w", col("_boff") + sum("_w").over(wIn))
       .select((g :+ col(valueCol) :+ col("cum_w") :+ col("tot_w")): _*)
   }

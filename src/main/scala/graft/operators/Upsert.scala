@@ -88,13 +88,39 @@ object Upsert {
    * CDC applies, so it carries versionCol); a change only wins with
    * a strictly-newer-or-tied version. ONE keyed shuffle, same budget
    * as keepLatest.
+   *
+   * SINGLE-APPLY READ VIEW: tombstones are filtered from the output,
+   * so this result must NOT be fed back as the next apply's
+   * `existing` — a delete winning this batch followed by a late,
+   * OLDER-version upsert in the next batch would resurrect the
+   * deleted key (the classic CDC-sink bug). For chained incremental
+   * applies, thread [[applyCdcState]]'s output (which PERSISTS
+   * tombstones as state rows, like [[graft.streaming.EventStreams.cdcStream]])
+   * and filter only at final read time.
    */
   def applyCdc(existing: DataFrame, changes: DataFrame, keys: Seq[String],
-               versionCol: String, opCol: String): DataFrame = {
-    require(keys.nonEmpty, "applyCdc needs at least one merge key")
-    val base = existing.withColumn(opCol, lit("U"))
-    val merged = keepLatest(base, changes, keys, versionCol)
-    merged.filter(col(opCol) =!= "D").drop(opCol)
+               versionCol: String, opCol: String): DataFrame =
+    applyCdcState(existing, changes, keys, versionCol, opCol)
+      .filter(col(opCol) =!= "D").drop(opCol)
+
+  /**
+   * The composable state form of [[applyCdc]]: returns the merged
+   * state WITH tombstone rows retained (the op column stays in the
+   * schema), so chained applies are split- and order-independent —
+   * applyCdcState(applyCdcState(E, B1), B2) equals
+   * applyCdcState(E, B1 ∪ B2) for unique versions, because the kept
+   * record per key is simply the max-version record and a tombstone
+   * is just a record. An `existing` frame without the op column
+   * (a pre-CDC destination) is lifted to all-'U'; one that already
+   * carries it (a prior applyCdcState output) passes through as-is.
+   */
+  def applyCdcState(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+                    versionCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyCdcState needs at least one merge key")
+    val base =
+      if (existing.columns.contains(opCol)) existing
+      else existing.withColumn(opCol, lit("U"))
+    keepLatest(base, changes, keys, versionCol)
   }
 
   /**

@@ -706,21 +706,38 @@ object EventStreams {
    *
    * Crash-safety: merged buckets are written to a staging dir (the
    * lazy plan can still READ the live partitions while staging
-   * writes), then each touched bucket dir is swapped in with one
-   * rename — atomic PER BUCKET, not across the batch's bucket set. A
-   * crash mid-swap leaves a prefix of the touched buckets rewritten;
-   * that is repaired, not corrupted: the streaming checkpoint only
-   * records the batch AFTER foreachBatch returns, so the replayed
-   * batch re-merges the same rows into the same buckets and
-   * keep-latest converges to the identical state.
+   * writes), then each touched bucket dir is swapped in RENAME-ASIDE
+   * (dst -> aside, src -> dst, delete aside last) — the bucket's
+   * pre-batch rows survive a crash at ANY point, and the repair pass
+   * every batch runs first (restore an aside whose dst is missing,
+   * drop one whose dst exists, clear leftover staging) returns the
+   * destination to a consistent pre- or post-swap state. The
+   * streaming checkpoint only records the batch AFTER foreachBatch
+   * returns, so the replayed batch re-merges the same rows into the
+   * same buckets and keep-latest converges to the identical state.
+   *
+   * Bucket-count scaling: the layout's nBuckets is persisted in a
+   * `_graft_nbuckets` marker inside the destination (the caller's
+   * parameter applies only at INITIAL layout — later batches follow
+   * the marker, so mismatched callers can't shear the layout). With
+   * `targetBucketBytes` > 0 the layout DOUBLES its bucket count
+   * whenever mean bucket size exceeds 2x the target (whole-directory
+   * rename-aside swap, marker travels inside the new directory, so
+   * the re-bucket is crash-atomic too): per-batch rewritten bytes
+   * then stay ~O(touched x targetBucketBytes) as the destination
+   * grows, instead of O(touched x destination/N) under a fixed N.
+   * Each doubling rewrites the destination once — O(log growth)
+   * rewrites total, the extendible-hashing amortization.
    */
   def upsertStream(spark: SparkSession, stream: DataFrame, destDir: String,
                    keys: Seq[String], versionCol: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   nBuckets: Int = 32): DataFrame =
+                   nBuckets: Int = 32,
+                   targetBucketBytes: Long = 0L): DataFrame =
     bucketedMergeStream(spark, stream, destDir, keys, checkpoint, trigger,
       nBuckets, (existing, batch) =>
-        graft.operators.Upsert.keepLatest(existing, batch, keys, versionCol))
+        graft.operators.Upsert.keepLatest(existing, batch, keys, versionCol),
+      targetBucketBytes)
 
   /**
    * The shared micro-batch machinery behind [[upsertStream]],
@@ -735,27 +752,92 @@ object EventStreams {
                                   destDir: String, keys: Seq[String],
                                   checkpoint: String, trigger: Trigger,
                                   nBuckets: Int,
-                                  merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+                                  merge: (DataFrame, DataFrame) => DataFrame,
+                                  targetBucketBytes: Long = 0L): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val bucketExpr = upsertBucket(keys, nBuckets)
+    import org.apache.hadoop.fs.Path
     val q: StreamingQuery = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val dest = new org.apache.hadoop.fs.Path(destDir)
+        val dest = new Path(destDir)
         val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val bucketed = batch.toDF().withColumn("_bucket", bucketExpr)
+        // ---- replay repair: return the destination to a consistent
+        // state before ANY read. (1) a whole-dir re-bucket swap that
+        // crashed between renames left `<dest>__old` — restore it if
+        // dest is gone, drop it if the swap completed; (2) a bucket
+        // swap that crashed mid-protocol left `_stale_bucket_<b>`
+        // aside dirs (named WITHOUT '=' so a concurrent read's
+        // partition discovery never parses them) — restore where the
+        // live dir is missing, drop where it isn't. All metadata-
+        // sized: one list of <= nBuckets child names.
+        val destOld = new Path(dest.getParent, dest.getName + "__old")
+        if (fs.exists(destOld)) {
+          if (!fs.exists(dest)) {
+            if (!fs.rename(destOld, dest))
+              throw new IllegalStateException(s"streaming merge: cannot restore $dest")
+          } else fs.delete(destOld, true)
+        }
+        if (fs.exists(dest)) {
+          fs.listStatus(dest).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("_stale_bucket_")) {
+              val live = new Path(dest, "_bucket=" + n.stripPrefix("_stale_bucket_"))
+              if (!fs.exists(live)) {
+                if (!fs.rename(st.getPath, live))
+                  throw new IllegalStateException(s"streaming merge: cannot restore $live")
+              } else fs.delete(st.getPath, true)
+            }
+          }
+          // ---- layout guard: a non-empty destination with data files
+          // but no `_bucket=` partition dirs was written by the
+          // pre-bucketing (flat parquet) version of this sink — fail
+          // loudly with the migration story instead of an unresolved-
+          // column error three operators deep.
+          val names = fs.listStatus(dest).map(_.getPath.getName)
+          val hasBuckets = names.exists(_.startsWith("_bucket="))
+          val hasFlatData = names.exists(n => !n.startsWith("_") && !n.startsWith("."))
+          if (!hasBuckets && hasFlatData)
+            throw new IllegalStateException(
+              s"streaming merge: destination $destDir has a pre-bucketing flat-parquet " +
+              "layout; rewrite it into `_bucket=` partitions (read it, add " +
+              "EventStreams.upsertBucket(keys, n) as `_bucket`, write partitionBy(_bucket), " +
+              "and place an n-valued _graft_nbuckets marker) before resuming this stream")
+        }
+        // ---- the layout's bucket count: follow the destination's own
+        // marker when it exists (the caller's nBuckets applies only at
+        // initial layout, so differently-configured callers cannot
+        // shear an existing layout); legacy bucketed dirs without a
+        // marker fall back to the parameter, unchanged behavior.
+        val markerPath = new Path(dest, "_graft_nbuckets")
+        def readMarker(): Option[Int] =
+          if (fs.exists(markerPath)) {
+            val in = fs.open(markerPath)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+            finally in.close()
+          } else None
+        def writeMarker(at: Path, n: Int): Unit = {
+          val out = fs.create(new Path(at, "_graft_nbuckets"), true)
+          try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        val curN = readMarker().getOrElse(nBuckets)
+        val bucketed = batch.toDF().withColumn("_bucket", upsertBucket(keys, curN))
         // <= nBuckets ints: the one driver-side collect, metadata-sized
         val touched = bucketed.select("_bucket").distinct()
           .collect().map(_.getInt(0)).sorted
         if (touched.nonEmpty) {
           val existingTouched =
-            if (fs.exists(dest))
+            if (fs.exists(dest) && fs.listStatus(dest).exists(_.getPath.getName.startsWith("_bucket=")))
               s.read.parquet(destDir) // partition-pruned to touched buckets
                 .filter(col("_bucket").isin(touched.map(Integer.valueOf): _*))
             else s.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), bucketed.schema)
+          val staging = new Path(dest.getParent, dest.getName + s"_stage_$batchId")
+          // a replayed batch finds its own leftover staging dir — clear
+          // it so the rewrite below starts clean instead of throwing
+          fs.delete(staging, true)
           merge(existingTouched, bucketed)
             // ~one task (=> one output file) per touched bucket: the
             // keyed window shuffle scatters a bucket's rows across all
@@ -764,24 +846,54 @@ object EventStreams {
             // the next batch pays for on read-back
             .repartition(touched.length, col("_bucket"))
             .write.partitionBy("_bucket")
-            .parquet(new org.apache.hadoop.fs.Path(dest.getParent,
-              dest.getName + s"_stage_$batchId").toString)
-          // swap each touched bucket dir in with one rename (atomic
-          // per bucket); untouched buckets are never listed or moved
-          val staging = new org.apache.hadoop.fs.Path(dest.getParent,
-            dest.getName + s"_stage_$batchId")
+            .parquet(staging.toString)
+          // swap each touched bucket dir in RENAME-ASIDE (atomic per
+          // bucket, pre-batch rows survive a crash at any point; the
+          // repair pass above resolves whichever half completed);
+          // untouched buckets are never listed or moved
           if (!fs.exists(dest)) fs.mkdirs(dest)
           touched.foreach { b =>
-            val src = new org.apache.hadoop.fs.Path(staging, s"_bucket=$b")
-            val dst = new org.apache.hadoop.fs.Path(dest, s"_bucket=$b")
+            val src = new Path(staging, s"_bucket=$b")
+            val dst = new Path(dest, s"_bucket=$b")
+            val aside = new Path(dest, s"_stale_bucket_$b")
             if (fs.exists(src)) {
-              if (fs.exists(dst) && !fs.delete(dst, true))
-                throw new IllegalStateException(s"streaming merge: cannot clear $dst")
+              if (fs.exists(dst) && !fs.rename(dst, aside))
+                throw new IllegalStateException(s"streaming merge: cannot set aside $dst")
               if (!fs.rename(src, dst))
                 throw new IllegalStateException(s"streaming merge: cannot swap in $dst")
+              fs.delete(aside, true)
             }
           }
           fs.delete(staging, true)
+          if (readMarker().isEmpty) writeMarker(dest, curN)
+          // ---- size-triggered re-bucket: when mean bucket size
+          // exceeds 2x the target, DOUBLE the bucket count with a
+          // whole-directory rename-aside swap (the new marker rides
+          // inside the new directory, so layout + count change
+          // together atomically; the repair pass above makes a crash
+          // at any rename recoverable). Doubling keeps pmod stable-
+          // refining (h mod 2N mod N = h mod N) and costs one full
+          // rewrite per doubling — O(log growth) total.
+          if (targetBucketBytes > 0L) {
+            var newN = readMarker().getOrElse(curN)
+            val size = fs.getContentSummary(dest).getLength
+            while (size > 2L * targetBucketBytes * newN && newN < 65536) newN *= 2
+            if (newN != curN) {
+              val reb = new Path(dest.getParent, dest.getName + "_rebucket")
+              fs.delete(reb, true)
+              s.read.parquet(destDir).drop("_bucket")
+                .withColumn("_bucket", upsertBucket(keys, newN))
+                .repartition(newN, col("_bucket"))
+                .write.partitionBy("_bucket").parquet(reb.toString)
+              writeMarker(reb, newN)
+              fs.delete(destOld, true)
+              if (!fs.rename(dest, destOld))
+                throw new IllegalStateException(s"streaming merge: cannot set aside $dest")
+              if (!fs.rename(reb, dest))
+                throw new IllegalStateException(s"streaming merge: cannot swap in rebucketed $dest")
+              fs.delete(destOld, true)
+            }
+          }
           ()
         }
       }
@@ -852,6 +964,14 @@ object EventStreams {
     bucketedMergeStream(spark, stream, destDir, keys, checkpoint, trigger,
       nBuckets, (existing, batch) =>
         existing.unionByName(batch)
+          // collapse replayed rows BEFORE ranking: on an at-least-once
+          // redelivery after a partial bucket swap, batch rows already
+          // folded into state arrive again as exact duplicates — ranked
+          // raw they would occupy multiple top-k slots and evict
+          // legitimate rows. tieCol is unique per key by contract, so
+          // (keys, order, tie) identifies a row and the fold is a true
+          // idempotent semilattice again.
+          .dropDuplicates((keys :+ orderCol :+ tieCol).toIndexedSeq)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k).drop("_rn"))
   }

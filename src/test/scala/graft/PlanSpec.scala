@@ -383,4 +383,23 @@ class PlanSpec extends SparkTestBase {
       s"cumulative plan re-scans the fact table:\n${plan.take(2000)}")
     assert(plan.contains("ExistingRDD"), "expected the checkpointed counts scan")
   }
+
+  test("key-skew top-10 plans TakeOrdered (per-partition heaps, no window at all)") {
+    val q = Queries.queries("diag_key_skew")(spark, sf)
+    val plan = planString(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrdered for the top-10 cut")
+    assert(!plan.contains("Window"),
+      s"a window crept back into the skew diagnostic:\n${plan.take(2000)}")
+  }
+
+  test("2D skyline runs only banded windows (no unpartitioned sort-the-world)") {
+    val q = Queries.queries("lineitem_skyline_2d")(spark, sf)
+    val plan = planString(q)
+    assert(plan.contains("Window"), "expected the banded running-max windows")
+    // formatted-mode Window argString is [exprs], [partitionSpec],
+    // [orderSpec] — an empty partition spec prints as `], [], [`
+    assert(!plan.contains("], [], ["),
+      s"unpartitioned window crept into the skyline:\n${plan.take(3000)}")
+  }
 }

@@ -53,6 +53,126 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
   }
 
+  test("streaming upsert repairs a crashed swap and ignores leftover staging") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_upsert_repair_")
+    def feed(dirName: String, df: org.apache.spark.sql.DataFrame): String = {
+      val srcDir = s"$work/$dirName"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+      val tmp = s"$work/${dirName}_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, "f.parquet"))
+      srcDir
+    }
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val src1 = feed("src1", spark.range(0, 100).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v"))
+    val dest = s"$work/dest"
+    EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src1),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt1")
+    // simulate a crash between the two swap renames: one bucket's live
+    // dir is gone, its pre-batch rows sit only in the aside dir — plus
+    // a leftover staging dir from the "crashed" batch
+    val destF = new java.io.File(dest)
+    val bucket = destF.listFiles().find(_.getName.startsWith("_bucket=")).get
+    val b = bucket.getName.stripPrefix("_bucket=")
+    java.nio.file.Files.move(bucket.toPath,
+      java.nio.file.Paths.get(dest, s"_stale_bucket_$b"))
+    val stale = new java.io.File(s"$work/dest_stage_0")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stale.getPath, "junk.txt"), "leftover")
+    // next run must first RESTORE the aside bucket, then merge batch 2
+    val src2 = feed("src2", spark.range(200, 205).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'c' AS v"))
+    val out = EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src2),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt2")
+    assert(out.count() == 105, "restored bucket rows + new batch must all survive")
+    assert(out.filter(col("k") < 100).count() == 100,
+      "the aside bucket's pre-crash rows must be restored, not lost")
+    assert(!destF.listFiles().exists(_.getName.startsWith("_stale_bucket_")),
+      "repair must clear the aside dir")
+  }
+
+  test("streaming upsert fails loudly on a pre-bucketing flat destination") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_upsert_flatdest_")
+    val dest = s"$work/dest"
+    // a destination written by the old flat-parquet sink version
+    spark.range(0, 10).selectExpr("id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v")
+      .write.parquet(dest)
+    val srcDir = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    val tmp = s"$work/src_tmp"
+    spark.range(0, 5).selectExpr("id AS k", "CAST(2 AS BIGINT) AS ver", "'b' AS v")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(srcDir, "f.parquet"))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val ex = intercept[Exception] {
+      EventStreams.upsertStream(spark,
+        spark.readStream.schema(sch).parquet(srcDir),
+        dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt")
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null).toSeq
+    assert(causes(ex).exists(_.contains("pre-bucketing")),
+      s"expected the explicit layout-migration error, got: ${causes(ex)}")
+  }
+
+  test("streaming upsert re-buckets when buckets outgrow the target; marker wins over the param") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_upsert_rebucket_")
+    def feed(dirName: String, df: org.apache.spark.sql.DataFrame): String = {
+      val srcDir = s"$work/$dirName"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+      val tmp = s"$work/${dirName}_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, "f.parquet"))
+      srcDir
+    }
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val dest = s"$work/dest"
+    def marker(): Int = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "_graft_nbuckets")).trim.toInt
+    val src1 = feed("src1", spark.range(0, 200).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v"))
+    EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src1),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt1",
+      nBuckets = 4, targetBucketBytes = 256L)
+    val n1 = marker()
+    assert(n1 > 4, s"expected the layout to double past 4 buckets, marker says $n1")
+    // a later caller with a DIFFERENT nBuckets param must follow the
+    // marker, not shear the layout — and the merge must stay correct
+    val src2 = feed("src2", spark.range(0, 50).selectExpr(
+      "id AS k", "CAST(2 AS BIGINT) AS ver", "'b' AS v"))
+    val out = EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src2),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt2",
+      nBuckets = 4)
+    assert(out.count() == 200)
+    assert(out.filter(col("k") < 50 && col("ver") === 2 && col("v") === "b").count() == 50)
+    assert(out.filter(col("k") >= 50 && col("ver") === 1).count() == 150)
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName).toSet
+    assert(dirs.forall(_.stripPrefix("_bucket=").toInt < n1),
+      s"bucket ids must come from the marker layout ($n1), got $dirs")
+  }
+
   test("streaming top-k: later batches EVICT earlier rows from the bounded state") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val work = tmpDir("graft_topk_stream_")
