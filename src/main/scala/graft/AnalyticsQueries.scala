@@ -3023,6 +3023,40 @@ object AnalyticsQueries {
              |SELECT user_id, event_id, event_type, value FROM ranked
              |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)),
 
+    // ---- streaming SKETCH MAINTENANCE through the real engine: the
+    //      two-file/maxFilesPerTrigger=1 feed makes each per-type
+    //      theta sketch genuinely MERGE across micro-batches
+    //      (theta_union_agg over the persisted binaries — facts are
+    //      never rescanned, state stays ~26 KB per group flat). Theta
+    //      union is an idempotent semilattice, so the merged state
+    //      equals the one-shot batch sketch over the whole feed
+    //      (StreamingSpec pins that equality); the gate states the
+    //      exact distinct count with the estimate's 5% envelope, the
+    //      established sketch-gate idiom. ----
+    Q("events_stream_sketch_rollup",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_sketch_")
+        val state = graft.streaming.EventStreams.sketchRollupStream(s,
+          graft.streaming.EventStreams.readEvents(s, src,
+              maxFilesPerTrigger = Some(1))
+            .select("event_type", "user_id"),
+          work.resolve("dest").toString,
+          groupCols = Seq("event_type"), valueCol = "user_id",
+          checkpoint = work.resolve("ckpt").toString)
+        val est = state.select(col("event_type"),
+          expr("theta_sketch_estimate(sk)").as("est"))
+        Tables.t(s, dir, "events")
+          .groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+          .join(broadcast(est), Seq("event_type"))
+          .select(col("event_type"), col("n_users"),
+            (abs(col("est") - col("n_users")) * 20 <= col("n_users"))
+              .as("est_within_5pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  TRUE AS est_within_5pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- streaming DISTINCT KEYS through the real engine: the
     //      UNWATERMARKED dropDuplicates state operator — one state
     //      row per distinct (user_id, event_type) carried ACROSS

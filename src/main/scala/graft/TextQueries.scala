@@ -46,6 +46,49 @@ object TextQueries {
     s.table(s"$db.postings")
   }
 
+  /** Persisted BM25 index: (token, doc_id, tf, norm_permille) bucketed
+    * BY TOKEN, plus a one-row corpus-stats table — the ranked-retrieval
+    * serving shape. Each posting DENORMALIZES its document's quantized
+    * length norm (norm_permille = 1000·dl·D div L, i.e. dl/avgdl in
+    * exact permille), so scoring a query touches ONLY the query terms'
+    * buckets: no join back to a corpus-sized doc-length table, ever.
+    * D (docs) and L (total tokens) are corpus constants paid once at
+    * index build; the index rebuild discipline (fingerprint-keyed
+    * warehouse) matches [[tokenPostingsTable]]. */
+  def bm25IndexTables(s: org.apache.spark.sql.SparkSession,
+                      dir: String): (org.apache.spark.sql.DataFrame,
+                                     org.apache.spark.sql.DataFrame) = {
+    val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
+    val db = s"graft_bm25_$fp"
+    val wh = s"${CacheDirs.root}/bm25wh_$fp"
+    if (!s.catalog.databaseExists(db))
+      s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    if (!s.catalog.tableExists(s"$db.postings")) {
+      // the warehouse files survive across JVMs while the in-memory
+      // catalog forgets the tables — clear BOTH stale locations
+      Seq("postings", "stats").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("dl", size(col("w")).cast("long"))
+      val stats = docs.agg(count(lit(1)).as("d"), sum("dl").as("l"))
+      stats.write.mode("overwrite").saveAsTable(s"$db.stats")
+      docs.crossJoin(broadcast(s.table(s"$db.stats")))
+        .select(col("doc_id"), col("dl"), col("d"), col("l"),
+          explode(col("w")).as("token"))
+        .groupBy("token", "doc_id", "dl", "d", "l")
+        .agg(count(lit(1)).as("tf"))
+        .select(col("token"), col("doc_id"), col("tf"),
+          expr("(1000 * dl * d) div l").as("norm_permille"))
+        .write.bucketBy(64, "token").sortBy("token")
+        .saveAsTable(s"$db.postings")
+    }
+    (s.table(s"$db.postings"), s.table(s"$db.stats"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1328,6 +1371,62 @@ object TextQueries {
              |  AND list_contains(string_split(text, ' '), 'window')
              |  AND NOT list_contains(string_split(text, ' '), 'slow')
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- BM25 RANKED retrieval served FROM the persisted index —
+    //      the scoring shape a RAG/training-retrieval pipeline runs,
+    //      not just the boolean match above. Okapi BM25 with k1=1.2,
+    //      b=0.75 in the repo's integer-rational discipline: the
+    //      index stores tf plus the document's length norm as exact
+    //      permille (dl/avgdl = 1000·dl·D div L, quantized ONCE at
+    //      build), idf quantizes to permille off the exact-rational
+    //      log argument 2(D+1)/(2·df+1) (identical IEEE double on
+    //      both engines before the one ln call), and each term's
+    //      contribution is one BIGINT floor division
+    //        (idf_pm · 22000·tf · 1000) div (10000·tf + 3000 + 9·norm_pm)
+    //      — the k1/b constants cleared to integers (k1+1 = 11/5,
+    //      k1(1-b) = 3/10, k1·b = 9/10, all ×10000). Scoring reads
+    //      ONLY the 3 query terms' buckets (bucket pruning; norms
+    //      ride inside the postings so no corpus-sized join), df is
+    //      exact off those same buckets, and the top-10 is
+    //      orderBy+limit (TakeOrderedAndProject — per-partition
+    //      heaps). Fixed query terms => cost flat in corpus size. ----
+    Q("text_bm25_topk",
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val (postings, stats) = bm25IndexTables(s, dir)
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+              .cast("long").as("idf_pm"))
+        hits.join(broadcast(idf), Seq("token"))
+          .select(col("doc_id"),
+            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
+              .as("contrib"))
+          .groupBy("doc_id")
+          .agg(sum("contrib").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN stats s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro
+             |FROM sc GROUP BY 1
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
     // ---- EXACT edit-distance-<=1 join via deletion neighborhoods
     //      (FastSS): supplier names differ in single digit positions,

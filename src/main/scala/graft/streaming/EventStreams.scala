@@ -1088,6 +1088,86 @@ object EventStreams {
    * would observe the temporary value — callers running queries in
    * parallel should pass None (or plan on a separate session).
    */
+  /**
+   * Streaming SKETCH maintenance — the shape a 100 TB telemetry
+   * pipeline actually runs: per-group theta sketches maintained
+   * INCREMENTALLY per micro-batch, never recomputed from facts. Each
+   * batch builds its own |groups| sketch binaries (map-side partial
+   * aggregation over just the batch) and theta_union_agg-merges them
+   * into the persisted state table at `destDir` — so per-batch work
+   * is O(batch + groups·2^lgK bytes) and the state stays ~26 KB per
+   * group FLAT regardless of stream history (the SCALE theta
+   * evidence). Returns the final state: (groupCols..., sk binary);
+   * feed `theta_sketch_estimate(sk)` for cardinalities or keep
+   * merging the binaries upward (day → month) batch-side.
+   *
+   * Correctness across batches: theta union is an idempotent,
+   * commutative, associative semilattice over the retained-hash sets
+   * (re-merging a replayed batch's sketch changes nothing — the
+   * min-k hash set already contains it), so the merged state equals
+   * the one-shot batch sketch over the whole feed and at-least-once
+   * replays converge. The state swap is a whole-directory
+   * rename-aside (state is groups-sized — tiny), repaired on the
+   * next batch exactly like the bucketed sink's protocol.
+   */
+  def sketchRollupStream(spark: SparkSession, stream: DataFrame, destDir: String,
+                         groupCols: Seq[String], valueCol: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "sketchRollupStream needs at least one group column")
+    import org.apache.hadoop.fs.Path
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val dest = new Path(destDir)
+        val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val destOld = new Path(dest.getParent, dest.getName + "__old")
+        // repair a crashed whole-dir swap before any read
+        if (fs.exists(destOld)) {
+          if (!fs.exists(dest)) {
+            if (!fs.rename(destOld, dest))
+              throw new IllegalStateException(s"sketch rollup: cannot restore $dest")
+          } else fs.delete(destOld, true)
+        }
+        val g = groupCols.map(col)
+        val batchSk = batch.toDF().groupBy(g: _*)
+          .agg(expr(s"theta_sketch_agg($valueCol, $lgK)").as("sk"))
+        val merged =
+          if (fs.exists(dest))
+            s.read.parquet(destDir).unionByName(batchSk)
+              .groupBy(g: _*).agg(expr(s"theta_union_agg(sk, $lgK)").as("sk"))
+          else batchSk
+        val staging = new Path(dest.getParent, dest.getName + s"_stage_$batchId")
+        fs.delete(staging, true) // a replayed batch's leftover
+        // the write MATERIALIZES merged while dest is still live; the
+        // swap below only moves directories
+        merged.coalesce(1).write.parquet(staging.toString)
+        if (fs.exists(dest)) {
+          fs.delete(destOld, true)
+          if (!fs.rename(dest, destOld))
+            throw new IllegalStateException(s"sketch rollup: cannot set aside $dest")
+        }
+        if (!fs.rename(staging, dest))
+          throw new IllegalStateException(s"sketch rollup: cannot swap in $dest")
+        fs.delete(destOld, true)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    q.awaitTermination()
+    val destPath = new Path(destDir)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) spark.read.parquet(destDir)
+    else {
+      val fields = groupCols.map(c => stream.schema(c)) :+ StructField("sk", BinaryType)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(fields))
+    }
+  }
+
   def runToParquet(spark: SparkSession, streamed: DataFrame, workDir: String,
                    statePartitions: Option[Int] = None): DataFrame =
     statePartitions match {

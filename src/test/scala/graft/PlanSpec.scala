@@ -107,6 +107,18 @@ class PlanSpec extends SparkTestBase {
     assert(sel < tot, s"no buckets pruned: $sel of $tot")
   }
 
+  test("BM25 scoring prunes token buckets and takes top-10 without a global sort") {
+    val plan = planString(Queries.queries("text_bm25_topk")(spark, sf))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"bucket pruning missing from the BM25 plan:\n${plan.take(1500)}")
+    val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel < tot, s"no buckets pruned: $sel of $tot")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrdered for the top-10 cut")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the idf join must broadcast (terms-sized), not SMJ:\n${plan.take(1500)}")
+  }
+
   test("segmented rank shuffles on (p, bucket), not p alone") {
     val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
     assert(plan.contains("_bkt"),

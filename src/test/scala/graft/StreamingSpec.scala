@@ -173,6 +173,48 @@ class StreamingSpec extends SparkTestBase {
       s"bucket ids must come from the marker layout ($n1), got $dirs")
   }
 
+  test("streaming sketch rollup: cross-batch merged state equals the one-shot batch sketch") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_sketch_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def half(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // two batches with OVERLAPPING ids per group, so the union really
+    // has to dedup across batches (append-style counting would
+    // double-count ids 500..999 of group g0)
+    half("h0", spark.range(0, 1000).selectExpr("'g0' AS g", "id AS v")
+      .union(spark.range(0, 300).selectExpr("'g1' AS g", "id AS v")))
+    half("h1", spark.range(500, 1500).selectExpr("'g0' AS g", "id AS v")
+      .union(spark.range(100, 400).selectExpr("'g1' AS g", "id AS v")))
+    val sch = StructType(Seq(StructField("g", StringType), StructField("v", LongType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val state = EventStreams.sketchRollupStream(spark, stream, s"$work/dest",
+      groupCols = Seq("g"), valueCol = "v", checkpoint = s"$work/ckpt")
+    val streamed = state
+      .selectExpr("g", "CAST(round(theta_sketch_estimate(sk)) AS BIGINT) AS est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == Map("g0" -> 1500L, "g1" -> 400L),
+      s"merged sketch must count the distinct union exactly below saturation: $streamed")
+    // merged-state estimate == one-shot batch sketch over the same feed
+    val batchSk = spark.read.schema(sch).parquet(src)
+      .groupBy("g").agg(expr("theta_sketch_agg(v, 12)").as("sk"))
+      .selectExpr("g", "CAST(round(theta_sketch_estimate(sk)) AS BIGINT) AS est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batchSk,
+      s"cross-batch merge must equal the batch sketch: $streamed vs $batchSk")
+    val batches = new java.io.File(s"$work/ckpt/offsets").listFiles()
+      .count(f => !f.getName.startsWith("."))
+    assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
+  }
+
   test("streaming top-k: later batches EVICT earlier rows from the bounded state") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val work = tmpDir("graft_topk_stream_")
