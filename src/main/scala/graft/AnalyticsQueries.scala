@@ -5337,6 +5337,57 @@ object AnalyticsQueries {
              |QUALIFY ROW_NUMBER() OVER (ORDER BY k.n DESC, k.key) <= 10
              |ORDER BY k.n DESC, k.key""".stripMargin)),
 
+    // ---- LINEAR MARKETING ATTRIBUTION: each purchase's value split
+    //      EQUALLY across the user's view/click touches in the
+    //      preceding hour (no touch → the 'none' bucket keeps full
+    //      credit, so total credit is conserved). The credit report
+    //      every funnel owner asks for beyond first/last-touch. One
+    //      user-keyed equi-join with the time band as a residual
+    //      predicate (never a cross join); the per-purchase touch
+    //      count is a window over p_id — purchase-keyed, high
+    //      cardinality. Credits are integer milli-cents via floor
+    //      division (conservation exact up to the per-purchase
+    //      remainder, identical on both engines). ----
+    Q("events_attribution_linear",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val t = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
+            unix_micros(col("ts")).as("t_us"))
+        val j = p.join(t,
+          col("user_id") === col("t_user") &&
+            col("t_us") <= col("p_us") &&
+            col("t_us") >= col("p_us") - 3600000000L, "left")
+        val w = Window.partitionBy("p_id")
+        j.withColumn("nt", count(lit(1)).over(w))
+          .select(coalesce(col("touch_type"), lit("none")).as("touch_type"),
+            expr("(cents * 1000) div nt").as("credit"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_credits"),
+            sum("credit").as("credit_millicents"))
+          .orderBy("touch_type")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS p_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_type AS touch_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT p.p_id, p.cents, t.touch_type
+             |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+             |    AND t.t_us <= p.p_us AND t.t_us >= p.p_us - 3600000000),
+             |n AS (SELECT p_id, cents, touch_type,
+             |    COUNT(*) OVER (PARTITION BY p_id) AS nt FROM j)
+             |SELECT COALESCE(touch_type, 'none') AS touch_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+             |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- BURST DETECTION: hours where an event type's count
     //      exceeds 3x its trailing-24h hourly average — the ops
     //      alerting cut. Integer-exact: the flag n > 3·(trail/24)

@@ -603,6 +603,33 @@ object PipelineQueries {
              |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PER-GROUP RESERVOIR SAMPLE (deterministic): exactly k=3
+    //      events per user chosen by Knuth-multiplicative-hash rank —
+    //      the coordination-free fixed-k downsample a pipeline needs
+    //      when "LIMIT per key" must be restart-stable and identical
+    //      on every rank (a true random reservoir is order-dependent
+    //      and un-oracle-able). The hash rank is uniform-ish per key,
+    //      so the kept set is an unbiased-in-practice sample while
+    //      staying a pure function of the data. One keyed window
+    //      (partition = user — high-cardinality, no global sort);
+    //      at 100 TB this is the same plan with more partitions. ----
+    Q("sample_group_reservoir",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("(event_id * 2654435761) % 4294967296").as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h", "event_id")
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("user_id", "event_id")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id FROM events
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+             |  ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 3
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- NORMALIZATION CHECK: histogram of squared L2 norms in
     //      exact micro-unit integers (a unit-normalized corpus piles
     //      up around 1e12; drift or an unnormalized batch shows as

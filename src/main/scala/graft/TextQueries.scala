@@ -1428,6 +1428,104 @@ object TextQueries {
              |FROM sc GROUP BY 1
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- STREAMING INVERTED-INDEX MAINTENANCE: the postings table
+    //      kept current INCREMENTALLY as document batches arrive —
+    //      the serving index a retrieval pipeline must never rebuild
+    //      from scratch. Each micro-batch explodes its docs to
+    //      (token, doc_id) rows and merges them into the bucketed
+    //      parquet state via the keyed-upsert machinery; the layout
+    //      buckets on TOKEN alone (bucketCols) so each term's
+    //      postings land in one bucket — the same term-pruned serving
+    //      shape as the batch index — while the merge key stays the
+    //      full (token, doc_id) posting identity (duplicate
+    //      deliveries collapse; re-sent docs are idempotent). The
+    //      two-file/maxFilesPerTrigger=1 feed forces the index to be
+    //      the union of genuinely separate batches; the oracle states
+    //      the final conjunctive search over the whole corpus. ----
+    Q("text_stream_index_update",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_tix_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          docs.filter(col("doc_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .withColumn("ver", lit(1L))
+        val postings = graft.streaming.EventStreams.upsertStream(s, stream,
+          work.resolve("dest").toString,
+          keys = Seq("token", "doc_id"), versionCol = "ver",
+          checkpoint = work.resolve("ckpt").toString,
+          bucketCols = Seq("token"))
+        val must = Seq("spark", "merge", "window")
+        postings.filter(col("token").isin(must: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+          .filter(col("n_terms") === must.size)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'spark')
+             |  AND list_contains(string_split(text, ' '), 'merge')
+             |  AND list_contains(string_split(text, ' '), 'window')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- UNIGRAM-SURPRISAL QUALITY SCORE: mean token surprisal
+    //      −ln p(token) under the corpus's own unigram LM — the
+    //      cheap perplexity proxy a data pipeline uses to rank
+    //      documents for quality filtering (gibberish and boilerplate
+    //      both separate from typical text). Per-token surprisal
+    //      quantizes to MICRO units off an exact-rational log
+    //      argument (total/count — identical IEEE double on both
+    //      engines before the one ln call), so the per-doc sum and
+    //      mean are pure BIGINT. One corpus pass builds the vocab
+    //      (token → count: bounded by vocabulary, not corpus); the
+    //      scoring join is token-keyed — at 100 TB the zipfian head
+    //      would ride a broadcast top-K split, noted not needed at
+    //      gate scale. Output: per-doc token count + mean surprisal. ----
+    Q("text_unigram_surprisal",
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum("cnt").as("tot"))
+        val scored = vocab.crossJoin(broadcast(total))
+          .select(col("token"),
+            round(log(col("tot").cast("double") / col("cnt").cast("double")) * 1000000)
+              .cast("long").as("surprisal_micro"))
+        toks.join(scored, Seq("token"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum("surprisal_micro").as("sum_s"))
+          .select(col("doc_id"), col("n_tok"),
+            expr("sum_s div n_tok").as("avg_surprisal_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+             |sc AS (SELECT token,
+             |         CAST(round(ln(CAST(t.tot AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+             |           AS surprisal_micro
+             |       FROM vocab CROSS JOIN tot t)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  CAST(SUM(surprisal_micro) // COUNT(*) AS BIGINT) AS avg_surprisal_micro
+             |FROM toks JOIN sc USING (token)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- EXACT edit-distance-<=1 join via deletion neighborhoods
     //      (FastSS): supplier names differ in single digit positions,
     //      so natural distance-1 pairs exist without any construction.

@@ -733,11 +733,12 @@ object EventStreams {
                    keys: Seq[String], versionCol: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow(),
                    nBuckets: Int = 32,
-                   targetBucketBytes: Long = 0L): DataFrame =
+                   targetBucketBytes: Long = 0L,
+                   bucketCols: Seq[String] = Nil): DataFrame =
     bucketedMergeStream(spark, stream, destDir, keys, checkpoint, trigger,
       nBuckets, (existing, batch) =>
         graft.operators.Upsert.keepLatest(existing, batch, keys, versionCol),
-      targetBucketBytes)
+      targetBucketBytes, bucketCols)
 
   /**
    * The shared micro-batch machinery behind [[upsertStream]],
@@ -753,8 +754,19 @@ object EventStreams {
                                   checkpoint: String, trigger: Trigger,
                                   nBuckets: Int,
                                   merge: (DataFrame, DataFrame) => DataFrame,
-                                  targetBucketBytes: Long = 0L): DataFrame = {
+                                  targetBucketBytes: Long = 0L,
+                                  bucketCols: Seq[String] = Nil): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // `bucketCols` (default: the merge keys) chooses the SERVING
+    // layout: e.g. an inverted-index state keyed (token, doc_id) but
+    // bucketed on token alone keeps each token's postings in ONE
+    // bucket, so reads prune by term while the merge stays per-key
+    // correct (a key's bucket is still a pure function of its row).
+    // Must be a subset of `keys` so a batch row and its state row
+    // always land in the same bucket.
+    val layoutCols = if (bucketCols.nonEmpty) bucketCols else keys
+    require(layoutCols.forall(keys.contains),
+      s"bucketCols must be a subset of keys: $layoutCols vs $keys")
     import org.apache.hadoop.fs.Path
     val q: StreamingQuery = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -823,7 +835,7 @@ object EventStreams {
           finally out.close()
         }
         val curN = readMarker().getOrElse(nBuckets)
-        val bucketed = batch.toDF().withColumn("_bucket", upsertBucket(keys, curN))
+        val bucketed = batch.toDF().withColumn("_bucket", upsertBucket(layoutCols, curN))
         // <= nBuckets ints: the one driver-side collect, metadata-sized
         val touched = bucketed.select("_bucket").distinct()
           .collect().map(_.getInt(0)).sorted
@@ -882,7 +894,7 @@ object EventStreams {
               val reb = new Path(dest.getParent, dest.getName + "_rebucket")
               fs.delete(reb, true)
               s.read.parquet(destDir).drop("_bucket")
-                .withColumn("_bucket", upsertBucket(keys, newN))
+                .withColumn("_bucket", upsertBucket(layoutCols, newN))
                 .repartition(newN, col("_bucket"))
                 .write.partitionBy("_bucket").parquet(reb.toString)
               writeMarker(reb, newN)
