@@ -3057,6 +3057,49 @@ object AnalyticsQueries {
              |  TRUE AS est_within_5pct
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- streaming KLL QUANTILE maintenance — the quantile twin of
+    //      the theta rollup gate: per-type KLL(200) sketches built on
+    //      each micro-batch and kll_merge_agg_double-merged into the
+    //      persisted state (facts never rescanned, state bounded by
+    //      k=200 doubles per group). The merged median is validated
+    //      the same way as the batch KLL gate: its exact RANK in the
+    //      whole feed must sit within 2% of 0.5 — a bound k=200
+    //      guarantees — so the oracle states the exact median plus a
+    //      TRUE flag. ----
+    Q("events_stream_kll_rollup",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_kll_")
+        val state = graft.streaming.EventStreams.sketchRollupStream(s,
+          graft.streaming.EventStreams.readEvents(s, src,
+              maxFilesPerTrigger = Some(1))
+            .select(col("event_type"), col("value").cast("double").as("v")),
+          work.resolve("dest").toString,
+          groupCols = Seq("event_type"), valueCol = "v",
+          checkpoint = work.resolve("ckpt").toString,
+          buildAgg = Some("kll_sketch_agg_double(v, 200)"),
+          mergeAgg = Some("kll_merge_agg_double(sk)"))
+        val est = state.select(col("event_type"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5d)").as("est50"))
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), col("value").cast("double").as("v"))
+          .localCheckpoint() // exact quantile AND the rank census
+        val exact = graft.operators.Ranking
+          .groupedCountingQuantile(ev, "event_type", "v", 0.5, out = "p50")
+        val rank = ev.join(broadcast(est), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("n_le"))
+          .select(col("event_type"),
+            expr("CAST(1000 * n_le div n AS BIGINT)").as("rank_permille"))
+        exact.join(broadcast(rank), Seq("event_type"))
+          .select(col("event_type"), col("p50"),
+            (abs(col("rank_permille") - 500L) <= 20L).as("rank_within_2pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+             |TRUE AS rank_within_2pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- streaming DISTINCT KEYS through the real engine: the
     //      UNWATERMARKED dropDuplicates state operator — one state
     //      row per distinct (user_id, event_type) carried ACROSS
@@ -5336,6 +5379,75 @@ object AnalyticsQueries {
              |FROM k CROSS JOIN tot
              |QUALIFY ROW_NUMBER() OVER (ORDER BY k.n DESC, k.key) <= 10
              |ORDER BY k.n DESC, k.key""".stripMargin)),
+
+    // ---- JOIN-CARDINALITY ESTIMATION BY SKETCH: before running a
+    //      100 TB join, estimate the distinct-key overlap of the two
+    //      sides from theta sketches — one bounded binary per side,
+    //      theta_intersection on the driver-sized pair — instead of
+    //      an exact semi-join over both inputs. The planner-grade
+    //      diagnostic that decides broadcast vs shuffle vs skew
+    //      handling. Gate ships the exact overlap (distinct orderkeys
+    //      present on BOTH orders and lineitem) beside the estimate's
+    //      5% envelope, the established sketch-gate idiom. ----
+    Q("diag_join_cardinality",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        val l = Tables.t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+        val skO = o.agg(expr("theta_sketch_agg(k, 14)").as("ska"))
+        val skL = l.agg(expr("theta_sketch_agg(k, 14)").as("skb"))
+        val est = skO.crossJoin(skL)
+          .select(expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("est"))
+        val exact = o.distinct().join(l.distinct(), Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_common"))
+        exact.crossJoin(broadcast(est))
+          .select(col("n_common"),
+            (abs(col("est") - col("n_common")) * 20 <= col("n_common"))
+              .as("est_within_5pct"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_common, TRUE AS est_within_5pct
+             |FROM (SELECT DISTINCT o_orderkey FROM orders
+             |      INTERSECT SELECT DISTINCT l_orderkey FROM lineitem) t""".stripMargin)),
+
+    // ---- REFERENTIAL-INTEGRITY AUDIT: orphan counts across every
+    //      foreign-key edge of the star schema in ONE report — the
+    //      data-quality gate a warehouse load runs before publishing.
+    //      Each edge is one left-anti join keyed on the FK (dimension
+    //      sides broadcast; the fact-sized scans never join each
+    //      other); counts union into a fixed 4-row report. ----
+    Q("diag_ref_integrity",
+      (s, dir) => {
+        def orphans(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+                    dim: org.apache.spark.sql.DataFrame, pk: String) = {
+          val total = fact.agg(count(lit(1)).as("n_checked"))
+          fact.join(broadcast(dim.select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .crossJoin(total)
+            .select(lit(name).as("relationship"), col("n_orphans"), col("n_checked"))
+        }
+        val t = (n: String) => Tables.t(s, dir, n)
+        orphans("lineitem.l_orderkey->orders", t("lineitem").select("l_orderkey"), "l_orderkey", t("orders"), "o_orderkey")
+          .unionByName(orphans("orders.o_custkey->customer", t("orders").select("o_custkey"), "o_custkey", t("customer"), "c_custkey"))
+          .unionByName(orphans("customer.c_nationkey->nation", t("customer").select("c_nationkey"), "c_nationkey", t("nation"), "n_nationkey"))
+          .unionByName(orphans("supplier.s_nationkey->nation", t("supplier").select("s_nationkey"), "s_nationkey", t("nation"), "n_nationkey"))
+          .orderBy("relationship")
+      },
+      Some("""SELECT 'customer.c_nationkey->nation' AS relationship,
+             |  CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+             |        (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans,
+             |  CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_checked
+             |UNION ALL SELECT 'lineitem.l_orderkey->orders',
+             |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+             |        (SELECT o_orderkey FROM orders)) AS BIGINT),
+             |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+             |UNION ALL SELECT 'orders.o_custkey->customer',
+             |  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             |        (SELECT c_custkey FROM customer)) AS BIGINT),
+             |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+             |UNION ALL SELECT 'supplier.s_nationkey->nation',
+             |  CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
+             |        (SELECT n_nationkey FROM nation)) AS BIGINT),
+             |  CAST((SELECT COUNT(*) FROM supplier) AS BIGINT)
+             |ORDER BY relationship""".stripMargin)),
 
     // ---- LINEAR MARKETING ATTRIBUTION: each purchase's value split
     //      EQUALLY across the user's view/click touches in the

@@ -536,6 +536,53 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PER-DIMENSION 3-SIGMA OUTLIER CENSUS — the drift check
+    //      layered on the moments report: count, per dim, the entries
+    //      with |x − mean| > 3σ, DIVISION-FREE by integer
+    //      cross-multiplication on the micro-quantized values
+    //      (the CUSUM-anomaly discipline): (q·n − S)² > 9·(n·Q − S²)
+    //      with S = Σq, Q = Σq² per dim — no float mean, no float
+    //      variance, no sqrt, so both engines agree bit-exact. The
+    //      cross-products ride DECIMAL(38,0)/HUGEINT (≤ ~2e30 at a
+    //      1e9-row corpus — still 8 digits of headroom). Two passes:
+    //      one combinable moments aggregate (64 rows, broadcast
+    //      back), one outlier count over the same posexplode. ----
+    Q("embed_dim_zscore_outliers",
+      (s, dir) => {
+        val vals = Tables.t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+          .localCheckpoint() // moments pass AND the outlier census
+        val mom = vals.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("s"),
+            sum(col("q").cast("decimal(20,0)") * col("q").cast("decimal(18,0)"))
+              .cast("decimal(38,0)").as("qq"))
+        vals.join(broadcast(mom), Seq("dim"))
+          .select(col("dim"), col("n"),
+            expr("CASE WHEN (CAST(q AS DECIMAL(16,0)) * CAST(n AS DECIMAL(12,0)) - CAST(s AS DECIMAL(30,0)))" +
+              " * (CAST(q AS DECIMAL(16,0)) * CAST(n AS DECIMAL(12,0)) - CAST(s AS DECIMAL(30,0)))" +
+              " > CAST(9 AS DECIMAL(2,0)) * (CAST(n AS DECIMAL(12,0)) * qq - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(18,0)))" +
+              " THEN 1L ELSE 0L END").as("is_out"))
+          .groupBy("dim", "n")
+          .agg(sum("is_out").as("n_outliers"))
+          .select("dim", "n", "n_outliers")
+          .orderBy("dim")
+      },
+      Some("""WITH v AS (SELECT CAST(t.i AS BIGINT) AS dim,
+             |    CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |  FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x,
+             |      generate_subscripts(e.embedding, 1) AS i) t),
+             |m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s,
+             |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS qq FROM v GROUP BY 1)
+             |SELECT v.dim, m.n,
+             |  CAST(SUM(CASE WHEN (CAST(v.q AS HUGEINT) * m.n - m.s)
+             |                   * (CAST(v.q AS HUGEINT) * m.n - m.s)
+             |       > 9 * (m.n * m.qq - CAST(m.s AS HUGEINT) * CAST(m.s AS HUGEINT))
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM v JOIN m USING (dim)
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // ---- INT8 SYMMETRIC QUANTIZATION QA — the compression every
     //      embedding store applies (4× smaller, ANN-shortlist-grade
     //      recall) audited per vector: scale = max|x|/127, q =

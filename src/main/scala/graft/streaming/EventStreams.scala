@@ -1126,8 +1126,20 @@ object EventStreams {
                          groupCols: Seq[String], valueCol: String,
                          checkpoint: String,
                          trigger: Trigger = Trigger.AvailableNow(),
-                         lgK: Int = 12): DataFrame = {
+                         lgK: Int = 12,
+                         buildAgg: Option[String] = None,
+                         mergeAgg: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty, "sketchRollupStream needs at least one group column")
+    // default: theta distinct-count sketches; any mergeable-sketch
+    // pair works — e.g. KLL quantiles via
+    //   buildAgg = kll_sketch_agg_double(<value>, 200)
+    //   mergeAgg = kll_merge_agg_double(sk)
+    // (KLL merge is associative/commutative; re-merging a replayed
+    // batch's sketch is NOT a strict no-op like theta's min-k set,
+    // but the checkpoint replays the same batch boundary, so the
+    // recovered state still converges to a valid whole-feed sketch.)
+    val build = buildAgg.getOrElse(s"theta_sketch_agg($valueCol, $lgK)")
+    val mergeA = mergeAgg.getOrElse(s"theta_union_agg(sk, $lgK)")
     import org.apache.hadoop.fs.Path
     val q: StreamingQuery = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -1146,11 +1158,11 @@ object EventStreams {
         }
         val g = groupCols.map(col)
         val batchSk = batch.toDF().groupBy(g: _*)
-          .agg(expr(s"theta_sketch_agg($valueCol, $lgK)").as("sk"))
+          .agg(expr(build).as("sk"))
         val merged =
           if (fs.exists(dest))
             s.read.parquet(destDir).unionByName(batchSk)
-              .groupBy(g: _*).agg(expr(s"theta_union_agg(sk, $lgK)").as("sk"))
+              .groupBy(g: _*).agg(expr(mergeA).as("sk"))
           else batchSk
         val staging = new Path(dest.getParent, dest.getName + s"_stage_$batchId")
         fs.delete(staging, true) // a replayed batch's leftover
