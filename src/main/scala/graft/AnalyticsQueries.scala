@@ -5500,6 +5500,56 @@ object AnalyticsQueries {
              |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- GAP-FILL WITH LINEAR INTERPOLATION: the hourly per-type
+    //      value series with missing hours filled by exact integer
+    //      interpolation between the flanking observed hours —
+    //      the time-series regularization every downstream
+    //      forecaster/monitor assumes. Interpolated cents =
+    //      prev + trunc((next − prev)·offset / gap) — probed this
+    //      session: DuckDB's integer `//` TRUNCATES toward zero
+    //      ((-3)//2 = -1), exactly like Spark's `div`, so the plain
+    //      operators agree on declining series too. The window
+    //      input is the (type, hour) AGGREGATE; the fill explodes
+    //      only the gap hours (output-bound, never fact-scaled). ----
+    Q("events_hourly_interpolate",
+      (s, dir) => {
+        val h = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        val withNext = h
+          .withColumn("nhr", lead("hr", 1).over(w))
+          .withColumn("ncents", lead("cents", 1).over(w))
+        val actual = withNext.select(col("event_type"), col("hr"), col("cents"),
+          lit(false).as("is_interp"))
+        val interp = withNext
+          .filter(col("nhr").isNotNull && col("nhr") - col("hr") > 1)
+          .select(col("event_type"), col("hr"), col("cents"),
+            col("nhr"), col("ncents"),
+            explode(expr("sequence(hr + 1, nhr - 1)")).as("ghr"))
+          .select(col("event_type"), col("ghr").as("hr"),
+            expr("cents + ((ncents - cents) * (ghr - hr)) div (nhr - hr)")
+              .as("cents"),
+            lit(true).as("is_interp"))
+        actual.unionByName(interp).orderBy("event_type", "hr")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |nx AS (SELECT event_type, hr, cents,
+             |    LEAD(hr) OVER w AS nhr, LEAD(cents) OVER w AS ncents
+             |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+             |SELECT event_type, hr, cents, FALSE AS is_interp FROM nx
+             |UNION ALL
+             |SELECT event_type, CAST(t.ghr AS BIGINT) AS hr,
+             |  CAST(cents + ((ncents - cents) * (t.ghr - hr)) // (nhr - hr) AS BIGINT) AS cents,
+             |  TRUE AS is_interp
+             |FROM nx, UNNEST(generate_series(hr + 1, nhr - 1)) AS t(ghr)
+             |WHERE nhr IS NOT NULL AND nhr - hr > 1
+             |ORDER BY event_type, hr""".stripMargin)),
+
     // ---- BURST DETECTION: hours where an event type's count
     //      exceeds 3x its trailing-24h hourly average — the ops
     //      alerting cut. Integer-exact: the flag n > 3·(trail/24)

@@ -385,6 +385,66 @@ object SimilarityQueries {
              |  CAST(list_max(bs) AS BIGINT) AS peak
              |FROM bytes ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- IMAGE PERCEPTUAL FINGERPRINT (average-hash) over the
+    //      byte-slicing decode stub: the first 64 payload bytes stand
+    //      in for the 8x8 downsampled grayscale grid (a codec-aware
+    //      decoder slots into the same frame), and the aHash bit j is
+    //      byte_j > floor(mean) — packed into two 32-bit halves so
+    //      the BIGINT never touches the sign bit. Mean brightness and
+    //      contrast (max − min) ride along, all exact integers. This
+    //      is the map-side fingerprint a 100 TB image corpus computes
+    //      where the bytes live (only the 16-byte-ish fingerprints
+    //      ever shuffle); the oracle replays the identical byte math
+    //      via hex-pair extraction. ----
+    Q("multimodal_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val media = graft.multimodal.Multimodal.asMedia(
+          Tables.t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/utf-8")
+        graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 1)
+          .filter(_.frame_idx == 0)
+          .map { f =>
+            val n = f.frame.length
+            var sum = 0L; var mx = 0L; var mn = 255L; var i = 0
+            while (i < n) {
+              val u = (f.frame(i) & 0xff).toLong
+              sum += u; if (u > mx) mx = u; if (u < mn) mn = u; i += 1
+            }
+            val mean = sum / n
+            var lo = 0L; var hi = 0L; i = 0
+            while (i < n) {
+              if ((f.frame(i) & 0xff).toLong > mean) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            (f.media_id, n, mean, mx - mn, hi, lo)
+          }
+          .toDF("media_id", "n_bytes", "mean_b", "contrast", "phash_hi", "phash_lo")
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            LEAST(octet_length(encode(text)), 64) AS n FROM documents),
+             |bytes AS (SELECT doc_id, n,
+             |    [CAST(strpos('123456789ABCDEF', substr(hex(b), 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hex(b), 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))] AS bs
+             |  FROM d),
+             |st AS (SELECT doc_id, n, bs,
+             |    CAST(list_sum(bs) // n AS BIGINT) AS mean_b,
+             |    CAST(list_max(bs) - list_min(bs) AS BIGINT) AS contrast
+             |  FROM bytes)
+             |SELECT doc_id AS media_id, CAST(n AS INTEGER) AS n_bytes, mean_b, contrast,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END
+             |      FOR j IN range(32, CAST(GREATEST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS phash_hi,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+             |      FOR j IN range(CAST(LEAST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS phash_lo
+             |FROM st ORDER BY media_id""".stripMargin)),
+
     // ---- EXACT MEDIA DEDUP by content digest — byte-identical
     //      payloads (the re-crawled image / re-uploaded clip case)
     //      collapse on md5 of the BINARY payload: one map-side
