@@ -5395,7 +5395,7 @@ object AnalyticsQueries {
         val l = Tables.t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
         val skO = o.agg(expr("theta_sketch_agg(k, 14)").as("ska"))
         val skL = l.agg(expr("theta_sketch_agg(k, 14)").as("skb"))
-        val est = skO.crossJoin(skL)
+        val est = skO.crossJoin(broadcast(skL))
           .select(expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("est"))
         val exact = o.distinct().join(l.distinct(), Seq("k"), "left_semi")
           .agg(count(lit(1)).as("n_common"))
@@ -5421,7 +5421,7 @@ object AnalyticsQueries {
           val total = fact.agg(count(lit(1)).as("n_checked"))
           fact.join(broadcast(dim.select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
             .agg(count(lit(1)).as("n_orphans"))
-            .crossJoin(total)
+            .crossJoin(broadcast(total))
             .select(lit(name).as("relationship"), col("n_orphans"), col("n_checked"))
         }
         val t = (n: String) => Tables.t(s, dir, n)
@@ -5518,9 +5518,14 @@ object AnalyticsQueries {
             (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
           .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
         val w = Window.partitionBy("event_type").orderBy("hr")
+        // two consumers (pass-through + gap fill) — materialize the
+        // (type, hour)-bounded aggregate once instead of rescanning
+        // the fact table per lineage (the bounded-size checkpoint
+        // contract: domain-sized, never fact-sized)
         val withNext = h
           .withColumn("nhr", lead("hr", 1).over(w))
           .withColumn("ncents", lead("cents", 1).over(w))
+          .localCheckpoint()
         val actual = withNext.select(col("event_type"), col("hr"), col("cents"),
           lit(false).as("is_interp"))
         val interp = withNext

@@ -1727,46 +1727,6 @@ object EtlQueries {
       },
       Some("""SELECT c_custkey AS id, upper(c_name) AS name_up,
              |COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment
-             |FROM customer ORDER BY id""".stripMargin)),
-
-    // ---- SCHEMA EVOLUTION across landed batches: a long-running
-    //      loader's destination accumulates files written under
-    //      DIFFERENT schema vintages (a column added mid-stream).
-    //      Spark's mergeSchema read reconciles the union-of-schemas
-    //      at scan time — old files surface the new column as NULL,
-    //      no rewrite of historical data. The gate stages two drifted
-    //      batches from orders (even keys without o_orderstatus, odd
-    //      keys with it), reads them back with mergeSchema, and
-    //      aggregates by the evolved column; the oracle states the
-    //      same union-by-name from the source table. Footer-only
-    //      schema merge — the read stays one pruned scan per file,
-    //      nothing corpus-sized moves. ----
-    Q("etl_schema_evolution",
-      (s, dir) => {
-        val work = graft.CacheDirs.tempWorkDir("graft_schema_evo_")
-        val o = Tables.t(s, dir, "orders")
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_totalprice")
-          .write.parquet(work.resolve("b0").toString)
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_totalprice", "o_orderstatus")
-          .write.parquet(work.resolve("b1").toString)
-        s.read.option("mergeSchema", "true")
-          .parquet(work.resolve("b0").toString, work.resolve("b1").toString)
-          .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-          .orderBy("status")
-      },
-      Some("""WITH u AS (
-             |  SELECT o_totalprice, NULL AS o_orderstatus
-             |  FROM orders WHERE o_orderkey % 2 = 0
-             |  UNION ALL
-             |  SELECT o_totalprice, o_orderstatus
-             |  FROM orders WHERE o_orderkey % 2 = 1)
-             |SELECT COALESCE(o_orderstatus, '<pre-evolution>') AS status,
-             |  CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM customer ORDER BY id""".stripMargin))
   )
 }

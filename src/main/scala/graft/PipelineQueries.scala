@@ -549,11 +549,15 @@ object PipelineQueries {
     //      back), one outlier count over the same posexplode. ----
     Q("embed_dim_zscore_outliers",
       (s, dir) => {
+        // two passes over the exploded values (moments, then census) —
+        // deliberately NOT checkpointed: the explode is fact x 64, so a
+        // materialization would be corpus-scaled where a second scan
+        // is just another map-side pass (the bounded-size checkpoint
+        // contract cuts the other way here)
         val vals = Tables.t(s, dir, "embeddings")
           .select(posexplode(col("embedding")).as(Seq("pos", "x")))
           .select((col("pos") + 1).cast("long").as("dim"),
             expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
-          .localCheckpoint() // moments pass AND the outlier census
         val mom = vals.groupBy("dim")
           .agg(count(lit(1)).as("n"), sum("q").as("s"),
             sum(col("q").cast("decimal(20,0)") * col("q").cast("decimal(18,0)"))
