@@ -5500,6 +5500,42 @@ object AnalyticsQueries {
              |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- SEASONAL-NAIVE FORECAST ERROR (the MASE denominator): per
+    //      type, compare each hour's count to the same hour one day
+    //      earlier and report the mean absolute error in exact
+    //      milli-units — the baseline every anomaly detector and
+    //      forecast must beat, and the first thing a telemetry
+    //      pipeline quantifies about its own seasonality. The
+    //      comparison is a self-JOIN of the (type, hour) aggregate on
+    //      hr−24 (hours are sparse — a lag-24-rows window would
+    //      silently compare across gaps); both sides are the
+    //      dimension-sized aggregate, never raw events. ----
+    Q("events_seasonal_naive_error",
+      (s, dir) => {
+        val h = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val prev = h.select(col("event_type"), (col("hr") + 24).as("hr"),
+          col("n").as("n_prev"))
+        h.join(prev, Seq("event_type", "hr"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("n") - col("n_prev"))).as("total_abs_err"))
+          .select(col("event_type"), col("n_hours"),
+            expr("(1000 * total_abs_err) div n_hours").as("mae_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT cur.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             |  CAST((1000 * SUM(abs(cur.n - prev.n))) // COUNT(*) AS BIGINT) AS mae_milli
+             |FROM h cur JOIN h prev
+             |  ON prev.event_type = cur.event_type AND prev.hr = cur.hr - 24
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- GAP-FILL WITH LINEAR INTERPOLATION: the hourly per-type
     //      value series with missing hours filled by exact integer
     //      interpolation between the flanking observed hours —

@@ -1727,6 +1727,42 @@ object EtlQueries {
       },
       Some("""SELECT c_custkey AS id, upper(c_name) AS name_up,
              |COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment
-             |FROM customer ORDER BY id""".stripMargin))
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    // ---- PARSER-LEVEL bad-record routing: rows whose CSV text
+    //      cannot parse against the declared schema (a non-numeric
+    //      price) are captured by PERMISSIVE mode's corrupt-record
+    //      column instead of killing the load — the layer BELOW the
+    //      null-policy/row-validation tier, which only sees rows that
+    //      already parsed. The gate stages a CSV with deterministic
+    //      corruption (every 7th key), reads it back through the
+    //      corrupt-record channel, and routes good/bad in ONE pass
+    //      (the aggregate references data columns alongside the
+    //      corrupt column, which Spark requires); the oracle restates
+    //      the split from the source table. ----
+    Q("etl_csv_corrupt_routing",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_csv_corrupt_")
+        Tables.t(s, dir, "orders")
+          .select(concat_ws(",", col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit("BAD_PRICE"))
+              .otherwise(col("o_totalprice").cast("string"))).as("value"))
+          .write.text(work.resolve("landing").toString)
+        s.read.schema("k LONG, price DOUBLE, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(work.resolve("landing").toString)
+          .groupBy(col("_corrupt").isNotNull.as("is_bad"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("_corrupt").isNull, round(col("price") * 100).cast("long")))
+              .as("cents"))
+          .orderBy("is_bad")
+      },
+      Some("""SELECT (o_orderkey % 7 = 0) AS is_bad,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CASE WHEN (o_orderkey % 7 = 0) THEN NULL
+             |       ELSE CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |  END AS cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

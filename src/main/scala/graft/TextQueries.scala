@@ -1482,6 +1482,44 @@ object TextQueries {
              |  AND list_contains(string_split(text, ' '), 'window')
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- CORPUS-COMPOSITION DRIFT between crawl snapshots: the
+    //      language distribution of the "old" half (even doc ids, the
+    //      stand-in for yesterday's corpus) vs the "new" half, each
+    //      in exact permille, with per-language absolute drift — the
+    //      monitoring report that catches a crawl source silently
+    //      tipping the language mix before a training run bakes it
+    //      in. Two combinable aggregates over lang (enum-sized), a
+    //      full outer alignment, integer math only. ----
+    Q("text_lang_drift",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        def dist(pred: org.apache.spark.sql.Column, pm: String, n: String) = {
+          val half = d.filter(pred).groupBy("lang").agg(count(lit(1)).as(n))
+          val tot = half.agg(sum(n).as("_t"))
+          half.crossJoin(broadcast(tot))
+            .select(col("lang"), col(n),
+              expr(s"(1000 * $n) div _t").as(pm))
+        }
+        dist(col("doc_id") % 2 === 0, "pm_old", "n_old")
+          .join(dist(col("doc_id") % 2 === 1, "pm_new", "n_new"), Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("pm_old"), lit(0L)).as("pm_old"),
+            coalesce(col("pm_new"), lit(0L)).as("pm_new"))
+          .withColumn("drift_pm", abs(col("pm_new") - col("pm_old")))
+          .orderBy("lang")
+      },
+      Some("""WITH o AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |          WHERE doc_id % 2 = 0 GROUP BY 1),
+             |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |      WHERE doc_id % 2 = 1 GROUP BY 1),
+             |op AS (SELECT lang, CAST(1000 * n // (SELECT SUM(n) FROM o) AS BIGINT) AS pm_old FROM o),
+             |np AS (SELECT lang, CAST(1000 * n // (SELECT SUM(n) FROM n) AS BIGINT) AS pm_new FROM n)
+             |SELECT COALESCE(op.lang, np.lang) AS lang,
+             |  COALESCE(pm_old, 0) AS pm_old, COALESCE(pm_new, 0) AS pm_new,
+             |  abs(COALESCE(pm_new, 0) - COALESCE(pm_old, 0)) AS drift_pm
+             |FROM op FULL OUTER JOIN np ON op.lang = np.lang
+             |ORDER BY lang""".stripMargin)),
+
     // ---- UNIGRAM-SURPRISAL QUALITY SCORE: mean token surprisal
     //      −ln p(token) under the corpus's own unigram LM — the
     //      cheap perplexity proxy a data pipeline uses to rank
