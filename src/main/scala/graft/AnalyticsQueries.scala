@@ -5500,6 +5500,67 @@ object AnalyticsQueries {
              |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- USER LIFECYCLE STATES: every (user, month) of order
+    //      activity classified new / retained / resurrected, plus
+    //      churned counts attributed to the month AFTER the last
+    //      active month — the growth-accounting report (quick ratio,
+    //      churn curves) a product team reads weekly. Activity
+    //      collapses to the (user, month) DISTINCT grid first (facts
+    //      never reach the classification); prior-month presence is a
+    //      self-join on month−1 (sparse-safe where a lag-1-row window
+    //      would compare across gaps); 'new' is one min-month
+    //      aggregate. Churn needs the corpus's last month so the
+    //      final month doesn't fake churn — a one-row broadcast. ----
+    Q("events_user_lifecycle",
+      (s, dir) => {
+        val am = Tables.t(s, dir, "orders")
+          .select(col("o_custkey").as("u"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+          .distinct()
+          .localCheckpoint() // four consumers of a (user, month) grid
+        val firstMon = am.groupBy("u").agg(min("mon").as("first_mon"))
+        val prev = am.select(col("u"), add_months(col("mon"), 1).as("mon"),
+          lit(1).as("was_prev"))
+        val classified = am
+          .join(firstMon, Seq("u")) // user-keyed, shuffles with the grid
+          .join(prev, Seq("u", "mon"), "left")
+          .select(col("mon"),
+            when(col("mon") === col("first_mon"), lit("new"))
+              .when(col("was_prev").isNotNull, lit("retained"))
+              .otherwise(lit("resurrected")).as("state"))
+        val maxMon = am.agg(max("mon").as("max_mon"))
+        val churned = am.select(col("u"), col("mon"))
+          .join(am.select(col("u"), add_months(col("mon"), -1).as("mon"),
+            lit(1).as("next_active")), Seq("u", "mon"), "left")
+          .filter(col("next_active").isNull)
+          .crossJoin(broadcast(maxMon))
+          .filter(col("mon") < col("max_mon"))
+          .select(add_months(col("mon"), 1).as("mon"), lit("churned").as("state"))
+        classified.unionByName(churned)
+          .groupBy("mon", "state").agg(count(lit(1)).as("n_users"))
+          .orderBy("mon", "state")
+      },
+      Some("""WITH am AS (SELECT DISTINCT o_custkey AS u,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mon FROM orders),
+             |fm AS (SELECT u, MIN(mon) AS first_mon FROM am GROUP BY 1),
+             |mx AS (SELECT MAX(mon) AS max_mon FROM am),
+             |cls AS (SELECT am.mon,
+             |    CASE WHEN am.mon = fm.first_mon THEN 'new'
+             |         WHEN prev.u IS NOT NULL THEN 'retained'
+             |         ELSE 'resurrected' END AS state
+             |  FROM am JOIN fm USING (u)
+             |  LEFT JOIN am prev ON prev.u = am.u
+             |    AND prev.mon = CAST(am.mon - INTERVAL 1 MONTH AS DATE)),
+             |ch AS (SELECT CAST(am.mon + INTERVAL 1 MONTH AS DATE) AS mon,
+             |    'churned' AS state
+             |  FROM am CROSS JOIN mx
+             |  LEFT JOIN am nxt ON nxt.u = am.u
+             |    AND nxt.mon = CAST(am.mon + INTERVAL 1 MONTH AS DATE)
+             |  WHERE nxt.u IS NULL AND am.mon < mx.max_mon),
+             |u AS (SELECT mon, state FROM cls UNION ALL SELECT mon, state FROM ch)
+             |SELECT mon, state, CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- SEASONAL-NAIVE FORECAST ERROR (the MASE denominator): per
     //      type, compare each hour's count to the same hour one day
     //      earlier and report the mean absolute error in exact
