@@ -1752,6 +1752,12 @@ object EtlQueries {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt")
           .csv(work.resolve("landing").toString)
+          // Spark refuses a plan whose pruned columns are ONLY the
+          // corrupt-record column (a downstream count() prunes to
+          // exactly that) — materialize the parsed rows first, the
+          // documented save-then-query discipline; at scale this is
+          // the landing-parquet write the routing step does anyway
+          .localCheckpoint()
           .groupBy(col("_corrupt").isNotNull.as("is_bad"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("_corrupt").isNull, round(col("price") * 100).cast("long")))
