@@ -5332,9 +5332,9 @@ object AnalyticsQueries {
           .filter(col("t2").isNotNull && col("t3").isNotNull)
           .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
           .agg(count(lit(1)).as("n"))
-        val r = Window.orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
-        tri.withColumn("_rn", row_number().over(r))
-          .filter(col("_rn") <= 10).drop("_rn")
+        // top-10 via orderBy+limit — TakeOrderedAndProject (per-
+        // partition heaps), not a single-partition row_number window
+        tri.orderBy(desc("n"), col("t1"), col("t2"), col("t3")).limit(10)
           .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
       },
       Some("""WITH e AS (SELECT user_id, event_type,
@@ -5739,8 +5739,13 @@ object AnalyticsQueries {
           .groupBy("user_id").agg(min("us").as("p_us"), min("s_us").as("s_us"))
         val h = fp.select(expr("(p_us - s_us) div 3600000000L").as("delay_hours"))
           .groupBy("delay_hours").agg(count(lit(1)).as("n"))
-        h.withColumn("cum_n", sum("n").over(Window.orderBy("delay_hours")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // cumulative over the delay-hours AGGREGATE (domain-bounded,
+        // never user-scaled) via a broadcast triangular self-join —
+        // no single-partition running-sum window anywhere
+        val h2 = h.select(col("delay_hours").as("dh2"), col("n").as("n2"))
+        h.join(broadcast(h2), col("dh2") <= col("delay_hours"))
+          .groupBy("delay_hours", "n").agg(sum("n2").as("cum_n"))
+          .select("delay_hours", "n", "cum_n")
           .orderBy("delay_hours")
       },
       Some("""WITH su AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
@@ -5850,9 +5855,16 @@ object AnalyticsQueries {
         val f = days.join(per, Seq("day"), "left_outer")
           .select(col("day"), expr("datediff(day, DATE '1970-01-01')").as("di"),
             coalesce(col("cents"), lit(0L)).as("cents"))
-        val w = Window.orderBy("di").rangeBetween(-3, 3)
-        f.withColumn("ma7_sum", sum("cents").over(w))
-          .withColumn("ma7_n", count(lit(1)).over(w))
+        // the ±3-day RANGE frame over the daily series as a broadcast
+        // band self-join: the day axis is CALENDAR-bounded (grows with
+        // time, not data volume), so the 7-row-per-day band join stays
+        // metadata-sized at any corpus scale and no single-partition
+        // window sort ever happens
+        val f2 = f.select(col("di").as("di2"), col("cents").as("c2"))
+        f.join(broadcast(f2),
+            col("di2") >= col("di") - 3 && col("di2") <= col("di") + 3)
+          .groupBy("day", "cents").agg(sum("c2").as("ma7_sum"),
+            count(lit(1)).as("ma7_n"))
           .select("day", "cents", "ma7_sum", "ma7_n")
           .orderBy("day")
       },
