@@ -5500,6 +5500,49 @@ object AnalyticsQueries {
              |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- OPEN-ORDER BACKLOG OVER TIME (interval stabbing): how
+    //      many orders were open — placed but not yet fully shipped —
+    //      in each month. The classic operations metric, computed the
+    //      scale-safe way: each order contributes a +1 at its order
+    //      month and a −1 the month AFTER its last ship date (one
+    //      keyed max per order), deltas collapse to the month grain
+    //      (calendar-bounded), and the running balance is a broadcast
+    //      triangular self-join over that bounded axis — facts are
+    //      touched exactly twice, no window, no per-order state. ----
+    Q("orders_open_backlog",
+      (s, dir) => {
+        val shipped = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(max(col("l_shipdate").cast("date")).as("ship_done"))
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("open_mon"))
+          .join(shipped, Seq("o_orderkey"))
+          .withColumn("close_mon",
+            add_months(date_trunc("month", col("ship_done")).cast("date"), 1))
+        val deltas = o.select(col("open_mon").as("mon"), lit(1L).as("d"))
+          .unionByName(o.select(col("close_mon").as("mon"), lit(-1L).as("d")))
+          .groupBy("mon").agg(sum("d").as("delta"))
+          .localCheckpoint() // bounded by the calendar; two consumers
+        val d2 = deltas.select(col("mon").as("mon2"), col("delta").as("delta2"))
+        deltas.join(broadcast(d2), col("mon2") <= col("mon"))
+          .groupBy("mon", "delta").agg(sum("delta2").as("backlog"))
+          .select("mon", "delta", "backlog")
+          .orderBy("mon")
+      },
+      Some("""WITH sh AS (SELECT l_orderkey AS o_orderkey,
+             |    MAX(CAST(l_shipdate AS DATE)) AS ship_done FROM lineitem GROUP BY 1),
+             |o AS (SELECT orders.o_orderkey,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS open_mon,
+             |    CAST(date_trunc('month', ship_done) AS DATE) + INTERVAL 1 MONTH AS close_mon
+             |  FROM orders JOIN sh ON sh.o_orderkey = orders.o_orderkey),
+             |dl AS (SELECT mon, CAST(SUM(d) AS BIGINT) AS delta FROM (
+             |    SELECT open_mon AS mon, 1 AS d FROM o
+             |    UNION ALL SELECT CAST(close_mon AS DATE), -1 FROM o) u GROUP BY 1)
+             |SELECT a.mon, a.delta, CAST(SUM(b.delta) AS BIGINT) AS backlog
+             |FROM dl a JOIN dl b ON b.mon <= a.mon
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // ---- USER LIFECYCLE STATES: every (user, month) of order
     //      activity classified new / retained / resurrected, plus
     //      churned counts attributed to the month AFTER the last

@@ -536,6 +536,37 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PER-SOURCE EMBEDDING CENTROIDS in exact integer micro
+    //      sums — the per-slice drift table a vector pipeline
+    //      compares across crawls (a source whose centroid moves is
+    //      re-embedded or quarantined). One doc-keyed join
+    //      (embeddings ↔ documents metadata), one posexplode, one
+    //      combinable (source, dim) groupBy; the centroid is the
+    //      floor-mean of BIGINT micro sums, so both engines agree
+    //      bit-exactly at any corpus size. ----
+    Q("embed_source_centroids",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .join(Tables.t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("source")),
+            Seq("vec_id"))
+          .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+          .groupBy("source", "dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+          .select(col("source"), col("dim"), col("n"),
+            expr("sum_q div n").as("centroid_micro"))
+          .orderBy("source", "dim")
+      },
+      Some("""WITH v AS (SELECT d.source, CAST(t.i AS BIGINT) AS dim,
+             |    CAST(round(CAST(t.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+             |  LATERAL (SELECT unnest(e.embedding) AS x,
+             |           generate_subscripts(e.embedding, 1) AS i) t)
+             |SELECT source, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_micro
+             |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- PER-DIMENSION 3-SIGMA OUTLIER CENSUS — the drift check
     //      layered on the moments report: count, per dim, the entries
     //      with |x − mean| > 3σ, DIVISION-FREE by integer

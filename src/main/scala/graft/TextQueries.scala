@@ -1520,6 +1520,62 @@ object TextQueries {
              |FROM op FULL OUTER JOIN np ON op.lang = np.lang
              |ORDER BY lang""".stripMargin)),
 
+    // ---- ZIPF RANK-FREQUENCY SLOPE: least-squares slope of
+    //      ln(freq) on ln(rank) over the top-1000 tokens — the
+    //      power-law diagnostic (healthy natural text sits near −1;
+    //      boilerplate and synthetic corpora bend it) that rides the
+    //      same vocabulary pass every other text stat uses. All
+    //      engine-exact: ln values quantize to MILLI units (the
+    //      log arguments are exact BIGINTs so both engines feed ln
+    //      the identical double), rank comes from a 1000×1000
+    //      broadcast triangular join over the LIMITed top set (no
+    //      unpartitioned window), and the regression's six sums ride
+    //      DECIMAL(38,0)/HUGEINT with one closing floor division to
+    //      micro units. ----
+    Q("text_zipf_slope",
+      (s, dir) => {
+        val top = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("f"))
+          .orderBy(desc("f"), col("token")).limit(1000)
+          .localCheckpoint() // bounded 1000 rows; joined to itself
+        val other = top.select(col("token").as("t2"), col("f").as("f2"))
+        val ranked = top.join(broadcast(other),
+            col("f2") > col("f") || (col("f2") === col("f") && col("t2") < col("token")),
+            "left")
+          .groupBy("token", "f").agg((count(col("t2")) + 1).as("rank"))
+          .select(
+            expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT)").as("y"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum("x").cast("decimal(38,0)").as("sx"),
+            sum("y").cast("decimal(38,0)").as("sy"),
+            sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+              .cast("decimal(38,0)").as("sxy"),
+            sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+              .cast("decimal(38,0)").as("sxx"))
+          .select(col("n"),
+            expr("CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)")
+              .as("slope_micro"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1
+             |       ORDER BY f DESC, token LIMIT 1000),
+             |rk AS (SELECT a.token, a.f,
+             |    CAST(1 + COUNT(b.token) AS BIGINT) AS rank
+             |  FROM tf a LEFT JOIN tf b
+             |    ON b.f > a.f OR (b.f = a.f AND b.token < a.token)
+             |  GROUP BY 1, 2),
+             |xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             |              CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y FROM rk),
+             |sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+             |FROM sums""".stripMargin)),
+
     // ---- UNIGRAM-SURPRISAL QUALITY SCORE: mean token surprisal
     //      −ln p(token) under the corpus's own unigram LM — the
     //      cheap perplexity proxy a data pipeline uses to rank

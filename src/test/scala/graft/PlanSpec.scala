@@ -405,6 +405,18 @@ class PlanSpec extends SparkTestBase {
       s"a window crept back into the skew diagnostic:\n${plan.take(2000)}")
   }
 
+  test("the bounded-aggregate reports carry no unpartitioned window at all") {
+    // survival cumulative, daily MA7 band, top-paths cut — all were
+    // single-partition windows once; pinned window-free (triangular /
+    // band broadcast joins + TakeOrdered) so the bench log's
+    // WindowExec warning count stays zero
+    for (q <- Seq("events_conversion_survival", "orders_daily_ma7", "events_top_paths")) {
+      val plan = planString(Queries.queries(q)(spark, sf))
+      assert(!plan.contains("], [], ["),
+        s"unpartitioned window crept back into $q:\n${plan.take(2000)}")
+    }
+  }
+
   test("2D skyline runs only banded windows (no unpartitioned sort-the-world)") {
     val q = Queries.queries("lineitem_skyline_2d")(spark, sf)
     val plan = planString(q)

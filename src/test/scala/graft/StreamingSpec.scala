@@ -215,6 +215,41 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
   }
 
+  test("streaming upsert restores a destination stranded mid re-bucket swap") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = tmpDir("graft_upsert_dirswap_")
+    def feed(dirName: String, df: org.apache.spark.sql.DataFrame): String = {
+      val srcDir = s"$work/$dirName"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcDir))
+      val tmp = s"$work/${dirName}_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, "f.parquet"))
+      srcDir
+    }
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    val dest = s"$work/dest"
+    val src1 = feed("src1", spark.range(0, 100).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'a' AS v"))
+    EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src1),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt1")
+    // simulate a whole-dir swap crash between the two renames: the
+    // live destination is GONE, its full contents sit in `<dest>__old`
+    java.nio.file.Files.move(java.nio.file.Paths.get(dest),
+      java.nio.file.Paths.get(s"${dest}__old"))
+    val src2 = feed("src2", spark.range(100, 105).selectExpr(
+      "id AS k", "CAST(1 AS BIGINT) AS ver", "'b' AS v"))
+    val out = EventStreams.upsertStream(spark,
+      spark.readStream.schema(sch).parquet(src2),
+      dest, keys = Seq("k"), versionCol = "ver", checkpoint = s"$work/ckpt2")
+    assert(out.count() == 105, "the stranded directory must be restored before the merge")
+    assert(!new java.io.File(s"${dest}__old").exists(), "repair must consume the aside dir")
+  }
+
   test("streaming top-k: later batches EVICT earlier rows from the bounded state") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val work = tmpDir("graft_topk_stream_")
