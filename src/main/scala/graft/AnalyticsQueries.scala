@@ -5500,6 +5500,44 @@ object AnalyticsQueries {
              |  CAST(SUM((cents * 1000) // nt) AS BIGINT) AS credit_millicents
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- CONNECTED-COMPONENT SIZE DISTRIBUTION of the co-purchase
+    //      graph — the connectivity census (one giant component +
+    //      how much dust?) that decides whether graph partitioning
+    //      is even worth attempting. Components come from the same
+    //      pointer-doubling min-label machinery the dedup tier uses
+    //      (O(log diameter) rounds, edge-keyed joins only); the
+    //      histogram is two tiny aggregates on top. Oracle is the
+    //      WITH RECURSIVE min-label fixpoint over the identical edge
+    //      set. ----
+    Q("graph_component_sizes",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val pairs = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u").as("doc_a"), col("v").as("doc_b"))
+        graft.operators.Dedup.clusters(pairs)
+          .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_components"))
+          .orderBy("size")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p),
+             |reach(node, lbl) AS (SELECT src, src FROM edges
+             |                     UNION
+             |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+             |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+             |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM cl GROUP BY 1)
+             |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- OPEN-ORDER BACKLOG OVER TIME (interval stabbing): how
     //      many orders were open — placed but not yet fully shipped —
     //      in each month. The classic operations metric, computed the
