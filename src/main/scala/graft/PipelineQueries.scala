@@ -536,6 +536,41 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- LENGTH-BALANCED BATCH ASSIGNMENT — the dataloader trick
+    //      that cuts padding waste: sort the corpus by token length
+    //      (two-phase segmentedRanks — sampled boundaries + within-
+    //      bucket ranks, never a single-task global window) and cut
+    //      consecutive 32-doc batches, so each batch pads to a max
+    //      that is near its own lengths. The report states, per
+    //      batch, the padding waste (n·max − Σlen) a naive arrival-
+    //      order batcher would multiply several-fold. Deterministic:
+    //      (len, doc_id) is a total order, so the assignment is
+    //      restart-stable and rank-exact on the oracle. ----
+    Q("sample_length_batches",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+          .withColumn("_g", lit(0))
+        graft.operators.Ranking.segmentedRanks(d, "_g", Seq("len", "doc_id"))
+          .withColumn("batch_id", expr("(rank - 1) div 32"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+            sum("len").as("sum_len"))
+          .select(col("batch_id"), col("n_docs"), col("max_len"),
+            (col("n_docs") * col("max_len") - col("sum_len")).as("pad_waste"))
+          .orderBy("batch_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+             |r AS (SELECT doc_id, len,
+             |    ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rank FROM d),
+             |b AS (SELECT (rank - 1) // 32 AS batch_id, len FROM r)
+             |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(MAX(len) AS BIGINT) AS max_len,
+             |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- PER-SOURCE EMBEDDING CENTROIDS in exact integer micro
     //      sums — the per-slice drift table a vector pipeline
     //      compares across crawls (a source whose centroid moves is

@@ -385,6 +385,57 @@ object SimilarityQueries {
              |  CAST(list_max(bs) AS BIGINT) AS peak
              |FROM bytes ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- VIDEO SCENE-CUT DETECTION over the byte-slicing decode
+    //      stub: per-frame energy (Σ byte² — the feature the audio
+    //      gate pins byte-exactly) compared frame-to-frame, a cut
+    //      flagged where the energy moves by more than half the
+    //      previous frame's level — 2·|e − prev| > prev, integer
+    //      cross-multiplied, no division. The temporal-segmentation
+    //      shape a codec-aware decoder slots into: framing fan-out is
+    //      bounded |payload|/64, the lag is a media-keyed window, and
+    //      only (media, frame, energies) ever shuffle. ----
+    Q("multimodal_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = graft.multimodal.Multimodal.asMedia(
+          Tables.t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/utf-8")
+        val energies = graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 1)
+          .map { f =>
+            var e = 0L; var i = 0
+            while (i < f.frame.length) {
+              val u = (f.frame(i) & 0xff).toLong; e += u * u; i += 1
+            }
+            (f.media_id, f.frame_idx, e)
+          }
+          .toDF("media_id", "frame_idx", "energy")
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        energies.withColumn("prev_e", lag("energy", 1).over(w))
+          .filter(col("prev_e").isNotNull &&
+            abs(col("energy") - col("prev_e")) * 2 > col("prev_e"))
+          .select("media_id", "frame_idx", "prev_e", "energy")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            octet_length(encode(text)) AS L FROM documents),
+             |f AS (SELECT doc_id, i, LEAST(64, L - i*64) AS n,
+             |        substr(hex(b), i*128 + 1, CAST(LEAST(64, L - i*64) * 2 AS BIGINT)) AS hx
+             |      FROM d, UNNEST(range(CAST(ceil(L / 64.0) AS BIGINT))) AS t(i)),
+             |en AS (SELECT doc_id, i,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(strpos('123456789ABCDEF', substr(hx, 2*j+1, 1)) * 16
+             |          + strpos('123456789ABCDEF', substr(hx, 2*j+2, 1)) AS BIGINT)
+             |       FOR j IN range(CAST(n AS BIGINT))]),
+             |      (a, x) -> a + x * x) AS energy
+             |  FROM f),
+             |lg AS (SELECT doc_id, i, energy,
+             |    LAG(energy) OVER (PARTITION BY doc_id ORDER BY i) AS prev_e FROM en)
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, prev_e, energy
+             |FROM lg WHERE prev_e IS NOT NULL AND abs(energy - prev_e) * 2 > prev_e
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- IMAGE PERCEPTUAL FINGERPRINT (average-hash) over the
     //      byte-slicing decode stub: the first 64 payload bytes stand
     //      in for the 8x8 downsampled grayscale grid (a codec-aware
