@@ -1729,6 +1729,52 @@ object EtlQueries {
              |COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment
              |FROM customer ORDER BY id""".stripMargin)),
 
+    // ---- HEADER/DETAIL/TRAILER FILE VALIDATION — the mainframe-
+    //      feed shape the reference's bank-ETL world lives on: one
+    //      file carries an H record, D detail records, and a T
+    //      trailer whose declared count must equal the details
+    //      actually present (the transport-integrity check BEFORE
+    //      any row-level validation). The gate stages such a file
+    //      from orders with the trailer deliberately understated by
+    //      the corrupt rows it drops, classifies records by their
+    //      leading tag in one pass, and reports declared vs observed
+    //      counts with the match verdict; the oracle restates the
+    //      arithmetic from the source table. ----
+    Q("etl_trailer_validation",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_trailer_")
+        val o = Tables.t(s, dir, "orders")
+        val details = o.select(concat(lit("D,"), col("o_orderkey").cast("string"),
+          lit(","), col("o_totalprice").cast("string")).as("value"))
+        val header = o.sparkSession.range(1)
+          .select(concat(lit("H,feed_orders,"),
+            lit("2024-01-01")).as("value"))
+        // trailer declares only the even-keyed rows (simulating a
+        // partial extract) — the validation must catch the shortfall
+        val trailer = o.filter(col("o_orderkey") % 2 === 0)
+          .agg(count(lit(1)).as("n"))
+          .select(concat(lit("T,"), col("n").cast("string")).as("value"))
+        header.unionByName(details).unionByName(trailer)
+          .write.text(work.resolve("feed").toString)
+        val lines = s.read.text(work.resolve("feed").toString)
+          .select(col("value"), substring(col("value"), 1, 1).as("tag"))
+          .localCheckpoint() // one read feeds both the census and the trailer parse
+        val counts = lines.groupBy("tag").agg(count(lit(1)).as("n"))
+        val observed = counts.filter(col("tag") === "D")
+          .select(col("n").as("n_detail"))
+        val declared = lines.filter(col("tag") === "T")
+          .select(split(col("value"), ",").getItem(1).cast("long").as("n_declared"))
+        observed.crossJoin(broadcast(declared))
+          .select(col("n_detail"), col("n_declared"),
+            (col("n_detail") === col("n_declared")).as("trailer_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_detail,
+             |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS BIGINT)
+             |    AS n_declared,
+             |  COUNT(*) = (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+             |    AS trailer_ok
+             |FROM orders""".stripMargin)),
+
     // ---- PARSER-LEVEL bad-record routing: rows whose CSV text
     //      cannot parse against the declared schema (a non-numeric
     //      price) are captured by PERMISSIVE mode's corrupt-record

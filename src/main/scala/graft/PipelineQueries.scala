@@ -536,6 +536,60 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PII DENSITY MONITORING per source — the audit that runs
+    //      BEFORE the scrub decides whether a source is ingestible
+    //      at all (a crawl slice where half the docs carry emails is
+    //      quarantined, not scrubbed). Deterministic PII is seeded
+    //      into every 10th/5th doc (the corpus itself is synthetic-
+    //      clean — the anonymize-gate discipline), counted with the
+    //      SAME shared-regex-subset patterns the scrub applies
+    //      (Java regex ≡ RE2 on this subset), and reported as per-
+    //      source hit counts + affected-docs permille. Map-only
+    //      regexp work; one enum-sized aggregate. ----
+    Q("privacy_pii_density",
+      (s, dir) => {
+        val seeded = Tables.t(s, dir, "documents")
+          .withColumn("t",
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" user"), col("doc_id"), lit("@example.com")))
+            .when(col("doc_id") % 10 === 5,
+              concat(col("text"), lit(" call 555-123-4567")))
+            .otherwise(col("text")))
+        val (em, ph, idn) = graft.operators.Privacy.piiCounts(col("t"))
+        seeded.select(col("source"), em.cast("long").as("em"),
+            ph.cast("long").as("ph"), idn.cast("long").as("idn"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("em").as("n_email"), sum("ph").as("n_phone"), sum("idn").as("n_idrun"),
+            sum(when(col("em") + col("ph") + col("idn") > 0, 1L).otherwise(0L)).as("_hit"))
+          .select(col("source"), col("n_docs"), col("n_email"), col("n_phone"),
+            col("n_idrun"), expr("(1000 * _hit) div n_docs").as("affected_pm"))
+          .orderBy("source")
+      },
+      Some("""WITH seeded AS (SELECT source,
+             |    CASE WHEN doc_id % 10 = 0
+             |           THEN text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             |         WHEN doc_id % 10 = 5 THEN text || ' call 555-123-4567'
+             |         ELSE text END AS t FROM documents),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS em,
+             |    len(regexp_extract_all(regexp_replace(t,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             |        '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS ph,
+             |    len(regexp_extract_all(regexp_replace(regexp_replace(t,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             |        '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g'),
+             |        '\b\d{6,}\b')) AS idn
+             |  FROM seeded)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(em) AS BIGINT) AS n_email,
+             |  CAST(SUM(ph) AS BIGINT) AS n_phone,
+             |  CAST(SUM(idn) AS BIGINT) AS n_idrun,
+             |  CAST((1000 * SUM(CASE WHEN em + ph + idn > 0 THEN 1 ELSE 0 END)) // COUNT(*)
+             |    AS BIGINT) AS affected_pm
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- LENGTH-BALANCED BATCH ASSIGNMENT — the dataloader trick
     //      that cuts padding waste: sort the corpus by token length
     //      (two-phase segmentedRanks — sampled boundaries + within-
