@@ -3160,6 +3160,43 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- streaming CDC WITH DELETES into the RELATIONAL sink — the
+    //      JDBC twin of events_stream_cdc: 'error' events arrive as
+    //      tombstones, persist as ROWS in the Derby target through
+    //      the version-guarded MERGE (a server-side DELETE clause
+    //      would let a late older upsert resurrect the key via NOT
+    //      MATCHED → INSERT), and drop only at read-back. Unique
+    //      versions make the final table batch-split- and
+    //      order-independent; the oracle states the whole-feed
+    //      keep-latest with the winner's tombstone removing the key. ----
+    Q("events_stream_jdbc_cdc",
+      (s, dir) => {
+        graft.sources.Readers.ensureDerbyHome()
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_jdbccdc_")
+        val url = s"jdbc:derby:${work.resolve("db")}/db;create=true"
+        graft.streaming.EventStreams.jdbcCdcStream(s,
+            graft.streaming.EventStreams.readEvents(s, src,
+                maxFilesPerTrigger = Some(1))
+              .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+              .withColumn("op",
+                when(col("event_type") === "error", lit("D")).otherwise(lit("U"))),
+            url, table = "EVENTS_CDC", stagingTable = "EVENTS_CDC_STAGE",
+            keys = Seq("user_id"), versionCol = "event_id", opCol = "op",
+            ddl = "\"user_id\" BIGINT NOT NULL PRIMARY KEY, \"event_id\" BIGINT, " +
+              "\"event_type\" VARCHAR(32), \"value\" DOUBLE, \"op\" VARCHAR(1)",
+            checkpoint = work.resolve("ckpt").toString,
+            stagingColumnTypes = Some("event_type VARCHAR(32), op VARCHAR(1)"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id, event_type, value FROM ranked
+             |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)),
+
     // ---- stateful streaming DEBOUNCE through the real engine: per
     //      (user, event_type), an event passes only if it arrives
     //      more than 10 min after the key's PREVIOUS event. One long

@@ -1012,6 +1012,29 @@ object EventStreams {
    * states VARCHAR widths). Identifiers are double-quoted to match
    * the Spark JDBC writer's quoted (case-preserving) staging columns.
    */
+  /**
+   * Streaming CDC apply WITH DELETES into a relational destination —
+   * the JDBC twin of [[cdcStream]]: the feed carries a version column
+   * and an op column ('D' = tombstone). Tombstones PERSIST AS ROWS in
+   * the target (the MERGE's version guard updates them like any other
+   * record) and are filtered only on read-back — a server-side DELETE
+   * clause would let a late, OLDER-version upsert re-insert a deleted
+   * key on the next batch (NOT MATCHED → INSERT), the classic CDC-sink
+   * bug. A maintenance job may hard-delete tombstone rows older than
+   * the feed's replay horizon; until then they are the correctness
+   * state. Same one-MERGE-per-batch, replay-idempotent discipline as
+   * [[jdbcUpsertStream]].
+   */
+  def jdbcCdcStream(spark: SparkSession, stream: DataFrame,
+                    url: String, table: String, stagingTable: String,
+                    keys: Seq[String], versionCol: String, opCol: String,
+                    ddl: String, checkpoint: String,
+                    stagingColumnTypes: Option[String] = None,
+                    trigger: Trigger = Trigger.AvailableNow()): DataFrame =
+    jdbcUpsertStream(spark, stream, url, table, stagingTable, keys,
+        versionCol, ddl, checkpoint, stagingColumnTypes, trigger)
+      .filter(col(opCol) =!= "D").drop(opCol)
+
   def jdbcUpsertStream(spark: SparkSession, stream: DataFrame,
                        url: String, table: String, stagingTable: String,
                        keys: Seq[String], versionCol: String, ddl: String,
