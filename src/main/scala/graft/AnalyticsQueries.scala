@@ -3160,6 +3160,34 @@ object AnalyticsQueries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- streaming RATE THROTTLE through the real engine: at most
+    //      3 events admitted per user per event-time DAY (the fixture
+    //      peaks at 10/day, so the cap genuinely drops rows), the
+    //      admission state (window index + count, two longs per key)
+    //      carried ACROSS micro-batches over the time-split two-file
+    //      feed — the second batch's first events throttle against
+    //      counts the first batch left. The oracle is the batch
+    //      row_number-per-(user, day) rewrite over the whole feed. ----
+    Q("events_stream_throttle",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_throttle_",
+          byTime = true)
+        val out = graft.streaming.EventStreams.throttleStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)),
+          perWindow = 3, windowUs = 86400000000L)(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |h AS (SELECT event_id, user_id, us // 86400000000 AS win, us FROM e)
+             |SELECT event_id, user_id, win FROM h
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, win
+             |                           ORDER BY us, event_id) <= 3
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- streaming CDC WITH DELETES into the RELATIONAL sink — the
     //      JDBC twin of events_stream_cdc: 'error' events arrive as
     //      tombstones, persist as ROWS in the Derby target through

@@ -190,6 +190,47 @@ object EventStreams {
       }
   }
 
+  final case class ThrottledEvent(event_id: Long, user_id: Long, win: Long)
+
+  /**
+   * Streaming per-key RATE THROTTLE: admit at most `perWindow` events
+   * per user per event-time window of `windowUs` micros — the
+   * ingestion-admission operator (abuse control, fairness caps, API
+   * quotas) that an append sink cannot express because admission
+   * depends on how many of the key's events ALREADY passed this
+   * window. State is two longs per live key (current window index,
+   * count within it) carried across micro-batches by
+   * flatMapGroupsWithState; rows sort by (ts, event_id) inside each
+   * batch's group, and the feed contract is time-split batches (the
+   * debounce contract) so cross-batch order is well-defined and the
+   * admitted set equals the batch row_number()-per-(user, window)
+   * rewrite the oracle states.
+   */
+  def throttleStream(events: DataFrame, perWindow: Int,
+                     windowUs: Long = 3600000000L)
+                    (implicit spark: SparkSession): Dataset[ThrottledEvent] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .filter(col("user_id").isNotNull)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), ThrottledEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (h, c) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = Seq.newBuilder[ThrottledEvent]
+          sorted.foreach { r =>
+            val win = Math.floorDiv(r._2, windowUs)
+            if (win != h) { h = win; c = 0L }
+            c += 1
+            if (c <= perWindow) out += ThrottledEvent(r._3, uid, win)
+          }
+          if (h != Long.MinValue) state.update((h, c))
+          out.result().iterator
+      }
+  }
+
   final case class AnomalyFlag(event_id: Long, event_type: String,
                                q: Long, n_prev: Long)
 
