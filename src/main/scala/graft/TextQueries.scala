@@ -911,6 +911,48 @@ object TextQueries {
              |FROM c a JOIN c b ON a.text = b.text AND a.doc_id < b.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- SimHash with a PORTABLE bit source: same sign-of-bit-sums
+    //      fingerprint algebra as dedup_simhash_pairs, but per-token
+    //      bits come from md5 — which DuckDB computes identically — so
+    //      the full near-dup join (banding + Hamming <= 3 verify) is
+    //      pinned against the quadratic all-pairs oracle. Upgrades
+    //      the SimHash family from rows-only to oracle-backed; the
+    //      xxhash64 form stays the production fast path. ----
+    Q("dedup_simhash_md5_pairs",
+      (s, dir) => graft.operators.Dedup
+        .simhashMd5NearDups(
+          graft.operators.Dedup.simhashMd5(Tables.t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT d.doc_id, t.tok
+             |  FROM documents d,
+             |       UNNEST(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+             |  WHERE t.tok <> ''
+             |),
+             |bits AS (
+             |  SELECT doc_id, p.p AS p,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+             |                          substr(md5(tok), 1 + p.p // 4, 1)) - 1)
+             |                   >> (3 - p.p % 4)) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM toks, (SELECT unnest(range(0, 64)) AS p) p
+             |  GROUP BY 1, 2
+             |),
+             |fps AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN s > 0 AND p >= 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS fp_hi,
+             |    SUM(CASE WHEN s > 0 AND p < 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS fp_lo
+             |  FROM bits GROUP BY 1
+             |)
+             |SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+             |  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+             |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- global sentence-level dedup (C4-style boilerplate removal):
     //      every repeated sentence keeps ONLY its first occurrence
     //      (min (doc_id, pos) across the whole corpus); documents are

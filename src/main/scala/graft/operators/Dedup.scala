@@ -311,6 +311,67 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
   /**
+   * Oracle-portable SimHash fingerprints: same sign-of-bit-sums
+   * algebra as [[simhash]], but the per-token hash is md5 (a bit
+   * source every engine computes identically) instead of xxhash64, so
+   * the whole near-dup join is exactly reproducible in ANSI SQL — the
+   * one member of the dedup family that was previously attestable
+   * only rows-only becomes fully oracle-checkable. Bit j of the
+   * fingerprint is sign(Σ_{distinct tokens} (bit j of md5(token) ?
+   * +1 : -1)); the 64 bits ship as two unsigned 32-bit halves
+   * (`fp_hi`, `fp_lo`) so no engine's signed-shift overflow rules
+   * ever engage (DuckDB raises on a BIGINT `1<<63`; Spark wraps).
+   *
+   * Scale shape: fingerprints are ONE narrow in-row projection — the
+   * md5 digests are materialized once per token (`transform` over the
+   * distinct-token array), then the 64 bit-sums fold over those
+   * digests entirely inside the row. No explode, no shuffle; at
+   * 100 TB this computes where the documents live, exactly like the
+   * codegen'd production [[simhash]] path.
+   */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // digit(h, p): hex nibble p/4 of digest h, bit (3 - p%4) selected.
+    val contrib = "(x, p) -> IF(shiftright(instr('0123456789abcdef', substring(x, 1 + CAST(p div 4 AS INT), 1)) - 1, 3 - CAST(p % 4 AS INT)) & 1 = 1, 1, -1)"
+    def half(lo: Int, hi: Int, shiftBase: Int): String =
+      s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, p) ->
+         |  acc + IF(aggregate(hs, 0, (a, x) -> a + ${contrib.replace("(x, p) -> ", "")}) > 0,
+         |           shiftleft(CAST(1 AS BIGINT), CAST(p - $shiftBase AS INT)), CAST(0 AS BIGINT)))""".stripMargin
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"transform(array_distinct(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')), t -> md5(t))")
+          .as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), expr(half(32, 63, 32)).as("fp_hi"), expr(half(0, 31, 0)).as("fp_lo"))
+  }
+
+  /** Banded near-dup pairing over [[simhashMd5]] halves: 4 16-bit
+    * chunks (2 per half) — pigeonhole-complete for hamming <= 3 over
+    * 64 bits — using the same bucket-grouped in-row pair expansion as
+    * [[simhashNearDups]]. Exact on the gate: every emitted pair is
+    * re-verified by the true Hamming distance, and the chunk cover
+    * guarantees no qualifying pair is missed, so output == the
+    * all-pairs join the oracle runs. */
+  def simhashMd5NearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame =
+    fps.select(col(idCol), col("fp_hi"), col("fp_lo"),
+        posexplode(expr(
+          "array(fp_lo & 65535, shiftright(fp_lo, 16) & 65535, fp_hi & 65535, shiftright(fp_hi, 16) & 65535)"))
+          .as(Seq("chunk_i", "chunk_v")))
+      .groupBy("chunk_i", "chunk_v")
+      .agg(sort_array(collect_set(
+        struct(col(idCol).as("id"), col("fp_hi").as("hi"), col("fp_lo").as("lo")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> named_struct('id_a', a.id, 'hi_a', a.hi, 'lo_a', a.lo, " +
+          "'id_b', b.id, 'hi_b', b.hi, 'lo_b', b.lo))))")).as("p"))
+      .select(col("p.*"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /**
    * EXACT set-similarity join via prefix filtering (the AllPairs /
    * PPJoin family, Bayardo et al. WWW'07 — public algorithm,
    * re-derived here): provably equal to the quadratic all-pairs

@@ -145,6 +145,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("md5 simhash: banded pairing equals the brute-force all-pairs hamming join") {
+    // Pigeonhole completeness of the 4x16-bit chunk cover, pinned
+    // independently of the DuckDB oracle: the banded join must equal
+    // the quadratic all-pairs join over the same fingerprints.
+    val fps = Dedup.simhashMd5(docs, "doc_id", "text")
+    val banded = Dedup.simhashMd5NearDups(fps, "doc_id")
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp_hi").as("ha"), col("fp_lo").as("la"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp_hi").as("hb"), col("fp_lo").as("lb"))
+    val brute = a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"missed=${brute -- banded} extra=${banded -- brute}")
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
+
   test("ANN top-k recall vs brute force") {
     val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
     val corpus = emb.filter(col("vec_id") =!= 0)
