@@ -2,9 +2,10 @@ package graft
 
 import graft.model._
 import graft.job.JobRunner
-import graft.operators.{ErrorPolicy, IncrementalAgg, Maintenance, MappingOp, Profile, Quality}
+import graft.operators.{ErrorPolicy, IncrementalAgg, Maintenance, MappingOp, Profile, Quality, Upsert}
 import graft.sinks.Writers
 import graft.sources.Readers
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
@@ -349,6 +350,121 @@ object EtlQueries {
       Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
              |TRUE AS estimate_within_5pct
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- incremental JOIN-view maintenance: the materialized
+    //      orders⋈customer view refreshed from BOTH sides' append
+    //      deltas via join-over-union distributivity —
+    //      V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — so neither history is ever
+    //      re-joined. The oracle joins the full tables directly,
+    //      proving delta maintenance == recompute. ----
+    Q("etl_incremental_join",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        val c = Tables.t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val (aOld, dA) = (o.filter(col("o_orderkey") % 10 =!= 0),
+                          o.filter(col("o_orderkey") % 10 === 0))
+        val (bOld, dB) = (c.filter(col("o_custkey") % 20 =!= 0),
+                          c.filter(col("o_custkey") % 20 === 0))
+        IncrementalAgg.deltaJoin(aOld.join(bOld, Seq("o_custkey")),
+            aOld, dA, bOld, dB, Seq("o_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- late-arriving dimension (inferred member): facts that land
+    //      before their dimension row keep a -1 placeholder and are
+    //      re-resolved as later dimension slices arrive — never
+    //      dropped, never blocking the load. Keys withheld from every
+    //      slice (c_custkey % 100 = 3) stay placeholder, so the gate
+    //      exercises BOTH the backfill and the persistent-unknown
+    //      path; the oracle is one left join against the union of all
+    //      arrived slices. ----
+    Q("etl_late_arriving_dim",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "customer")
+        def slice(cond: Column) = cust.filter(cond && col("c_custkey") % 100 =!= 3)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("nation"))
+        val early = slice(col("c_custkey") % 20 =!= 0)
+        val late = slice(col("c_custkey") % 20 === 0)
+        val phase1 = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+          .join(early, Seq("o_custkey"), "left")
+          .withColumn("nation", coalesce(col("nation"), lit(-1)))
+        Upsert.lateArrivingResolve(phase1, late, "o_custkey", "nation", lit(-1))
+          .groupBy(col("nation").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nation,
+             |COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders LEFT JOIN customer
+             |  ON o_custkey = c_custkey AND c_custkey % 100 <> 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- bitemporal as-known-at read: order versions carry BOTH a
+    //      valid time (the order month) and a transaction time
+    //      (recorded_at — corrections for o_orderkey % 7 = 0 book 30
+    //      days late at +100). "The monthly revenue as known on
+    //      1997-01-01" picks each key's max-recorded version with
+    //      recorded_at <= K via one conditional struct-argmax —
+    //      reproducible reporting across restatements, the audit
+    //      shape plain time travel (snapshot granularity) can't
+    //      answer. Corrections recorded after K are invisible at K
+    //      but present in the as-of-now column. ----
+    Q("etl_bitemporal_asof",
+      (s, dir) => {
+        val k = lit("1997-01-01 00:00:00").cast("timestamp")
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").as("price"), col("o_orderdate").as("recorded_at"))
+        val fixes = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", col("price") + 100.0)
+          .withColumn("recorded_at", col("recorded_at") + expr("INTERVAL 30 DAYS"))
+        base.unionByName(fixes)
+          .groupBy("o_orderkey")
+          .agg(
+            first(date_trunc("MONTH", col("o_orderdate")).cast("date"), ignoreNulls = true).as("month"),
+            max(when(col("recorded_at") <= k,
+              struct(col("recorded_at"), col("price")))).getField("price").as("price_at_k"),
+            max(struct(col("recorded_at"), col("price"))).getField("price").as("price_now"))
+          .groupBy("month")
+          .agg(count(col("price_at_k")).as("n_at_k"),
+            coalesce(sum(col("price_at_k").cast("decimal(18,2)")), lit(0).cast("decimal(20,2)"))
+              .cast("double").as("sum_at_k"),
+            count(lit(1)).as("n_now"),
+            sum(col("price_now").cast("decimal(18,2)")).cast("double").as("sum_now"))
+          .orderBy("month")
+      },
+      Some("""WITH v AS (
+             |  SELECT o_orderkey, o_orderdate, o_totalprice AS price,
+             |         o_orderdate AS recorded_at FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderdate, o_totalprice + 100.0,
+             |         o_orderdate + INTERVAL 30 DAY FROM orders WHERE o_orderkey % 7 = 0
+             |),
+             |per_key AS (
+             |  SELECT o_orderkey,
+             |    CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS month,
+             |    arg_max(price, recorded_at)
+             |      FILTER (WHERE recorded_at <= TIMESTAMP '1997-01-01') AS price_at_k,
+             |    arg_max(price, recorded_at) AS price_now
+             |  FROM v GROUP BY 1
+             |)
+             |SELECT month, COUNT(price_at_k) AS n_at_k,
+             |  CAST(COALESCE(SUM(CAST(price_at_k AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_at_k,
+             |  COUNT(*) AS n_now,
+             |  CAST(SUM(CAST(price_now AS DECIMAL(18,2))) AS DOUBLE) AS sum_now
+             |FROM per_key GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- declarative data-quality gate (VALIDATE_SOURCE grown up;
     //      Deequ-style): every rule compiles into ONE aggregation

@@ -71,4 +71,30 @@ object IncrementalAgg {
   def estimateDistinct(summary: DataFrame): DataFrame =
     summary.withColumn("distinct_estimate",
       hll_sketch_estimate(col("distinct_sketch")))
+
+  // ---- incremental JOIN-view maintenance -----------------------------
+
+  /**
+   * Delta maintenance of a materialized inner-join view: with
+   * append-only deltas ΔA, ΔB on both inputs,
+   *
+   *   (A ∪ ΔA) ⋈ (B ∪ ΔB)
+   *     == V_old  ∪  (ΔA ⋈ B)  ∪  (A ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+   *
+   * by distributivity of ⋈ over ∪ — so the refresh never re-joins the
+   * two histories. At 100 TB the three delta joins are each bounded
+   * by a delta on one side: ΔA ⋈ B prunes to ΔA's key buckets when B
+   * is bucketed/bucket-pruned on the key (the layout tier's bucketed
+   * destination); A ⋈ ΔB broadcasts ΔB whenever the dimension delta
+   * is small (the common fact/dim case — AQE picks the broadcast);
+   * ΔA ⋈ ΔB is delta × delta. Inner-join/append-only algebra only:
+   * updates or deletes need the CDC path (Upsert.applyCdcState) to
+   * retract affected view rows first.
+   */
+  def deltaJoin(vOld: DataFrame, aOld: DataFrame, deltaA: DataFrame,
+                bOld: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame =
+    vOld
+      .unionByName(deltaA.join(bOld, keys))
+      .unionByName(aOld.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
 }

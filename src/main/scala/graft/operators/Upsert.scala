@@ -167,4 +167,36 @@ object Upsert {
       .select(keys.map(k => coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) :+
         col("change_type"): _*)
   }
+
+  /**
+   * Late-arriving dimension resolution: a fact feed routinely lands
+   * BEFORE the dimension row it references (the order books before
+   * the nightly customer extract ships). The warehouse answer is the
+   * inferred-member pattern: unresolved facts keep a placeholder
+   * surrogate and are RE-RESOLVED when later dimension slices arrive,
+   * never dropped and never blocking the load.
+   *
+   * Each call resolves `facts` against one arrived dimension slice:
+   * facts already carrying a real value pass through untouched;
+   * placeholder facts left-join the new slice and pick up its value
+   * where present. Iterating over arriving slices is associative —
+   * the final state equals a single join against the full dimension
+   * for every key that ever arrives, placeholder for the rest (the
+   * gate pins exactly that equality).
+   *
+   * Scale: each pass shuffles ONLY the still-unresolved facts (an
+   * ever-shrinking subset) against the NEW slice (delta-sized, AQE
+   * broadcasts it in the common case); resolved facts are a pass-
+   * through union with no shuffle.
+   */
+  def lateArrivingResolve(facts: DataFrame, dimSlice: DataFrame, key: String,
+                          dimVal: String, placeholder: Column): DataFrame = {
+    val resolved = facts.filter(col(dimVal) =!= placeholder)
+    val pending = facts.filter(col(dimVal) === placeholder).drop(dimVal)
+    val repaired = pending
+      .join(dimSlice.select(col(key), col(dimVal).as("_new_v")), Seq(key), "left")
+      .withColumn(dimVal, coalesce(col("_new_v"), placeholder))
+      .drop("_new_v")
+    resolved.unionByName(repaired.select(resolved.columns.map(col): _*))
+  }
 }

@@ -534,6 +534,50 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(merged.collect().toSeq.map(_.toSeq) == full.collect().toSeq.map(_.toSeq))
   }
 
+  test("IncrementalAgg.deltaJoin: two-sided delta maintenance equals the full recompute") {
+    import graft.operators.IncrementalAgg
+    val o = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val c = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val (aOld, dA) = (o.filter(col("o_orderkey") % 3 =!= 0), o.filter(col("o_orderkey") % 3 === 0))
+    val (bOld, dB) = (c.filter(col("o_custkey") % 4 =!= 0), c.filter(col("o_custkey") % 4 === 0))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val maintained = IncrementalAgg.deltaJoin(
+        aOld.join(bOld, Seq("o_custkey")), aOld, dA, bOld, dB, Seq("o_custkey"))
+      .select("o_custkey", "o_orderkey").collect().map(key).toSet
+    val recomputed = o.join(c, Seq("o_custkey"))
+      .select("o_custkey", "o_orderkey").collect().map(key).toSet
+    assert(maintained == recomputed)
+    // both delta joins must contribute (split is genuinely two-sided)
+    assert(dA.join(bOld, Seq("o_custkey")).limit(1).count() == 1)
+    assert(aOld.join(dB, Seq("o_custkey")).limit(1).count() == 1)
+  }
+
+  test("lateArrivingResolve: iterated slices == full-dim join; unknown keys keep placeholder") {
+    import graft.operators.Upsert
+    val cust = Tables.t(spark, sf, "customer")
+    def slice(cond: org.apache.spark.sql.Column) = cust.filter(cond)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("nation"))
+    // three arrival waves; c_custkey % 10 == 3 never arrives
+    val waves = Seq(
+      slice(col("c_custkey") % 3 === 0 && col("c_custkey") % 10 =!= 3),
+      slice(col("c_custkey") % 3 === 1 && col("c_custkey") % 10 =!= 3),
+      slice(col("c_custkey") % 3 === 2 && col("c_custkey") % 10 =!= 3))
+    val facts0 = Tables.t(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey"))
+      .withColumn("nation", lit(-1))
+    val resolved = waves.foldLeft(facts0)(
+      (f, w) => Upsert.lateArrivingResolve(f, w, "o_custkey", "nation", lit(-1)))
+    val expected = Tables.t(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey"))
+      .join(slice(col("c_custkey") % 10 =!= 3), Seq("o_custkey"), "left")
+      .withColumn("nation", coalesce(col("nation"), lit(-1)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "nation").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(resolved) == rows(expected))
+    assert(resolved.filter(col("nation") === -1).limit(1).count() == 1,
+      "fixture must exercise a never-arriving key")
+  }
+
   test("backfillPartitions replaces only the batch's partitions and restores the conf") {
     import spark.implicits._
     val dir = tmpDir("graft_backfill_") + "/t"
