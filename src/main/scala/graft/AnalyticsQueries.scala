@@ -3023,6 +3023,46 @@ object AnalyticsQueries {
              |SELECT user_id, event_id, event_type, value FROM ranked
              |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)),
 
+    // ---- streaming SCD2 dimension maintenance through the real
+    //      engine: attribute-change events stream into a TYPE-2
+    //      history whose state is the VERSION SET (keyed-upsert
+    //      bucketed merge on (user_id, event_id), bucketed on user_id
+    //      alone so one user's whole history serves from one bucket).
+    //      valid_to / is_current are DERIVED at read time by a lead()
+    //      window — which is what makes the id-parity (time-
+    //      INTERLEAVED) two-batch feed correct: a version arriving
+    //      after a chronologically later one retroactively splices
+    //      into history, the case close-valid_to-on-write SCD2 sinks
+    //      corrupt. Version-set union is a semilattice, so replays
+    //      and batch splits are idempotent; the oracle is the whole-
+    //      feed window rewrite. ----
+    Q("events_stream_scd2",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_scd2_")
+        val state = graft.streaming.EventStreams.upsertStream(s,
+          graft.streaming.EventStreams.readEvents(s, src,
+              maxFilesPerTrigger = Some(1))
+            .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+          work.resolve("dest").toString,
+          keys = Seq("user_id", "event_id"), versionCol = "event_id",
+          checkpoint = work.resolve("ckpt").toString,
+          bucketCols = Seq("user_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        state
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  CAST(ts AS TIMESTAMP) AS valid_from,
+             |  LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+             |FROM events
+             |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
     // ---- streaming SKETCH MAINTENANCE through the real engine: the
     //      two-file/maxFilesPerTrigger=1 feed makes each per-type
     //      theta sketch genuinely MERGE across micro-batches

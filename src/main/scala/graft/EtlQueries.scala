@@ -526,6 +526,65 @@ object EtlQueries {
              |WHERE levenshtein(c_name, probe) <= 2
              |ORDER BY probe, c_custkey""".stripMargin)),
 
+    // ---- probabilistic record linkage (Fellegi–Sunter shape, exact
+    //      integer weights): dirty probe records — a digit dropped
+    //      from the name, account balance drifted 0.25 — matched back
+    //      against the dimension by SUMMED field-agreement evidence
+    //      (name exact 40 / lev<=1 25 / lev<=2 10; +10 segment; +20
+    //      balance within 0.5), winner per probe by (score, min key),
+    //      threshold 45. TPC-H-style names are deliberately adversarial
+    //      (every neighbor is lev<=2 from many keys), so single-field
+    //      fuzzy match is ambiguous and the MULTI-field score is what
+    //      disambiguates — the actual point of linkage over fuzzy
+    //      join. Scale shape: candidates come from an EQUI-join on
+    //      the blocking key (nation), never a cross product; scoring
+    //      is map-side; the winner is a per-probe window (probe-
+    //      cardinality partitions). ----
+    Q("etl_record_linkage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cust = Tables.t(s, dir, "customer")
+        val probes = cust.filter(col("c_custkey") % 50 === 7)
+          .select(col("c_custkey").as("probe_key"),
+            concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")).as("probe_name"),
+            col("c_nationkey").as("probe_nation"),
+            (col("c_acctbal") + 0.25).as("probe_bal"),
+            col("c_mktsegment").as("probe_seg"))
+        val scored = cust.join(broadcast(probes),
+            col("c_nationkey") === col("probe_nation"))
+          .withColumn("lev", levenshtein(col("c_name"), col("probe_name")))
+          .withColumn("score",
+            when(col("c_name") === col("probe_name"), 40)
+              .when(col("lev") <= 1, 25).when(col("lev") <= 2, 10).otherwise(0)
+            + when(col("c_mktsegment") === col("probe_seg"), 10).otherwise(0)
+            + when(abs(col("c_acctbal") - col("probe_bal")) <= 0.5, 20).otherwise(0))
+        val w = Window.partitionBy("probe_key").orderBy(desc("score"), col("c_custkey"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("score") >= 45)
+          .select(col("probe_key"), col("c_custkey").as("matched_key"),
+            col("score").cast("long").as("score"))
+          .orderBy("probe_key")
+      },
+      Some("""WITH probes AS (
+             |  SELECT c_custkey AS probe_key,
+             |    substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name,
+             |    c_nationkey AS probe_nation, c_acctbal + 0.25 AS probe_bal,
+             |    c_mktsegment AS probe_seg
+             |  FROM customer WHERE c_custkey % 50 = 7),
+             |scored AS (
+             |  SELECT probe_key, c_custkey,
+             |    (CASE WHEN c_name = probe_name THEN 40
+             |          WHEN levenshtein(c_name, probe_name) <= 1 THEN 25
+             |          WHEN levenshtein(c_name, probe_name) <= 2 THEN 10 ELSE 0 END
+             |     + CASE WHEN c_mktsegment = probe_seg THEN 10 ELSE 0 END
+             |     + CASE WHEN abs(c_acctbal - probe_bal) <= 0.5 THEN 20 ELSE 0 END) AS score
+             |  FROM customer JOIN probes ON c_nationkey = probe_nation)
+             |SELECT probe_key, c_custkey AS matched_key, CAST(score AS BIGINT) AS score
+             |FROM scored
+             |QUALIFY row_number() OVER (PARTITION BY probe_key
+             |  ORDER BY score DESC, c_custkey) = 1 AND score >= 45
+             |ORDER BY probe_key""".stripMargin)),
+
     // ---- TIME-of-day cast on the gate (reference Types.TIME,
     //      JdbcTypeHandler.java:87-92): lenient single-digit "H:m:s"
     //      inputs normalize to "HH:mm:ss" strings — the portable form
