@@ -279,6 +279,38 @@ object SimilarityQueries {
              |hex(encode(substring(text, 1, 4))) AS head_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- modality-coverage / embedding-backlog audit: the join a
+    //      multimodal pipeline runs before training — which documents
+    //      have their embedding landed, which are still pending
+    //      (vec_id % 7 = 0 withheld here as "not yet embedded"), per
+    //      source, with pending permille. Broadcast-sized embedded-id
+    //      set? NO — at 100 TB both sides are data-scaled, so this is
+    //      a plain LEFT SEMI/ANTI pair expressed as one left join on
+    //      the shared id followed by a combinable per-source count
+    //      aggregate: one keyed shuffle, no distinct, no window. ----
+    Q("multimodal_modality_coverage",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val landed = Tables.t(s, dir, "embeddings")
+          .filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("doc_id"), lit(1).as("has_emb"))
+        docs.join(landed, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("has_emb")).as("n_embedded"),
+            (count(lit(1)) - count(col("has_emb"))).as("n_pending"))
+          .withColumn("pending_pm",
+            expr("(1000 * n_pending) div n_docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(e.vec_id) AS n_embedded,
+             |  COUNT(*) - COUNT(e.vec_id) AS n_pending,
+             |  (1000 * (COUNT(*) - COUNT(e.vec_id))) // COUNT(*) AS pending_pm
+             |FROM documents d LEFT JOIN embeddings e
+             |  ON d.doc_id = e.vec_id AND e.vec_id % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- partition-batched multimodal feature extraction (decode
     //      stubbed — see graft.multimodal.Multimodal): the byte-level
     //      checksum is reproduced by the oracle's list_reduce over the

@@ -911,6 +911,25 @@ object TextQueries {
              |FROM c a JOIN c b ON a.text = b.text AND a.doc_id < b.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- prefix-hash dedup (the RefinedWeb/CC "same first N chars"
+    //      pass): crawl snapshots re-serve the same page under new
+    //      trailing boilerplate, so an exact-hash pass over a FIXED
+    //      PREFIX catches re-crawls that whole-document hashing
+    //      misses. Only 16-byte digests shuffle (the md5 of the
+    //      128-char prefix, computed where the docs live); keeper is
+    //      min doc_id, the deterministic-keeper convention. ----
+    Q("dedup_doc_prefix",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 128)).as("pfx"))
+        .groupBy("pfx")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select("keeper_id", "n_docs")
+        .orderBy("keeper_id"),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+             |FROM documents GROUP BY md5(substr(text, 1, 128))
+             |HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),
+
     // ---- SimHash with a PORTABLE bit source: same sign-of-bit-sums
     //      fingerprint algebra as dedup_simhash_pairs, but per-token
     //      bits come from md5 — which DuckDB computes identically — so
