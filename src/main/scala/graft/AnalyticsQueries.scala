@@ -6141,6 +6141,107 @@ object AnalyticsQueries {
              |FROM o JOIN qs ON qs.st = o.st
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
 
+    // ---- A/B EXPERIMENT READOUT as an exact division-free two-sample
+    //      t-test: users split by id parity, metric = per-user
+    //      purchase count. Pooled-variance t² > 1.96² decided entirely
+    //      in integer cross-products — 1.96 = 49/25 exactly, so the
+    //      95% threshold is the rational 2401/625 and the verdict
+    //      carries ZERO float arithmetic:
+    //        625·d²·(nₐ+n_b−2) > 2401·(nₐ+n_b)·SSW_num,
+    //      d = sₐn_b − s_bnₐ,  SSW_num = n_b(nₐqₐ−sₐ²)+nₐ(n_bq_b−s_b²),
+    //      products ride DECIMAL(38,0) (the HUGEINT discipline — at
+    //      1.5M users/arm d² alone passes 2^63). Plan: one combinable
+    //      per-user count, one single-row global aggregate — the
+    //      experiment readout is two map-side passes, no window, no
+    //      join. ----
+    Q("events_ab_experiment",
+      (s, dir) => {
+        val pu = Tables.t(s, dir, "events")
+          .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+        def side(v: Int, e: String) = sum(when(col("variant") === v, expr(e)).otherwise(lit(0L)))
+        pu.agg(
+            side(0, "1").cast("long").as("n_a"), side(1, "1").cast("long").as("n_b"),
+            side(0, "x").cast("long").as("s_a"), side(1, "x").cast("long").as("s_b"),
+            side(0, "x * x").cast("long").as("q_a"), side(1, "x * x").cast("long").as("q_b"))
+          .select(col("n_a"), col("n_b"), col("s_a"), col("s_b"), col("q_a"), col("q_b"),
+            expr("(1000 * s_a) div n_a").as("mean_a_pm"),
+            expr("(1000 * s_b) div n_b").as("mean_b_pm"),
+            expr("""625 * CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0))
+                  |      * CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0))
+                  |      * CAST(n_a + n_b - 2 AS DECIMAL(38,0))
+                  |  > 2401 * CAST(n_a + n_b AS DECIMAL(38,0))
+                  |        * CAST(n_b * (n_a * q_a - s_a * s_a)
+                  |             + n_a * (n_b * q_b - s_b * s_b) AS DECIMAL(38,0))"""
+              .stripMargin).as("significant"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id % 2 AS variant, user_id,
+             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT
+             |  CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+             |  CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS s_b,
+             |  CAST(SUM(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS BIGINT) AS q_a,
+             |  CAST(SUM(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM pu)
+             |SELECT n_a, n_b, s_a, s_b, q_a, q_b,
+             |  (1000 * s_a) // n_a AS mean_a_pm,
+             |  (1000 * s_b) // n_b AS mean_b_pm,
+             |  625 * CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+             |      * CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+             |      * CAST(n_a + n_b - 2 AS HUGEINT)
+             |  > 2401 * CAST(n_a + n_b AS HUGEINT)
+             |        * CAST(n_b * (n_a * q_a - s_a * s_a)
+             |             + n_a * (n_b * q_b - s_b * s_b) AS HUGEINT) AS significant
+             |FROM t""".stripMargin)),
+
+    // ---- REVENUE MIX-SHIFT DECOMPOSITION (the FP&A bridge): the
+    //      1996→1997 revenue delta per order priority split into a
+    //      volume effect (Δn at the OLD average ticket) and a price/
+    //      mix effect (the exact complement, standard bridge
+    //      practice — the two effects sum to Δ by construction, no
+    //      rounding leak). Volume effect floors ONE integer division
+    //      ((n1−n0)·rev0 div n0), identical on both engines for
+    //      negative deltas because every operand stays an integer.
+    //      One combinable (priority, year) cents aggregate; the
+    //      bridge itself runs on the enum-sized summary. ----
+    Q("orders_mix_shift",
+      (s, dir) => {
+        val y = Tables.t(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .groupBy(col("o_orderpriority").as("priority"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        def yr(v: Int, e: String) = max(when(col("yr") === v, expr(e)))
+        y.groupBy("priority")
+          .agg(yr(1996, "n").cast("long").as("n0"), yr(1997, "n").cast("long").as("n1"),
+            yr(1996, "rev_c").cast("long").as("rev0_c"), yr(1997, "rev_c").cast("long").as("rev1_c"))
+          .withColumn("delta_c", col("rev1_c") - col("rev0_c"))
+          .withColumn("volume_effect_c", expr("((n1 - n0) * rev0_c) div n0"))
+          .withColumn("price_effect_c", col("delta_c") - col("volume_effect_c"))
+          .orderBy("priority")
+      },
+      Some("""WITH y AS (
+             |  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2),
+             |p AS (SELECT priority,
+             |  CAST(MAX(CASE WHEN yr = 1996 THEN n END) AS BIGINT) AS n0,
+             |  CAST(MAX(CASE WHEN yr = 1997 THEN n END) AS BIGINT) AS n1,
+             |  MAX(CASE WHEN yr = 1996 THEN rev_c END) AS rev0_c,
+             |  MAX(CASE WHEN yr = 1997 THEN rev_c END) AS rev1_c
+             |  FROM y GROUP BY 1)
+             |SELECT priority, n0, n1, rev0_c, rev1_c,
+             |  rev1_c - rev0_c AS delta_c,
+             |  ((n1 - n0) * rev0_c) // n0 AS volume_effect_c,
+             |  (rev1_c - rev0_c) - ((n1 - n0) * rev0_c) // n0 AS price_effect_c
+             |FROM p ORDER BY priority""".stripMargin)),
+
     // ---- MONTH-OVER-MONTH GROWTH per status: the reporting staple,
     //      growth in integer permille off a LAG over the MONTHLY
     //      AGGREGATE (the window input is |statuses| × |months| rows

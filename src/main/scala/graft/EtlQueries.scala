@@ -526,6 +526,55 @@ object EtlQueries {
              |WHERE levenshtein(c_name, probe) <= 2
              |ORDER BY probe, c_custkey""".stripMargin)),
 
+    // ---- FEED-VOLUME ANOMALY MONITOR: per-day row counts vs the
+    //      trailing-7-day rank-exact median, flagged when the
+    //      deviation exceeds 30% by integer cross-multiplication
+    //      (|n − med|·10 > 3·med) — the day-over-day "did the feed
+    //      break" alarm that runs BEFORE any content validation. The
+    //      day spine is built from the span so a ZERO-row day (the
+    //      worst anomaly) still surfaces. Follows the daily-ma7
+    //      idiom: the trailing frame is a broadcast band self-join on
+    //      the CALENDAR-bounded day axis — facts collapse in one
+    //      combinable count first, and no single-partition window
+    //      sort ever happens; the median is the 4th-of-7 sorted
+    //      element, rank-defined, no interpolation. ----
+    Q("etl_volume_anomaly",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val span = ev.agg(min(col("ts")).cast("date").as("lo"),
+          max(col("ts")).cast("date").as("hi"))
+        val days = span.select(explode(
+          expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val per = ev.groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val f = days.join(per, Seq("day"), "left_outer")
+          .select(col("day"), expr("datediff(day, DATE '1970-01-01')").as("di"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val f2 = f.select(col("di").as("di2"), col("n").as("n2"))
+        f.join(broadcast(f2),
+            col("di2") >= col("di") - 7 && col("di2") <= col("di") - 1)
+          .groupBy("day", "n")
+          .agg(sort_array(collect_list(col("n2"))).as("w"))
+          .filter(size(col("w")) === 7)
+          .select(col("day"), col("n"),
+            element_at(col("w"), 4).as("med7"))
+          .withColumn("anomaly", abs(col("n") - col("med7")) * 10 > col("med7") * 3)
+          .orderBy("day")
+      },
+      Some("""WITH span AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+             |days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |           CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |per AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+             |f AS (SELECT d.day, datediff('day', DATE '1970-01-01', d.day) AS di,
+             |             CAST(COALESCE(per.n, 0) AS BIGINT) AS n
+             |      FROM days d LEFT JOIN per ON per.day = d.day),
+             |b AS (SELECT f.day, f.n, list_sort(list(f2.n)) AS w
+             |      FROM f JOIN f AS f2 ON f2.di BETWEEN f.di - 7 AND f.di - 1
+             |      GROUP BY 1, 2)
+             |SELECT day, n, w[4] AS med7,
+             |  abs(n - w[4]) * 10 > w[4] * 3 AS anomaly
+             |FROM b WHERE len(w) = 7 ORDER BY day""".stripMargin)),
+
     // ---- probabilistic record linkage (Fellegi–Sunter shape, exact
     //      integer weights): dirty probe records — a digit dropped
     //      from the name, account balance drifted 0.25 — matched back
