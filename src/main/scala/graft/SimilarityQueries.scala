@@ -593,6 +593,54 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- MATRYOSHKA TRUNCATION-RECALL CURVE: the QA readout that
+    //      decides how many leading dims the cheap first stage can
+    //      serve with — recall@10 of truncated-cosine top-10 (16/32/
+    //      48 dims) against the full-64-dim ranking, for a 20-probe
+    //      batch. Each point is one batchTopK (broadcast probes,
+    //      map-side scoring, per-probe rank); the join to the full
+    //      ranking and the permille division are probe-batch-sized.
+    //      Everything is exact (slice + in-order dot, the
+    //      sim_truncated_topk discipline), so the whole curve is
+    //      oracle-checked. ----
+    Q("sim_truncation_recall_curve",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        def top(d: Int) = graft.operators.Similarity.batchTopK(
+            emb.withColumn("vd", slice(col("e"), 1, d)),
+            probes.withColumn("probe_e", slice(col("probe_e"), 1, d)),
+            "vd", k = 10)
+          .select(col("probe_id"), col("vec_id"))
+        val full = top(64)
+        Seq(16, 32, 48, 64).map { d =>
+            top(d).join(full, Seq("probe_id", "vec_id"))
+              .agg(count(lit(1)).as("hits"))
+              .select(lit(d.toLong).as("dims"), col("hits"),
+                expr("(1000 * hits) div 200").as("recall_pm"))
+          }.reduce(_ unionByName _)
+          .orderBy("dims")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |probes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 20),
+             |dims AS (SELECT unnest([16, 32, 48, 64]) AS d),
+             |pairs AS (
+             |  SELECT d.d, p.pid, e.vec_id,
+             |    list_dot_product(e.v[1:d.d], p.pv[1:d.d]) /
+             |      (sqrt(list_dot_product(e.v[1:d.d], e.v[1:d.d])) *
+             |       sqrt(list_dot_product(p.pv[1:d.d], p.pv[1:d.d]))) AS cs
+             |  FROM e JOIN probes p ON e.vec_id <> p.pid CROSS JOIN dims d),
+             |t AS (SELECT d, pid, vec_id FROM pairs
+             |      QUALIFY row_number() OVER (PARTITION BY d, pid
+             |                                 ORDER BY cs DESC, vec_id) <= 10),
+             |full64 AS (SELECT pid, vec_id FROM t WHERE d = 64)
+             |SELECT CAST(t.d AS BIGINT) AS dims, COUNT(*) AS hits,
+             |  (1000 * COUNT(*)) // 200 AS recall_pm
+             |FROM t JOIN full64 USING (pid, vec_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- hard-negative mining (retrieval-training data prep): for
     //      each probe in the batch, the 3 most-similar vectors with a
     //      DIFFERENT label — the "close but wrong" examples a

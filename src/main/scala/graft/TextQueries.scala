@@ -911,6 +911,53 @@ object TextQueries {
              |FROM c a JOIN c b ON a.text = b.text AND a.doc_id < b.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- CODE-vs-PROSE routing classifier: the pipeline fork that
+    //      decides whether a doc goes to the code tokenizer/quality
+    //      battery or the prose one. Deterministic code snippets are
+    //      seeded into every 10th doc (the synthetic corpus is pure
+    //      prose — the pii-density seeding discipline); detection =
+    //      >= 2 of 3 code-only keyword signals, plus a symbol-density
+    //      permille ({};()= chars) reported per source via the
+    //      length-after-strip idiom, which both engines compute
+    //      identically. Map-only regex work; one enum-sized
+    //      per-source aggregate. ----
+    Q("text_code_detect",
+      (s, dir) => {
+        val seeded = Tables.t(s, dir, "documents")
+          .withColumn("t",
+            when(col("doc_id") % 10 === 4,
+              concat(col("text"), lit(" def run(x): { return (x = x + 1); }; import sys;")))
+            .otherwise(col("text")))
+          .withColumn("sym",
+            length(col("t")) - length(regexp_replace(col("t"), "[;{}()=]", "")))
+          .withColumn("kw",
+            when(col("t").contains("def "), 1).otherwise(0)
+              + when(col("t").contains("import "), 1).otherwise(0)
+              + when(col("t").contains("};"), 1).otherwise(0))
+        seeded.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kw") >= 2, 1L).otherwise(0L)).as("n_code"),
+            sum(col("sym").cast("long")).as("_sym"),
+            sum(length(col("t")).cast("long")).as("_len"))
+          .select(col("source"), col("n_docs"), col("n_code"),
+            expr("(1000 * _sym) div _len").as("sym_pm"))
+          .orderBy("source")
+      },
+      Some("""WITH seeded AS (SELECT source,
+             |  CASE WHEN doc_id % 10 = 4
+             |    THEN text || ' def run(x): { return (x = x + 1); }; import sys;'
+             |    ELSE text END AS t FROM documents),
+             |m AS (SELECT source, t,
+             |  length(t) - length(regexp_replace(t, '[;{}()=]', '', 'g')) AS sym,
+             |  (CASE WHEN t LIKE '%def %' THEN 1 ELSE 0 END
+             |   + CASE WHEN t LIKE '%import %' THEN 1 ELSE 0 END
+             |   + CASE WHEN t LIKE '%};%' THEN 1 ELSE 0 END) AS kw
+             |FROM seeded)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN kw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+             |  CAST((1000 * SUM(sym)) // SUM(length(t)) AS BIGINT) AS sym_pm
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- prefix-hash dedup (the RefinedWeb/CC "same first N chars"
     //      pass): crawl snapshots re-serve the same page under new
     //      trailing boilerplate, so an exact-hash pass over a FIXED

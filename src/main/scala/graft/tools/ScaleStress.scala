@@ -141,10 +141,51 @@ object ScaleStress {
     // (pair graph is tiny vs corpus — iteration cost must NOT scale
     // like the corpus); incremental = 10% fresh batch vs 90% corpus
     // sketch (cost should track the batch + one corpus sketch pass).
+    // md5-bit SimHash (the oracle-portable variant): replicas are
+    // exact dups (hamming 0), so true pairs grow n·m(m−1)/2 — wall
+    // should be output-bound like minhash, never corpus-quadratic.
+    docRun("simhmd5")(c => Dedup.simhashMd5NearDups(
+      Dedup.simhashMd5(c, "doc_id", "text"), "doc_id").count())
     docRun("cluster")(c => Dedup.clusters(Dedup.minhashNearDups(c, "doc_id", "text")).count())
     docRun("increm")(c => Dedup.incrementalNearDups(
       c.filter(col("doc_id") % 10 =!= 0), c.filter(col("doc_id") % 10 === 0),
       "doc_id", "text").count())
+    // Incremental JOIN-view refresh vs full recompute: fixed deltas
+    // (1/600 of base orders, 1/300 of customers as NEW keys) against
+    // an m×-growing history. The refresh computes ONLY the delta
+    // rows' joins (V_old is already materialized and append-only):
+    // tfull pays the history×dim shuffle join every time, trefresh
+    // pays ΔA⋈B plus one map-side broadcast pass of A for A⋈ΔB — the
+    // slope gap is the maintenance win, and the remaining linear
+    // A-scan term is the honest reason deltaJoin's doc points
+    // dimension deltas at a bucket-pruned layout.
+    if (wanted("incrjoin")) {
+      val ob = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val dA = ob.filter(col("o_orderkey") % 600 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(8000000000L))
+      val dB = cust.filter(col("o_custkey") % 300 === 0)
+        .withColumn("o_custkey", col("o_custkey") + lit(8000000000L))
+      multiples.foreach { m =>
+        val a = (0 until m).map(i => ob.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * 100000000L))).reduce(_ unionByName _)
+        val nA = a.count()
+        var t0 = System.nanoTime()
+        val full = a.unionByName(dA).join(cust.unionByName(dB), Seq("o_custkey")).count()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val deltaRows = graft.operators.IncrementalAgg.deltaJoin(
+          spark.emptyDataFrame.sparkSession.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            a.join(cust, Seq("o_custkey")).schema),
+          a, dA, cust, dB, Seq("o_custkey")).count()
+        val tDelta = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE incrjoin m=$m%2d orders=$nA%8d full=$full%9d tfull=$tFull%6.1fs deltarows=$deltaRows%7d trefresh=$tDelta%6.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Bloom decontamination: eval side FIXED (benchmarks are bounded);
     // cost must track the training corpus ~linearly — the probe is
     // map-side, only candidates reach the exact gram join.
