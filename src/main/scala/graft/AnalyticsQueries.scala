@@ -6325,6 +6325,152 @@ object AnalyticsQueries {
              |    MAX(q) OVER (PARTITION BY p) AS m2
              |  FROM pq)
              |SELECT part, p, q FROM w
-             |WHERE (m1 IS NULL OR m1 < q) AND q = m2 ORDER BY part""".stripMargin))
+             |WHERE (m1 IS NULL OR m1 < q) AND q = m2 ORDER BY part""".stripMargin)),
+
+    // ---- ONE HITS ITERATION (hubs & authorities) on the directed
+    //      supplier→part supply graph, from the uniform start: with
+    //      hub⁰ ≡ 1, authority¹(part) is its in-degree (how many
+    //      suppliers stock it) and hub¹(supplier) = Σ authority¹ over
+    //      the parts it supplies — the "well-connected wholesaler"
+    //      score dual to PageRank's single-score step
+    //      (graph_pagerank_step). Everything is exact BIGINT. Scale:
+    //      authority is one map-side-combinable count keyed on part;
+    //      the hub projection joins that node-sized table back on the
+    //      SAME key the aggregate just shuffled on (exchange reuse,
+    //      no second distribution of the edge list) and closes with
+    //      one supplier-keyed sum. Further iterations repeat the
+    //      identical two-aggregate shape with the previous scores
+    //      joined in at node size — nothing edge-quadratic ever. ----
+    Q("graph_hits_step",
+      (s, dir) => {
+        val sp = Tables.t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("supplier"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // authority AND the hub projection read it
+        val auth = sp.groupBy("p").agg(count(lit(1)).as("authority"))
+        sp.join(auth, Seq("p"))
+          .groupBy("supplier").agg(sum("authority").as("hub"))
+          .orderBy(desc("hub"), col("supplier"))
+      },
+      Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS supplier, l_partkey AS p FROM lineitem),
+             |a AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS authority FROM sp GROUP BY 1)
+             |SELECT supplier, CAST(SUM(authority) AS BIGINT) AS hub
+             |FROM sp JOIN a USING (p)
+             |GROUP BY supplier ORDER BY hub DESC, supplier""".stripMargin)),
+
+    // ---- RESOURCE-ALLOCATION LINK PREDICTION: the weighted upgrade
+    //      of graph_common_neighbors — non-adjacent part pairs scored
+    //      Σ_z 1/deg(z) over their shared co-purchase neighbors, so a
+    //      rare connector counts more than a promiscuous hub (the RA
+    //      index, empirically the strongest of the local similarity
+    //      family). Kept integer-exact as Σ floor(1e6/deg): each
+    //      wedge middle contributes a precomputed BIGINT ppm weight.
+    //      Same wedge-join + closing-anti-join machinery as
+    //      common_neighbors — the per-middle weight joins into the
+    //      wedge SOURCE at node size BEFORE the wedge join, so the
+    //      Σ deg² wedge stream is generated exactly once and carries
+    //      its weight with it; at 100× the identical degree-ordered
+    //      split bounds the hot middles. ----
+    Q("graph_resource_allocation",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // wedges (x2), degrees, and the anti-join
+        val sym = graft.operators.Graphs.symmetric(e)
+        val raw = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+          .select(col("u").as("x"), expr("1000000 div deg").as("ra_z"))
+        val w1 = sym.select(col("u").as("x"), col("v").as("a")).join(raw, Seq("x"))
+        val w2 = sym.select(col("u").as("x"), col("v").as("b"))
+        val cn = w1.join(w2, Seq("x"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_common"), sum("ra_z").as("ra_ppm"))
+          .filter(col("n_common") >= 2)
+        cn.join(e.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
+          .select("a", "b", "n_common", "ra_ppm")
+          .orderBy("a", "b")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |dg AS (SELECT u AS x, 1000000 // COUNT(*) AS ra_z FROM sym GROUP BY u),
+             |cn AS (SELECT w1.v AS a, w2.v AS b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_common,
+             |         CAST(SUM(dg.ra_z) AS BIGINT) AS ra_ppm
+             |       FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+             |       JOIN dg ON dg.x = w1.u
+             |       GROUP BY 1, 2)
+             |SELECT a, b, n_common, ra_ppm FROM cn
+             |WHERE n_common >= 2
+             |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- LAG-1 CROSS-CORRELATION between two event streams: do
+    //      clicks in hour h predict purchases in hour h+1? The
+    //      lead-lag diagnostic behind every "leading indicator"
+    //      claim, computed the scale-safe way: both series collapse
+    //      to the hour grain FIRST (map-side-combinable counts on a
+    //      calendar-bounded axis), the dense hour spine is GENERATED
+    //      from a one-row min/max aggregate (missing hours are real
+    //      zeros — skipping them would bias the correlation toward
+    //      busy periods), and Pearson closes over six exact BIGINT
+    //      sums with one final double expression, identical IEEE on
+    //      both engines (events_correlation discipline). Facts are
+    //      touched once; everything after the two grain collapses is
+    //      metadata-sized. ----
+    Q("events_lag_xcorr",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hp"))
+          .agg(count(lit(1)).as("y"))
+        val spine = ev.agg(date_trunc("hour", min("ts")).as("lo"),
+            date_trunc("hour", max("ts")).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        spine.join(clicks, Seq("h"), "left")
+          .join(purch, col("hp") === col("h") + expr("interval 1 hour"), "left")
+          .select(coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("xcorr_lag1",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+             |                  date_trunc('hour', MAX(ts)) AS hi FROM events),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+             |cl AS (SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+             |       FROM events WHERE event_type = 'click' GROUP BY 1),
+             |pu AS (SELECT date_trunc('hour', ts) AS hp, CAST(COUNT(*) AS BIGINT) AS y
+             |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |g AS (SELECT COALESCE(cl.x, 0) AS x, COALESCE(pu.y, 0) AS y
+             |      FROM spine LEFT JOIN cl USING (h)
+             |      LEFT JOIN pu ON pu.hp = spine.h + INTERVAL 1 HOUR),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy FROM g)
+             |SELECT n, sx, sy, sxy, sxx, syy,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr_lag1
+             |FROM m""".stripMargin))
   )
 }

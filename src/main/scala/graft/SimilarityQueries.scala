@@ -1216,6 +1216,101 @@ object SimilarityQueries {
              |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL: the lexical leg
+    //      (BM25 top-20 served FROM the persisted bucketed index —
+    //      text_bm25_topk's exact scorer) fused with the dense leg
+    //      (cosine top-20 vs the probe vector) by RRF with the
+    //      standard k=60: score(d) = Σ_legs 1/(60 + rank_leg(d)) —
+    //      THE first-stage shape of a production RAG retrieval stack
+    //      (two cheap candidate generators, one rank-space merge that
+    //      needs no score calibration between BM25 micros and
+    //      cosines). Kept integer-exact as Σ floor(1e9/(60+rank)).
+    //      Ranks are computed WITHOUT a single-partition window: each
+    //      leg is already a ≤20-row frame after its TakeOrdered, so
+    //      rank = 1 + |strictly-better| via a broadcast self-join
+    //      over 20 rows (better = higher score, ties to the lower
+    //      id — identical to ROW_NUMBER over (score DESC, id)).
+    //      Scale: each leg's candidate generation is the already-
+    //      audited serving shape (bucket-pruned postings / broadcast
+    //      probe map-side scan); the fusion itself touches 40 rows
+    //      whatever the corpus size. ----
+    Q("sim_rrf_fusion",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val terms = Seq("spark", "merge", "window")
+        val (postings, stats) = TextQueries.bm25IndexTables(s, dir)
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+              .cast("long").as("idf_pm"))
+        val lex = hits.join(broadcast(idf), Seq("token"))
+          .select(col("doc_id"),
+            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
+              .as("contrib"))
+          .groupBy("doc_id").agg(sum("contrib").as("s_lex"))
+          .orderBy(desc("s_lex"), col("doc_id")).limit(20)
+          .localCheckpoint() // 20 rows; both sides of the rank self-join
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val dense = graft.operators.Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 20)
+          .select(col("vec_id").as("doc_id"), col("cos_sim"))
+          .localCheckpoint()
+        def rrfLeg(df: org.apache.spark.sql.DataFrame,
+                   scoreCol: String): org.apache.spark.sql.DataFrame = {
+          val o = df.select(col("doc_id").as("_i2"), col(scoreCol).as("_s2"))
+          df.join(broadcast(o),
+              col("_s2") > col(scoreCol) ||
+                (col("_s2") === col(scoreCol) && col("_i2") < col("doc_id")),
+              "left")
+            .groupBy("doc_id")
+            .agg(expr("1000000000 div (61 + count(_i2))").as("rrf"))
+        }
+        rrfLeg(lex, "s_lex").withColumnRenamed("rrf", "r_lex")
+          .join(rrfLeg(dense, "cos_sim").withColumnRenamed("rrf", "r_dense"),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("r_lex"), lit(0L)) + coalesce(col("r_dense"), lit(0L)))
+              .as("rrf_nano"))
+          .orderBy(desc("rrf_nano"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN st s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN st s),
+             |lex AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS s_lex FROM sc GROUP BY 1
+             |        ORDER BY s_lex DESC, doc_id LIMIT 20),
+             |lr AS (SELECT doc_id,
+             |         1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY s_lex DESC, doc_id)) AS r_lex
+             |       FROM lex),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+             |dense AS (SELECT vec_id AS doc_id,
+             |            list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |          FROM e, probe WHERE vec_id <> 0
+             |          ORDER BY cos_sim DESC, vec_id LIMIT 20),
+             |dr AS (SELECT doc_id,
+             |         1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)) AS r_dense
+             |       FROM dense)
+             |SELECT doc_id,
+             |  CAST(COALESCE(r_lex, 0) + COALESCE(r_dense, 0) AS BIGINT) AS rrf_nano
+             |FROM lr FULL OUTER JOIN dr USING (doc_id)
+             |ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

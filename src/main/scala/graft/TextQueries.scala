@@ -2008,6 +2008,34 @@ object TextQueries {
               |  (n_words BETWEEN 50 AND 100000
               |   AND (sum_len * 1000) // n_words BETWEEN 3000 AND 10000
               |   AND (top_cnt * 1000) // n_words <= 200 AND n_stop >= 2) AS keep
-              |FROM st JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin))
+              |FROM st JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- HAPAX LEGOMENA RATIO per source: what fraction of each
+    //      source's vocabulary occurs exactly once — the classic
+    //      corpus-health number next to the Zipf slope (a scraped
+    //      feed full of serial numbers / OCR noise shows a hapax
+    //      ratio near 1000‰; natural prose sits near 400-600‰; a
+    //      templated feed collapses toward 0). Complements
+    //      text_vocab_growth (which tracks NEW types over time) by
+    //      measuring the once-only mass of the finished corpus.
+    //      Scale: one (source, token) count — map-side combinable,
+    //      the only data-scaled shuffle — then a source-keyed
+    //      aggregate over the type table; the ratio is exact integer
+    //      permille. ----
+    Q("text_hapax_ratio",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+        .groupBy("source").agg(
+          count(lit(1)).as("vocab"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_permille", expr("(1000 * hapax) div vocab"))
+        .orderBy("source"),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tc AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+             |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             |  CAST((1000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS hapax_permille
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin))
   )
 }
