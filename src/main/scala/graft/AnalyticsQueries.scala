@@ -6471,6 +6471,182 @@ object AnalyticsQueries {
              |  CAST(n * sxy - sx * sy AS DOUBLE) /
              |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr_lag1
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ---- TIME-DECAY MARKETING ATTRIBUTION: events_attribution_linear's
+    //      equal split replaced by the industry's other standard —
+    //      recent touches earn exponentially more. Weights stay exact
+    //      integers: the hour before the purchase splits into six
+    //      10-minute decay steps and a touch's weight is 2^(6−step)
+    //      (64 for the freshest bucket halving to 1 at the hour
+    //      boundary) via a shift, never pow(); per-purchase credit is
+    //      (cents·1000·w) div Σw with Σw from the same purchase-keyed
+    //      window the linear form uses. No-touch purchases keep full
+    //      credit in 'none' (w = Σw = 1), so total credit is conserved
+    //      up to per-purchase floor remainders — identical on both
+    //      engines. Same scale shape as the linear twin: one
+    //      user-keyed equi-join with the time band residual, one
+    //      high-cardinality purchase-keyed window. ----
+    Q("events_attribution_time_decay",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val t = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
+            unix_micros(col("ts")).as("t_us"))
+        val j = p.join(t,
+          col("user_id") === col("t_user") &&
+            col("t_us") <= col("p_us") &&
+            col("t_us") >= col("p_us") - 3600000000L, "left")
+        val w = Window.partitionBy("p_id")
+        j.withColumn("wt", expr(
+            "CASE WHEN touch_type IS NULL THEN 1L " +
+            "ELSE shiftleft(1L, CAST(6 - ((p_us - t_us) div 600000000) AS INT)) END"))
+          .withColumn("sw", sum("wt").over(w))
+          .select(coalesce(col("touch_type"), lit("none")).as("touch_type"),
+            expr("(cents * 1000 * wt) div sw").as("credit"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_credits"),
+            sum("credit").as("credit_millicents"))
+          .orderBy("touch_type")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS p_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_type AS touch_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT p.p_id, p.cents, t.touch_type,
+             |    CASE WHEN t.touch_type IS NULL THEN 1
+             |         ELSE (CAST(1 AS BIGINT) << CAST(6 - ((p.p_us - t.t_us) // 600000000) AS INT)) END AS wt
+             |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+             |    AND t.t_us <= p.p_us AND t.t_us >= p.p_us - 3600000000),
+             |n AS (SELECT p_id, cents, touch_type, wt,
+             |    SUM(wt) OVER (PARTITION BY p_id) AS sw FROM j)
+             |SELECT COALESCE(touch_type, 'none') AS touch_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+             |  CAST(SUM((cents * 1000 * wt) // sw) AS BIGINT) AS credit_millicents
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- FEED FRESHNESS SLA: per event stream, how far behind the
+    //      freshest feed is it — the staleness monitor every ingest
+    //      pipeline pages on (a stuck upstream shows up as one type's
+    //      max(ts) freezing while the others advance). One map-side-
+    //      combinable max per type plus a one-row broadcast of the
+    //      global max; lag is exact integer minutes; the SLA verdict
+    //      is a pure comparison. At 100 TB this reads the parquet
+    //      footers' max statistics in practice — the query shape is
+    //      already the aggregate pushdown's. ----
+    Q("events_freshness_sla",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val perType = ev.groupBy("event_type")
+          .agg(max(unix_micros(col("ts"))).as("last_us"))
+        val global = perType.agg(max("last_us").as("g_us"))
+        perType.crossJoin(broadcast(global))
+          .select(col("event_type"),
+            timestamp_micros(col("last_us")).as("last_ts"),
+            expr("(g_us - last_us) div 60000000").as("lag_minutes"))
+          .withColumn("meets_sla", col("lag_minutes") <= 30)
+          .orderBy("event_type")
+      },
+      Some("""WITH pt AS (SELECT event_type,
+             |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT MAX(last_us) AS g_us FROM pt)
+             |SELECT event_type, make_timestamp(last_us) AS last_ts,
+             |  CAST((g_us - last_us) // 60000000 AS BIGINT) AS lag_minutes,
+             |  (g_us - last_us) // 60000000 <= 30 AS meets_sla
+             |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin)),
+
+    // ---- CHANGE-POINT DETECTION (CUSUM argmax): for each event
+    //      stream, the hour where the cumulative deviation from the
+    //      stream's own mean hourly rate peaks — the standard "when
+    //      did the level shift" estimator (the argmax of |CUSUM| is
+    //      the maximum-likelihood single change point for a mean
+    //      shift). Kept exact: with per-type totals (tot over nh
+    //      hours) the deviation at hour i is nh·cum_i − i·tot (the
+    //      common-denominator form of cum_i − i·mean), pure BIGINT.
+    //      Windows partition BY TYPE over the hour-grain table —
+    //      calendar-bounded, never a single-partition sort; the
+    //      argmax is one struct-max aggregate (tie → earliest hour).
+    //      Observed hours only: both engines CUSUM the same bucket
+    //      sequence. ----
+    Q("events_changepoint_hour",
+      (s, dir) => {
+        val hc = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val wOrd = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        hc.withColumn("i", count(lit(1)).over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .withColumn("cum", sum("c").over(wOrd))
+          .withColumn("tot", sum("c").over(wAll))
+          .withColumn("nh", count(lit(1)).over(wAll))
+          .withColumn("dev", col("nh") * col("cum") - col("i") * col("tot"))
+          .groupBy("event_type")
+          .agg(max(struct(abs(col("dev")).as("a"),
+            (-unix_micros(col("h"))).as("negus"), col("dev").as("d"))).as("m"),
+            max("nh").as("n_hours"))
+          .select(col("event_type"),
+            timestamp_micros(-col("m.negus")).as("change_hour"),
+            col("m.d").as("dev_scaled"), col("n_hours"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, h, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY h) AS cum,
+             |    SUM(c) OVER (PARTITION BY event_type) AS tot,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nh
+             |  FROM hc),
+             |d AS (SELECT event_type, h, nh,
+             |    CAST(nh * cum - i * tot AS BIGINT) AS dev FROM w)
+             |SELECT event_type, h AS change_hour, dev AS dev_scaled,
+             |  CAST(nh AS BIGINT) AS n_hours
+             |FROM d
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+             |                           ORDER BY abs(dev) DESC, h) = 1
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- SHUFFLE-PARTITION BALANCE CENSUS: how evenly would this
+    //      key hash across 32 shuffle partitions — the diagnostic
+    //      behind every "why is one task slow" hunt, complementing
+    //      diag_key_skew (which ranks hot VALUES; this measures the
+    //      hash LAYOUT those values produce). The bucket function is
+    //      the portable md5-nibble mix both engines compute
+    //      identically (dedup_simhash_md5_pairs' bit source) standing
+    //      in for the engine's internal murmur; per-bucket deviation
+    //      from the uniform share is exact permille. One map-side-
+    //      combinable count on a 32-value key. ----
+    Q("diag_hash_balance",
+      (s, dir) => {
+        val b = Tables.t(s, dir, "lineitem")
+          .select(expr(
+            "((instr('0123456789abcdef', substring(md5(cast(l_orderkey as string)), 1, 1)) - 1) * 16 + " +
+            " (instr('0123456789abcdef', substring(md5(cast(l_orderkey as string)), 2, 1)) - 1)) % 32")
+            .cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        b.crossJoin(broadcast(b.agg(sum("n_rows").as("tot"))))
+          .select(col("bucket"), col("n_rows"),
+            expr("(n_rows * 32000) div tot - 1000").as("dev_permille"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT
+             |    ((strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1)) % 32 AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM b)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, n_rows,
+             |  CAST((n_rows * 32000) // tot - 1000 AS BIGINT) AS dev_permille
+             |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin))
   )
 }

@@ -2036,6 +2036,61 @@ object TextQueries {
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
              |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
              |  CAST((1000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS hapax_permille
-             |FROM tc GROUP BY source ORDER BY source""".stripMargin))
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- BIGRAM SURPRISAL (add-one-smoothed conditional LM): mean
+    //      −ln p(t2|t1) per document under the corpus's own bigram
+    //      model with Laplace smoothing — the step up from
+    //      text_unigram_surprisal that actually catches scrambled
+    //      word ORDER (a bag-of-frequent-words document scores as
+    //      typical under a unigram LM; its implausible transitions
+    //      light up here). Same exactness discipline: per-bigram
+    //      surprisal is round(ln((c(t1)+V)/(c12+1))·1e6) off
+    //      exact-integer log arguments (identical IEEE on both
+    //      engines before the one ln), so per-doc sums and means are
+    //      pure BIGINT. Model tables are (t1) and (t1,t2) counts —
+    //      vocabulary-bounded, not corpus-bounded; the scoring join
+    //      is bigram-keyed (at 100 TB the zipfian head rides the
+    //      same broadcast split the unigram form notes). ----
+    Q("text_bigram_surprisal",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val bg = docs.select(col("doc_id"),
+            posexplode(expr(
+              "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> struct(a as t1, b as t2))"))
+              .as(Seq("pos", "p")))
+          .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+        val c12 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+        val v = bg.select(col("t2").as("t")).union(bg.select(col("t1").as("t")))
+          .distinct().agg(count(lit(1)).as("vocab"))
+        val scored = c12.join(c1, Seq("t1")).crossJoin(broadcast(v))
+          .select(col("t1"), col("t2"),
+            round(log((col("c1") + col("vocab")).cast("double") /
+              (col("c12") + 1).cast("double")) * 1000000)
+              .cast("long").as("surprisal_micro"))
+        bg.join(scored, Seq("t1", "t2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("surprisal_micro").as("sum_s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("sum_s div n_bigrams").as("avg_surprisal_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] AS t1, w[i+1] AS t2
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)),
+             |c12 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM
+             |        (SELECT t2 AS t FROM bg UNION SELECT t1 FROM bg)),
+             |sc AS (SELECT t1, t2,
+             |         CAST(round(ln(CAST(c1 + vocab AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             |           AS surprisal_micro
+             |       FROM c12 JOIN c1 USING (t1) CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(surprisal_micro) // COUNT(*) AS BIGINT) AS avg_surprisal_micro
+             |FROM bg JOIN sc USING (t1, t2)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
