@@ -137,6 +137,83 @@ object ScaleStress {
         graft.CacheDirs.deleteRecursively(work.toFile)
       }
     }
+    // RRF hybrid retrieval: the lexical leg reads only the 3 query
+    // terms' index buckets (must stay ~flat, same claim as qbm25);
+    // the dense leg is DELIBERATELY the brute-force scan — its wall
+    // is the linear-in-corpus first-stage bound the ANN paths
+    // (ivfTopK/annTopK) replace at scale — and the fusion itself
+    // touches 40 rows whatever m is. The two legs are timed apart so
+    // the flat/linear split is on the record.
+    if (wanted("rrf")) {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb0.count() // warm
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_rrf_")
+        corpus.withColumn("lang", lit("en")).withColumn("source", lit("x"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.parquet(s"$work/documents.parquet")
+        val (postings, stats) = graft.TextQueries.bm25IndexTables(spark, work.toString)
+        postings.count() // build paid outside the serving timers
+        val terms = Seq("spark", "merge", "window")
+        val t0 = System.nanoTime()
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+              .cast("long").as("idf_pm"))
+        val lex = hits.join(broadcast(idf), Seq("token"))
+          .select(col("doc_id"),
+            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
+              .as("contrib"))
+          .groupBy("doc_id").agg(sum("contrib").as("s_lex"))
+          .orderBy(desc("s_lex"), col("doc_id")).limit(20).collect()
+        val t1 = System.nanoTime()
+        val embM = (0 until m).map(i =>
+          emb0.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb0.filter(col("vec_id") === 0)
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .select(col("e").as("probe_e"))
+        val dense = Similarity.bruteForceTopK(
+          embM.filter(col("vec_id") =!= 0), probe, "e", 20).collect()
+        val t2 = System.nanoTime()
+        println(f"SCALE rrf     m=$m%2d docs=${corpus.count()}%7d lex=${lex.length}%2d " +
+          f"dense=${dense.length}%2d qlex=${(t1 - t0) / 1e9}%6.1fs qdense=${(t2 - t1) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(work.toFile)
+        spark.catalog.clearCache()
+      }
+    }
+    // Bigram-surprisal scoring: disjoint replicas add tokens but NO
+    // new bigram TYPES, so the model tables (t1 and (t1,t2) counts)
+    // are m-invariant while the scoring join's probe side grows with
+    // the corpus — wall must track corpus size ~linearly, never the
+    // model-cross-corpus product.
+    docRun("bigram") { c =>
+      val docs = c.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = docs.select(col("doc_id"),
+          posexplode(expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> struct(a as t1, b as t2))"))
+            .as(Seq("pos", "p")))
+        .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+      val c12 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+      val v = bg.select(col("t2").as("t")).union(bg.select(col("t1").as("t")))
+        .distinct().agg(count(lit(1)).as("vocab"))
+      val scored = c12.join(c1, Seq("t1")).crossJoin(broadcast(v))
+        .select(col("t1"), col("t2"),
+          round(log((col("c1") + col("vocab")).cast("double") /
+            (col("c12") + 1).cast("double")) * 1000000)
+            .cast("long").as("surprisal_micro"))
+      bg.join(scored, Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("surprisal_micro").as("sum_s"))
+        .count()
+    }
     // Dedup decision tier: clusters = minhash pairs + CC iterations
     // (pair graph is tiny vs corpus — iteration cost must NOT scale
     // like the corpus); incremental = 10% fresh batch vs 90% corpus
@@ -328,6 +405,34 @@ object ScaleStress {
           .agg(max("core_k")).collect()(0).getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE corenum m=$m%2d edges=$ne%8d maxk=$maxCore%4d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+    // One HITS iteration: disjoint replicas leave every node's
+    // hub/authority score unchanged (scores depend only on the
+    // replica-local neighborhood), so out and maxhub are m-invariant
+    // while wall tracks the edge list ~linearly — the two-aggregate
+    // shape's whole cost is its two keyed exchanges.
+    if (wanted("hits")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_suppkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val sp = (0 until m).map(i => li0.select(
+          (col("l_suppkey") + lit(i * 100000000L)).as("supplier"),
+          (col("l_partkey") + lit(i * 10000000L)).as("p")))
+          .reduce(_ unionByName _).distinct().localCheckpoint()
+        val ne = sp.count()
+        val t0 = System.nanoTime()
+        val auth = sp.groupBy("p").agg(count(lit(1)).as("authority"))
+        val hubs = sp.join(auth, Seq("p"))
+          .groupBy("supplier").agg(sum("authority").as("hub"))
+        val (nOut, maxHub) = {
+          val r = hubs.agg(count(lit(1)), max("hub")).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE hits    m=$m%2d edges=$ne%8d out=$nOut%7d maxhub=$maxHub%7d time=$dt%7.1fs")
         spark.catalog.clearCache()
       }
     }
