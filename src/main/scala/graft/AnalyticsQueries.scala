@@ -6647,6 +6647,50 @@ object AnalyticsQueries {
              |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM b)
              |SELECT CAST(bucket AS BIGINT) AS bucket, n_rows,
              |  CAST((n_rows * 32000) // tot - 1000 AS BIGINT) AS dev_permille
-             |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin))
+             |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
+    // ---- COHORT LTV TRIANGLE: customers cohorted by first-order
+    //      month, cumulative revenue tracked by month-age — the
+    //      lifetime-value curve behind every acquisition-payback
+    //      decision (read along a row: how cohort X matures; read
+    //      down a column: cohort quality at fixed age). The month
+    //      axis is an exact integer index (year·12 + month) so age
+    //      is a subtraction, never interval arithmetic; revenue is
+    //      exact cents. Facts collapse to the (cohort, age) grain
+    //      FIRST; the running sum is a cohort-partitioned window
+    //      over that calendar-bounded grain (months², never rows).
+    //      The cohort assignment is one min-aggregate per customer
+    //      joined back at customer size. ----
+    Q("orders_cohort_ltv_triangle",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cohort = o.groupBy("o_custkey").agg(min("midx").as("cidx"))
+        val grain = o.join(cohort, Seq("o_custkey"))
+          .groupBy(col("cidx"), (col("midx") - col("cidx")).as("age"))
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+        val w = Window.partitionBy("cidx").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grain.withColumn("cum_cents", sum("rev_cents").over(w))
+          .select(col("cidx").cast("long").as("cohort_midx"),
+            col("age").cast("long").as("age"),
+            col("n_orders"), col("rev_cents"), col("cum_cents"))
+          .orderBy("cohort_midx", "age")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |c AS (SELECT o_custkey, MIN(midx) AS cidx FROM o GROUP BY 1),
+             |g AS (SELECT cidx, midx - cidx AS age,
+             |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+             |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2)
+             |SELECT CAST(cidx AS BIGINT) AS cohort_midx, CAST(age AS BIGINT) AS age,
+             |  n_orders, rev_cents,
+             |  CAST(SUM(rev_cents) OVER (PARTITION BY cidx ORDER BY age
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+             |FROM g ORDER BY cohort_midx, age""".stripMargin))
   )
 }

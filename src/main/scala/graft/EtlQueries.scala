@@ -2039,6 +2039,68 @@ object EtlQueries {
              |  CASE WHEN (o_orderkey % 7 = 0) THEN NULL
              |       ELSE CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              |  END AS cents
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- DISTRIBUTION DRIFT (PSI) between two feed eras: the
+    //      population-stability index over fixed price bands,
+    //      comparing orders before vs after a cutover date — the
+    //      monitor that catches a silently re-scaled upstream field
+    //      or a mix shift the row counts never show. Kept exact: the
+    //      band axis is FIXED integer bands off floor(price/50k)
+    //      (never data-dependent quantiles — both eras band
+    //      identically and floor() makes the double→int step exact
+    //      on both engines), counts get +1 smoothing so an empty
+    //      band can't blow up the log, the log argument
+    //      n1·(M+10) / (m1·(N+10)) is an exact integer ratio
+    //      (identical IEEE before the one ln), and each band's
+    //      contribution is one BIGINT floor division
+    //      ((n1·(M+10) − m1·(N+10)) · lq_micro) div ((N+10)·(M+10)) —
+    //      psi_micro sums exactly (the diff·lq product clears 2^63
+    //      only past ~1e8 orders per era; there it graduates to
+    //      DECIMAL(38,0), the embed_pca_two_steps promotion). Scale:
+    //      two map-side banded counts + a 10-row spine join; facts
+    //      are touched once. ----
+    Q("etl_distribution_drift_psi",
+      (s, dir) => {
+        val banded = Tables.t(s, dir, "orders")
+          .select(expr("CAST(floor(o_totalprice / 50000) AS BIGINT)").as("band"),
+            (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("before"))
+        val n = banded.filter(col("before")).groupBy("band").agg(count(lit(1)).as("n_before"))
+        val m = banded.filter(!col("before")).groupBy("band").agg(count(lit(1)).as("n_after"))
+        val spine = s.range(0, 10).select(col("id").as("band"))
+        val tot = banded.agg(
+          sum(when(col("before"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("before"), 0L).otherwise(1L)).as("mt"))
+        spine.join(n, Seq("band"), "left").join(m, Seq("band"), "left")
+          .select(col("band"),
+            coalesce(col("n_before"), lit(0L)).as("nb"),
+            coalesce(col("n_after"), lit(0L)).as("na"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lq_micro",
+            round(log(((col("nb") + 1) * (col("mt") + 10)).cast("double") /
+              ((col("na") + 1) * (col("nt") + 10)).cast("double")) * 1000000).cast("long"))
+          .select(col("band"), col("nb").as("n_before"), col("na").as("n_after"),
+            col("lq_micro"),
+            expr("(((nb + 1) * (mt + 10) - (na + 1) * (nt + 10)) * lq_micro) div ((nt + 10) * (mt + 10))")
+              .as("psi_contrib_micro"))
+          .orderBy("band")
+      },
+      Some("""WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+             |    o_orderdate < TIMESTAMP '1998-01-01' AS bf FROM orders),
+             |n AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nb FROM b WHERE bf GROUP BY 1),
+             |m AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS na FROM b WHERE NOT bf GROUP BY 1),
+             |t AS (SELECT CAST(SUM(CASE WHEN bf THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |             CAST(SUM(CASE WHEN bf THEN 0 ELSE 1 END) AS BIGINT) AS mt FROM b),
+             |sp AS (SELECT unnest(generate_series(0, 9)) AS band),
+             |g AS (SELECT sp.band, COALESCE(n.nb, 0) AS nb, COALESCE(m.na, 0) AS na
+             |      FROM sp LEFT JOIN n USING (band) LEFT JOIN m USING (band))
+             |SELECT CAST(band AS BIGINT) AS band, nb AS n_before, na AS n_after,
+             |  CAST(round(ln(CAST((nb + 1) * (mt + 10) AS DOUBLE) /
+             |                CAST((na + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT) AS lq_micro,
+             |  CAST((((nb + 1) * (mt + 10) - (na + 1) * (nt + 10)) *
+             |        CAST(round(ln(CAST((nb + 1) * (mt + 10) AS DOUBLE) /
+             |                      CAST((na + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
+             |       // ((nt + 10) * (mt + 10)) AS BIGINT) AS psi_contrib_micro
+             |FROM g CROSS JOIN t ORDER BY band""".stripMargin))
   )
 }

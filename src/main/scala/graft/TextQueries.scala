@@ -2091,6 +2091,55 @@ object TextQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(surprisal_micro) // COUNT(*) AS BIGINT) AS avg_surprisal_micro
              |FROM bg JOIN sc USING (t1, t2)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- PER-SOURCE KL DIVERGENCE from the corpus unigram mix:
+    //      KL(source ‖ corpus) = Σ_t p_st·ln(p_st/p_t) — the
+    //      information-theoretic upgrade of text_lang_drift (which
+    //      watches ONE ratio; this scores the whole distribution),
+    //      the number a corpus curator tracks per ingest feed to
+    //      catch a source going off-topic or template-collapsing.
+    //      Exactness discipline: the log argument
+    //      (c_st·T) / (c_t·T_s) is an exact integer ratio (identical
+    //      IEEE before the one ln), each term is c_st·lq_micro in
+    //      BIGINT, and the final division by T_s is one floor per
+    //      source — kl_micro is pure integer. Scale: a (source,
+    //      token) count and a token count (both map-side
+    //      combinable), one token-keyed join between them, one
+    //      source-keyed sum; the corpus-total is a one-row
+    //      broadcast. ----
+    Q("text_kl_source_divergence",
+      (s, dir) => {
+        val st = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("cst"))
+        val ct = st.groupBy("token").agg(sum("cst").as("ct"))
+        val ts = st.groupBy("source").agg(sum("cst").as("t_s"))
+        val tot = ct.agg(sum("ct").as("t"))
+        st.join(ct, Seq("token")).join(ts, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("t_s"),
+            (col("cst") *
+              round(log((col("cst") * col("t")).cast("double") /
+                (col("ct") * col("t_s")).cast("double")) * 1000000).cast("long"))
+              .as("term"))
+          .groupBy("source", "t_s").agg(sum("term").as("sum_term"))
+          .select(col("source"), col("t_s").as("n_tokens"),
+            expr("sum_term div t_s").as("kl_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cst
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY 1, 2),
+             |ct AS (SELECT token, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+             |ts AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS t_s FROM st GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM ct),
+             |terms AS (SELECT st.source, ts.t_s,
+             |    st.cst * CAST(round(ln(CAST(st.cst * tot.t AS DOUBLE) /
+             |                           CAST(ct.ct * ts.t_s AS DOUBLE)) * 1000000) AS BIGINT) AS term
+             |  FROM st JOIN ct USING (token) JOIN ts USING (source) CROSS JOIN tot)
+             |SELECT source, t_s AS n_tokens,
+             |  CAST(SUM(term) // t_s AS BIGINT) AS kl_micro
+             |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin))
   )
 }
