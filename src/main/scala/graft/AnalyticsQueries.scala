@@ -6691,6 +6691,51 @@ object AnalyticsQueries {
              |  n_orders, rev_cents,
              |  CAST(SUM(rev_cents) OVER (PARTITION BY cidx ORDER BY age
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
-             |FROM g ORDER BY cohort_midx, age""".stripMargin))
+             |FROM g ORDER BY cohort_midx, age""".stripMargin)),
+
+    // ---- STREAMING DRIFT MONITOR (PSI per micro-batch): each batch
+    //      of the feed is scored against the calibration era's band
+    //      histogram and emits one (batch_id, n_events, psi_micro)
+    //      monitor row — the stateless data-quality sidecar
+    //      (EventStreams.driftPsiStream) that pages BEFORE a drifted
+    //      feed poisons downstream aggregates. The two-file id-parity
+    //      replay makes batch boundaries deterministic (batch 0 =
+    //      even event_ids, batch 1 = odd), so the oracle states each
+    //      half's exact PSI vs the full corpus under the identical
+    //      +1-smoothed integer formula. Both batches are near-random
+    //      samples of the reference, so psi_micro lands near 0 — the
+    //      no-drift baseline reading. ----
+    Q("events_stream_drift_psi",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_psi_")
+        val ref = Tables.t(s, dir, "events")
+          .select(expr("CAST(floor(value / 50) AS BIGINT)").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("r"))
+        val stream = graft.streaming.EventStreams
+          .readEvents(s, src.toString, maxFilesPerTrigger = Some(1))
+        graft.streaming.EventStreams.driftPsiStream(s, stream, ref,
+            s"$work/psi_out", s"$work/psi_ckpt", bandWidth = 50.0)
+          .orderBy("batch_id")
+      },
+      Some("""WITH ref AS (SELECT CAST(floor(value / 50) AS BIGINT) AS band,
+             |    CAST(COUNT(*) AS BIGINT) AS r FROM events GROUP BY 1),
+             |rt AS (SELECT CAST(SUM(r) AS BIGINT) AS mt FROM ref),
+             |sp AS (SELECT unnest(generate_series(0, 9)) AS band),
+             |h AS (SELECT event_id % 2 AS batch_id,
+             |    CAST(floor(value / 50) AS BIGINT) AS band,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |ht AS (SELECT batch_id, CAST(SUM(c) AS BIGINT) AS nt FROM h GROUP BY 1),
+             |g AS (SELECT ht.batch_id, sp.band, ht.nt, rt.mt,
+             |        COALESCE(h.c, 0) AS c, COALESCE(ref.r, 0) AS r
+             |      FROM ht CROSS JOIN sp CROSS JOIN rt
+             |      LEFT JOIN h ON h.batch_id = ht.batch_id AND h.band = sp.band
+             |      LEFT JOIN ref ON ref.band = sp.band)
+             |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+             |  CAST(MAX(nt) AS BIGINT) AS n_events,
+             |  CAST(SUM((((c + 1) * (mt + 10) - (r + 1) * (nt + 10)) *
+             |        CAST(round(ln(CAST((c + 1) * (mt + 10) AS DOUBLE) /
+             |                      CAST((r + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
+             |       // ((nt + 10) * (mt + 10))) AS BIGINT) AS psi_micro
+             |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin))
   )
 }

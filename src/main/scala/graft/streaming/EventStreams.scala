@@ -1298,4 +1298,60 @@ object EventStreams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /**
+   * Per-micro-batch distribution-drift monitor (PSI): each batch's
+   * value-band histogram is scored against a STATIC reference
+   * distribution and ONE row per batch
+   * (batch_id, n_events, psi_micro) is appended to the monitor sink —
+   * the data-quality sidecar a streaming ingest runs next to every
+   * feed (alert when psi_micro crosses the conventional 0.2 = 200000
+   * line). Exactness is etl_distribution_drift_psi's discipline
+   * verbatim: fixed integer bands off floor(value/bandWidth),
+   * +1-smoothed counts so an empty band can't blow up the log, exact
+   * integer log arguments, one BIGINT floor division per band.
+   *
+   * Scale posture: stateless — per batch, one map-side-combinable
+   * band count, a bands-sized broadcast join against the reference
+   * histogram, a bands-sized sum. The reference is computed ONCE from
+   * the calibration era and shipped as a plain DataFrame (bands
+   * rows); nothing about the monitor grows with the feed.
+   */
+  def driftPsiStream(spark: SparkSession, stream: DataFrame,
+                     ref: DataFrame, outDir: String, checkpoint: String,
+                     bandWidth: Double, bands: Int = 10): DataFrame = {
+    val refRows = broadcast(ref) // (band, r) — bands-sized
+    val spine = spark.range(0, bands).select(col("id").as("band"))
+      .crossJoin(refRows.agg(sum("r").as("mt")))
+      .join(refRows, Seq("band"), "left")
+      .select(col("band"), coalesce(col("r"), lit(0L)).as("r"), col("mt"))
+      .localCheckpoint() // bands rows, reused every batch
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val counts = batch
+          .select(expr(s"CAST(floor(value / $bandWidth) AS BIGINT)").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("c"))
+        val g = spine.join(counts, Seq("band"), "left")
+          .select(col("band"), col("r"), col("mt"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .crossJoin(broadcast(counts.agg(sum("c").as("nt"))))
+          .withColumn("lq_micro",
+            round(log(((col("c") + 1) * (col("mt") + bands)).cast("double") /
+              ((col("r") + 1) * (col("nt") + bands)).cast("double")) * 1000000)
+              .cast("long"))
+        g.agg(max("nt").as("n_events"),
+            sum(expr(s"(((c + 1) * (mt + $bands) - (r + 1) * (nt + $bands)) * lq_micro)" +
+              s" div ((nt + $bands) * (mt + $bands))")).as("psi_micro"))
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "n_events", "psi_micro")
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }
