@@ -971,4 +971,45 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("driftPsiStream stays quiet on a replica batch and fires on a collapsed one") {
+    import org.apache.spark.sql.functions._
+    val work = tmpDir("graft_psi_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    // reference era: 1000 values uniform over bands 0..9 (value = id % 500)
+    val ref = spark.range(0, 1000)
+      .select((col("id") % 500).cast("double").as("value"))
+    val refHist = ref
+      .select(expr("CAST(floor(value / 50) AS BIGINT)").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("r"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, ageMs: Long): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    stage("h0", ref, 10000L)                     // batch 0: exact replica of the reference
+    stage("h1", spark.range(0, 1000)             // batch 1: every value collapsed into band 0
+      .select(lit(7.0).as("value")), 0L)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = graft.streaming.EventStreams.driftPsiStream(spark, stream, refHist,
+      s"$work/out", s"$work/ckpt", bandWidth = 50.0)
+    val rows = out.orderBy("batch_id").collect()
+    assert(rows.length === 2)
+    val quiet = rows(0).getAs[Long]("psi_micro")
+    val fired = rows(1).getAs[Long]("psi_micro")
+    // replica: only +1-smoothing noise; collapsed: far past the 0.2 alert line
+    assert(math.abs(quiet) < 10000, s"replica batch should read ~0, got $quiet")
+    assert(fired > 200000L, s"collapsed batch should fire, got $fired")
+    assert(rows(1).getAs[Long]("n_events") === 1000L)
+  }
 }
