@@ -127,13 +127,23 @@ object Ranking {
     // a cheap partial-agg instead of a re-sorted window).
     val stats = bucketed.groupBy(col(partCol).as("_op"), col("_bkt").as("_obkt"))
       .agg(count(lit(1)).as("_n"), countDistinct(keyStruct).as("_nk"))
-    val wOff = Window.partitionBy(col("_op")).orderBy(col("_obkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = stats
-      .withColumn("_off", coalesce(sum("_n").over(wOff), lit(0L)))
-      .withColumn("_doff", coalesce(sum("_nk").over(wOff), lit(0L)))
-      .withColumn("_tot", sum("_n").over(Window.partitionBy(col("_op"))))
-      .drop("_nk")
+    // Exclusive prefix offsets via a broadcast TRIANGULAR self-join
+    // over the |p| x buckets stats rows — metadata-sized by
+    // construction, so the quadratic-in-buckets join is bounded and,
+    // unlike a window over the same rows, survives a CONSTANT
+    // partition key: FoldablePropagation folds a literal partCol out
+    // of a window's partitionSpec, turning the offsets window into
+    // the single-partition sort Spark WARNs about (the one the
+    // global-rank caller with _g = lit(0) hits). A join has no
+    // partitionSpec to lose.
+    val statsB = stats.select(col("_op").as("_bp2"), col("_obkt").as("_bk2"),
+      col("_n").as("_n2"), col("_nk").as("_nk2"))
+    val offs = stats.join(broadcast(statsB), col("_op") <=> col("_bp2"))
+      .groupBy(col("_op"), col("_obkt"), col("_n"))
+      .agg(
+        sum(when(col("_bk2") < col("_obkt"), col("_n2")).otherwise(0L)).as("_off"),
+        sum(when(col("_bk2") < col("_obkt"), col("_nk2")).otherwise(0L)).as("_doff"),
+        sum(col("_n2")).as("_tot"))
 
     val joined = local.join(broadcast(offs),
       col(partCol) <=> col("_op") && col("_bkt") === col("_obkt"))
