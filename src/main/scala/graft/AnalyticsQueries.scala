@@ -6736,6 +6736,177 @@ object AnalyticsQueries {
              |        CAST(round(ln(CAST((c + 1) * (mt + 10) AS DOUBLE) /
              |                      CAST((r + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
              |       // ((nt + 10) * (mt + 10))) AS BIGINT) AS psi_micro
-             |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin))
+             |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
+
+    // ---- REVENUE CONCENTRATION (GINI) across parts: the inequality
+    //      coefficient behind "what share of revenue rides our head
+    //      SKUs" — the single number the ABC classification
+    //      (lineitem_abc_classification) bands, computed exactly.
+    //      Rank-sum identity G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    //      over revenue-sorted parts: ranks come from the TWO-PHASE
+    //      segmentedRanks (sampled boundaries + bucket-local windows,
+    //      never a single-task global sort — the machinery is
+    //      warning-clean even under this constant-group call), the
+    //      tie order is the (rev, part) total order both engines
+    //      state, and the rank·cents sum rides DECIMAL(38,0)/HUGEINT
+    //      from the start (it clears 2^63 already at 2k parts × 1e11
+    //      total cents — the pca_two_steps promotion). Output: one
+    //      exact row. ----
+    Q("lineitem_gini_revenue",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+          .withColumn("_g", lit(0))
+        graft.operators.Ranking.segmentedRanks(rev, "_g", Seq("rev", "part"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum("rev").as("sum_cents"),
+            // rank·cents products clear 2^63 already at gate scale —
+            // the whole closing dag rides DECIMAL(38,0)/HUGEINT
+            sum(expr("CAST(row_number AS DECIMAL(38,0)) * rev")).as("six"))
+          .select(col("n_parts"), col("sum_cents"),
+            expr("CAST(((2 * six - (n_parts + 1) * CAST(sum_cents AS DECIMAL(38,0))) * 1000000) div " +
+              "(CAST(n_parts AS DECIMAL(38,0)) * sum_cents) AS BIGINT)")
+              .as("gini_micro"))
+      },
+      Some("""WITH rev AS (SELECT l_partkey AS part,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, part) AS i FROM rev),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |    CAST(SUM(rev) AS BIGINT) AS sum_cents,
+             |    SUM(i::HUGEINT * rev) AS six FROM r)
+             |SELECT n_parts, sum_cents,
+             |  CAST(((2 * six - (n_parts + 1) * sum_cents::HUGEINT) * 1000000)
+             |       // (n_parts::HUGEINT * sum_cents) AS BIGINT) AS gini_micro
+             |FROM m""".stripMargin)),
+
+    // ---- BEHAVIORAL-ENTROPY CENSUS: Shannon entropy of each user's
+    //      event-type mix, histogrammed — the engagement-diversity
+    //      fingerprint (bots and single-purpose scripts pile up in
+    //      the 0-band; organic users spread toward ln 5). Per-user
+    //      entropy is Σ c·round(ln(t_u/c)·1e6) div t_u — exact
+    //      integer micro off exact-rational log arguments (the
+    //      unigram-surprisal discipline) — and the census bands it
+    //      at 0.2-nat steps, so the output is 9 rows whatever the
+    //      user count. Scale: one (user, type) count, one user-keyed
+    //      fold, one 9-key census — all map-side combinable. ----
+    Q("events_entropy_histogram",
+      (s, dir) => {
+        val ut = Tables.t(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val tu = ut.groupBy("user_id").agg(sum("c").as("t_u"))
+        ut.join(tu, Seq("user_id"))
+          .select(col("user_id"), col("t_u"),
+            (col("c") * round(log(col("t_u").cast("double") / col("c").cast("double"))
+              * 1000000).cast("long")).as("term"))
+          .groupBy("user_id", "t_u").agg(sum("term").as("sum_term"))
+          .select(expr("(sum_term div t_u) div 200000").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_users"))
+          .orderBy("band")
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tu AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t_u FROM ut GROUP BY 1),
+             |e AS (SELECT ut.user_id, tu.t_u,
+             |    ut.c * CAST(round(ln(CAST(tu.t_u AS DOUBLE) / CAST(ut.c AS DOUBLE)) * 1000000) AS BIGINT) AS term
+             |  FROM ut JOIN tu USING (user_id)),
+             |s AS (SELECT user_id, (CAST(SUM(term) AS BIGINT) // MAX(t_u)) // 200000 AS band
+             |      FROM e GROUP BY user_id)
+             |SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- ORDER INTER-ARRIVAL BURSTINESS (CV per priority class):
+    //      the coefficient of variation of customer order gaps —
+    //      CV ≈ 1 is Poisson-random, > 1 bursty, < 1 metronomic; the
+    //      demand-regularity diagnostic capacity planning reads
+    //      before trusting a mean rate. Gaps are exact integer days
+    //      off a customer-partitioned LEAD (customer-keyed, high
+    //      cardinality — never global); each gap is attributed to
+    //      the LATER order's priority; per-class CV closes from
+    //      three exact BIGINT moments with one final double dag
+    //      (events_correlation discipline). ----
+    Q("orders_interarrival_cv",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority"),
+            unix_date(col("o_orderdate").cast("date")).cast("long").as("d"))
+        val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderpriority")
+        val gaps = o
+          .withColumn("prev_d", lag("d", 1).over(w))
+          .filter(col("prev_d").isNotNull)
+          .select(col("o_orderpriority"), (col("d") - col("prev_d")).as("gap"))
+        gaps.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("gap").as("s"),
+            sum(col("gap") * col("gap")).as("ss"))
+          .withColumn("cv",
+            sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")) /
+              col("s").cast("double"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderpriority,
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+             |  FROM orders),
+             |g AS (SELECT o_orderpriority,
+             |    d - LAG(d, 1) OVER (PARTITION BY o_custkey ORDER BY d, o_orderpriority) AS gap
+             |  FROM o),
+             |m AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(gap) AS BIGINT) AS s, CAST(SUM(gap * gap) AS BIGINT) AS ss
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT o_orderpriority, n, s, ss,
+             |  sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(s AS DOUBLE) AS cv
+             |FROM m ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- NEIGHBORHOOD-JACCARD LINK PREDICTION: completes the local
+    //      similarity quartet (common-neighbors / resource-allocation
+    //      / Jaccard; Adamic-Adar is RA's log-weighted sibling) —
+    //      |N(a)∩N(b)| / |N(a)∪N(b)| in exact permille for the same
+    //      non-adjacent candidate pairs. Normalizing by the union
+    //      demotes hub-inflated pairs that raw common-neighbor counts
+    //      over-rank. Same wedge-join machinery; the two degree
+    //      lookups join the node-sized degree table onto the
+    //      CANDIDATE pairs (output-sized), not the wedge stream. ----
+    Q("graph_jaccard_neighbors",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // wedges (x2), degrees, and the anti-join
+        val sym = graft.operators.Graphs.symmetric(e)
+        val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        val w1 = sym.select(col("u").as("x"), col("v").as("a"))
+        val w2 = sym.select(col("u").as("x"), col("v").as("b"))
+        val cn = w1.join(w2, Seq("x"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 2)
+        cn.join(e.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
+          .join(deg.select(col("u").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("u").as("b"), col("deg").as("db")), Seq("b"))
+          .select(col("a"), col("b"), col("n_common"),
+            expr("(1000 * n_common) div (da + db - n_common)").as("jaccard_pm"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+             |cn AS (SELECT w1.v AS a, w2.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+             |       FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+             |       GROUP BY 1, 2)
+             |SELECT a, b, n_common,
+             |  CAST((1000 * n_common) // (da.deg + db.deg - n_common) AS BIGINT) AS jaccard_pm
+             |FROM cn JOIN dg da ON da.u = cn.a JOIN dg db ON db.u = cn.b
+             |WHERE n_common >= 2
+             |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+             |ORDER BY a, b""".stripMargin))
   )
 }
