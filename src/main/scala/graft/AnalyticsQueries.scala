@@ -6907,6 +6907,101 @@ object AnalyticsQueries {
              |FROM cn JOIN dg da ON da.u = cn.a JOIN dg db ON db.u = cn.b
              |WHERE n_common >= 2
              |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- STREAMING GAP DETECTION through the real engine: one row
+    //      per silent hour of each event stream, including gaps that
+    //      SPAN the micro-batch boundary (the state's whole job —
+    //      a per-batch rewrite would miss exactly those). Time-split
+    //      replay makes cross-batch order well-defined; the oracle
+    //      states the equivalent batch truth — every hour in each
+    //      stream's (min, max) span with no events. ----
+    Q("events_stream_gapfill",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_gapfill_",
+          byTime = true)
+        val out = graft.streaming.EventStreams.gapFillStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)))(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8)) // state = one long per stream
+          .select(col("event_type"),
+            timestamp_micros(col("gap_hour_us")).as("gap_hour"))
+          .orderBy("event_type", "gap_hour")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events),
+             |b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM h GROUP BY 1),
+             |sp AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+             |SELECT sp.event_type, sp.h AS gap_hour
+             |FROM sp LEFT JOIN h ON h.event_type = sp.event_type AND h.h = sp.h
+             |WHERE h.h IS NULL ORDER BY 1, 2""".stripMargin)),
+
+    // ---- COMPACTION PLAN (bin-packing by running sum): assign each
+    //      day's partition to a target-size compaction group — the
+    //      planning step of every small-file maintenance job (the
+    //      EXECUTION step is etl_compact_roundtrip; this is the
+    //      "which files merge together" decision at metadata cost).
+    //      Greedy date-ordered binning: bin = exclusive-prefix-rows
+    //      div target, so bins are contiguous date ranges ≈ target
+    //      rows. The prefix sum over the day grain is TWO-PHASE
+    //      (year bands: within-band windows + a broadcast triangular
+    //      carry — the groupedCumWeights discipline), so nothing
+    //      sorts in one task even though the grain is global. ----
+    Q("layout_compaction_plan",
+      (s, dir) => {
+        val days = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("_band", year(col("d")))
+          .localCheckpoint() // day grain; window + carry + totals read it
+        val wIn = Window.partitionBy("_band").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bandTot = days.groupBy(col("_band").as("_b2"))
+          .agg(sum("n").as("_bn"))
+        val carry = bandTot.select(col("_b2").as("_band"))
+          .join(broadcast(bandTot), col("_b2") < col("_band"), "left")
+          .groupBy("_band").agg(coalesce(sum("_bn"), lit(0L)).as("_carry"))
+        days.join(broadcast(carry), Seq("_band"))
+          .withColumn("_cum", col("_carry") + sum("n").over(wIn))
+          .withColumn("bin", expr("(_cum - n) div 20000"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("n_rows"),
+            min("d").as("first_day"), max("d").as("last_day"))
+          .orderBy("bin")
+      },
+      Some("""WITH days AS (SELECT CAST(l_shipdate AS DATE) AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+             |c AS (SELECT d, n,
+             |    SUM(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM days)
+             |SELECT CAST((cum - n) // 20000 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows, MIN(d) AS first_day, MAX(d) AS last_day
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- DAY-OF-WEEK SEASONALITY with a chi-square deviation score:
+    //      order volume per weekday plus each day's exact-integer
+    //      contribution to the chi-square statistic against the
+    //      uniform expectation — "is the weekly cycle real or noise"
+    //      stated as numbers both engines agree on bit-exactly:
+    //      contrib = (7·o_d − total)² div (7·total), the
+    //      common-denominator form of (o_d − total/7)²/(total/7).
+    //      One 7-key map-side count; the total is a broadcast. ----
+    Q("orders_dow_seasonality",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "orders")
+          .groupBy(dayofweek(col("o_orderdate")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_orders"))
+        d.crossJoin(broadcast(d.agg(sum("n_orders").as("tot"))))
+          .select(col("dow"), col("n_orders"),
+            expr("((7 * n_orders - tot) * (7 * n_orders - tot)) div (7 * tot)")
+              .as("chi2_contrib"))
+          .orderBy("dow")
+      },
+      Some("""WITH d AS (SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             |    CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM d)
+             |SELECT dow, n_orders,
+             |  CAST(((7 * n_orders - tot) * (7 * n_orders - tot)) // (7 * tot) AS BIGINT) AS chi2_contrib
+             |FROM d CROSS JOIN t ORDER BY dow""".stripMargin))
   )
 }

@@ -190,6 +190,48 @@ object EventStreams {
       }
   }
 
+  final case class GapRow(event_type: String, gap_hour_us: Long)
+
+  /**
+   * STREAMING GAP DETECTION (zero-fill): one row per SILENT hour of
+   * each event stream — an hour strictly between two observed hours
+   * with no events — emitted as batches arrive. The monitoring
+   * primitive behind "feed X went dark 02:00-05:00": an append-mode
+   * aggregate can never say this (absence has no row to aggregate),
+   * so it takes per-key state — the last hour seen, ONE long per
+   * stream — carried across micro-batches by flatMapGroupsWithState;
+   * a gap spanning a batch boundary is detected when the next batch's
+   * first hour arrives. Each batch's group reduces to its DISTINCT
+   * hour indices before the in-memory sort (bounded by the calendar
+   * span of one batch, never its event count). Feed contract:
+   * time-split batches (the debounce contract), which is how the
+   * gate stages it.
+   */
+  def gapFillStream(events: DataFrame)
+                   (implicit spark: SparkSession): Dataset[GapRow] = {
+    import spark.implicits._
+    events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hidx"))
+      .filter(col("event_type").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, GapRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[Long]) =>
+          val hours = rows.map(_._2).toSet.toSeq.sorted
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[GapRow]
+          hours.foreach { h =>
+            if (last != Long.MinValue && h > last + 1)
+              ((last + 1) until h).foreach(g =>
+                out += GapRow(etype, g * 3600000000L))
+            if (h > last) last = h
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.result().iterator
+      }
+  }
+
   final case class ThrottledEvent(event_id: Long, user_id: Long, win: Long)
 
   /**
