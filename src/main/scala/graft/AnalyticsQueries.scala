@@ -7002,6 +7002,40 @@ object AnalyticsQueries {
              |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM d)
              |SELECT dow, n_orders,
              |  CAST(((7 * n_orders - tot) * (7 * n_orders - tot)) // (7 * tot) AS BIGINT) AS chi2_contrib
-             |FROM d CROSS JOIN t ORDER BY dow""".stripMargin))
+             |FROM d CROSS JOIN t ORDER BY dow""".stripMargin)),
+
+    // ---- LORENZ DECILE SHARES: the curve behind
+    //      lineitem_gini_revenue — revenue share of each part decile
+    //      (ranked cheapest-to-richest), the "bottom 50% of SKUs
+    //      carry 4% of revenue" table. Deciles are EXACT NTILE(10)
+    //      from the two-phase rank machinery (first tot%10 tiles get
+    //      one extra row — both engines' NTILE contract); shares are
+    //      exact permille of exact cents. ----
+    Q("lineitem_lorenz_deciles",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+          .withColumn("_g", lit(0))
+        val tiled = graft.operators.Ranking
+          .segmentedRanks(rev, "_g", Seq("rev", "part"), ntiles = Some(10))
+          .groupBy(col("ntile").as("decile"))
+          .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
+        tiled.crossJoin(broadcast(tiled.agg(sum("rev_cents").as("tot"))))
+          .select(col("decile"), col("n_parts"), col("rev_cents"),
+            expr("(1000 * rev_cents) div tot").as("share_pm"))
+          .orderBy("decile")
+      },
+      Some("""WITH rev AS (SELECT l_partkey AS part,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |r AS (SELECT rev, NTILE(10) OVER (ORDER BY rev, part) AS decile FROM rev),
+             |g AS (SELECT CAST(decile AS BIGINT) AS decile,
+             |    CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |    CAST(SUM(rev) AS BIGINT) AS rev_cents FROM r GROUP BY 1),
+             |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM g)
+             |SELECT decile, n_parts, rev_cents,
+             |  CAST((1000 * rev_cents) // tot AS BIGINT) AS share_pm
+             |FROM g CROSS JOIN t ORDER BY decile""".stripMargin))
   )
 }

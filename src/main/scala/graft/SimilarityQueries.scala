@@ -1311,6 +1311,50 @@ object SimilarityQueries {
              |SELECT doc_id,
              |  CAST(COALESCE(r_lex, 0) + COALESCE(r_dense, 0) AS BIGINT) AS rrf_nano
              |FROM lr FULL OUTER JOIN dr USING (doc_id)
-             |ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- BINARY-EMBEDDING HAMMING RETRIEVAL: each vector collapses
+    //      to its 64 SIGN BITS (two packed 32-bit words) and top-k
+    //      runs on Hamming distance — the 1-bit-per-dimension first
+    //      stage of a memory-bound ANN stack (32x less memory
+    //      traffic than float dims; bit_count(xor) is a handful of
+    //      instructions per candidate; production composition is
+    //      hamming-shortlist -> float re-rank, same pattern as the
+    //      PQ/matryoshka stages). Packing is a map-side HOF fold
+    //      over the array (no explode, no shuffle — the corpus-sized
+    //      path stays narrow); the probe is one broadcast row; the
+    //      top-k is TakeOrderedAndProject. Sign convention x > 0 is
+    //      an exact double comparison both engines share. ----
+    Q("sim_hamming_topk",
+      (s, dir) => {
+        val packed = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .select(col("vec_id"),
+            expr("aggregate(sequence(0, 31), 0L, (a, p) -> " +
+              "a + IF(element_at(e, p + 1) > 0D, shiftleft(1L, p), 0L))").as("lo"),
+            expr("aggregate(sequence(32, 63), 0L, (a, p) -> " +
+              "a + IF(element_at(e, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
+        val probe = packed.filter(col("vec_id") === 0)
+          .select(col("lo").as("plo"), col("hi").as("phi"))
+        packed.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            (bit_count(col("lo").bitwiseXOR(col("plo"))) +
+              bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long").as("hamming"))
+          .orderBy(col("hamming"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |bits AS (SELECT vec_id, p.p AS p, (v[p.p + 1] > 0) AS b
+             |         FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+             |packed AS (SELECT vec_id,
+             |    SUM(CASE WHEN b AND p < 32 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS lo,
+             |    SUM(CASE WHEN b AND p >= 32 THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS hi
+             |  FROM bits GROUP BY 1),
+             |probe AS (SELECT lo AS plo, hi AS phi FROM packed WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS hamming
+             |FROM packed, probe WHERE vec_id <> 0
+             |ORDER BY hamming, vec_id LIMIT 10""".stripMargin))
   )
 }

@@ -2140,6 +2140,44 @@ object TextQueries {
              |  FROM st JOIN ct USING (token) JOIN ts USING (source) CROSS JOIN tot)
              |SELECT source, t_s AS n_tokens,
              |  CAST(SUM(term) // t_s AS BIGINT) AS kl_micro
-             |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin))
+             |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin)),
+
+    // ---- SOURCE VOCABULARY OVERLAP (pairwise Jaccard of type
+    //      sets): which ingest feeds carry each other's content —
+    //      the curation matrix that catches two "different" crawls
+    //      republishing the same corpus before dedup pays for
+    //      finding out row by row. One distinct (source, token)
+    //      projection, one token-keyed self-join (per-token fan-out
+    //      bounded by sources², never corpus²), vocabulary sizes
+    //      joined onto the SOURCES²-sized pair table; Jaccard is
+    //      exact permille. ----
+    Q("text_source_vocab_overlap",
+      (s, dir) => {
+        val st = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("token"))
+          .distinct()
+          .localCheckpoint() // vocab sizes AND both join sides read it
+        val vs = st.groupBy("source").agg(count(lit(1)).as("vocab"))
+        val inter = st.select(col("source").as("sa"), col("token"))
+          .join(st.select(col("source").as("sb"), col("token")), Seq("token"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(vs.select(col("source").as("sa"), col("vocab").as("va")), Seq("sa"))
+          .join(vs.select(col("source").as("sb"), col("vocab").as("vb")), Seq("sb"))
+          .select(col("sa"), col("sb"), col("inter"),
+            expr("(1000 * inter) div (va + vb - inter)").as("jaccard_pm"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+             |i AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+             |      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT sa, sb, inter,
+             |  CAST((1000 * inter) // (va.vocab + vb.vocab - inter) AS BIGINT) AS jaccard_pm
+             |FROM i JOIN vs va ON va.source = i.sa JOIN vs vb ON vb.source = i.sb
+             |ORDER BY sa, sb""".stripMargin))
   )
 }
