@@ -137,8 +137,60 @@ object TypedQueries {
              |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
              |  CAST(MAX(us) AS BIGINT) AS end_us, COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // ---- typed MULTI-FIELD Aggregator: one pass, one buffer case
+    //      class (count, exact cents sum via BigDecimal quantization,
+    //      max) — the compile-time face of the agg_moments family.
+    //      Cents come from BigDecimal.setScale(2, HALF_UP) on the
+    //      double (the same HALF_UP contract as Spark's round() and
+    //      DuckDB's round(), so the oracle is exact). Merge is
+    //      field-wise and order-independent — the Aggregator law that
+    //      makes it safe under any partitioning. ----
+    Q("typed_customer_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select("o_custkey", "o_totalprice")
+          .as[CustOrder]
+          .groupByKey(_.o_custkey)
+          .agg(CustStats.toColumn.name("st"))
+          .select(col("key").as("o_custkey"),
+            col("st.n").as("n_orders"),
+            col("st.sum_cents").as("sum_cents"),
+            col("st.max_cents").as("max_cents"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  final case class CustOrder(o_custkey: Long, o_totalprice: Double)
+  final case class CustBuf(n: Long, sum_cents: Long, max_cents: Long)
+
+  /** Multi-field typed Aggregator over orders: (count, exact cents
+    * sum, max) in one buffer. Cents quantize through BigDecimal
+    * HALF_UP — the same rounding contract as SQL round() on both
+    * engines, so typed and Column results agree bit-exactly. */
+  object CustStats extends Aggregator[CustOrder, CustBuf, CustBuf] {
+    private def cents(p: Double): Long =
+      new java.math.BigDecimal(p)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    override def zero: CustBuf = CustBuf(0L, 0L, Long.MinValue)
+    override def reduce(b: CustBuf, o: CustOrder): CustBuf = {
+      val c = cents(o.o_totalprice)
+      CustBuf(b.n + 1, b.sum_cents + c, math.max(b.max_cents, c))
+    }
+    override def merge(a: CustBuf, b: CustBuf): CustBuf =
+      CustBuf(a.n + b.n, a.sum_cents + b.sum_cents,
+        math.max(a.max_cents, b.max_cents))
+    override def finish(r: CustBuf): CustBuf = r
+    override def bufferEncoder: Encoder[CustBuf] = Encoders.product[CustBuf]
+    override def outputEncoder: Encoder[CustBuf] = Encoders.product[CustBuf]
+  }
 
   final case class OrderRow(o_custkey: Long, o_orderkey: Long, epoch_s: Long)
   final case class OrderGap(o_custkey: Long, o_orderkey: Long, gap_s: Long)

@@ -221,6 +221,28 @@ object JobRunner {
                 s"${r.getString(0)}(${r.getString(1)}) metric=${r.getDouble(2)} vs ${r.getDouble(3)}")
                 .mkString("; "))
             stepsRun ::= step
+          case "VALIDATE_DRIFT" =>
+            // distribution-drift gate before loading: PSI of the
+            // mapped source's drift column vs a baseline-era parquet,
+            // exact-integer formula shared with the batch gate query
+            // and the streaming monitor (operators.Profile.psiMicro).
+            // Parameters (transformation.parameters): driftColumn,
+            // driftBandWidth, driftBaselinePath, driftMaxPsiMicro
+            // (default 200000 = the conventional 0.2 alert line).
+            val p = cfg.transformation.parameters
+            def need(k: String) = p.getOrElse(k,
+              throw new IllegalArgumentException(s"VALIDATE_DRIFT needs transformation.parameters.$k"))
+            val dcol = need("driftColumn")
+            val width = need("driftBandWidth").toDouble
+            val basePath = need("driftBaselinePath")
+            val maxPsi = p.getOrElse("driftMaxPsiMicro", "200000").toLong
+            val cur = Readers.forConfig(spark, cfg.source, cfg.mappings)
+            val psi = graft.operators.Profile.psiMicro(
+              cur, spark.read.parquet(basePath), dcol, width)
+            if (psi > maxPsi)
+              throw new ErrorPolicy.JobFailedException(
+                s"VALIDATE_DRIFT: psi_micro=$psi over $dcol exceeds $maxPsi vs baseline $basePath")
+            stepsRun ::= step
           case "TRUNCATE_DESTINATION" =>
             // File sinks: truncation is the overwrite mode of the LOAD
             // write itself. JDBC sinks: eager TRUNCATE TABLE on the

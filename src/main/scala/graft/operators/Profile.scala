@@ -57,4 +57,47 @@ object Profile {
       s"stack(${cols.length}, $stacked) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"))
   }
+
+  /**
+   * Exact-integer population-stability index (×1e6) between a current
+   * and a reference relation over fixed value bands — the shared
+   * closure behind the `etl_distribution_drift_psi` gate query, the
+   * `events_stream_drift_psi` streaming monitor, and the
+   * VALIDATE_DRIFT job step. Discipline: bands are
+   * floor(value/bandWidth) clamped to [0, bands) (fixed axis — both
+   * eras band identically; floor() makes the double→int step exact on
+   * both engines), counts get +1 smoothing so an empty band can't
+   * blow up the log, the log argument is an exact integer ratio
+   * (identical IEEE before the one ln), and each band contributes one
+   * BIGINT floor division.
+   *
+   * Scale: two map-side banded counts + a bands-sized spine join; the
+   * returned value is a one-row collect (metadata).
+   */
+  def psiMicro(cur: DataFrame, ref: DataFrame, valueCol: String,
+               bandWidth: Double, bands: Int = 10): Long = {
+    val spark = cur.sparkSession
+    def hist(df: DataFrame) = df
+      .select(least(greatest(
+        expr(s"CAST(floor($valueCol / $bandWidth) AS BIGINT)"), lit(0L)),
+        lit(bands - 1L)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("k"))
+    val c = hist(cur).withColumnRenamed("k", "c")
+    val r = hist(ref).withColumnRenamed("k", "r")
+    val row = spark.range(0, bands).select(col("id").as("band"))
+      .join(c, Seq("band"), "left").join(r, Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("r"), lit(0L)).as("r"))
+      .crossJoin(broadcast(
+        c.agg(coalesce(sum("c"), lit(0L)).as("nt"))
+          .crossJoin(r.agg(coalesce(sum("r"), lit(0L)).as("mt")))))
+      .withColumn("lq_micro",
+        round(log(((col("c") + 1) * (col("mt") + bands)).cast("double") /
+          ((col("r") + 1) * (col("nt") + bands)).cast("double")) * 1000000)
+          .cast("long"))
+      .agg(sum(expr(s"(((c + 1) * (mt + $bands) - (r + 1) * (nt + $bands)) * lq_micro)" +
+        s" div ((nt + $bands) * (mt + $bands))")).as("psi_micro"))
+      .collect()(0)
+    row.getLong(0)
+  }
 }

@@ -341,4 +341,39 @@ class OrchestrationSpec extends SparkTestBase {
       case st => fail(s"expected Failed, got $st")
     }
   }
+
+  test("VALIDATE_DRIFT step: passes on a same-era source, fails past the PSI gate") {
+    import org.apache.spark.sql.functions._
+    val work = tmpDir("drift_step")
+    // baseline era = the orders price distribution itself
+    spark.read.parquet(s"$sf/orders.parquet").select("o_totalprice")
+      .write.parquet(s"$work/baseline")
+    def cfg(id: String, base: String) = graft.model.JobConfig(
+      jobId = id,
+      steps = List("VALIDATE_DRIFT", "LOAD"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(s"$sf/orders.parquet"))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(s"$work/dest_$id")))),
+      mappings = List(
+        graft.model.FieldMapping("o_orderkey", "o_orderkey", destFieldType = "LONG"),
+        graft.model.FieldMapping("o_totalprice", "o_totalprice", destFieldType = "DOUBLE")),
+      transformation = graft.model.Transformation("NONE",
+        parameters = Map(
+          "driftColumn" -> "o_totalprice",
+          "driftBandWidth" -> "50000",
+          "driftBaselinePath" -> base)))
+    // same era: PSI ~ 0 (only +1-smoothing noise) -> job completes
+    val ok = graft.job.JobRunner.run(spark, cfg("drift-ok", s"$work/baseline"))
+    assert(ok.status == graft.job.JobRunner.Completed, ok.message)
+    assert(ok.stepsRun.contains("VALIDATE_DRIFT"), ok.stepsRun)
+    // shifted baseline (prices collapsed into band 0) -> gate fires
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select((col("o_totalprice") / 1000).as("o_totalprice"))
+      .write.parquet(s"$work/shifted")
+    graft.job.JobRunner.run(spark, cfg("drift-bad", s"$work/shifted")).status match {
+      case graft.job.JobRunner.Failed(m) => assert(m.contains("VALIDATE_DRIFT"), m)
+      case st => fail(s"expected Failed, got $st")
+    }
+  }
 }
