@@ -7036,6 +7036,166 @@ object AnalyticsQueries {
              |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM g)
              |SELECT decile, n_parts, rev_cents,
              |  CAST((1000 * rev_cents) // tot AS BIGINT) AS share_pm
-             |FROM g CROSS JOIN t ORDER BY decile""".stripMargin))
+             |FROM g CROSS JOIN t ORDER BY decile""".stripMargin)),
+
+    // ---- BEHAVIORAL SIMILARITY SEARCH: top-k users whose event
+    //      SEQUENCE most resembles a probe user's, by Jaccard over
+    //      the set of time-ordered TRANSITION bigrams (view>click,
+    //      click>purchase, …) — the "find accounts that behave like
+    //      this one" query behind fraud-ring and power-user lookups,
+    //      the sequence analogue of the trajectory-similarity top-k
+    //      family. Per-user sequences assemble with one
+    //      sort_array(collect_list) keyed by user (bounded by a
+    //      user's own activity; at 100 TB cap to the first N events
+    //      per user with a user-partitioned row_number before
+    //      collecting); the transition SET is bounded by the
+    //      event-type alphabet squared whatever the activity volume,
+    //      so the candidate join (explode → probe-set semi-match) is
+    //      alphabet²-bounded per user. Jaccard is exact permille;
+    //      top-10 is a TakeOrdered. ----
+    Q("events_user_similarity_topk",
+      (s, dir) => {
+        val bg = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type")).as("r"))
+          .groupBy("user_id").agg(sort_array(collect_list("r")).as("rs"))
+          .select(col("user_id"),
+            array_distinct(expr(
+              "zip_with(slice(transform(rs, x -> x.event_type), 1, size(rs) - 1), " +
+              "slice(transform(rs, x -> x.event_type), 2, size(rs) - 1), " +
+              "(a, b) -> concat(a, '>', b))")).as("bgs"))
+          .localCheckpoint() // probe AND the candidate explode read it
+        val probe = bg.filter(col("user_id") === 1)
+          .select(explode(col("bgs")).as("tok"))
+        val pn = probe.agg(count(lit(1)).as("na"))
+        bg.filter(col("user_id") =!= 1)
+          .select(col("user_id"), size(col("bgs")).cast("long").as("nb"),
+            explode(col("bgs")).as("tok"))
+          .join(broadcast(probe), Seq("tok"))
+          .groupBy("user_id", "nb").agg(count(lit(1)).as("inter"))
+          .crossJoin(broadcast(pn))
+          .select(col("user_id"), col("inter"),
+            expr("(1000 * inter) div (na + nb - inter)").as("jaccard_pm"))
+          .orderBy(desc("jaccard_pm"), col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH seqs AS (SELECT user_id,
+             |    list(event_type ORDER BY ts, event_id) AS sq FROM events GROUP BY 1),
+             |bg AS (SELECT user_id,
+             |    list_distinct([sq[i] || '>' || sq[i+1] FOR i IN range(1, len(sq))]) AS bgs
+             |  FROM seqs),
+             |probe AS (SELECT unnest(bgs) AS tok FROM bg WHERE user_id = 1),
+             |pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM probe),
+             |cand AS (SELECT b.user_id, CAST(len(b.bgs) AS BIGINT) AS nb,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM bg b, unnest(b.bgs) AS t(tok) JOIN probe USING (tok)
+             |  WHERE b.user_id <> 1 GROUP BY 1, 2)
+             |SELECT user_id, inter,
+             |  CAST((1000 * inter) // (na + nb - inter) AS BIGINT) AS jaccard_pm
+             |FROM cand CROSS JOIN pn
+             |ORDER BY jaccard_pm DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ---- MUTUAL INFORMATION between two banded columns: does price
+    //      carry information about quantity — the model-free
+    //      dependency detector behind feature selection and join-key
+    //      correlation diagnosis (zero MI ⇒ the optimizer's
+    //      independence assumption holds; high MI ⇒ correlated-filter
+    //      selectivity estimates are lies). Exact discipline on a
+    //      bounded 10×10 contingency: cell terms are
+    //      c_xy·round(ln((c_xy·N)/(c_x·c_y))·1e6) — integer log
+    //      arguments, one BIGINT floor at the end. One fact pass
+    //      builds the contingency (map-side combinable, 100 keys);
+    //      marginals fold from the CELLS, never a second fact scan. ----
+    Q("diag_mutual_information",
+      (s, dir) => {
+        val cells = Tables.t(s, dir, "lineitem")
+          .select(
+            least(expr("CAST(floor(l_extendedprice / 10000) AS BIGINT)"), lit(9L)).as("px"),
+            least(expr("CAST(floor(l_quantity / 5) AS BIGINT)"), lit(9L)).as("qy"))
+          .groupBy("px", "qy").agg(count(lit(1)).as("cxy"))
+          .localCheckpoint() // 100 rows; marginals + terms read it
+        val mx = cells.groupBy("px").agg(sum("cxy").as("cx"))
+        val my = cells.groupBy("qy").agg(sum("cxy").as("cy"))
+        val n = cells.agg(sum("cxy").as("n"))
+        cells.join(mx, Seq("px")).join(my, Seq("qy")).crossJoin(broadcast(n))
+          .select(col("n"),
+            (col("cxy") * round(log((col("cxy") * col("n")).cast("double") /
+              (col("cx") * col("cy")).cast("double")) * 1000000).cast("long")).as("term"))
+          .groupBy("n").agg(sum("term").as("sum_term"))
+          .select(col("n"), expr("sum_term div n").as("mi_micro"))
+      },
+      Some("""WITH cells AS (SELECT
+             |    LEAST(CAST(floor(l_extendedprice / 10000) AS BIGINT), 9) AS px,
+             |    LEAST(CAST(floor(l_quantity / 5) AS BIGINT), 9) AS qy,
+             |    CAST(COUNT(*) AS BIGINT) AS cxy
+             |  FROM lineitem GROUP BY 1, 2),
+             |mx AS (SELECT px, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+             |my AS (SELECT qy, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+             |n AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
+             |t AS (SELECT n.n,
+             |    cells.cxy * CAST(round(ln(CAST(cells.cxy * n.n AS DOUBLE) /
+             |                              CAST(mx.cx * my.cy AS DOUBLE)) * 1000000) AS BIGINT) AS term
+             |  FROM cells JOIN mx USING (px) JOIN my USING (qy) CROSS JOIN n)
+             |SELECT n, CAST(SUM(term) // n AS BIGINT) AS mi_micro
+             |FROM t GROUP BY n""".stripMargin)),
+
+    // ---- RICH-CLUB COEFFICIENT: do the co-purchase graph's hubs
+    //      preferentially connect to EACH OTHER — φ(k) = observed
+    //      edges among nodes of degree > k over the possible
+    //      N_k·(N_k−1)/2, in exact permille, for a ladder of k
+    //      thresholds. The hub-interconnection census that
+    //      distinguishes a star-shaped catalog (hubs never co-bought
+    //      together) from a dense core. One degree aggregate; the
+    //      threshold ladder is a 3-row broadcast spine; edge
+    //      qualification joins the node-sized degree table onto the
+    //      edge list twice, then one conditional count per k. ----
+    Q("graph_rich_club",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // degrees AND the qualified-edge join read it
+        val sym = graft.operators.Graphs.symmetric(e)
+        val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        val ks = s.range(1, 4).select((lit(1) * pow(lit(2), col("id"))).cast("long").as("k"))
+        val nk = deg.crossJoin(broadcast(ks))
+          .filter(col("deg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val ek = e
+          .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+          .crossJoin(broadcast(ks))
+          .filter(col("du") > col("k") && col("dv") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+          .withColumn("phi_pm", // n_nodes <= 1: no possible pairs, φ := 0
+            expr("IF(n_nodes > 1, (2000 * n_edges) div (n_nodes * (n_nodes - 1)), 0L)"))
+          .orderBy("k")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+             |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+             |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |       FROM dg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+             |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+             |       FROM e JOIN dg da ON da.u = e.u JOIN dg db ON db.u = e.v
+             |       CROSS JOIN ks WHERE da.deg > k AND db.deg > k GROUP BY 1)
+             |SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+             |  CASE WHEN nk.n_nodes > 1
+             |    THEN CAST((2000 * COALESCE(ek.n_edges, 0)) // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT)
+             |    ELSE 0 END AS phi_pm
+             |FROM nk LEFT JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin))
   )
 }

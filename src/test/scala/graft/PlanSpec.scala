@@ -426,4 +426,50 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("], [], ["),
       s"unpartitioned window crept into the skyline:\n${plan.take(3000)}")
   }
+
+  test("RRF fusion is window-free with a TakeOrdered cut") {
+    // (the lexical leg's bucket pruning is pinned by the BM25 test —
+    // here the leg sits behind a localCheckpoint, so its scan is not
+    // in the final plan's lineage)
+    val plan = planString(Queries.queries("sim_rrf_fusion")(spark, sf))
+    // ranks come from the broadcast count-of-better join, never a window
+    assert(!plan.contains("Window"),
+      s"RRF must be window-free (count-of-better ranks):\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrdered for the fused top-10 cut")
+    // the one full-outer fuse join may SMJ — Spark has no broadcast
+    // full-outer — but both its sides are <=k rows by construction
+    // (each leg is the output of its own TakeOrdered), so the sort is
+    // k-bounded; what must NOT SMJ is anything corpus-sized, i.e. the
+    // count-of-better rank joins, which broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rank count-of-better joins must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("Hamming top-k: map-side bit packing, broadcast probe, TakeOrdered cut") {
+    val plan = planString(Queries.queries("sim_hamming_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"probe must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrdered for the top-10 cut")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the Hamming path may SMJ:\n${plan.take(1500)}")
+    // the corpus side is scanned once: pack + score are one narrow pass
+    assert(!plan.contains("Window"), "no window belongs in this plan")
+  }
+
+  test("segmentedRanks offsets are window-free even under a constant group") {
+    import org.apache.spark.sql.functions._
+    val d = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 97).as("v"))
+      .withColumn("_g", lit(0))
+    val r = graft.operators.Ranking.segmentedRanks(d, "_g", Seq("v", "id"))
+    val plan = planString(r)
+    // the only windows are the bucket-local rank windows, whose
+    // partition spec carries _bkt — no `], [], [` empty spec anywhere
+    // (FoldablePropagation folds the literal _g out of partitionSpec;
+    // before the triangular-join offsets this printed empty specs)
+    assert(!plan.contains("], [], ["),
+      s"unpartitioned window in segmentedRanks:\n${plan.take(3000)}")
+  }
 }
