@@ -7196,6 +7196,60 @@ object AnalyticsQueries {
              |  CASE WHEN nk.n_nodes > 1
              |    THEN CAST((2000 * COALESCE(ek.n_edges, 0)) // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT)
              |    ELSE 0 END AS phi_pm
-             |FROM nk LEFT JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin))
+             |FROM nk LEFT JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin)),
+
+    // ---- ABC CLASS MIGRATION between two eras: every part
+    //      classified A (top 10% by revenue rank), B (next 30%), C
+    //      in each era, and the 3×3 transition matrix of who moved —
+    //      the assortment-churn report behind "which SKUs fell out
+    //      of the head". Classification uses the two-phase
+    //      groupedCumWeights primitive (group = era, value = −rev,
+    //      weight 1): cum_w at a part's value is EXACTLY the number
+    //      of parts with rev ≥ its own (ties share a class, the
+    //      deterministic tie rule the RANGE-frame oracle states), so
+    //      no global window touches the part dimension. One era
+    //      self-join on part closes the matrix. ----
+    Q("orders_abc_migration",
+      (s, dir) => {
+        val rev = Tables.t(s, dir, "lineitem")
+          .groupBy(
+            when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "before")
+              .otherwise("after").as("era"),
+            col("l_partkey").as("part"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+          .withColumn("neg", -col("rev"))
+        val cw = graft.operators.Ranking.groupedCumWeights(
+          rev, Seq("era"), "neg", lit(1L), bandWidth = 2e6)
+        val classed = rev.join(cw, Seq("era", "neg"))
+          .select(col("era"), col("part"),
+            when(expr("(1000 * cum_w) div tot_w") <= 100, "A")
+              .when(expr("(1000 * cum_w) div tot_w") <= 400, "B")
+              .otherwise("C").as("cls"))
+        classed.filter(col("era") === "before")
+          .select(col("part"), col("cls").as("class_before"))
+          .join(classed.filter(col("era") === "after")
+            .select(col("part"), col("cls").as("class_after")), Seq("part"))
+          .groupBy("class_before", "class_after")
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy("class_before", "class_after")
+      },
+      Some("""WITH r AS (SELECT
+             |    CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'before' ELSE 'after' END AS era,
+             |    l_partkey AS part,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT era, part,
+             |    COUNT(*) OVER (PARTITION BY era ORDER BY rev DESC
+             |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             |    COUNT(*) OVER (PARTITION BY era) AS tot
+             |  FROM r),
+             |k AS (SELECT era, part,
+             |    CASE WHEN (1000 * cum_n) // tot <= 100 THEN 'A'
+             |         WHEN (1000 * cum_n) // tot <= 400 THEN 'B'
+             |         ELSE 'C' END AS cls FROM c)
+             |SELECT b.cls AS class_before, a.cls AS class_after,
+             |  CAST(COUNT(*) AS BIGINT) AS n_parts
+             |FROM k b JOIN k a ON a.part = b.part AND b.era = 'before' AND a.era = 'after'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1355,6 +1355,64 @@ object SimilarityQueries {
              |SELECT vec_id,
              |  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS hamming
              |FROM packed, probe WHERE vec_id <> 0
-             |ORDER BY hamming, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY hamming, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- K-MEANS++ SEEDING (farthest-point / k-center greedy): the
+    //      distributed initialization step k-means|| parallelizes —
+    //      from seed₀ = vec 0, each round picks the point MAXIMIZING
+    //      its min squared distance to the chosen seeds. Two rounds
+    //      unrolled here (the oracle states them as two explicit
+    //      argmax CTEs — a recursive form would hide the tie rule).
+    //      Exact: distances are Σ(Δq)² over round(x·1000)-quantized
+    //      BIGINTs; argmax ties break to the lower vec_id. Scale: per
+    //      round, ONE map-side pass computes d² to the (metadata-
+    //      sized, broadcast-as-literal) seed set and a TakeOrdered(1)
+    //      picks the winner — seeds collect to the driver exactly
+    //      like IVF centroids; rounds = k, never corpus². ----
+    Q("embed_kmeanspp_seeds",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(cast(embedding as array<double>), x -> CAST(round(x * 1000) AS BIGINT))")
+            .as("q"))
+        def d2To(seed: Seq[Long]): org.apache.spark.sql.Column = {
+          val sc = typedlit(seed)
+          aggregate(zip_with(col("q"), sc, (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, x) => a + x)
+        }
+        val q0 = emb.filter(col("vec_id") === 0).select("q")
+          .head().getSeq[Long](0).toSeq
+        val r1 = emb.filter(col("vec_id") =!= 0)
+          .withColumn("d2", d2To(q0))
+          .orderBy(desc("d2"), col("vec_id")).limit(1)
+          .select("vec_id", "q", "d2").head()
+        val (id1, q1, d21) = (r1.getLong(0), r1.getSeq[Long](1).toSeq, r1.getLong(2))
+        val r2 = emb.filter(col("vec_id") =!= 0 && col("vec_id") =!= id1)
+          .withColumn("mind2", least(d2To(q0), d2To(q1)))
+          .orderBy(desc("mind2"), col("vec_id")).limit(1)
+          .select("vec_id", "mind2").head()
+        Seq((1L, id1, d21), (2L, r2.getLong(0), r2.getLong(1)))
+          .toDF("step", "seed_id", "min_d2")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |s0 AS (SELECT q AS q0 FROM e WHERE vec_id = 0),
+             |d1 AS (SELECT vec_id, q,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> (q[i] - q0[i]) * (q[i] - q0[i]))) AS BIGINT) AS d2
+             |  FROM e, s0 WHERE vec_id <> 0),
+             |s1 AS (SELECT vec_id AS id1, q AS q1, d2 AS d2_1 FROM d1
+             |       ORDER BY d2 DESC, vec_id LIMIT 1),
+             |dt AS (SELECT d1.vec_id,
+             |    LEAST(d1.d2, CAST(list_sum(list_transform(range(1, 65),
+             |      i -> (d1.q[i] - s1.q1[i]) * (d1.q[i] - s1.q1[i]))) AS BIGINT)) AS mind2
+             |  FROM d1, s1 WHERE d1.vec_id <> s1.id1),
+             |s2 AS (SELECT vec_id AS id2, mind2 AS d2_2 FROM dt
+             |       ORDER BY mind2 DESC, vec_id LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS step, id1 AS seed_id, d2_1 AS min_d2 FROM s1
+             |UNION ALL SELECT 2, id2, d2_2 FROM s2
+             |ORDER BY step""".stripMargin))
   )
 }
