@@ -27,6 +27,42 @@ object SimilarityQueries {
   private def dot(a: String, b: String) =
     graft.functions.VectorOps.dot(col(a), col(b))
 
+  /** Average-hash fingerprints over the documents-as-media corpus:
+    * (media_id, n_bytes, mean_b, contrast, phash_hi, phash_lo) — the
+    * first 64 payload bytes stand in for the 8x8 grayscale grid
+    * (decode stub), bit j = byte_j > floor(mean), packed into two
+    * 32-bit halves. Map-side where the bytes live; only the
+    * fingerprints shuffle. Shared by the fingerprint report and the
+    * banded near-dup join. */
+  private def phashTable(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.asMedia(
+      Tables.t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "text/utf-8")
+    graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 1)
+      .filter(_.frame_idx == 0)
+      .map { f =>
+        val n = f.frame.length
+        var sum = 0L; var mx = 0L; var mn = 255L; var i = 0
+        while (i < n) {
+          val u = (f.frame(i) & 0xff).toLong
+          sum += u; if (u > mx) mx = u; if (u < mn) mn = u; i += 1
+        }
+        val mean = sum / n
+        var lo = 0L; var hi = 0L; i = 0
+        while (i < n) {
+          if ((f.frame(i) & 0xff).toLong > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (f.media_id, n, mean, mx - mn, hi, lo)
+      }
+      .toDF("media_id", "n_bytes", "mean_b", "contrast", "phash_hi", "phash_lo")
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("sim_bruteforce_topk",
@@ -480,34 +516,7 @@ object SimilarityQueries {
     //      ever shuffle); the oracle replays the identical byte math
     //      via hex-pair extraction. ----
     Q("multimodal_image_phash",
-      (s, dir) => {
-        import s.implicits._
-        val media = graft.multimodal.Multimodal.asMedia(
-          Tables.t(s, dir, "documents")
-            .withColumn("payload", encode(col("text"), "UTF-8")),
-          "doc_id", "payload", "text/utf-8")
-        graft.multimodal.Multimodal.frameSample(media, frameSize = 64, everyK = 1)
-          .filter(_.frame_idx == 0)
-          .map { f =>
-            val n = f.frame.length
-            var sum = 0L; var mx = 0L; var mn = 255L; var i = 0
-            while (i < n) {
-              val u = (f.frame(i) & 0xff).toLong
-              sum += u; if (u > mx) mx = u; if (u < mn) mn = u; i += 1
-            }
-            val mean = sum / n
-            var lo = 0L; var hi = 0L; i = 0
-            while (i < n) {
-              if ((f.frame(i) & 0xff).toLong > mean) {
-                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-              }
-              i += 1
-            }
-            (f.media_id, n, mean, mx - mn, hi, lo)
-          }
-          .toDF("media_id", "n_bytes", "mean_b", "contrast", "phash_hi", "phash_lo")
-          .orderBy("media_id")
-      },
+      (s, dir) => phashTable(s, dir).orderBy("media_id"),
       Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
              |            LEAST(octet_length(encode(text)), 64) AS n FROM documents),
              |bytes AS (SELECT doc_id, n,
@@ -527,6 +536,64 @@ object SimilarityQueries {
              |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
              |      FOR j IN range(CAST(LEAST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS phash_lo
              |FROM st ORDER BY media_id""".stripMargin)),
+
+    // ---- PERCEPTUAL NEAR-DUP JOIN on the aHash: media pairs within
+    //      Hamming 3 of each other's 64-bit fingerprint — the visual
+    //      re-crawl/re-encode dedup exact byte digests miss. BANDED,
+    //      never all-pairs: the 64 bits split into four 16-bit
+    //      chunks, and Hamming <= 3 pigeonholes at least one chunk
+    //      equal, so candidates come from a (band, chunk) equi-join
+    //      (the SimHash banding discipline on the phash bit source);
+    //      the Hamming verify runs only on candidates and the oracle
+    //      is the plain quadratic join, so band completeness is ON
+    //      the gate. ----
+    Q("multimodal_phash_near_dups",
+      (s, dir) => {
+        val ph = phashTable(s, dir)
+          .select("media_id", "phash_hi", "phash_lo")
+          .localCheckpoint() // both sides of the band join read it
+        val banded = ph.select(col("media_id"), col("phash_hi"), col("phash_lo"),
+          posexplode(array(
+            col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+            shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+            col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+            shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+            .as(Seq("band", "chunk")))
+        val a = banded.select(col("media_id").as("id_a"), col("phash_hi").as("ha"),
+          col("phash_lo").as("la"), col("band"), col("chunk"))
+        val b = banded.select(col("media_id").as("id_b"), col("phash_hi").as("hb"),
+          col("phash_lo").as("lb"), col("band"), col("chunk"))
+        a.join(b, Seq("band", "chunk"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            LEAST(octet_length(encode(text)), 64) AS n FROM documents),
+             |bytes AS (SELECT doc_id, n,
+             |    [CAST(strpos('123456789ABCDEF', substr(hex(b), 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hex(b), 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))] AS bs
+             |  FROM d),
+             |st AS (SELECT doc_id, n, bs,
+             |    CAST(list_sum(bs) // n AS BIGINT) AS mean_b FROM bytes),
+             |fp AS (SELECT doc_id AS media_id,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END
+             |      FOR j IN range(32, CAST(GREATEST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS hi,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+             |      FOR j IN range(CAST(LEAST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS lo
+             |  FROM st)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- EXACT MEDIA DEDUP by content digest — byte-identical
     //      payloads (the re-crawled image / re-uploaded clip case)
