@@ -595,6 +595,36 @@ object SimilarityQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- RESIZE stub through the typed media pipeline: every 2nd
+    //      byte of the payload head stands in for the 1/2-downscaled
+    //      grid (a codec-aware downscaler slots into the same
+    //      map-side frame — the contract the decode-stub Scaladoc
+    //      states). The gate compares the RESIZED BYTES themselves
+    //      (hex), not a summary, so the byte-level resample semantics
+    //      are pinned cross-engine. Pure map, no shuffle. ----
+    Q("multimodal_resize",
+      (s, dir) => {
+        val media = graft.multimodal.Multimodal.asMedia(
+          Tables.t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/utf-8")
+        graft.multimodal.Multimodal.resize(media, stride = 2, maxBytes = 32)
+          .toDF()
+          .select(col("media_id"), col("n_orig"), col("n_resized"),
+            lower(hex(col("resized"))).as("resized_hex"))
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+             |m AS (SELECT doc_id, octet_length(b) AS n, lower(hex(b)) AS hx FROM d),
+             |r AS (SELECT doc_id, n,
+             |    [substr(hx, 2 * j + 1, 2)
+             |     FOR j IN range(0, CAST(LEAST((n + 1) // 2, 32) AS BIGINT) * 2, 2)] AS pieces
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(n AS INTEGER) AS n_orig,
+             |  CAST(len(pieces) AS INTEGER) AS n_resized,
+             |  list_aggregate(pieces, 'string_agg', '') AS resized_hex
+             |FROM r ORDER BY media_id""".stripMargin)),
+
     // ---- EXACT MEDIA DEDUP by content digest — byte-identical
     //      payloads (the re-crawled image / re-uploaded clip case)
     //      collapse on md5 of the BINARY payload: one map-side

@@ -69,6 +69,39 @@ object Multimodal {
   /** One sampled "frame": fixed-width byte slice of the payload. */
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** A stride-resampled payload: the RESIZE stub. */
+  final case class Resized(media_id: Long, n_orig: Int, n_resized: Int,
+                           resized: Array[Byte])
+
+  /**
+   * RESIZE stub: every `stride`-th byte of the first `maxBytes·stride`
+   * payload bytes stands in for the 1/stride-downscaled pixel grid —
+   * a codec-aware image downscaler (or audio resampler) slots into
+   * this exact map-side frame with nothing else changing. Pure
+   * per-row map (no shuffle, no batching needed — resize carries no
+   * per-batch model/codec amortization the way feature extraction
+   * does); output payloads are capped at `maxBytes` so downstream
+   * metadata joins stay narrow.
+   */
+  def resize(media: Dataset[MediaRow], stride: Int = 2,
+             maxBytes: Int = 32): Dataset[Resized] = {
+    require(stride >= 1, "stride must be >= 1")
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val n = m.payload.length
+      val out = Array.newBuilder[Byte]
+      var i = 0
+      var k = 0
+      while (i < n && k < maxBytes) {
+        out += m.payload(i)
+        i += stride
+        k += 1
+      }
+      val r = out.result()
+      Resized(m.media_id, n, r.length, r)
+    }
+  }
+
   /**
    * Frame sampling: slice each payload into fixed-width frames and
    * keep every `everyK`-th — the video-frame-sampling contract with a
