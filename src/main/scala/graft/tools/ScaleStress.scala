@@ -188,6 +188,53 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // Banded perceptual near-dup join: replicas share their
+    // original's aHash exactly (hamming 0), so true pairs grow
+    // n·m(m−1)/2 while the band join's candidate stream stays
+    // (band, chunk)-keyed — wall must be output-bound like the
+    // minhash/simhash families, never corpus-quadratic.
+    docRun("phashnd") { c =>
+      import spark.implicits._
+      val media = graft.multimodal.Multimodal.asMedia(
+        c.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/utf-8")
+      val ph = graft.multimodal.Multimodal
+        .frameSample(media, frameSize = 64, everyK = 1)
+        .filter(_.frame_idx == 0)
+        .map { f =>
+          val n = f.frame.length
+          var sum = 0L; var i = 0
+          while (i < n) { sum += (f.frame(i) & 0xff).toLong; i += 1 }
+          val mean = sum / n
+          var lo = 0L; var hi = 0L; i = 0
+          while (i < n) {
+            if ((f.frame(i) & 0xff).toLong > mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (f.media_id, hi, lo)
+        }.toDF("media_id", "phash_hi", "phash_lo").localCheckpoint()
+      val banded = ph.select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("band", "chunk")))
+      val a = banded.select(col("media_id").as("id_a"), col("phash_hi").as("ha"),
+        col("phash_lo").as("la"), col("band"), col("chunk"))
+      val b = banded.select(col("media_id").as("id_b"), col("phash_hi").as("hb"),
+        col("phash_lo").as("lb"), col("band"), col("chunk"))
+      a.join(b, Seq("band", "chunk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .count()
+    }
     // Bigram-surprisal scoring: disjoint replicas add tokens but NO
     // new bigram TYPES, so the model tables (t1 and (t1,t2) counts)
     // are m-invariant while the scoring join's probe side grows with
