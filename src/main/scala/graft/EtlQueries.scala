@@ -2101,6 +2101,108 @@ object EtlQueries {
              |        CAST(round(ln(CAST((nb + 1) * (mt + 10) AS DOUBLE) /
              |                      CAST((na + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
              |       // ((nt + 10) * (mt + 10)) AS BIGINT) AS psi_contrib_micro
-             |FROM g CROSS JOIN t ORDER BY band""".stripMargin))
+             |FROM g CROSS JOIN t ORDER BY band""".stripMargin)),
+
+    // ---- MERGE AUDIT COUNTS: the inserted / updated / unchanged
+    //      tally every MERGE INTO emits in a warehouse — the number
+    //      an operator reads to catch a feed that suddenly updates
+    //      everything (a key-mapping bug) or inserts nothing (a
+    //      stalled upstream). Destination = the odd-key orders era;
+    //      batch = even keys with a bumped version. Classification is
+    //      ONE full-outer key join of two key-grain projections (the
+    //      merge itself already pays this join — the audit is free);
+    //      counts are a 3-key aggregate. ----
+    Q("etl_merge_audit",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val dest = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("k"), lit(1L).as("ver"))
+        val batch = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), lit(2L).as("bver"))
+        dest.join(batch, Seq("k"), "full_outer")
+          .select(
+            when(col("ver").isNull, "inserted")
+              .when(col("bver").isNull, "unchanged")
+              .otherwise("updated").as("op"))
+          .groupBy("op").agg(count(lit(1)).as("n"))
+          .orderBy("op")
+      },
+      Some("""WITH dest AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0),
+             |batch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+             |j AS (SELECT CASE WHEN dest.k IS NULL THEN 'inserted'
+             |                  WHEN batch.k IS NULL THEN 'unchanged'
+             |                  ELSE 'updated' END AS op
+             |      FROM dest FULL OUTER JOIN batch USING (k))
+             |SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- SCD TYPE 3 (previous-value column): per part, the current
+    //      price AND the one it replaced — the "what changed and from
+    //      what" dimension shape between SCD1's overwrite and SCD2's
+    //      full history, completing the SCD family (1: keepLatest,
+    //      2: scd2Apply, 3: here). Current = one struct-max keyed
+    //      aggregate over the (shipdate, orderkey, linenumber)
+    //      version order; previous = a second struct-max over rows
+    //      STRICTLY below the current, with the current joined back
+    //      on the SAME key the first aggregate shuffled on (exchange
+    //      reuse — the part dimension never redistributes). ----
+    Q("etl_scd3_prev_value",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey").as("part"),
+            struct(unix_date(col("l_shipdate").cast("date")).cast("long").as("d"),
+              col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents")).as("v"))
+        val cur = li.groupBy("part").agg(max("v").as("cv"))
+        val prev = li.join(cur, Seq("part"))
+          .filter(col("v") < col("cv"))
+          .groupBy("part").agg(max("v").as("pv"))
+        cur.join(prev, Seq("part"), "left")
+          .select(col("part"),
+            col("cv.cents").as("cur_cents"),
+            col("pv.cents").as("prev_cents"))
+          .orderBy("part")
+      },
+      Some("""WITH li AS (SELECT l_partkey AS part,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |      ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+             |  FROM lineitem)
+             |SELECT cur.part, cur.cents AS cur_cents, prev.cents AS prev_cents
+             |FROM (SELECT part, cents FROM li WHERE rn = 1) cur
+             |LEFT JOIN (SELECT part, cents FROM li WHERE rn = 2) prev USING (part)
+             |ORDER BY part""".stripMargin)),
+
+    // ---- BACKLOG AGING REPORT: open orders at a snapshot instant
+    //      bucketed by how long they have waited (the 90/180/270-day
+    //      AR-aging table). "Open at D" = placed by D, last shipment
+    //      after D (one keyed max per order — the open-backlog
+    //      predicate); the age bucket is exact integer days div 90
+    //      capped at 3+. One fact pass, one order-keyed max, one
+    //      4-key aggregate. ----
+    Q("etl_backlog_aging",
+      (s, dir) => {
+        val d = lit("1999-01-01").cast("date")
+        val shipped = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(max(col("l_shipdate").cast("date")).as("ship_done"))
+        Tables.t(s, dir, "orders")
+          .join(shipped, Seq("o_orderkey"))
+          .filter(col("o_orderdate").cast("date") <= d && col("ship_done") > d)
+          .select(expr("CAST(least(datediff(DATE'1999-01-01', CAST(o_orderdate AS DATE)) div 90, 3) AS BIGINT)")
+              .as("age_bucket"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("age_bucket")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("value_cents"))
+          .orderBy("age_bucket")
+      },
+      Some("""WITH sh AS (SELECT l_orderkey AS o_orderkey,
+             |    MAX(CAST(l_shipdate AS DATE)) AS ship_done FROM lineitem GROUP BY 1)
+             |SELECT LEAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') // 90, 3) AS age_bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM orders JOIN sh USING (o_orderkey)
+             |WHERE CAST(o_orderdate AS DATE) <= DATE '1999-01-01' AND ship_done > DATE '1999-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
