@@ -7250,6 +7250,92 @@ object AnalyticsQueries {
              |SELECT b.cls AS class_before, a.cls AS class_after,
              |  CAST(COUNT(*) AS BIGINT) AS n_parts
              |FROM k b JOIN k a ON a.part = b.part AND b.era = 'before' AND a.era = 'after'
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- 2-HOP NEIGHBORHOOD FUNCTION (exact, seed-bounded): for a
+    //      seed slice of parts, how many distinct parts sit within
+    //      two co-purchase hops — the per-node reach census behind
+    //      influence ranking and the exact ground truth the
+    //      HyperBall/HLL sketch approximates at 100 TB (where this
+    //      exact form's 2-hop DISTINCT blows up, the same frontier
+    //      joins feed hll_sketch_agg partials instead — the sketch
+    //      tier's building block). Two edge-keyed frontier joins from
+    //      the seed slice only (never all nodes), one distinct on the
+    //      (seed, reached) pair grain, one seed-keyed count. ----
+    Q("graph_twohop_reach",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // both hop joins read the symmetric form
+        val sym = graft.operators.Graphs.symmetric(e)
+        val seeds = sym.select(col("u").as("seed")).distinct()
+          .filter(col("seed") % 10 === 0)
+        val hop1 = seeds.join(sym.select(col("u").as("seed"), col("v").as("n1")), Seq("seed"))
+        val hop2 = hop1.join(sym.select(col("u").as("n1"), col("v").as("n2")), Seq("n1"))
+          .select(col("seed"), col("n2").as("r"))
+        hop1.select(col("seed"), col("n1").as("r"))
+          .unionByName(hop2)
+          .filter(col("r") =!= col("seed"))
+          .distinct()
+          .groupBy("seed").agg(count(lit(1)).as("n_reach2"))
+          .orderBy("seed")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |seeds AS (SELECT DISTINCT u AS seed FROM sym WHERE u % 10 = 0),
+             |r AS (SELECT s.seed, sym.v AS r FROM seeds s JOIN sym ON sym.u = s.seed
+             |      UNION
+             |      SELECT s.seed, e2.v FROM seeds s
+             |      JOIN sym e1 ON e1.u = s.seed JOIN sym e2 ON e2.u = e1.v)
+             |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reach2
+             |FROM r WHERE r <> seed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- SEASONALLY-ADJUSTED ANOMALY FLAGS: hourly volumes scored
+    //      against their OWN hour-of-day profile — the layer the
+    //      plain z-score monitors (events_anomaly_zscore) get wrong
+    //      on daily-cyclic feeds, where 3am is always "anomalously"
+    //      low. Division-free exactness (the CUSUM/3σ discipline):
+    //      an hour fires when (n·c − S)² > 9·(n·Q − S²) over its
+    //      hour-of-day slot's exact BIGINT moments (S = Σc, Q = Σc²,
+    //      n = slot size) — no float mean, no float variance. Slots
+    //      are (type, hour-of-day): 120 keys; moments join back
+    //      broadcast-sized. ----
+    Q("events_residual_anomaly",
+      (s, dir) => {
+        val hc = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("hod", hour(col("h")).cast("long"))
+          .localCheckpoint() // slot moments AND the flag scan read it
+        val slots = hc.groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"),
+            sum(col("c") * col("c")).as("q"))
+        hc.join(broadcast(slots), Seq("event_type", "hod"))
+          .filter(col("n") >= 2 &&
+            expr("(n * c - s) * (n * c - s) > 9 * (n * q - s * s)"))
+          .select(col("event_type"), col("h").as("hour"), col("c").as("n_events"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |hh AS (SELECT event_type, h, c,
+             |    CAST(hour(h) AS BIGINT) AS hod FROM hc),
+             |sl AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+             |  FROM hh GROUP BY 1, 2)
+             |SELECT hh.event_type, hh.h AS hour, hh.c AS n_events
+             |FROM hh JOIN sl USING (event_type, hod)
+             |WHERE sl.n >= 2
+             |  AND (sl.n * hh.c - sl.s) * (sl.n * hh.c - sl.s) > 9 * (sl.n * sl.q - sl.s * sl.s)
+             |ORDER BY event_type, hour""".stripMargin))
   )
 }
