@@ -352,4 +352,56 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming gap detection == dense-spine truth on a generated feed (cross-batch gaps)") {
+    // random sparse activity per stream over a 60-hour span, replayed
+    // time-split in two micro-batches — the emitted silent hours must
+    // equal each stream's (min, max) spine minus its observed set,
+    // INCLUDING gaps that straddle the batch boundary (the state's job)
+    val hourGen = Gen.chooseNum(0, 59)
+    val hoursByType: Map[String, Set[Int]] = Seq("alpha", "beta").map { t =>
+      t -> (sample(hourGen, 14, seed = t.hashCode.toLong).toSet + 0 + 59)
+    }.toMap
+    val rows = hoursByType.toSeq.flatMap { case (t, hs) =>
+      hs.toSeq.map(h => (t, new java.sql.Timestamp(h * 3600000L)))
+    }
+    val work = tmpDir("gapprop")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def stage(name: String, part: Seq[(String, java.sql.Timestamp)], ageMs: Long): Unit = {
+      val tmp = s"$work/$name"
+      part.toDF("event_type", "ts").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val cut = new java.sql.Timestamp(30L * 3600000L)
+    stage("h0", rows.filter(_._2.before(cut)), 10000L)
+    stage("h1", rows.filterNot(_._2.before(cut)), 0L)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = {
+      val ds = graft.streaming.EventStreams.gapFillStream(stream)(spark)
+      val out = s"$work/out"
+      val q = ds.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getLong(1) / 3600000000L)).toSet
+    }
+    val truth = hoursByType.toSeq.flatMap { case (t, hs) =>
+      ((hs.min + 1) until hs.max).filterNot(hs.contains).map(h => (t, h.toLong))
+    }.toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
 }
