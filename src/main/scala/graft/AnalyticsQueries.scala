@@ -7336,6 +7336,37 @@ object AnalyticsQueries {
              |FROM hh JOIN sl USING (event_type, hod)
              |WHERE sl.n >= 2
              |  AND (sl.n * hh.c - sl.s) * (sl.n * hh.c - sl.s) > 9 * (sl.n * sl.q - sl.s * sl.s)
-             |ORDER BY event_type, hour""".stripMargin))
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // ---- STREAMING FRESHNESS MONITOR through the engine: per
+    //      micro-batch, each stream's lag in whole minutes behind the
+    //      batch's freshest stream (EventStreams.freshnessStream) —
+    //      the continuously-updated twin of events_freshness_sla. The
+    //      time-split two-file replay makes batch composition
+    //      deterministic (batch h = time half h), so the oracle
+    //      states each half's per-type lag vs its own half maximum
+    //      exactly. ----
+    Q("events_stream_freshness",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_fresh_",
+          byTime = true)
+        val stream = graft.streaming.EventStreams
+          .readEvents(s, src.toString, maxFilesPerTrigger = Some(1))
+        graft.streaming.EventStreams.freshnessStream(s, stream,
+            s"$work/fresh_out", s"$work/fresh_ckpt")
+          .orderBy("batch_id", "event_type")
+      },
+      Some("""WITH b AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+             |               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+             |h AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |        CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= (b.lo + b.hi) // 2
+             |             THEN 0 ELSE 1 END AS batch_id
+             |      FROM events CROSS JOIN b),
+             |pt AS (SELECT batch_id, event_type, MAX(us) AS last_us FROM h GROUP BY 1, 2),
+             |g AS (SELECT batch_id, MAX(last_us) AS g_us FROM pt GROUP BY 1)
+             |SELECT CAST(pt.batch_id AS BIGINT) AS batch_id, pt.event_type,
+             |  CAST((g.g_us - pt.last_us) // 60000000 AS BIGINT) AS lag_minutes
+             |FROM pt JOIN g USING (batch_id)
+             |ORDER BY batch_id, event_type""".stripMargin))
   )
 }

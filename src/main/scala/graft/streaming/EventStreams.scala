@@ -190,6 +190,36 @@ object EventStreams {
       }
   }
 
+  /**
+   * STREAMING FEED-FRESHNESS MONITOR: per micro-batch, each stream's
+   * max event time and its lag in whole minutes behind the batch's
+   * freshest stream — the continuously-updated twin of the batch
+   * events_freshness_sla report (a stuck upstream shows up as one
+   * type's lag growing batch over batch). Stateless: one
+   * map-side-combinable max per (batch, type), one one-row broadcast
+   * of the batch max; one monitor row per stream per batch appends
+   * to the sink.
+   */
+  def freshnessStream(spark: SparkSession, stream: DataFrame,
+                      outDir: String, checkpoint: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val perType = batch.groupBy("event_type")
+          .agg(max(unix_micros(col("ts"))).as("last_us"))
+        perType.crossJoin(broadcast(perType.agg(max("last_us").as("g_us"))))
+          .select(lit(batchId).as("batch_id"), col("event_type"),
+            expr("(g_us - last_us) div 60000000").as("lag_minutes"))
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   final case class GapRow(event_type: String, gap_hour_us: Long)
 
   /**
