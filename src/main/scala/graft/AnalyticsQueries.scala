@@ -7367,6 +7367,77 @@ object AnalyticsQueries {
              |SELECT CAST(pt.batch_id AS BIGINT) AS batch_id, pt.event_type,
              |  CAST((g.g_us - pt.last_us) // 60000000 AS BIGINT) AS lag_minutes
              |FROM pt JOIN g USING (batch_id)
-             |ORDER BY batch_id, event_type""".stripMargin))
+             |ORDER BY batch_id, event_type""".stripMargin)),
+
+    // ---- MODULARITY of the one-step label-prop communities: the
+    //      quality score Q = Σ_c [e_c/m − (d_c/2m)²] that says
+    //      whether a community assignment beats random wiring (and
+    //      decides when the label-prop loop has converged enough to
+    //      stop). Exact as the single fraction
+    //      (4m·Σe_c − Σd_c²) / (4m²), the whole closing dag on
+    //      DECIMAL(38,0)/HUGEINT (4m·Σe clears 2^63 past ~1e6
+    //      edges). Communities are the SAME deterministic vote
+    //      (max count, min label) graph_label_prop_step pins; the
+    //      modularity pass adds one edge-keyed community lookup
+    //      (node-sized table joined twice) and two bounded sums. ----
+    Q("graph_modularity",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // labels, degrees, and the within-edge count
+        val sym = graft.operators.Graphs.symmetric(e)
+        val lbl = sym.select(col("u").as("node"), (col("v") % 7).as("lbl"))
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c").as("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node"), (-col("m.neg")).cast("long").as("comm"))
+        val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        val m = e.count() // one metadata job; the edge count scalar
+        val ein = e
+          .join(lbl.select(col("node").as("u"), col("comm").as("cu")), Seq("u"))
+          .join(lbl.select(col("node").as("v"), col("comm").as("cv")), Seq("v"))
+          .filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_in"))
+        val dsum = lbl.join(deg, Seq("node"))
+          .groupBy("comm").agg(sum("deg").as("d_c"))
+        dsum.join(ein, Seq("comm"), "left")
+          .select(col("comm"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum("e_in").as("se"), sum(expr("d_c * d_c")).as("sd2"))
+          .select(col("n_communities"), lit(m).as("m_edges"),
+            expr(s"CAST((1000000 * (4 * CAST($m AS DECIMAL(38,0)) * se - sd2)) div " +
+              s"(4 * CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)").as("q_micro"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |nl AS (SELECT s.u AS node, s.v % 7 AS lbl, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM sym s GROUP BY 1, 2),
+             |pick AS (SELECT node, lbl, c,
+             |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+             |         FROM nl),
+             |lb AS (SELECT node, CAST(lbl AS BIGINT) AS comm FROM pick WHERE rk = 1),
+             |dg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+             |ein AS (SELECT lu.comm, CAST(COUNT(*) AS BIGINT) AS e_in
+             |        FROM e JOIN lb lu ON lu.node = e.u JOIN lb lv ON lv.node = e.v
+             |        WHERE lu.comm = lv.comm GROUP BY 1),
+             |ds AS (SELECT lb.comm, CAST(SUM(dg.deg) AS BIGINT) AS d_c
+             |       FROM lb JOIN dg USING (node) GROUP BY 1),
+             |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             |    CAST(SUM(COALESCE(ein.e_in, 0)) AS BIGINT) AS se,
+             |    SUM(ds.d_c::HUGEINT * ds.d_c) AS sd2
+             |  FROM ds LEFT JOIN ein USING (comm))
+             |SELECT n_communities, m.m AS m_edges,
+             |  CAST((1000000 * (4 * m.m::HUGEINT * se - sd2)) // (4 * m.m::HUGEINT * m.m) AS BIGINT) AS q_micro
+             |FROM agg CROSS JOIN m""".stripMargin))
   )
 }

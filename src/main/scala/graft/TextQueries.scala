@@ -2178,6 +2178,41 @@ object TextQueries {
              |SELECT sa, sb, inter,
              |  CAST((1000 * inter) // (va.vocab + vb.vocab - inter) AS BIGINT) AS jaccard_pm
              |FROM i JOIN vs va ON va.source = i.sa JOIN vs vb ON vb.source = i.sb
-             |ORDER BY sa, sb""".stripMargin))
+             |ORDER BY sa, sb""".stripMargin)),
+
+    // ---- OOV RATE against a top-K vocabulary: what fraction of each
+    //      source's token OCCURRENCES falls outside the corpus's own
+    //      top-1000 types — the tokenizer-health number an LLM
+    //      pipeline tracks per feed (a source whose OOV rate jumps is
+    //      serving a new language, a new template, or garbage). The
+    //      vocabulary is a TakeOrdered(1000) over the type counts
+    //      (total order (count DESC, token) — the rank-1000 boundary
+    //      tie is deterministic), broadcast into a left semi
+    //      classification of the occurrence stream; rates are exact
+    //      permille. One type count + one token-keyed broadcast
+    //      probe — the corpus never self-joins. ----
+    Q("text_oov_rate",
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token")).limit(1000)
+          .select("token").localCheckpoint() // broadcast probe, built once
+        toks.join(broadcast(vocab.withColumn("_in", lit(1L))), Seq("token"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |v AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1)
+             |      ORDER BY n DESC, token LIMIT 1000),
+             |j AS (SELECT toks.source, v.token AS hit
+             |      FROM toks LEFT JOIN v ON v.token = toks.token)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST((1000 * SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS oov_permille
+             |FROM j GROUP BY source ORDER BY source""".stripMargin))
   )
 }
