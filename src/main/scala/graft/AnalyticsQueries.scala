@@ -7438,6 +7438,36 @@ object AnalyticsQueries {
              |  FROM ds LEFT JOIN ein USING (comm))
              |SELECT n_communities, m.m AS m_edges,
              |  CAST((1000000 * (4 * m.m::HUGEINT * se - sd2)) // (4 * m.m::HUGEINT * m.m) AS BIGINT) AS q_micro
-             |FROM agg CROSS JOIN m""".stripMargin))
+             |FROM agg CROSS JOIN m""".stripMargin)),
+
+    // ---- CUSTOMER CONCENTRATION (HHI): the Herfindahl–Hirschman
+    //      index of revenue across customers — Σ share², the
+    //      concentration scalar a revenue team reads next to the
+    //      Gini (HHI weights the HEAD: one customer at 50% dominates
+    //      it; Gini reads the whole curve). Exact as
+    //      (Σ r_c²)·1e6 div (Σ r_c)² with the squares on
+    //      DECIMAL(38,0)/HUGEINT (r_c² clears 2^63 at ~$30M cents
+    //      per customer). One customer-keyed sum; the closing ratio
+    //      is a one-row fold — no sort anywhere. ----
+    Q("orders_customer_hhi",
+      (s, dir) => {
+        val rc = Tables.t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+        rc.agg(count(lit(1)).as("n_customers"),
+            sum("r").as("total_cents"),
+            sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("sq"))
+          .select(col("n_customers"), col("total_cents"),
+            expr("CAST((1000000 * sq) div (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)")
+              .as("hhi_micro"))
+      },
+      Some("""WITH rc AS (SELECT o_custkey,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+             |  FROM orders GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |  CAST(SUM(r) AS BIGINT) AS total_cents,
+             |  CAST((1000000 * SUM(r::HUGEINT * r))
+             |       // (CAST(SUM(r) AS HUGEINT) * SUM(r)) AS BIGINT) AS hhi_micro
+             |FROM rc""".stripMargin))
   )
 }

@@ -2213,6 +2213,37 @@ object TextQueries {
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
              |  CAST((1000 * SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS oov_permille
-             |FROM j GROUP BY source ORDER BY source""".stripMargin))
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- TRENDING TOKENS (heavy-change detection): the 15 types
+    //      whose count moved most between the two corpus halves —
+    //      "what's new in this crawl" stated as exact deltas, the
+    //      change-mining twin of the heavy-hitters family (a token
+    //      can trend without ever being a global heavy hitter). One
+    //      (token, half) count with the halves split by doc parity,
+    //      a full-outer align (a token absent from one half is a
+    //      zero, not a dropped row), and a TakeOrdered top-15 on
+    //      (|Δ| DESC, token) — no window, no self-join. ----
+    Q("text_trending_tokens",
+      (s, dir) => {
+        val tc = Tables.t(s, dir, "documents")
+          .select((col("doc_id") % 2 === 0).as("old_half"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(sum(when(col("old_half"), 1L).otherwise(0L)).as("n_old"),
+            sum(when(col("old_half"), 0L).otherwise(1L)).as("n_new"))
+        tc.select(col("token"), col("n_old"), col("n_new"),
+            (col("n_new") - col("n_old")).as("delta"))
+          .orderBy(abs(col("delta")).desc, col("token"))
+          .limit(15)
+      },
+      Some("""WITH tc AS (SELECT token,
+             |    CAST(SUM(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             |    CAST(SUM(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+             |  FROM (SELECT doc_id % 2 = 0 AS old_half,
+             |               unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY 1)
+             |SELECT token, n_old, n_new, n_new - n_old AS delta
+             |FROM tc ORDER BY abs(n_new - n_old) DESC, token LIMIT 15""".stripMargin))
   )
 }
