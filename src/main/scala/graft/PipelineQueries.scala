@@ -908,6 +908,38 @@ object PipelineQueries {
              |  CAST(COUNT(CASE WHEN dot >= CAST(t.th AS BIGINT) * 1000000000
              |             THEN 1 END) AS BIGINT) AS n_pairs
              |FROM pairs, (VALUES (-200), (-100), (0), (50), (100)) AS t(th)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- EPOCH FACTORS for a target domain mix: given each domain's
+    //      natural size and a target share, the per-domain repeat
+    //      factor (×1000) a training dataloader applies — the
+    //      "epochs per dataset" table of the published LLM data
+    //      recipes (factor > 1000 = upsample/repeat, < 1000 =
+    //      subsample). Exact integers: factor_milli =
+    //      (target_pm · T) div n_d off one domain-keyed count and a
+    //      one-row broadcast total; the uniform-share target here is
+    //      the config's stand-in (any target map joins in at domain
+    //      size). Flags the repeat factor a curator audits — a 40×
+    //      repeat of a tiny domain is a memorization risk, stated as
+    //      a number. ----
+    Q("sample_epoch_factors",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        d.crossJoin(broadcast(d.agg(sum("n_docs").as("t"),
+            count(lit(1)).as("nd"))))
+          .select(col("source"), col("n_docs"),
+            expr("1000 div nd").as("target_pm"),
+            expr("((1000 div nd) * t) div n_docs").as("factor_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t,
+             |             CAST(COUNT(*) AS BIGINT) AS nd FROM d)
+             |SELECT source, n_docs,
+             |  CAST(1000 // nd AS BIGINT) AS target_pm,
+             |  CAST(((1000 // nd) * t.t) // n_docs AS BIGINT) AS factor_milli
+             |FROM d CROSS JOIN t ORDER BY source""".stripMargin))
   )
 }

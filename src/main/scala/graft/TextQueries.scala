@@ -2244,6 +2244,43 @@ object TextQueries {
              |               unnest(string_split(text, ' ')) AS token FROM documents)
              |  GROUP BY 1)
              |SELECT token, n_old, n_new, n_new - n_old AS delta
-             |FROM tc ORDER BY abs(n_new - n_old) DESC, token LIMIT 15""".stripMargin))
+             |FROM tc ORDER BY abs(n_new - n_old) DESC, token LIMIT 15""".stripMargin)),
+
+    // ---- CHARACTER-LEVEL ENTROPY (zero-shuffle gibberish detector):
+    //      Shannon entropy of each document's character distribution,
+    //      computed ENTIRELY in-row with HOFs — random byte soup
+    //      reads ~ln 60, base64 blobs ~ln 64, natural prose ~ln 20;
+    //      the char-level complement of the word-level quality
+    //      battery, and the repo's zero-shuffle idiom at its purest:
+    //      per doc, distinct chars → per-char counts → exact-integer
+    //      log terms, no explode, no aggregation, nothing leaves the
+    //      row. Entropy is Σ c·round(ln(n/c)·1e6) div n, micro-exact
+    //      on both engines. ----
+    Q("text_char_entropy",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ''), c -> c <> '')").as("cs"))
+        .select(col("doc_id"), size(col("cs")).cast("long").as("n_chars"),
+          expr("""aggregate(
+                 |  transform(array_distinct(cs),
+                 |    c -> size(filter(cs, x -> x = c))),
+                 |  0L,
+                 |  (acc, c) -> acc + c * CAST(round(ln(CAST(size(cs) AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT))"""
+            .stripMargin).as("sum_term"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("sum_term div n_chars").as("entropy_micro"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, '') AS cs,
+             |    CAST(length(text) AS BIGINT) AS n FROM documents),
+             |t AS (SELECT doc_id, n,
+             |    CAST(list_sum(list_transform(list_distinct(cs),
+             |      c -> len(list_filter(cs, x -> x = c)) *
+             |           CAST(round(ln(CAST(n AS DOUBLE) /
+             |                         CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)) * 1000000) AS BIGINT)))
+             |      AS BIGINT) AS sum_term
+             |  FROM d)
+             |SELECT doc_id, n AS n_chars,
+             |  CAST(sum_term // n AS BIGINT) AS entropy_micro
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 }
