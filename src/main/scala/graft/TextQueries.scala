@@ -2246,32 +2246,35 @@ object TextQueries {
              |SELECT token, n_old, n_new, n_new - n_old AS delta
              |FROM tc ORDER BY abs(n_new - n_old) DESC, token LIMIT 15""".stripMargin)),
 
-    // ---- CHARACTER-LEVEL ENTROPY (zero-shuffle gibberish detector):
-    //      Shannon entropy of each document's character distribution,
-    //      computed ENTIRELY in-row with HOFs — random byte soup
-    //      reads ~ln 60, base64 blobs ~ln 64, natural prose ~ln 20;
-    //      the char-level complement of the word-level quality
-    //      battery, and the repo's zero-shuffle idiom at its purest:
-    //      per doc, distinct chars → per-char counts → exact-integer
-    //      log terms, no explode, no aggregation, nothing leaves the
-    //      row. Entropy is Σ c·round(ln(n/c)·1e6) div n, micro-exact
-    //      on both engines. ----
+    // ---- CHARACTER-LEVEL ENTROPY (gibberish detector): Shannon
+    //      entropy of each document's character distribution — random
+    //      byte soup reads ~ln 60, base64 blobs ~ln 64, natural prose
+    //      ~ln 20; the char-level complement of the word-level
+    //      quality battery. Entropy is Σ c·round(ln(n/c)·1e6) div n,
+    //      micro-exact on both engines. Plan: the doc length rides
+    //      the explode so the per-(doc, char) count — map-side
+    //      combinable, codegen, the same shape as the unigram model
+    //      build — already carries everything the per-doc fold
+    //      needs; two well-keyed aggregations, no in-row HOF lambdas
+    //      (an interpreted sorted-run fold benched 5x slower than
+    //      this exploded form). ----
     Q("text_char_entropy",
       (s, dir) => Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ''), c -> c <> '')").as("cs"))
-        .select(col("doc_id"), size(col("cs")).cast("long").as("n_chars"),
-          expr("""aggregate(
-                 |  transform(array_distinct(cs),
-                 |    c -> size(filter(cs, x -> x = c))),
-                 |  0L,
-                 |  (acc, c) -> acc + c * CAST(round(ln(CAST(size(cs) AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT))"""
-            .stripMargin).as("sum_term"))
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // codegen filter, not an interpreted HOF
+        .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_chars")
+        .agg(sum(col("c") *
+          round(log(col("n_chars").cast("double") / col("c").cast("double")) * 1000000)
+            .cast("long")).as("sum_term"))
         .select(col("doc_id"), col("n_chars"),
           expr("sum_term div n_chars").as("entropy_micro"))
         .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id, string_split(text, '') AS cs,
-             |    CAST(length(text) AS BIGINT) AS n FROM documents),
+             |    CAST(length(text) AS BIGINT) AS n FROM documents
+             |    WHERE length(text) >= 1),
              |t AS (SELECT doc_id, n,
              |    CAST(list_sum(list_transform(list_distinct(cs),
              |      c -> len(list_filter(cs, x -> x = c)) *
