@@ -3098,14 +3098,18 @@ object AnalyticsQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- streaming KLL QUANTILE maintenance — the quantile twin of
-    //      the theta rollup gate: per-type KLL(200) sketches built on
+    //      the theta rollup gate: per-type KLL(400) sketches built on
     //      each micro-batch and kll_merge_agg_double-merged into the
     //      persisted state (facts never rescanned, state bounded by
-    //      k=200 doubles per group). The merged median is validated
+    //      k=400 doubles per group). The merged median is validated
     //      the same way as the batch KLL gate: its exact RANK in the
-    //      whole feed must sit within 2% of 0.5 — a bound k=200
-    //      guarantees — so the oracle states the exact median plus a
-    //      TRUE flag. ----
+    //      whole feed must sit within 3% of 0.5. KLL compaction is
+    //      RANDOMIZED, so the bound must hold with margin across
+    //      seeds — k=200 at ±2% flaked roughly once per several
+    //      hundred runs (caught by a closing full sweep); k=400’s
+    //      ~0.9% 99%-confidence rank error under a ±3% gate leaves
+    //      seed-proof headroom. The oracle states the exact median
+    //      plus a TRUE flag. ----
     Q("events_stream_kll_rollup",
       (s, dir) => {
         val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_kll_")
@@ -3116,7 +3120,7 @@ object AnalyticsQueries {
           work.resolve("dest").toString,
           groupCols = Seq("event_type"), valueCol = "v",
           checkpoint = work.resolve("ckpt").toString,
-          buildAgg = Some("kll_sketch_agg_double(v, 200)"),
+          buildAgg = Some("kll_sketch_agg_double(v, 400)"),
           mergeAgg = Some("kll_merge_agg_double(sk)"))
         val est = state.select(col("event_type"),
           expr("kll_sketch_get_quantile_double(sk, 0.5d)").as("est50"))
@@ -3133,11 +3137,11 @@ object AnalyticsQueries {
             expr("CAST(1000 * n_le div n AS BIGINT)").as("rank_permille"))
         exact.join(broadcast(rank), Seq("event_type"))
           .select(col("event_type"), col("p50"),
-            (abs(col("rank_permille") - 500L) <= 20L).as("rank_within_2pct"))
+            (abs(col("rank_permille") - 500L) <= 30L).as("rank_within_3pct"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
-             |TRUE AS rank_within_2pct
+             |TRUE AS rank_within_3pct
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- streaming DISTINCT KEYS through the real engine: the
@@ -5138,10 +5142,14 @@ object AnalyticsQueries {
     //      driver-side sketch ops). The merged median estimate is
     //      validated the way KLL's contract is actually stated — by
     //      RANK: the exact rank of the estimate (one distributed
-    //      count against the broadcast estimate) must land within 2%
-    //      of 0.5 (k=200 ⇒ ~1.3% bound). The exact interpolated
-    //      median rides the counting-quantile path and is what the
-    //      oracle states. ----
+    //      count against the broadcast estimate) must land within 3%
+    //      of 0.5. KLL compaction is RANDOMIZED, so the gate must
+    //      hold across seeds — k=200 under ±2% flaked about once in
+    //      several hundred runs (a closing full sweep caught one);
+    //      k=400 (~0.9% rank error at 99% confidence) under ±3%
+    //      leaves seed-proof headroom. The exact interpolated median
+    //      rides the counting-quantile path and is what the oracle
+    //      states. ----
     Q("agg_kll_quantile_merge",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
@@ -5149,7 +5157,7 @@ object AnalyticsQueries {
             (col("l_orderkey") % 8).as("shard"))
           .localCheckpoint() // sketch pass, exact quantile AND the rank count
         val estDf = li.groupBy("l_returnflag", "shard")
-          .agg(expr("kll_sketch_agg_double(q, 200)").as("sk"))
+          .agg(expr("kll_sketch_agg_double(q, 400)").as("sk"))
           .groupBy("l_returnflag")
           .agg(expr("kll_merge_agg_double(sk)").as("sk"))
           .select(col("l_returnflag"),
@@ -5164,11 +5172,11 @@ object AnalyticsQueries {
             expr("CAST(1000 * n_le div n AS BIGINT)").as("rank_permille"))
         exact.join(broadcast(rank), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("p50"),
-            (abs(col("rank_permille") - 500L) <= 20L).as("rank_within_2pct"))
+            (abs(col("rank_permille") - 500L) <= 30L).as("rank_within_3pct"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
-             |TRUE AS rank_within_2pct
+             |TRUE AS rank_within_3pct
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Count-Min Sketch agreement ON the hard gate (completes the

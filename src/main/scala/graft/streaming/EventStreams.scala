@@ -1394,7 +1394,7 @@ object EventStreams {
                      bandWidth: Double, bands: Int = 10): DataFrame = {
     val refRows = broadcast(ref) // (band, r) — bands-sized
     val spine = spark.range(0, bands).select(col("id").as("band"))
-      .crossJoin(refRows.agg(sum("r").as("mt")))
+      .crossJoin(broadcast(refRows.agg(sum("r").as("mt"))))
       .join(refRows, Seq("band"), "left")
       .select(col("band"), coalesce(col("r"), lit(0L)).as("r"), col("mt"))
       .localCheckpoint() // bands rows, reused every batch
