@@ -235,6 +235,22 @@ object ScaleStress {
         .filter(col("hamming") <= 3)
         .count()
     }
+    // OOV-rate monitoring: replicas add occurrences but no new TYPES,
+    // so the top-1000 vocabulary is m-invariant and the classification
+    // pass is one broadcast probe over the occurrence stream — wall
+    // must track corpus size ~linearly with a small constant.
+    docRun("oov") { c =>
+      val toks = c.withColumn("source", lit("x"))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(1000)
+        .select("token").localCheckpoint()
+      toks.join(broadcast(vocab.withColumn("_in", lit(1L))), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .count()
+    }
     // Bigram-surprisal scoring: disjoint replicas add tokens but NO
     // new bigram TYPES, so the model tables (t1 and (t1,t2) counts)
     // are m-invariant while the scoring join's probe side grows with
