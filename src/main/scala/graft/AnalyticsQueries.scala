@@ -5524,24 +5524,32 @@ object AnalyticsQueries {
     // ---- REFERENTIAL-INTEGRITY AUDIT: orphan counts across every
     //      foreign-key edge of the star schema in ONE report — the
     //      data-quality gate a warehouse load runs before publishing.
-    //      Each edge is one left-anti join keyed on the FK (dimension
-    //      sides broadcast; the fact-sized scans never join each
-    //      other); counts union into a fixed 4-row report. ----
+    //      Each edge is one left-anti join keyed on the FK. The
+    //      broadcast hint goes ONLY on enum-sized dimension parents
+    //      (nation); DATA-SCALED parents (orders at ~150M keys /
+    //      sf100, customer at ~15M) are left to the planner — a
+    //      forced broadcast of a fact-sized key set is a guaranteed
+    //      driver OOM in the very query whose job is auditing big
+    //      loads, while AQE still picks broadcast whenever the
+    //      distinct-key side actually fits. Counts union into a
+    //      fixed 4-row report. ----
     Q("diag_ref_integrity",
       (s, dir) => {
         def orphans(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
-                    dim: org.apache.spark.sql.DataFrame, pk: String) = {
+                    dim: org.apache.spark.sql.DataFrame, pk: String,
+                    broadcastDim: Boolean) = {
           val total = fact.agg(count(lit(1)).as("n_checked"))
-          fact.join(broadcast(dim.select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
+          val keys = dim.select(col(pk).as(fk)).distinct()
+          fact.join(if (broadcastDim) broadcast(keys) else keys, Seq(fk), "left_anti")
             .agg(count(lit(1)).as("n_orphans"))
             .crossJoin(broadcast(total))
             .select(lit(name).as("relationship"), col("n_orphans"), col("n_checked"))
         }
         val t = (n: String) => Tables.t(s, dir, n)
-        orphans("lineitem.l_orderkey->orders", t("lineitem").select("l_orderkey"), "l_orderkey", t("orders"), "o_orderkey")
-          .unionByName(orphans("orders.o_custkey->customer", t("orders").select("o_custkey"), "o_custkey", t("customer"), "c_custkey"))
-          .unionByName(orphans("customer.c_nationkey->nation", t("customer").select("c_nationkey"), "c_nationkey", t("nation"), "n_nationkey"))
-          .unionByName(orphans("supplier.s_nationkey->nation", t("supplier").select("s_nationkey"), "s_nationkey", t("nation"), "n_nationkey"))
+        orphans("lineitem.l_orderkey->orders", t("lineitem").select("l_orderkey"), "l_orderkey", t("orders"), "o_orderkey", broadcastDim = false)
+          .unionByName(orphans("orders.o_custkey->customer", t("orders").select("o_custkey"), "o_custkey", t("customer"), "c_custkey", broadcastDim = false))
+          .unionByName(orphans("customer.c_nationkey->nation", t("customer").select("c_nationkey"), "c_nationkey", t("nation"), "n_nationkey", broadcastDim = true))
+          .unionByName(orphans("supplier.s_nationkey->nation", t("supplier").select("s_nationkey"), "s_nationkey", t("nation"), "n_nationkey", broadcastDim = true))
           .orderBy("relationship")
       },
       Some("""SELECT 'customer.c_nationkey->nation' AS relationship,
@@ -6717,7 +6725,7 @@ object AnalyticsQueries {
       (s, dir) => {
         val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_psi_")
         val ref = Tables.t(s, dir, "events")
-          .select(expr("CAST(floor(value / 50) AS BIGINT)").as("band"))
+          .select(graft.operators.Profile.psiBand("value", 50, 10).as("band"))
           .groupBy("band").agg(count(lit(1)).as("r"))
         val stream = graft.streaming.EventStreams
           .readEvents(s, src.toString, maxFilesPerTrigger = Some(1))
@@ -6725,12 +6733,13 @@ object AnalyticsQueries {
             s"$work/psi_out", s"$work/psi_ckpt", bandWidth = 50.0)
           .orderBy("batch_id")
       },
-      Some("""WITH ref AS (SELECT CAST(floor(value / 50) AS BIGINT) AS band,
+      Some("""WITH ref AS (SELECT LEAST(GREATEST(
+             |      CAST(floor(value / 50) AS BIGINT), 0), 9) AS band,
              |    CAST(COUNT(*) AS BIGINT) AS r FROM events GROUP BY 1),
              |rt AS (SELECT CAST(SUM(r) AS BIGINT) AS mt FROM ref),
              |sp AS (SELECT unnest(generate_series(0, 9)) AS band),
              |h AS (SELECT event_id % 2 AS batch_id,
-             |    CAST(floor(value / 50) AS BIGINT) AS band,
+             |    LEAST(GREATEST(CAST(floor(value / 50) AS BIGINT), 0), 9) AS band,
              |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
              |ht AS (SELECT batch_id, CAST(SUM(c) AS BIGINT) AS nt FROM h GROUP BY 1),
              |g AS (SELECT ht.batch_id, sp.band, ht.nt, rt.mt,

@@ -2047,9 +2047,13 @@ object EtlQueries {
     //      monitor that catches a silently re-scaled upstream field
     //      or a mix shift the row counts never show. Kept exact: the
     //      band axis is FIXED integer bands off floor(price/50k)
-    //      (never data-dependent quantiles — both eras band
-    //      identically and floor() makes the double→int step exact
-    //      on both engines), counts get +1 smoothing so an empty
+    //      CLAMPED into [0, 10) (Profile.psiBand — the one banding
+    //      convention this gate shares with VALIDATE_DRIFT and the
+    //      streaming monitor, so every row lands in exactly one band
+    //      and band counts sum to the era totals; never
+    //      data-dependent quantiles — both eras band identically and
+    //      floor() makes the double→int step exact on both
+    //      engines), counts get +1 smoothing so an empty
     //      band can't blow up the log, the log argument
     //      n1·(M+10) / (m1·(N+10)) is an exact integer ratio
     //      (identical IEEE before the one ln), and each band's
@@ -2063,7 +2067,7 @@ object EtlQueries {
     Q("etl_distribution_drift_psi",
       (s, dir) => {
         val banded = Tables.t(s, dir, "orders")
-          .select(expr("CAST(floor(o_totalprice / 50000) AS BIGINT)").as("band"),
+          .select(graft.operators.Profile.psiBand("o_totalprice", 50000, 10).as("band"),
             (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("before"))
         val n = banded.filter(col("before")).groupBy("band").agg(count(lit(1)).as("n_before"))
         val m = banded.filter(!col("before")).groupBy("band").agg(count(lit(1)).as("n_after"))
@@ -2085,7 +2089,8 @@ object EtlQueries {
               .as("psi_contrib_micro"))
           .orderBy("band")
       },
-      Some("""WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+      Some("""WITH b AS (SELECT LEAST(GREATEST(
+             |      CAST(floor(o_totalprice / 50000) AS BIGINT), 0), 9) AS band,
              |    o_orderdate < TIMESTAMP '1998-01-01' AS bf FROM orders),
              |n AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nb FROM b WHERE bf GROUP BY 1),
              |m AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS na FROM b WHERE NOT bf GROUP BY 1),

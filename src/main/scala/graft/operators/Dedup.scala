@@ -290,10 +290,14 @@ object Dedup {
 
   /** SimHash near-dup candidates: pairs whose fingerprints match on
     * any of 4 16-bit chunks, verified by Hamming distance <= maxDist.
-    * (Chunk match is the pigeonhole guarantee for dist <= 3.)
+    * The 4-chunk cover is pigeonhole-complete ONLY for maxDist <= 3
+    * (4 chunks, at most 3 differing bits — one chunk must be clean);
+    * maxDist >= 4 would silently lose recall, so it is rejected.
     * Same bucket-grouped pair expansion as the MinHash path — one
     * shuffle on the chunk key instead of a two-sided self-join. */
-  def simhashNearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame =
+  def simhashNearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"the 4x16-bit chunk cover is pigeonhole-complete only for hamming <= 3, got maxDist=$maxDist")
     fps.select(col(idCol), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk_i", "chunk_v")))
@@ -309,6 +313,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
 
   /**
    * Oracle-portable SimHash fingerprints: same sign-of-bit-sums
@@ -322,54 +327,86 @@ object Dedup {
    * (`fp_hi`, `fp_lo`) so no engine's signed-shift overflow rules
    * ever engage (DuckDB raises on a BIGINT `1<<63`; Spark wraps).
    *
-   * Scale shape: fingerprints are ONE narrow in-row projection — the
-   * md5 digests are materialized once per token (`transform` over the
-   * distinct-token array), then the 64 bit-sums fold over those
-   * digests entirely inside the row. No explode, no shuffle; at
-   * 100 TB this computes where the documents live, exactly like the
-   * codegen'd production [[simhash]] path.
+   * Scale shape: the repo's own explode + codegen-aggregation idiom
+   * (the char-entropy form measured 3-5x faster than interpreted HOF
+   * folds at sf0.1) — tokens explode once, each token row turns its
+   * md5's first 16 hex chars into two 32-bit integer halves (one
+   * `conv` each, codegen'd), and ONE keyed aggregation computes the
+   * 64 per-bit one-counts as plain `sum(shiftright & 1)` columns.
+   * Bit j of the fingerprint is then set iff 2·ones_j > n_tokens
+   * (exactly sign(Σ ±1) > 0). The only shuffle is the map-side
+   * combinable 65-column aggregate on the doc key; everything stays
+   * inside whole-stage codegen — no interpreted lambda runs per
+   * (token × bit).
    */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // digit(h, p): hex nibble p/4 of digest h, bit (3 - p%4) selected.
-    val contrib = "(x, p) -> IF(shiftright(instr('0123456789abcdef', substring(x, 1 + CAST(p div 4 AS INT), 1)) - 1, 3 - CAST(p % 4 AS INT)) & 1 = 1, 1, -1)"
-    def half(lo: Int, hi: Int, shiftBase: Int): String =
-      s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, p) ->
-         |  acc + IF(aggregate(hs, 0, (a, x) -> a + ${contrib.replace("(x, p) -> ", "")}) > 0,
-         |           shiftleft(CAST(1 AS BIGINT), CAST(p - $shiftBase AS INT)), CAST(0 AS BIGINT)))""".stripMargin
-    df.filter(col(textCol).isNotNull)
+    // Oracle bit convention: bit p reads md5-hex nibble p/4 (hex char
+    // 1 + p/4, most-significant first), bit 3 - p%4 within the nibble
+    // — i.e. bit p is bit (31-p) of the first 8 hex chars for p<32,
+    // bit (63-p)-32 of hex chars 9..16 for p>=32. Both halves fit a
+    // BIGINT unsigned (< 2^32), so no signed-shift edge ever engages.
+    val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        expr(s"transform(array_distinct(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')), t -> md5(t))")
-          .as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col(idCol), expr(half(32, 63, 32)).as("fp_hi"), expr(half(0, 31, 0)).as("fp_lo"))
+        explode(expr(s"array_distinct(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != ''))"))
+          .as("_tok"))
+      .select(col(idCol), md5(col("_tok")).as("_h"))
+      .select(col(idCol),
+        expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)").as("_ha"),
+        expr("CAST(conv(substring(_h, 9, 8), 16, 10) AS BIGINT)").as("_hb"))
+    val ones: Seq[Column] = (0 until 64).map { p =>
+      val bit =
+        if (p < 32) shiftright(col("_ha"), 31 - p).bitwiseAND(lit(1L))
+        else shiftright(col("_hb"), 63 - p).bitwiseAND(lit(1L))
+      sum(bit).as(s"_s$p")
+    }
+    val aggs = ones :+ count(lit(1)).as("_n")
+    def half(lo: Int, hi: Int, shiftBase: Int): Column =
+      (lo until hi).map { p =>
+        when(col(s"_s$p") * 2 > col("_n"), lit(1L << (p - shiftBase))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), half(32, 64, 32).as("fp_hi"), half(0, 32, 0).as("fp_lo"))
   }
 
   /** Banded near-dup pairing over [[simhashMd5]] halves: 4 16-bit
     * chunks (2 per half) — pigeonhole-complete for hamming <= 3 over
-    * 64 bits — using the same bucket-grouped in-row pair expansion as
-    * [[simhashNearDups]]. Exact on the gate: every emitted pair is
-    * re-verified by the true Hamming distance, and the chunk cover
-    * guarantees no qualifying pair is missed, so output == the
-    * all-pairs join the oracle runs. */
-  def simhashMd5NearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame =
-    fps.select(col(idCol), col("fp_hi"), col("fp_lo"),
-        posexplode(expr(
-          "array(fp_lo & 65535, shiftright(fp_lo, 16) & 65535, fp_hi & 65535, shiftright(fp_hi, 16) & 65535)"))
-          .as(Seq("chunk_i", "chunk_v")))
-      .groupBy("chunk_i", "chunk_v")
-      .agg(sort_array(collect_set(
-        struct(col(idCol).as("id"), col("fp_hi").as("hi"), col("fp_lo").as("lo")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
-          "b -> named_struct('id_a', a.id, 'hi_a', a.hi, 'lo_a', a.lo, " +
-          "'id_b', b.id, 'hi_b', b.hi, 'lo_b', b.lo))))")).as("p"))
-      .select(col("p.*"))
+    * 64 bits (4 chunks, at most 3 differing bits — one chunk must be
+    * clean; maxDist >= 4 would silently lose recall, so it is
+    * rejected). Candidates come from a plain (band, chunk) EQUI-JOIN
+    * — the `multimodal_phash_near_dups` discipline — never a
+    * `collect_set` bucket collapse: a hot chunk value (near-empty
+    * docs sharing an all-zero chunk) fans out across join tasks
+    * instead of concentrating one aggregation buffer. Exact on the
+    * gate: every candidate is re-verified by the true Hamming
+    * distance, and the chunk cover guarantees no qualifying pair is
+    * missed, so output == the all-pairs join the oracle runs. */
+  def simhashMd5NearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"the 4x16-bit chunk cover is pigeonhole-complete only for hamming <= 3, got maxDist=$maxDist")
+    // both sides of the band join read the fingerprints — materialize
+    // once (narrow: id + two longs) instead of re-running the 64-sum
+    // aggregation per side
+    val src = fps.localCheckpoint()
+    val banded = src.select(col(idCol), col("fp_hi"), col("fp_lo"),
+      posexplode(array(
+        col("fp_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("fp_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("fp_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("fp_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col(idCol).as("id_a"), col("fp_hi").as("hi_a"),
+      col("fp_lo").as("lo_a"), col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"), col("fp_hi").as("hi_b"),
+      col("fp_lo").as("lo_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
       .distinct()
-      .withColumn("hamming",
-        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
 
   /**
    * EXACT set-similarity join via prefix filtering (the AllPairs /

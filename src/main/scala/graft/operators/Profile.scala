@@ -63,13 +63,11 @@ object Profile {
    * and a reference relation over fixed value bands — the shared
    * closure behind the `etl_distribution_drift_psi` gate query, the
    * `events_stream_drift_psi` streaming monitor, and the
-   * VALIDATE_DRIFT job step. Discipline: bands are
-   * floor(value/bandWidth) clamped to [0, bands) (fixed axis — both
-   * eras band identically; floor() makes the double→int step exact on
-   * both engines), counts get +1 smoothing so an empty band can't
-   * blow up the log, the log argument is an exact integer ratio
-   * (identical IEEE before the one ln), and each band contributes one
-   * BIGINT floor division.
+   * VALIDATE_DRIFT job step. Discipline: bands come from [[psiBand]]
+   * (the ONE banding convention all three PSI surfaces share), counts
+   * get +1 smoothing so an empty band can't blow up the log, the log
+   * argument is an exact integer ratio (identical IEEE before the one
+   * ln), and each band contributes one BIGINT floor division.
    *
    * Scale: two map-side banded counts + a bands-sized spine join; the
    * returned value is a one-row collect (metadata).
@@ -78,9 +76,7 @@ object Profile {
                bandWidth: Double, bands: Int = 10): Long = {
     val spark = cur.sparkSession
     def hist(df: DataFrame) = df
-      .select(least(greatest(
-        expr(s"CAST(floor($valueCol / $bandWidth) AS BIGINT)"), lit(0L)),
-        lit(bands - 1L)).as("band"))
+      .select(psiBand(valueCol, bandWidth, bands).as("band"))
       .groupBy("band").agg(count(lit(1)).as("k"))
     val c = hist(cur).withColumnRenamed("k", "c")
     val r = hist(ref).withColumnRenamed("k", "r")
@@ -100,4 +96,19 @@ object Profile {
       .collect()(0)
     row.getLong(0)
   }
+
+  /**
+   * The ONE PSI banding convention, shared verbatim by [[psiMicro]]
+   * (VALIDATE_DRIFT), the `etl_distribution_drift_psi` batch gate, and
+   * `EventStreams.driftPsiStream`: floor(value/bandWidth) CLAMPED into
+   * [0, bands). Every row lands in exactly one band — below-range
+   * values (and NULLs: Spark's greatest skips nulls, so a null floor
+   * collapses to the 0 bound) take band 0, above-range values take
+   * band bands-1 — so per-band counts always sum to the era total and
+   * the three surfaces report the same psi_micro for the same data.
+   */
+  def psiBand(valueCol: String, bandWidth: Double, bands: Int): Column =
+    least(greatest(
+      expr(s"CAST(floor($valueCol / $bandWidth) AS BIGINT)"), lit(0L)),
+      lit(bands - 1L))
 }

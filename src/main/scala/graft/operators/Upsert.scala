@@ -188,11 +188,19 @@ object Upsert {
    * ever-shrinking subset) against the NEW slice (delta-sized, AQE
    * broadcasts it in the common case); resolved facts are a pass-
    * through union with no shuffle.
+   *
+   * Pending/resolved classification is NULL-SAFE (`<=>`): a fact whose
+   * dim value is NULL is not the placeholder, so it passes through the
+   * resolved branch untouched (unless the placeholder itself is NULL,
+   * in which case exactly the NULL rows are the pending set). Either
+   * way every input row lands in exactly one branch — the
+   * never-dropped contract holds for NULL values too.
    */
   def lateArrivingResolve(facts: DataFrame, dimSlice: DataFrame, key: String,
                           dimVal: String, placeholder: Column): DataFrame = {
-    val resolved = facts.filter(col(dimVal) =!= placeholder)
-    val pending = facts.filter(col(dimVal) === placeholder).drop(dimVal)
+    val isPending = col(dimVal) <=> placeholder
+    val resolved = facts.filter(!isPending)
+    val pending = facts.filter(isPending).drop(dimVal)
     val repaired = pending
       .join(dimSlice.select(col(key), col(dimVal).as("_new_v")), Seq(key), "left")
       .withColumn(dimVal, coalesce(col("_new_v"), placeholder))

@@ -1379,9 +1379,15 @@ object EventStreams {
    * the data-quality sidecar a streaming ingest runs next to every
    * feed (alert when psi_micro crosses the conventional 0.2 = 200000
    * line). Exactness is etl_distribution_drift_psi's discipline
-   * verbatim: fixed integer bands off floor(value/bandWidth),
-   * +1-smoothed counts so an empty band can't blow up the log, exact
-   * integer log arguments, one BIGINT floor division per band.
+   * verbatim: bands from Profile.psiBand (floor(value/bandWidth)
+   * clamped into [0, bands) — the one convention all three PSI
+   * surfaces share, so this monitor and VALIDATE_DRIFT report the
+   * same psi_micro for the same data), +1-smoothed counts so an
+   * empty band can't blow up the log, exact integer log arguments,
+   * one BIGINT floor division per band. An EMPTY micro-batch is a
+   * defined reading, not a NULL row: the batch total coalesces to 0,
+   * so the monitor emits n_events=0 with the all-bands-empty
+   * psi_micro (an empty feed is itself an anomaly worth alerting on).
    *
    * Scale posture: stateless — per batch, one map-side-combinable
    * band count, a bands-sized broadcast join against the reference
@@ -1404,12 +1410,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val counts = batch
-          .select(expr(s"CAST(floor(value / $bandWidth) AS BIGINT)").as("band"))
+          .select(graft.operators.Profile.psiBand("value", bandWidth, bands).as("band"))
           .groupBy("band").agg(count(lit(1)).as("c"))
         val g = spine.join(counts, Seq("band"), "left")
           .select(col("band"), col("r"), col("mt"),
             coalesce(col("c"), lit(0L)).as("c"))
-          .crossJoin(broadcast(counts.agg(sum("c").as("nt"))))
+          .crossJoin(broadcast(counts.agg(coalesce(sum("c"), lit(0L)).as("nt"))))
           .withColumn("lq_micro",
             round(log(((col("c") + 1) * (col("mt") + bands)).cast("double") /
               ((col("r") + 1) * (col("nt") + bands)).cast("double")) * 1000000)

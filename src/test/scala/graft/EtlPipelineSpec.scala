@@ -578,6 +578,28 @@ class EtlPipelineSpec extends SparkTestBase {
       "fixture must exercise a never-arriving key")
   }
 
+  test("lateArrivingResolve never drops NULL dim values (null-safe classification)") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    // facts: one placeholder row, one resolved row, one NULL-value row
+    val facts = Seq((1L, 10L, Some(-1)), (2L, 20L, Some(7)), (3L, 30L, None))
+      .toDF("k", "fact_id", "nation")
+      .select(col("k"), col("fact_id"), col("nation").cast("int"))
+    val dim = Seq((1L, 5), (3L, 9)).toDF("k", "nation")
+    val out = Upsert.lateArrivingResolve(facts, dim, "k", "nation", lit(-1))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    // placeholder row resolves; real value passes through; NULL value
+    // is NOT the placeholder — passes through untouched, never dropped
+    assert(out == Set((10L, Some(5)), (20L, Some(7)), (30L, None)), out)
+    // NULL placeholder: exactly the NULL rows are pending and repair
+    val out2 = Upsert.lateArrivingResolve(
+        facts, dim, "k", "nation", lit(null).cast("int"))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(out2 == Set((10L, Some(-1)), (20L, Some(7)), (30L, Some(9))), out2)
+  }
+
   test("backfillPartitions replaces only the batch's partitions and restores the conf") {
     import spark.implicits._
     val dir = tmpDir("graft_backfill_") + "/t"

@@ -334,6 +334,47 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ref-integrity audit: data-scaled parents are NOT hint-broadcast (nation edges are)") {
+    // the r13 verdict's fact-sized-broadcast fix: a forced
+    // broadcast(orders.distinct) is ~150M keys through the driver at
+    // sf100. With every broadcast threshold disabled, a user HINT is
+    // the only thing that could still broadcast — so the data-scaled
+    // edges (lineitem->orders, orders->customer) must plan as
+    // shuffled anti joins here, while the enum-sized nation edges
+    // legitimately keep their hint (and stay broadcast).
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Queries.queries("diag_ref_integrity")(spark, sf)
+      q.collect()
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+      val helper = new AdaptiveSparkPlanHelper {}
+      val plan = q.queryExecution.executedPlan
+      val shuffledAnti = helper.collectWithSubqueries(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.sql == "LEFT ANTI" => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType.sql == "LEFT ANTI" => j
+      }
+      val broadcastAnti = helper.collectWithSubqueries(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(shuffledAnti.size == 2,
+        s"lineitem->orders and orders->customer must shuffle (no hint), got ${shuffledAnti.size}:\n$plan")
+      assert(broadcastAnti.size == 2,
+        s"the two nation edges keep their broadcast hint, got ${broadcastAnti.size}:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")
