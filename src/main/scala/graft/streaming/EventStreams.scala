@@ -853,6 +853,55 @@ object EventStreams {
         graft.operators.Upsert.keepLatest(existing, batch, keys, versionCol),
       targetBucketBytes, bucketCols)
 
+  /** `<dest>__old` — the aside name of the whole-directory
+    * rename-aside swap protocol shared by [[bucketedMergeStream]]
+    * (its size-triggered re-bucket) and [[sketchRollupStream]]. */
+  private def wholeDirAside(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + "__old")
+
+  /**
+   * Crash repair for the whole-directory rename-aside swap — ONE
+   * implementation for every state sink that swaps a staged directory
+   * into place (the r12 ADVICE class came from two hand-rolled copies
+   * drifting): a swap that crashed between renames left `<dest>__old`
+   * — restore it if `dest` is gone (crash after set-aside, before
+   * swap-in), drop it if the swap completed. Runs before ANY read of
+   * the destination; metadata-sized (two existence probes).
+   */
+  private def repairWholeDirSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 dest: org.apache.hadoop.fs.Path,
+                                 what: String): Unit = {
+    val aside = wholeDirAside(dest)
+    if (fs.exists(aside)) {
+      if (!fs.exists(dest)) {
+        if (!fs.rename(aside, dest))
+          throw new IllegalStateException(s"$what: cannot restore $dest")
+      } else fs.delete(aside, true)
+    }
+  }
+
+  /**
+   * The swap half of the protocol: move `staged` into place as `dest`
+   * via rename-aside (set the live dir aside, swap the staged dir in,
+   * delete the aside last). A crash at any rename is resolved by
+   * [[repairWholeDirSwap]] on the next batch — the destination is
+   * always a complete pre- or post-swap state, never a partial one.
+   */
+  private def swapWholeDir(fs: org.apache.hadoop.fs.FileSystem,
+                           staged: org.apache.hadoop.fs.Path,
+                           dest: org.apache.hadoop.fs.Path,
+                           what: String): Unit = {
+    val aside = wholeDirAside(dest)
+    if (fs.exists(dest)) {
+      fs.delete(aside, true)
+      if (!fs.rename(dest, aside))
+        throw new IllegalStateException(s"$what: cannot set aside $dest")
+    }
+    if (!fs.rename(staged, dest))
+      throw new IllegalStateException(s"$what: cannot swap in $dest")
+    fs.delete(aside, true)
+  }
+
   /**
    * The shared micro-batch machinery behind [[upsertStream]],
    * [[cdcStream]] and [[topKStream]]: bucket the batch, read back
@@ -897,13 +946,7 @@ object EventStreams {
         // partition discovery never parses them) — restore where the
         // live dir is missing, drop where it isn't. All metadata-
         // sized: one list of <= nBuckets child names.
-        val destOld = new Path(dest.getParent, dest.getName + "__old")
-        if (fs.exists(destOld)) {
-          if (!fs.exists(dest)) {
-            if (!fs.rename(destOld, dest))
-              throw new IllegalStateException(s"streaming merge: cannot restore $dest")
-          } else fs.delete(destOld, true)
-        }
+        repairWholeDirSwap(fs, dest, "streaming merge")
         if (fs.exists(dest)) {
           fs.listStatus(dest).foreach { st =>
             val n = st.getPath.getName
@@ -1011,12 +1054,7 @@ object EventStreams {
                 .repartition(newN, col("_bucket"))
                 .write.partitionBy("_bucket").parquet(reb.toString)
               writeMarker(reb, newN)
-              fs.delete(destOld, true)
-              if (!fs.rename(dest, destOld))
-                throw new IllegalStateException(s"streaming merge: cannot set aside $dest")
-              if (!fs.rename(reb, dest))
-                throw new IllegalStateException(s"streaming merge: cannot swap in rebucketed $dest")
-              fs.delete(destOld, true)
+              swapWholeDir(fs, reb, dest, "streaming merge (re-bucket)")
             }
           }
           ()
@@ -1284,14 +1322,9 @@ object EventStreams {
         val s = batch.sparkSession
         val dest = new Path(destDir)
         val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val destOld = new Path(dest.getParent, dest.getName + "__old")
-        // repair a crashed whole-dir swap before any read
-        if (fs.exists(destOld)) {
-          if (!fs.exists(dest)) {
-            if (!fs.rename(destOld, dest))
-              throw new IllegalStateException(s"sketch rollup: cannot restore $dest")
-          } else fs.delete(destOld, true)
-        }
+        // repair a crashed whole-dir swap before any read — the ONE
+        // shared protocol implementation (repairWholeDirSwap)
+        repairWholeDirSwap(fs, dest, "sketch rollup")
         val g = groupCols.map(col)
         val batchSk = batch.toDF().groupBy(g: _*)
           .agg(expr(build).as("sk"))
@@ -1305,14 +1338,7 @@ object EventStreams {
         // the write MATERIALIZES merged while dest is still live; the
         // swap below only moves directories
         merged.coalesce(1).write.parquet(staging.toString)
-        if (fs.exists(dest)) {
-          fs.delete(destOld, true)
-          if (!fs.rename(dest, destOld))
-            throw new IllegalStateException(s"sketch rollup: cannot set aside $dest")
-        }
-        if (!fs.rename(staging, dest))
-          throw new IllegalStateException(s"sketch rollup: cannot swap in $dest")
-        fs.delete(destOld, true)
+        swapWholeDir(fs, staging, dest, "sketch rollup")
         ()
       }
       .trigger(trigger)
