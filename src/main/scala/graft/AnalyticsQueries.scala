@@ -7316,6 +7316,68 @@ object AnalyticsQueries {
              |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reach2
              |FROM r WHERE r <> seed GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- HYPERBALL REACH SKETCH (the 100 TB form the exact census
+    //      above names): per node, an HLL sketch of its <= 2-hop
+    //      ball, maintained by two rounds of edge-keyed sketch
+    //      unions (Graphs.reachSketch) — each round shuffles |E|+|V|
+    //      FIXED-SIZE sketch rows with map-side partial unions,
+    //      never the degree-squared (seed, reached) pair set the
+    //      exact form gathers. Gate is the established sketch-gate
+    //      idiom (diag_join_cardinality): the exact 2-hop count
+    //      ships beside the estimate's 5% envelope, per seed — HLL
+    //      at lgK=14 is still coupon-exact at this graph's ball
+    //      sizes, and both engines see the same fixed fixture, so
+    //      the boolean is deterministic. ----
+    Q("graph_reach_sketch",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ea = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val eb = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = ea.join(eb, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint() // hop joins AND the exact rider read it
+        val sym = graft.operators.Graphs.symmetric(e).localCheckpoint()
+        // sketch side: 2-round HyperBall over ALL nodes (the census a
+        // real pipeline keeps); estimates read for the seed slice
+        val est = graft.operators.Graphs.reachSketch(sym, hops = 2)
+          .filter(col("node") % 10 === 0)
+          .select(col("node").as("seed"),
+            // the ball includes the seed itself; the census convention
+            // (and the exact rider) counts reached OTHERS
+            (expr("hll_sketch_estimate(sk)") - 1L).as("est"))
+        // exact rider (the gate only): the same 2-hop DISTINCT the
+        // graph_twohop_reach row states
+        val hop1 = sym.filter(col("u") % 10 === 0)
+          .select(col("u").as("seed"), col("v").as("n1"))
+        val hop2 = hop1.join(sym.select(col("u").as("n1"), col("v").as("n2")), Seq("n1"))
+          .select(col("seed"), col("n2").as("r"))
+        val exact = hop1.select(col("seed"), col("n1").as("r"))
+          .unionByName(hop2)
+          .filter(col("r") =!= col("seed"))
+          .distinct()
+          .groupBy("seed").agg(count(lit(1)).as("n_reach2"))
+        exact.join(est, Seq("seed"))
+          .select(col("seed"), col("n_reach2"),
+            (abs(col("est") - col("n_reach2")) * 20 <= col("n_reach2"))
+              .as("est_within_5pct"))
+          .orderBy("seed")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |r AS (SELECT e1.u AS seed, e1.v AS r FROM sym e1 WHERE e1.u % 10 = 0
+             |      UNION
+             |      SELECT e1.u, e2.v FROM sym e1
+             |      JOIN sym e2 ON e2.u = e1.v WHERE e1.u % 10 = 0)
+             |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reach2,
+             |  TRUE AS est_within_5pct
+             |FROM r WHERE r <> seed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- SEASONALLY-ADJUSTED ANOMALY FLAGS: hourly volumes scored
     //      against their OWN hour-of-day profile — the layer the
     //      plain z-score monitors (events_anomaly_zscore) get wrong

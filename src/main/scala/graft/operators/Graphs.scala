@@ -283,4 +283,45 @@ object Graphs {
       s"hierarchy deeper than $maxIters levels (or cyclic)")
     acc.groupBy("node").agg(sum("w").as("subtree_w"))
   }
+
+  /**
+   * HyperBall / ANF neighborhood function (Boldi, Rosa & Vigna,
+   * "HyperBall: counting by leaps and bounds" — public algorithm,
+   * re-derived on Spark's DataSketches HLL aggregates): per node, an
+   * HLL sketch of every node within `hops` hops (self included).
+   * state_0(v) = HLL({v}); state_t(v) = union(state_{t-1}(v),
+   * ⋃_{(v,w)∈E} state_{t-1}(w)). Feed `hll_sketch_estimate(sk)` for
+   * the reach census, or keep unioning upward (per-community, whole
+   * graph) — HLL union is an idempotent semilattice, so partials
+   * compose freely.
+   *
+   * This is the form that survives 100 TB where the exact t-hop
+   * DISTINCT dies: the exact census gathers O(Σ_v deg(v)^t) (seed,
+   * reached) pairs before its distinct — degree² fan-out already at
+   * t = 2 — while each HyperBall round shuffles exactly |E| + |V|
+   * FIXED-SIZE sketch rows (2^lgK registers, ~1-16 KB) keyed by the
+   * edge list, with map-side partial unions. Per-round cost is flat
+   * in t; total work is t · O(|E|) regardless of how fast balls
+   * grow. `sym` must contain both directions of each edge (use
+   * [[symmetric]]); `localCheckpoint` truncates the per-round
+   * lineage exactly like the other iterative operators here.
+   */
+  def reachSketch(sym: DataFrame, hops: Int, lgK: Int = 14): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var state = nodes.groupBy("node")
+      .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk")).localCheckpoint()
+    (1 to hops).foreach { _ =>
+      // neighbor sketches + the node's own sketch, one keyed union:
+      // the self edge keeps state monotone (a ball never shrinks)
+      state = sym.select(col("u").as("node"), col("v").as("src"))
+        .unionByName(nodes.select(col("node"), col("node").as("src")))
+        .join(state.select(col("node").as("src"), col("sk")), Seq("src"))
+        // all inputs share this operator's lgK, so no
+        // allowDifferentLgConfigK (the boolean 2nd param) is needed
+        .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
+        .localCheckpoint()
+    }
+    state
+  }
 }

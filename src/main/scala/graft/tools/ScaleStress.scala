@@ -471,6 +471,44 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // HyperBall reach sketch vs the exact 2-hop DISTINCT census under
+    // a DENSIFYING replication (same orders, part ids shifted per
+    // replica): every replica multiplies order baskets, so node
+    // degree grows ~m and the exact census's (seed, reached) gather
+    // grows ~Σ deg² while each HyperBall round shuffles |E|
+    // fixed-size sketch rows — the walls must separate as m grows
+    // (the 100 TB argument the reachSketch scaladoc states).
+    if (wanted("reachsk")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val it = (0 until m).map(i => li0.select(
+          col("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val sym = graft.operators.Graphs.symmetric(e).localCheckpoint()
+        val ne = sym.count() / 2
+        val t0 = System.nanoTime()
+        val skSum = graft.operators.Graphs.reachSketch(sym, hops = 2)
+          .agg(sum(expr("hll_sketch_estimate(sk)"))).collect()(0).getLong(0)
+        val t1 = System.nanoTime()
+        val exactPairs = sym.select(col("u").as("seed"), col("v").as("r"))
+          .unionByName(sym.select(col("u").as("seed"), col("v").as("n1"))
+            .join(sym.select(col("u").as("n1"), col("v").as("r")), Seq("n1"))
+            .select("seed", "r"))
+          .filter(col("r") =!= col("seed")).distinct().count()
+        val t2 = System.nanoTime()
+        println(f"SCALE reachsk m=$m%2d edges=$ne%9d skSum=$skSum%11d " +
+          f"exact=$exactPairs%11d tSketch=${(t1 - t0) / 1e9}%7.1fs tExact=${(t2 - t1) / 1e9}%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // One HITS iteration: disjoint replicas leave every node's
     // hub/authority score unchanged (scores depend only on the
     // replica-local neighborhood), so out and maxhub are m-invariant

@@ -38,6 +38,30 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("reachSketch: 1- and 2-hop ball estimates equal brute-force BFS ball sizes") {
+    import spark.implicits._
+    // same fixture as kCore: a 5-clique, a path fringe, a 3-cycle —
+    // mixes dense balls, chain growth, and a small component. At
+    // these ball sizes the HLL sketch is coupon-exact, so the
+    // estimate must EQUAL the true ball size (self included).
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val path = (0L until 6L).map(i => (if (i == 0) 0L else 100L + i - 1, 100L + i))
+    val cycle = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (clique ++ path ++ cycle).toSet
+    val adj: Map[Long, Set[Long]] = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    def ball(seed: Long, hops: Int): Set[Long] =
+      (1 to hops).foldLeft(Set(seed))((b, _) => b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+    val sym = Graphs.symmetric(edges.toSeq.toDF("u", "v"))
+    for (hops <- Seq(1, 2)) {
+      val got = Graphs.reachSketch(sym, hops)
+        .select(col("node"), expr("hll_sketch_estimate(sk)").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = adj.keySet.map(n => n -> ball(n, hops).size.toLong).toMap
+      assert(got == want, s"hops=$hops: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
+
   test("peel: one step only removes the current fringe; degrees count both sides") {
     import spark.implicits._
     val df = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
