@@ -608,6 +608,86 @@ object TextQueries {
              |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
              |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin)),
 
+    // ---- BPE APPLY (encode): the half of tokenizer training that
+    //      touches the whole corpus at 100 TB — encode every word
+    //      with the FIXED top-10 merge table the merge-selection
+    //      step above derives, merges applied sequentially in rank
+    //      order. Representation: tokens separated by a DOUBLE
+    //      chr(1) boundary, so applying merge (x,y) is one plain
+    //      string replace of `\x01x\x01\x01y\x01` -> `\x01xy\x01`
+    //      (consuming one sep of each outer boundary, restoring it
+    //      in the replacement): replace()'s left-to-right
+    //      non-overlapping scan is then EXACTLY greedy BPE ('aaaa'
+    //      -> [aa, aa], 'aaa' -> [aa, a]), the boundary invariant is
+    //      maintained, and a token merely PREFIXED by y can never
+    //      false-match (the pattern demands the closing sep). Both
+    //      engines' replace() share these semantics, so the encode
+    //      is oracle-exact; DuckDB replays the 10 sequential merges
+    //      with a fixed-depth WITH RECURSIVE (the repo's
+    //      graph_core_numbers recursion idiom). Scale shape: the
+    //      corpus collapses to the VOCABULARY first (one groupBy) —
+    //      each distinct word encodes once, as a map-side chain of
+    //      10 codegen replaces; the merge table itself is the one
+    //      driver-side collect (top-10 rows, metadata-sized — the
+    //      merge table is exactly what a tokenizer trainer ships to
+    //      every worker). ----
+    Q("text_bpe_apply",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // merge-table stat AND the encode read it
+        // the fixed merge table: text_bpe_merge_step's statistic,
+        // collected in rank order (10 strings — metadata-sized)
+        val merges: Seq[String] = vocab
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        val enc = graft.functions.Bpe.encodeFramed(col("w"), merges)
+        vocab.select(col("w"), col("freq"), enc.as("_s"))
+          .select(col("w"), col("freq"),
+            graft.functions.Bpe.nTokens(col("_s")).as("n_tokens"),
+            graft.functions.Bpe.tokens(col("_s")).as("encoded"))
+          .orderBy(desc("freq"), asc("w")).limit(500)
+      },
+      Some("""WITH RECURSIVE
+             |vocab AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2 GROUP BY w),
+             |pairs AS (
+             |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)),
+             |merges AS (
+             |  SELECT pair, ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rk
+             |  FROM pairs GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 10),
+             |init AS (
+             |  SELECT w, freq,
+             |    repeat(chr(1), 2) ||
+             |    array_to_string([substring(w, CAST(i AS INTEGER), 1)
+             |      FOR i IN range(1, length(w) + 1)], repeat(chr(1), 2)) ||
+             |    repeat(chr(1), 2) AS s
+             |  FROM vocab),
+             |enc AS (
+             |  SELECT w, freq, s, 0 AS step FROM init
+             |  UNION ALL
+             |  SELECT e.w, e.freq,
+             |    replace(e.s,
+             |      chr(1) || substring(m.pair, 1, 1) || repeat(chr(1), 2) ||
+             |        substring(m.pair, 2, 1) || chr(1),
+             |      chr(1) || m.pair || chr(1)) AS s,
+             |    e.step + 1 AS step
+             |  FROM enc e JOIN merges m ON m.rk = e.step + 1
+             |  WHERE e.step < 10)
+             |SELECT w, freq,
+             |  CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tokens,
+             |  trim(replace(s, repeat(chr(1), 2), ' ')) AS encoded
+             |FROM enc WHERE step = 10
+             |ORDER BY freq DESC, w LIMIT 500""".stripMargin)),
+
     // ---- exact deduplication: keeper = min doc_id per identical text ----
     Q("dedup_exact",
       (s, dir) => Tables.t(s, dir, "documents")

@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
 class QualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("Bpe.encodeFramed equals reference greedy BPE, incl. overlap and prefix traps") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // reference greedy BPE over a token list: apply each merge fully,
+    // left-to-right non-overlapping, before the next merge
+    def ref(w: String, merges: Seq[String]): Seq[String] =
+      merges.foldLeft(w.map(_.toString): Seq[String]) { (toks, m) =>
+        val (x, y) = (m.substring(0, 1), m.substring(1, 2))
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            out += m; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.toSeq
+      }
+    // traps: 'aaa'/'aaaa' (overlap), 'abc' with [bc, ab] (prefix
+    // false-match: after bc merges, ab must NOT fire on a|bc), chained
+    // merges, a word untouched by any merge
+    val merges = Seq("bc", "ab", "aa")
+    val words = Seq("aaa", "aaaa", "abc", "abcbc", "ababab", "xyz", "aabc", "ab")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.tokens(Bpe.encodeFramed(col("w"), merges)).as("enc"),
+        Bpe.nTokens(Bpe.encodeFramed(col("w"), merges)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    words.foreach { w =>
+      val want = ref(w, merges)
+      assert(got(w) == ((want.mkString(" "), want.length.toLong)),
+        s"$w: got ${got(w)}, want $want")
+    }
+    // the traps actually bite: 'aaa' -> [aa, a], 'abc' -> [a, bc]
+    assert(got("aaa")._1 == "aa a" && got("abc")._1 == "a bc")
+  }
+
   test("rules evaluate against hand-built fixtures, one agg pass") {
     val df = Seq(
       (1L, Some("a"), Some(5.0)),
