@@ -688,6 +688,96 @@ object TextQueries {
              |FROM enc WHERE step = 10
              |ORDER BY freq DESC, w LIMIT 500""".stripMargin)),
 
+    // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
+    //      scorer — the fastText-classifier shape public
+    //      data-curation pipelines apply at corpus scale): word
+    //      unigrams + adjacent bigrams hash into 1024 buckets
+    //      (md5-nibble arithmetic — the portable bit source), a
+    //      naive-Bayes log-odds weight per bucket is TRAINED on the
+    //      doc_id % 5 != 0 split against the lang='en' label, and the
+    //      held-out split is SCORED: score(doc) = Σ_feats
+    //      w[bucket(f)]. Completes the quality tier from rule
+    //      batteries to learned-score application. Exactness: weights
+    //      are the one-ln-over-an-exact-integer-ratio micro idiom
+    //      ((pos+1)(NT+B)/((neg+1)(PT+B)) — the PSI smoothing
+    //      discipline); scores are BIGINT micro sums. Scale shape:
+    //      application is MAP-SIDE — explode features, codegen bucket
+    //      arithmetic, broadcast join the 1024-row weight table, one
+    //      doc-keyed sum; the train and apply scans read DISJOINT
+    //      splits so nothing is computed twice. (The synthetic
+    //      fixture's langs share ONE vocabulary, so held-out accuracy
+    //      sits at the base rate by construction — the gate pins the
+    //      hash/train/score/predict MECHANICS bit-exactly, not model
+    //      skill; on a real multilingual corpus the same dag is the
+    //      CCNet/fastText-style lang-quality filter.) ----
+    Q("text_quality_classifier",
+      (s, dir) => {
+        val bigrams = "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1)," +
+          " i -> concat(element_at(w, i), '_', element_at(w, i + 1))) " +
+          "ELSE array() END"
+        def feats(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("lang"),
+            expr("filter(split(text, ' '), t -> t != '')").as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(concat(col("w"), expr(bigrams))).as("f"))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(conv(substring(md5(f), 6, 3), 16, 10) AS INT) % 1024").as("b"))
+        val d = Tables.t(s, dir, "documents")
+        val train = feats(d.filter(col("doc_id") % 5 =!= 0))
+          .groupBy("b").agg(
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+            sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+        val tot = train.agg(
+          coalesce(sum("pos"), lit(0L)).as("pt"),
+          coalesce(sum("neg"), lit(0L)).as("nt"))
+        val wt = s.range(0, 1024).select(col("id").cast("int").as("b"))
+          .join(train, Seq("b"), "left")
+          .select(col("b"),
+            coalesce(col("pos"), lit(0L)).as("pos"),
+            coalesce(col("neg"), lit(0L)).as("neg"))
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            round(log(((col("pos") + 1) * (col("nt") + 1024)).cast("double") /
+              ((col("neg") + 1) * (col("pt") + 1024)).cast("double")) * 1000000)
+              .cast("long").as("w_micro"))
+        feats(d.filter(col("doc_id") % 5 === 0))
+          .join(broadcast(wt), Seq("b"))
+          .groupBy(col("doc_id"), (col("lang") === "en").as("is_en"))
+          .agg(count(lit(1)).as("n_feats"), sum("w_micro").as("score_micro"))
+          .select(col("doc_id"), col("n_feats"), col("score_micro"),
+            (col("score_micro") > 0).as("pred_en"), col("is_en"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+             |f AS (SELECT doc_id, lang,
+             |    unnest(list_concat(w,
+             |      [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))])) AS f
+             |  FROM d),
+             |b AS (SELECT doc_id, lang,
+             |    ((strpos('0123456789abcdef', substr(md5(f), 6, 1)) - 1) * 256
+             |     + (strpos('0123456789abcdef', substr(md5(f), 7, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef', substr(md5(f), 8, 1)) - 1)) % 1024 AS b
+             |  FROM f),
+             |tr AS (SELECT b,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+             |  FROM b WHERE doc_id % 5 <> 0 GROUP BY 1),
+             |tot AS (SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS pt,
+             |               CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS nt FROM tr),
+             |sp AS (SELECT unnest(generate_series(0, 1023)) AS b),
+             |wt AS (SELECT sp.b AS b,
+             |    CAST(round(ln(CAST((COALESCE(tr.pos, 0) + 1) * (tot.nt + 1024) AS DOUBLE) /
+             |                  CAST((COALESCE(tr.neg, 0) + 1) * (tot.pt + 1024) AS DOUBLE))
+             |         * 1000000) AS BIGINT) AS w_micro
+             |  FROM sp LEFT JOIN tr ON tr.b = sp.b CROSS JOIN tot),
+             |ap AS (SELECT b.doc_id, b.lang, wt.w_micro
+             |  FROM b JOIN wt ON wt.b = b.b WHERE b.doc_id % 5 = 0)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             |  CAST(SUM(w_micro) AS BIGINT) AS score_micro,
+             |  SUM(w_micro) > 0 AS pred_en, lang = 'en' AS is_en
+             |FROM ap GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)),
+
     // ---- exact deduplication: keeper = min doc_id per identical text ----
     Q("dedup_exact",
       (s, dir) => Tables.t(s, dir, "documents")
