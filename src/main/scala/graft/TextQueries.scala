@@ -688,6 +688,78 @@ object TextQueries {
              |FROM enc WHERE step = 10
              |ORDER BY freq DESC, w LIMIT 500""".stripMargin)),
 
+    // ---- TOKENIZER COMPRESSION REPORT (fertility): chars-per-token
+    //      under the BPE table, per source — the number a tokenizer
+    //      owner watches per corpus slice (a slice whose fertility
+    //      collapses is under-served by the merge table and will eat
+    //      the token budget). Rides the same vocab-collapsed encode
+    //      as text_bpe_apply: each DISTINCT word encodes once, then
+    //      per-source totals are one (source, word)-keyed count
+    //      joined to the vocab-sized token-length table — corpus
+    //      text is never re-encoded per occurrence. Integer permille
+    //      via BIGINT floor division. ----
+    Q("text_bpe_compression",
+      (s, dir) => {
+        val words = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .localCheckpoint() // vocab stat AND per-source counts read it
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        val merges: Seq[String] = vocab
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        val enc = vocab.select(col("w"), graft.functions.Bpe.nTokens(
+          graft.functions.Bpe.encodeFramed(col("w"), merges)).as("n_tok"))
+        words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .join(enc, Seq("w"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("n_tok")).as("n_tokens"),
+            sum(col("c") * length(col("w")).cast("long")).as("_chars"))
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            expr("(1000 * _chars) div n_tokens").as("cpt_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE
+             |wrd AS (SELECT source, w
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2),
+             |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wrd GROUP BY 1),
+             |pairs AS (
+             |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)),
+             |merges AS (
+             |  SELECT pair, ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rk
+             |  FROM pairs GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 10),
+             |init AS (
+             |  SELECT w, repeat(chr(1), 2) ||
+             |    array_to_string([substring(w, CAST(i AS INTEGER), 1)
+             |      FOR i IN range(1, length(w) + 1)], repeat(chr(1), 2)) ||
+             |    repeat(chr(1), 2) AS s
+             |  FROM vocab),
+             |enc AS (
+             |  SELECT w, s, 0 AS step FROM init
+             |  UNION ALL
+             |  SELECT e.w,
+             |    replace(e.s,
+             |      chr(1) || substring(m.pair, 1, 1) || repeat(chr(1), 2) ||
+             |        substring(m.pair, 2, 1) || chr(1),
+             |      chr(1) || m.pair || chr(1)) AS s,
+             |    e.step + 1 AS step
+             |  FROM enc e JOIN merges m ON m.rk = e.step + 1
+             |  WHERE e.step < 10),
+             |ntok AS (SELECT w,
+             |    CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tok
+             |  FROM enc WHERE step = 10),
+             |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM wrd GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+             |  CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,
+             |  CAST((1000 * SUM(c * length(w))) // SUM(c * n_tok) AS BIGINT) AS cpt_permille
+             |FROM sw JOIN ntok USING (w) GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public
     //      data-curation pipelines apply at corpus scale): word
