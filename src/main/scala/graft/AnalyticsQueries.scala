@@ -6157,6 +6157,45 @@ object AnalyticsQueries {
              |FROM o JOIN qs ON qs.st = o.st
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
 
+    // ---- WILSON LOWER-BOUND RANKING: top-20 users by the 95%
+    //      Wilson score lower bound of their purchase rate — the
+    //      "how not to sort by average rating" fix: a 3/3 user must
+    //      NOT outrank a 90/100 user, which plain-proportion ranking
+    //      gets wrong on every small-n group. The bound is the
+    //      n-multiplied closed form
+    //        (k + z²/2 − z·sqrt(k(n−k)/n + z²/4)) / (n + z²)
+    //      with z = 1.96, so z² = 3.8416 exactly (a short decimal —
+    //      both engines parse the identical double): the only float
+    //      inputs are exact BIGINTs k(n−k) and n, the expression
+    //      tree is written identically on both engines, and
+    //      IEEE-754 specifies sqrt/÷ exactly — so the micro-rounded
+    //      bound is deterministic cross-engine (the
+    //      embed_quantize_int8 engine-identical-IEEE-dag
+    //      discipline). Plan: one combinable user-keyed aggregate,
+    //      map-side closed form, TakeOrdered top-20 — no window, no
+    //      join. ----
+    Q("events_wilson_ranking",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        .select(col("user_id"), col("n"), col("k"),
+          round(((col("k").cast("double") + lit(1.9208) -
+            lit(1.96) * sqrt((col("k") * (col("n") - col("k"))).cast("double") /
+              col("n").cast("double") + lit(0.9604)))
+            / (col("n").cast("double") + lit(3.8416))) * 1000000)
+            .cast("long").as("wilson_micro"))
+        .orderBy(desc("wilson_micro"), asc("user_id"))
+        .limit(20),
+      Some("""WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, n, k,
+             |  CAST(round(((CAST(k AS DOUBLE) + 1.9208 -
+             |    1.96 * sqrt(CAST(k * (n - k) AS DOUBLE) / CAST(n AS DOUBLE) + 0.9604))
+             |    / (CAST(n AS DOUBLE) + 3.8416)) * 1000000) AS BIGINT) AS wilson_micro
+             |FROM g ORDER BY wilson_micro DESC, user_id LIMIT 20""".stripMargin)),
+
     // ---- A/B EXPERIMENT READOUT as an exact division-free two-sample
     //      t-test: users split by id parity, metric = per-user
     //      purchase count. Pooled-variance t² > 1.96² decided entirely

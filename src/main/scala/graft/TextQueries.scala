@@ -1778,6 +1778,97 @@ object TextQueries {
              |FROM sc GROUP BY 1
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- RETRIEVAL QUALITY EVAL (NDCG@10): score the BM25 top-10
+    //      against a binary relevance proxy (doc contains ALL three
+    //      query terms) — the eval loop that closes the serving tier
+    //      (index -> BM25 -> RRF -> measurement). Exactness: the
+    //      rank discounts 1/log2(i+1) quantize ONCE to micro ints
+    //      (one ln-ratio per spine row — the established one-ln
+    //      idiom), so DCG/IDCG are exact BIGINT sums and NDCG is one
+    //      permille floor division; ranks come from a broadcast
+    //      count-of-better over the 10-row TakeOrdered frame (the
+    //      RRF discipline — never an unpartitioned window). IDCG
+    //      caps at min(10, |relevant|) — the ideal list puts every
+    //      relevant doc first. Scale: everything downstream of the
+    //      bucket-pruned BM25 scoring is metadata-sized (10-row
+    //      frames, a 10-row weight spine, scalar totals). ----
+    Q("text_bm25_ndcg",
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val (postings, stats) = bm25IndexTables(s, dir)
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+              .cast("long").as("idf_pm"))
+        val top = hits.join(broadcast(idf), Seq("token"))
+          .select(col("doc_id"),
+            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
+              .as("contrib"))
+          .groupBy("doc_id")
+          .agg(sum("contrib").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(10)
+          .localCheckpoint() // both sides of the rank self-join read it
+        val ranked = top.join(broadcast(
+            top.select(col("doc_id").as("d2"), col("score_micro").as("s2"))),
+            col("s2") > col("score_micro") ||
+              (col("s2") === col("score_micro") && col("d2") < col("doc_id")),
+            "left")
+          .groupBy("doc_id").agg((count(col("d2")) + 1).as("rk"))
+        // relevance proxy: conjunctive containment over the same index
+        val relset = postings.filter(col("token").isin(terms: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+          .filter(col("nt") === terms.size).select("doc_id")
+        val rtot = relset.agg(count(lit(1)).as("r"))
+        val wts = s.range(1, 11).select(col("id").as("i"),
+          expr("CAST(round(1000000 / (ln(CAST(id + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)")
+            .as("w"))
+        val dcg = ranked
+          .join(relset.withColumn("rel", lit(1L)), Seq("doc_id"), "left")
+          .join(broadcast(wts), col("rk") === col("i"))
+          .agg(coalesce(sum(when(col("rel") === 1L, col("w"))), lit(0L)).as("dcg_micro"))
+        val idcg = wts.crossJoin(broadcast(rtot))
+          .agg(sum(when(col("i") <= least(lit(10L), col("r")), col("w"))
+            .otherwise(lit(0L))).as("idcg_micro"))
+        dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(rtot))
+          .select(col("r").as("n_relevant"), col("dcg_micro"), col("idcg_micro"),
+            expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_permille"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN stats s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN stats s),
+             |r AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+             |topk AS (SELECT doc_id, score,
+             |           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             |         FROM r QUALIFY rk <= 10),
+             |relset AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING COUNT(*) = 3),
+             |rtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM relset),
+             |wts AS (SELECT i, CAST(round(1000000 / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT) AS w
+             |        FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+             |dcg AS (SELECT CAST(COALESCE(SUM(CASE WHEN topk.doc_id IN (SELECT doc_id FROM relset)
+             |                 THEN w.w END), 0) AS BIGINT) AS dcg_micro
+             |        FROM topk JOIN wts w ON w.i = topk.rk),
+             |idcg AS (SELECT CAST(SUM(CASE WHEN w.i <= LEAST(10, rtot.r) THEN w.w ELSE 0 END) AS BIGINT)
+             |           AS idcg_micro
+             |         FROM wts w CROSS JOIN rtot)
+             |SELECT rtot.r AS n_relevant, dcg.dcg_micro, idcg.idcg_micro,
+             |  CAST((1000 * dcg.dcg_micro) // idcg.idcg_micro AS BIGINT) AS ndcg_permille
+             |FROM dcg CROSS JOIN idcg CROSS JOIN rtot""".stripMargin)),
+
     // ---- STREAMING INVERTED-INDEX MAINTENANCE: the postings table
     //      kept current INCREMENTALLY as document batches arrive —
     //      the serving index a retrieval pipeline must never rebuild
