@@ -64,6 +64,55 @@ object ScaleStress {
     // `buckets` rows regardless of corpus size.
     docRun("shuffle")(c =>
       graft.operators.Sampling.deterministicShuffle(c.select("doc_id"), "doc_id").count())
+    // BPE encode under replication: replicas add NO new words, so the
+    // vocabulary (and the per-word encode work) is m-INVARIANT — the
+    // wall tracks only the corpus-side word count aggregation
+    // (~linear), never corpus x merges. The 100 TB claim of the
+    // vocab-collapsed encode, measured.
+    docRun("bpe") { c =>
+      val words = c.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("freq")).localCheckpoint()
+      val merges = vocab.select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(10)
+        .collect().map(_.getString(0)).toSeq
+      val enc = vocab.select(col("w"), graft.functions.Bpe.nTokens(
+        graft.functions.Bpe.encodeFramed(col("w"), merges)).as("n_tok"))
+      words.groupBy("w").agg(count(lit(1)).as("c")).join(enc, Seq("w"))
+        .agg(sum(col("c") * col("n_tok"))).collect()(0).getLong(0)
+    }
+    // Hashed-n-gram classifier apply under replication: the weight
+    // table is FLAT at 1024 rows whatever the corpus, application is
+    // a map-side explode + broadcast join + doc-keyed sum — wall must
+    // track the corpus ~linearly.
+    docRun("qclass") { c =>
+      val bigrams = "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1)," +
+        " i -> concat(element_at(w, i), '_', element_at(w, i + 1))) ELSE array() END"
+      def feats(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), expr("filter(split(text, ' '), t -> t != '')").as("w"))
+        .select(col("doc_id"), explode(concat(col("w"), expr(bigrams))).as("f"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(f), 6, 3), 16, 10) AS INT) % 1024").as("b"))
+      val train = feats(c.filter(col("doc_id") % 5 =!= 0))
+        .groupBy("b").agg(
+          sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("doc_id") % 3 === 0, 0L).otherwise(1L)).as("neg"))
+      val tot = train.agg(
+        coalesce(sum("pos"), lit(0L)).as("pt"), coalesce(sum("neg"), lit(0L)).as("nt"))
+      val wt = spark.range(0, 1024).select(col("id").cast("int").as("b"))
+        .join(train, Seq("b"), "left")
+        .select(col("b"), coalesce(col("pos"), lit(0L)).as("pos"),
+          coalesce(col("neg"), lit(0L)).as("neg"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log(((col("pos") + 1) * (col("nt") + 1024)).cast("double") /
+            ((col("neg") + 1) * (col("pt") + 1024)).cast("double")) * 1000000)
+            .cast("long").as("w_micro"))
+      feats(c.filter(col("doc_id") % 5 === 0)).join(broadcast(wt), Seq("b"))
+        .groupBy("doc_id").agg(sum("w_micro").as("s")).count()
+    }
     // Inverted-index serving: inline search re-tokenizes the corpus
     // per query (tracks corpus size); the persisted token-bucketed
     // index pays one build pass, then each query reads k of 64
