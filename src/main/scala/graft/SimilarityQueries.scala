@@ -595,6 +595,75 @@ object SimilarityQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- VISUAL-DEDUP CLUSTERS: transitive closure over the banded
+    //      phash pairs (a~b, b~c => one {a,b,c} media cluster keyed
+    //      by its min media_id) — the stage that turns the near-dup
+    //      pair list into an actual visual dedup decision, exactly
+    //      the text side's dedup_clusters composed onto the
+    //      perceptual fingerprint. Pairing stays the pigeonhole
+    //      (band, chunk) equi-join; the closure is the
+    //      pointer-doubling labeller (O(log diameter) rounds);
+    //      oracle = quadratic Hamming pairs + WITH RECURSIVE
+    //      min-label closure. ----
+    Q("multimodal_phash_clusters",
+      (s, dir) => {
+        val ph = phashTable(s, dir)
+          .select("media_id", "phash_hi", "phash_lo")
+          .localCheckpoint() // both sides of the band join read it
+        val banded = ph.select(col("media_id"), col("phash_hi"), col("phash_lo"),
+          posexplode(array(
+            col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+            shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+            col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+            shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+            .as(Seq("band", "chunk")))
+        val a = banded.select(col("media_id").as("doc_a"), col("phash_hi").as("ha"),
+          col("phash_lo").as("la"), col("band"), col("chunk"))
+        val b = banded.select(col("media_id").as("doc_b"), col("phash_hi").as("hb"),
+          col("phash_lo").as("lb"), col("band"), col("chunk"))
+        val pairs = a.join(b, Seq("band", "chunk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+        graft.operators.Dedup.clusters(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .select(col("node").as("media_id"), col("cluster_id"), col("n_members"))
+          .orderBy("media_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, encode(text) AS b,
+             |            LEAST(octet_length(encode(text)), 64) AS n FROM documents),
+             |bytes AS (SELECT doc_id, n,
+             |    [CAST(strpos('123456789ABCDEF', substr(hex(b), 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hex(b), 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))] AS bs
+             |  FROM d),
+             |st AS (SELECT doc_id, n, bs,
+             |    CAST(list_sum(bs) // n AS BIGINT) AS mean_b FROM bytes),
+             |fp AS (SELECT doc_id AS media_id,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END
+             |      FOR j IN range(32, CAST(GREATEST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS hi,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+             |      FOR j IN range(CAST(LEAST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS lo
+             |  FROM st),
+             |pairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+             |          FROM fp a JOIN fp b ON a.media_id < b.media_id
+             |          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(node, lbl) AS (SELECT src, src FROM edges
+             |                     UNION
+             |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+             |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+             |SELECT node AS media_id, cluster_id,
+             |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             |FROM cl ORDER BY media_id""".stripMargin)),
+
     // ---- RESIZE stub through the typed media pipeline: every 2nd
     //      byte of the payload head stands in for the 1/2-downscaled
     //      grid (a codec-aware downscaler slots into the same
