@@ -2108,6 +2108,43 @@ object EtlQueries {
              |       // ((nt + 10) * (mt + 10)) AS BIGINT) AS psi_contrib_micro
              |FROM g CROSS JOIN t ORDER BY band""".stripMargin)),
 
+    // ---- SURROGATE-KEY MINTING (incremental dimension load): new
+    //      members get DENSE surrogate keys appended after the
+    //      existing dimension's max — the IDENTITY-column behavior
+    //      every warehouse dimension load needs, WITHOUT a
+    //      single-task global window: ranks come from the two-phase
+    //      segmentedRanks machinery (sampled boundaries -> map-side
+    //      bucket assignment -> bucket-local partitioned windows ->
+    //      broadcast offset join), so minting a billion keys
+    //      parallelizes while staying collision-free and dense. The
+    //      existing era is custkey % 3 != 0 (its surrogates = its
+    //      business-key ranks); the arriving batch is the % 3 == 0
+    //      members. ----
+    Q("etl_surrogate_keys",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer").select(col("c_custkey").as("bk"))
+        val existing = graft.operators.Ranking.segmentedRanks(
+            c.filter(col("bk") % 3 =!= 0).withColumn("_g", lit(0)), "_g", Seq("bk"))
+          .select(col("bk"), col("row_number").as("sk"))
+          .localCheckpoint() // read twice: the output AND the max offset
+        val maxSk = existing.agg(max("sk").as("mx"))
+        val fresh = graft.operators.Ranking.segmentedRanks(
+            c.filter(col("bk") % 3 === 0).withColumn("_g", lit(0)), "_g", Seq("bk"))
+          .crossJoin(broadcast(maxSk))
+          .select(col("bk"), (col("row_number") + col("mx")).as("sk"))
+        existing.unionByName(fresh).orderBy("sk")
+      },
+      Some("""WITH ex AS (SELECT c_custkey AS bk,
+             |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+             |  FROM customer WHERE c_custkey % 3 <> 0),
+             |mx AS (SELECT CAST(MAX(sk) AS BIGINT) AS mx FROM ex),
+             |nw AS (SELECT c_custkey AS bk,
+             |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk0
+             |  FROM customer WHERE c_custkey % 3 = 0)
+             |SELECT bk, CAST(sk AS BIGINT) AS sk FROM ex
+             |UNION ALL SELECT bk, CAST(sk0 + mx AS BIGINT) AS sk FROM nw CROSS JOIN mx
+             |ORDER BY sk""".stripMargin)),
+
     // ---- MERGE AUDIT COUNTS: the inserted / updated / unchanged
     //      tally every MERGE INTO emits in a warehouse — the number
     //      an operator reads to catch a feed that suddenly updates
