@@ -375,6 +375,33 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("quality classifier applies map-side: weight table broadcasts, no SMJ on the scoring path") {
+    // the 100 TB claim of learned-score application: the corpus-sized
+    // feature stream must join the 1024-row weight table as a
+    // BROADCAST (a sort-merge join there would shuffle the whole
+    // exploded corpus by bucket id for nothing)
+    val q = Queries.queries("text_quality_classifier")(spark, sf)
+    val plan = planString(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table must broadcast-join the feature stream:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join belongs on the scoring path:\n${plan.take(1200)}")
+  }
+
+  test("BPE apply: the encode is map-side over the vocab (one keyed exchange, no join)") {
+    // vocab-collapsed encode: the only shuffle is the word-count
+    // groupBy; the 10-replace encode chain is a projection (no join,
+    // no window anywhere in the plan)
+    val q = Queries.queries("text_bpe_apply")(spark, sf)
+    val plan = planString(q)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the encode must not join:\n${plan.take(1200)}")
+    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("window group limit"),
+      s"the encode must not window:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-500 must be TakeOrdered, not a global sort:\n${plan.take(1200)}")
+  }
+
   test("REST source with pluggable transport parses JSON-lines payloads") {
     val fake: String => String = url => {
       assert(url == "https://example.invalid/feed")
