@@ -2127,7 +2127,9 @@ object EtlQueries {
             c.filter(col("bk") % 3 =!= 0).withColumn("_g", lit(0)), "_g", Seq("bk"))
           .select(col("bk"), col("row_number").as("sk"))
           .localCheckpoint() // read twice: the output AND the max offset
-        val maxSk = existing.agg(max("sk").as("mx"))
+        // first-ever load (empty existing era) must mint from 0, not
+        // NULL every fresh key
+        val maxSk = existing.agg(coalesce(max("sk"), lit(0L)).as("mx"))
         val fresh = graft.operators.Ranking.segmentedRanks(
             c.filter(col("bk") % 3 === 0).withColumn("_g", lit(0)), "_g", Seq("bk"))
           .crossJoin(broadcast(maxSk))
@@ -2137,7 +2139,7 @@ object EtlQueries {
       Some("""WITH ex AS (SELECT c_custkey AS bk,
              |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
              |  FROM customer WHERE c_custkey % 3 <> 0),
-             |mx AS (SELECT CAST(MAX(sk) AS BIGINT) AS mx FROM ex),
+             |mx AS (SELECT CAST(COALESCE(MAX(sk), 0) AS BIGINT) AS mx FROM ex),
              |nw AS (SELECT c_custkey AS bk,
              |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk0
              |  FROM customer WHERE c_custkey % 3 = 0)

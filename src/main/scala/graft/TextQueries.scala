@@ -1835,7 +1835,11 @@ object TextQueries {
             .otherwise(lit(0L))).as("idcg_micro"))
         dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(rtot))
           .select(col("r").as("n_relevant"), col("dcg_micro"), col("idcg_micro"),
-            expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_permille"))
+            // zero relevant docs => IDCG 0: a DEFINED 0 reading on
+            // both engines (Spark div-by-0 nulls; DuckDB // 0 throws)
+            when(col("idcg_micro") === 0L, lit(0L))
+              .otherwise(expr("(1000 * dcg_micro) div idcg_micro"))
+              .as("ndcg_permille"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
@@ -1866,7 +1870,8 @@ object TextQueries {
              |           AS idcg_micro
              |         FROM wts w CROSS JOIN rtot)
              |SELECT rtot.r AS n_relevant, dcg.dcg_micro, idcg.idcg_micro,
-             |  CAST((1000 * dcg.dcg_micro) // idcg.idcg_micro AS BIGINT) AS ndcg_permille
+             |  CAST(CASE WHEN idcg.idcg_micro = 0 THEN 0
+             |       ELSE (1000 * dcg.dcg_micro) // idcg.idcg_micro END AS BIGINT) AS ndcg_permille
              |FROM dcg CROSS JOIN idcg CROSS JOIN rtot""".stripMargin)),
 
     // ---- STREAMING INVERTED-INDEX MAINTENANCE: the postings table

@@ -36,11 +36,15 @@ object Bpe {
   val Sep = "\u0001"
 
   /** The double-sep framed initial state: one single-char token per
-    * character of `w`. */
+    * character of `w`. The empty string frames as one empty token
+    * (the `greatest` guard — Spark's `sequence(1, 0)` would DESCEND
+    * and emit two phantom tokens otherwise); callers conventionally
+    * filter to length >= 2 words anyway. */
   def frame(w: Column): Column = {
     val bb = Sep + Sep
     concat(lit(bb), array_join(
-      transform(sequence(lit(1), length(w)), i => substr(w, i, lit(1))),
+      transform(sequence(lit(1), greatest(length(w), lit(1))),
+        i => substr(w, i, lit(1))),
       bb), lit(bb))
   }
 
@@ -49,6 +53,8 @@ object Bpe {
   def encodeFramed(w: Column, merges: Seq[String]): Column = {
     require(merges.forall(_.length == 2),
       s"initial-state merge pairs are two chars each: ${merges.filter(_.length != 2)}")
+    require(merges.forall(!_.contains(Sep)),
+      "a merge pair containing the frame separator would corrupt token boundaries")
     val bb = Sep + Sep
     merges.foldLeft(frame(w))((acc, m) =>
       replace(acc,
