@@ -5521,6 +5521,37 @@ object AnalyticsQueries {
              |FROM (SELECT DISTINCT o_orderkey FROM orders
              |      INTERSECT SELECT DISTINCT l_orderkey FROM lineitem) t""".stripMargin)),
 
+    // ---- JOIN FAN-OUT PREDICTION: the exact output size a key join
+    //      would produce — Σ_k ca(k)·cb(k) — plus the worst single
+    //      key's fan-out, computed from two per-side key counts
+    //      WITHOUT running the join. diag_join_cardinality estimates
+    //      key OVERLAP (will the join lose rows); this predicts join
+    //      SIZE (will the join explode) — the other number a planner
+    //      wants before committing a 100 TB shuffle, and the
+    //      diagnostic that catches an unintended many-to-many before
+    //      it materializes. Two map-side-combinable counts + one
+    //      key-grain join + a one-row aggregate; the fact tables are
+    //      each touched once. ----
+    Q("diag_join_fanout",
+      (s, dir) => {
+        val a = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+        val b = Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+        a.join(b, Seq("k"))
+          .agg(sum(col("ca") * col("cb")).as("predicted_rows"),
+            count(lit(1)).as("n_common_keys"),
+            max(col("ca") * col("cb")).as("max_key_fanout"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+             |          FROM lineitem GROUP BY 1),
+             |b AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+             |      FROM orders GROUP BY 1)
+             |SELECT CAST(SUM(ca * cb) AS BIGINT) AS predicted_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+             |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
+             |FROM a JOIN b USING (k)""".stripMargin)),
+
     // ---- REFERENTIAL-INTEGRITY AUDIT: orphan counts across every
     //      foreign-key edge of the star schema in ONE report — the
     //      data-quality gate a warehouse load runs before publishing.
@@ -6747,6 +6778,39 @@ object AnalyticsQueries {
              |  CAST(SUM(rev_cents) OVER (PARTITION BY cidx ORDER BY age
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
              |FROM g ORDER BY cohort_midx, age""".stripMargin)),
+
+    // ---- STREAM-STATIC ENRICH WITH DIMENSION REFRESH: the static
+    //      side is RE-READ every micro-batch, so a dimension
+    //      republished mid-stream is visible to the NEXT batch
+    //      without a query restart — the gap in Spark's plan-time
+    //      stream-static join (which binds the dimension once at
+    //      start). The feed replays in two id-parity batches
+    //      (batch 0 = even event_ids); the user-tier dimension is
+    //      published at version v0 before the stream and REPUBLISHED
+    //      at v1 between the batches (the afterBatch seam), so the
+    //      oracle states exactly: even events carry v0, odd carry
+    //      v1. Per batch: one dimension read + one broadcast join
+    //      over just the batch. ----
+    Q("events_stream_dim_refresh",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_dimref_")
+        val users = Tables.t(s, dir, "events").select("user_id").distinct()
+        def publish(tag: String): Unit = users
+          .select(col("user_id"), lit(tag).as("tier"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$work/dim")
+        publish("v0")
+        val stream = graft.streaming.EventStreams
+          .readEvents(s, src.toString, maxFilesPerTrigger = Some(1))
+          .select("event_id", "user_id")
+        graft.streaming.EventStreams.enrichRefreshedDimStream(s, stream,
+            s"$work/dim", s"$work/out", s"$work/ckpt", key = "user_id",
+            afterBatch = id => publish(s"v${id + 1}"))
+          .select("event_id", "user_id", "tier")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN event_id % 2 = 0 THEN 'v0' ELSE 'v1' END AS tier
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- STREAMING DRIFT MONITOR (PSI per micro-batch): each batch
     //      of the feed is scored against the calibration era's band

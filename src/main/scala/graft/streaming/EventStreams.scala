@@ -1398,6 +1398,45 @@ object EventStreams {
   }
 
   /**
+   * Stream-static enrich where the STATIC side is RE-READ every
+   * micro-batch — dimension refresh without restarting the query.
+   * Spark's plan-time stream-static join binds the dimension ONCE at
+   * query start (a re-published blocklist/tier table is invisible
+   * until restart); re-resolving the dimension inside foreachBatch
+   * makes each batch see the dimension AS OF its own execution — the
+   * slowly-changing-enrichment semantics a 24/7 ingest actually
+   * needs. `afterBatch` runs after a batch's output commits (the
+   * seam the gate uses to publish the next dimension version exactly
+   * between batches, simulating the out-of-band publisher).
+   *
+   * Scale posture: per batch, one dimension read (dimension-sized)
+   * + one broadcast hash join over just the batch; nothing about
+   * the operator grows with stream history. At-least-once output to
+   * the parquet sink (the fanout-sink caveat) — replays re-enrich
+   * with the THEN-current dimension, which is the operator's
+   * documented as-of-execution contract.
+   */
+  def enrichRefreshedDimStream(spark: SparkSession, stream: DataFrame,
+                               dimDir: String, outDir: String,
+                               checkpoint: String, key: String,
+                               trigger: Trigger = Trigger.AvailableNow(),
+                               afterBatch: Long => Unit = _ => ()): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dim = broadcast(batch.sparkSession.read.parquet(dimDir))
+        batch.toDF().join(dim, Seq(key), "left")
+          .write.mode("append").parquet(outDir)
+        afterBatch(batchId)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /**
    * Per-micro-batch distribution-drift monitor (PSI): each batch's
    * value-band histogram is scored against a STATIC reference
    * distribution and ONE row per batch
