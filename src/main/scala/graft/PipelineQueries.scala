@@ -536,6 +536,61 @@ object PipelineQueries {
              |                            generate_subscripts(e.embedding, 1) AS i) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- EMBEDDING-CENTROID DRIFT: cosine agreement between the
+    //      mean vectors of two embedding eras (vec_id parity) — the
+    //      VECTOR-valued drift monitor beside the scalar PSI/KL
+    //      family: an upstream encoder swap or re-normalization
+    //      shifts the centroid long before scalar stats move.
+    //      Exactness: per-dim era sums of milli-quantized components
+    //      are exact BIGINTs; cosine reports as its SQUARE in
+    //      permille — (1000·dot²) div (‖a‖²·‖b‖²) — with dot's sign
+    //      beside it, so no sqrt and no float division ever runs
+    //      (products ride DECIMAL(38,0)/HUGEINT; dot² clears 2^63
+    //      at this scale already). A degenerate all-zero era reads
+    //      as a defined 0, not an engine-divergent divide-by-zero.
+    //      Scale: one posexplode + a 64-row keyed aggregate (map-
+    //      side combinable) + a one-row report — the monitor's cost
+    //      is one pass over the vectors wherever they live. ----
+    Q("embed_centroid_drift",
+      (s, dir) => {
+        val sums = Tables.t(s, dir, "embeddings")
+          .select((col("vec_id") % 2 === 0).as("era_a"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("era_a"), col("d"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("v"))
+          .groupBy("d").agg(
+            sum(when(col("era_a"), col("v")).otherwise(0L)).as("sa"),
+            sum(when(!col("era_a"), col("v")).otherwise(0L)).as("sb"))
+        sums.agg(
+            sum(col("sa") * col("sb")).as("dot"),
+            sum(col("sa") * col("sa")).as("na2"),
+            sum(col("sb") * col("sb")).as("nb2"))
+          .select(col("dot"), col("na2"), col("nb2"),
+            expr("CASE WHEN dot > 0 THEN '+' WHEN dot < 0 THEN '-' ELSE '0' END")
+              .as("dot_sign"),
+            expr("CAST(CASE WHEN na2 = 0 OR nb2 = 0 THEN 0 ELSE " +
+              "(CAST(dot AS DECIMAL(38,0)) * dot * 1000) div " +
+              "(CAST(na2 AS DECIMAL(38,0)) * nb2) END AS BIGINT)")
+              .as("cos2_permille"))
+      },
+      Some("""WITH ex AS (SELECT e.vec_id % 2 = 0 AS era_a, t.i AS d,
+             |    CAST(round(CAST(t.x AS DOUBLE) * 1000) AS BIGINT) AS v
+             |  FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x,
+             |                              generate_subscripts(e.embedding, 1) AS i) t),
+             |sums AS (SELECT d,
+             |    CAST(SUM(CASE WHEN era_a THEN v ELSE 0 END) AS BIGINT) AS sa,
+             |    CAST(SUM(CASE WHEN era_a THEN 0 ELSE v END) AS BIGINT) AS sb
+             |  FROM ex GROUP BY 1),
+             |agg AS (SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
+             |    CAST(SUM(sa * sa) AS BIGINT) AS na2,
+             |    CAST(SUM(sb * sb) AS BIGINT) AS nb2 FROM sums)
+             |SELECT dot, na2, nb2,
+             |  CASE WHEN dot > 0 THEN '+' WHEN dot < 0 THEN '-' ELSE '0' END AS dot_sign,
+             |  CAST(CASE WHEN na2 = 0 OR nb2 = 0 THEN 0 ELSE
+             |    (dot::HUGEINT * dot * 1000) // (na2::HUGEINT * nb2) END AS BIGINT)
+             |    AS cos2_permille
+             |FROM agg""".stripMargin)),
+
     // ---- PII DENSITY MONITORING per source — the audit that runs
     //      BEFORE the scrub decides whether a source is ingestible
     //      at all (a crawl slice where half the docs carry emails is
