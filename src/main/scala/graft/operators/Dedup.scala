@@ -16,15 +16,23 @@ import org.apache.spark.sql.functions._
  *
  * Shuffle budget (the 100 TB argument): shingle sets and per-doc set
  * sizes are narrow per-row array expressions (no global distinct, no
- * counting groupBy); nothing is persisted. The wide operations are
- * (1) the codegen'd 128-min signature aggregation (map-side partial —
- * one row per doc crosses the wire), (2) one groupBy on the
- * (band, band_key) bucket key — high cardinality, uniformly
- * hash-distributed, AQE-skew-safe — that expands each bucket's id
- * list to candidate pairs in-row (replacing the classic self-join:
- * half the shuffled bytes, no cached intermediate to leak), (3) the
- * candidate-pair distinct, and (4) the exact-verification joins,
- * which touch candidates only.
+ * counting groupBy). The wide operations are (1) the codegen'd
+ * 128-min signature aggregation (map-side partial — one row per doc
+ * crosses the wire), (2) one (band, band_key) EQUI-JOIN of the
+ * narrow sketch rows against themselves — high-cardinality uniform
+ * hash keys, AQE-skew-splittable — whose output is the candidate
+ * pairs, (3) the candidate-pair distinct, and (4) the
+ * exact-verification joins, which touch candidates only.
+ *
+ * Why the join and never a `collect_set` bucket collapse: a
+ * duplicate CLUSTER of n documents (boilerplate, mirrored pages —
+ * exactly what a web corpus contains) shares all bands, so a
+ * grouped collapse would hold n ids in ONE aggregation buffer and
+ * expand the n²/2 pair structs in ONE row on one task — an executor
+ * OOM at n ≈ 10⁵. The equi-join emits the same n² candidate rows
+ * but SPREADS them across join tasks, and AQE's skew-join split
+ * subdivides a hot (band, key) partition further; per-task memory
+ * stays flat no matter how duplicate-heavy the corpus is.
  */
 object Dedup {
 
@@ -61,22 +69,26 @@ object Dedup {
     }
   }
 
-  /** Bucket-grouped candidate pairs from (id, band, band_key) rows:
-    * ONE groupBy on the bucket key, then each bucket's sorted id list
-    * expands to its (a < b) pairs in-row. Replaces the band self-join —
-    * the bucket key is shuffled once instead of twice and nothing needs
-    * to be persisted for reuse. Bucket population is bounded by the
-    * banding design (a pathological all-identical corpus concentrates
-    * in one bucket either way — same blast radius as the join). */
-  private def candidatePairs(bandRows: DataFrame, idCol: String): DataFrame =
-    bandRows.groupBy("band", "band_key")
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+  /** Candidate pairs from (id, band, band_key) rows via the
+    * (band, band_key) EQUI-JOIN — the `simhashMd5NearDups` /
+    * `multimodal_phash_near_dups` discipline. The narrow sketch rows
+    * (id + two longs) are materialized ONCE with `localCheckpoint` so
+    * the two join sides reuse them instead of re-running the
+    * shingle/signature kernel per side. A duplicate cluster of n docs
+    * shares every band key, so its n²/2 candidate rows are the join
+    * OUTPUT — spread across tasks and AQE-skew-splittable — never an
+    * n²/2-element array inside one aggregation buffer (the
+    * `collect_set` collapse this replaced would OOM one executor on
+    * exactly the duplicate-heavy corpora dedup exists for). */
+  private def candidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
+    val rows = bandRows.localCheckpoint()
+    val a = rows.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = rows.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+  }
 
   /**
    * MinHash signatures as ONE wide aggregation over exploded shingle
@@ -115,10 +127,11 @@ object Dedup {
    * Verified output is deterministic and (up to LSH recall, ~1-5e-4
    * misses at the default banding) equals the exact all-pairs result.
    *
-   * Nothing is persisted: the signature/banding spine is a narrow
-   * per-row computation, so each consumer recomputes a cheap scan
-   * instead of holding the corpus in cache (which at 100 TB is the
-   * difference between working and evicting the cluster).
+   * Only the NARROW band-key rows (id + two longs, bands per doc) are
+   * materialized — inside [[candidatePairs]], so the equi-join's two
+   * sides share one sketch computation; the corpus text and shingle
+   * arrays are never cached (at 100 TB holding them would evict the
+   * cluster; the sketch rows are bands × 16 bytes per doc).
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
@@ -127,8 +140,8 @@ object Dedup {
     // Band keys come straight from the compiled per-document sketch
     // (bit-identical to minhash()+lshCandidates' SQL derivation —
     // pinned by HashSketchesSpec): a narrow projection with no
-    // explode, no 128-column aggregate, no shuffle before the bucket
-    // groupBy. posexplode's position IS the band index.
+    // explode, no 128-column aggregate, no shuffle before the band
+    // equi-join. posexplode's position IS the band index.
     val bandRows = docs.select(col(idCol),
       posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
         .as(Seq("band", "band_key")))
@@ -293,24 +306,28 @@ object Dedup {
     * The 4-chunk cover is pigeonhole-complete ONLY for maxDist <= 3
     * (4 chunks, at most 3 differing bits — one chunk must be clean);
     * maxDist >= 4 would silently lose recall, so it is rejected.
-    * Same bucket-grouped pair expansion as the MinHash path — one
-    * shuffle on the chunk key instead of a two-sided self-join. */
+    * Candidates come from the (chunk_i, chunk_v) EQUI-JOIN — the same
+    * discipline as [[simhashMd5NearDups]] and [[candidatePairs]]: a
+    * cluster of n identical fingerprints fans its n²/2 candidates out
+    * across join tasks instead of collapsing into one aggregation
+    * buffer. The narrow (id, simhash) frame is materialized once so
+    * both join sides reuse it. */
   def simhashNearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"the 4x16-bit chunk cover is pigeonhole-complete only for hamming <= 3, got maxDist=$maxDist")
-    fps.select(col(idCol), col("simhash"),
+    val banded = fps.localCheckpoint()
+      .select(col(idCol), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk_i", "chunk_v")))
-      .groupBy("chunk_i", "chunk_v")
-      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("simhash").as("fp")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
-          "b -> named_struct('id_a', a.id, 'sh_a', a.fp, 'id_b', b.id, 'sh_b', b.fp))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk_i"), col("chunk_v"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk_i"), col("chunk_v"))
+    a.join(b, Seq("chunk_i", "chunk_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }

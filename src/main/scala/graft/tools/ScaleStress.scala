@@ -336,6 +336,44 @@ object ScaleStress {
     docRun("simhmd5")(c => Dedup.simhashMd5NearDups(
       Dedup.simhashMd5(c, "doc_id", "text"), "doc_id").count())
     docRun("cluster")(c => Dedup.clusters(Dedup.minhashNearDups(c, "doc_id", "text")).count())
+    // Pathological duplicate CLUSTER — the corpus shape near-dedup
+    // exists for: n exact copies of ONE document share every band
+    // key. The former collect_set bucket collapse materialized the
+    // cluster's n·(n−1)/2 pair structs inside ONE aggregation buffer
+    // (oldbufpairs below — ~5·10⁷ structs at n=10⁴, an executor OOM
+    // at web-corpus cluster sizes); the (band, key) equi-join buffers
+    // only one key GROUP per task (bucketmax rows, linear in n) and
+    // STREAMS the quadratic pair output. Evidence: both reworked
+    // paths complete end-to-end at n >= 10⁴ copies (m=4), wall is
+    // output-bound (~m²), and the per-task buffered state (bucketmax)
+    // grows linearly while oldbufpairs — what the collapse held —
+    // grows quadratically.
+    if (wanted("hotdup")) {
+      val words = "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliet kilo lima mike november oscar papa"
+      multiples.foreach { m =>
+        val n = 2500L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"), lit(words).as("text"))
+        docs.count() // warm
+        val fps = Dedup.simhash(docs, "doc_id", "text")
+        var t0 = System.nanoTime()
+        val outS = Dedup.simhashNearDups(fps, "doc_id").count()
+        val tS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val outM = Dedup.minhashNearDups(docs, "doc_id", "text", bands = 8).count()
+        val tM = (System.nanoTime() - t0) / 1e9
+        require(outS == n * (n - 1) / 2 && outM == n * (n - 1) / 2,
+          s"identical-copy cluster must pair completely: sim=$outS min=$outM n=$n")
+        // per-task buffered state of the equi-join = one (band, key)
+        // bucket; the collapse buffered that bucket's full pair set
+        val bucketMax = Dedup.signatureBandRows(docs, "doc_id", "text", bands = 8)
+          .groupBy("band", "band_key").count()
+          .agg(max("count")).head().getLong(0)
+        println(f"SCALE hotdup  m=$m%2d copies=$n%6d out=$outS%10d tsimhash=$tS%6.1fs " +
+          f"tminhash=$tM%6.1fs bucketmax=$bucketMax%6d oldbufpairs=${bucketMax * (bucketMax - 1) / 2}%11d")
+        spark.catalog.clearCache()
+      }
+    }
     docRun("increm")(c => Dedup.incrementalNearDups(
       c.filter(col("doc_id") % 10 =!= 0), c.filter(col("doc_id") % 10 === 0),
       "doc_id", "text").count())
