@@ -5538,10 +5538,15 @@ object AnalyticsQueries {
           .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
         val b = Tables.t(s, dir, "orders")
           .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+        // products ride DECIMAL(38,0): the overflow regime is exactly
+        // the runaway many-to-many this diagnostic exists to catch —
+        // BIGINT would wrap silently under non-ANSI Spark while the
+        // HUGEINT oracle errors (the embed_centroid_drift discipline)
         a.join(b, Seq("k"))
-          .agg(sum(col("ca") * col("cb")).as("predicted_rows"),
+          .select((col("ca").cast("decimal(38,0)") * col("cb")).as("prod"))
+          .agg(sum("prod").cast("long").as("predicted_rows"),
             count(lit(1)).as("n_common_keys"),
-            max(col("ca") * col("cb")).as("max_key_fanout"))
+            max("prod").cast("long").as("max_key_fanout"))
       },
       Some("""WITH a AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
              |          FROM lineitem GROUP BY 1),

@@ -622,8 +622,11 @@ object TextQueries {
     //      maintained, and a token merely PREFIXED by y can never
     //      false-match (the pattern demands the closing sep). Both
     //      engines' replace() share these semantics, so the encode
-    //      is oracle-exact; DuckDB replays the 10 sequential merges
-    //      with a fixed-depth WITH RECURSIVE (the repo's
+    //      is oracle-exact; DuckDB replays the sequential merges with
+    //      a WITH RECURSIVE whose depth is COUNT(*) FROM merges — the
+    //      actual collected table size, so a small/skewed corpus that
+    //      yields fewer than 10 distinct pairs still terminates at
+    //      the same depth the Spark fold runs (the repo's
     //      graph_core_numbers recursion idiom). Scale shape: the
     //      corpus collapses to the VOCABULARY first (one groupBy) —
     //      each distinct word encodes once, as a map-side chain of
@@ -681,11 +684,11 @@ object TextQueries {
              |      chr(1) || m.pair || chr(1)) AS s,
              |    e.step + 1 AS step
              |  FROM enc e JOIN merges m ON m.rk = e.step + 1
-             |  WHERE e.step < 10)
+             |  WHERE e.step < (SELECT COUNT(*) FROM merges))
              |SELECT w, freq,
              |  CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tokens,
              |  trim(replace(s, repeat(chr(1), 2), ' ')) AS encoded
-             |FROM enc WHERE step = 10
+             |FROM enc WHERE step = (SELECT COUNT(*) FROM merges)
              |ORDER BY freq DESC, w LIMIT 500""".stripMargin)),
 
     // ---- TOKENIZER COMPRESSION REPORT (fertility): chars-per-token
@@ -750,10 +753,10 @@ object TextQueries {
              |      chr(1) || m.pair || chr(1)) AS s,
              |    e.step + 1 AS step
              |  FROM enc e JOIN merges m ON m.rk = e.step + 1
-             |  WHERE e.step < 10),
+             |  WHERE e.step < (SELECT COUNT(*) FROM merges)),
              |ntok AS (SELECT w,
              |    CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tok
-             |  FROM enc WHERE step = 10),
+             |  FROM enc WHERE step = (SELECT COUNT(*) FROM merges)),
              |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM wrd GROUP BY 1, 2)
              |SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
              |  CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,

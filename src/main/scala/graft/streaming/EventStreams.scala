@@ -1411,29 +1411,57 @@ object EventStreams {
    *
    * Scale posture: per batch, one dimension read (dimension-sized)
    * + one broadcast hash join over just the batch; nothing about
-   * the operator grows with stream history. At-least-once output to
-   * the parquet sink (the fanout-sink caveat) — replays re-enrich
-   * with the THEN-current dimension, which is the operator's
-   * documented as-of-execution contract.
+   * the operator grows with stream history. The broadcast is
+   * unconditional BY CONTRACT (the static side is a dimension), so
+   * it is guarded loudly: every batch checks the dimension
+   * directory's byte size against `maxDimBytes` and fails with a
+   * named error instead of letting a fact-sized dir OOM the driver
+   * mid-stream (the etl_media_binaryfile maxBytes pattern).
+   *
+   * Idempotent replay: each batch writes to its own
+   * `enrich_batch=<batchId>` partition directory with OVERWRITE
+   * mode, and a batch whose `_SUCCESS` marker already exists is
+   * skipped entirely (no rewrite, no `afterBatch`). A foreachBatch
+   * retry after the write but before checkpoint commit therefore
+   * replaces its own output in place instead of duplicating it,
+   * and never re-enriches against a dimension version published
+   * AFTER its first successful run — exactly-once output on top of
+   * the sink's at-least-once delivery.
    */
   def enrichRefreshedDimStream(spark: SparkSession, stream: DataFrame,
                                dimDir: String, outDir: String,
                                checkpoint: String, key: String,
                                trigger: Trigger = Trigger.AvailableNow(),
-                               afterBatch: Long => Unit = _ => ()): DataFrame = {
+                               afterBatch: Long => Unit = _ => (),
+                               maxDimBytes: Long = 512L << 20): DataFrame = {
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val dim = broadcast(batch.sparkSession.read.parquet(dimDir))
-        batch.toDF().join(dim, Seq(key), "left")
-          .write.mode("append").parquet(outDir)
-        afterBatch(batchId)
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val partDir = new org.apache.hadoop.fs.Path(s"$outDir/enrich_batch=$batchId")
+        val fs = partDir.getFileSystem(hconf)
+        val committed = fs.exists(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"))
+        if (!committed) {
+          val dimPath = new org.apache.hadoop.fs.Path(dimDir)
+          val dimBytes = dimPath.getFileSystem(hconf).getContentSummary(dimPath).getLength
+          require(dimBytes <= maxDimBytes,
+            s"enrichRefreshedDimStream: dimension at $dimDir is $dimBytes bytes " +
+              s"(limit $maxDimBytes) — the static side is broadcast every micro-batch " +
+              "and must stay dimension-sized; repartition-join a fact-sized side instead")
+          val dim = broadcast(ss.read.parquet(dimDir))
+          batch.toDF().join(dim, Seq(key), "left")
+            .write.mode("overwrite").parquet(partDir.toString)
+          afterBatch(batchId)
+        }
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // partition discovery adds the enrich_batch bookkeeping column;
+    // drop it so the operator's output schema is the join's
+    spark.read.parquet(outDir).drop("enrich_batch")
   }
 
   /**

@@ -1012,4 +1012,72 @@ class StreamingSpec extends SparkTestBase {
     assert(fired > 200000L, s"collapsed batch should fire, got $fired")
     assert(rows(1).getAs[Long]("n_events") === 1000L)
   }
+
+  test("dim-refresh enrich fails loudly when the dimension exceeds maxDimBytes") {
+    val work = tmpDir("graft_dimref_guard_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    spark.range(0, 10).selectExpr("id AS k", "id AS v")
+      .coalesce(1).write.parquet(s"$work/feed")
+    new java.io.File(s"$work/feed").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, f.getName)))
+    spark.range(0, 10).selectExpr("id AS k", "'t' AS tier")
+      .coalesce(1).write.parquet(s"$work/dim")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+      .parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.enrichRefreshedDimStream(spark, stream, s"$work/dim",
+        s"$work/out", s"$work/ckpt", key = "k", maxDimBytes = 64L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must stay dimension-sized")),
+      s"expected the named broadcast guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("dim-refresh enrich replay is idempotent: committed batches are skipped, output stable") {
+    val work = tmpDir("graft_dimref_replay_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def stage(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = s"$work/$name"
+      spark.range(lo, hi).selectExpr("id AS k").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    stage("h0", 0, 50)
+    stage("h1", 50, 100)
+    def publish(tag: String): Unit = spark.range(0, 100)
+      .selectExpr("id AS k", s"'$tag' AS tier")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/dim")
+    publish("v0")
+    val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStreams.enrichRefreshedDimStream(spark, stream, s"$work/dim",
+        s"$work/out", s"$work/ckpt", key = "k",
+        afterBatch = { id => versions += id; publish(s"v${id + 1}") })
+    }
+    val first = run().orderBy("k").collect()
+    assert(first.length === 100)
+    assert(versions.toSeq === Seq(0L, 1L))
+    // wipe the CHECKPOINT (not the sink): every batch replays from
+    // offset 0 — committed enrich_batch dirs must be skipped whole,
+    // so the output is unchanged and afterBatch never re-fires
+    CacheDirs.deleteRecursively(new java.io.File(s"$work/ckpt"))
+    val second = run().orderBy("k").collect()
+    assert(versions.toSeq === Seq(0L, 1L),
+      s"replayed batches must not re-publish, saw $versions")
+    assert(second.toSeq === first.toSeq,
+      "replay must leave the enriched output byte-identical")
+  }
 }
