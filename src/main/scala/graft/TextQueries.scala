@@ -133,6 +133,53 @@ object TextQueries {
       |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
       |""".stripMargin
 
+  /** The text_bpe_train oracle: the k-round select->apply->recount
+    * trainer UNROLLED as a CTE chain (DuckDB's recursive CTE cannot
+    * aggregate over the recursion table to pick each round's max, so
+    * the rounds are generated as s0 -> p1/m1/s1 -> ... — same
+    * framed-replace encode and (n DESC, l, r) tie order as the Spark
+    * loop). A round whose pair table is empty contributes no merge
+    * row and leaves the state unchanged (the coalesce(chr(2)) pattern
+    * can never match), mirroring the trainer's early stop. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, freq, repeat(chr(1), 2) ||
+        |    array_to_string([substring(w, CAST(i AS INTEGER), 1)
+        |      FOR i IN range(1, length(w) + 1)], repeat(chr(1), 2)) ||
+        |    repeat(chr(1), 2) AS s
+        |  FROM vocab)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT tk[CAST(j AS INTEGER)] AS l, tk[CAST(j AS INTEGER) + 1] AS r,
+        |    CAST(SUM(freq) AS BIGINT) AS n
+        |  FROM (SELECT freq, string_split(trim(replace(s, repeat(chr(1), 2), ' ')), ' ') AS tk
+        |        FROM s${i - 1}) t,
+        |  LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(j)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT w, freq, replace(s,
+        |    chr(1) || coalesce((SELECT l FROM m$i), chr(2)) || repeat(chr(1), 2) ||
+        |      coalesce((SELECT r FROM m$i), chr(2)) || chr(1),
+        |    chr(1) || coalesce((SELECT l FROM m$i), chr(2)) ||
+        |      coalesce((SELECT r FROM m$i), chr(2)) || chr(1)) AS s
+        |  FROM s${i - 1})""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rk, l AS left_tok, r AS right_tok, " +
+        s"l || r AS merged, n FROM m$i")
+      .mkString("\nUNION ALL "))
+    sb.append("\nORDER BY rk")
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- corpus stats by language/source ----
@@ -762,6 +809,36 @@ object TextQueries {
              |  CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,
              |  CAST((1000 * SUM(c * length(w))) // SUM(c * n_tok) AS BIGINT) AS cpt_permille
              |FROM sw JOIN ntok USING (w) GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- ITERATIVE BPE TRAINER: the k-round select -> apply ->
+    //      recount loop of real tokenizer training (Sennrich et al.
+    //      2016) — text_bpe_merge_step is only round 1's statistic
+    //      from the initial character state; here each round
+    //      re-encodes the vocabulary under the merges selected SO
+    //      FAR, recounts adjacent TOKEN pairs, and appends the max,
+    //      so later merges pair MULTI-char tokens exactly as BPE
+    //      grows its vocabulary. Scale shape: the corpus collapses
+    //      to the vocabulary ONCE (the only corpus-sized pass);
+    //      every round is vocab-sized (<= k codegen replaces + one
+    //      pair count) and ships ONE row to the driver — m-invariant
+    //      under corpus replication (SCALE bpetrain). Oracle: the
+    //      identical loop UNROLLED as a CTE chain (select + apply
+    //      per step), both engines sharing the framed-replace encode
+    //      and the (n DESC, l, r) tie order. ----
+    Q("text_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // re-read every training round
+        val merges = graft.functions.Bpe.trainMerges(vocab, "w", "freq", rounds = 10)
+        merges.zipWithIndex.map { case ((l, r, n), i) =>
+          (i + 1L, l, r, l + r, n)
+        }.toDF("rk", "left_tok", "right_tok", "merged", "n").orderBy("rk")
+      },
+      Some(bpeTrainOracle(10))),
 
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public

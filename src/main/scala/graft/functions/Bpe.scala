@@ -48,26 +48,88 @@ object Bpe {
       bb), lit(bb))
   }
 
-  /** `merges` applied sequentially in order; returns the framed
-    * token string (feed [[tokens]] / [[nTokens]] to read it). */
-  def encodeFramed(w: Column, merges: Seq[String]): Column = {
-    require(merges.forall(_.length == 2),
-      s"initial-state merge pairs are two chars each: ${merges.filter(_.length != 2)}")
-    require(merges.forall(!_.contains(Sep)),
-      "a merge pair containing the frame separator would corrupt token boundaries")
+  /** General merge application: each merge is a (left, right) TOKEN
+    * pair — tokens may be MULTI-char (the product of earlier merges),
+    * which the double-sep framing supports unchanged: the pattern
+    * `<sep>left<sep><sep>right<sep>` -> `<sep>leftright<sep>` is
+    * token-boundary-exact whatever the token lengths. This is the
+    * entry point [[trainMerges]] grows its table through; the
+    * String-typed [[encodeFramed]] remains for fixed 2-char tables. */
+  def encodeMerges(w: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty &&
+        !m._1.contains(Sep) && !m._2.contains(Sep)),
+      "merge tokens must be non-empty and free of the frame separator")
     val bb = Sep + Sep
     merges.foldLeft(frame(w))((acc, m) =>
       replace(acc,
-        lit(Sep + m.substring(0, 1) + bb + m.substring(1, 2) + Sep),
-        lit(Sep + m + Sep)))
+        lit(Sep + m._1 + bb + m._2 + Sep),
+        lit(Sep + m._1 + m._2 + Sep)))
+  }
+
+  /** `merges` applied sequentially in order; returns the framed
+    * token string (feed [[tokens]] / [[nTokens]] to read it). The
+    * 2-char require is on THIS signature only — a pair shipped as one
+    * String is ambiguous beyond the initial character state; pass
+    * multi-char merges through [[encodeMerges]]' (left, right) form. */
+  def encodeFramed(w: Column, merges: Seq[String]): Column = {
+    require(merges.forall(_.length == 2),
+      s"initial-state merge pairs are two chars each: ${merges.filter(_.length != 2)}")
+    encodeMerges(w, merges.map(m => (m.substring(0, 1), m.substring(1, 2))))
   }
 
   /** Space-joined token rendering of a framed encode. */
   def tokens(framed: Column): Column =
     trim(replace(framed, lit(Sep + Sep), lit(" ")))
 
+  /** Token array of a framed encode. */
+  def tokenArray(framed: Column): Column = split(tokens(framed), " ")
+
   /** Token count of a framed encode (boundaries minus one). */
   def nTokens(framed: Column): Column =
     ((length(framed) - length(replace(framed, lit(Sep), lit(""))))
       .divide(2).cast("long") - 1)
+
+  /**
+   * Iterative BPE TRAINER — the k-round select -> apply -> recount
+   * loop real tokenizer training runs (the `text_bpe_merge_step`
+   * query is only the round-1 statistic): each round re-encodes the
+   * vocabulary under the merges selected SO FAR, recounts adjacent
+   * TOKEN pairs (weighted by word frequency), picks the max under the
+   * total (n DESC, left ASC, right ASC) order, and appends it to the
+   * table — so later merges pair MULTI-char tokens ("th"+"e") exactly
+   * as the BPE algorithm (Sennrich et al. 2016, public) prescribes.
+   *
+   * Scale shape: the corpus collapses to its VOCABULARY before the
+   * loop (callers pass the (word, freq) table — one corpus groupBy,
+   * the only corpus-sized pass); each round is a vocab-sized chain of
+   * <= k codegen replaces + one explode + one map-side-combinable
+   * (l, r) count, and the only driver transfer per round is ONE row.
+   * Total work is O(k² · vocab), m-invariant in corpus replication.
+   * Rounds stop early if no adjacent pair remains.
+   *
+   * Returns (left, right, pair_count_at_selection) in rank order.
+   */
+  def trainMerges(vocab: org.apache.spark.sql.DataFrame, wCol: String,
+                  freqCol: String, rounds: Int): Seq[(String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (!exhausted && merges.size < rounds) {
+      val enc = encodeMerges(col(wCol), merges.toSeq.map(m => (m._1, m._2)))
+      val best = vocab
+        .select(col(freqCol).as("_f"), tokenArray(enc).as("_tk"))
+        // guard: a fully-merged 1-token word would make
+        // sequence(1, 0) DESCEND and index element_at(_tk, 0)
+        .filter(size(col("_tk")) >= 2)
+        .select(col("_f"), explode(expr(
+          "transform(sequence(1, size(_tk) - 1), i -> " +
+            "named_struct('l', element_at(_tk, i), 'r', element_at(_tk, i + 1)))")).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum("_f").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else merges += ((best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
+    }
+    merges.toSeq
+  }
 }

@@ -83,6 +83,31 @@ object ScaleStress {
       words.groupBy("w").agg(count(lit(1)).as("c")).join(enc, Seq("w"))
         .agg(sum(col("c") * col("n_tok"))).collect()(0).getLong(0)
     }
+    // Iterative BPE TRAINER under replication: replicas add
+    // occurrences but no new word TYPES, so the vocabulary — the only
+    // thing the k-round select/apply/recount loop touches after the
+    // one corpus groupBy — is m-INVARIANT. tvocab (the corpus pass)
+    // may track m; ttrain (10 rounds of re-encode + pair recount on
+    // the vocab) must stay FLAT at 10x corpus — the 100 TB claim of
+    // vocab-collapsed training, measured.
+    if (wanted("bpetrain")) {
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val vocab = corpus.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq")).localCheckpoint()
+        val nv = vocab.count()
+        val t1 = System.nanoTime()
+        val merges = graft.functions.Bpe.trainMerges(vocab, "w", "freq", rounds = 10)
+        val t2 = System.nanoTime()
+        println(f"SCALE bpetrain m=$m%2d docs=$n%7d vocab=$nv%7d merges=${merges.size}%2d " +
+          f"nsum=${merges.map(_._3).sum}%10d tvocab=${(t1 - t0) / 1e9}%6.1fs ttrain=${(t2 - t1) / 1e9}%6.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Hashed-n-gram classifier apply under replication: the weight
     // table is FLAT at 1024 rows whatever the corpus, application is
     // a map-side explode + broadcast join + doc-keyed sum — wall must

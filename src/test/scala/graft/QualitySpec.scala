@@ -42,6 +42,29 @@ class QualitySpec extends SparkTestBase {
     assert(got("aaa")._1 == "aa a" && got("abc")._1 == "a bc")
   }
 
+  test("Bpe.trainMerges runs select->apply->recount with multi-char merges and early stop") {
+    import graft.functions.Bpe
+    // hand-traced fixture: freq-weighted pair counts force the table
+    // to go multi-char by round 2 and exhaust after 4 merges
+    //   round 1: (a,b) 9 > (b,a) 6            -> merge (a, b)
+    //   round 2: abab=[ab,ab] -> (ab,ab) 3    -> merge (ab, ab)
+    //   round 3: (ab,a) 2                     -> merge (ab, a)
+    //   round 4: (b,ab) 1                     -> merge (b, ab)
+    //   round 5: every word is ONE token      -> early stop
+    val vocab = Seq(("abab", 3L), ("aba", 2L), ("bab", 1L)).toDF("w", "freq")
+    val merges = Bpe.trainMerges(vocab, "w", "freq", rounds = 10)
+    assert(merges === Seq(("a", "b", 9L), ("ab", "ab", 3L),
+      ("ab", "a", 2L), ("b", "ab", 1L)))
+    // the trained multi-char table round-trips through encodeMerges
+    val enc = Seq("abab", "aba", "bab", "abba").toDF("w")
+      .select(col("w"), Bpe.tokens(Bpe.encodeMerges(col("w"),
+        merges.map(m => (m._1, m._2)))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc("abab") == "abab" && enc("aba") == "aba" && enc("bab") == "bab")
+    // 'abba': merge 1 makes [ab, b, a]; no later merge matches
+    assert(enc("abba") == "ab b a")
+  }
+
   test("rules evaluate against hand-built fixtures, one agg pass") {
     val df = Seq(
       (1L, Some("a"), Some(5.0)),
