@@ -1034,6 +1034,39 @@ object TextQueries {
              |WHERE n_common * 10 >= sa.n_sh * 9
              |ORDER BY contained, container""".stripMargin)),
 
+    // ---- DUPLICATED-SPAN EXTRACTION (substring-level dedup, the
+    //      suffix-array pass of public pipelines): every maximal run
+    //      of consecutive positions whose 3-gram window occurs in
+    //      >= 2 distinct docs, emitted as (doc, start, len>=5)
+    //      excision spans — the operator that says WHICH PART of a
+    //      document is boilerplate, where the pair joins only say
+    //      which documents overlap. Spark side: positional postings
+    //      -> one gram-keyed min!=max aggregation -> join back ->
+    //      gaps-and-islands (the events_activity_streaks idiom).
+    //      Oracle: the QUADRATIC position self-join (a.gram = b.gram,
+    //      a.doc != b.doc) then the same islands — independent
+    //      derivation of the same spans. ----
+    Q("text_dup_spans",
+      (s, dir) => graft.operators.Dedup
+        .duplicatedSpans(Tables.t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minTokens = 5)
+        .orderBy("doc_id", "start_pos"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 2 >= 5
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     // ---- near-dup CLUSTERS: transitive closure over the verified
     //      MinHash pairs (a~b, b~c => one {a,b,c} cluster keyed by its
     //      min doc_id). The stage that turns pair lists into a dedup

@@ -537,6 +537,57 @@ object Dedup {
   }
 
   /**
+   * Substring-level DUPLICATED-SPAN extraction — the suffix-array
+   * pass of public dedup pipelines (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — public algorithm,
+   * re-expressed relationally): find every maximal span of >=
+   * `minTokens` consecutive tokens whose every k-token window also
+   * occurs in ANOTHER document. Document-pair operators (Jaccard,
+   * containment) say "these two docs overlap"; this one says "THIS
+   * span of THIS doc is boilerplate" — the unit an excision pass
+   * actually removes.
+   *
+   * Relational formulation (no suffix array needed): a position p of
+   * doc d is COVERED iff the k-gram starting at p appears in >= 2
+   * distinct documents; maximal runs of consecutive covered
+   * positions are gaps-and-islands (pos − row_number per doc — the
+   * events_activity_streaks idiom), and a run of r covered windows
+   * spans r + k − 1 tokens. Output: (doc, start_pos, n_tokens).
+   *
+   * Scale shape: one posexplode to positional k-gram postings (the
+   * text_phrase_search index pass), ONE gram-keyed aggregation whose
+   * duplicate test is min(doc) != max(doc) — no COUNT(DISTINCT)
+   * expansion, map-side combinable — one gram-keyed join back, and a
+   * doc-partitioned window (high-cardinality key). Nothing is
+   * quadratic: a gram shared by many docs fans out join-side like
+   * every posting list, and the window state is one row. The oracle
+   * twin runs the quadratic position self-join.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, minTokens: Int = 5): DataFrame = {
+    require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))"))
+          .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select("gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy("pos")
+    grams.join(dup, "gram")
+      .select(col(idCol), col("pos"))
+      .withColumn("_isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("pos").as("start_pos"), (count(lit(1)) + lit(k - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("start_pos"), col("n_tokens"))
+  }
+
+  /**
    * EXACT edit-distance-<=1 string join via the deletion
    * neighborhood (the FastSS family, Bocek et al. 2007 — public
    * algorithm, re-derived): provably equal to the quadratic

@@ -56,6 +56,14 @@ object ScaleStress {
     // prefix probe fan-out (rare-token postings), far below the
     // quadratic shingle join.
     docRun("contain")(c => Dedup.containmentPairs(c, "doc_id", "text").count())
+    // Duplicated-span extraction: replicas make EVERY position of
+    // every doc covered (each doc's windows recur in its m-1
+    // replicas), so output grows ~docs x m (one whole-doc span each)
+    // while the work stays postings-shaped — one gram-keyed agg, one
+    // gram-keyed join, one doc-keyed window. Wall must track corpus
+    // ~linearly (output-bound), never the gram-frequency square the
+    // quadratic oracle pays.
+    docRun("dupspan")(c => Dedup.duplicatedSpans(c, "doc_id", "text").count())
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>
