@@ -1125,6 +1125,39 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- INCREMENTAL IVF MAINTENANCE on the hard gate: the index is
+    //      built on 6/7 of the corpus, the remaining 1/7 arrives as a
+    //      fresh batch and is APPENDED — assigned to the EXISTING
+    //      centroids map-side (Similarity.assignToCentroids, one
+    //      argmin projection, no shuffle) and unioned into the cell
+    //      postings; no rebuild. Exactness rider: nProbe = nLists
+    //      over the MERGED index is exhaustive, so the result must
+    //      equal brute force over corpus + batch — the same oracle as
+    //      sim_ivf_exhaustive. The production rebuild trigger is the
+    //      embed_centroid_drift monitor (append while drift is quiet,
+    //      rebuild when it fires); SCALE ivfapp shows append cost
+    //      tracking the batch, not the corpus. ----
+    Q("sim_ivf_incremental",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 =!= 0)
+        val fresh = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 16)
+        val merged = graft.operators.Similarity.ivfAppend(assigned, centroids, fresh, "e")
+        graft.operators.Similarity
+          .ivfTopK(merged, centroids, probe, "e", k = 10, nProbe = 16)
+          .select("vec_id", "label", "cos_sim")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- IVF-PQ (the composed production ANN: cells bound WHICH rows
     //      a query touches, residual PQ codes bound WHAT each row
     //      costs). Approximate by design -> rows only; the _exact twin

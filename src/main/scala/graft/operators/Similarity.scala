@@ -256,6 +256,50 @@ object Similarity {
   }
 
   /**
+   * MAP-SIDE cell assignment against EXISTING centroids — the append
+   * path of incremental IVF index maintenance. The centroid table is
+   * metadata (nLists rows), so it collects to the driver and the
+   * argmin becomes ONE projection per fresh vector: an array of
+   * (-cosine, cell) candidate structs reduced by `array_min` (struct
+   * ordering = distance first, cell id tie-break — the identical
+   * (d, cell) min [[ivfIndex]]'s window argmin computes, so appended
+   * vectors land exactly where a full rebuild would put them, given
+   * unchanged centroids). No shuffle, no window: cost tracks the
+   * BATCH, never the corpus (SCALE ivfapp).
+   */
+  def assignToCentroids(fresh: DataFrame, centroids: DataFrame,
+                        vecCol: String): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    val cands = cents.map { case (cellId, vec) =>
+      struct((-cosine(col(vecCol), typedLit(vec))).as("d"), lit(cellId).as("cell"))
+    }
+    fresh.withColumn("cell", array_min(array(cands.toSeq: _*)).getField("cell"))
+  }
+
+  /**
+   * Incremental IVF maintenance: append a fresh batch to an existing
+   * index WITHOUT rebuilding — assign the batch to the EXISTING
+   * centroids map-side ([[assignToCentroids]]) and union it into the
+   * cell postings. At 100 TB this is the daily-ingest path: the
+   * corpus-sized assignment is paid once at build, each append costs
+   * one batch-sized projection (plus the postings write). Recall
+   * erodes as the corpus drifts away from the centroids the index was
+   * built around — the `embed_centroid_drift` monitor (vector-valued
+   * per-dimension drift) is the REBUILD TRIGGER: rebuild when its
+   * drift_micro crosses the alert line, append otherwise. Exactness
+   * rider: probing all nLists cells over the merged index equals
+   * brute force over corpus + batch (every vector lands in exactly
+   * one cell), which the `sim_ivf_incremental` gate pins against the
+   * DuckDB top-k oracle.
+   */
+  def ivfAppend(assigned: DataFrame, centroids: DataFrame, fresh: DataFrame,
+                vecCol: String): DataFrame =
+    assigned.unionByName(assignToCentroids(fresh, centroids, vecCol)
+      .select(assigned.columns.map(col).toSeq: _*))
+
+  /**
    * Product quantization (PQ): compress each vector to `m` small codes
    * (one per subspace) so the ANN index of a 100 TB corpus fits a
    * fraction of the memory — 64 float dims (256 B) become 8 codes

@@ -827,6 +827,34 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // Incremental IVF append: the corpus (and its build-time
+    // assignment) grows m-fold while the arriving batch stays FIXED —
+    // tbuild must track the corpus; tappend (one map-side argmin
+    // projection of the batch against the collected centroids) must
+    // stay FLAT: append cost tracks the batch, never the corpus.
+    if (wanted("ivfapp")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val batch = emb0.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L)).localCheckpoint()
+      val nb = batch.count()
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val (assigned, cents) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 16)
+        val nAssigned = assigned.count()
+        val t1 = System.nanoTime()
+        val appended = Similarity.assignToCentroids(batch, cents, "e").count()
+        val t2 = System.nanoTime()
+        println(f"SCALE ivfapp  m=$m%2d vecs=$n%7d batch=$nb%6d built=$nAssigned%7d " +
+          f"appended=$appended%6d tbuild=${(t1 - t0) / 1e9}%6.1fs tappend=${(t2 - t1) / 1e9}%6.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // IVF-PQ serving: the index MATERIALIZES once (assignment +
     // residual encode written as codes — the build wall, amortized
     // over every query) and the query serves from the materialized
