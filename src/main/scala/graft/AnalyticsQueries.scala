@@ -5557,6 +5557,68 @@ object AnalyticsQueries {
              |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
              |FROM a JOIN b USING (k)""".stripMargin)),
 
+    // ---- BANDING-SKEW DIAGNOSTIC: the per-(band, chunk) bucket-size
+    //      report an operator checks BEFORE launching a 100 TB banded
+    //      dedup — the observability face of the equi-join rework:
+    //      max_bucket is the largest key group a join task buffers,
+    //      candidate_pairs = Σ c·(c−1)/2 the exact candidate volume
+    //      each band will emit (a duplicate-heavy corpus shows up
+    //      here as one giant bucket long before it shows up as a
+    //      stuck stage). Rides the oracle-portable md5-SimHash
+    //      banding, so the buckets audited are EXACTLY the buckets
+    //      dedup_simhash_md5_pairs joins on. One fingerprint pass +
+    //      two map-side-combinable aggregations; output is 4 rows. ----
+    Q("diag_band_buckets",
+      (s, dir) => {
+        val fps = graft.operators.Dedup.simhashMd5(
+          Tables.t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Dedup.simhashMd5BandRows(fps, "doc_id")
+          .groupBy("band", "chunk").agg(count(lit(1)).as("c"))
+          .groupBy(col("band").cast("long").as("band"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max("c").as("max_bucket"),
+            sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+          .orderBy("band")
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT d.doc_id, t.tok
+             |  FROM documents d,
+             |       UNNEST(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+             |  WHERE t.tok <> ''
+             |),
+             |bits AS (
+             |  SELECT doc_id, p.p AS p,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+             |                          substr(md5(tok), 1 + p.p // 4, 1)) - 1)
+             |                   >> (3 - p.p % 4)) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM toks, (SELECT unnest(range(0, 64)) AS p) p
+             |  GROUP BY 1, 2
+             |),
+             |fps AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN s > 0 AND p >= 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi,
+             |    CAST(SUM(CASE WHEN s > 0 AND p < 32
+             |        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo
+             |  FROM bits GROUP BY 1
+             |),
+             |ch AS (
+             |  SELECT doc_id, b.band,
+             |    CASE b.band
+             |      WHEN 0 THEN fp_lo & 65535
+             |      WHEN 1 THEN (fp_lo >> 16) & 65535
+             |      WHEN 2 THEN fp_hi & 65535
+             |      ELSE (fp_hi >> 16) & 65535 END AS chunk
+             |  FROM fps, (SELECT unnest(range(0, 4)) AS band) b),
+             |bk AS (SELECT band, chunk, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM ch GROUP BY 1, 2)
+             |SELECT CAST(band AS BIGINT) AS band,
+             |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+             |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+             |FROM bk GROUP BY band ORDER BY band""".stripMargin)),
+
     // ---- REFERENTIAL-INTEGRITY AUDIT: orphan counts across every
     //      foreign-key edge of the star schema in ONE report — the
     //      data-quality gate a warehouse load runs before publishing.

@@ -397,20 +397,27 @@ object Dedup {
     * gate: every candidate is re-verified by the true Hamming
     * distance, and the chunk cover guarantees no qualifying pair is
     * missed, so output == the all-pairs join the oracle runs. */
-  def simhashMd5NearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3,
-      s"the 4x16-bit chunk cover is pigeonhole-complete only for hamming <= 3, got maxDist=$maxDist")
-    // both sides of the band join read the fingerprints — materialize
-    // once (narrow: id + two longs) instead of re-running the 64-sum
-    // aggregation per side
-    val src = fps.localCheckpoint()
-    val banded = src.select(col(idCol), col("fp_hi"), col("fp_lo"),
+  /** The 4x16-bit (band, chunk) rows of [[simhashMd5]] fingerprints —
+    * the banding [[simhashMd5NearDups]] joins on, exposed so the
+    * `diag_band_buckets` skew diagnostic reads the SAME buckets the
+    * dedup would shuffle. Band order: fp_lo low/high half, then
+    * fp_hi low/high half. */
+  def simhashMd5BandRows(fps: DataFrame, idCol: String): DataFrame =
+    fps.select(col(idCol), col("fp_hi"), col("fp_lo"),
       posexplode(array(
         col("fp_lo").bitwiseAND(lit(0xFFFFL)),
         shiftright(col("fp_lo"), 16).bitwiseAND(lit(0xFFFFL)),
         col("fp_hi").bitwiseAND(lit(0xFFFFL)),
         shiftright(col("fp_hi"), 16).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("band", "chunk")))
+
+  def simhashMd5NearDups(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"the 4x16-bit chunk cover is pigeonhole-complete only for hamming <= 3, got maxDist=$maxDist")
+    // both sides of the band join read the fingerprints — materialize
+    // once (narrow: id + two longs) instead of re-running the 64-sum
+    // aggregation per side
+    val banded = simhashMd5BandRows(fps.localCheckpoint(), idCol)
     val a = banded.select(col(idCol).as("id_a"), col("fp_hi").as("hi_a"),
       col("fp_lo").as("lo_a"), col("band"), col("chunk"))
     val b = banded.select(col(idCol).as("id_b"), col("fp_hi").as("hi_b"),
