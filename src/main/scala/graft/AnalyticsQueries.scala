@@ -1250,6 +1250,59 @@ object AnalyticsQueries {
              |SELECT node AS part, c AS core_k FROM est
              |WHERE iter = 50 ORDER BY part""".stripMargin)),
 
+    // ---- PAGERANK TO CONVERGENCE: the loop form of
+    //      graph_pagerank_step — exact integer micro-units per round
+    //      (emit r div out_degree along each edge, refresh to
+    //      150000 + 850·received div 1000), stopping at the FIRST
+    //      round whose max per-node |delta| <= 100000 micros. The
+    //      stop rule is itself oracle-stated: DuckDB replays a
+    //      fixed-depth recursion carrying the iter counter, computes
+    //      every round's max |delta| post-hoc, and selects the first
+    //      converged level — the same level the Spark loop exits at,
+    //      because both run the identical integer dynamics (observed
+    //      contraction ~0.85/round on this graph; sf0.01 converges at
+    //      round 15). Per round: two keyed shuffles over the edge
+    //      list + ONE driver scalar; round count is a mixing
+    //      property, not a size property (SCALE pagerank). ----
+    Q("graph_pagerank_converged",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        graft.operators.Graphs.pageRank(
+            graft.operators.Graphs.symmetric(e)
+              .select(col("u").as("src"), col("v").as("dst")))
+          .select(col("node").as("part"), col("r").as("pr_micros"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |outdeg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+             |pr(iter, node, r) AS (
+             |  SELECT 0, node, CAST(1000000 AS BIGINT) FROM outdeg
+             |  UNION ALL
+             |  SELECT iter, node, CAST(150000 + (850 * tot) // 1000 AS BIGINT) FROM (
+             |    SELECT p.iter + 1 AS iter, s.v AS node,
+             |      CAST(SUM(p.r // o.d) AS BIGINT) AS tot
+             |    FROM pr p JOIN outdeg o ON o.node = p.node
+             |              JOIN sym s ON s.u = p.node
+             |    WHERE p.iter < 25
+             |    GROUP BY 1, 2) t),
+             |dlt AS (SELECT a.iter AS iter, MAX(ABS(a.r - b.r)) AS delta
+             |        FROM pr a JOIN pr b ON b.node = a.node AND b.iter = a.iter - 1
+             |        GROUP BY 1),
+             |tsel AS (SELECT MIN(iter) AS t FROM dlt WHERE delta <= 100000)
+             |SELECT CAST(node AS BIGINT) AS part, r AS pr_micros FROM pr
+             |WHERE iter = (SELECT t FROM tsel) ORDER BY part""".stripMargin)),
+
     // ---- DEGREE DISTRIBUTION: the first diagnostic of any graph —
     //      how many nodes carry each degree (a heavy tail here is
     //      what motivates the degree-ordered triangle orientation and

@@ -324,4 +324,55 @@ object Graphs {
     }
     state
   }
+
+  /**
+   * PageRank run to TOLERANCE-based convergence — the loop form of
+   * the `graph_pagerank_step` power step, in the same exact integer
+   * micro-unit discipline (every node starts at 1e6 micros; each
+   * round a node emits `r div out_degree` along each out-edge and
+   * refreshes to 150000 + 850·received div 1000), so every engine
+   * replaying the same rounds derives the identical ranks — no float
+   * accumulation order anywhere. The loop stops at the FIRST round
+   * whose max per-node |delta| <= `tolMicros` (computed as one
+   * joined max — a driver scalar, not data), which an oracle can
+   * restate as a post-hoc selection over a fixed-depth recursion.
+   *
+   * Scale posture: per round, one (rank ⋈ out-degree) projection, one
+   * edge-keyed contribution aggregate (map-side combinable), one
+   * node-keyed refresh join — all well-keyed shuffles over the edge
+   * list; `localCheckpoint` truncates lineage and per-round driver
+   * traffic is ONE scalar. Round count is a property of the graph's
+   * mixing (damping contraction ~0.85/round), NOT its size — disjoint
+   * replicas converge in the base graph's round count (SCALE
+   * pagerank). Nodes with no out-edges simply emit nothing (sink-drop
+   * convention), stated rather than hidden.
+   */
+  def pageRank(edges: DataFrame, tolMicros: Long = 100000L,
+               maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var pr = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta > tolMicros && it < maxIters) {
+      val shares = pr.join(outdeg, pr("node") === outdeg("src"))
+        .select(col("src"), expr("r div d").as("share"))
+      val contrib = e.join(shares, "src")
+        .groupBy(col("dst").as("node")).agg(sum("share").as("tot"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"))
+        .localCheckpoint()
+      delta = next.join(pr.select(col("node"), col("r").as("_prev")), "node")
+        .agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
+      pr = next
+      it += 1
+    }
+    require(delta <= tolMicros,
+      s"pagerank did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
+    pr
+  }
 }

@@ -563,6 +563,35 @@ object ScaleStress {
         spark.catalog.clearCache()
       }
     }
+    // PageRank to convergence: disjoint replicas reproduce the base
+    // graph's rank dynamics node-for-node, so the CONVERGENCE ROUND
+    // count (a mixing property) is m-invariant while per-round work
+    // tracks the edge list — wall must grow ~linearly in edges,
+    // never edges x extra rounds.
+    if (wanted("pagerank")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li0.count() // warm
+      multiples.foreach { m =>
+        val it = (0 until m).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val sym = graft.operators.Graphs.symmetric(e)
+          .select(col("u").as("src"), col("v").as("dst"))
+        val ne = sym.count() / 2
+        val t0 = System.nanoTime()
+        val n = graft.operators.Graphs.pageRank(sym).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE pagerank m=$m%2d edges=$ne%8d nodes=$n%8d time=$dt%7.1fs")
+        spark.catalog.clearCache()
+      }
+    }
     // Full core decomposition (h-index fixpoint): disjoint replicas
     // leave every node's coreness unchanged, so the ROUND count is
     // m-invariant (the fixpoint depth of one replica) while per-round
