@@ -1303,6 +1303,60 @@ object AnalyticsQueries {
              |SELECT CAST(node AS BIGINT) AS part, r AS pr_micros FROM pr
              |WHERE iter = (SELECT t FROM tsel) ORDER BY part""".stripMargin)),
 
+    // ---- PERSONALIZED PAGERANK from a seed set (every 100th part):
+    //      the teleport mass concentrates on the seeds, so converged
+    //      rank measures graph proximity to them — the related-items
+    //      primitive. Same exact integer loop as
+    //      graph_pagerank_converged with per-node base =
+    //      150000·[seed], initial rank = base (mass grows outward
+    //      from the seeds), stop at the FIRST round with max |delta|
+    //      <= 10000 micros (round 8 on the sf0.01 graph; the delta
+    //      sequence oscillates on this near-bipartite structure and
+    //      both engines state the identical first-crossing rule). ----
+    Q("graph_ppr_seeds",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        val sym = graft.operators.Graphs.symmetric(e)
+          .select(col("u").as("src"), col("v").as("dst"))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .filter(col("node") % 100 === 0)
+        graft.operators.Graphs.personalizedPageRank(sym, seeds)
+          .select(col("node").as("part"), col("r").as("ppr_micros"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |outdeg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+             |nb AS (SELECT node, d,
+             |         CASE WHEN node % 100 = 0 THEN 150000 ELSE 0 END AS base
+             |       FROM outdeg),
+             |pr(iter, node, r) AS (
+             |  SELECT 0, node, CAST(base AS BIGINT) FROM nb
+             |  UNION ALL
+             |  SELECT iter, t.node, CAST(nb.base + (850 * t.tot) // 1000 AS BIGINT) FROM (
+             |    SELECT p.iter + 1 AS iter, s.v AS node,
+             |      CAST(SUM(p.r // o.d) AS BIGINT) AS tot
+             |    FROM pr p JOIN outdeg o ON o.node = p.node
+             |              JOIN sym s ON s.u = p.node
+             |    WHERE p.iter < 25
+             |    GROUP BY 1, 2) t JOIN nb ON nb.node = t.node),
+             |dlt AS (SELECT a.iter AS iter, MAX(ABS(a.r - b.r)) AS delta
+             |        FROM pr a JOIN pr b ON b.node = a.node AND b.iter = a.iter - 1
+             |        GROUP BY 1),
+             |tsel AS (SELECT MIN(iter) AS t FROM dlt WHERE delta <= 10000)
+             |SELECT CAST(node AS BIGINT) AS part, r AS ppr_micros FROM pr
+             |WHERE iter = (SELECT t FROM tsel) ORDER BY part""".stripMargin)),
+
     // ---- DEGREE DISTRIBUTION: the first diagnostic of any graph —
     //      how many nodes carry each degree (a heavy tail here is
     //      what motivates the degree-ordered triangle orientation and

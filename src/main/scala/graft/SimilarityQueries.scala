@@ -1208,6 +1208,38 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- INCREMENTAL IVF-PQ MAINTENANCE on the hard gate: index
+    //      built on 6/7 of the corpus, the remaining 1/7 appended —
+    //      assigned to the EXISTING centroids map-side and
+    //      residual-encoded against the EXISTING codebooks
+    //      (Similarity.ivfPqAppend; batch-sized work only, no
+    //      rebuild). Exactness rider: nProbe = nLists + exact re-rank
+    //      over the merged index must equal brute-force L2 over
+    //      corpus + batch — same oracle as sim_ivfpq_exact. ----
+    Q("sim_ivfpq_incremental",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 =!= 0)
+        val fresh = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        val merged = graft.operators.Similarity.ivfPqAppend(enc, cents, cb, fresh, "e")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("e").collect()(0).getSeq[Double](0).toArray
+        graft.operators.Similarity.ivfPqTopK(merged, cents, cb, probe,
+            k = 10, nProbe = 16, rerankVecCol = Some("e"),
+            shortlistFactor = 1000000)
+          .select("vec_id", "label", "l2_dist")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, v) - 2 * list_dot_product(v, pv)
+             |    + list_dot_product(pv, pv) AS l2_dist
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- PQ exactness-by-construction twin: binarizing each element
     //      (x >= 0 -> 1.0 else 0.0) leaves every 2-dim subvector one
     //      of 4 patterns <= k=16 codes, so trained codebooks represent

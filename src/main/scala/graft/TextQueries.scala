@@ -1067,6 +1067,47 @@ object TextQueries {
              |HAVING COUNT(*) + 2 >= 5
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
+    // ---- SPAN EXCISION (the rewrite half of substring dedup): drop
+    //      every token position covered by a text_dup_spans span and
+    //      rebuild each document from its survivors — the actual
+    //      boilerplate-scrubbed corpus a training pipeline writes,
+    //      span-grained where dedup_lines is sentence-grained. Docs
+    //      with no spans pass through intact; fully-boilerplate docs
+    //      excise to ''. Oracle replays the quadratic span derivation
+    //      then the same anti-join + ordered string_agg rebuild. ----
+    Q("text_excise_spans",
+      (s, dir) => graft.operators.Dedup
+        .exciseSpans(Tables.t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minTokens = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov),
+             |spans AS (SELECT doc_id, MIN(pos) AS sp, COUNT(*) + 2 AS nt
+             |          FROM isl GROUP BY doc_id, i HAVING COUNT(*) + 2 >= 5),
+             |covpos AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+             |           FROM spans, LATERAL unnest(generate_series(sp, sp + nt - 1)) AS u(p)),
+             |t AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS INTEGER)] AS tok
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks)),
+             |kept AS (SELECT t.doc_id, t.pos, t.tok
+             |         FROM t LEFT JOIN covpos c ON c.doc_id = t.doc_id AND c.pos = t.pos
+             |         WHERE c.pos IS NULL),
+             |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_excised,
+             |        CAST(COUNT(*) AS BIGINT) AS n_kept
+             |      FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(r.text_excised, '') AS text_excised,
+             |  COALESCE(r.n_kept, 0) AS n_kept,
+             |  CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+             |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- near-dup CLUSTERS: transitive closure over the verified
     //      MinHash pairs (a~b, b~c => one {a,b,c} cluster keyed by its
     //      min doc_id). The stage that turns pair lists into a dedup

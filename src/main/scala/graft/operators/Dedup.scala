@@ -595,6 +595,43 @@ object Dedup {
   }
 
   /**
+   * Span EXCISION — the rewrite half of substring-level dedup: every
+   * token position covered by a [[duplicatedSpans]] span is dropped
+   * and each document is rebuilt from its surviving tokens (the
+   * C4-style boilerplate-removal output, but span-grained instead of
+   * sentence-grained). Returns one row per input document:
+   * (id, text_excised, n_kept, n_dropped) — a document with no
+   * duplicated spans passes through intact, a fully-boilerplate
+   * document excises to the empty string (stated, not an error).
+   *
+   * Scale shape: spans explode to covered positions (output-bounded
+   * — span rows are already maximal runs), one (id, pos) left-anti
+   * join against the token stream, and one per-doc rebuild groupBy
+   * whose state is bounded by document length (the dedup_lines
+   * rebuild idiom).
+   */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, minTokens: Int = 5): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minTokens)
+    val covered = spans.select(col(idCol),
+      explode(expr("sequence(start_pos, start_pos + n_tokens - 1)")).as("pos"))
+    val toks = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_excised"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_excised"), lit("")).as("text_excised"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /**
    * EXACT edit-distance-<=1 string join via the deletion
    * neighborhood (the FastSS family, Bocek et al. 2007 — public
    * algorithm, re-derived): provably equal to the quadratic

@@ -351,10 +351,46 @@ object Graphs {
                maxIters: Int = 25): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    var pr = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("base", lit(150000L)).localCheckpoint()
+    prConverge(e, nodes, nodes.select(col("node"), lit(1000000L).as("r")),
+      tolMicros, maxIters)
+  }
+
+  /**
+   * Personalized PageRank: the teleport mass concentrates on a SEED
+   * set instead of spreading uniformly — rank measures proximity to
+   * the seeds (the recommendation/related-items primitive). Same
+   * exact integer dynamics as [[pageRank]] with per-node base =
+   * 150000·[node ∈ seeds] and initial rank = base (mass grows from
+   * the seeds toward the fixpoint, contraction ~0.85/round), same
+   * first-round-under-tolerance stop, same oracle-stateable loop.
+   * `seeds` is a (node) DataFrame; rows not present in the graph are
+   * ignored.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           tolMicros: Long = 10000L,
+                           maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val s = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("_s", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(s, Seq("node"), "left")
+      .select(col("node"), (coalesce(col("_s"), lit(0L)) * 150000L).as("base"))
+      .localCheckpoint()
+    prConverge(e, nodes, nodes.select(col("node"), col("base").as("r")),
+      tolMicros, maxIters)
+  }
+
+  /** Shared tolerance-stopped power loop over (node, base) with the
+    * integer refresh r' = base + 850·(Σ_in r div out_deg) div 1000. */
+  private def prConverge(e: DataFrame, nodes: DataFrame, init: DataFrame,
+                         tolMicros: Long, maxIters: Int): DataFrame = {
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    var pr = init.localCheckpoint()
     var it = 0
     var delta = Long.MaxValue
     while (delta > tolMicros && it < maxIters) {
@@ -364,7 +400,7 @@ object Graphs {
         .groupBy(col("dst").as("node")).agg(sum("share").as("tot"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"))
+          (col("base") + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"))
         .localCheckpoint()
       delta = next.join(pr.select(col("node"), col("r").as("_prev")), "node")
         .agg(max(abs(col("r") - col("_prev")))).head().getLong(0)

@@ -508,6 +508,30 @@ object Similarity {
   }
 
   /**
+   * Incremental IVF-PQ maintenance — the composed append path: assign
+   * the fresh batch to the EXISTING centroids map-side
+   * ([[assignToCentroids]]), residual-encode it against the EXISTING
+   * codebooks (one broadcast centroid join + the codegen'd PQ argmin
+   * — both batch-sized), and union the codes into the index. Nothing
+   * corpus-sized runs: the daily-ingest cost is the batch's
+   * assignment + encode, with `embed_centroid_drift` as the rebuild
+   * trigger exactly as [[ivfAppend]]. Exactness rider: with
+   * nProbe = nLists and an exact re-rank the merged index equals
+   * brute force over corpus + batch (`sim_ivfpq_incremental`).
+   */
+  def ivfPqAppend(encoded: DataFrame, centroids: DataFrame,
+                  codebooks: Array[Array[Array[Double]]], fresh: DataFrame,
+                  vecCol: String): DataFrame = {
+    val assigned = assignToCentroids(fresh, centroids, vecCol)
+    val withRes = assigned.join(broadcast(centroids), "cell")
+      .withColumn("_res",
+        expr(s"zip_with(cast($vecCol as array<double>), centroid, (x, y) -> x - y)"))
+    encoded.unionByName(
+      pqEncode(withRes, "_res", codebooks).drop("_res", "centroid")
+        .select(encoded.columns.map(col).toSeq: _*))
+  }
+
+  /**
    * Query the IVF-PQ index: probe the `nProbe` cells nearest the
    * probe vector (by the assignment's own metric — cosine — over the
    * metadata-sized centroid set), ADC-score ONLY rows in probed cells
