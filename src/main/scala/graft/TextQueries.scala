@@ -1067,6 +1067,33 @@ object TextQueries {
              |HAVING COUNT(*) + 2 >= 5
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
+    // ---- SELF-REPETITION SPANS: within-document repeated k-gram
+    //      runs — the loop/boilerplate detector for generated or
+    //      scraped text, the failure mode text_dup_spans (which
+    //      requires >= 2 DISTINCT docs) deliberately excludes. One
+    //      (doc, gram) count >= 2 + join back + islands; oracle is
+    //      the quadratic within-doc position self-join. ----
+    Q("text_self_repeat_spans",
+      (s, dir) => graft.operators.Dedup
+        .selfRepeatSpans(Tables.t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minTokens = 3)
+        .orderBy("doc_id", "start_pos"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gram = b.gram
+             |                         AND a.pos <> b.pos),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, i
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     // ---- SPAN EXCISION (the rewrite half of substring dedup): drop
     //      every token position covered by a text_dup_spans span and
     //      rebuild each document from its survivors — the actual
@@ -1127,6 +1154,36 @@ object TextQueries {
         """SELECT node AS doc_id, cluster_id,
           |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
           |FROM cl ORDER BY doc_id""".stripMargin)),
+
+    // ---- SOFT dedup (duplicate-aware sampling weights): instead of
+    //      dropping near-dup cluster members, weight each document by
+    //      1000 div cluster_size permille — the "count each effective
+    //      document once" mixing discipline public pipelines use when
+    //      hard dedup is too lossy (duplication frequency sometimes
+    //      carries signal). Unclustered docs keep weight 1000. Feeds
+    //      straight into Sampling.weightedMix's weightPermille. ----
+    Q("dedup_soft_weights",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val cl = graft.operators.Dedup
+          .clusters(graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        docs.select("doc_id")
+          .join(cl.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+          .withColumn("cluster_size", coalesce(col("csize"), lit(1L)))
+          .select(col("doc_id"), col("cluster_size"),
+            expr("1000 div cluster_size").as("weight_permille"))
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """,sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+          |        FROM cl GROUP BY 1)
+          |SELECT d.doc_id, CAST(COALESCE(sz.csize, 1) AS BIGINT) AS cluster_size,
+          |  CAST(1000 // COALESCE(sz.csize, 1) AS BIGINT) AS weight_permille
+          |FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+          |LEFT JOIN sz ON sz.cluster_id = cl.cluster_id
+          |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- canonical-per-cluster dedup: the corpus with every non-min
     //      member of each near-dup cluster removed — the actual

@@ -595,6 +595,42 @@ object Dedup {
   }
 
   /**
+   * SELF-repetition spans — the within-document twin of
+   * [[duplicatedSpans]]: positions whose k-gram window occurs at >= 2
+   * positions of the SAME document, merged into maximal runs. This is
+   * the loop/boilerplate detector quality pipelines run on generated
+   * or scraped text ("the the the …", repeated nav blocks inside one
+   * page) — cross-document coverage deliberately does NOT count here,
+   * and same-document repeats deliberately do NOT count in
+   * [[duplicatedSpans]]; the two operators partition the failure
+   * modes. Same postings -> keyed count -> join-back ->
+   * gaps-and-islands shape; the duplicate test is one (id, gram)
+   * count >= 2 (map-side combinable).
+   */
+  def selfRepeatSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, minTokens: Int = 3): DataFrame = {
+    require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))"))
+          .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val rep = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+      .select(col(idCol), col("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy("pos")
+    grams.join(rep, Seq(idCol, "gram"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("pos").as("start_pos"), (count(lit(1)) + lit(k - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("start_pos"), col("n_tokens"))
+  }
+
+  /**
    * Span EXCISION — the rewrite half of substring-level dedup: every
    * token position covered by a [[duplicatedSpans]] span is dropped
    * and each document is rebuilt from its surviving tokens (the
