@@ -5359,6 +5359,56 @@ object AnalyticsQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- INTERVAL UNION (coalesce overlapping intervals): each
+    //      event opens a 5-minute activity interval; per user, the
+    //      union of overlapping/touching intervals collapses to
+    //      maximal busy periods — the classic interval-coalescing
+    //      operator (running max-end gaps-and-islands: a new island
+    //      starts exactly when an interval opens after every earlier
+    //      interval's end). Complements events_sessionize (gap-based)
+    //      with the padded-interval semantics maintenance windows /
+    //      on-call coverage queries need. Exact integer micros; the
+    //      windows are user-partitioned (high-cardinality). ----
+    Q("events_interval_union",
+      (s, dir) => {
+        val pad = 300L * 1000000L
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s0"))
+          .withColumn("e0", col("s0") + lit(pad))
+        val wPrev = Window.partitionBy("user_id").orderBy("s0", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("user_id").orderBy("s0", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("_pmax", max("e0").over(wPrev))
+          .withColumn("_new",
+            when(col("_pmax").isNull || col("s0") > col("_pmax"), 1L).otherwise(0L))
+          .withColumn("_iid", sum("_new").over(wRun))
+          .groupBy("user_id", "_iid")
+          .agg(min("s0").as("busy_start_us"), max("e0").as("busy_end_us"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "busy_start_us", "busy_end_us", "n_events")
+          .orderBy("user_id", "busy_start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS s0 FROM events),
+             |i AS (SELECT user_id, event_id, s0, s0 + 300000000 AS e0 FROM e),
+             |f AS (SELECT user_id, event_id, s0, e0,
+             |        CASE WHEN MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |             OR s0 > MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        THEN 1 ELSE 0 END AS new_i
+             |      FROM i),
+             |g AS (SELECT user_id, s0, e0,
+             |        SUM(new_i) OVER (PARTITION BY user_id ORDER BY s0, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM f)
+             |SELECT user_id, CAST(MIN(s0) AS BIGINT) AS busy_start_us,
+             |  CAST(MAX(e0) AS BIGINT) AS busy_end_us,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, iid
+             |ORDER BY user_id, busy_start_us""".stripMargin)),
+
     // ---- interval-OVERLAP join (two interval relations, not the
     //      point-in-range shape events_interval_join covers): each
     //      user's CLICK sessions joined to their PURCHASE sessions

@@ -836,6 +836,38 @@ object SimilarityQueries {
              |SELECT probe_id, rk, vec_id, label, cos_sim FROM r
              |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- TRIPLET MINING (anchor, hardest positive, hardest
+    //      negative): the contrastive-pair assembly step of
+    //      embedding fine-tuning — per anchor, the most-similar
+    //      SAME-label vector and the most-similar OTHER-label vector
+    //      by exact cosine (ties to lowest id). Anchors broadcast;
+    //      one map-side scoring pass; two anchor-keyed argmax
+    //      windows. sim_hard_negatives is the negative half at k=3;
+    //      this emits ready-to-train triples. ----
+    Q("sim_triplet_mining",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val anchors = emb.filter(col("vec_id") % 50 === 0)
+        graft.operators.Similarity.tripletMining(emb, anchors, "e")
+          .orderBy("anchor_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+             |      FROM e WHERE vec_id % 50 = 0),
+             |sc AS (SELECT anchor_id, a_label, vec_id, label,
+             |  list_dot_product(v, av) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(av, av))) AS cos_sim
+             |  FROM e, a WHERE vec_id <> anchor_id),
+             |p AS (SELECT anchor_id, vec_id AS pos_id, cos_sim AS pos_sim,
+             |        ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rn
+             |      FROM sc WHERE label = a_label),
+             |n AS (SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_sim,
+             |        ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rn
+             |      FROM sc WHERE label <> a_label)
+             |SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim
+             |FROM p JOIN n USING (anchor_id)
+             |WHERE p.rn = 1 AND n.rn = 1 ORDER BY anchor_id""".stripMargin)),
+
     // ---- k-NN CLASSIFICATION (majority vote over the exact top-5
     //      cosine neighbors, excluding self): the embedding-space
     //      label-quality probe — compare predicted vs true label per

@@ -96,6 +96,38 @@ object Similarity {
   }
 
   /**
+   * Contrastive TRIPLET mining — (anchor, hardest positive, hardest
+   * negative) per anchor: the strongest same-label neighbor and the
+   * strongest different-label neighbor by exact cosine, ties to the
+   * lowest id. The training-pair assembly step of embedding-model
+   * fine-tuning ([[hardNegatives]] is its negative half); "hardest
+   * positive" here = most-similar same-label (the in-batch positive
+   * convention), "hardest negative" = most-similar other-label.
+   *
+   * Scale posture: anchors are a broadcast-sized selection; scoring
+   * is one map-side pass over the corpus (rows × |anchors|), the two
+   * argmaxes are anchor-partitioned windows over that scored stream.
+   * Output: (anchor_id, pos_id, pos_sim, neg_id, neg_sim).
+   */
+  def tripletMining(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+                    idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("_a_label"), col(vecCol).as("_a_e"))
+    val scored = corpus
+      .crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("_a_e")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(desc("cos_sim"), asc(idCol))
+    def top(side: DataFrame, prefix: String) = side
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col("anchor_id"), col(idCol).as(s"${prefix}_id"),
+        col("cos_sim").as(s"${prefix}_sim"))
+    top(scored.filter(col(labelCol) === col("_a_label")), "pos")
+      .join(top(scored.filter(col(labelCol) =!= col("_a_label")), "neg"), "anchor_id")
+  }
+
+  /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023, public): the
    * quadratic cosine comparison is confined to k-means cells so the
    * pairwise term is Σ(cell size)², never corpus².
