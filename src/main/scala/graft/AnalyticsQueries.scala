@@ -5714,6 +5714,73 @@ object AnalyticsQueries {
              |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
              |FROM a JOIN b USING (k)""".stripMargin)),
 
+    // ---- FOREIGN-KEY INFERENCE (join-key discovery): for candidate
+    //      (child column, parent column) pairs, the distinct-value
+    //      containment |child ∩ parent| · 1000 div |child| — 1000 on
+    //      every true FK edge of the star schema, and visibly lower
+    //      on the deliberately-wrong control pair (orderkey vs
+    //      custkey). The profiling diagnostic that discovers join
+    //      keys in an undocumented warehouse before anyone writes the
+    //      join. Per pair: two distinct sets + one left-semi count —
+    //      the diag_ref_integrity machinery pointed at discovery
+    //      instead of audit; output is a fixed 6-row report. ----
+    Q("diag_fk_inference",
+      (s, dir) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+                 parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val c = child.select(col(ck).as("k")).distinct()
+          val p = parent.select(col(pk).as("k")).distinct()
+          val nc = c.agg(count(lit(1)).as("n_child"))
+          c.join(p, Seq("k"), "left_semi").agg(count(lit(1)).as("n_contained"))
+            .crossJoin(nc)
+            .select(lit(name).as("edge"), col("n_child"), col("n_contained"),
+              expr("n_contained * 1000 div n_child").as("containment_permille"))
+        }
+        val li = Tables.t(s, dir, "lineitem")
+        val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer")
+        val p = Tables.t(s, dir, "part")
+        val su = Tables.t(s, dir, "supplier")
+        val n = Tables.t(s, dir, "nation")
+        Seq(
+          edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"),
+          edge("lineitem.suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+          edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+          edge("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+          edge("control:orderkey->customer", o, "o_orderkey", c, "c_custkey"))
+          .reduce(_ unionByName _)
+          .orderBy("edge")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT 'lineitem.orderkey->orders' AS edge, k, p FROM
+             |    (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+             |    LEFT JOIN (SELECT DISTINCT o_orderkey AS p FROM orders) pa ON pa.p = c.k
+             |  UNION ALL
+             |  SELECT 'lineitem.partkey->part', k, p FROM
+             |    (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+             |    LEFT JOIN (SELECT DISTINCT p_partkey AS p FROM part) pa ON pa.p = c.k
+             |  UNION ALL
+             |  SELECT 'lineitem.suppkey->supplier', k, p FROM
+             |    (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+             |    LEFT JOIN (SELECT DISTINCT s_suppkey AS p FROM supplier) pa ON pa.p = c.k
+             |  UNION ALL
+             |  SELECT 'orders.custkey->customer', k, p FROM
+             |    (SELECT DISTINCT o_custkey AS k FROM orders) c
+             |    LEFT JOIN (SELECT DISTINCT c_custkey AS p FROM customer) pa ON pa.p = c.k
+             |  UNION ALL
+             |  SELECT 'customer.nationkey->nation', k, p FROM
+             |    (SELECT DISTINCT c_nationkey AS k FROM customer) c
+             |    LEFT JOIN (SELECT DISTINCT n_nationkey AS p FROM nation) pa ON pa.p = c.k
+             |  UNION ALL
+             |  SELECT 'control:orderkey->customer', k, p FROM
+             |    (SELECT DISTINCT o_orderkey AS k FROM orders) c
+             |    LEFT JOIN (SELECT DISTINCT c_custkey AS p FROM customer) pa ON pa.p = c.k)
+             |SELECT edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+             |  CAST(COUNT(p) AS BIGINT) AS n_contained,
+             |  CAST(COUNT(p) * 1000 // COUNT(*) AS BIGINT) AS containment_permille
+             |FROM pairs GROUP BY edge ORDER BY edge""".stripMargin)),
+
     // ---- BANDING-SKEW DIAGNOSTIC: the per-(band, chunk) bucket-size
     //      report an operator checks BEFORE launching a 100 TB banded
     //      dedup — the observability face of the equi-join rework:
