@@ -1272,6 +1272,59 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- STREAMING ANN INDEX MAINTENANCE on the hard gate: the
+    //      fresh 1/7 of the corpus ARRIVES AS A STREAM (two
+    //      id-parity micro-batches through the real engine —
+    //      readStream -> foreachBatch) and each batch is assigned to
+    //      the EXISTING centroids map-side and appended to the
+    //      postings dir exactly-once (EventStreams.ivfAppendStream,
+    //      the enrich_batch replay protocol). Exactness rider:
+    //      nProbe = nLists over static index ∪ streamed postings
+    //      equals brute force over the whole corpus — the
+    //      sim_ivf_incremental oracle with the append arriving
+    //      through the streaming engine instead of one batch. ----
+    Q("sim_ivf_stream_append",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .select("vec_id", "label", "e")
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 =!= 0)
+        val fresh = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        val work = CacheDirs.tempWorkDir("graft_stream_ivf_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          fresh.filter(col("vec_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 16)
+        val stream = s.readStream.schema(fresh.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val appended = graft.streaming.EventStreams.ivfAppendStream(
+          s, stream, centroids, s"$work/postings", s"$work/ckpt", vecCol = "e")
+        val merged = assigned.unionByName(
+          appended.select(assigned.columns.map(col).toSeq: _*))
+        graft.operators.Similarity
+          .ivfTopK(merged, centroids, probe, "e", k = 10, nProbe = 16)
+          .select("vec_id", "label", "cos_sim")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- PQ exactness-by-construction twin: binarizing each element
     //      (x >= 0 -> 1.0 else 0.0) leaves every 2-dim subvector one
     //      of 4 patterns <= k=16 codes, so trained codebooks represent

@@ -1465,6 +1465,46 @@ object EventStreams {
   }
 
   /**
+   * Streaming ANN index maintenance — the streaming face of
+   * `Similarity.ivfAppend`: each arriving micro-batch of vectors is
+   * assigned to the EXISTING centroids map-side
+   * (`Similarity.assignToCentroids`, one argmin projection per row)
+   * and appended to the postings directory. Batches write to their
+   * own `enrich_batch=<id>` partition with overwrite and a committed
+   * batch is skipped whole (the `enrichRefreshedDimStream` replay
+   * protocol), so postings are exactly-once however often the sink
+   * retries. Centroids stay FIXED for the stream's lifetime — the
+   * operator's contract; the rebuild decision (embed_centroid_drift)
+   * is a batch-side concern between stream restarts.
+   *
+   * Returns the appended postings (partition bookkeeping column
+   * dropped). Per batch: one metadata-sized centroid collect + one
+   * batch-sized projection; nothing corpus-sized ever runs.
+   */
+  def ivfAppendStream(spark: SparkSession, stream: DataFrame,
+                      centroids: DataFrame, outDir: String,
+                      checkpoint: String, vecCol: String,
+                      trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val partDir = new org.apache.hadoop.fs.Path(s"$outDir/enrich_batch=$batchId")
+        val fs = partDir.getFileSystem(hconf)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"))) {
+          graft.operators.Similarity
+            .assignToCentroids(batch.toDF(), centroids, vecCol)
+            .write.mode("overwrite").parquet(partDir.toString)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("enrich_batch")
+  }
+
+  /**
    * Per-micro-batch distribution-drift monitor (PSI): each batch's
    * value-band histogram is scored against a STATIC reference
    * distribution and ONE row per batch
