@@ -1303,6 +1303,44 @@ object AnalyticsQueries {
              |SELECT CAST(node AS BIGINT) AS part, r AS pr_micros FROM pr
              |WHERE iter = (SELECT t FROM tsel) ORDER BY part""".stripMargin)),
 
+    // ---- TRUNCATED HARMONIC CENTRALITY (radius 2, exact):
+    //      H2(v) = n1 + n2/2 in integer millis — the closeness-style
+    //      "how much of the graph is near me" score, the metric the
+    //      HyperBall sketch (graph_reach_sketch) estimates at 100 TB
+    //      by differencing per-radius ball estimates; this gate is
+    //      its oracle-checkable exact face (distance-2 distinct
+    //      gather, the reach census's honest Σ deg² bound). ----
+    Q("graph_harmonic_2hop",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        graft.operators.Graphs.harmonic2(graft.operators.Graphs.symmetric(e))
+          .select(col("node").as("part"), col("n1"), col("n2"), col("h2_milli"))
+          .orderBy("part")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM it a JOIN it b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |d1 AS (SELECT u AS seed, v AS r FROM sym),
+             |two AS (SELECT DISTINCT s1.u AS seed, s2.v AS r
+             |        FROM sym s1 JOIN sym s2 ON s2.u = s1.v WHERE s2.v <> s1.u),
+             |d2 AS (SELECT t.seed, t.r FROM two t
+             |       LEFT JOIN d1 ON d1.seed = t.seed AND d1.r = t.r
+             |       WHERE d1.r IS NULL),
+             |n1 AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n1 FROM d1 GROUP BY 1),
+             |n2 AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1)
+             |SELECT n1.seed AS part, n1.n1, COALESCE(n2.n2, 0) AS n2,
+             |  CAST(n1.n1 * 1000 + COALESCE(n2.n2, 0) * 500 AS BIGINT) AS h2_milli
+             |FROM n1 LEFT JOIN n2 ON n2.seed = n1.seed ORDER BY part""".stripMargin)),
+
     // ---- PERSONALIZED PAGERANK from a seed set (every 100th part):
     //      the teleport mass concentrates on the seeds, so converged
     //      rank measures graph proximity to them — the related-items

@@ -141,7 +141,10 @@ object TextQueries {
     * loop). A round whose pair table is empty contributes no merge
     * row and leaves the state unchanged (the coalesce(chr(2)) pattern
     * can never match), mirroring the trainer's early stop. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** The shared unrolled select->apply chain: CTEs vocab, s0, then
+    * p$i/m$i/s$i per round — s$rounds is the vocabulary encoded under
+    * the learned table, m1..m$rounds the table itself. */
+  private def bpeTrainChain(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH vocab AS MATERIALIZED (
@@ -172,13 +175,24 @@ object TextQueries {
         |      coalesce((SELECT r FROM m$i), chr(2)) || chr(1)) AS s
         |  FROM s${i - 1})""".stripMargin)
     }
-    sb.append("\n" + (1 to rounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rk, l AS left_tok, r AS right_tok, " +
-        s"l || r AS merged, n FROM m$i")
-      .mkString("\nUNION ALL "))
-    sb.append("\nORDER BY rk")
     sb.toString
   }
+
+  private def bpeTrainOracle(rounds: Int): String =
+    bpeTrainChain(rounds) + "\n" +
+      (1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rk, l AS left_tok, r AS right_tok, " +
+          s"l || r AS merged, n FROM m$i")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY rk"
+
+  private def bpeTrainApplyOracle(rounds: Int): String =
+    bpeTrainChain(rounds) +
+      s"""
+         |SELECT w, freq,
+         |  CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tokens,
+         |  trim(replace(s, repeat(chr(1), 2), ' ')) AS encoded
+         |FROM s$rounds ORDER BY freq DESC, w LIMIT 500""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -839,6 +853,33 @@ object TextQueries {
         }.toDF("rk", "left_tok", "right_tok", "merged", "n").orderBy("rk")
       },
       Some(bpeTrainOracle(10))),
+
+    // ---- TRAIN -> APPLY composition: encode the vocabulary under
+    //      the TRAINED multi-char merge table (not the fixed
+    //      initial-state table text_bpe_apply uses) — the corpus
+    //      view a tokenizer owner actually ships after training.
+    //      Spark side: trainMerges then one encodeMerges chain over
+    //      the vocab. Oracle: the train recursion's FINAL state s10
+    //      IS the vocabulary encoded under the learned table (each
+    //      step applied its selected merge), so the oracle just
+    //      renders it — the two halves pin each other. ----
+    Q("text_bpe_train_apply",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint()
+        val merges = graft.functions.Bpe.trainMerges(vocab, "w", "freq", rounds = 10)
+        val enc = graft.functions.Bpe.encodeMerges(col("w"),
+          merges.map(m => (m._1, m._2)))
+        vocab.select(col("w"), col("freq"), enc.as("_s"))
+          .select(col("w"), col("freq"),
+            graft.functions.Bpe.nTokens(col("_s")).as("n_tokens"),
+            graft.functions.Bpe.tokens(col("_s")).as("encoded"))
+          .orderBy(desc("freq"), asc("w")).limit(500)
+      },
+      Some(bpeTrainApplyOracle(10))),
 
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public

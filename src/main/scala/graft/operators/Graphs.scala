@@ -326,6 +326,33 @@ object Graphs {
   }
 
   /**
+   * Truncated harmonic centrality at radius 2, EXACT:
+   * H2(v) = |dist = 1| + |dist = 2| / 2 over the symmetric edge list,
+   * reported in integer millis (n1·1000 + n2·500). The
+   * closeness-style "how much of the graph is near me" number — the
+   * metric HyperBall exists to estimate at scale: at 100 TB run
+   * [[reachSketch]] per radius and difference the ball estimates
+   * (fixed-size sketch rows, |E|-keyed shuffles); this exact form is
+   * the oracle-checkable face, paying the distance-2 distinct gather
+   * (Σ deg² pairs — the same honest bound as the reach census).
+   * Input must be the SYMMETRIC distinct edge list.
+   */
+  def harmonic2(sym: DataFrame): DataFrame = {
+    val d1 = sym.select(col("u").as("seed"), col("v").as("r"))
+    val two = sym.select(col("u").as("seed"), col("v").as("m"))
+      .join(sym.select(col("u").as("m"), col("v").as("r")), "m")
+      .filter(col("r") =!= col("seed"))
+      .select("seed", "r").distinct()
+    val d2 = two.join(d1, Seq("seed", "r"), "left_anti")
+    val n1 = d1.groupBy("seed").agg(count(lit(1)).as("n1"))
+    val n2 = d2.groupBy("seed").agg(count(lit(1)).as("n2"))
+    n1.join(n2, Seq("seed"), "left")
+      .select(col("seed").as("node"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        (col("n1") * 1000 + coalesce(col("n2"), lit(0L)) * 500).as("h2_milli"))
+  }
+
+  /**
    * PageRank run to TOLERANCE-based convergence — the loop form of
    * the `graph_pagerank_step` power step, in the same exact integer
    * micro-unit discipline (every node starts at 1e6 micros; each
