@@ -413,29 +413,40 @@ object Graphs {
   }
 
   /** Shared tolerance-stopped power loop over (node, base) with the
-    * integer refresh r' = base + 850·(Σ_in r div out_deg) div 1000. */
+    * integer refresh r' = base + 850·(Σ_in r div out_deg) div 1000.
+    * The loop STATE carries (node, base, d, r) so each round is ONE
+    * projection (shares), ONE edge join + combinable aggregate
+    * (contrib), ONE state join producing the refreshed rank BESIDE
+    * the previous one, and ONE max-delta aggregate that doubles as
+    * the round's single materializing action (lazy checkpoint, the
+    * kCore idiom) — round latency is stage count x scheduler floor
+    * on small graphs, so stages are kept minimal. */
   private def prConverge(e: DataFrame, nodes: DataFrame, init: DataFrame,
                          tolMicros: Long, maxIters: Int): DataFrame = {
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
-    var pr = init.localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    var st = nodes.join(outdeg, Seq("node"), "left")
+      .join(init, "node")
+      .select(col("node"), col("base"), col("d"), col("r"))
+      .localCheckpoint()
     var it = 0
     var delta = Long.MaxValue
     while (delta > tolMicros && it < maxIters) {
-      val shares = pr.join(outdeg, pr("node") === outdeg("src"))
-        .select(col("src"), expr("r div d").as("share"))
+      val shares = st.filter(col("d").isNotNull)
+        .select(col("node").as("src"), expr("r div d").as("share"))
       val contrib = e.join(shares, "src")
         .groupBy(col("dst").as("node")).agg(sum("share").as("tot"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"))
-        .localCheckpoint()
-      delta = next.join(pr.select(col("node"), col("r").as("_prev")), "node")
-        .agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
-      pr = next
+      val next = st.select(col("node"), col("base"), col("d"), col("r").as("_prev"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("base"), col("d"),
+          (col("base") + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"),
+          col("_prev"))
+        .localCheckpoint(false)
+      delta = next.agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
+      st = next
       it += 1
     }
     require(delta <= tolMicros,
       s"pagerank did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
-    pr
+    st.select("node", "r")
   }
 }
