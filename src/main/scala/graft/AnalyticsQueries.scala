@@ -4322,6 +4322,58 @@ object AnalyticsQueries {
              |FROM c JOIN t ON c.prev_type = t.prev_type
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- STATIONARY DISTRIBUTION TO CONVERGENCE: the loop form of
+    //      events_stationary_step (the scaladoc's "the full fixpoint
+    //      is this step iterated" promise, delivered) —
+    //      Graphs.stationaryFixpoint over the event-type transition
+    //      counts, restricted to the recurrent core, π'_j = Σ_i
+    //      π_i·n_ij div r_i in exact micros, stop at the first round
+    //      with max |delta| <= 100 (round ~3 here; integer division
+    //      plateaus a few micros above zero so tol sits above the
+    //      rounding floor). Oracle: fixed-depth recursion + post-hoc
+    //      first-crossing selection, the pagerank-converged idiom.
+    //      State is |types| rows — the loop's cost is round count x
+    //      two tiny exchanges; the one fact-sized pass is the lag
+    //      window building the counts. ----
+    Q("events_stationary_converged",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.t(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Graphs.stationaryFixpoint(pairs)
+          .select(col("state").as("event_type"), col("pi_micros"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |core AS (SELECT src, dst, n FROM c
+             |         WHERE src IN (SELECT dst FROM c) AND dst IN (SELECT src FROM c)),
+             |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM core GROUP BY 1),
+             |m AS (SELECT core.src, core.dst, core.n, tot.row_total
+             |      FROM core JOIN tot USING (src)),
+             |st AS (SELECT DISTINCT src AS state FROM m),
+             |pi(iter, state, pv) AS (
+             |  SELECT 0, state, CAST(1000000 AS BIGINT) FROM st
+             |  UNION ALL
+             |  SELECT iter, state, pv FROM (
+             |    SELECT q.iter + 1 AS iter, m.dst AS state,
+             |      CAST(SUM((q.pv * m.n) // m.row_total) AS BIGINT) AS pv
+             |    FROM pi q JOIN m ON m.src = q.state
+             |    WHERE q.iter < 10 GROUP BY 1, 2) t),
+             |dlt AS (SELECT a.iter AS iter, MAX(ABS(a.pv - b.pv)) AS delta
+             |        FROM pi a JOIN pi b ON b.state = a.state AND b.iter = a.iter - 1
+             |        GROUP BY 1),
+             |tsel AS (SELECT MIN(iter) AS t FROM dlt WHERE delta <= 100)
+             |SELECT state AS event_type, pv AS pi_micros FROM pi
+             |WHERE iter = (SELECT t FROM tsel) ORDER BY event_type""".stripMargin)),
+
     // ---- INTER-ARRIVAL (dwell) time distribution: per event type,
     //      rank-defined median and p90 of the gap to the user's next
     //      event of that type, in exact seconds — the engagement-

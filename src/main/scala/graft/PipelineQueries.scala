@@ -388,6 +388,74 @@ object PipelineQueries {
              |FROM documents GROUP BY lang, source, n_chars // 200
              |ORDER BY lang, source, size_bucket""".stripMargin)),
 
+    // ---- GENERALIZATION LADDER (k-anonymization planning): the
+    //      audit above says WHETHER a release leaks; this report says
+    //      WHAT TO DO — for each rung of a generalization lattice
+    //      walk (size bands widening 200→12800, then size dropped,
+    //      then source, then everything), the suppression cost of
+    //      releasing at that rung: rows living in quasi-groups
+    //      smaller than k=5 (which a k-anonymous release must
+    //      suppress), as exact permille. `chosen` marks the LEAST
+    //      general rung whose suppression is <= 5% — the
+    //      generalization/suppression trade every release planner
+    //      makes. ONE corpus pass: the 7 rungs ride an explode, then
+    //      two combinable aggregations; output is 7 rows. ----
+    Q("privacy_generalization_ladder",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val widths = Seq(200L, 800L, 3200L, 12800L)
+        val rungs =
+          widths.zipWithIndex.map { case (w, i) =>
+            struct(lit(i.toLong).as("scheme"), col("lang").as("ql"),
+              col("source").as("qs"),
+              expr(s"CAST(n_chars div $w AS STRING)").as("qb"))
+          } ++ Seq(
+            struct(lit(4L).as("scheme"), col("lang").as("ql"),
+              col("source").as("qs"), lit("*").as("qb")),
+            struct(lit(5L).as("scheme"), col("lang").as("ql"),
+              lit("*").as("qs"), lit("*").as("qb")),
+            struct(lit(6L).as("scheme"), lit("*").as("ql"),
+              lit("*").as("qs"), lit("*").as("qb")))
+        val total = docs.agg(count(lit(1)).as("t"))
+        val perRung = docs.select(explode(array(rungs: _*)).as("q"))
+          .groupBy(col("q.scheme").as("scheme"), col("q.ql"), col("q.qs"), col("q.qb"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("scheme")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L)).as("supp_rows"))
+          .crossJoin(broadcast(total))
+          .select(col("scheme"), col("n_groups"), col("supp_rows"),
+            expr("supp_rows * 1000 div t").as("supp_permille"))
+        val chosen = perRung.filter(col("supp_permille") <= 50)
+          .agg(min("scheme").as("cs"))
+        perRung.crossJoin(broadcast(chosen))
+          .select(col("scheme"), col("n_groups"), col("supp_rows"),
+            col("supp_permille"), (col("scheme") === col("cs")).as("chosen"))
+          .orderBy("scheme")
+      },
+      Some("""WITH q AS (
+             |  SELECT 0 AS scheme, lang AS ql, source AS qs,
+             |         CAST(n_chars // 200 AS VARCHAR) AS qb FROM documents
+             |  UNION ALL SELECT 1, lang, source, CAST(n_chars // 800 AS VARCHAR) FROM documents
+             |  UNION ALL SELECT 2, lang, source, CAST(n_chars // 3200 AS VARCHAR) FROM documents
+             |  UNION ALL SELECT 3, lang, source, CAST(n_chars // 12800 AS VARCHAR) FROM documents
+             |  UNION ALL SELECT 4, lang, source, '*' FROM documents
+             |  UNION ALL SELECT 5, lang, '*', '*' FROM documents
+             |  UNION ALL SELECT 6, '*', '*', '*' FROM documents),
+             |g AS (SELECT scheme, ql, qs, qb, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM q GROUP BY 1, 2, 3, 4),
+             |r AS (SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |        CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS supp_rows
+             |      FROM g GROUP BY 1),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+             |r2 AS (SELECT scheme, n_groups, supp_rows,
+             |         CAST(supp_rows * 1000 // t AS BIGINT) AS supp_permille
+             |       FROM r CROSS JOIN tot),
+             |ch AS (SELECT MIN(scheme) AS cs FROM r2 WHERE supp_permille <= 50)
+             |SELECT CAST(scheme AS BIGINT) AS scheme, n_groups, supp_rows, supp_permille,
+             |  (scheme = (SELECT cs FROM ch)) AS chosen
+             |FROM r2 ORDER BY scheme""".stripMargin)),
+
     // ---- l-DIVERSITY audit, the companion k-anonymity cannot
     //      replace: a quasi-identifier group can be large (meets k)
     //      yet expose its members because the SENSITIVE attribute is

@@ -412,6 +412,53 @@ object Graphs {
       tolMicros, maxIters)
   }
 
+  /**
+   * Stationary distribution of a transition-count matrix to
+   * TOLERANCE-based convergence — the loop form of the
+   * `events_stationary_step` power step, same exact integer
+   * discipline: π0 = 1e6 micros per state, π'_j = Σ_i π_i·n_ij div
+   * r_i (per-edge integral division), stop at the FIRST round whose
+   * max |delta| <= tolMicros. The chain is restricted to its
+   * RECURRENT CORE first — states appearing as both source and
+   * destination, totals recomputed after the restriction — so every
+   * state receives mass each round (transient-only states would
+   * otherwise vanish from a relational recursion and the two engines
+   * could diverge on who carries their zeros). Integer division
+   * plateaus a few micros above zero, so tolMicros must sit above
+   * the rounding floor (~|states| micros), never at 0.
+   *
+   * `transitions`: (src, dst, n) counts. Output: (state, pi_micros).
+   * State per round is |states| rows — metadata-sized; the loop's
+   * cost is round count x two tiny keyed exchanges.
+   */
+  def stationaryFixpoint(transitions: DataFrame, tolMicros: Long = 100L,
+                         maxIters: Int = 10): DataFrame = {
+    val core = transitions.select(col("src"), col("dst"), col("n"))
+      .join(transitions.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
+      .join(transitions.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+    val totals = core.groupBy("src").agg(sum("n").as("row_total"))
+    val matrix = core.join(totals, "src").localCheckpoint()
+    val states = matrix.select(col("src").as("state")).distinct().localCheckpoint()
+    var pi = states.withColumn("p", lit(1000000L)).localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta > tolMicros && it < maxIters) {
+      val recv = matrix.join(pi, matrix("src") === pi("state"))
+        .select(col("dst"), expr("(p * n) div row_total").as("c"))
+        .groupBy(col("dst").as("state")).agg(sum("c").as("tot"))
+      val next = pi.select(col("state"), col("p").as("_prev"))
+        .join(recv, Seq("state"), "left")
+        .select(col("state"), coalesce(col("tot"), lit(0L)).as("p"), col("_prev"))
+        .localCheckpoint(false)
+      delta = next.agg(max(abs(col("p") - col("_prev")))).head().getLong(0)
+      pi = next.select("state", "p")
+      it += 1
+    }
+    require(delta <= tolMicros,
+      s"stationary fixpoint did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
+    pi.select(col("state"), col("p").as("pi_micros"))
+  }
+
   /** Shared tolerance-stopped power loop over (node, base) with the
     * integer refresh r' = base + 850·(Σ_in r div out_deg) div 1000.
     * The loop STATE carries (node, base, d, r) so each round is ONE
