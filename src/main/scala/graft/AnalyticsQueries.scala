@@ -5818,11 +5818,12 @@ object AnalyticsQueries {
       (s, dir) => {
         def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
                  parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          // one scan per side: total and contained counted in the
+          // SAME left-join aggregate (count(_m) skips nulls)
           val c = child.select(col(ck).as("k")).distinct()
-          val p = parent.select(col(pk).as("k")).distinct()
-          val nc = c.agg(count(lit(1)).as("n_child"))
-          c.join(p, Seq("k"), "left_semi").agg(count(lit(1)).as("n_contained"))
-            .crossJoin(nc)
+          val p = parent.select(col(pk).as("k")).distinct().withColumn("_m", lit(1))
+          c.join(p, Seq("k"), "left")
+            .agg(count(lit(1)).as("n_child"), count(col("_m")).as("n_contained"))
             .select(lit(name).as("edge"), col("n_child"), col("n_contained"),
               expr("n_contained * 1000 div n_child").as("containment_permille"))
         }
