@@ -5449,6 +5449,116 @@ object AnalyticsQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- LAST-TOUCH ATTRIBUTION: every purchase credits the user's
+    //      most recent PRIOR marketing touch (click/view), falling to
+    //      'direct' when none precedes it — the revenue-attribution
+    //      report behind channel budgeting. ONE user-partitioned pass:
+    //      last(touch, ignoreNulls) over the strictly-prior frame
+    //      (rows unbounded..-1) carries the channel onto each event,
+    //      then purchases aggregate by channel in exact cents. ----
+    Q("events_attribution_last_touch",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.t(s, dir, "events")
+          .withColumn("channel",
+            last(when(col("event_type").isin("click", "view"), col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, value,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+             |               THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+             |  FROM events)
+             |SELECT COALESCE(channel, 'direct') AS channel,
+             |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM e WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // ---- RETENTION MATRIX: distinct active users per (signup-week
+    //      cohort, age-in-weeks) — the activation/retention triangle
+    //      next to the revenue LTV triangle (orders_cohort_ltv).
+    //      Weeks are exact integer indexes (epoch micros div one
+    //      week), cohort is one min per user joined back at user
+    //      grain, activity collapses to (user, week) BEFORE the
+    //      distinct count so the aggregate is over bounded rows. ----
+    Q("events_retention_matrix",
+      (s, dir) => {
+        val wkRows = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val cohort = wkRows.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        wkRows.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_wk", "age_weeks")
+      },
+      Some("""WITH w AS (SELECT DISTINCT user_id,
+             |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+             |SELECT c.cohort_wk, w.wk - c.cohort_wk AS age_weeks,
+             |  CAST(COUNT(*) AS BIGINT) AS n_active
+             |FROM w JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, age_weeks""".stripMargin)),
+
+    // ---- ITEM-ITEM CO-OCCURRENCE SIMILARITY (top-3): the classic
+    //      co-purchase recommender statistic — per part, the 3 parts
+    //      with the highest basket-cosine co(i,j)²·1000 div (n_i·n_j)
+    //      (exact integer permille of cosine², no sqrt), co >= 2 to
+    //      keep candidates meaningful. The pair stream comes from the
+    //      order-keyed self-join (fan-out bounded by basket size²,
+    //      never corpus²); the top-3 pick is an item-partitioned rank
+    //      over the candidate pairs (high-cardinality key). ----
+    Q("orders_item_cosine_topk",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val n = it.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("ni"))
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("item"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("other"))
+        val co = a.join(b, Seq("l_orderkey"))
+          .filter(col("item") =!= col("other"))
+          .groupBy("item", "other").agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val scored = co
+          .join(n, "item")
+          .join(n.select(col("item").as("other"), col("ni").as("nj")), "other")
+          .withColumn("cos2_permille", expr("co * co * 1000 div (ni * nj)"))
+        val w = Window.partitionBy("item")
+          .orderBy(desc("cos2_permille"), desc("co"), asc("other"))
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("item"), col("rk").cast("long").as("rk"), col("other"),
+            col("co"), col("cos2_permille"))
+          .orderBy("item", "rk")
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS ni
+             |      FROM it GROUP BY 1),
+             |co AS (SELECT a.l_partkey AS item, b.l_partkey AS other,
+             |         CAST(COUNT(*) AS BIGINT) AS co
+             |       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey <> b.l_partkey
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sc AS (SELECT co.item, co.other, co.co,
+             |         CAST(co.co * co.co * 1000 // (ni.ni * nj.ni) AS BIGINT) AS cos2_permille
+             |       FROM co JOIN n ni ON ni.item = co.item
+             |               JOIN n nj ON nj.item = co.other),
+             |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+             |        ORDER BY cos2_permille DESC, co DESC, other) AS BIGINT) AS rk
+             |      FROM sc)
+             |SELECT item, rk, other, co, cos2_permille FROM r
+             |WHERE rk <= 3 ORDER BY item, rk""".stripMargin)),
+
     // ---- INTERVAL UNION (coalesce overlapping intervals): each
     //      event opens a 5-minute activity interval; per user, the
     //      union of overlapping/touching intervals collapses to
