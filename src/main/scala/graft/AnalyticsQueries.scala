@@ -3446,6 +3446,37 @@ object AnalyticsQueries {
              |WHERE prev_us IS NULL OR us - prev_us > 600000000
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- STREAMING LAST-TOUCH ATTRIBUTION through the real engine:
+    //      each purchase credits the user's most recent click/view
+    //      SEEN SO FAR — the state (one touch triple per user)
+    //      crosses micro-batches, so a purchase in the later
+    //      time-half attributes to a touch from the earlier one:
+    //      genuinely cross-batch state, the batch twin is
+    //      events_attribution_last_touch's per-purchase form. Oracle:
+    //      the strictly-prior last(ignoreNulls) window per purchase. ----
+    Q("events_stream_attribution",
+      (s, dir) => {
+        val (src, work) = stageTwoFileFeed(s, dir, "graft_stream_attr_",
+          byTime = true)
+        val out = graft.streaming.EventStreams.attributionStream(
+          graft.streaming.EventStreams.readEvents(s, src,
+            maxFilesPerTrigger = Some(1)))(s)
+        graft.streaming.EventStreams.runToParquet(s, out.toDF(), work.toString,
+            statePartitions = Some(8)) // state = one touch triple per user
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+             |               THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+             |  FROM events)
+             |SELECT event_id, user_id, COALESCE(channel, 'direct') AS channel, cents
+             |FROM e WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- stateful streaming ANOMALY detection through the real
     //      engine: per event_type, exact integer moments (n, Σq, Σq²)
     //      carried across micro-batches flag events whose deviation

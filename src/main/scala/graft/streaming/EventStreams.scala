@@ -190,6 +190,49 @@ object EventStreams {
       }
   }
 
+  final case class AttributedPurchase(event_id: Long, user_id: Long,
+                                      channel: String, cents: Long)
+
+  /**
+   * STREAMING LAST-TOUCH ATTRIBUTION: every purchase credits the
+   * user's most recent marketing touch (click/view) SEEN SO FAR —
+   * including touches from earlier micro-batches, which is exactly
+   * what the cross-batch ValueState exists for; a purchase with no
+   * prior touch credits 'direct'. State per user is ONE
+   * (touch_us, touch_id, channel) triple — bounded by the user
+   * population, not the stream. Within a batch rows sort by event
+   * time (the stateful-op discipline this file's debounce/anomaly
+   * operators share); correctness under event-time order needs the
+   * time-ordered replay (`byTime` staging), same contract as the
+   * other order-sensitive stateful gates.
+   */
+  def attributionStream(events: DataFrame)
+                       (implicit spark: SparkSession): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .as[(Long, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var touch = state.getOption.orNull
+          val out = Seq.newBuilder[AttributedPurchase]
+          sorted.foreach { r =>
+            if (r._2 == "purchase")
+              out += AttributedPurchase(r._4, uid,
+                if (touch == null) "direct" else touch._3, r._5)
+            else if (r._2 == "click" || r._2 == "view")
+              touch = (r._3, r._4, r._2)
+          }
+          if (touch != null) state.update(touch)
+          out.result().iterator
+      }
+  }
+
   /**
    * STREAMING FEED-FRESHNESS MONITOR: per micro-batch, each stream's
    * max event time and its lag in whole minutes behind the batch's

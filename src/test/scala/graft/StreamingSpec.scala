@@ -1013,6 +1013,47 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1).getAs[Long]("n_events") === 1000L)
   }
 
+  test("attribution state crosses micro-batches: later purchases credit earlier touches") {
+    import org.apache.spark.sql.types._
+    val work = tmpDir("graft_attr_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, ageMs: Long): Unit = {
+      val tmp = s"$work/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    // batch 0: ONLY touches; batch 1: ONLY purchases — attribution
+    // is possible solely through state carried across the batches
+    stage("h0", spark.sql(
+      "SELECT 1L AS event_id, TIMESTAMP '2024-01-01 00:00:00' AS ts, 7L AS user_id, " +
+        "'view' AS event_type, 0.0D AS value, '' AS props " +
+        "UNION ALL SELECT 2L, TIMESTAMP '2024-01-01 00:01:00', 7L, 'click', 0.0D, '' " +
+        "UNION ALL SELECT 3L, TIMESTAMP '2024-01-01 00:00:30', 8L, 'error', 0.0D, ''"),
+      10000L)
+    stage("h1", spark.sql(
+      "SELECT 10L AS event_id, TIMESTAMP '2024-01-01 01:00:00' AS ts, 7L AS user_id, " +
+        "'purchase' AS event_type, 2.5D AS value, '' AS props " +
+        "UNION ALL SELECT 11L, TIMESTAMP '2024-01-01 01:00:00', 8L, 'purchase', 4.0D, ''"),
+      0L)
+    val out = EventStreams.runToParquet(spark,
+      EventStreams.attributionStream(
+        EventStreams.readEvents(spark, src, maxFilesPerTrigger = Some(1)))(spark).toDF(),
+      s"$work/run", statePartitions = Some(4))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("channel"), r.getAs[Long]("cents")))).toMap
+    // user 7's purchase (batch 1) credits the click from batch 0 —
+    // the LAST touch, not the earlier view; user 8 had no touch
+    assert(out(10L) === (("click", 250L)))
+    assert(out(11L) === (("direct", 400L)))
+    assert(out.size === 2)
+  }
+
   test("dim-refresh enrich fails loudly when the dimension exceeds maxDimBytes") {
     val work = tmpDir("graft_dimref_guard_")
     val src = s"$work/src"
