@@ -1707,6 +1707,83 @@ object TextQueries {
     //      under permutation of tied lengths, so the window rank's
     //      tie order never leaks into the result. One window rank +
     //      one aggregation; no quadratic |x_i − x_j| form. ----
+    Q("text_readability",
+      (s, dir) => {
+        // Flesch reading-ease in exact integer micros: words = non-
+        // empty space splits, sentences = '. ' splits (>= 1), the
+        // syllable proxy = vowel GROUPS of the lowercased text (every
+        // engine's regexp_replace collapses [aeiou]+ to one marker;
+        // chr(1) can never appear in the corpus). Per-doc integral
+        // divisions make the score engine-identical — the readability
+        // quality feature beside length/punct/stopword ratios.
+        val marked = regexp_replace(lower(col("text")), "[aeiou]+", "\u0001")
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(expr("filter(split(text, ' '), t -> t != '')")).cast("long").as("n_words"),
+            size(split(col("text"), "\\. ")).cast("long").as("n_sentences"),
+            (length(marked) - length(regexp_replace(marked, "\u0001", "")))
+              .cast("long").as("n_syllables"))
+          .filter(col("n_words") > 0)
+          .withColumn("flesch_micro",
+            lit(206835000L) - expr("(1015000 * n_words) div n_sentences")
+              - expr("(84600000 * n_syllables) div n_words"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_words,
+             |    CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sentences,
+             |    CAST(length(regexp_replace(lower(text), '[aeiou]+', chr(1), 'g'))
+             |      - length(replace(regexp_replace(lower(text), '[aeiou]+', chr(1), 'g'),
+             |                       chr(1), '')) AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(206835000 - (1015000 * n_words) // n_sentences
+             |    - (84600000 * n_syllables) // n_words AS BIGINT) AS flesch_micro
+             |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- CORPUS HEALTH REPORT: the one-page (metric, value) summary
+    //      a training-data owner reads before a run — doc/token/char
+    //      totals, exact-duplicate docs (md5 content key), short-doc
+    //      count, and the per-language mix as lang:<code> rows. One
+    //      corpus scan for the scalar block (a single aggregation
+    //      unpivoted via stack) + one lang groupBy; every value an
+    //      exact BIGINT. ----
+    Q("corpus_health_report",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val scalars = docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(expr("filter(split(text, ' '), t -> t != '')")).cast("long")).as("n_tokens"),
+            sum(length(col("text")).cast("long")).as("n_chars"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"),
+            sum(when(size(expr("filter(split(text, ' '), t -> t != '')")) < 50, 1L)
+              .otherwise(0L)).as("short_docs_lt50"))
+          .select(expr(
+            "stack(5, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars, " +
+              "'exact_dup_docs', exact_dup_docs, 'short_docs_lt50', short_docs_lt50) " +
+              "AS (metric, value)"))
+        val langs = docs.groupBy(concat(lit("lang:"), col("lang")).as("metric"))
+          .agg(count(lit(1)).as("value"))
+        scalars.unionByName(langs).orderBy("metric")
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs,
+             |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) < 50
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS short_docs_lt50
+             |  FROM documents)
+             |SELECT metric, value FROM (
+             |  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+             |  UNION ALL SELECT 'n_tokens', n_tokens FROM s
+             |  UNION ALL SELECT 'n_chars', n_chars FROM s
+             |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM s
+             |  UNION ALL SELECT 'short_docs_lt50', short_docs_lt50 FROM s
+             |  UNION ALL SELECT 'lang:' || lang, CAST(COUNT(*) AS BIGINT)
+             |            FROM documents GROUP BY lang) t
+             |ORDER BY metric""".stripMargin)),
+
     Q("text_gini_lengths",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
