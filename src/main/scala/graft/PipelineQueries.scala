@@ -210,6 +210,54 @@ object PipelineQueries {
     //      cumsum), never one window per stratum; the oracle is the
     //      naive global running sum, so membership parity IS the
     //      two-phase correctness proof. ----
+    // ---- HORVITZ-THOMPSON ESTIMATION over a deterministic weighted
+    //      sample: rows enter with md5-hash permille < w (importance
+    //      900 for big orders, 100 for the rest — the tail is kept
+    //      almost surely, the bulk subsampled 10:1), and each sampled
+    //      row is inverse-weighted (x·1000 div w). The gate reports
+    //      the TRUE revenue total beside the HT estimate and its
+    //      deviation — the measurement that certifies a weighted
+    //      sample before anyone trains or reports from it. Hash
+    //      inclusion is the portable md5-nibble idiom, every quantity
+    //      an exact BIGINT; both engines replay the identical sample.
+    //      One scan, one aggregation. ----
+    Q("sample_ht_total",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("w",
+            when(col("cents") > 10000000L, 900L).otherwise(100L))
+          .withColumn("h",
+            expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 3), 16, 10) AS BIGINT) % 1000"))
+        o.agg(
+            sum("cents").as("true_total_cents"),
+            sum(when(col("h") < col("w"), expr("cents * 1000 div w"))
+              .otherwise(0L)).as("ht_estimate_cents"),
+            sum(when(col("h") < col("w"), 1L).otherwise(0L)).as("n_sampled"))
+          .withColumn("abs_dev_permille",
+            expr("abs(ht_estimate_cents - true_total_cents) * 1000 div true_total_cents"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |w AS (SELECT o_orderkey, cents,
+             |        CASE WHEN cents > 10000000 THEN 900 ELSE 100 END AS w,
+             |        CAST((strpos('0123456789abcdef',
+             |                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 256
+             |           + (strpos('0123456789abcdef',
+             |                substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 16
+             |           + (strpos('0123456789abcdef',
+             |                substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) AS BIGINT) % 1000 AS h
+             |      FROM o)
+             |SELECT CAST(SUM(cents) AS BIGINT) AS true_total_cents,
+             |  CAST(SUM(CASE WHEN h < w THEN cents * 1000 // w ELSE 0 END) AS BIGINT) AS ht_estimate_cents,
+             |  CAST(SUM(CASE WHEN h < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             |  CAST(ABS(CAST(SUM(CASE WHEN h < w THEN cents * 1000 // w ELSE 0 END) AS BIGINT)
+             |    - CAST(SUM(cents) AS BIGINT)) * 1000
+             |    // CAST(SUM(cents) AS BIGINT) AS BIGINT) AS abs_dev_permille
+             |FROM w""".stripMargin)),
+
     Q("sample_token_budget",
       (s, dir) => Sampling.tokenBudgetCap(
           Tables.t(s, dir, "documents")
