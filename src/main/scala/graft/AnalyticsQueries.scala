@@ -5590,6 +5590,59 @@ object AnalyticsQueries {
              |SELECT item, rk, other, co, cos2_permille FROM r
              |WHERE rk <= 3 ORDER BY item, rk""".stripMargin)),
 
+    // ---- ASSOCIATION RULES (market basket): directional rules
+    //      i -> j over order baskets with exact integer
+    //      support/confidence/lift — confidence = co·1000 div n_i,
+    //      lift_permille = co·N·1000 div (n_i·n_j) (>1000 = genuinely
+    //      associated, not just popular). Top-20 by (lift DESC,
+    //      confidence DESC, i, j) at co >= 3 — the classic
+    //      recommender/merchandising mining pass beside
+    //      orders_item_cosine_topk's symmetric score. Pair stream
+    //      from the basket-keyed self-join (fan-out basket-size²);
+    //      lift products ride DECIMAL(38,0) (co·N·1000 clears 2^63
+    //      at warehouse scale). ----
+    Q("orders_association_rules",
+      (s, dir) => {
+        val it = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = it.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val n = it.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("ni"))
+        val a = it.select(col("l_orderkey"), col("l_partkey").as("item"))
+        val b = it.select(col("l_orderkey"), col("l_partkey").as("other"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("item") =!= col("other"))
+          .groupBy("item", "other").agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 3)
+          .join(n, "item")
+          .join(n.select(col("item").as("other"), col("ni").as("nj")), "other")
+          .crossJoin(broadcast(nOrders))
+          .select(col("item"), col("other"), col("co"),
+            expr("co * 1000 div ni").as("confidence_permille"),
+            expr("CAST(CAST(co AS DECIMAL(38,0)) * n_orders * 1000 div (ni * nj) AS BIGINT)")
+              .as("lift_permille"))
+          .orderBy(desc("lift_permille"), desc("confidence_permille"),
+            asc("item"), asc("other"))
+          .limit(20)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM it),
+             |n AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS ni
+             |      FROM it GROUP BY 1),
+             |co AS (SELECT a.l_partkey AS item, b.l_partkey AS other,
+             |         CAST(COUNT(*) AS BIGINT) AS co
+             |       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+             |                          AND a.l_partkey <> b.l_partkey
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT co.item, co.other, co.co,
+             |  CAST(co.co * 1000 // ni.ni AS BIGINT) AS confidence_permille,
+             |  CAST(co.co * no.n_orders * 1000 // (ni.ni * nj.ni) AS BIGINT) AS lift_permille
+             |FROM co JOIN n ni ON ni.item = co.item
+             |        JOIN n nj ON nj.item = co.other
+             |        CROSS JOIN no
+             |ORDER BY lift_permille DESC, confidence_permille DESC, co.item, co.other
+             |LIMIT 20""".stripMargin)),
+
     // ---- INTERVAL UNION (coalesce overlapping intervals): each
     //      event opens a 5-minute activity interval; per user, the
     //      union of overlapping/touching intervals collapses to

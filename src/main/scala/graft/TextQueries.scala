@@ -1196,6 +1196,69 @@ object TextQueries {
           |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
           |FROM cl ORDER BY doc_id""".stripMargin)),
 
+    // ---- NEAR-DUP PAIR EVIDENCE (forensics): for every verified
+    //      MinHash pair, the shared-shingle count plus its 3 RAREST
+    //      shared shingles under the global (corpus df, shingle)
+    //      order — the human-readable "why did dedup pair these"
+    //      report an operator pulls before bulk-deleting. Shared
+    //      shingles come from one (pair ⋈ postings ⋈ postings)
+    //      chain keyed on (doc, shingle); the rarest-3 pick is a
+    //      pair-partitioned rank (pairs are few — candidates only). ----
+    Q("dedup_pair_evidence",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = graft.operators.Dedup
+          .minhashNearDups(docs, "doc_id", "text")
+          .select("doc_a", "doc_b")
+        val sh = graft.operators.Dedup.shingles(docs, "doc_id", "text")
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("tdf"))
+        val shared = pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .join(freq, "shingle")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a", "doc_b").orderBy(asc("tdf"), asc("shingle"))
+        val evid = shared.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .groupBy("doc_a", "doc_b")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("tdf"), col("shingle")))),
+            x => x.getField("shingle")), " | ").as("rarest_shared"))
+        shared.groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(evid, Seq("doc_a", "doc_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |           GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b
+             |          FROM common JOIN sizes sa ON sa.doc_id = doc_a
+             |                      JOIN sizes sb ON sb.doc_id = doc_b
+             |          WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7),
+             |freq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS tdf FROM sh GROUP BY 1),
+             |shared AS (SELECT p.doc_a, p.doc_b, a.shingle, f.tdf
+             |           FROM pairs p
+             |           JOIN sh a ON a.doc_id = p.doc_a
+             |           JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+             |           JOIN freq f ON f.shingle = a.shingle),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+             |        ORDER BY tdf, shingle) AS rk FROM shared),
+             |e AS (SELECT doc_a, doc_b,
+             |        string_agg(shingle, ' | ' ORDER BY tdf, shingle) AS rarest_shared
+             |      FROM r WHERE rk <= 3 GROUP BY 1, 2),
+             |c AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |      FROM shared GROUP BY 1, 2)
+             |SELECT c.doc_a, c.doc_b, c.n_shared, e.rarest_shared
+             |FROM c JOIN e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+             |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
     // ---- SOFT dedup (duplicate-aware sampling weights): instead of
     //      dropping near-dup cluster members, weight each document by
     //      1000 div cluster_size permille — the "count each effective
