@@ -5590,18 +5590,17 @@ object AnalyticsQueries {
              |SELECT item, rk, other, co, cos2_permille FROM r
              |WHERE rk <= 3 ORDER BY item, rk""".stripMargin)),
 
-    // ---- ASSOCIATION RULES (market basket): directional rules
-    //      i -> j over order baskets with exact integer
-    //      support/confidence/lift — confidence = co·1000 div n_i,
-    //      lift_permille = co·N·1000 div (n_i·n_j) (>1000 = genuinely
-    //      associated, not just popular). Top-20 by (lift DESC,
-    //      confidence DESC, i, j) at co >= 3 — the classic
-    //      recommender/merchandising mining pass beside
-    //      orders_item_cosine_topk's symmetric score. Pair stream
-    //      from the basket-keyed self-join (fan-out basket-size²);
-    //      lift products ride DECIMAL(38,0) (co·N·1000 clears 2^63
-    //      at warehouse scale). ----
-    Q("orders_association_rules",
+    // ---- ASSOCIATION LIFT (market basket): directional rules
+    //      i -> j ranked by exact integer LIFT — lift_permille =
+    //      co·N·1000 div (n_i·n_j) (>1000 = genuinely associated,
+    //      not just popular), beside confidence; the popularity-
+    //      corrected companion of orders_association_rules (which
+    //      ranks by raw confidence) and orders_item_cosine_topk's
+    //      symmetric score. Top-20 at co >= 3; pair stream from the
+    //      basket-keyed self-join (fan-out basket-size²); lift
+    //      products ride DECIMAL(38,0) (co·N·1000 clears 2^63 at
+    //      warehouse scale). ----
+    Q("orders_association_lift",
       (s, dir) => {
         val it = Tables.t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
