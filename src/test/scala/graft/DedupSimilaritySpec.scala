@@ -257,6 +257,53 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("duplicatedSpans/exciseSpans/selfRepeatSpans: hand-traced span semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf unique1 here now"),
+      (2L, "intro words alpha bravo charlie delta echo foxtrot golf tail"),
+      (3L, "totally different text with no overlap at all today"),
+      (4L, "x y") // shorter than k: dropped from the gram relation
+    ).toDF("doc_id", "text")
+    // docs 1+2 share the 7-token run alpha..golf -> covered window
+    // starts: doc1 pos 1..5, doc2 pos 3..7 -> spans of 5+2=7 tokens
+    val spans = graft.operators.Dedup
+      .duplicatedSpans(docs, "doc_id", "text", k = 3, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1L, 7L), (2L, 3L, 7L)))
+    // excision drops exactly those tokens; doc 3 passes intact;
+    // doc 4 (no grams) passes intact
+    val ex = graft.operators.Dedup
+      .exciseSpans(docs, "doc_id", "text", k = 3, minTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ex(1L) === (("unique1 here now", 3L, 7L)))
+    assert(ex(2L) === (("intro words tail", 3L, 7L)))
+    assert(ex(3L)._2 === 9L && ex(3L)._3 === 0L)
+    assert(ex(4L) === (("x y", 2L, 0L)))
+    // self-repetition: a 3x-repeated trigram covers every window of
+    // its doc -> one maximal span of the whole 9 tokens; the
+    // cross-doc operator must NOT fire on it (one doc only)
+    val rep = Seq((9L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val self = graft.operators.Dedup
+      .selfRepeatSpans(rep, "doc_id", "text", k = 3, minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(self.toSeq === Seq((9L, 1L, 9L)))
+    assert(graft.operators.Dedup
+      .duplicatedSpans(rep, "doc_id", "text", k = 3, minTokens = 3).count() === 0L)
+  }
+
+  test("assignToCentroids lands appended vectors exactly where ivfIndex puts them") {
+    val corpus = emb.select(col("vec_id"), col("e"))
+    val (assigned, cents) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 8)
+    val expected = assigned.select(col("vec_id"), col("cell").as("want"))
+    val got = Similarity.assignToCentroids(corpus, cents, "e")
+      .select(col("vec_id"), col("cell"))
+    val diff = got.join(expected, "vec_id")
+      .filter(col("cell") =!= col("want")).count()
+    assert(diff === 0L, s"$diff vectors assigned differently from the index build")
+  }
+
   test("semanticDedup: scaled copies are pruned, canonicals kept, clusters seed-bounded") {
     val base = emb.select(col("vec_id"), col("e"))
     val copies = base.select((col("vec_id") + 100000).as("vec_id"),

@@ -173,4 +173,68 @@ class GraphsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("cyclic"))
   }
+
+  test("harmonic2 on a hand path graph: exact distance-1/2 counts") {
+    import spark.implicits._
+    // path 1-2-3-4: n1 = deg, n2 = nodes exactly 2 away
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = graft.operators.Graphs.harmonic2(graft.operators.Graphs.symmetric(e))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 1L, 1500L))) // nbr {2}, dist2 {3}
+    assert(got(2L) === ((2L, 1L, 2500L))) // nbrs {1,3}, dist2 {4}
+    assert(got(3L) === ((2L, 1L, 2500L)))
+    assert(got(4L) === ((1L, 1L, 1500L)))
+  }
+
+  test("pageRank fixpoint: symmetric pair converges to the analytic rank; sinks keep base") {
+    import spark.implicits._
+    // two-node symmetric pair: r = 150000 + 850*r/1000 -> r = 1e6
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = graft.operators.Graphs.pageRank(pair, tolMicros = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(pr(1L) - 1000000L) <= 40, s"got ${pr(1L)}")
+    assert(pr(1L) === pr(2L))
+    // sink-drop: 3 -> 4 only; 4 emits nothing and settles at
+    // base + damped share of 3's (shrinking) rank; 3 receives
+    // nothing and settles at exactly base
+    val chain = Seq((3L, 4L)).toDF("src", "dst")
+    val pr2 = graft.operators.Graphs.pageRank(chain, tolMicros = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr2(3L) === 150000L)
+    assert(pr2(4L) === 150000L + (850L * 150000L) / 1000L)
+  }
+
+  test("stationaryFixpoint: two-state chain converges to the exact stationary ratio") {
+    import spark.implicits._
+    // P = [[0, 1], [1, 0]] alternator is periodic — use a lazy chain:
+    // A: 3/4 stay, 1/4 to B; B: 1/2 stay, 1/2 to A -> pi = (2/3, 1/3)
+    val tr = Seq(("A", "A", 3L), ("A", "B", 1L), ("B", "B", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "n")
+    val pi = graft.operators.Graphs.stationaryFixpoint(tr, tolMicros = 50L, maxIters = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-state init 1e6, total mass 2e6 -> pi(A) ~ 4/3e6, pi(B) ~ 2/3e6
+    assert(math.abs(pi("A") - 1333333L) <= 300, s"got ${pi("A")}")
+    assert(math.abs(pi("B") - 666667L) <= 300, s"got ${pi("B")}")
+  }
+
+  test("personalizedPageRank: mass concentrates near the seed") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetric, seed {1}. NOTE per-node rank is not
+    // monotone in distance (the degree-1 seed ships its WHOLE rank to
+    // node 2 each round, which returns only half), so the assertions
+    // are the ones that ARE theorems here: rank decays strictly
+    // beyond the seed's neighbor, the seed outranks everything at
+    // distance >= 2, and the seed half of the path holds most mass
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val sym = graft.operators.Graphs.symmetric(e)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Seq(1L).toDF("node")
+    val pr = graft.operators.Graphs.personalizedPageRank(sym, seeds, tolMicros = 5000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(3L) && pr(3L) > pr(4L) && pr(4L) > pr(5L),
+      s"rank must decay beyond the seed's neighbor: $pr")
+    assert(pr(1L) > pr(3L), s"seed must outrank distance-2 nodes: $pr")
+    assert(pr(1L) + pr(2L) > pr(3L) + pr(4L) + pr(5L),
+      s"mass must concentrate on the seed half: $pr")
+  }
 }
