@@ -1494,14 +1494,23 @@ object AnalyticsQueries {
         sym
           .join(deg.select(col("node").as("u"), col("deg").as("x")), Seq("u"))
           .join(deg.select(col("node").as("v"), col("deg").as("y")), Seq("v"))
-          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
+          // Σd² over |E| endpoint pairs clears 2^63 on hub-heavy graphs
+          // (d up to ~1e9 squares to 1e18 per TERM): the moments ride
+          // DECIMAL(38,0)/HUGEINT and the closing Pearson is a fixed
+          // factor-cast double dag — the events_correlation discipline.
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
           .select(col("n"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
               .as("assortativity"))
       },
       Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1512,13 +1521,13 @@ object AnalyticsQueries {
              |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
              |ed AS (SELECT du.d AS x, dv.d AS y FROM sym s
              |       JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v),
-             |m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-             |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+             |m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+             |        SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |        SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
              |      FROM ed)
-             |SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
-             |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-             |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+             |SELECT n, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
              |FROM m""".stripMargin)),
 
     // ---- RECIPROCITY of the line-ordered co-purchase digraph: how
@@ -1718,10 +1727,14 @@ object AnalyticsQueries {
           .groupBy("node").agg(count(lit(1)).as("n_tri"))
         deg.filter(col("d") >= 2)
           .join(closed, Seq("node"), "left_outer")
+          // d·(d−1) wraps 2^63 at hub degree > ~3e9 and n_tri·10³ at
+          // n_tri > ~9.2e15: both products ride DECIMAL(38,0)/HUGEINT.
           .select(col("node").as("part"),
             coalesce(col("n_tri"), lit(0L)).as("n_closed"),
-            expr("(d * (d - 1)) div 2").as("n_wedges"),
-            expr("(coalesce(n_tri, 0L) * 1000) div ((d * (d - 1)) div 2)")
+            expr("CAST(CAST(d AS DECIMAL(38,0)) * (d - 1) div 2 AS BIGINT)")
+              .as("n_wedges"),
+            expr("CAST(CAST(coalesce(n_tri, 0L) AS DECIMAL(38,0)) * 1000" +
+              " div (CAST(d AS DECIMAL(38,0)) * (d - 1) div 2) AS BIGINT)")
               .as("cc_permille"))
           .orderBy("part")
       },
@@ -1736,8 +1749,9 @@ object AnalyticsQueries {
              |  JOIN e ON e.u = w1.v AND e.v = w2.v
              |  GROUP BY 1)
              |SELECT deg.node AS part, COALESCE(closed.n_tri, 0) AS n_closed,
-             |  CAST((deg.d * (deg.d - 1)) // 2 AS BIGINT) AS n_wedges,
-             |  CAST((COALESCE(closed.n_tri, 0) * 1000) // ((deg.d * (deg.d - 1)) // 2) AS BIGINT) AS cc_permille
+             |  CAST(CAST(deg.d AS HUGEINT) * (deg.d - 1) // 2 AS BIGINT) AS n_wedges,
+             |  CAST(CAST(COALESCE(closed.n_tri, 0) AS HUGEINT) * 1000
+             |       // (CAST(deg.d AS HUGEINT) * (deg.d - 1) // 2) AS BIGINT) AS cc_permille
              |FROM deg LEFT JOIN closed ON closed.node = deg.node
              |WHERE deg.d >= 2 ORDER BY part""".stripMargin)),
 
@@ -4357,12 +4371,19 @@ object AnalyticsQueries {
     //      events_stationary_step (the scaladoc's "the full fixpoint
     //      is this step iterated" promise, delivered) —
     //      Graphs.stationaryFixpoint over the event-type transition
-    //      counts, restricted to the recurrent core, π'_j = Σ_i
-    //      π_i·n_ij div r_i in exact micros, stop at the first round
-    //      with max |delta| <= 100 (round ~3 here; integer division
-    //      plateaus a few micros above zero so tol sits above the
-    //      rounding floor). Oracle: fixed-depth recursion + post-hoc
-    //      first-crossing selection, the pagerank-converged idiom.
+    //      counts — matrix restricted once to src-also-a-dst /
+    //      dst-also-a-src edges, π keyed on src ∪ dst of the
+    //      restricted matrix (both engines carry the SAME state set;
+    //      see the operator scaladoc for why src-only keying
+    //      diverges), π'_j = Σ_i π_i·n_ij div r_i in exact micros,
+    //      stop at the first round with max |delta| <= 100 (round ~3
+    //      here; integer division plateaus a few micros above zero
+    //      so tol sits above the rounding floor). Oracle:
+    //      fixed-depth recursion over the same matrix PLUS zero
+    //      self-loops (so the recursive step emits every st state
+    //      every round, mirroring the operator's left-join-coalesce)
+    //      + post-hoc first-crossing selection, the
+    //      pagerank-converged idiom.
     //      State is |types| rows — the loop's cost is round count x
     //      two tiny exchanges; the one fact-sized pass is the lag
     //      window building the counts. ----
@@ -4387,9 +4408,15 @@ object AnalyticsQueries {
              |core AS (SELECT src, dst, n FROM c
              |         WHERE src IN (SELECT dst FROM c) AND dst IN (SELECT src FROM c)),
              |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM core GROUP BY 1),
+             |-- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE
+             |-- DuckDB treats anchor-UNION-step as a recursive union and
+             |-- fails to dedupe a non-self-referencing CTE
+             |st AS (SELECT DISTINCT state FROM
+             |       (SELECT src AS state FROM core UNION ALL SELECT dst FROM core)),
              |m AS (SELECT core.src, core.dst, core.n, tot.row_total
-             |      FROM core JOIN tot USING (src)),
-             |st AS (SELECT DISTINCT src AS state FROM m),
+             |      FROM core JOIN tot USING (src)
+             |      UNION ALL -- zero self-loops: every state in src ∪ dst emits
+             |      SELECT state, state, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM st),
              |pi(iter, state, pv) AS (
              |  SELECT 0, state, CAST(1000000 AS BIGINT) FROM st
              |  UNION ALL
@@ -4820,24 +4847,32 @@ object AnalyticsQueries {
     //      never cross-engine-stable. Here value is quantized to
     //      cents (exact: the fixture carries 2-decimal doubles) and
     //      the JSON k field is already integral, so n, Σx, Σy, Σxy,
-    //      Σx², Σy² are exact BIGINTs; the final covariance/stddev
-    //      arithmetic is a fixed dag of double ops on identical
-    //      integers. ONE aggregation pass — the moments ARE the
-    //      shuffle, combine map-side. ----
+    //      Σx², Σy² are exact integers riding DECIMAL(38,0)/HUGEINT
+    //      (Σx² ~ n·cents² clears 2^63 past ~1e5 rows per group at
+    //      1e7 cents — the agg_moments promotion); the closing
+    //      covariance/stddev arithmetic is a fixed dag of double ops
+    //      over the exact sums, written factor-cast-to-double
+    //      identically in both engines. ONE aggregation pass — the
+    //      moments ARE the shuffle, combine map-side. ----
     Q("events_correlation",
       (s, dir) => Tables.t(s, dir, "events")
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("x"),
           get_json_object(col("props"), "$.k").cast("long").as("y"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
         .withColumn("corr_xy",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
         .select("event_type", "n", "corr_xy")
         .orderBy("event_type"),
       Some("""WITH q AS (SELECT event_type,
@@ -4845,15 +4880,15 @@ object AnalyticsQueries {
              |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
              |  FROM events),
              |m AS (SELECT event_type, COUNT(*) AS n,
-             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM q GROUP BY event_type)
              |SELECT event_type, n,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
              |FROM m ORDER BY event_type""".stripMargin)),
 
     // ---- LAG-1 AUTOCORRELATION per series — the "is this metric
@@ -4879,14 +4914,22 @@ object AnalyticsQueries {
           .withColumn("y", lead(col("x"), 1).over(w))
           .filter(col("y").isNotNull)
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
+          // Σx² ~ n·cents² clears 2^63 past ~1e5 rows per series: the
+          // moments ride DECIMAL(38,0)/HUGEINT and the closer is a fixed
+          // factor-cast double dag — the events_correlation discipline.
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
           .withColumn("autocorr1",
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
           .select("event_type", "n", "autocorr1")
           .orderBy("event_type")
       },
@@ -4896,15 +4939,15 @@ object AnalyticsQueries {
              |    LEAD(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
              |  FROM q),
              |m AS (SELECT event_type, COUNT(*) AS n,
-             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
              |SELECT event_type, n,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr1
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr1
              |FROM m ORDER BY event_type""".stripMargin)),
 
     // ---- EXACT ROLLING MEDIAN (7-row trailing frame) — the robust
@@ -4979,11 +5022,19 @@ object AnalyticsQueries {
           expr("unix_micros(ts) div 86400000000").as("x"),
           round(col("value") * 100).cast("long").as("y"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        // Σx² ~ n·day² (~4e8 per row) clears 2^63 past ~2e10 rows: the
+        // moments ride DECIMAL(38,0)/HUGEINT and the closing ratio is a
+        // fixed factor-cast double dag — the events_correlation discipline.
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
         .withColumn("slope_cents_per_day",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
         .select("event_type", "n", "slope_cents_per_day")
         .orderBy("event_type"),
       Some("""WITH q AS (SELECT event_type,
@@ -4991,13 +5042,13 @@ object AnalyticsQueries {
              |    CAST(round(value * 100) AS BIGINT) AS y
              |  FROM events),
              |m AS (SELECT event_type, COUNT(*) AS n,
-             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx
              |  FROM q GROUP BY event_type)
              |SELECT event_type, n,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day
              |FROM m ORDER BY event_type""".stripMargin)),
 
     // ---- equi-width histogram (the dashboard distribution shape):
@@ -5096,8 +5147,12 @@ object AnalyticsQueries {
           .select(col("event_id"), col("event_type"),
             round(col("value") * 100).cast("long").as("cents"))
         val stats = ev.groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
-            sum(col("cents") * col("cents")).as("s2"))
+          // Σcents² ~ n·1e14 clears 2^63 past ~1e5 rows per type: the
+          // moments ride DECIMAL(38,0)/HUGEINT (events_correlation
+          // discipline); the closing z dag is unchanged doubles.
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).as("s1"),
+            sum(col("cents").cast("decimal(38,0)") * col("cents")).as("s2"))
           .filter(col("n") > 1)
         val mean = col("s1").cast("double") / col("n")
         val variance = (col("s2").cast("double") - col("s1").cast("double") *
@@ -5113,8 +5168,8 @@ object AnalyticsQueries {
       Some("""WITH e AS (SELECT event_id, event_type,
              |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
              |st AS (SELECT event_type, COUNT(*) AS n,
-             |  CAST(SUM(cents) AS BIGINT) AS s1,
-             |  CAST(SUM(cents * cents) AS BIGINT) AS s2
+             |  SUM(CAST(cents AS HUGEINT)) AS s1,
+             |  SUM(CAST(cents AS HUGEINT) * cents) AS s2
              |  FROM e GROUP BY 1 HAVING COUNT(*) > 1),
              |z AS (SELECT e.event_id, e.event_type,
              |  CAST(e.cents AS DOUBLE) / 100.0 AS value,
@@ -5549,7 +5604,11 @@ object AnalyticsQueries {
     //      keep candidates meaningful. The pair stream comes from the
     //      order-keyed self-join (fan-out bounded by basket size²,
     //      never corpus²); the top-3 pick is an item-partitioned rank
-    //      over the candidate pairs (high-cardinality key). ----
+    //      over the candidate pairs (high-cardinality key). Both the
+    //      co² numerator and the ni·nj divisor ride DECIMAL(38,0)
+    //      (co²·10³ clears 2^63 at co > ~9.6e7 co-occurrences and
+    //      ni·nj at ni,nj > ~3e9 — the orders_association_lift
+    //      discipline). ----
     Q("orders_item_cosine_topk",
       (s, dir) => {
         val it = Tables.t(s, dir, "lineitem")
@@ -5564,7 +5623,9 @@ object AnalyticsQueries {
         val scored = co
           .join(n, "item")
           .join(n.select(col("item").as("other"), col("ni").as("nj")), "other")
-          .withColumn("cos2_permille", expr("co * co * 1000 div (ni * nj)"))
+          .withColumn("cos2_permille", expr(
+            "CAST(CAST(co AS DECIMAL(38,0)) * co * 1000" +
+              " div (CAST(ni AS DECIMAL(38,0)) * nj) AS BIGINT)"))
         val w = Window.partitionBy("item")
           .orderBy(desc("cos2_permille"), desc("co"), asc("other"))
         scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
@@ -5581,7 +5642,8 @@ object AnalyticsQueries {
              |                          AND a.l_partkey <> b.l_partkey
              |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
              |sc AS (SELECT co.item, co.other, co.co,
-             |         CAST(co.co * co.co * 1000 // (ni.ni * nj.ni) AS BIGINT) AS cos2_permille
+             |         CAST(CAST(co.co AS HUGEINT) * co.co * 1000
+             |              // (CAST(ni.ni AS HUGEINT) * nj.ni) AS BIGINT) AS cos2_permille
              |       FROM co JOIN n ni ON ni.item = co.item
              |               JOIN n nj ON nj.item = co.other),
              |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
@@ -6085,7 +6147,11 @@ object AnalyticsQueries {
           .groupBy(col("band").cast("long").as("band"))
           .agg(count(lit(1)).as("n_buckets"),
             max("c").as("max_bucket"),
-            sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+            // c·(c−1) wraps 2^63 at a ~4.3e9-doc bucket — exactly the
+            // pathological collapse this pre-flight exists to catch, so
+            // the pair count rides DECIMAL(38,0)/HUGEINT.
+            sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) div 2"))
+              .as("candidate_pairs"))
           .orderBy("band")
       },
       Some("""WITH toks AS (
@@ -6124,7 +6190,7 @@ object AnalyticsQueries {
              |SELECT CAST(band AS BIGINT) AS band,
              |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
              |  CAST(MAX(c) AS BIGINT) AS max_bucket,
-             |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+             |  CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT) AS candidate_pairs
              |FROM bk GROUP BY band ORDER BY band""".stripMargin)),
 
     // ---- REFERENTIAL-INTEGRITY AUDIT: orphan counts across every
@@ -7427,10 +7493,10 @@ object AnalyticsQueries {
              |      LEFT JOIN ref ON ref.band = sp.band)
              |SELECT CAST(batch_id AS BIGINT) AS batch_id,
              |  CAST(MAX(nt) AS BIGINT) AS n_events,
-             |  CAST(SUM((((c + 1) * (mt + 10) - (r + 1) * (nt + 10)) *
-             |        CAST(round(ln(CAST((c + 1) * (mt + 10) AS DOUBLE) /
-             |                      CAST((r + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
-             |       // ((nt + 10) * (mt + 10))) AS BIGINT) AS psi_micro
+             |  CAST(SUM((CAST(c + 1 AS HUGEINT) * (mt + 10) - CAST(r + 1 AS HUGEINT) * (nt + 10)) *
+             |        CAST(round(ln(CAST(c + 1 AS DOUBLE) * (mt + 10) /
+             |                      (CAST(r + 1 AS DOUBLE) * (nt + 10))) * 1000000) AS BIGINT)
+             |       // (CAST(nt + 10 AS HUGEINT) * (mt + 10))) AS BIGINT) AS psi_micro
              |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
 
     // ---- REVENUE CONCENTRATION (GINI) across parts: the inequality
@@ -7679,8 +7745,11 @@ object AnalyticsQueries {
     //      uniform expectation — "is the weekly cycle real or noise"
     //      stated as numbers both engines agree on bit-exactly:
     //      contrib = (7·o_d − total)² div (7·total), the
-    //      common-denominator form of (o_d − total/7)²/(total/7).
-    //      One 7-key map-side count; the total is a broadcast. ----
+    //      common-denominator form of (o_d − total/7)²/(total/7);
+    //      the square rides DECIMAL(38,0)/HUGEINT ((7·o_d − total)²
+    //      clears 2^63 once the era holds > ~3e9 orders with any
+    //      weekday skew). One 7-key map-side count; the total is a
+    //      broadcast. ----
     Q("orders_dow_seasonality",
       (s, dir) => {
         val d = Tables.t(s, dir, "orders")
@@ -7688,7 +7757,8 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_orders"))
         d.crossJoin(broadcast(d.agg(sum("n_orders").as("tot"))))
           .select(col("dow"), col("n_orders"),
-            expr("((7 * n_orders - tot) * (7 * n_orders - tot)) div (7 * tot)")
+            expr("CAST(CAST(7 * n_orders - tot AS DECIMAL(38,0))" +
+              " * (7 * n_orders - tot) div (7 * tot) AS BIGINT)")
               .as("chi2_contrib"))
           .orderBy("dow")
       },
@@ -7696,7 +7766,7 @@ object AnalyticsQueries {
              |    CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
              |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM d)
              |SELECT dow, n_orders,
-             |  CAST(((7 * n_orders - tot) * (7 * n_orders - tot)) // (7 * tot) AS BIGINT) AS chi2_contrib
+             |  CAST(CAST(7 * n_orders - tot AS HUGEINT) * (7 * n_orders - tot) // (7 * tot) AS BIGINT) AS chi2_contrib
              |FROM d CROSS JOIN t ORDER BY dow""".stripMargin)),
 
     // ---- LORENZ DECILE SHARES: the curve behind
@@ -7872,7 +7942,11 @@ object AnalyticsQueries {
           .select(col("k"), col("n_nodes"),
             coalesce(col("n_edges"), lit(0L)).as("n_edges"))
           .withColumn("phi_pm", // n_nodes <= 1: no possible pairs, φ := 0
-            expr("IF(n_nodes > 1, (2000 * n_edges) div (n_nodes * (n_nodes - 1)), 0L)"))
+            // n_nodes·(n_nodes−1) wraps 2^63 once a core holds > ~3e9
+            // nodes (a web giant component): the pair count rides
+            // DECIMAL(38,0)/HUGEINT.
+            expr("IF(n_nodes > 1, CAST(CAST(2000 AS DECIMAL(38,0)) * n_edges" +
+              " div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT), 0L)"))
           .orderBy("k")
       },
       Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -7889,7 +7963,8 @@ object AnalyticsQueries {
              |       CROSS JOIN ks WHERE da.deg > k AND db.deg > k GROUP BY 1)
              |SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
              |  CASE WHEN nk.n_nodes > 1
-             |    THEN CAST((2000 * COALESCE(ek.n_edges, 0)) // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT)
+             |    THEN CAST(CAST(2000 AS HUGEINT) * COALESCE(ek.n_edges, 0)
+             |              // (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1)) AS BIGINT)
              |    ELSE 0 END AS phi_pm
              |FROM nk LEFT JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin)),
 

@@ -2059,11 +2059,13 @@ object EtlQueries {
     //      (identical IEEE before the one ln), and each band's
     //      contribution is one BIGINT floor division
     //      ((n1·(M+10) − m1·(N+10)) · lq_micro) div ((N+10)·(M+10)) —
-    //      psi_micro sums exactly (the diff·lq product clears 2^63
-    //      only past ~1e8 orders per era; there it graduates to
-    //      DECIMAL(38,0), the embed_pca_two_steps promotion). Scale:
-    //      two map-side banded counts + a 10-row spine join; facts
-    //      are touched once. ----
+    //      psi_micro sums exactly, and the whole rational rides
+    //      DECIMAL(38,0)/HUGEINT (the diff·lq product clears 2^63
+    //      past ~1e8 orders per era, the N·M divisor at ~3e9 — far
+    //      below 100 TB; the log argument's count products are
+    //      likewise formed factor-cast-to-double so the BIGINT
+    //      products never materialize). Scale: two map-side banded
+    //      counts + a 10-row spine join; facts are touched once. ----
     Q("etl_distribution_drift_psi",
       (s, dir) => {
         val banded = Tables.t(s, dir, "orders")
@@ -2081,11 +2083,13 @@ object EtlQueries {
             coalesce(col("n_after"), lit(0L)).as("na"))
           .crossJoin(broadcast(tot))
           .withColumn("lq_micro",
-            round(log(((col("nb") + 1) * (col("mt") + 10)).cast("double") /
-              ((col("na") + 1) * (col("nt") + 10)).cast("double")) * 1000000).cast("long"))
+            round(log(((col("nb") + 1).cast("double") * (col("mt") + 10)) /
+              ((col("na") + 1).cast("double") * (col("nt") + 10))) * 1000000).cast("long"))
           .select(col("band"), col("nb").as("n_before"), col("na").as("n_after"),
             col("lq_micro"),
-            expr("(((nb + 1) * (mt + 10) - (na + 1) * (nt + 10)) * lq_micro) div ((nt + 10) * (mt + 10))")
+            expr("CAST((CAST(nb + 1 AS DECIMAL(38,0)) * (mt + 10)" +
+              " - CAST(na + 1 AS DECIMAL(38,0)) * (nt + 10)) * lq_micro" +
+              " div (CAST(nt + 10 AS DECIMAL(38,0)) * (mt + 10)) AS BIGINT)")
               .as("psi_contrib_micro"))
           .orderBy("band")
       },
@@ -2100,12 +2104,12 @@ object EtlQueries {
              |g AS (SELECT sp.band, COALESCE(n.nb, 0) AS nb, COALESCE(m.na, 0) AS na
              |      FROM sp LEFT JOIN n USING (band) LEFT JOIN m USING (band))
              |SELECT CAST(band AS BIGINT) AS band, nb AS n_before, na AS n_after,
-             |  CAST(round(ln(CAST((nb + 1) * (mt + 10) AS DOUBLE) /
-             |                CAST((na + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT) AS lq_micro,
-             |  CAST((((nb + 1) * (mt + 10) - (na + 1) * (nt + 10)) *
-             |        CAST(round(ln(CAST((nb + 1) * (mt + 10) AS DOUBLE) /
-             |                      CAST((na + 1) * (nt + 10) AS DOUBLE)) * 1000000) AS BIGINT))
-             |       // ((nt + 10) * (mt + 10)) AS BIGINT) AS psi_contrib_micro
+             |  CAST(round(ln(CAST(nb + 1 AS DOUBLE) * (mt + 10) /
+             |                (CAST(na + 1 AS DOUBLE) * (nt + 10))) * 1000000) AS BIGINT) AS lq_micro,
+             |  CAST((CAST(nb + 1 AS HUGEINT) * (mt + 10) - CAST(na + 1 AS HUGEINT) * (nt + 10)) *
+             |        CAST(round(ln(CAST(nb + 1 AS DOUBLE) * (mt + 10) /
+             |                      (CAST(na + 1 AS DOUBLE) * (nt + 10))) * 1000000) AS BIGINT)
+             |       // (CAST(nt + 10 AS HUGEINT) * (mt + 10)) AS BIGINT) AS psi_contrib_micro
              |FROM g CROSS JOIN t ORDER BY band""".stripMargin)),
 
     // ---- SURROGATE-KEY MINTING (incremental dimension load): new

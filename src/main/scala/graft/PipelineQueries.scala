@@ -540,8 +540,9 @@ object PipelineQueries {
     //      QI group, the total-variation distance between the group's
     //      `source` distribution and the global one, in EXACT
     //      permille: TVD = Σ|n·N − nv·ng| · 1000 / (2·ng·N) keeps
-    //      every term a BIGINT cross-product (no per-cell float
-    //      division). The cell frame is |QI groups| × |sensitive
+    //      every term an exact integer cross-product on
+    //      DECIMAL(38,0)/HUGEINT (no per-cell float division; the
+    //      n·N products clear 2^63 past ~3e9 corpus rows). The cell frame is |QI groups| × |sensitive
     //      values| — metadata-sized whatever the corpus size, built
     //      from two broadcast-joined aggregate tables; absent cells
     //      COALESCE to 0 so missing values count their full mass.
@@ -559,10 +560,16 @@ object PipelineQueries {
           .join(gc, Seq("lang", "size_bucket", "source"), "left")
           .withColumn("nc", coalesce(col("n"), lit(0L)))
           .groupBy(col("lang"), col("size_bucket"), col("ng"), col("nt"))
-          .agg(sum(abs(col("nc") * col("nt") - col("nv") * col("ng"))).as("num"))
+          // the n·N cross-products (and the 2·ng·nt divisor) wrap 2^63 once
+          // the corpus passes ~3e9 rows: every term rides DECIMAL(38,0)
+          // (HUGEINT on the DuckDB side).
+          .agg(sum(abs(col("nc").cast("decimal(38,0)") * col("nt")
+            - col("nv").cast("decimal(38,0)") * col("ng"))).as("num"))
           .select(col("lang"), col("size_bucket"), col("ng").as("group_n"),
-            expr("CAST(1000 * num div (2 * ng * nt) AS BIGINT)").as("tvd_permille"),
-            (expr("CAST(1000 * num div (2 * ng * nt) AS BIGINT)") <= 300L).as("meets_t"))
+            expr("CAST(1000 * num div (2 * CAST(ng AS DECIMAL(38,0)) * nt) AS BIGINT)")
+              .as("tvd_permille"),
+            (expr("CAST(1000 * num div (2 * CAST(ng AS DECIMAL(38,0)) * nt) AS BIGINT)")
+              <= 300L).as("meets_t"))
           .orderBy("lang", "size_bucket")
       },
       Some("""WITH gc AS (SELECT lang, n_chars // 200 AS size_bucket, source,
@@ -577,8 +584,10 @@ object PipelineQueries {
              |  LEFT JOIN gc ON gc.lang = g.lang AND gc.size_bucket = g.size_bucket
              |             AND gc.source = o.source)
              |SELECT lang, size_bucket, ng AS group_n,
-             |  CAST((1000 * SUM(abs(n * nt - nv * ng))) // (2 * ng * nt) AS BIGINT) AS tvd_permille,
-             |  (CAST((1000 * SUM(abs(n * nt - nv * ng))) // (2 * ng * nt) AS BIGINT) <= 300) AS meets_t
+             |  CAST((1000 * SUM(abs(CAST(n AS HUGEINT) * nt - CAST(nv AS HUGEINT) * ng)))
+             |       // (2 * CAST(ng AS HUGEINT) * nt) AS BIGINT) AS tvd_permille,
+             |  (CAST((1000 * SUM(abs(CAST(n AS HUGEINT) * nt - CAST(nv AS HUGEINT) * ng)))
+             |       // (2 * CAST(ng AS HUGEINT) * nt) AS BIGINT) <= 300) AS meets_t
              |FROM cells GROUP BY lang, size_bucket, ng, nt
              |ORDER BY lang, size_bucket""".stripMargin)),
 

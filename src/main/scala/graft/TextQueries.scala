@@ -1857,10 +1857,14 @@ object TextQueries {
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("source")))
           .groupBy("source")
+          // gnum ~ n_docs·total_chars (~1e23 at a 1e9-doc source) and the
+          // n_docs·total_chars divisor both clear 2^63 long before 100 TB:
+          // the sum and the product ride DECIMAL(38,0) (DuckDB side HUGEINT).
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-            sum((lit(2L) * col("i") - col("n") - 1L) * col("n_chars")).as("gnum"))
+            sum(((lit(2L) * col("i") - col("n") - 1L) * col("n_chars"))
+              .cast("decimal(38,0)")).as("gnum"))
           .withColumn("gini_permille",
-            expr("CAST(gnum * 1000 div (n_docs * total_chars) AS BIGINT)"))
+            expr("CAST(gnum * 1000 div (CAST(n_docs AS DECIMAL(38,0)) * total_chars) AS BIGINT)"))
           .select("source", "n_docs", "total_chars", "gini_permille")
           .orderBy("source")
       },
@@ -1870,8 +1874,8 @@ object TextQueries {
              |  FROM documents)
              |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-             |  CAST(CAST(SUM((2 * i - n - 1) * n_chars) AS BIGINT) * 1000
-             |       // (COUNT(*) * CAST(SUM(n_chars) AS BIGINT)) AS BIGINT) AS gini_permille
+             |  CAST(CAST(SUM(CAST((2 * i - n - 1) * n_chars AS HUGEINT)) AS HUGEINT) * 1000
+             |       // (CAST(COUNT(*) AS HUGEINT) * SUM(n_chars)) AS BIGINT) AS gini_permille
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- Gini-Simpson vocabulary diversity per source, EXACT: the
@@ -1886,18 +1890,22 @@ object TextQueries {
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         .groupBy("source")
+        // c² wraps 2^63 when one token's count passes ~3e9 ("the" in a web
+        // corpus) and n_tokens² at n_tokens > ~3e9: both the per-term square
+        // and the divisor ride DECIMAL(38,0) (DuckDB side HUGEINT).
         .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
-          sum(col("c") * col("c")).as("sumsq"))
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sumsq"))
         .withColumn("simpson_permille",
-          expr("CAST(1000 - sumsq * 1000 div (n_tokens * n_tokens) AS BIGINT)"))
+          expr("CAST(1000 - sumsq * 1000" +
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"))
         .select("source", "vocab", "n_tokens", "simpson_permille")
         .orderBy("source"),
       Some("""WITH c AS (SELECT source, tok, COUNT(*) AS c FROM (
              |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
              |  GROUP BY 1, 2)
              |SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
-             |  CAST(1000 - CAST(SUM(c * c) AS BIGINT) * 1000
-             |       // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS BIGINT) AS simpson_permille
+             |  CAST(1000 - CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) * 1000
+             |       // (CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT)) AS BIGINT) AS simpson_permille
              |FROM c GROUP BY source ORDER BY source""".stripMargin)),
 
     Q("url_domain_stats",

@@ -111,11 +111,17 @@ object Bpe {
    */
   def trainMerges(vocab: org.apache.spark.sql.DataFrame, wCol: String,
                   freqCol: String, rounds: Int): Seq[(String, String, Long)] = {
+    // A vocab word containing the frame separator would corrupt frame()'s
+    // token boundaries and, once a learned token carried it, abort
+    // encodeMerges' require mid-loop with a confusing error — reject such
+    // words up front, in-plan (no driver scan; real text never contains
+    // U+0001, so the filter is a no-op on clean corpora).
+    val clean = vocab.filter(!col(wCol).contains(Sep))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (!exhausted && merges.size < rounds) {
       val enc = encodeMerges(col(wCol), merges.toSeq.map(m => (m._1, m._2)))
-      val best = vocab
+      val best = clean
         .select(col(freqCol).as("_f"), tokenArray(enc).as("_tk"))
         // guard: a fully-merged 1-token word would make
         // sequence(1, 0) DESCEND and index element_at(_tk, 0)

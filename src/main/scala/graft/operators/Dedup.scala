@@ -276,6 +276,11 @@ object Dedup {
       changed = next.join(
           labels.select(col("node"), col("cluster_id").as("_old")), "node")
         .filter(col("cluster_id") < col("_old")).count()
+      // round k−1's state and the intermediate half-step: nothing reads
+      // their blocks again (Checkpoints scaladoc — clearCache can't free
+      // checkpoint storage, so a 25-round loop would hold 25 × |V| rows)
+      graft.operators.Checkpoints.free(labels)
+      graft.operators.Checkpoints.free(stepped)
       labels = next
       it += 1
     }

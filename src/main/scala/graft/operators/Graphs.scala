@@ -61,6 +61,7 @@ object Graphs {
       val next = peel(cur, k).localCheckpoint(false)
       val m = next.count()
       done = m == n
+      Checkpoints.free(cur) // round k−1's blocks: nothing reads them again
       cur = next
       n = m
       it += 1
@@ -142,6 +143,7 @@ object Graphs {
           Seq("node"), "left_outer")
         .filter(col("_prev").isNull || col("dist") =!= col("_prev"))
         .limit(1).count() > 0
+      Checkpoints.free(dist) // round k−1's blocks: nothing reads them again
       dist = next
       it += 1
     }
@@ -187,6 +189,7 @@ object Graphs {
         .localCheckpoint(false) // lazy: the changed-count materializes it
       changed = next.join(est.select(col("node"), col("c").as("_prev")), "node")
         .filter(col("c") =!= col("_prev")).count()
+      Checkpoints.free(est) // round k−1's blocks: nothing reads them again
       est = next
       it += 1
     }
@@ -418,12 +421,18 @@ object Graphs {
    * `events_stationary_step` power step, same exact integer
    * discipline: π0 = 1e6 micros per state, π'_j = Σ_i π_i·n_ij div
    * r_i (per-edge integral division), stop at the FIRST round whose
-   * max |delta| <= tolMicros. The chain is restricted to its
-   * RECURRENT CORE first — states appearing as both source and
-   * destination, totals recomputed after the restriction — so every
-   * state receives mass each round (transient-only states would
-   * otherwise vanish from a relational recursion and the two engines
-   * could diverge on who carries their zeros). Integer division
+   * max |delta| <= tolMicros. The matrix is restricted ONCE to edges
+   * whose src also appears as a destination and whose dst also
+   * appears as a source (totals recomputed after the restriction),
+   * and π is keyed on src ∪ dst OF THE RESTRICTED MATRIX — a single
+   * pass is not a true recurrent core (an edge B→C can survive while
+   * C keeps no outgoing edge), so keying on src alone would silently
+   * drop the mass sent to such a C while a relational recursion
+   * keeps emitting C's row; src ∪ dst keying carries exactly the
+   * same state set in both engines. States without outgoing
+   * restricted edges hold only their per-round inflow (their own
+   * mass leaks — a defined, engine-stable contract, not a
+   * recurrent-core stationary distribution). Integer division
    * plateaus a few micros above zero, so tolMicros must sit above
    * the rounding floor (~|states| micros), never at 0.
    *
@@ -438,8 +447,10 @@ object Graphs {
       .join(transitions.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
     val totals = core.groupBy("src").agg(sum("n").as("row_total"))
     val matrix = core.join(totals, "src").localCheckpoint()
-    val states = matrix.select(col("src").as("state")).distinct().localCheckpoint()
+    val states = matrix.select(col("src").as("state"))
+      .union(matrix.select(col("dst").as("state"))).distinct().localCheckpoint()
     var pi = states.withColumn("p", lit(1000000L)).localCheckpoint()
+    Checkpoints.free(states) // consumed once by pi's eager checkpoint
     var it = 0
     var delta = Long.MaxValue
     while (delta > tolMicros && it < maxIters) {
@@ -451,6 +462,7 @@ object Graphs {
         .select(col("state"), coalesce(col("tot"), lit(0L)).as("p"), col("_prev"))
         .localCheckpoint(false)
       delta = next.agg(max(abs(col("p") - col("_prev")))).head().getLong(0)
+      Checkpoints.free(pi) // round k−1's blocks: nothing reads them again
       pi = next.select("state", "p")
       it += 1
     }
@@ -489,6 +501,7 @@ object Graphs {
           col("_prev"))
         .localCheckpoint(false)
       delta = next.agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
+      Checkpoints.free(st) // round k−1's blocks: nothing reads them again
       st = next
       it += 1
     }

@@ -87,12 +87,18 @@ object Profile {
       .crossJoin(broadcast(
         c.agg(coalesce(sum("c"), lit(0L)).as("nt"))
           .crossJoin(r.agg(coalesce(sum("r"), lit(0L)).as("mt")))))
+      // era-count products (c·M, N·M) wrap 2^63 past ~1e8 rows per era:
+      // the log argument multiplies factor-cast doubles and the rational
+      // rides DECIMAL(38,0) — the etl_distribution_drift_psi discipline.
       .withColumn("lq_micro",
-        round(log(((col("c") + 1) * (col("mt") + bands)).cast("double") /
-          ((col("r") + 1) * (col("nt") + bands)).cast("double")) * 1000000)
+        round(log(((col("c") + 1).cast("double") * (col("mt") + bands)) /
+          ((col("r") + 1).cast("double") * (col("nt") + bands))) * 1000000)
           .cast("long"))
-      .agg(sum(expr(s"(((c + 1) * (mt + $bands) - (r + 1) * (nt + $bands)) * lq_micro)" +
-        s" div ((nt + $bands) * (mt + $bands))")).as("psi_micro"))
+      .agg(sum(expr(
+        s"CAST((CAST(c + 1 AS DECIMAL(38,0)) * (mt + $bands)" +
+          s" - CAST(r + 1 AS DECIMAL(38,0)) * (nt + $bands)) * lq_micro" +
+          s" div (CAST(nt + $bands AS DECIMAL(38,0)) * (mt + $bands)) AS BIGINT)"))
+        .as("psi_micro"))
       .collect()(0)
     row.getLong(0)
   }

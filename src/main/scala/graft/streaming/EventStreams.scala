@@ -1592,13 +1592,20 @@ object EventStreams {
           .select(col("band"), col("r"), col("mt"),
             coalesce(col("c"), lit(0L)).as("c"))
           .crossJoin(broadcast(counts.agg(coalesce(sum("c"), lit(0L)).as("nt"))))
+          // era-count products wrap 2^63 past ~1e8 rows per era: factor-cast
+          // doubles into the log, DECIMAL(38,0) for the rational — the
+          // etl_distribution_drift_psi discipline, kept verbatim across the
+          // three PSI surfaces.
           .withColumn("lq_micro",
-            round(log(((col("c") + 1) * (col("mt") + bands)).cast("double") /
-              ((col("r") + 1) * (col("nt") + bands)).cast("double")) * 1000000)
+            round(log(((col("c") + 1).cast("double") * (col("mt") + bands)) /
+              ((col("r") + 1).cast("double") * (col("nt") + bands))) * 1000000)
               .cast("long"))
         g.agg(max("nt").as("n_events"),
-            sum(expr(s"(((c + 1) * (mt + $bands) - (r + 1) * (nt + $bands)) * lq_micro)" +
-              s" div ((nt + $bands) * (mt + $bands))")).as("psi_micro"))
+            sum(expr(
+              s"CAST((CAST(c + 1 AS DECIMAL(38,0)) * (mt + $bands)" +
+                s" - CAST(r + 1 AS DECIMAL(38,0)) * (nt + $bands)) * lq_micro" +
+                s" div (CAST(nt + $bands AS DECIMAL(38,0)) * (mt + $bands)) AS BIGINT)"))
+              .as("psi_micro"))
           .withColumn("batch_id", lit(batchId))
           .select("batch_id", "n_events", "psi_micro")
           .coalesce(1).write.mode("append").parquet(outDir)
