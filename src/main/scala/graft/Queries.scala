@@ -84,7 +84,8 @@ object Tables {
 object Queries {
   def registry: Seq[Q] =
     EtlQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ TypedQueries.all ++ PipelineQueries.all
+      SimilarityQueries.all ++ TypedQueries.all ++ PipelineQueries.all ++
+      RecallQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

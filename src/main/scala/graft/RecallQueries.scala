@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * MEASURED recall / error gates for the approximate retrieval and
+ * aggregation families at PRODUCTION parameters (VERDICT r15 next #2).
+ *
+ * The `no_oracle` production forms (`sim_ann_topk` nProbe/hamming,
+ * `sim_ivf_topk` nProbe=4, `sim_pq_topk` ADC shortlist,
+ * `sim_ivfpq_topk` nProbe=4, `agg_approx_distinct`,
+ * `agg_approx_percentile`) are pinned EXACT only under degenerate
+ * parameters by their exhaustive twins; nothing measured the quality
+ * a 100 TB operator actually tunes nProbe/bands/shortlist against.
+ * Each gate here runs the approximate kernel at its production
+ * parameters over a 20-probe batch, computes recall@10 against the
+ * in-plan exhaustive top-k (same metric, same tie-break, same
+ * self-exclusion convention on both sides), REQUIREs a floor — the
+ * layout_stats_skipping loud-failure idiom, since DuckDB cannot
+ * replay the kernels — and emits one (family, n_probes, k,
+ * recall_permille) row. The agg gates emit per-group
+ * (exact, approx, err_permille) rows with the same REQUIRE discipline.
+ *
+ * Floors sit WELL BELOW the values measured at sf0.001/sf0.01
+ * (RecallSpec pins the measured numbers; SCALE recall shows them
+ * stable as the corpus replicates 10×) — the gate's job is to fail
+ * loudly when a regression drops a family toward chance, not to pin
+ * run-to-run jitter.
+ *
+ * Scale shape: probes are a 20-row broadcast; every truth side is the
+ * batchTopK shape (map-side scoring, ONE per-probe rank shuffle);
+ * every approximate side touches only its index's candidate slice.
+ * The recall join is 200 rows against 200 rows.
+ */
+object RecallQueries {
+
+  private val K = 10
+  private val NProbes = 20
+
+  private def embAll(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+
+  private def probesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.VectorOps.dot(a, b)
+
+  /** Exhaustive per-probe L2 top-k (the PQ/IVF-PQ metric), in-plan:
+    * map-side scoring over corpus × broadcast probes, one per-probe
+    * rank shuffle. No self-exclusion — the PQ sides keep self too,
+    * so both sides of the recall join see the identical candidate
+    * universe. */
+  private def exactL2TopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val v = col("e")
+    val l2 = dot(v, v) - lit(2.0) * dot(v, col("probe_e")) +
+      dot(col("probe_e"), col("probe_e"))
+    val w = Window.partitionBy("probe_id").orderBy(asc("l2_dist"), asc("vec_id"))
+    corpus.crossJoin(broadcast(probes))
+      .withColumn("l2_dist", l2)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .select("probe_id", "vec_id")
+  }
+
+  /** Closes a recall gate: counts truth ∩ approx over the 20-probe
+    * batch, REQUIREs the floor, emits the one measured row. The
+    * require re-executes nothing fact-sized — both sides are ≤ 200
+    * rows by construction. */
+  private def recallRow(s: SparkSession, family: String, truth: DataFrame,
+                        approx: DataFrame, floorPermille: Long): DataFrame = {
+    import s.implicits._
+    val hits = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+    val recall = hits * 1000L / (NProbes.toLong * K)
+    require(recall >= floorPermille,
+      s"$family recall@$K degraded to $recall permille over $NProbes probes " +
+        s"(floor $floorPermille) — retune bands/nProbe/shortlist before serving")
+    Seq((family, NProbes.toLong, K.toLong, recall))
+      .toDF("family", "n_probes", "k", "recall_permille")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- LSH recall at the PRODUCTION knob (nBits=16, hamming<=6 —
+    //      sim_ann_topk's exact parameters), 20 probes: signature
+    //      match is one broadcast cross join + bit_count filter, the
+    //      survivor re-rank a per-probe window. Truth = batchTopK
+    //      (cosine, self-excluded — matched by the =!= filter on the
+    //      approximate side). Measured 510‰ at sf0.001 / 535‰ at
+    //      sf0.01 — the honest number for hamming<=6 over these
+    //      weakly-clustered synthetic embeddings (chance ≈ k/n = 20‰);
+    //      floor 300 = the "toward chance" alarm. ----
+    Q("sim_ann_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val sigC = emb.withColumn("sig",
+          graft.operators.Similarity.signature(col("e"), 64, 16))
+        val sigP = probes.withColumn("probe_sig",
+          graft.operators.Similarity.signature(col("probe_e"), 64, 16))
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        val approx = sigC.crossJoin(broadcast(sigP))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .filter(expr("bit_count(sig ^ probe_sig) <= 6"))
+          .withColumn("cos_sim",
+            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("probe_id", "vec_id")
+        val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
+          .select("probe_id", "vec_id")
+        recallRow(s, "lsh_h6", truth, approx, floorPermille = 300L)
+      },
+      None),
+
+    // ---- IVF recall at PRODUCTION nProbe=4 of nLists=16 (the
+    //      sim_ivf_topk parameters), 20 probes: per-probe cell pick
+    //      is a 16×20 broadcast rank; candidates are the 4 probed
+    //      cells' postings only (the whole point — a quarter of the
+    //      corpus scanned per probe). Measured 460‰ at sf0.001 /
+    //      485‰ at sf0.01 (chance ≈ 20‰); floor 300. ----
+    Q("sim_ivf_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfIndex(emb, "vec_id", "e", nLists = 16)
+        val pc = centroids.crossJoin(broadcast(probes))
+          .withColumn("sim",
+            graft.operators.Similarity.cosine(col("centroid"), col("probe_e")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("probe_id").orderBy(desc("sim"), asc("cell"))))
+          .filter(col("crk") <= 4)
+          .select("probe_id", "probe_e", "cell")
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        val approx = assigned.join(broadcast(pc), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos_sim",
+            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("probe_id", "vec_id")
+        val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
+          .select("probe_id", "vec_id")
+        recallRow(s, "ivf_p4", truth, approx, floorPermille = 300L)
+      },
+      None),
+
+    // ---- PQ recall at PRODUCTION shortlist (m=8, k=16 codebooks,
+    //      ADC shortlist ×8 + exact re-rank — sim_pq_topk's
+    //      parameters), 20 probes through pqBatchTopK. Truth = exact
+    //      L2 top-k (PQ's metric; self kept on both sides).
+    //      Measured 805‰ at sf0.001 / 765‰ at sf0.01 — the re-rank
+    //      recovers most quantization error; floor 600. ----
+    Q("sim_pq_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val cb = graft.operators.Similarity.trainPqCodebooks(
+          emb, "vec_id", "e", dim = 64, m = 8, k = 16)
+        val enc = graft.operators.Similarity.pqEncode(emb, "e", cb)
+        val approx = graft.operators.Similarity
+          .pqBatchTopK(enc, probes, cb, k = K, rerankVecCol = Some("e"))
+          .select("probe_id", "vec_id")
+        recallRow(s, "pq_m8", exactL2TopK(emb, probes), approx,
+          floorPermille = 600L)
+      },
+      None),
+
+    // ---- IVF-PQ recall at PRODUCTION nProbe=4 + shortlist ×8 (the
+    //      sim_ivfpq_topk parameters), 20 probes: the encoded corpus
+    //      is localCheckpointed ONCE so the per-probe plans share the
+    //      materialized codes instead of re-running assignment+encode
+    //      20×. Measured 485‰ at sf0.001 / 510‰ at sf0.01 (chance
+    //      ≈ 20‰); floor 300. ----
+    Q("sim_ivfpq_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          emb, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        val encCp = enc.localCheckpoint()
+        val approx = probesOf(emb).collect().toSeq.map { r =>
+          val pid = r.getLong(0)
+          val pv = r.getSeq[Double](1).toArray
+          graft.operators.Similarity.ivfPqTopK(encCp, cents, cb, pv,
+              k = K, nProbe = 4, rerankVecCol = Some("e"))
+            .select(lit(pid).as("probe_id"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        val out = recallRow(s, "ivfpq_p4", exactL2TopK(emb, probes), approx,
+          floorPermille = 300L)
+        graft.operators.Checkpoints.free(encCp)
+        out
+      },
+      None),
+
+    // ---- HLL relative error at the PRODUCTION rsd (0.02 — the
+    //      agg_approx_distinct parameters): per-flag approximate vs
+    //      exact distinct parts, err_permille per group, REQUIRE
+    //      max err <= 100‰ (measured 5‰ at sf0.001, 9‰ at sf0.01;
+    //      rsd 2% ⇒ ~1σ = 20‰; 100‰ = 5σ, a broken
+    //      sketch, not jitter). Deterministic given the data, so the
+    //      emitted rows are reproducibility-checkable. ----
+    Q("agg_approx_distinct_error",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .withColumn("err_permille", expr(
+            "CAST(abs(approx_parts - exact_parts) * 1000 div exact_parts AS BIGINT)"))
+          .orderBy("l_returnflag")
+        val worst = d.agg(max("err_permille")).head().getLong(0)
+        require(worst <= 100L,
+          s"approx_count_distinct error degraded: $worst permille (floor 100)")
+        d
+      },
+      None),
+
+    // ---- approx_percentile relative error at PRODUCTION accuracy
+    //      (1000 — the agg_approx_percentile parameters): per-flag
+    //      approximate vs exact median of the cents-quantized price,
+    //      REQUIRE max err <= 50‰ (accuracy 1000 ⇒ rank error ≤
+    //      1/1000 of the group; 50‰ value error = a broken sketch).
+    //      Exact side = percentile() over the same exact integers. ----
+    Q("agg_approx_percentile_error",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(cents, 0.5, 1000)").as("approx_med"),
+            expr("CAST(round(percentile(cents, 0.5)) AS BIGINT)").as("exact_med"))
+          .withColumn("err_permille", expr(
+            "CAST(abs(approx_med - exact_med) * 1000 div exact_med AS BIGINT)"))
+          .orderBy("l_returnflag")
+        val worst = d.agg(max("err_permille")).head().getLong(0)
+        require(worst <= 50L,
+          s"approx_percentile error degraded: $worst permille (floor 50)")
+        d
+      },
+      None)
+  )
+}

@@ -25,6 +25,14 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // clearCache drops CacheManager entries but NOT localCheckpoint blocks
+    // (persisted RDDs outside the cache manager): sweep those explicitly
+    // after every multiple, or executor storage accrues across the whole
+    // stress run (ADVICE r15).
+    def freeAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     base.count() // warm
 
@@ -40,7 +48,7 @@ object ScaleStress {
         val out = op(corpus)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE $label%-7s m=$m%2d docs=$n%7d out=$out%9d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
 
     // Replicas are exact near-dups of their originals: sub-quadratic
@@ -113,7 +121,7 @@ object ScaleStress {
         val t2 = System.nanoTime()
         println(f"SCALE bpetrain m=$m%2d docs=$n%7d vocab=$nv%7d merges=${merges.size}%2d " +
           f"nsum=${merges.map(_._3).sum}%10d tvocab=${(t1 - t0) / 1e9}%6.1fs ttrain=${(t2 - t1) / 1e9}%6.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Hashed-n-gram classifier apply under replication: the weight
@@ -267,7 +275,7 @@ object ScaleStress {
         println(f"SCALE rrf     m=$m%2d docs=${corpus.count()}%7d lex=${lex.length}%2d " +
           f"dense=${dense.length}%2d qlex=${(t1 - t0) / 1e9}%6.1fs qdense=${(t2 - t1) / 1e9}%6.1fs")
         graft.CacheDirs.deleteRecursively(work.toFile)
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Banded perceptual near-dup join: replicas share their
@@ -404,7 +412,7 @@ object ScaleStress {
           .agg(max("count")).head().getLong(0)
         println(f"SCALE hotdup  m=$m%2d copies=$n%6d out=$outS%10d tsimhash=$tS%6.1fs " +
           f"tminhash=$tM%6.1fs bucketmax=$bucketMax%6d oldbufpairs=${bucketMax * (bucketMax - 1) / 2}%11d")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     docRun("increm")(c => Dedup.incrementalNearDups(
@@ -443,7 +451,7 @@ object ScaleStress {
           a, dA, cust, dB, Seq("o_custkey")).count()
         val tDelta = (System.nanoTime() - t0) / 1e9
         println(f"SCALE incrjoin m=$m%2d orders=$nA%8d full=$full%9d tfull=$tFull%6.1fs deltarows=$deltaRows%7d trefresh=$tDelta%6.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Bloom decontamination: eval side FIXED (benchmarks are bounded);
@@ -498,7 +506,7 @@ object ScaleStress {
           .agg(min("l_extendedprice").as("wm")).count()
         val tw = (System.nanoTime() - t1) / 1e9
         println(f"SCALE cumw    m=$m%2d rows=$n%8d out=$out%3d twophase=$t2p%6.1fs window3key=$tw%6.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // FastSS edit-distance-1 join: corpus of formatted id-names (the
@@ -516,7 +524,7 @@ object ScaleStress {
         val out = graft.operators.Dedup.editDistance1Pairs(names, "id", "nm").count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE editd   m=$m%2d names=$n%7d out=$out%9d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // FastSS at k=2: the C(L,2) two-deletion neighborhood multiplies
@@ -534,7 +542,7 @@ object ScaleStress {
           .editDistancePairs(names, "id", "nm", maxDist = 2).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE editd2  m=$m%2d names=$n%7d out=$out%9d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Full k-core fixpoint under replication: replica graphs are
@@ -560,7 +568,7 @@ object ScaleStress {
         val core = graft.operators.Graphs.kCore(e, 3).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE kcore   m=$m%2d edges=$ne%8d core=$core%8d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // PageRank to convergence: disjoint replicas reproduce the base
@@ -589,7 +597,7 @@ object ScaleStress {
         val n = graft.operators.Graphs.pageRank(sym).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE pagerank m=$m%2d edges=$ne%8d nodes=$n%8d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Full core decomposition (h-index fixpoint): disjoint replicas
@@ -617,7 +625,7 @@ object ScaleStress {
           .agg(max("core_k")).collect()(0).getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE corenum m=$m%2d edges=$ne%8d maxk=$maxCore%4d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // HyperBall reach sketch vs the exact 2-hop DISTINCT census under
@@ -655,7 +663,7 @@ object ScaleStress {
         val t2 = System.nanoTime()
         println(f"SCALE reachsk m=$m%2d edges=$ne%9d skSum=$skSum%11d " +
           f"exact=$exactPairs%11d tSketch=${(t1 - t0) / 1e9}%7.1fs tExact=${(t2 - t1) / 1e9}%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // One HITS iteration: disjoint replicas leave every node's
@@ -683,7 +691,7 @@ object ScaleStress {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE hits    m=$m%2d edges=$ne%8d out=$nOut%7d maxhub=$maxHub%7d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // One label-propagation step: two well-keyed exchanges over the
@@ -714,7 +722,7 @@ object ScaleStress {
           .count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE lblprop m=$m%2d edges=$ne%8d nodes=$nodes%8d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Theta-sketch aggregation: per-group state is one bounded
@@ -737,7 +745,7 @@ object ScaleStress {
           .collect()(0).getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE theta   m=$m%2d rows=$n%8d sketchB=$sk%7d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Ancestor rollup: replicated part catalogs keep the decimal
@@ -765,7 +773,7 @@ object ScaleStress {
         val out = graft.operators.Graphs.ancestorRollup(edges, rev).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE rollup  m=$m%2d parts=$n%8d out=$out%8d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Exact quantiles: the bucket-recursion pipeline's JOB COUNT is
@@ -853,7 +861,7 @@ object ScaleStress {
           probe, cb, k = 10, rerankVecCol = Some("e")).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE pq      m=$m%2d vecs=$n%7d out=$out%9d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Incremental IVF append: the corpus (and its build-time
@@ -865,10 +873,13 @@ object ScaleStress {
       val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
       emb0.count() // warm
-      val batch = emb0.filter(col("vec_id") % 7 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(900000000L)).localCheckpoint()
-      val nb = batch.count()
       multiples.foreach { m =>
+        // checkpointed INSIDE the loop: freeAll() sweeps persistent RDDs
+        // per multiple, so a cross-multiple checkpoint would be read
+        // after its blocks were dropped
+        val batch = emb0.filter(col("vec_id") % 7 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(900000000L)).localCheckpoint()
+        val nb = batch.count()
         val corpus = (0 until m).map(i => emb0.select(
           (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
           .reduce(_ unionByName _)
@@ -881,7 +892,49 @@ object ScaleStress {
         val t2 = System.nanoTime()
         println(f"SCALE ivfapp  m=$m%2d vecs=$n%7d batch=$nb%6d built=$nAssigned%7d " +
           f"appended=$appended%6d tbuild=${(t1 - t0) / 1e9}%6.1fs tappend=${(t2 - t1) / 1e9}%6.1fs")
-        spark.catalog.clearCache()
+        freeAll()
+      }
+    }
+    // IVF recall@10 at PRODUCTION nProbe=4 under replication (the
+    // sim_ivf_recall gate's statistic, measured as the corpus grows):
+    // exact duplicates land in the same cell (identical argmin
+    // tie-break), so the probed-cell slice keeps covering the true
+    // neighborhood and recall_pm must stay STABLE — a falling curve
+    // here is the drift signal that says rebuild/raise nProbe before
+    // serving quality erodes at 100 TB.
+    if (wanted("recall")) {
+      val w = org.apache.spark.sql.expressions.Window
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      multiples.foreach { m =>
+        // built per multiple: freeAll() would drop a cross-multiple
+        // checkpoint's blocks (and the 20-row probe scan is trivial)
+        val probes = emb0.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val (assigned, cents) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 16)
+        val pc = cents.crossJoin(broadcast(probes))
+          .withColumn("sim", Similarity.cosine(col("centroid"), col("probe_e")))
+          .withColumn("crk", row_number().over(
+            w.partitionBy("probe_id").orderBy(desc("sim"), asc("cell"))))
+          .filter(col("crk") <= 4).select("probe_id", "probe_e", "cell")
+        val rw = w.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        val approx = assigned.join(broadcast(pc), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos_sim", Similarity.cosine(col("e"), col("probe_e")))
+          .withColumn("rk", row_number().over(rw)).filter(col("rk") <= 10)
+          .select("probe_id", "vec_id")
+        val truth = Similarity.batchTopK(corpus, probes, "e", 10)
+          .select("probe_id", "vec_id")
+        val hits = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE recall  m=$m%2d vecs=$n%7d recall_pm=${hits * 1000 / 200}%4d time=$dt%7.1fs")
+        freeAll()
       }
     }
     // IVF-PQ serving: the index MATERIALIZES once (assignment +
@@ -1321,7 +1374,7 @@ object ScaleStress {
           corpus, "vec_id", "e", threshold = 0.995, blockDims = 4).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE exactbk m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // SemDeDup cells: the intra-cell stage is Σ(cell size)²; the
@@ -1345,7 +1398,7 @@ object ScaleStress {
           nClusters = k, threshold = 0.99).filter(!col("kept")).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE semded  m=$m%2d vecs=$n%7d pruned=$pruned%9d k=$k%3d time=$dt%7.1fs")
-        spark.catalog.clearCache()
+        freeAll()
       }
     }
     // Embedding near-dup: replicas are x1.0625-scaled copies (same
@@ -1365,7 +1418,7 @@ object ScaleStress {
       val pairs = Similarity.embeddingNearDups(corpus, "vec_id", "e", dim = 64, threshold = 0.9).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE embed   m=$m%2d vecs=$n%7d pairs=$pairs%9d time=$dt%7.1fs")
-      spark.catalog.clearCache()
+      freeAll()
     }
     }
     spark.stop()
