@@ -186,6 +186,95 @@ object TextQueries {
         .mkString("\nUNION ALL ") +
       "\nORDER BY rk"
 
+  /** The text_unigram_train oracle: Unigram.trainUnigram replayed —
+    * seed (all chars + top-`seedMulti` substrings of length 2..4,
+    * occurrence-weighted), then `rounds` E/M rounds, each a Viterbi
+    * forward DP (recursive CTE over positions carrying the dp list),
+    * a backtrace recursion (longest-piece tie-break, exact BIGINT
+    * equality), freq-weighted piece counts, char-keep + top-`keepMulti`
+    * multi prune, and the smoothed ln-micro re-score. The piece map
+    * rides DuckDB's MAP (DISTINCT keys by construction); missing
+    * pieces coalesce to the same −1e12-micros floor as the Spark DP.
+    */
+  private def unigramOracle(rounds: Int, seedMulti: Int, keepMulti: Int): String = {
+    val neg = "-1000000000000"
+    val inv = "-9000000000000000"
+    def mapCte(r: Int) =
+      s"m$r AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS m FROM s$r)"
+    def scoreCte(r: Int) =
+      s"""s$r AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.tot + t.np AS DOUBLE)) * 1000000) AS BIGINT) AS score
+         |  FROM p$r, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS np FROM p$r) t)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH RECURSIVE
+         |vocab AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) BETWEEN 2 AND ${graft.functions.Unigram.MaxWordLen} GROUP BY w),
+         |subs AS MATERIALIZED (
+         |  SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM vocab,
+         |       LATERAL unnest(generate_series(1, length(w))) AS t(i),
+         |       LATERAL unnest(generate_series(1, least(${graft.functions.Unigram.MaxPiece}, length(w) - CAST(i AS INTEGER) + 1))) AS u(l)
+         |  GROUP BY 1),
+         |p0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+         |                          ORDER BY cnt DESC, piece LIMIT $seedMulti)),
+         |${scoreCte(0)},
+         |${mapCte(0)}""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = r - 1
+      // missing single char -> Neg floor (UNK-per-char); missing
+      // multi-char piece -> Invalid (not a candidate) — the Spark
+      // viterbiDp convention, verbatim
+      def look(w: String, start: String, len: Int) =
+        s"coalesce(map_extract(mm.m, substring($w, $start, $len))[1], ${if (len == 1) neg else inv})"
+      val kSel =
+        s"""CASE WHEN b.pos >= 4 AND b.dp[b.pos + 1] = b.dp[b.pos - 3] + ${look("b.w", "b.pos - 3", 4)} THEN 4
+           |         WHEN b.pos >= 3 AND b.dp[b.pos + 1] = b.dp[b.pos - 2] + ${look("b.w", "b.pos - 2", 3)} THEN 3
+           |         WHEN b.pos >= 2 AND b.dp[b.pos + 1] = b.dp[b.pos - 1] + ${look("b.w", "b.pos - 1", 2)} THEN 2
+           |         ELSE 1 END""".stripMargin
+      sb.append(s""",
+         |dp$r(w, freq, i, dp) AS (
+         |  SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM vocab
+         |  UNION ALL
+         |  SELECT d.w, d.freq, d.i + 1, list_append(d.dp, greatest(
+         |    CASE WHEN d.i + 1 >= 1 THEN d.dp[d.i + 1] + ${look("d.w", "d.i + 1", 1).replace("mm.m", s"m$prev.m")} ELSE $inv END,
+         |    CASE WHEN d.i + 1 >= 2 THEN d.dp[d.i] + ${look("d.w", "d.i", 2).replace("mm.m", s"m$prev.m")} ELSE $inv END,
+         |    CASE WHEN d.i + 1 >= 3 THEN d.dp[d.i - 1] + ${look("d.w", "d.i - 1", 3).replace("mm.m", s"m$prev.m")} ELSE $inv END,
+         |    CASE WHEN d.i + 1 >= 4 THEN d.dp[d.i - 2] + ${look("d.w", "d.i - 2", 4).replace("mm.m", s"m$prev.m")} ELSE $inv END))
+         |  FROM dp$r d, m$prev WHERE d.i < length(d.w)),
+         |bt$r(w, freq, dp, pos, ps) AS (
+         |  SELECT w, freq, dp, length(w), CAST([] AS VARCHAR[])
+         |  FROM dp$r WHERE i = length(w)
+         |  UNION ALL
+         |  SELECT b.w, b.freq, b.dp,
+         |    b.pos - ($kSel),
+         |    list_append(b.ps, substring(b.w, b.pos - ($kSel) + 1, ($kSel)))
+         |  FROM bt$r b, m$prev mm WHERE b.pos > 0),
+         |c$r AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(ps) AS piece FROM bt$r WHERE pos = 0) GROUP BY 1),
+         |p$r AS MATERIALIZED (
+         |  SELECT s.piece, COALESCE(c.cnt, 0) AS cnt
+         |  FROM s$prev s LEFT JOIN c$r c USING (piece) WHERE length(s.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM c$r WHERE length(piece) >= 2
+         |                          ORDER BY cnt DESC, piece LIMIT $keepMulti)),
+         |${scoreCte(r)},
+         |${mapCte(r)}""".stripMargin)
+    }
+    sb.append(s"""
+         |SELECT piece, cnt, score AS score_micros FROM s$rounds
+         |ORDER BY cnt DESC, piece""".stripMargin)
+    sb.toString
+  }
+
   private def bpeTrainApplyOracle(rounds: Int): String =
     bpeTrainChain(rounds) +
       s"""
@@ -880,6 +969,31 @@ object TextQueries {
           .orderBy(desc("freq"), asc("w")).limit(500)
       },
       Some(bpeTrainApplyOracle(10))),
+
+    // ---- UNIGRAM-LM TOKENIZER TRAINER (SentencePiece family — the
+    //      second public tokenizer-training algorithm beside BPE):
+    //      seed = all single chars + top-32 substrings (len 2..4,
+    //      occurrence-weighted) of the vocab-collapsed corpus; then
+    //      2 E/M rounds — Viterbi best-path segmentation of every
+    //      vocab word under the current integer-micros piece
+    //      log-probs (exact BIGINT max-sum, longest-piece tie-break),
+    //      freq-weighted expected counts, prune to top-24 multi-char
+    //      (chars never pruned — coverage guaranteed), smoothed
+    //      ln-micro re-score. Oracle: the full loop replayed — dp
+    //      forward as a positions recursion carrying the dp list,
+    //      backtrace as a second recursion, the same MAP lookups and
+    //      −1e12 missing-piece floor. Scale: the trainMerges argument
+    //      verbatim — one corpus collapse, then vocab-sized rounds
+    //      (SCALE unigram: train wall flat at 10× corpus). ----
+    Q("text_unigram_train",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        graft.functions.Unigram.trainUnigram(vocab, "w", "freq",
+          rounds = 2, seedMulti = 32, keepMulti = 24)
+      },
+      Some(unigramOracle(2, 32, 24))),
 
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM tokenizer TRAINER (the SentencePiece family, Kudo 2018,
+ * public) — the second public tokenizer-training algorithm beside BPE
+ * ([[Bpe.trainMerges]]): seed a piece vocabulary from frequent
+ * substrings of the vocab-collapsed corpus, then iterate E/M rounds —
+ * E-step: Viterbi best-path segmentation of every vocab word under
+ * the current integer-micros piece log-probs, expected counts =
+ * freq-weighted piece usage; M-step: prune to the best multi-char
+ * pieces (single chars are NEVER pruned, so every word stays
+ * segmentable) and re-score from the smoothed counts.
+ *
+ * Exactness discipline: piece scores are the one-ln-over-an-exact-
+ * integer-ratio micro idiom (round(ln((cnt+1)/(tot+|pieces|))·1e6) —
+ * the PSI smoothing shape), and the Viterbi DP runs ENTIRELY in
+ * BIGINT micros (max-sum over exact integers, longest-piece
+ * tie-break), so a WITH RECURSIVE oracle replays it bit-exactly.
+ *
+ * Scale shape (the [[Bpe.trainMerges]] argument): the corpus
+ * collapses to its VOCABULARY before the loop — the one corpus-sized
+ * pass; each round is a vocab-sized map-side Viterbi (two sequential
+ * `aggregate` folds per word — O(len·4) BIGINT ops and map lookups,
+ * no shuffle beyond the piece-count aggregation) plus a piece-table
+ * collect that is vocabulary metadata (≤ chars + keepMulti rows).
+ * Total work is m-INVARIANT under corpus replication (SCALE unigram).
+ */
+object Unigram {
+
+  /** Longest piece the DP considers. */
+  val MaxPiece = 4
+
+  /** Words longer than this are excluded from TRAINING (the DP cost
+    * per word is len·4 lookups; production trainers cap candidate
+    * length the same way). */
+  val MaxWordLen = 12
+
+  /** Score of a missing piece, in micros: far below any real
+    * log-prob, but exact BIGINT arithmetic (a word of 12 chars paths
+    * at worst 12·Neg = -1.2e13 — no overflow, and backtrace equality
+    * stays exact). */
+  val Neg = -1000000000000L
+
+  /** Marker for a structurally invalid candidate (k > position):
+    * strictly below any reachable path sum so it never wins. */
+  private val Invalid = -9000000000000000L
+
+  /** Viterbi FORWARD pass as one sequential fold: dp[0..len] with
+    * dp[i] = max over k=1..4 of dp[i-k] + score(substr(w, i-k+1, k)).
+    * A MISSING single char rides the Neg floor (unknown text
+    * segments char-by-char — the SentencePiece UNK-per-char
+    * convention); a missing MULTI-char piece is not a candidate at
+    * all (coalesced to Invalid — a flat floor would make one unknown
+    * 2-gram cheaper than two unknown chars). Returns array<bigint>
+    * of length len+1. */
+  def viterbiDp(w: Column, scores: Map[String, Long]): Column = {
+    val m = typedLit(scores)
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => {
+        def cand(k: Int): Column =
+          when(i >= k,
+            element_at(acc, (i - k + 1).cast("int")) +
+              coalesce(element_at(m, w.substr(i - k + 1, lit(k))),
+                lit(if (k == 1) Neg else Invalid)))
+            .otherwise(lit(Invalid))
+        concat(acc, array(greatest(cand(1), cand(2), cand(3), cand(4))))
+      })
+  }
+
+  /** Viterbi BACKTRACE as a second fold over at most MaxWordLen
+    * steps: from pos = len, pick the k whose candidate equals dp[pos]
+    * (exact BIGINT equality; ties prefer the LONGEST piece — checked
+    * k = 4, 3, 2, then 1), emit the piece, step back. Returns
+    * array<string> of the best segmentation's pieces. */
+  def viterbiPieces(w: Column, dp: Column, scores: Map[String, Long]): Column = {
+    val m = typedLit(scores)
+    val walk = aggregate(
+      sequence(lit(1), lit(MaxWordLen)),
+      struct(length(w).cast("int").as("pos"),
+        typedLit(Seq.empty[String]).as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        def hit(k: Int): Column = pos >= k &&
+          (element_at(dp, pos + 1) ===
+            element_at(dp, (pos - k + 1).cast("int")) +
+              coalesce(element_at(m, w.substr(pos - k + 1, lit(k))),
+                lit(if (k == 1) Neg else Invalid)))
+        val kSel = when(hit(4), lit(4)).when(hit(3), lit(3))
+          .when(hit(2), lit(2)).otherwise(lit(1))
+        when(pos <= 0, acc).otherwise(struct(
+          (pos - kSel).cast("int").as("pos"),
+          concat(acc.getField("ps"),
+            array(w.substr(pos - kSel + 1, kSel))).as("ps")))
+      })
+    walk.getField("ps")
+  }
+
+  /** The smoothed integer-micros re-score: one tiny aggregate
+    * broadcast back — score = round(ln((cnt+1)/(tot+np))·1e6), the
+    * exact expression shape the DuckDB oracle replays. */
+  private def rescore(pieces: DataFrame): DataFrame = {
+    val tots = pieces.agg(sum("cnt").as("tot"), count(lit(1)).as("np"))
+    pieces.crossJoin(broadcast(tots))
+      .withColumn("score_micros",
+        round(log((col("cnt") + 1).cast("double") /
+          (col("tot") + col("np")).cast("double")) * 1000000).cast("long"))
+      .select("piece", "cnt", "score_micros")
+  }
+
+  /**
+   * The k-round trainer. `vocab0`: (word, freq) — the one corpus
+   * collapse is the caller's groupBy. Seeds all single chars plus the
+   * `seedMulti` most frequent substrings of length 2..4 (occurrence-
+   * weighted, ties piece ASC), then `rounds` E/M rounds keeping
+   * `keepMulti` multi-char pieces. Returns the final
+   * (piece, cnt, score_micros) table ordered (cnt DESC, piece ASC) —
+   * vocabulary-sized metadata. Driver traffic per round: ONE
+   * piece-table collect (≤ chars + keepMulti rows).
+   */
+  def trainUnigram(vocab0: DataFrame, wCol: String, freqCol: String,
+                   rounds: Int = 2, seedMulti: Int = 32,
+                   keepMulti: Int = 24): DataFrame = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val vocab = vocab0
+      .filter(length(col(wCol)).between(2, MaxWordLen))
+      .select(col(wCol).as("w"), col(freqCol).cast("long").as("freq"))
+      .localCheckpoint() // re-segmented every round
+    val subs = vocab.select(col("freq"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(1, least($MaxPiece, length(w) - i + 1)), " +
+          s"l -> substring(w, i, l))))")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .localCheckpoint() // chars AND the multi top-k read it
+    val seed = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(seedMulti))
+    var pieceTab: Seq[(String, Long, Long)] = rescore(seed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Checkpoints.free(subs)
+    val charPieces = pieceTab.filter(_._1.length == 1).map(_._1)
+    for (_ <- 1 to rounds) {
+      val smap = pieceTab.map(t => t._1 -> t._3).toMap
+      val segCounts = vocab
+        .withColumn("_dp", viterbiDp(col("w"), smap))
+        .select(col("freq"),
+          explode(viterbiPieces(col("w"), col("_dp"), smap)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .localCheckpoint() // char keep AND the multi top-k read it
+      val chars = charPieces.toDF("piece")
+        .join(segCounts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val multi = segCounts.filter(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(keepMulti)
+      pieceTab = rescore(chars.unionByName(multi)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.operators.Checkpoints.free(segCounts)
+    }
+    pieceTab.toDF("piece", "cnt", "score_micros")
+      .orderBy(desc("cnt"), asc("piece"))
+  }
+}

@@ -124,6 +124,29 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Unigram-LM trainer under replication: same claim as bpetrain —
+    // replicas add occurrences but no word TYPES, so after the one
+    // corpus collapse every E/M round (vocab-sized Viterbi + piece
+    // recount + metadata collect) is m-INVARIANT: tvocab may track m,
+    // ttrain must stay FLAT at 10x corpus.
+    if (wanted("unigram")) {
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val vocab = corpus.select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq")).localCheckpoint()
+        val nv = vocab.count()
+        val t1 = System.nanoTime()
+        val pieces = graft.functions.Unigram.trainUnigram(
+          vocab, "w", "freq", rounds = 2, seedMulti = 32, keepMulti = 24).collect()
+        val t2 = System.nanoTime()
+        println(f"SCALE unigram m=$m%2d docs=$n%7d vocab=$nv%7d pieces=${pieces.length}%3d " +
+          f"csum=${pieces.map(_.getLong(1)).sum}%11d tvocab=${(t1 - t0) / 1e9}%6.1fs ttrain=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
     // Hashed-n-gram classifier apply under replication: the weight
     // table is FLAT at 1024 rows whatever the corpus, application is
     // a map-side explode + broadcast join + doc-keyed sum — wall must

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Pins the unigram-LM trainer's Viterbi kernel on hand-computed
+ * fixtures (the gate pins the full EM loop against the DuckDB
+ * recursion at sf0.001/sf0.01): max-sum correctness, the
+ * longest-piece tie-break, the missing-piece floor, and the trainer's
+ * char-coverage invariant.
+ */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.Unigram
+
+  private def segment(w: String, scores: Map[String, Long]): Seq[String] = {
+    val df = Seq(w).toDF("w")
+      .withColumn("_dp", Unigram.viterbiDp(col("w"), scores))
+      .withColumn("_ps", Unigram.viterbiPieces(col("w"), col("_dp"), scores))
+    df.select("_ps").head().getSeq[String](0).toSeq
+  }
+
+  test("viterbi picks the higher-probability composite path") {
+    // "ab" at -1e6 beats char-by-char at -2e6 each: abab -> [ab, ab]
+    val scores = Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -1000000L)
+    assert(segment("abab", scores).sorted === Seq("ab", "ab"))
+    // drop "ab" below two chars and the char path wins
+    val scores2 = Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -5000000L)
+    assert(segment("abab", scores2).sorted === Seq("a", "a", "b", "b"))
+  }
+
+  test("exact ties break toward the LONGEST piece") {
+    // "aa" = -2e6 equals "a"+"a" = -2e6: the k=2 piece must win
+    val scores = Map("a" -> -1000000L, "aa" -> -2000000L)
+    assert(segment("aa", scores) === Seq("aa"))
+  }
+
+  test("missing chars ride the -1e12 floor, never crash") {
+    // "x" is not in the piece set: the path exists (floor-scored)
+    val scores = Map("a" -> -1000000L)
+    assert(segment("xa", scores).sorted === Seq("a", "x"))
+  }
+
+  test("trainUnigram keeps every char and emits integer-micro scores") {
+    val vocab = Seq(("abab", 10L), ("abba", 5L), ("baba", 3L), ("bb", 2L))
+      .toDF("w", "freq")
+    val out = Unigram.trainUnigram(vocab, "w", "freq",
+      rounds = 2, seedMulti = 4, keepMulti = 3).collect()
+    val pieces = out.map(_.getString(0)).toSet
+    assert(Set("a", "b").subsetOf(pieces), s"chars missing from $pieces")
+    assert(out.forall(_.getLong(2) < 0L), "log-prob micros must be negative")
+    // counts conserve the segmentation mass: every word fully covered
+    val totalChars = 4 * 10 + 4 * 5 + 4 * 3 + 2 * 2
+    val coveredChars = out.map(r => r.getString(0).length * r.getLong(1)).sum
+    assert(coveredChars === totalChars.toLong,
+      s"piece counts x lengths must tile the corpus: $coveredChars vs $totalChars")
+  }
+}
