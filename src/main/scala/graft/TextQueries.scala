@@ -1222,6 +1222,45 @@ object TextQueries {
              |HAVING COUNT(*) + 2 >= 5
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
+    // ---- INCREMENTAL DUPLICATED-SPAN EXTRACTION (the daily-ingest
+    //      twin of text_dup_spans, matching what dedup_incremental
+    //      does for MinHash): the corpus (doc_id % 7 != 0) collapses
+    //      ONCE to its persisted gram summary — gram-vocabulary-sized,
+    //      (gram, lo_doc, hi_doc), no positional postings persisted —
+    //      and the fresh batch (% 7 == 0, disjoint ids) probes it:
+    //      a batch position is covered iff its gram exists in the
+    //      index at all OR >= 2 batch docs own it. Oracle: the FULL
+    //      corpus+batch quadratic span derivation restricted to batch
+    //      ids — green means the probe path equals the rebuild
+    //      without rescanning the corpus. SCALE dupspaninc: probe
+    //      wall tracks the batch while the corpus grows 10×. ----
+    Q("text_dup_spans_incremental",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val index = graft.operators.Dedup.gramSpanSummary(
+            d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", k = 3)
+          .localCheckpoint() // the persisted-index stand-in: built once
+        graft.operators.Dedup.dupSpansIncremental(index,
+            d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+            k = 3, minTokens = 5)
+          .orderBy("doc_id", "start_pos")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov WHERE doc_id % 7 = 0)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 2 >= 5
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     // ---- SELF-REPETITION SPANS: within-document repeated k-gram
     //      runs — the loop/boilerplate detector for generated or
     //      scraped text, the failure mode text_dup_spans (which

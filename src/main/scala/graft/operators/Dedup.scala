@@ -575,28 +575,90 @@ object Dedup {
    * every posting list, and the window state is one row. The oracle
    * twin runs the quadratic position self-join.
    */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, minTokens: Int = 5): DataFrame = {
-    require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
-    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+  /** The positional k-gram posting stream shared by the span family:
+    * (id, pos, gram) — one posexplode, the text_phrase_search index
+    * pass. */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col(idCol),
         posexplode(expr(
           s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))"))
           .as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val dup = grams.groupBy("gram")
-      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
-      .filter(col("_lo") =!= col("_hi"))
-      .select("gram")
+
+  /** Maximal covered runs (the gaps-and-islands close of the span
+    * family): covered (id, pos) rows -> (id, start_pos, n_tokens)
+    * spans of at least `minTokens`. */
+  private def coveredToSpans(covered: DataFrame, idCol: String,
+                             k: Int, minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy("pos")
-    grams.join(dup, "gram")
-      .select(col(idCol), col("pos"))
+    covered
       .withColumn("_isl", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("_isl"))
       .agg(min("pos").as("start_pos"), (count(lit(1)) + lit(k - 1)).as("n_tokens"))
       .filter(col("n_tokens") >= minTokens)
       .select(col(idCol), col("start_pos"), col("n_tokens"))
+  }
+
+  /**
+   * The PERSISTED gram-summary index behind [[dupSpansIncremental]]:
+   * one row per distinct k-gram with the min/max owning doc — the
+   * min(doc) != max(doc) duplicate test's sufficient statistic,
+   * gram-vocabulary-sized (NO positional postings need persisting for
+   * the daily-ingest probe). At 100 TB this table is written once per
+   * corpus build (the INDEX_DESTINATION pattern) and every arriving
+   * batch equi-joins against it.
+   */
+  def gramSpanSummary(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3): DataFrame =
+    spanGrams(df, idCol, textCol, k)
+      .groupBy("gram").agg(min(col(idCol)).as("lo_doc"), max(col(idCol)).as("hi_doc"))
+
+  /**
+   * INCREMENTAL duplicated-span extraction — the daily-ingest twin of
+   * [[duplicatedSpans]], matching what `dedup_incremental` does for
+   * MinHash: probe a FRESH batch's positional k-grams against the
+   * persisted corpus gram summary ([[gramSpanSummary]]) and emit the
+   * batch's covered spans WITHOUT rescanning the corpus. A batch
+   * position is covered iff its gram has >= 2 distinct owners across
+   * corpus ∪ batch; with batch ids disjoint from corpus ids (the
+   * fresh-ingest contract `dedup_incremental` also assumes) that is
+   * exactly: the gram exists in the index at all (the batch doc is a
+   * second distinct owner), OR the batch alone owns it from >= 2
+   * docs (min != max over batch ids). Equal to
+   * `duplicatedSpans(corpus ∪ batch)` restricted to batch ids — the
+   * gate's oracle recomputes the full corpus and pins that equality.
+   *
+   * Scale shape: the corpus-sized pass happened ONCE at index build;
+   * each probe is batch-sized posting extraction + one gram equi-join
+   * against the summary + the batch-doc-partitioned islands window.
+   */
+  def dupSpansIncremental(index: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, k: Int = 3,
+                          minTokens: Int = 5): DataFrame = {
+    require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
+    val bg = spanGrams(batch, idCol, textCol, k)
+    val dup = bg.groupBy("gram")
+      .agg(min(col(idCol)).as("_blo"), max(col(idCol)).as("_bhi"))
+      .join(index.select(col("gram"), col("lo_doc")), Seq("gram"), "left")
+      .filter(col("lo_doc").isNotNull || col("_blo") =!= col("_bhi"))
+      .select("gram")
+    coveredToSpans(bg.join(dup, "gram").select(col(idCol), col("pos")),
+      idCol, k, minTokens)
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, minTokens: Int = 5): DataFrame = {
+    require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
+    val grams = spanGrams(df, idCol, textCol, k)
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select("gram")
+    coveredToSpans(grams.join(dup, "gram").select(col(idCol), col("pos")),
+      idCol, k, minTokens)
   }
 
   /**
@@ -615,24 +677,12 @@ object Dedup {
   def selfRepeatSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, minTokens: Int = 3): DataFrame = {
     require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
-    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col(idCol),
-        posexplode(expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))"))
-          .as(Seq("p0", "gram")))
-      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val grams = spanGrams(df, idCol, textCol, k)
     val rep = grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
       .select(col(idCol), col("gram"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy("pos")
-    grams.join(rep, Seq(idCol, "gram"))
-      .select(col(idCol), col("pos"))
-      .withColumn("_isl", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("_isl"))
-      .agg(min("pos").as("start_pos"), (count(lit(1)) + lit(k - 1)).as("n_tokens"))
-      .filter(col("n_tokens") >= minTokens)
-      .select(col(idCol), col("start_pos"), col("n_tokens"))
+    coveredToSpans(grams.join(rep, Seq(idCol, "gram")).select(col(idCol), col("pos")),
+      idCol, k, minTokens)
   }
 
   /**

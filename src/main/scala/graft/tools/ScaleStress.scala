@@ -72,6 +72,30 @@ object ScaleStress {
     // ~linearly (output-bound), never the gram-frequency square the
     // quadratic oracle pays.
     docRun("dupspan")(c => Dedup.duplicatedSpans(c, "doc_id", "text").count())
+    // Incremental dup-span probe: the CORPUS (and its one-time gram
+    // summary) grows m-fold while the arriving batch stays FIXED —
+    // tindex may track the corpus; tprobe (batch postings + one gram
+    // equi-join against the summary + batch-partitioned islands) must
+    // track the BATCH, the daily-ingest claim of the persisted-index
+    // path.
+    if (wanted("dupspaninc")) {
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val index = Dedup.gramSpanSummary(corpus, "doc_id", "text").localCheckpoint()
+        val ni = index.count()
+        val t1 = System.nanoTime()
+        val out = Dedup.dupSpansIncremental(index, batch, "doc_id", "text").count()
+        val t2 = System.nanoTime()
+        println(f"SCALE dspaninc m=$m%2d docs=$n%7d grams=$ni%8d spans=$out%7d " +
+          f"tindex=${(t1 - t0) / 1e9}%6.1fs tprobe=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>

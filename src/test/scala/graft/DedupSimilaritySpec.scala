@@ -293,6 +293,36 @@ class DedupSimilaritySpec extends SparkTestBase {
       .duplicatedSpans(rep, "doc_id", "text", k = 3, minTokens = 3).count() === 0L)
   }
 
+  test("dupSpansIncremental equals the full-corpus rebuild on batch ids") {
+    // the daily-ingest equality pin: probing the persisted gram
+    // summary must emit EXACTLY the spans a full corpus+batch rebuild
+    // assigns to the batch — on a fixture exercising all three
+    // coverage sources (batch↔corpus, batch↔batch, corpus-only dup
+    // that must NOT leak into batch spans)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf one two three"),
+      (2L, "shared inside corpus only run here padding words again x"),
+      (3L, "shared inside corpus only run here padding words again y"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "intro alpha bravo charlie delta echo foxtrot golf tail"), // vs corpus 1
+      (101L, "fresh pair run lives in batch only here now indeed"),     // vs 102
+      (102L, "fresh pair run lives in batch only here now indeed"),
+      (103L, "nothing matches anything else anywhere in this feed"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.gramSpanSummary(corpus, "doc_id", "text", k = 3)
+    val inc = graft.operators.Dedup
+      .dupSpansIncremental(index, batch, "doc_id", "text", k = 3, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.operators.Dedup
+      .duplicatedSpans(corpus.unionByName(batch), "doc_id", "text", k = 3, minTokens = 5)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    assert(inc.map(_._1) === Set(100L, 101L, 102L), s"got $inc")
+  }
+
   test("assignToCentroids lands appended vectors exactly where ivfIndex puts them") {
     val corpus = emb.select(col("vec_id"), col("e"))
     val (assigned, cents) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 8)
