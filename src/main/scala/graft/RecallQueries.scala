@@ -212,6 +212,8 @@ object RecallQueries {
           .withColumn("err_permille", expr(
             "CAST(abs(approx_parts - exact_parts) * 1000 div exact_parts AS BIGINT)"))
           .orderBy("l_returnflag")
+          .localCheckpoint() // 3 rows: the REQUIRE probe and the caller's
+                             // write read ONE materialization, not two scans
         val worst = d.agg(max("err_permille")).head().getLong(0)
         require(worst <= 100L,
           s"approx_count_distinct error degraded: $worst permille (floor 100)")
@@ -227,15 +229,24 @@ object RecallQueries {
     //      Exact side = percentile() over the same exact integers. ----
     Q("agg_approx_percentile_error",
       (s, dir) => {
-        val d = Tables.t(s, dir, "lineitem")
+        val li = Tables.t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .groupBy("l_returnflag")
-          .agg(expr("approx_percentile(cents, 0.5, 1000)").as("approx_med"),
-            expr("CAST(round(percentile(cents, 0.5)) AS BIGINT)").as("exact_med"))
+        // exact side via the counting form, NOT built-in percentile()
+        // (one value buffer per group — an executor OOM at 100 TB; the
+        // agg_approx_agreement discipline)
+        val exact = graft.operators.Ranking.groupedCountingQuantile(
+          li, "l_returnflag", "cents", 0.5, out = "exact_med")
+        val d = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(cents, 0.5, 1000)").as("approx_med"))
+          .join(broadcast(exact), Seq("l_returnflag"))
+          // counting form lands a double (cents < 2^53: exact); back to long
+          .withColumn("exact_med", col("exact_med").cast("long"))
           .withColumn("err_permille", expr(
             "CAST(abs(approx_med - exact_med) * 1000 div exact_med AS BIGINT)"))
+          .select("l_returnflag", "approx_med", "exact_med", "err_permille")
           .orderBy("l_returnflag")
+          .localCheckpoint() // 3 rows: one materialization for probe + write
         val worst = d.agg(max("err_permille")).head().getLong(0)
         require(worst <= 50L,
           s"approx_percentile error degraded: $worst permille (floor 50)")

@@ -205,6 +205,16 @@ object EventStreams {
    * operators share); correctness under event-time order needs the
    * time-ordered replay (`byTime` staging), same contract as the
    * other order-sensitive stateful gates.
+   *
+   * Heap bound (stated, unit-pinned by StreamingSpec's hot-user
+   * test): the state call buffers ONE USER'S attribution-relevant
+   * slice OF ONE MICRO-BATCH — purchases and touches only; every
+   * other event type is filtered out BEFORE groupByKey, so a
+   * telemetry-noisy user costs nothing here. The bound is
+   * per-(user, batch), never per-history; a pathologically hot
+   * purchaser in one batch is the residual exposure, controlled by
+   * micro-batch sizing (maxFilesPerTrigger / maxOffsetsPerTrigger),
+   * not by state size.
    */
   def attributionStream(events: DataFrame)
                        (implicit spark: SparkSession): Dataset[AttributedPurchase] = {
@@ -213,6 +223,10 @@ object EventStreams {
         unix_micros(col("ts")).as("us"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      // only purchases credit and only click/view touch: dropping every
+      // other type BEFORE the shuffle keeps the per-(user, batch) buffer
+      // to the attribution-relevant slice
+      .filter(col("event_type").isin("purchase", "click", "view"))
       .as[(Long, String, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, String), AttributedPurchase](

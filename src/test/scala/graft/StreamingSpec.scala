@@ -1054,6 +1054,48 @@ class StreamingSpec extends SparkTestBase {
     assert(out.size === 2)
   }
 
+  test("attribution hot-user bound: noise types never reach the state buffer") {
+    // pins the documented per-(user, batch) bound: the group buffer
+    // holds only the attribution-relevant slice (purchases + touches),
+    // so a user emitting thousands of telemetry rows in one batch
+    // costs the state call nothing — the type filter sits BELOW the
+    // stateful operator in the plan, and the output is unaffected by
+    // the noise volume
+    val work = tmpDir("graft_attr_hot_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val noise = spark.range(5000).selectExpr(
+      "id + 1000 AS event_id",
+      "timestamp_micros(1704067260000000 + id * 1000) AS ts",
+      "CAST(42 AS LONG) AS user_id", "'error' AS event_type",
+      "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+    val signal = spark.sql(
+      "SELECT 1L AS event_id, TIMESTAMP '2024-01-01 00:00:00' AS ts, 42L AS user_id, " +
+        "'click' AS event_type, 0.0D AS value, '' AS props " +
+        "UNION ALL SELECT 2L, TIMESTAMP '2024-01-01 02:00:00', 42L, 'purchase', 3.0D, ''")
+    noise.unionByName(signal).coalesce(1).write.parquet(s"$work/stage")
+    val part = new java.io.File(s"$work/stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(src, "h0.parquet"))
+    val stream = EventStreams.readEvents(spark, src, maxFilesPerTrigger = Some(1))
+    val ds = EventStreams.attributionStream(stream)(spark)
+    // plan pin: the isin type filter lives in the stateful operator's
+    // CHILD subtree (pre-shuffle), not above it
+    val plan = ds.queryExecution.analyzed
+    val fmgs = plan.collect {
+      case n if n.nodeName.contains("FlatMapGroupsWithState") => n
+    }
+    assert(fmgs.nonEmpty, "stateful operator missing from plan")
+    assert(fmgs.head.children.head.treeString.contains("purchase"),
+      "type filter must sit below the stateful operator")
+    val out = EventStreams.runToParquet(spark, ds.toDF(),
+        s"$work/run", statePartitions = Some(4))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("channel")).toMap
+    // the 5000 error rows between touch and purchase change nothing
+    assert(out === Map(2L -> "click"))
+  }
+
   test("dim-refresh enrich fails loudly when the dimension exceeds maxDimBytes") {
     val work = tmpDir("graft_dimref_guard_")
     val src = s"$work/src"
