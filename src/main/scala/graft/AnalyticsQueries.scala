@@ -6142,17 +6142,8 @@ object AnalyticsQueries {
       (s, dir) => {
         val fps = graft.operators.Dedup.simhashMd5(
           Tables.t(s, dir, "documents"), "doc_id", "text")
-        graft.operators.Dedup.simhashMd5BandRows(fps, "doc_id")
-          .groupBy("band", "chunk").agg(count(lit(1)).as("c"))
-          .groupBy(col("band").cast("long").as("band"))
-          .agg(count(lit(1)).as("n_buckets"),
-            max("c").as("max_bucket"),
-            // c·(c−1) wraps 2^63 at a ~4.3e9-doc bucket — exactly the
-            // pathological collapse this pre-flight exists to catch, so
-            // the pair count rides DECIMAL(38,0)/HUGEINT.
-            sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) div 2"))
-              .as("candidate_pairs"))
-          .orderBy("band")
+        graft.operators.Dedup.bandBucketHistogram(
+          graft.operators.Dedup.simhashMd5BandRows(fps, "doc_id"), "chunk")
       },
       Some("""WITH toks AS (
              |  SELECT DISTINCT d.doc_id, t.tok

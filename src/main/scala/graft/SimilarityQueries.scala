@@ -595,6 +595,59 @@ object SimilarityQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- PHASH BANDING-SKEW PRE-FLIGHT: the diag_band_buckets
+    //      report over the MEDIA fingerprint family — per band of the
+    //      (band, chunk) equi-join multimodal_phash_near_dups runs,
+    //      the bucket count, largest bucket, and exact candidate-pair
+    //      total, through the ONE shared Dedup.bandBucketHistogram
+    //      entry point (same report for simhash text fingerprints and
+    //      minhash sketches) — a re-encode-heavy media corpus shows
+    //      up here as one giant chunk bucket BEFORE the join stage
+    //      stalls. ----
+    Q("diag_phash_buckets",
+      (s, dir) => {
+        val banded = phashTable(s, dir)
+          .select(col("media_id"),
+            posexplode(array(
+              col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+              shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+              col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+              shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+              .as(Seq("band", "chunk")))
+        graft.operators.Dedup.bandBucketHistogram(banded, "chunk")
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b,
+             |            LEAST(octet_length(encode(text)), 64) AS n FROM documents),
+             |bytes AS (SELECT doc_id, n,
+             |    [CAST(strpos('123456789ABCDEF', substr(hex(b), 2*j+1, 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(hex(b), 2*j+2, 1)) AS BIGINT)
+             |     FOR j IN range(CAST(n AS BIGINT))] AS bs
+             |  FROM d),
+             |st AS (SELECT doc_id, n, bs,
+             |    CAST(list_sum(bs) // n AS BIGINT) AS mean_b FROM bytes),
+             |fp AS (SELECT doc_id AS media_id,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END
+             |      FOR j IN range(32, CAST(GREATEST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS hi,
+             |  CAST(COALESCE(list_sum([CASE WHEN bs[j+1] > mean_b
+             |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+             |      FOR j IN range(CAST(LEAST(n, 32) AS BIGINT))]), 0) AS BIGINT) AS lo
+             |  FROM st),
+             |ch AS (SELECT media_id, b.band,
+             |    CASE b.band
+             |      WHEN 0 THEN lo & 65535
+             |      WHEN 1 THEN (lo >> 16) & 65535
+             |      WHEN 2 THEN hi & 65535
+             |      ELSE (hi >> 16) & 65535 END AS chunk
+             |  FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+             |bk AS (SELECT band, chunk, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM ch GROUP BY 1, 2)
+             |SELECT CAST(band AS BIGINT) AS band,
+             |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+             |  CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+             |FROM bk GROUP BY band ORDER BY band""".stripMargin)),
+
     // ---- VISUAL-DEDUP CLUSTERS: transitive closure over the banded
     //      phash pairs (a~b, b~c => one {a,b,c} media cluster keyed
     //      by its min media_id) — the stage that turns the near-dup

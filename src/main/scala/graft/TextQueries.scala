@@ -196,9 +196,48 @@ object TextQueries {
     * rides DuckDB's MAP (DISTINCT keys by construction); missing
     * pieces coalesce to the same −1e12-micros floor as the Spark DP.
     */
-  private def unigramOracle(rounds: Int, seedMulti: Int, keepMulti: Int): String = {
-    val neg = "-1000000000000"
-    val inv = "-9000000000000000"
+  private val unigramNeg = "-1000000000000"
+  private val unigramInv = "-9000000000000000"
+
+  // missing single char -> Neg floor (UNK-per-char); missing
+  // multi-char piece -> Invalid (not a candidate) — the Spark
+  // viterbiDp convention, verbatim
+  private def unigramLook(m: String, w: String, start: String, len: Int) =
+    s"coalesce(map_extract($m, substring($w, $start, $len))[1], ${if (len == 1) unigramNeg else unigramInv})"
+
+  /** One Viterbi dp+backtrace CTE pair (dp$label/bt$label) under the
+    * piece map CTE `mapName` — shared by the training rounds and the
+    * train->apply tail. */
+  private def unigramDpBt(label: String, mapName: String): String = {
+    val inv = unigramInv
+    def look(w: String, start: String, len: Int) = unigramLook("mm.m", w, start, len)
+    val kSel =
+      s"""CASE WHEN b.pos >= 4 AND b.dp[b.pos + 1] = b.dp[b.pos - 3] + ${look("b.w", "b.pos - 3", 4)} THEN 4
+         |         WHEN b.pos >= 3 AND b.dp[b.pos + 1] = b.dp[b.pos - 2] + ${look("b.w", "b.pos - 2", 3)} THEN 3
+         |         WHEN b.pos >= 2 AND b.dp[b.pos + 1] = b.dp[b.pos - 1] + ${look("b.w", "b.pos - 1", 2)} THEN 2
+         |         ELSE 1 END""".stripMargin
+    s"""dp$label(w, freq, i, dp) AS (
+       |  SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM vocab
+       |  UNION ALL
+       |  SELECT d.w, d.freq, d.i + 1, list_append(d.dp, greatest(
+       |    CASE WHEN d.i + 1 >= 1 THEN d.dp[d.i + 1] + ${look("d.w", "d.i + 1", 1).replace("mm.m", s"$mapName.m")} ELSE $inv END,
+       |    CASE WHEN d.i + 1 >= 2 THEN d.dp[d.i] + ${look("d.w", "d.i", 2).replace("mm.m", s"$mapName.m")} ELSE $inv END,
+       |    CASE WHEN d.i + 1 >= 3 THEN d.dp[d.i - 1] + ${look("d.w", "d.i - 1", 3).replace("mm.m", s"$mapName.m")} ELSE $inv END,
+       |    CASE WHEN d.i + 1 >= 4 THEN d.dp[d.i - 2] + ${look("d.w", "d.i - 2", 4).replace("mm.m", s"$mapName.m")} ELSE $inv END))
+       |  FROM dp$label d, $mapName WHERE d.i < length(d.w)),
+       |bt$label(w, freq, dp, pos, ps) AS (
+       |  SELECT w, freq, dp, length(w), CAST([] AS VARCHAR[])
+       |  FROM dp$label WHERE i = length(w)
+       |  UNION ALL
+       |  SELECT b.w, b.freq, b.dp,
+       |    b.pos - ($kSel),
+       |    list_append(b.ps, substring(b.w, b.pos - ($kSel) + 1, ($kSel)))
+       |  FROM bt$label b, $mapName mm WHERE b.pos > 0)""".stripMargin
+  }
+
+  /** The WITH clause through the trained map m$rounds (no final
+    * SELECT) — shared by the train gate and the train->apply gate. */
+  private def unigramChain(rounds: Int, seedMulti: Int, keepMulti: Int): String = {
     def mapCte(r: Int) =
       s"m$r AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS m FROM s$r)"
     def scoreCte(r: Int) =
@@ -229,34 +268,8 @@ object TextQueries {
          |${mapCte(0)}""".stripMargin)
     for (r <- 1 to rounds) {
       val prev = r - 1
-      // missing single char -> Neg floor (UNK-per-char); missing
-      // multi-char piece -> Invalid (not a candidate) — the Spark
-      // viterbiDp convention, verbatim
-      def look(w: String, start: String, len: Int) =
-        s"coalesce(map_extract(mm.m, substring($w, $start, $len))[1], ${if (len == 1) neg else inv})"
-      val kSel =
-        s"""CASE WHEN b.pos >= 4 AND b.dp[b.pos + 1] = b.dp[b.pos - 3] + ${look("b.w", "b.pos - 3", 4)} THEN 4
-           |         WHEN b.pos >= 3 AND b.dp[b.pos + 1] = b.dp[b.pos - 2] + ${look("b.w", "b.pos - 2", 3)} THEN 3
-           |         WHEN b.pos >= 2 AND b.dp[b.pos + 1] = b.dp[b.pos - 1] + ${look("b.w", "b.pos - 1", 2)} THEN 2
-           |         ELSE 1 END""".stripMargin
       sb.append(s""",
-         |dp$r(w, freq, i, dp) AS (
-         |  SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM vocab
-         |  UNION ALL
-         |  SELECT d.w, d.freq, d.i + 1, list_append(d.dp, greatest(
-         |    CASE WHEN d.i + 1 >= 1 THEN d.dp[d.i + 1] + ${look("d.w", "d.i + 1", 1).replace("mm.m", s"m$prev.m")} ELSE $inv END,
-         |    CASE WHEN d.i + 1 >= 2 THEN d.dp[d.i] + ${look("d.w", "d.i", 2).replace("mm.m", s"m$prev.m")} ELSE $inv END,
-         |    CASE WHEN d.i + 1 >= 3 THEN d.dp[d.i - 1] + ${look("d.w", "d.i - 1", 3).replace("mm.m", s"m$prev.m")} ELSE $inv END,
-         |    CASE WHEN d.i + 1 >= 4 THEN d.dp[d.i - 2] + ${look("d.w", "d.i - 2", 4).replace("mm.m", s"m$prev.m")} ELSE $inv END))
-         |  FROM dp$r d, m$prev WHERE d.i < length(d.w)),
-         |bt$r(w, freq, dp, pos, ps) AS (
-         |  SELECT w, freq, dp, length(w), CAST([] AS VARCHAR[])
-         |  FROM dp$r WHERE i = length(w)
-         |  UNION ALL
-         |  SELECT b.w, b.freq, b.dp,
-         |    b.pos - ($kSel),
-         |    list_append(b.ps, substring(b.w, b.pos - ($kSel) + 1, ($kSel)))
-         |  FROM bt$r b, m$prev mm WHERE b.pos > 0),
+         |${unigramDpBt(r.toString, s"m$prev")},
          |c$r AS MATERIALIZED (
          |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(ps) AS piece FROM bt$r WHERE pos = 0) GROUP BY 1),
@@ -269,11 +282,27 @@ object TextQueries {
          |${scoreCte(r)},
          |${mapCte(r)}""".stripMargin)
     }
-    sb.append(s"""
-         |SELECT piece, cnt, score AS score_micros FROM s$rounds
-         |ORDER BY cnt DESC, piece""".stripMargin)
     sb.toString
   }
+
+  private def unigramOracle(rounds: Int, seedMulti: Int, keepMulti: Int): String =
+    unigramChain(rounds, seedMulti, keepMulti) +
+      s"""
+         |SELECT piece, cnt, score AS score_micros FROM s$rounds
+         |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** train -> APPLY: one more dp/bt pass under the TRAINED map, the
+    * vocabulary rendered as its Viterbi segmentation (backtrace
+    * appends pieces end-first, so reading order is the list
+    * reversed). */
+  private def unigramApplyOracle(rounds: Int, seedMulti: Int, keepMulti: Int): String =
+    unigramChain(rounds, seedMulti, keepMulti) +
+      s""",
+         |${unigramDpBt("A", s"m$rounds")}
+         |SELECT w, freq, CAST(len(ps) AS BIGINT) AS n_pieces,
+         |  array_to_string(list_reverse(ps), ' ') AS encoded
+         |FROM btA WHERE pos = 0
+         |ORDER BY freq DESC, w LIMIT 500""".stripMargin
 
   private def bpeTrainApplyOracle(rounds: Int): String =
     bpeTrainChain(rounds) +
@@ -995,6 +1024,34 @@ object TextQueries {
       },
       Some(unigramOracle(2, 32, 24))),
 
+    // ---- UNIGRAM TRAIN -> APPLY: the vocabulary segmented under the
+    //      TRAINED piece scores — the corpus view a tokenizer owner
+    //      ships (text_bpe_train_apply's unigram twin). Spark side:
+    //      trainUnigramTable then ONE more Viterbi pass; oracle: the
+    //      training chain plus one more dp/bt recursion under the
+    //      final map, rendered in reading order. ----
+    Q("text_unigram_train_apply",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w"))
+            .between(2, graft.functions.Unigram.MaxWordLen))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // trained over AND re-segmented
+        val tab = graft.functions.Unigram.trainUnigramTable(
+          vocab, "w", "freq", rounds = 2, seedMulti = 32, keepMulti = 24)
+        val smap = tab.map(t => t._1 -> t._3).toMap
+        vocab
+          .withColumn("_dp", graft.functions.Unigram.viterbiDp(col("w"), smap))
+          .withColumn("_ps", graft.functions.Unigram
+            .viterbiPieces(col("w"), col("_dp"), smap))
+          .select(col("w"), col("freq"),
+            size(col("_ps")).cast("long").as("n_pieces"),
+            array_join(reverse(col("_ps")), " ").as("encoded"))
+          .orderBy(desc("freq"), asc("w")).limit(500)
+      },
+      Some(unigramApplyOracle(2, 32, 24))),
+
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public
     //      data-curation pipelines apply at corpus scale): word
@@ -1220,6 +1277,33 @@ object TextQueries {
              |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
              |FROM isl GROUP BY doc_id, i
              |HAVING COUNT(*) + 2 >= 5
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
+    // ---- CHAR-GRAINED DUPLICATED SPANS: the no-space-script variant
+    //      of text_dup_spans — word-split k-grams see nothing in CJK
+    //      or whitespace-stripped boilerplate, so this form windows
+    //      raw CHARACTERS (12-char windows, >= 2 distinct docs,
+    //      maximal runs >= 20 chars; the posting pipeline is
+    //      gram-producer-agnostic). Oracle: the quadratic char-
+    //      position self-join, independently derived. ----
+    Q("text_dup_spans_chars",
+      (s, dir) => graft.operators.Dedup
+        .duplicatedSpansChars(Tables.t(s, dir, "documents"), "doc_id", "text",
+          k = 12, minChars = 20)
+        .orderBy("doc_id", "start_pos"),
+      Some("""WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        substring(text, CAST(i AS INTEGER), 12) AS gram
+             |      FROM documents,
+             |           LATERAL unnest(generate_series(1, length(text) - 11)) AS t(i)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 11 AS BIGINT) AS n_chars
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 11 >= 20
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
     // ---- INCREMENTAL DUPLICATED-SPAN EXTRACTION (the daily-ingest

@@ -127,6 +127,19 @@ object Unigram {
                    keepMulti: Int = 24): DataFrame = {
     val spark = vocab0.sparkSession
     import spark.implicits._
+    trainUnigramTable(vocab0, wCol, freqCol, rounds, seedMulti, keepMulti)
+      .toDF("piece", "cnt", "score_micros")
+      .orderBy(desc("cnt"), asc("piece"))
+  }
+
+  /** The trainer's collected piece table (piece, cnt, score_micros) —
+    * exposed so train -> APPLY compositions can segment under the
+    * learned scores without re-deriving them. */
+  def trainUnigramTable(vocab0: DataFrame, wCol: String, freqCol: String,
+                        rounds: Int = 2, seedMulti: Int = 32,
+                        keepMulti: Int = 24): Seq[(String, Long, Long)] = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
     val vocab = vocab0
       .filter(length(col(wCol)).between(2, MaxWordLen))
       .select(col(wCol).as("w"), col(freqCol).cast("long").as("freq"))
@@ -161,7 +174,7 @@ object Unigram {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       graft.operators.Checkpoints.free(segCounts)
     }
-    pieceTab.toDF("piece", "cnt", "score_micros")
-      .orderBy(desc("cnt"), asc("piece"))
+    graft.operators.Checkpoints.free(vocab)
+    pieceTab
   }
 }

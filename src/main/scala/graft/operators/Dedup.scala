@@ -407,6 +407,27 @@ object Dedup {
     * `diag_band_buckets` skew diagnostic reads the SAME buckets the
     * dedup would shuffle. Band order: fp_lo low/high half, then
     * fp_hi low/high half. */
+  /** The ONE banding-skew pre-flight shared by every banded family
+    * (md5-SimHash text fingerprints, minhash LSH sketches, phash
+    * media fingerprints): per band, the bucket count, the largest
+    * bucket, and the exact candidate-pair total Σ c·(c−1)/2 the
+    * (band, key) equi-join would emit — the report that catches a
+    * duplicate-heavy corpus as ONE GIANT BUCKET before it shows up
+    * as a stuck join stage. `bandRows`: (…, band, keyCol) rows from
+    * the family's own band producer ([[simhashMd5BandRows]],
+    * [[signatureBandRows]], the phash chunk expansion). Two map-side
+    * combinable aggregations; c·(c−1) rides DECIMAL(38,0) (a ~4.3e9-
+    * doc bucket — exactly the collapse this exists to catch — wraps
+    * BIGINT). */
+  def bandBucketHistogram(bandRows: DataFrame, keyCol: String): DataFrame =
+    bandRows.groupBy(col("band"), col(keyCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) div 2"))
+          .as("candidate_pairs"))
+      .orderBy("band")
+
   def simhashMd5BandRows(fps: DataFrame, idCol: String): DataFrame =
     fps.select(col(idCol), col("fp_hi"), col("fp_lo"),
       posexplode(array(
@@ -647,6 +668,37 @@ object Dedup {
       .select("gram")
     coveredToSpans(bg.join(dup, "gram").select(col(idCol), col("pos")),
       idCol, k, minTokens)
+  }
+
+  /**
+   * CHAR-grained [[duplicatedSpans]] — the no-space-script variant:
+   * word-split k-grams see nothing in CJK or whitespace-stripped
+   * boilerplate, so this form windows RAW CHARACTERS (position p is
+   * covered iff the k-char substring at p occurs in >= 2 distinct
+   * docs; spans are maximal covered runs in CHARACTER units). The
+   * posting pipeline is gram-producer-agnostic — same
+   * postings -> min!=max -> join-back -> islands shape; the honest
+   * cost of char grain is the posting count: one row per character
+   * instead of one per word (~5× at English word lengths), all
+   * map-side until the gram-keyed aggregation.
+   */
+  def duplicatedSpansChars(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 12, minChars: Int = 20): DataFrame = {
+    require(k >= 1 && minChars >= k, s"need k >= 1 and minChars >= k, got k=$k minChars=$minChars")
+    val grams = df.select(col(idCol), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, length(_t) - ${k - 1}), i -> substring(_t, i, $k))"))
+          .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select("gram")
+    coveredToSpans(grams.join(dup, "gram").select(col(idCol), col("pos")),
+      idCol, k, minChars)
+      .withColumnRenamed("n_tokens", "n_chars")
   }
 
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,

@@ -323,6 +323,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(inc.map(_._1) === Set(100L, 101L, 102L), s"got $inc")
   }
 
+  test("bandBucketHistogram predicts the banded join across families") {
+    import spark.implicits._
+    // 6 exact copies + 2 unique docs: every band holds one 6-doc
+    // bucket -> max_bucket = 6 and candidate_pairs >= 15 per band;
+    // the prediction upper-bounds the join's DISTINCT pair count
+    // (pairs sharing several bands are counted once per band)
+    val docs = (0 until 6).map(i => (i.toLong, "the same document text repeated for banding"))
+      .union(Seq((10L, "something else entirely here"), (11L, "and a third unrelated body")))
+      .toDF("doc_id", "text")
+    val bandRows = graft.operators.Dedup
+      .signatureBandRows(docs, "doc_id", "text", shingleN = 3, k = 32, bands = 8)
+    val hist = graft.operators.Dedup.bandBucketHistogram(bandRows, "band_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.length === 8)
+    assert(hist.forall(_._3 >= 6L), s"every band must show the 6-copy bucket: ${hist.toSeq}")
+    assert(hist.forall(_._4 >= 15L), s"candidate_pairs >= C(6,2) per band: ${hist.toSeq}")
+    val trueDistinctPairs = graft.operators.Dedup
+      .lshCandidates(graft.operators.Dedup.minhash(
+        graft.operators.Dedup.shingles(docs, "doc_id", "text"), "doc_id", k = 32),
+        "doc_id", k = 32, bands = 8).count()
+    assert(hist.map(_._4).sum >= trueDistinctPairs,
+      "per-band pair prediction must upper-bound the distinct join output")
+  }
+
   test("assignToCentroids lands appended vectors exactly where ivfIndex puts them") {
     val corpus = emb.select(col("vec_id"), col("e"))
     val (assigned, cents) = Similarity.ivfIndex(corpus, "vec_id", "e", nLists = 8)
