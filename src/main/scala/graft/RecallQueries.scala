@@ -196,6 +196,50 @@ object RecallQueries {
       },
       None),
 
+    // ---- Embedding near-dup recall at a PRODUCTION threshold on
+    //      ORGANIC pairs: embed_near_dups_lsh pins the banded path
+    //      only on STRUCTURAL copies (scaling preserves every
+    //      hyperplane sign, so recall there is 1 by construction);
+    //      here each vector gets a deterministic per-dim jitter copy
+    //      (hash-derived ±9% — cosines spread across the threshold
+    //      and signature bits genuinely flip), the EXACT side is the
+    //      provably-lossless grid-blocked join, and recall_permille =
+    //      |banded ∩ exact| / |exact| is the number an operator tunes
+    //      nBits/chunk count against. Measured 1000‰ at sf0.001 /
+    //      1000‰ at sf0.01 (hamming<=3 pigeonhole holds comfortably
+    //      at this jitter; the gate exists to catch it ERODING);
+    //      floor 700. ----
+    Q("embed_neardup_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = embAll(s, dir).select(col("vec_id"), col("e"))
+        val jittered = emb.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("transform(e, (x, i) -> x * (1.0 + " +
+            "(pmod(xxhash64(vec_id * 64 + i), 19) - 9) / 100.0))").as("e"))
+        val corpus = emb.unionByName(jittered).localCheckpoint() // both paths read it
+        val t = 0.998
+        val banded = graft.operators.Similarity
+          .embeddingNearDups(corpus, "vec_id", "e", dim = 64, threshold = t)
+          .select("id_a", "id_b")
+        val exact = graft.operators.Similarity
+          .exactBlockedNearDups(corpus, "vec_id", "e", threshold = t, blockDims = 2)
+          .select("id_a", "id_b").localCheckpoint() // denominator AND the semi-join
+        val nExact = exact.count()
+        val hits = exact.join(banded, Seq("id_a", "id_b"), "left_semi").count()
+        require(nExact > 0, "jitter fixture produced no near-dup pairs — gate vacuous")
+        val recall = hits * 1000L / nExact
+        require(recall >= 700L,
+          s"embedding near-dup recall degraded to $recall permille over $nExact true pairs " +
+            "(floor 700) — retune nBits/chunks before serving")
+        val out = Seq(("embed_h3", nExact, recall))
+          .toDF("family", "n_true_pairs", "recall_permille")
+        graft.operators.Checkpoints.free(corpus)
+        graft.operators.Checkpoints.free(exact)
+        out
+      },
+      None),
+
     // ---- HLL relative error at the PRODUCTION rsd (0.02 — the
     //      agg_approx_distinct parameters): per-flag approximate vs
     //      exact distinct parts, err_permille per group, REQUIRE

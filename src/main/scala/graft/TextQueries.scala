@@ -1279,6 +1279,53 @@ object TextQueries {
              |HAVING COUNT(*) + 2 >= 5
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
+    // ---- UNIGRAM COMPRESSION REPORT (fertility): chars-per-piece
+    //      under the TRAINED unigram pieces, per source —
+    //      text_bpe_compression's unigram twin, closing the
+    //      train/apply/fertility symmetry between the two tokenizer
+    //      families. Rides the vocab-collapsed segmentation (each
+    //      DISTINCT word Viterbi-segments once); per-source totals
+    //      are one (source, word)-keyed count joined to the
+    //      vocab-sized piece-length table. ----
+    Q("text_unigram_compression",
+      (s, dir) => {
+        val words = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w"))
+            .between(2, graft.functions.Unigram.MaxWordLen))
+          .localCheckpoint() // vocab stat AND per-source counts read it
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        val tab = graft.functions.Unigram.trainUnigramTable(
+          vocab, "w", "freq", rounds = 2, seedMulti = 32, keepMulti = 24)
+        val smap = tab.map(t => t._1 -> t._3).toMap
+        val enc = vocab
+          .withColumn("_dp", graft.functions.Unigram.viterbiDp(col("w"), smap))
+          .select(col("w"), size(graft.functions.Unigram
+            .viterbiPieces(col("w"), col("_dp"), smap)).cast("long").as("n_p"))
+        words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .join(enc, Seq("w"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("n_p")).as("n_pieces"),
+            sum(col("c") * length(col("w")).cast("long")).as("_chars"))
+          .select(col("source"), col("n_words"), col("n_pieces"),
+            expr("(1000 * _chars) div n_pieces").as("cpp_permille"))
+          .orderBy("source")
+      },
+      Some(unigramChain(2, 32, 24) +
+        s""",
+           |${unigramDpBt("A", "m2")},
+           |np AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p FROM btA WHERE pos = 0),
+           |wsrc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) BETWEEN 2 AND ${graft.functions.Unigram.MaxWordLen}
+           |  GROUP BY 1, 2)
+           |SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+           |  CAST(SUM(c * n_p) AS BIGINT) AS n_pieces,
+           |  CAST((1000 * SUM(c * length(w))) // SUM(c * n_p) AS BIGINT) AS cpp_permille
+           |FROM wsrc JOIN np USING (w)
+           |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- CHAR-GRAINED DUPLICATED SPANS: the no-space-script variant
     //      of text_dup_spans — word-split k-grams see nothing in CJK
     //      or whitespace-stripped boilerplate, so this form windows

@@ -25,6 +25,14 @@ class RecallSpec extends SparkTestBase {
     }
   }
 
+  test("embedding near-dup recall gate measures organic pairs") {
+    val r = runGate("embed_neardup_recall").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_true_pairs") > 100L, "jitter fixture too sparse")
+    val recall = r(0).getAs[Long]("recall_permille")
+    assert(recall >= 700L && recall <= 1000L, s"recall=$recall")
+  }
+
   test("approximate-aggregate error gates stay under their floors") {
     val d = runGate("agg_approx_distinct_error").collect()
     assert(d.nonEmpty)
