@@ -2572,6 +2572,46 @@ object TextQueries {
     //      two-file/maxFilesPerTrigger=1 feed forces the index to be
     //      the union of genuinely separate batches; the oracle states
     //      the final conjunctive search over the whole corpus. ----
+    // ---- STREAMING MinHash NEAR-DEDUP: the dedup flagship's
+    //      continuous-ingestion form — corpus sketch + docs persist
+    //      as state, each micro-batch probes the sketch for
+    //      cross-batch pairs (exact-Jaccard-verified against ONLY the
+    //      candidate corpus docs), finds its internal pairs, and
+    //      appends itself into the state; a pair emits exactly once,
+    //      when its later member arrives. Two id-parity batches make
+    //      the boundary real: even↔odd pairs MUST flow through the
+    //      persisted sketch. The union of batch outputs equals the
+    //      one-shot minhashNearDups, so the gate rides the SAME
+    //      exact-Jaccard quadratic oracle as dedup_minhash_pairs —
+    //      one ground truth, now four execution strategies (exact
+    //      prefix join, one-shot LSH, incremental batch, streamed). ----
+    Q("text_stream_neardup",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_nd_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          docs.filter(col("doc_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        graft.streaming.EventStreams.nearDupStream(s, stream,
+            work.resolve("out").toString, work.resolve("state").toString,
+            work.resolve("ckpt").toString)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(jaccardOracle)),
+
     Q("text_stream_index_update",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_stream_tix_")

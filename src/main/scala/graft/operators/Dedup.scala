@@ -214,6 +214,45 @@ object Dedup {
   }
 
   /**
+   * [[incrementalNearDups]] with the corpus side served FROM ITS
+   * PERSISTED SKETCH — the true daily-ingest shape
+   * (`EventStreams.nearDupStream` runs this per micro-batch): the
+   * corpus is never re-shingled; candidates come from the fresh
+   * batch's band rows equi-joined against the stored
+   * `signatureBandRows` table, and the exact-Jaccard verify
+   * re-reads ONLY the candidate corpus documents (a candidate-keyed
+   * semi-join prunes the doc scan before the shingle kernel runs).
+   * `corpusSketch`: (idCol, band, band_key) as [[signatureBandRows]]
+   * persists them; `corpusDocs`: (idCol, textCol) — the accumulated
+   * corpus, touched only through the candidate prune.
+   */
+  def incrementalNearDupsFromSketch(corpusSketch: DataFrame, corpusDocs: DataFrame,
+                                    fresh: DataFrame, idCol: String, textCol: String,
+                                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                                    num: Int = 7, den: Int = 10): DataFrame = {
+    val fBand = signatureBandRows(fresh, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).as("fresh_id"), col("band"), col("band_key"))
+    val cands = fBand
+      .join(corpusSketch.select(col(idCol).as("corpus_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("corpus_id", "fresh_id").distinct()
+      .localCheckpoint() // the verify reads it twice (prune + pair join)
+    val ca = withShingleArray(
+        corpusDocs.join(cands.select(col("corpus_id").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      .select(col(idCol).as("corpus_id"), col("_sh").as("_sh_a"))
+    val fb = withShingleArray(fresh, idCol, textCol, shingleN)
+      .select(col(idCol).as("fresh_id"), col("_sh").as("_sh_b"))
+    cands.join(ca, "corpus_id").join(fb, "fresh_id")
+      .select(col("corpus_id"), col("fresh_id"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"),
+        size(col("_sh_b")).cast("long").as("nb"))
+      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+  }
+
+  /**
    * Connected components over near-dup pairs: every document that
    * appears in a pair gets the MIN doc id of its transitive component
    * as `cluster_id`. Pair lists say "a duplicates b"; deduplication

@@ -248,6 +248,77 @@ object EventStreams {
   }
 
   /**
+   * STREAMING MinHash NEAR-DEDUP — the continuous-ingestion form of
+   * the batch dedup flagship: the corpus's LSH sketch
+   * (`Dedup.signatureBandRows`, bands × 16 bytes per doc) and its raw
+   * documents persist as state; each arriving micro-batch (1) probes
+   * the sketch for cross-batch candidates and exact-Jaccard-verifies
+   * them against ONLY the candidate corpus docs
+   * (`Dedup.incrementalNearDupsFromSketch` — the corpus is never
+   * re-shingled), (2) finds its batch-internal pairs with the
+   * standard equi-join path, and (3) appends its own docs and sketch
+   * rows into the state. A pair is emitted exactly once — when its
+   * LATER member arrives — so the union of all batches' outputs
+   * equals the one-shot `minhashNearDups` over the full corpus
+   * (identical banding on both paths; the gate pins the union
+   * against the exact-Jaccard quadratic oracle).
+   *
+   * Per-batch cost: batch-sized banding + one sketch equi-join +
+   * candidate-sized verify + batch-sized appends — the corpus term
+   * appears ONLY as the sketch join side, the same scale posture as
+   * `dedup_incremental`. Feed contract: doc ids are unique across the
+   * stream (the fresh-ingest convention); AvailableNow one-shot runs
+   * (a crash-replayed batch would re-append — production would ride
+   * the bucketed-merge sink's rename-aside discipline for exactly-
+   * once state, at the cost of its machinery).
+   */
+  def nearDupStream(spark: SparkSession, stream: DataFrame,
+                    outDir: String, stateDir: String, checkpoint: String,
+                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                    num: Int = 7, den: Int = 10): DataFrame = {
+    val docsDir = s"$stateDir/docs"
+    val sketchDir = s"$stateDir/sketch"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        val internal = graft.operators.Dedup
+          .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
+        val out =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchDir/_SUCCESS"))) {
+            val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
+                spark.read.parquet(sketchDir), spark.read.parquet(docsDir),
+                b, "doc_id", "text", shingleN, k, bands, num, den)
+              // one-shot orientation: doc_a < doc_b with (na, nb)
+              // following the id order, not the corpus/fresh roles
+              .select(
+                least(col("corpus_id"), col("fresh_id")).as("doc_a"),
+                greatest(col("corpus_id"), col("fresh_id")).as("doc_b"),
+                col("n_common"),
+                when(col("corpus_id") < col("fresh_id"), col("na"))
+                  .otherwise(col("nb")).as("na"),
+                when(col("corpus_id") < col("fresh_id"), col("nb"))
+                  .otherwise(col("na")).as("nb"))
+            internal.unionByName(cross)
+          } else internal
+        out.coalesce(1).write.mode("append").parquet(outDir)
+        b.write.mode("append").parquet(docsDir)
+        graft.operators.Dedup
+          .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
+          .write.mode("append").parquet(sketchDir)
+        graft.operators.Checkpoints.free(b)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /**
    * STREAMING FEED-FRESHNESS MONITOR: per micro-batch, each stream's
    * max event time and its lag in whole minutes behind the batch's
    * freshest stream — the continuously-updated twin of the batch

@@ -1054,6 +1054,46 @@ class StreamingSpec extends SparkTestBase {
     assert(out.size === 2)
   }
 
+  test("nearDupStream equals the one-shot dedup across the batch boundary") {
+    // doc 1 (batch 0) and doc 2 (batch 1) are near-copies: their pair
+    // can ONLY be found through the persisted sketch state; docs 3+4
+    // (both batch 0) pin the batch-internal path; doc 5 matches nothing
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "nothing shares anything with the rest of this feed at all"))
+      .toDF("doc_id", "text")
+    val work = tmpDir("graft_nd_stream_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    Seq(0 -> Seq(1L, 3L, 4L), 1 -> Seq(2L, 5L)).foreach { case (h, ids) =>
+      val half = s"$work/h$h"
+      docs.filter(col("doc_id").isin(ids: _*)).coalesce(1).write.parquet(half)
+      val part = new java.io.File(half).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"h$h.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (1 - h) * 10000L))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val streamed = EventStreams.nearDupStream(spark, stream,
+        s"$work/out", s"$work/state", s"$work/ckpt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.Dedup
+      .minhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === oneShot)
+    // the boundary pair (1,2) is present — it flowed through state
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L), s"got $streamed")
+    assert(streamed.exists(p => p._1 == 3L && p._2 == 4L), s"got $streamed")
+  }
+
   test("attribution hot-user bound: noise types never reach the state buffer") {
     // pins the documented per-(user, batch) bound: the group buffer
     // holds only the attribution-relevant slice (purchases + touches),
