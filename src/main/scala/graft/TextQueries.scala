@@ -2572,6 +2572,60 @@ object TextQueries {
     //      two-file/maxFilesPerTrigger=1 feed forces the index to be
     //      the union of genuinely separate batches; the oracle states
     //      the final conjunctive search over the whole corpus. ----
+    // ---- STREAMING DUPLICATED-SPAN EXTRACTION: each micro-batch of
+    //      the two id-parity feed halves emits ITS covered spans
+    //      against everything seen so far — the persisted state is
+    //      the appended gram-summary table (existence is the only
+    //      cross-batch test, so per-batch summaries never merge). The
+    //      oracle states the arrival-time visibility rule verbatim:
+    //      doc a's position is covered iff some OTHER doc b with
+    //      b's batch <= a's batch shares the gram (batch = doc_id
+    //      parity; even arrives first). An even doc that becomes
+    //      boilerplate only because an odd copy arrived later is
+    //      deliberately NOT re-emitted — that's the full-rebuild
+    //      text_dup_spans pass's job. ----
+    Q("text_stream_dup_spans",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_ds_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          docs.filter(col("doc_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        graft.streaming.EventStreams.dupSpanStream(s, stream,
+            work.resolve("out").toString, work.resolve("state").toString,
+            work.resolve("ckpt").toString, k = 3, minTokens = 5)
+          .orderBy("doc_id", "start_pos")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+             |                         AND b.doc_id % 2 <= a.doc_id % 2),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 2 >= 5
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     // ---- STREAMING MinHash NEAR-DEDUP: the dedup flagship's
     //      continuous-ingestion form — corpus sketch + docs persist
     //      as state, each micro-batch probes the sketch for

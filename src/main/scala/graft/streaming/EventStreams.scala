@@ -319,6 +319,54 @@ object EventStreams {
   }
 
   /**
+   * STREAMING duplicated-span extraction — [[nearDupStream]]'s
+   * substring-level sibling: the persisted state is the gram-summary
+   * table ([[graft.operators.Dedup.gramSpanSummary]] rows, gram-
+   * vocabulary-sized — per-batch summaries APPEND without merging
+   * because the probe's duplicate test only needs gram EXISTENCE
+   * plus batch-internal min!=max), and each micro-batch emits ITS
+   * OWN covered spans against everything seen so far
+   * (`Dedup.dupSpansIncremental`; the first batch probes an absent
+   * index, which degenerates to the batch-internal test — exactly
+   * `duplicatedSpans` over that batch). Emission semantics stated
+   * honestly: a batch's spans reflect the corpus AT ARRIVAL TIME —
+   * an EARLIER doc's position that becomes boilerplate only when a
+   * later copy arrives is the full-rebuild pass's job
+   * (`text_dup_spans`), not the ingest monitor's; the gate's oracle
+   * states the asymmetric visibility rule verbatim.
+   */
+  def dupSpanStream(spark: SparkSession, stream: DataFrame,
+                    outDir: String, stateDir: String, checkpoint: String,
+                    k: Int = 3, minTokens: Int = 5): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        val index =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/_SUCCESS")))
+            spark.read.parquet(stateDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("gram", StringType),
+              StructField("lo_doc", LongType), StructField("hi_doc", LongType))))
+        graft.operators.Dedup
+          .dupSpansIncremental(index, b, "doc_id", "text", k, minTokens)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        graft.operators.Dedup.gramSpanSummary(b, "doc_id", "text", k)
+          .write.mode("append").parquet(stateDir)
+        graft.operators.Checkpoints.free(b)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /**
    * STREAMING FEED-FRESHNESS MONITOR: per micro-batch, each stream's
    * max event time and its lag in whole minutes behind the batch's
    * freshest stream — the continuously-updated twin of the batch
