@@ -1480,6 +1480,45 @@ object TextQueries {
           |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
           |FROM cl ORDER BY doc_id""".stripMargin)),
 
+    // ---- INCREMENTAL CLUSTER MAINTENANCE: the standing cluster
+    //      assignment (built from the even-doc corpus's pairs) folds
+    //      in an arriving odd-doc batch — cross pairs probed from the
+    //      PERSISTED even sketch (the corpus is never re-shingled),
+    //      batch-internal pairs from the standard path, then
+    //      Dedup.clustersIncremental replays the old labels as star
+    //      edges and min-labels propagate across any merges. Output
+    //      must equal the full rebuild over ALL pairs — the same
+    //      WITH RECURSIVE closure oracle as dedup_clusters, so the
+    //      star-edge equivalence is ON the gate. ----
+    Q("dedup_clusters_incremental",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val even = d.filter(col("doc_id") % 2 === 0)
+        val odd = d.filter(col("doc_id") % 2 === 1)
+        val labels = graft.operators.Dedup.clusters(
+          graft.operators.Dedup.minhashNearDups(even, "doc_id", "text"))
+          .localCheckpoint() // the standing assignment: state, not a plan
+        val evenSketch = graft.operators.Dedup
+          .signatureBandRows(even, "doc_id", "text")
+          .localCheckpoint() // the persisted-index stand-in
+        val cross = graft.operators.Dedup
+          .incrementalNearDupsFromSketch(evenSketch, even, odd, "doc_id", "text")
+          .select(least(col("corpus_id"), col("fresh_id")).as("doc_a"),
+            greatest(col("corpus_id"), col("fresh_id")).as("doc_b"))
+        val internal = graft.operators.Dedup
+          .minhashNearDups(odd, "doc_id", "text").select("doc_a", "doc_b")
+        graft.operators.Dedup
+          .clustersIncremental(labels, cross.unionByName(internal))
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .select(col("node").as("doc_id"), col("cluster_id"), col("n_members"))
+          .orderBy("doc_id")
+      },
+      Some(clusterOracle +
+        """SELECT node AS doc_id, cluster_id,
+          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          |FROM cl ORDER BY doc_id""".stripMargin)),
+
     // ---- NEAR-DUP PAIR EVIDENCE (forensics): for every verified
     //      MinHash pair, the shared-shingle count plus its 3 RAREST
     //      shared shingles under the global (corpus df, shingle)

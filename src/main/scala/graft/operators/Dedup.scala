@@ -214,6 +214,30 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL connected components — the cluster-maintenance half
+   * of the daily-ingest dedup path ([[incrementalNearDups]] finds the
+   * new pairs; this folds them into the standing cluster assignment
+   * WITHOUT re-deriving the old pairs): the existing labels are
+   * replayed as STAR EDGES (node — cluster_id), whose transitive
+   * closure is exactly the old components, unioned with the new pair
+   * edges, and the pointer-doubling labeller runs over star + new —
+   * a node-sized + batch-sized edge set, never the accumulated pair
+   * history. Equal to `clusters(oldPairs ∪ newPairs)` because star
+   * edges preserve every old component and min-labels re-propagate
+   * across any merges the new pairs introduce (two old clusters
+   * bridged by one new pair collapse to the smaller cluster id).
+   * `labels`: (node, cluster_id); `newPairs`: (aCol, bCol).
+   */
+  def clustersIncremental(labels: DataFrame, newPairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIters: Int = 25): DataFrame =
+    clusters(
+      labels.select(col("node").cast("long").as(aCol),
+          col("cluster_id").cast("long").as(bCol))
+        .unionByName(newPairs.select(col(aCol).cast("long"), col(bCol).cast("long"))),
+      aCol, bCol, maxIters)
+
+  /**
    * [[incrementalNearDups]] with the corpus side served FROM ITS
    * PERSISTED SKETCH — the true daily-ingest shape
    * (`EventStreams.nearDupStream` runs this per micro-batch): the

@@ -323,6 +323,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(inc.map(_._1) === Set(100L, 101L, 102L), s"got $inc")
   }
 
+  test("clustersIncremental merges standing clusters across a bridging pair") {
+    import spark.implicits._
+    // standing assignment: {2,4} (cluster 2) and {6,8} (cluster 6)
+    val labels = Seq((2L, 2L), (4L, 2L), (6L, 6L), (8L, 6L))
+      .toDF("node", "cluster_id")
+    // the arriving batch bridges them through a NEW node 1 — the merged
+    // component must relabel to the global min (1), and an unrelated
+    // new pair forms its own cluster
+    val newPairs = Seq((1L, 4L), (1L, 6L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.clustersIncremental(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 6L -> 1L, 8L -> 1L,
+      10L -> 10L, 12L -> 10L))
+  }
+
   test("bandBucketHistogram predicts the banded join across families") {
     import spark.implicits._
     // 6 exact copies + 2 unique docs: every band holds one 6-doc
