@@ -942,6 +942,34 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Incremental near-dup probe FROM THE PERSISTED SKETCH
+    // (Dedup.incrementalNearDupsFromSketch — the nearDupStream
+    // per-batch kernel): the corpus and its one-time sketch grow
+    // m-fold while the arriving batch stays FIXED. tsketch (the
+    // corpus banding pass) may track the corpus; tprobe — batch
+    // banding + ONE (band, key) equi-join + candidate-pruned verify —
+    // must track the BATCH and its candidate fan-out (replicas are
+    // exact dups of the batch's sources, so true pairs grow ~m and
+    // the probe is output-bound, never corpus-bound).
+    if (wanted("ndprobe")) {
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val sketch = Dedup.signatureBandRows(corpus, "doc_id", "text").localCheckpoint()
+        val ns = sketch.count()
+        val t1 = System.nanoTime()
+        val out = Dedup.incrementalNearDupsFromSketch(
+          sketch, corpus, batch, "doc_id", "text").count()
+        val t2 = System.nanoTime()
+        println(f"SCALE ndprobe m=$m%2d docs=$n%7d sketch=$ns%9d pairs=$out%8d " +
+          f"tsketch=${(t1 - t0) / 1e9}%6.1fs tprobe=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
     // IVF recall@10 at PRODUCTION nProbe=4 under replication (the
     // sim_ivf_recall gate's statistic, measured as the corpus grows):
     // exact duplicates land in the same cell (identical argmin
