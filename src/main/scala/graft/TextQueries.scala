@@ -942,6 +942,87 @@ object TextQueries {
              |  CAST((1000 * SUM(c * length(w))) // SUM(c * n_tok) AS BIGINT) AS cpt_permille
              |FROM sw JOIN ntok USING (w) GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- TOKENIZER FERTILITY DRIFT — the RETRAIN TRIGGER for the
+    //      tokenizer family, mirroring what embed_centroid_drift is
+    //      for the ANN index: the merge table trains on the OLD era
+    //      (even doc ids) only, BOTH eras encode under it, and the
+    //      report is each era's exact chars-per-token permille plus
+    //      the drift — a new-era corpus the old table under-serves
+    //      shows up as fertility collapse HERE, before a training
+    //      run eats the token budget. Vocab-collapsed throughout:
+    //      each distinct word encodes once; era totals are
+    //      (era, word)-keyed counts joined to the vocab-sized
+    //      token-length table. ----
+    Q("text_bpe_fertility_drift",
+      (s, dir) => {
+        val words = Tables.t(s, dir, "documents")
+          .select((col("doc_id") % 2).as("era"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .localCheckpoint() // old-era stats AND both eras' counts read it
+        val merges: Seq[String] = words.filter(col("era") === 0)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        val enc = words.select("w").distinct()
+          .select(col("w"), graft.functions.Bpe.nTokens(
+            graft.functions.Bpe.encodeFramed(col("w"), merges)).as("n_tok"))
+        words.groupBy("era", "w").agg(count(lit(1)).as("c"))
+          .join(enc, Seq("w"))
+          .groupBy("era")
+          .agg(sum(col("c") * length(col("w")).cast("long")).as("_chars"),
+            sum(col("c") * col("n_tok")).as("_ntok"))
+          .withColumn("cpt", expr("(1000 * _chars) div _ntok"))
+          .agg(max(when(col("era") === 0, col("cpt"))).as("cpt_old_pm"),
+            max(when(col("era") === 1, col("cpt"))).as("cpt_new_pm"))
+          .select(col("cpt_old_pm"), col("cpt_new_pm"),
+            abs(col("cpt_new_pm") - col("cpt_old_pm")).as("drift_pm"))
+      },
+      Some("""WITH RECURSIVE w2 AS (
+             |  SELECT doc_id % 2 AS era, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2),
+             |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+             |          FROM w2 WHERE era = 0 GROUP BY 1),
+             |pairs AS (
+             |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)),
+             |merges AS (
+             |  SELECT pair, ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rk
+             |  FROM pairs GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 10),
+             |allv AS (SELECT DISTINCT w FROM w2),
+             |init AS (
+             |  SELECT w, repeat(chr(1), 2) ||
+             |    array_to_string([substring(w, CAST(i AS INTEGER), 1)
+             |      FOR i IN range(1, length(w) + 1)], repeat(chr(1), 2)) ||
+             |    repeat(chr(1), 2) AS s
+             |  FROM allv),
+             |enc AS (
+             |  SELECT w, s, 0 AS step FROM init
+             |  UNION ALL
+             |  SELECT e.w,
+             |    replace(e.s,
+             |      chr(1) || substring(m.pair, 1, 1) || repeat(chr(1), 2) ||
+             |        substring(m.pair, 2, 1) || chr(1),
+             |      chr(1) || m.pair || chr(1)) AS s,
+             |    e.step + 1 AS step
+             |  FROM enc e JOIN merges m ON m.rk = e.step + 1
+             |  WHERE e.step < (SELECT COUNT(*) FROM merges)),
+             |ntok AS (SELECT w,
+             |    CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tok
+             |  FROM enc WHERE step = (SELECT COUNT(*) FROM merges)),
+             |ew AS (SELECT era, w, CAST(COUNT(*) AS BIGINT) AS c FROM w2 GROUP BY 1, 2),
+             |per AS (SELECT era,
+             |    CAST((1000 * SUM(c * length(w))) // SUM(c * n_tok) AS BIGINT) AS cpt
+             |  FROM ew JOIN ntok USING (w) GROUP BY era)
+             |SELECT MAX(CASE WHEN era = 0 THEN cpt END) AS cpt_old_pm,
+             |  MAX(CASE WHEN era = 1 THEN cpt END) AS cpt_new_pm,
+             |  abs(MAX(CASE WHEN era = 1 THEN cpt END)
+             |      - MAX(CASE WHEN era = 0 THEN cpt END)) AS drift_pm
+             |FROM per""".stripMargin)),
+
     // ---- ITERATIVE BPE TRAINER: the k-round select -> apply ->
     //      recount loop of real tokenizer training (Sennrich et al.
     //      2016) — text_bpe_merge_step is only round 1's statistic
