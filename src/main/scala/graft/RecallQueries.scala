@@ -170,29 +170,24 @@ object RecallQueries {
       None),
 
     // ---- IVF-PQ recall at PRODUCTION nProbe=4 + shortlist ×8 (the
-    //      sim_ivfpq_topk parameters), 20 probes: the encoded corpus
-    //      is localCheckpointed ONCE so the per-probe plans share the
-    //      materialized codes instead of re-running assignment+encode
-    //      20×. Measured 485‰ at sf0.001 / 510‰ at sf0.01 (chance
-    //      ≈ 20‰); floor 300. ----
+    //      sim_ivfpq_topk parameters), all 20 probes through ONE
+    //      ivfPqBatchTopK plan (per-(probe, cell) residual tables via
+    //      the probed-cell join — the serving shape; this gate ran a
+    //      20-subplan driver loop before the batch operator existed).
+    //      Measured 485‰ at sf0.001 / 510‰ at sf0.01 (chance ≈ 20‰);
+    //      floor 300. ----
     Q("sim_ivfpq_recall",
       (s, dir) => {
         val emb = embAll(s, dir)
         val probes = probesOf(emb)
         val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
           emb, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
-        val encCp = enc.localCheckpoint()
-        val approx = probesOf(emb).collect().toSeq.map { r =>
-          val pid = r.getLong(0)
-          val pv = r.getSeq[Double](1).toArray
-          graft.operators.Similarity.ivfPqTopK(encCp, cents, cb, pv,
-              k = K, nProbe = 4, rerankVecCol = Some("e"))
-            .select(lit(pid).as("probe_id"), col("vec_id"))
-        }.reduce(_ unionByName _)
-        val out = recallRow(s, "ivfpq_p4", exactL2TopK(emb, probes), approx,
+        val approx = graft.operators.Similarity.ivfPqBatchTopK(
+            enc, cents, cb, probes, k = K, nProbe = 4,
+            rerankVecCol = Some("e"))
+          .select("probe_id", "vec_id")
+        recallRow(s, "ivfpq_p4", exactL2TopK(emb, probes), approx,
           floorPermille = 300L)
-        graft.operators.Checkpoints.free(encCp)
-        out
       },
       None),
 

@@ -1325,6 +1325,71 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- BATCH IVF SERVING on the hard gate: the probe-batch form
+    //      (per-probe cell rank in-plan, one cell equi-join, one
+    //      per-probe window — Similarity.ivfBatchTopK; no driver
+    //      loop, no per-probe subplans). Exactness rider:
+    //      nProbe = nLists probes every cell, so each probe's answer
+    //      must equal exact cosine top-k — one oracle over the
+    //      3-probe batch. ----
+    Q("sim_ivf_batch_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfIndex(emb, "vec_id", "e", nLists = 16)
+        graft.operators.Similarity
+          .ivfBatchTopK(assigned, centroids, probes, "e", k = 10, nProbe = 16)
+          .select("probe_id", "vec_id", "cos_sim")
+          .orderBy(col("probe_id"), desc("cos_sim"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, e.vec_id,
+             |        list_dot_product(e.v, p.pv)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+             |      FROM e, p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 10
+             |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin)),
+
+    // ---- BATCH IVF-PQ SERVING on the hard gate: residual recentring
+    //      rides the (probe, cell) frame (probe_res = probe − centroid,
+    //      one zip_with over metadata rows) and the codegen'd batch-ADC
+    //      kernel scores codes against it — the per-(probe, cell)
+    //      distance tables as a JOIN, replacing the single-probe CASE
+    //      dispatch that forced sim_ivfpq_recall's 20-subplan driver
+    //      loop. Exactness rider: nProbe = nLists + a shortlist wider
+    //      than the corpus makes each probe's answer exact L2 top-k
+    //      whatever the codebooks learned. ----
+    Q("sim_ivfpq_batch_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          emb, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        graft.operators.Similarity.ivfPqBatchTopK(enc, cents, cb, probes,
+            k = 10, nProbe = 16, rerankVecCol = Some("e"),
+            shortlistFactor = 1000000)
+          .select("probe_id", "vec_id", "l2_dist")
+          .orderBy(col("probe_id"), col("l2_dist"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, e.vec_id,
+             |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, p.pv)
+             |          + list_dot_product(p.pv, p.pv) AS l2_dist
+             |      FROM e, p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY l2_dist, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, l2_dist FROM r WHERE rk <= 10
+             |ORDER BY probe_id, l2_dist, vec_id""".stripMargin)),
+
     // ---- STREAMING ANN INDEX MAINTENANCE on the hard gate: the
     //      fresh 1/7 of the corpus ARRIVES AS A STREAM (two
     //      id-parity micro-batches through the real engine —

@@ -89,6 +89,101 @@ object TextQueries {
     (s.table(s"$db.postings"), s.table(s"$db.stats"))
   }
 
+  /** The batch-side posting extraction of the INCREMENTAL BM25 index:
+    * (token, doc_id, tf, dl) — the document length rides RAW beside
+    * each posting instead of the denormalized norm_permille
+    * [[bm25IndexTables]] bakes in. That single change is what makes
+    * the index maintainable: norm_permille = (1000·dl·D) div L
+    * depends on the CORPUS totals, so any append would invalidate
+    * every existing posting; raw dl is append-invariant and the norm
+    * moves to query time off the maintained stats row. */
+  private def bm25RawPostings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .groupBy("token", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** One-row (d, l) corpus stats of a document set — the maintained
+    * half of the incremental BM25 state. */
+  private def bm25StatsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("d"), sum("dl").as("l"))
+
+  /** INCREMENTALLY-MAINTAINED BM25 index (VERDICT r16 #3): the corpus
+    * 6/7 builds the bucketed posting table + the one-row stats table;
+    * the remaining 1/7 arrives as a fresh batch and is APPENDED — its
+    * postings bucket-append into the same token-bucketed table (each
+    * append writes its own bucket files; pruning still reads only the
+    * query terms' buckets) and the stats row upserts to
+    * (d + batch_docs, l + batch_tokens). NO existing posting is
+    * rewritten: dl is stored raw ([[bm25RawPostings]]), so the
+    * length norm — the one per-posting quantity that depends on
+    * corpus totals — computes at query time from the CURRENT stats,
+    * and df needs no maintenance at all (scoring derives it from the
+    * bucket-pruned postings, exact after any append). Per-batch
+    * maintenance cost: the batch's own posting extraction + a
+    * metadata-sized stats upsert — never a corpus rescan
+    * (SCALE bm25inc). */
+  def bm25IncrementalTables(s: org.apache.spark.sql.SparkSession,
+                            dir: String): (org.apache.spark.sql.DataFrame,
+                                           org.apache.spark.sql.DataFrame) = {
+    val fp = Tables.fingerprint(s, s"$dir/documents.parquet")
+    val db = s"graft_bm25i_$fp"
+    val wh = s"${CacheDirs.root}/bm25iwh_$fp"
+    if (!s.catalog.databaseExists(db))
+      s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    if (!s.catalog.tableExists(s"$db.postings")) {
+      Seq("postings", "stats").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val docs = Tables.t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      // corpus build — paid once
+      bm25RawPostings(corpus)
+        .write.bucketBy(64, "token").sortBy("token")
+        .saveAsTable(s"$db.postings")
+      bm25StatsOf(corpus).write.saveAsTable(s"$db.stats")
+      // daily append — batch-sized postings + a one-row stats upsert
+      bm25RawPostings(batch)
+        .write.bucketBy(64, "token").sortBy("token")
+        .mode("append").saveAsTable(s"$db.postings")
+      val prev = s.table(s"$db.stats").collect()(0)
+      val bs = bm25StatsOf(batch).collect()(0)
+      import s.implicits._
+      Seq((prev.getLong(0) + bs.getLong(0), prev.getLong(1) + bs.getLong(1)))
+        .toDF("d", "l")
+        .write.mode("overwrite").saveAsTable(s"$db.stats")
+    }
+    (s.table(s"$db.postings"), s.table(s"$db.stats"))
+  }
+
+  /** BM25 scoring over the incremental index's raw-dl postings: the
+    * [[bm25IndexTables]] integer-exact formula with the length norm
+    * computed AT QUERY TIME from the maintained stats row — bucket
+    * pruning, query-term-local df, TakeOrdered top-k all unchanged. */
+  def bm25ScoreTerms(postings: org.apache.spark.sql.DataFrame,
+                     stats: org.apache.spark.sql.DataFrame,
+                     terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val hits = postings.filter(col("token").isin(terms: _*))
+    val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+          .cast("long").as("idf_pm"),
+        col("d"), col("l"))
+    hits.join(broadcast(idf), Seq("token"))
+      .select(col("doc_id"),
+        expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * ((1000 * dl * d) div l))")
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(k)
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -2563,6 +2658,38 @@ object TextQueries {
           .agg(sum("contrib").as("score_micro"))
           .orderBy(desc("score_micro"), col("doc_id"))
           .limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN stats s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro
+             |FROM sc GROUP BY 1
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- INCREMENTAL BM25 MAINTENANCE on the hard gate: the index
+    //      builds on 6/7 of the corpus and the remaining 1/7 arrives
+    //      as an APPEND — batch postings bucket-append (no existing
+    //      posting rewritten: dl rides raw, so the corpus-total-
+    //      dependent norm computes at query time off the upserted
+    //      one-row stats; df derives from the pruned buckets, exact
+    //      after any append). Ranking must equal the full rebuild —
+    //      the text_bm25_topk oracle verbatim. ----
+    Q("text_bm25_incremental",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val (postings, stats) = bm25IncrementalTables(s, dir)
+        bm25ScoreTerms(postings, stats, Seq("spark", "merge", "window"), 10)
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),

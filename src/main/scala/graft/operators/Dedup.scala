@@ -479,16 +479,22 @@ object Dedup {
     * as a stuck join stage. `bandRows`: (…, band, keyCol) rows from
     * the family's own band producer ([[simhashMd5BandRows]],
     * [[signatureBandRows]], the phash chunk expansion). Two map-side
-    * combinable aggregations; c·(c−1) rides DECIMAL(38,0) (a ~4.3e9-
-    * doc bucket — exactly the collapse this exists to catch — wraps
-    * BIGINT). */
+    * combinable aggregations; c·(c−1)/2 and its sum ride
+    * DECIMAL(38,0) end to end (a ~3.5e9-doc bucket — exactly the
+    * collapse this exists to catch — wraps the product in BIGINT, and
+    * `div`'s BIGINT return would wrap the halved value past ~4.3e9;
+    * true decimal division `/ 2` is exact because c·(c−1) is even).
+    * The one lossy step is the final BIGINT cast of the exact total,
+    * mirroring the oracle's CAST(SUM(HUGEINT…) AS BIGINT) — under
+    * ANSI both engines fail it loudly at the same threshold instead
+    * of diverging silently (ADVICE r16). */
   def bandBucketHistogram(bandRows: DataFrame, keyCol: String): DataFrame =
     bandRows.groupBy(col("band"), col(keyCol)).agg(count(lit(1)).as("c"))
       .groupBy(col("band").cast("long").as("band"))
       .agg(count(lit(1)).as("n_buckets"),
         max("c").as("max_bucket"),
-        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) div 2"))
-          .as("candidate_pairs"))
+        sum(expr("CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2 AS DECIMAL(38,0))"))
+          .cast("long").as("candidate_pairs"))
       .orderBy("band")
 
   def simhashMd5BandRows(fps: DataFrame, idCol: String): DataFrame =
@@ -724,9 +730,18 @@ object Dedup {
                           minTokens: Int = 5): DataFrame = {
     require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
     val bg = spanGrams(batch, idCol, textCol, k)
+    // The index side MUST be one row per gram before the left join: a
+    // summary table maintained by appends (dupSpanStream writes one
+    // gramSpanSummary per micro-batch) legitimately holds a row per
+    // batch for a recurring gram, and joining the raw table would
+    // duplicate each covered (id, pos) row per index hit — fragmenting
+    // the islands window and inflating n_tokens (ADVICE r16). Only
+    // gram EXISTENCE matters to the probe, so min(lo_doc) collapses
+    // any multiplicity; gram-keyed, map-side combinable.
     val dup = bg.groupBy("gram")
       .agg(min(col(idCol)).as("_blo"), max(col(idCol)).as("_bhi"))
-      .join(index.select(col("gram"), col("lo_doc")), Seq("gram"), "left")
+      .join(index.groupBy("gram").agg(min(col("lo_doc")).as("lo_doc")),
+        Seq("gram"), "left")
       .filter(col("lo_doc").isNotNull || col("_blo") =!= col("_bhi"))
       .select("gram")
     coveredToSpans(bg.join(dup, "gram").select(col(idCol), col("pos")),

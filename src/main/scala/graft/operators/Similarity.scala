@@ -287,6 +287,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-probe probed-cell selection IN-PLAN — the serving half shared
+    * by [[ivfBatchTopK]] and [[ivfPqBatchTopK]]: rank every (cell,
+    * probe) pair by the ASSIGNMENT's own metric (cosine — ranking by
+    * L2 here would search a different cell set than the one the index
+    * partitioned by) and keep each probe's `nProbe` best, ties to the
+    * lower cell id. The frame is (nLists × |probes|) rows — centroid
+    * metadata times a broadcast-sized query batch — so the window
+    * shuffle is metadata-sized; output carries `probe_e` beside each
+    * (probe, cell) so the corpus join needs no second probe lookup. */
+  private def probedCells(centroids: DataFrame, probes: DataFrame,
+                          nProbe: Int, probeIdCol: String): DataFrame = {
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("_csim"), asc("cell"))
+    centroids.crossJoin(broadcast(probes))
+      .withColumn("_csim", cosine(col("centroid"), col("probe_e")))
+      .withColumn("_crk", row_number().over(wCell))
+      .filter(col("_crk") <= nProbe)
+      .drop("_crk", "_csim")
+  }
+
+  /**
+   * BATCH IVF serving — the k nearest corpus vectors for EVERY probe
+   * row through the cell-pruned index: [[ivfTopK]] answers one probe;
+   * a 100 TB serving tier answers probe BATCHES, and running the
+   * single-probe form per query would re-plan (and on a cold index
+   * re-scan) once per probe. Here the per-probe cell rank happens
+   * in-plan over the metadata-sized (cell × probe) frame
+   * ([[probedCells]]), the corpus join touches ONLY probed cells'
+   * postings (one broadcast equi-join on `cell` — on a
+   * cell-partitioned corpus a partition-pruned read, never a full
+   * scan), and the per-probe top-k is one window over the scored
+   * candidate stream. Wall tracks |probes| × (corpus/nLists × nProbe),
+   * never |probes| × corpus (SCALE ivfbatch).
+   *
+   * Exactness rider: with nProbe = nLists every cell is probed and
+   * the result equals exact per-probe cosine top-k — the
+   * `sim_ivf_batch_topk` gate pins that against the DuckDB oracle.
+   * `probes` columns: (`probeIdCol`, `probe_e: array<double>`).
+   */
+  def ivfBatchTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+                   vecCol: String, k: Int, nProbe: Int = 4,
+                   idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
+    val pc = probedCells(centroids, probes, nProbe, probeIdCol)
+      .select(col(probeIdCol), col("probe_e"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    assigned.join(broadcast(pc), "cell")
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "cell")
+  }
+
   /**
    * MAP-SIDE cell assignment against EXISTING centroids — the append
    * path of incremental IVF index maintenance. The centroid table is
@@ -635,6 +688,73 @@ object Similarity {
         byAdc.orderBy(asc("adc_dist"), asc(idCol)).limit(shortN)
           .withColumn("l2_dist", exact)
           .orderBy(asc("l2_dist"), asc(idCol)).limit(k)
+    }
+  }
+
+  /**
+   * BATCH IVF-PQ serving — probe BATCHES against the composed index:
+   * [[ivfPqTopK]] builds per-cell residual distance tables
+   * driver-side and dispatches them through a CASE on the cell
+   * column, which is exactly right for ONE probe and exactly wrong
+   * for a batch (a 1,000-probe batch would mean 1,000 driver-built
+   * subplans — the shape `sim_ivfpq_recall` had to hand-roll for its
+   * 20 probes before this operator existed). Here the residual
+   * recentring moves INTO the probed-cell frame: each (probe, cell)
+   * row of [[probedCells]] carries `probe_res = probe_e − centroid`
+   * (one zip_with over metadata-sized rows), the cell equi-join
+   * lands each encoded row beside every probing (probe, cell), and
+   * the codegen'd [[graft.functions.PqAdcBatchExpr]] kernel scores
+   * codes against `probe_res` — by the residual-code construction
+   * that IS the per-(probe, cell) distance table, computed once per
+   * (probe, cell) pair, never per corpus row, and bit-identical to
+   * the single-probe dtables (x² = (−x)²; same fold order — pinned
+   * by PqSpec). ADC shortlists per probe; only `k × shortlistFactor`
+   * survivors per probe touch the real vectors for the exact
+   * re-rank, same contract as [[pqBatchTopK]].
+   *
+   * Scale posture: the corpus-side scan is probed cells' CODES only
+   * (m bytes/row × the cell-pruned slice); wall tracks the probe
+   * batch at fixed corpus (SCALE ivfbatch). Exactness rider:
+   * nProbe = nLists + a shortlist wider than the corpus equals exact
+   * per-probe L2 top-k whatever the codebooks learned — the
+   * `sim_ivfpq_batch_topk` gate. `probes` columns: (`probeIdCol`,
+   * `probe_e: array<double>`).
+   */
+  def ivfPqBatchTopK(encoded: DataFrame, centroids: DataFrame,
+                     codebooks: Array[Array[Array[Double]]], probes: DataFrame,
+                     k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+                     probeIdCol: String = "probe_id",
+                     rerankVecCol: Option[String] = None,
+                     shortlistFactor: Int = 8): DataFrame = {
+    val pc = probedCells(centroids, probes, nProbe, probeIdCol)
+      // the probe re-expressed in each probed cell's residual frame:
+      // codes are residuals from their cell centroid, so ADC against
+      // (probe − centroid) IS that cell's residual distance table
+      .withColumn("probe_res", expr("zip_with(probe_e, centroid, (x, y) -> x - y)"))
+      .select(col(probeIdCol), col("probe_e"), col("probe_res"), col("cell"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(asc("adc_dist"), asc(idCol))
+    // k * shortlistFactor can overflow Int for the exhaustive twin
+    val shortN = math.min(Int.MaxValue.toLong,
+      k.toLong * rerankVecCol.fold(1L)(_ => shortlistFactor.toLong)).toInt
+    val shortlisted = encoded.join(broadcast(pc), "cell")
+      .withColumn("adc_dist",
+        graft.functions.PqCodec.adcBatch(col("pq_code"), col("probe_res"), codebooks))
+      .withColumn("_rk", row_number().over(wAdc))
+      .filter(col("_rk") <= shortN)
+      .drop("_rk", "probe_res")
+    rerankVecCol match {
+      case None => shortlisted.drop("probe_e", "cell")
+      case Some(vc) =>
+        val v = col(vc).cast(ArrayType(DoubleType))
+        val exact = dot(v, v) - lit(2.0) * dot(v, col("probe_e")) +
+          dot(col("probe_e"), col("probe_e"))
+        val wExact = org.apache.spark.sql.expressions.Window
+          .partitionBy(probeIdCol).orderBy(asc("l2_dist"), asc(idCol))
+        shortlisted.withColumn("l2_dist", exact)
+          .withColumn("_rk", row_number().over(wExact))
+          .filter(col("_rk") <= k)
+          .drop("_rk", "probe_e", "cell")
     }
   }
 

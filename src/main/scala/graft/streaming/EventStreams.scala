@@ -247,6 +247,55 @@ object EventStreams {
       }
   }
 
+  /** The per-batch partition directory of the exactly-once append
+    * protocol shared by [[nearDupStream]] and [[dupSpanStream]]:
+    * every micro-batch writes each of its outputs to its OWN
+    * `batch=<batchId>` partition with OVERWRITE mode, so a replayed
+    * batch replaces its own files instead of duplicating them. */
+  private def batchPart(dir: String, batchId: Long) = s"$dir/batch=$batchId"
+
+  /** Replay repair for the `batch=<id>` append protocol: drop any
+    * batch partition without a `_SUCCESS` marker — the partial output
+    * of a write that crashed mid-flight (parquet's committer writes
+    * the marker last, so marker-less dirs are never complete). Runs
+    * before ANY read of the directories; metadata-sized (one child
+    * listing per dir). Only the CURRENT batch can be partial — the
+    * streaming checkpoint records a batch only after foreachBatch
+    * returns, so every earlier batch's dirs completed. */
+  private def dropPartialBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                   dirs: Seq[String]): Unit =
+    dirs.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.getPath.getName.startsWith("batch=") &&
+            !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          fs.delete(st.getPath, true)
+      }
+    }
+
+  /** True iff `dir` holds a committed `batch=<i>` partition with
+    * i < batchId — the "prior state exists" test of the exactly-once
+    * append protocol ([[dropPartialBatchDirs]] must have run first so
+    * every surviving partition is complete). Metadata-sized. */
+  private def hasCommittedBatchBefore(fs: org.apache.hadoop.fs.FileSystem,
+                                      dir: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch=") &&
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ < batchId)
+    }
+  }
+
+  /** The committed state BEFORE `batchId`: partition-prune to
+    * `batch < batchId` (metadata-only — a replayed batch never reads
+    * its own prior partial rows, and partition pruning means the
+    * excluded dirs' files are never opened) and drop the bookkeeping
+    * column so callers see the operator's own schema. */
+  private def stateBefore(spark: SparkSession, dir: String,
+                          batchId: Long): DataFrame =
+    spark.read.parquet(dir).filter(col("batch") < batchId).drop("batch")
+
   /**
    * STREAMING MinHash NEAR-DEDUP — the continuous-ingestion form of
    * the batch dedup flagship: the corpus's LSH sketch
@@ -256,21 +305,33 @@ object EventStreams {
    * them against ONLY the candidate corpus docs
    * (`Dedup.incrementalNearDupsFromSketch` — the corpus is never
    * re-shingled), (2) finds its batch-internal pairs with the
-   * standard equi-join path, and (3) appends its own docs and sketch
+   * standard equi-join path, and (3) adds its own docs and sketch
    * rows into the state. A pair is emitted exactly once — when its
    * LATER member arrives — so the union of all batches' outputs
    * equals the one-shot `minhashNearDups` over the full corpus
    * (identical banding on both paths; the gate pins the union
    * against the exact-Jaccard quadratic oracle).
    *
+   * Exactly-once state on at-least-once delivery: each batch writes
+   * its pairs, docs, and sketch rows to its own `batch=<batchId>`
+   * partition of the three directories with OVERWRITE mode (the
+   * `enrichRefreshedDimStream` replay protocol), a batch whose three
+   * `_SUCCESS` markers all exist is skipped whole, and every batch
+   * first drops marker-less partials ([[dropPartialBatchDirs]]) and
+   * reads prior state partition-pruned to `batch < batchId` — so a
+   * foreachBatch retry at ANY crash point recomputes from exactly
+   * the pre-batch state and replaces only its own output, never
+   * duplicating state rows or emitted pairs. Pair output is written
+   * partition-parallel (no single-writer funnel: a viral-dup batch's
+   * pair volume is quadratic in its copy count and must not serialize
+   * through one task).
+   *
    * Per-batch cost: batch-sized banding + one sketch equi-join +
-   * candidate-sized verify + batch-sized appends — the corpus term
-   * appears ONLY as the sketch join side, the same scale posture as
-   * `dedup_incremental`. Feed contract: doc ids are unique across the
-   * stream (the fresh-ingest convention); AvailableNow one-shot runs
-   * (a crash-replayed batch would re-append — production would ride
-   * the bucketed-merge sink's rename-aside discipline for exactly-
-   * once state, at the cost of its machinery).
+   * candidate-sized verify + batch-sized writes + one metadata-sized
+   * repair listing — the corpus term appears ONLY as the sketch join
+   * side, the same scale posture as `dedup_incremental`. Feed
+   * contract: doc ids are unique across the stream (the fresh-ingest
+   * convention).
    */
   def nearDupStream(spark: SparkSession, stream: DataFrame,
                     outDir: String, stateDir: String, checkpoint: String,
@@ -278,44 +339,57 @@ object EventStreams {
                     num: Int = 7, den: Int = 10): DataFrame = {
     val docsDir = s"$stateDir/docs"
     val sketchDir = s"$stateDir/sketch"
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.select("doc_id", "text").localCheckpoint()
-        val internal = graft.operators.Dedup
-          .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
-        val out =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchDir/_SUCCESS"))) {
-            val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
-                spark.read.parquet(sketchDir), spark.read.parquet(docsDir),
-                b, "doc_id", "text", shingleN, k, bands, num, den)
-              // one-shot orientation: doc_a < doc_b with (na, nb)
-              // following the id order, not the corpus/fresh roles
-              .select(
-                least(col("corpus_id"), col("fresh_id")).as("doc_a"),
-                greatest(col("corpus_id"), col("fresh_id")).as("doc_b"),
-                col("n_common"),
-                when(col("corpus_id") < col("fresh_id"), col("na"))
-                  .otherwise(col("nb")).as("na"),
-                when(col("corpus_id") < col("fresh_id"), col("nb"))
-                  .otherwise(col("na")).as("nb"))
-            internal.unionByName(cross)
-          } else internal
-        out.coalesce(1).write.mode("append").parquet(outDir)
-        b.write.mode("append").parquet(docsDir)
-        graft.operators.Dedup
-          .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
-          .write.mode("append").parquet(sketchDir)
-        graft.operators.Checkpoints.free(b)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dirs = Seq(outDir, docsDir, sketchDir)
+        dropPartialBatchDirs(fs, dirs)
+        val committed = dirs.forall(d => fs.exists(
+          new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+        if (!committed) {
+          val b = batch.select("doc_id", "text").localCheckpoint()
+          val internal = graft.operators.Dedup
+            .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
+          val out =
+            if (hasCommittedBatchBefore(fs, sketchDir, batchId)) {
+              val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
+                  stateBefore(s, sketchDir, batchId),
+                  stateBefore(s, docsDir, batchId),
+                  b, "doc_id", "text", shingleN, k, bands, num, den)
+                // one-shot orientation: doc_a < doc_b with (na, nb)
+                // following the id order, not the corpus/fresh roles
+                .select(
+                  least(col("corpus_id"), col("fresh_id")).as("doc_a"),
+                  greatest(col("corpus_id"), col("fresh_id")).as("doc_b"),
+                  col("n_common"),
+                  when(col("corpus_id") < col("fresh_id"), col("na"))
+                    .otherwise(col("nb")).as("na"),
+                  when(col("corpus_id") < col("fresh_id"), col("nb"))
+                    .otherwise(col("na")).as("nb"))
+              internal.unionByName(cross)
+            } else internal
+          out.write.mode("overwrite").parquet(batchPart(outDir, batchId))
+          b.write.mode("overwrite").parquet(batchPart(docsDir, batchId))
+          graft.operators.Dedup
+            .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
+            .write.mode("overwrite").parquet(batchPart(sketchDir, batchId))
+          // frees EVERY checkpoint block in the batch's plan — `b` and
+          // the candidate frame incrementalNearDupsFromSketch pins
+          // internally (ADVICE r16: without this a long-running stream
+          // accumulates one candidate checkpoint per micro-batch)
+          graft.operators.Checkpoints.free(out)
+          graft.operators.Checkpoints.free(b)
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 
   /**
@@ -334,36 +408,53 @@ object EventStreams {
    * later copy arrives is the full-rebuild pass's job
    * (`text_dup_spans`), not the ingest monitor's; the gate's oracle
    * states the asymmetric visibility rule verbatim.
+   *
+   * Exactly-once state on at-least-once delivery: the same
+   * `batch=<batchId>` overwrite-partition protocol as
+   * [[nearDupStream]] — committed batches are skipped whole,
+   * marker-less partials are dropped before any read, the probe's
+   * index view is partition-pruned to `batch < batchId`, and span
+   * output is written partition-parallel (no single-writer funnel).
+   * A gram recurring across many committed batches holds one summary
+   * row per batch; `dupSpansIncremental` collapses the index per
+   * gram before probing, so the multiplicity is harmless.
    */
   def dupSpanStream(spark: SparkSession, stream: DataFrame,
                     outDir: String, stateDir: String, checkpoint: String,
                     k: Int = 3, minTokens: Int = 5): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.select("doc_id", "text").localCheckpoint()
-        val index =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/_SUCCESS")))
-            spark.read.parquet(stateDir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("gram", StringType),
-              StructField("lo_doc", LongType), StructField("hi_doc", LongType))))
-        graft.operators.Dedup
-          .dupSpansIncremental(index, b, "doc_id", "text", k, minTokens)
-          .coalesce(1).write.mode("append").parquet(outDir)
-        graft.operators.Dedup.gramSpanSummary(b, "doc_id", "text", k)
-          .write.mode("append").parquet(stateDir)
-        graft.operators.Checkpoints.free(b)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dirs = Seq(outDir, stateDir)
+        dropPartialBatchDirs(fs, dirs)
+        val committed = dirs.forall(d => fs.exists(
+          new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+        if (!committed) {
+          val b = batch.select("doc_id", "text").localCheckpoint()
+          val index =
+            if (hasCommittedBatchBefore(fs, stateDir, batchId))
+              stateBefore(s, stateDir, batchId)
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("gram", StringType),
+                StructField("lo_doc", LongType), StructField("hi_doc", LongType))))
+          graft.operators.Dedup
+            .dupSpansIncremental(index, b, "doc_id", "text", k, minTokens)
+            .write.mode("overwrite").parquet(batchPart(outDir, batchId))
+          graft.operators.Dedup.gramSpanSummary(b, "doc_id", "text", k)
+            .write.mode("overwrite").parquet(batchPart(stateDir, batchId))
+          graft.operators.Checkpoints.free(b)
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 
   /**

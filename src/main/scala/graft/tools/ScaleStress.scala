@@ -1044,6 +1044,42 @@ object ScaleStress {
         graft.CacheDirs.deleteRecursively(work.toFile)
       }
     }
+    // BATCH IVF / IVF-PQ serving (ivfBatchTopK / ivfPqBatchTopK): the
+    // index builds ONCE at fixed corpus; the probe BATCH grows
+    // 20 -> 20m. The claim the batch operators make: wall tracks the
+    // probe-batch size (each probe scores the probed nProbe/nLists
+    // slice of the corpus — the per-probe work is fixed, the batch
+    // multiplies it), with no per-probe driver subplans — one plan
+    // whatever the batch size. Superlinear growth here would mean the
+    // probed-cell join degenerated (e.g. the broadcast side stopped
+    // broadcasting).
+    if (wanted("ivfbatch")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val n = emb0.count()
+      val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+        emb0, "vec_id", "e", dim = 64, nLists = 16)
+      val encCp = enc.localCheckpoint()
+      val (assigned, _) = Similarity.ivfIndex(emb0, "vec_id", "e", nLists = 16)
+      val asgCp = assigned.localCheckpoint()
+      multiples.foreach { m =>
+        val nb = 20 * m
+        val probes = emb0.filter(col("vec_id") < nb)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        val t0 = System.nanoTime()
+        val outIvf = Similarity.ivfBatchTopK(asgCp, cents, probes, "e",
+          k = 10, nProbe = 4).count()
+        val t1 = System.nanoTime()
+        val outPq = Similarity.ivfPqBatchTopK(encCp, cents, cb, probes,
+          k = 10, nProbe = 4, rerankVecCol = Some("e")).count()
+        val t2 = System.nanoTime()
+        println(f"SCALE ivfbatch m=$m%2d vecs=$n%7d probes=$nb%5d ivf_rows=$outIvf%6d " +
+          f"pq_rows=$outPq%6d tivf=${(t1 - t0) / 1e9}%6.1fs tpq=${(t2 - t1) / 1e9}%6.1fs")
+      }
+      graft.operators.Checkpoints.free(encCp)
+      graft.operators.Checkpoints.free(asgCp)
+    }
     // JDBC round-trip (S1/S3/W1): W1 batch insert OUT, 4-stride
     // partitioned read BACK (data-derived bounds). The write wall is
     // the destination's price — embedded Derby is one process doing

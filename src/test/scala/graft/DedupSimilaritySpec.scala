@@ -214,6 +214,56 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfBatchTopK equals per-probe ivfTopK at production nProbe") {
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "e", nLists = 8)
+    val batch = Similarity.ivfBatchTopK(assigned, centroids, probes, "e",
+        k = 5, nProbe = 3)
+      .select("probe_id", "rk", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val probeIds = probes.select("probe_id").collect().map(_.getLong(0))
+    assert(probeIds.nonEmpty && batch.keySet == probeIds.toSet)
+    for (pid <- probeIds) {
+      val single = Similarity.ivfTopK(assigned, centroids,
+          emb.filter(col("vec_id") === pid).select(col("e").as("probe_e")),
+          "e", k = 5, nProbe = 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(batch(pid) == single, s"probe $pid: batch=${batch(pid)} single=$single")
+    }
+  }
+
+  test("ivfPqBatchTopK: bit-identical adc_dist and ranking vs per-probe ivfPqTopK") {
+    // the join-shaped per-(probe, cell) residual tables must reproduce
+    // the single-probe CASE dispatch exactly: (probe−cent)−cw vs
+    // cw−(probe−cent) differ only by IEEE negation, squares equal
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val (enc, cents, cb) = Similarity.ivfPqIndex(
+      emb, "vec_id", "e", dim = 64, nLists = 8, m = 8, k = 16)
+    val encCp = enc.localCheckpoint()
+    val batch = Similarity.ivfPqBatchTopK(encCp, cents, cb, probes,
+        k = 5, nProbe = 3, rerankVecCol = Some("e"))
+      .select("probe_id", "vec_id", "adc_dist", "l2_dist").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._3).toSeq).toMap
+    val probeRows = probes.collect()
+    assert(probeRows.nonEmpty && batch.keySet ==
+      probeRows.map(_.getLong(0)).toSet)
+    probeRows.foreach { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Double](1).toArray
+      val single = Similarity.ivfPqTopK(encCp, cents, cb, pv,
+          k = 5, nProbe = 3, rerankVecCol = Some("e"))
+        .select("vec_id", "adc_dist", "l2_dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._3).toSeq
+      assert(batch(pid) == single, s"probe $pid: batch=${batch(pid)} single=$single")
+    }
+    graft.operators.Checkpoints.free(encCp)
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)

@@ -92,6 +92,30 @@ class OverflowSpec extends SparkTestBase {
       "bare BIGINT Σx² should overflow in this regime")
   }
 
+  test("band-bucket candidate pairs: DECIMAL product+sum exact where c·(c−1) wraps") {
+    // two buckets of c = 3.5e9: each product c·(c−1) ≈ 1.22e19 > 2^63
+    // (the bare-BIGINT wrap regime), each halved value ≈ 6.12e18 still
+    // fits, and the SUM ≈ 1.22e19 wraps a BIGINT accumulator — exactly
+    // the two residual sites ADVICE r16 flagged (`div`'s BIGINT return
+    // and the BIGINT outer sum). The histogram's graduated form — true
+    // decimal `/ 2` then a DECIMAL(38,0) sum — must be exact end to
+    // end (pinned against BigInt); only the final output cast is lossy,
+    // mirroring the oracle's CAST(SUM(HUGEINT…) AS BIGINT).
+    val c = 3500000000L
+    val df = Seq(("b0", c), ("b1", c)).toDF("bucket", "c")
+    val perBucket = BigInt(c) * (c - 1) / 2
+    assert(BigInt(c) * (c - 1) > BigInt(Long.MaxValue)) // product wraps
+    assert(perBucket * 2 > BigInt(Long.MaxValue))       // BIGINT sum wraps
+    val dec = df.agg(
+      sum(expr("CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2 AS DECIMAL(38,0))")).as("s"))
+      .select(col("s").cast("string")).head().getString(0)
+    assert(BigInt(dec) === perBucket * 2)
+    val old = scala.util.Try(df.agg(sum(expr("c * (c - 1) div 2")).as("s"))
+      .select(col("s").cast("string")).head())
+    assert(old.isFailure || old.get.isNullAt(0) || BigInt(old.get.getString(0)) != perBucket * 2,
+      "bare BIGINT c*(c-1) div 2 should overflow in this regime")
+  }
+
   test("gini numerator: DECIMAL sum exact where Σ(2i−n−1)·chars wraps") {
     // n = 2 docs with n_chars = 5e18 each (sum representable, but the
     // i=2 term (2·2−2−1)·5e18 = 5e18 and gnum·1000 would wrap):

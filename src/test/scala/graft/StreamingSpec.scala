@@ -1094,6 +1094,114 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(p => p._1 == 3L && p._2 == 4L), s"got $streamed")
   }
 
+  test("nearDupStream crash replay: committed batches skip, state and pairs unchanged") {
+    // exactly-once pin (VERDICT r16 #1): re-delivering BOTH batches
+    // against committed state — including one simulated partial crash
+    // — leaves the emitted pairs AND the persisted doc/sketch state
+    // row-identical to the clean run, where the old append sink would
+    // have doubled them
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val work = tmpDir("graft_nd_replay_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    Seq(0 -> Seq(1L, 3L), 1 -> Seq(2L, 4L)).foreach { case (h, ids) =>
+      val half = s"$work/h$h"
+      docs.filter(col("doc_id").isin(ids: _*)).coalesce(1).write.parquet(half)
+      val part = new java.io.File(half).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"h$h.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (1 - h) * 10000L))
+    }
+    def run(ckpt: String): Set[(Long, Long, Long)] = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStreams.nearDupStream(spark, stream,
+          s"$work/out", s"$work/state", ckpt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def stateCounts(): (Long, Long) = (
+      spark.read.parquet(s"$work/state/docs").count(),
+      spark.read.parquet(s"$work/state/sketch").count())
+    val first = run(s"$work/ckpt1")
+    val (nDocs, nSketch) = stateCounts()
+    assert(first.exists(p => p._1 == 1L && p._2 == 2L), s"boundary pair missing: $first")
+    assert(nDocs === 4L)
+    // full re-delivery: a fresh checkpoint replays batch ids 0 and 1
+    // from the start; both are committed, so everything skips whole
+    val second = run(s"$work/ckpt2")
+    assert(second === first)
+    assert(stateCounts() === ((nDocs, nSketch)))
+    // partial crash: batch 1's sketch write "crashed" (marker gone) —
+    // the replay must drop the partial, recompute batch 1 from the
+    // pre-batch state, and converge to the identical result
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$work/state/sketch/batch=1/_SUCCESS"), false))
+    val third = run(s"$work/ckpt3")
+    assert(third === first)
+    assert(stateCounts() === ((nDocs, nSketch)))
+  }
+
+  test("dupSpanStream: a gram recurring across 3+ batches probes a deduplicated index") {
+    // ADVICE r16 (high): from the third batch on, a gram present in
+    // >= 2 earlier batches holds one summary row PER batch in the
+    // appended state — an un-deduplicated index join would duplicate
+    // the covered positions, fragment the islands window, and here
+    // shatter the single 8-token span into sub-minTokens fragments
+    // (emitting NOTHING). Three identical docs across three batches
+    // pin the fix, and a checkpoint-reset replay pins idempotence.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val work = tmpDir("graft_ds_3batch_")
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    Seq(0, 1, 2).foreach { h =>
+      val half = s"$work/h$h"
+      docs.filter(col("doc_id") === h + 1).coalesce(1).write.parquet(half)
+      val part = new java.io.File(half).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val staged = java.nio.file.Paths.get(src, s"h$h.parquet")
+      java.nio.file.Files.move(part.toPath, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (2 - h) * 10000L))
+    }
+    def run(ckpt: String): Seq[(Long, Long, Long)] = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStreams.dupSpanStream(spark, stream,
+          s"$work/out", s"$work/state", ckpt, k = 3, minTokens = 5)
+        .orderBy("doc_id", "start_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val first = run(s"$work/ckpt1")
+    // arrival-time semantics: doc 1 saw no prior copy; docs 2 and 3
+    // each emit the ONE maximal span (start 1, 8 tokens) — doc 3's
+    // probe hits the gram index twice per gram and must still emit
+    // exactly one unfragmented span
+    assert(first === Seq((2L, 1L, 8L), (3L, 1L, 8L)))
+    // the state holds one summary row per (gram, batch): 6 grams x 3
+    // batches — the multiplicity the probe must collapse
+    assert(spark.read.parquet(s"$work/state").count() === 18L)
+    val second = run(s"$work/ckpt2")
+    assert(second === first)
+    assert(spark.read.parquet(s"$work/state").count() === 18L)
+  }
+
   test("attribution hot-user bound: noise types never reach the state buffer") {
     // pins the documented per-(user, batch) bound: the group buffer
     // holds only the attribution-relevant slice (purchases + touches),
