@@ -1568,6 +1568,41 @@ object TextQueries {
              |HAVING COUNT(*) + 2 >= 5
              |ORDER BY doc_id, start_pos""".stripMargin)),
 
+    // ---- INCREMENTAL CHAR-GRAINED DUPLICATED SPANS (VERDICT r16
+    //      #6): the daily-ingest probe for the no-space-script grain
+    //      — the corpus (doc_id % 7 != 0) collapses once to its
+    //      persisted CHAR-gram summary and the fresh batch (% 7 == 0)
+    //      probes it through the same gram-producer-agnostic
+    //      composition as the word-grain path. Oracle: the FULL
+    //      corpus+batch quadratic char-span derivation restricted to
+    //      batch ids — green means CJK/whitespace-stripped
+    //      boilerplate gets the same rescan-free ingest path. ----
+    Q("text_dup_spans_chars_incremental",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val index = graft.operators.Dedup.charGramSpanSummary(
+            d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", k = 12)
+          .localCheckpoint() // the persisted-index stand-in: built once
+        graft.operators.Dedup.dupSpansCharsIncremental(index,
+            d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+            k = 12, minChars = 20)
+          .orderBy("doc_id", "start_pos")
+      },
+      Some("""WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        substring(text, CAST(i AS INTEGER), 12) AS gram
+             |      FROM documents,
+             |           LATERAL unnest(generate_series(1, length(text) - 11)) AS t(i)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov WHERE doc_id % 7 = 0)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 11 AS BIGINT) AS n_chars
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 11 >= 20
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     // ---- SELF-REPETITION SPANS: within-document repeated k-gram
     //      runs — the loop/boilerplate detector for generated or
     //      scraped text, the failure mode text_dup_spans (which

@@ -48,6 +48,29 @@ object Unigram {
     * strictly below any reachable path sum so it never wins. */
   private val Invalid = -9000000000000000L
 
+  /** Ceiling on the piece-table size the `typedLit` embedding
+    * tolerates (VERDICT r16 #3): [[viterbiDp]]/[[viterbiPieces]]
+    * embed the score map as a plan LITERAL in each of their 4
+    * candidate lookups — 8 embeddings across the two folds — so the
+    * expression tree, and with it every task binary, grows ~8× the
+    * map's serialized size. At the gate vocabularies (≤ ~55 pieces)
+    * that is free; at this ceiling (~16 B/entry × 8) it is ~1 MiB of
+    * plan per stage — tolerable. A production 32k-piece SentencePiece
+    * vocabulary is past the point where the FORM should change, not
+    * the constant: explode each word's (pos, k) candidate spans,
+    * equi-join the piece table as a BROADCAST keyed on the piece
+    * string, and re-fold the dp from the joined scores — the scores
+    * then ride one broadcast instead of 8 plan literals. That
+    * graduation is deliberately unbuilt until needed; this guard
+    * makes the ceiling loud instead of a silent task-binary blowup. */
+  val MaxPieces = 8192
+
+  private def requirePieceBudget(scores: Map[String, Long]): Unit =
+    require(scores.size <= MaxPieces,
+      s"unigram piece table has ${scores.size} pieces — past the $MaxPieces-piece " +
+        "typedLit plan-embedding ceiling (8 map literals per segmentation plan); " +
+        "graduate to the broadcast-join segmentation form before serving this vocabulary")
+
   /** Viterbi FORWARD pass as one sequential fold: dp[0..len] with
     * dp[i] = max over k=1..4 of dp[i-k] + score(substr(w, i-k+1, k)).
     * A MISSING single char rides the Neg floor (unknown text
@@ -57,6 +80,7 @@ object Unigram {
     * 2-gram cheaper than two unknown chars). Returns array<bigint>
     * of length len+1. */
   def viterbiDp(w: Column, scores: Map[String, Long]): Column = {
+    requirePieceBudget(scores)
     val m = typedLit(scores)
     aggregate(
       sequence(lit(1), length(w)),
@@ -78,6 +102,7 @@ object Unigram {
     * k = 4, 3, 2, then 1), emit the piece, step back. Returns
     * array<string> of the best segmentation's pieces. */
   def viterbiPieces(w: Column, dp: Column, scores: Map[String, Long]): Column = {
+    requirePieceBudget(scores)
     val m = typedLit(scores)
     val walk = aggregate(
       sequence(lit(1), lit(MaxWordLen)),

@@ -729,15 +729,24 @@ object Dedup {
                           textCol: String, k: Int = 3,
                           minTokens: Int = 5): DataFrame = {
     require(k >= 1 && minTokens >= k, s"need k >= 1 and minTokens >= k, got k=$k minTokens=$minTokens")
-    val bg = spanGrams(batch, idCol, textCol, k)
-    // The index side MUST be one row per gram before the left join: a
-    // summary table maintained by appends (dupSpanStream writes one
-    // gramSpanSummary per micro-batch) legitimately holds a row per
-    // batch for a recurring gram, and joining the raw table would
-    // duplicate each covered (id, pos) row per index hit — fragmenting
-    // the islands window and inflating n_tokens (ADVICE r16). Only
-    // gram EXISTENCE matters to the probe, so min(lo_doc) collapses
-    // any multiplicity; gram-keyed, map-side combinable.
+    incrementalSpansFrom(index, spanGrams(batch, idCol, textCol, k),
+      idCol, k, minTokens)
+  }
+
+  /** The gram-producer-agnostic probe of the incremental span family
+    * ([[dupSpansIncremental]] word grain, [[dupSpansCharsIncremental]]
+    * char grain): batch positions whose gram exists in the persisted
+    * summary OR recurs across >= 2 batch docs, closed to maximal runs.
+    * The index side MUST be one row per gram before the left join: a
+    * summary table maintained by appends (dupSpanStream writes one
+    * gramSpanSummary per micro-batch) legitimately holds a row per
+    * batch for a recurring gram, and joining the raw table would
+    * duplicate each covered (id, pos) row per index hit — fragmenting
+    * the islands window and inflating run lengths (ADVICE r16). Only
+    * gram EXISTENCE matters to the probe, so min(lo_doc) collapses
+    * any multiplicity; gram-keyed, map-side combinable. */
+  private def incrementalSpansFrom(index: DataFrame, bg: DataFrame,
+                                   idCol: String, k: Int, minRun: Int): DataFrame = {
     val dup = bg.groupBy("gram")
       .agg(min(col(idCol)).as("_blo"), max(col(idCol)).as("_bhi"))
       .join(index.groupBy("gram").agg(min(col("lo_doc")).as("lo_doc")),
@@ -745,7 +754,55 @@ object Dedup {
       .filter(col("lo_doc").isNotNull || col("_blo") =!= col("_bhi"))
       .select("gram")
     coveredToSpans(bg.join(dup, "gram").select(col(idCol), col("pos")),
-      idCol, k, minTokens)
+      idCol, k, minRun)
+  }
+
+  /** The char-window positional posting stream of the char-grained
+    * span family — one row per character position (the honest ~5×
+    * cost of char grain at English word lengths), same
+    * (id, pos, gram) shape as [[spanGrams]] so everything downstream
+    * is gram-producer-agnostic. */
+  private def charSpanGrams(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, length(_t) - ${k - 1}), i -> substring(_t, i, $k))"))
+          .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+
+  /** The persisted CHAR-gram summary — [[gramSpanSummary]]'s
+    * no-space-script twin: one row per distinct k-char window with
+    * its min/max owning doc, char-gram-vocabulary-sized. The daily-
+    * ingest probe for CJK / whitespace-stripped boilerplate joins
+    * against this instead of rescanning the corpus
+    * ([[dupSpansCharsIncremental]]). */
+  def charGramSpanSummary(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 12): DataFrame =
+    charSpanGrams(df, idCol, textCol, k)
+      .groupBy("gram").agg(min(col(idCol)).as("lo_doc"), max(col(idCol)).as("hi_doc"))
+
+  /**
+   * INCREMENTAL char-grained duplicated-span extraction — the
+   * [[dupSpansIncremental]] composition over CHARACTER windows
+   * (VERDICT r16 #6): probe a fresh batch's positional k-char grams
+   * against the persisted [[charGramSpanSummary]] and emit the
+   * batch's covered char spans without rescanning the corpus. Equal
+   * to `duplicatedSpansChars(corpus ∪ batch)` restricted to batch
+   * ids under the fresh-ingest id-disjointness contract — the gate's
+   * oracle recomputes the full corpus and pins that equality. Same
+   * batch-bound scale shape as the word-grain probe; the char-grain
+   * premium is the batch's posting count (one row per character),
+   * never the corpus.
+   */
+  def dupSpansCharsIncremental(index: DataFrame, batch: DataFrame, idCol: String,
+                               textCol: String, k: Int = 12,
+                               minChars: Int = 20): DataFrame = {
+    require(k >= 1 && minChars >= k, s"need k >= 1 and minChars >= k, got k=$k minChars=$minChars")
+    incrementalSpansFrom(index, charSpanGrams(batch, idCol, textCol, k),
+      idCol, k, minChars)
+      .withColumnRenamed("n_tokens", "n_chars")
   }
 
   /**
@@ -763,13 +820,7 @@ object Dedup {
   def duplicatedSpansChars(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 12, minChars: Int = 20): DataFrame = {
     require(k >= 1 && minChars >= k, s"need k >= 1 and minChars >= k, got k=$k minChars=$minChars")
-    val grams = df.select(col(idCol), col(textCol).as("_t"))
-      .filter(length(col("_t")) >= k)
-      .select(col(idCol),
-        posexplode(expr(
-          s"transform(sequence(1, length(_t) - ${k - 1}), i -> substring(_t, i, $k))"))
-          .as(Seq("p0", "gram")))
-      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val grams = charSpanGrams(df, idCol, textCol, k)
     val dup = grams.groupBy("gram")
       .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
       .filter(col("_lo") =!= col("_hi"))

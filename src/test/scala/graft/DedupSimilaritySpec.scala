@@ -373,6 +373,44 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(inc.map(_._1) === Set(100L, 101L, 102L), s"got $inc")
   }
 
+  test("dupSpansCharsIncremental equals the full char rebuild on batch ids, " +
+    "even against a multi-row-per-gram index") {
+    // the char-grain daily-ingest pin (CJK/no-space boilerplate):
+    // same equality contract as the word grain, plus the appended-
+    // index multiplicity case (two summaries unioned — a gram owned
+    // by both corpus halves holds 2 index rows and must not fragment
+    // the batch's islands)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "xxxxBOILERPLATE-SEGMENT-HERExxxx"),
+      (2L, "yyyyBOILERPLATE-SEGMENT-HEREyyyy"),
+      (3L, "zzzz-corpus-only-duplicate-zzzz"),
+      (4L, "wwww-corpus-only-duplicate-wwww"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "ppppBOILERPLATE-SEGMENT-HEREpppp"), // covered via the index
+      (101L, "qqqq-batch-internal-repeats-qqqq"), // vs 102
+      (102L, "rrrr-batch-internal-repeats-rrrr"),
+      (103L, "totally unrelated text, no window shared"))
+      .toDF("doc_id", "text")
+    // appended-summary stand-in: one summary per corpus half — the
+    // BOILERPLATE grams appear in BOTH, so the index is multi-row
+    val index = graft.operators.Dedup
+      .charGramSpanSummary(corpus.filter(col("doc_id") <= 2), "doc_id", "text", k = 12)
+      .unionByName(graft.operators.Dedup
+        .charGramSpanSummary(corpus, "doc_id", "text", k = 12))
+    val inc = graft.operators.Dedup
+      .dupSpansCharsIncremental(index, batch, "doc_id", "text", k = 12, minChars = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.operators.Dedup
+      .duplicatedSpansChars(corpus.unionByName(batch), "doc_id", "text",
+        k = 12, minChars = 20)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    assert(inc.map(_._1) === Set(100L, 101L, 102L), s"got $inc")
+  }
+
   test("clustersIncremental merges standing clusters across a bridging pair") {
     import spark.implicits._
     // standing assignment: {2,4} (cluster 2) and {6,8} (cluster 6)

@@ -41,6 +41,23 @@ class UnigramSpec extends SparkTestBase {
     assert(segment("xa", scores).sorted === Seq("a", "x"))
   }
 
+  test("piece-table ceiling guard fires loudly past MaxPieces") {
+    // the typedLit score map embeds in the plan 8 times across the two
+    // Viterbi folds — past MaxPieces the right form is the broadcast-
+    // join segmentation, and the guard must say so instead of letting
+    // the task binary grow silently (VERDICT r16 #3)
+    val oversized = (0 to Unigram.MaxPieces)
+      .map(i => f"p$i%05d" -> -1000000L).toMap
+    val e = intercept[IllegalArgumentException] {
+      Unigram.viterbiDp(col("w"), oversized)
+    }
+    assert(e.getMessage.contains("typedLit"))
+    assert(e.getMessage.contains("broadcast-join"))
+    // at the ceiling itself the embedding is still allowed
+    val atCap = (1 to Unigram.MaxPieces).map(i => f"p$i%05d" -> -1000000L).toMap
+    Unigram.viterbiDp(col("w"), atCap) // must not throw
+  }
+
   test("trainUnigram keeps every char and emits integer-micro scores") {
     val vocab = Seq(("abab", 10L), ("abba", 5L), ("baba", 3L), ("bb", 2L))
       .toDF("w", "freq")
