@@ -1224,6 +1224,64 @@ object EtlQueries {
              |CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ver
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- CONTINUOUS-DEDUP INGEST through the config surface
+    //      (INGEST_DEDUP_DESTINATION — the round's streaming dedup
+    //      tier composed end-to-end): two document batches (doc_id
+    //      parity) submit as two JOBS against one standing state dir;
+    //      batch 1's cross-batch pairs can only come from batch 0's
+    //      PERSISTED sketch, and the standing cluster assignment
+    //      folds incrementally from each batch's new pairs. The final
+    //      snapshot must equal the WITH RECURSIVE min-label closure
+    //      over the FULL corpus's exact-Jaccard pairs — one ground
+    //      truth shared with dedup_clusters/text_stream_neardup, now
+    //      reached through config → job → exactly-once state. ----
+    Q("etl_ingest_dedup",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_ingest_dedup_").toString
+        val destDir = s"$work/state"
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$work/b0")
+        docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$work/b1")
+        def job(src: String, id: String, batchId: Long) = JobConfig(
+          jobId = id,
+          steps = List("INGEST_DEDUP_DESTINATION"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("doc_id", "doc_id", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("text", "text", "VARCHAR2", "STRING")),
+          transformation = Transformation("NONE", parameters = Map(
+            "ingestIdColumn" -> "doc_id",
+            "ingestTextColumn" -> "text",
+            "ingestBatchId" -> batchId.toString)))
+        val r0 = JobRunner.run(s, job(s"$work/b0", "ingest-dedup-0", 0L))
+        require(r0.status == JobRunner.Completed, s"ingest 0 failed: ${r0.message}")
+        val r1 = JobRunner.run(s, job(s"$work/b1", "ingest-dedup-1", 1L))
+        require(r1.status == JobRunner.Completed, s"ingest 1 failed: ${r1.message}")
+        s.read.parquet(s"$destDir/clusters")
+          .filter(col("batch") === 1).drop("batch")
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |           GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b
+             |          FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+             |          WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(node, lbl) AS (SELECT src, src FROM edges
+             |                     UNION
+             |                     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+             |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+             |SELECT node, cluster_id FROM cl ORDER BY node""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

@@ -97,7 +97,7 @@ object TextQueries {
     * depends on the CORPUS totals, so any append would invalidate
     * every existing posting; raw dl is append-invariant and the norm
     * moves to query time off the maintained stats row. */
-  private def bm25RawPostings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def bm25RawPostings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
       .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
@@ -105,7 +105,7 @@ object TextQueries {
 
   /** One-row (d, l) corpus stats of a document set — the maintained
     * half of the incremental BM25 state. */
-  private def bm25StatsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def bm25StatsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("d"), sum("dl").as("l"))
 

@@ -611,6 +611,38 @@ object JobRunner {
             System.err.println(s"[graft-job] DEDUP_DESTINATION kept $nAfter of " +
               s"$nBefore row(s) by ${ddKeys.mkString(",")}")
             stepsRun ::= step
+          case "INGEST_DEDUP_DESTINATION" =>
+            // Continuous-dedup ingest from the config surface (the
+            // round's streaming dedup tier composed end-to-end): the
+            // job's SOURCE is ONE fresh batch of documents; the
+            // destination is the standing dedup state — docs/ +
+            // sketch/ (accumulated corpus + persisted LSH sketch),
+            // pairs/ (near-dup pairs, each emitted once, cross-batch
+            // candidates from the persisted sketch so the corpus is
+            // never re-shingled), clusters/ (the standing assignment,
+            // folded incrementally from only the new pairs). All four
+            // ride the batch=<id> overwrite protocol: re-submitting a
+            // committed ingestBatchId is a no-op and a crash replays
+            // from exactly the pre-batch state.
+            // transformation.parameters: ingestIdColumn,
+            // ingestTextColumn, ingestBatchId (monotone per corpus).
+            val ingDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("INGEST_DEDUP_DESTINATION requires a destination"))
+            require(ingDest.`type`.toUpperCase == "PARQUET",
+              s"INGEST_DEDUP_DESTINATION supports PARQUET destinations, got ${ingDest.`type`}")
+            val ingPath = ingDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException(
+                "INGEST_DEDUP_DESTINATION requires a file path destination"))
+            val ingP = cfg.transformation.parameters
+            def ingNeed(key: String) = ingP.getOrElse(key,
+              throw new IllegalArgumentException(
+                s"INGEST_DEDUP_DESTINATION requires transformation.parameters.$key"))
+            graft.streaming.EventStreams.ingestDedupBatch(spark,
+              buildDataFrame(spark, cfg, plugins), ingPath,
+              ingNeed("ingestBatchId").toLong,
+              idCol = ingNeed("ingestIdColumn"),
+              textCol = ingNeed("ingestTextColumn"))
+            stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:
             // load the (filtered, mapped) source batch through the

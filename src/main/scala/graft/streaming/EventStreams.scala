@@ -351,45 +351,133 @@ object EventStreams {
         dropPartialBatchDirs(fs, dirs)
         val committed = dirs.forall(d => fs.exists(
           new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
-        if (!committed) {
-          val b = batch.select("doc_id", "text").localCheckpoint()
-          val internal = graft.operators.Dedup
-            .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
-          val out =
-            if (hasCommittedBatchBefore(fs, sketchDir, batchId)) {
-              val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
-                  stateBefore(s, sketchDir, batchId),
-                  stateBefore(s, docsDir, batchId),
-                  b, "doc_id", "text", shingleN, k, bands, num, den)
-                // one-shot orientation: doc_a < doc_b with (na, nb)
-                // following the id order, not the corpus/fresh roles
-                .select(
-                  least(col("corpus_id"), col("fresh_id")).as("doc_a"),
-                  greatest(col("corpus_id"), col("fresh_id")).as("doc_b"),
-                  col("n_common"),
-                  when(col("corpus_id") < col("fresh_id"), col("na"))
-                    .otherwise(col("nb")).as("na"),
-                  when(col("corpus_id") < col("fresh_id"), col("nb"))
-                    .otherwise(col("na")).as("nb"))
-              internal.unionByName(cross)
-            } else internal
-          out.write.mode("overwrite").parquet(batchPart(outDir, batchId))
-          b.write.mode("overwrite").parquet(batchPart(docsDir, batchId))
-          graft.operators.Dedup
-            .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
-            .write.mode("overwrite").parquet(batchPart(sketchDir, batchId))
-          // frees EVERY checkpoint block in the batch's plan — `b` and
-          // the candidate frame incrementalNearDupsFromSketch pins
-          // internally (ADVICE r16: without this a long-running stream
-          // accumulates one candidate checkpoint per micro-batch)
-          graft.operators.Checkpoints.free(out)
-          graft.operators.Checkpoints.free(b)
-        }
+        if (!committed)
+          writeNearDupBatch(s, fs, batch.toDF(), batchId, outDir, docsDir,
+            sketchDir, shingleN, k, bands, num, den)
         ()
       }
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).drop("batch")
+  }
+
+  /** The compute-and-write kernel ONE near-dedup ingest shares between
+    * [[nearDupStream]]'s foreachBatch and [[ingestDedupBatch]]'s job
+    * form: batch-internal pairs + sketch-probed cross pairs into
+    * `batch=<id>` of `outDir`, the batch's docs and sketch rows into
+    * the state dirs. The caller owns the protocol (partial repair +
+    * committed skip); this kernel owns determinism — given the same
+    * committed prior state it writes the same bytes on every replay. */
+  private def writeNearDupBatch(s: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                batch: DataFrame, batchId: Long,
+                                outDir: String, docsDir: String, sketchDir: String,
+                                shingleN: Int, k: Int, bands: Int,
+                                num: Int, den: Int): Unit = {
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    val internal = graft.operators.Dedup
+      .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
+    val out =
+      if (hasCommittedBatchBefore(fs, sketchDir, batchId)) {
+        val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
+            stateBefore(s, sketchDir, batchId),
+            stateBefore(s, docsDir, batchId),
+            b, "doc_id", "text", shingleN, k, bands, num, den)
+          // one-shot orientation: doc_a < doc_b with (na, nb)
+          // following the id order, not the corpus/fresh roles
+          .select(
+            least(col("corpus_id"), col("fresh_id")).as("doc_a"),
+            greatest(col("corpus_id"), col("fresh_id")).as("doc_b"),
+            col("n_common"),
+            when(col("corpus_id") < col("fresh_id"), col("na"))
+              .otherwise(col("nb")).as("na"),
+            when(col("corpus_id") < col("fresh_id"), col("nb"))
+              .otherwise(col("na")).as("nb"))
+        internal.unionByName(cross)
+      } else internal
+    out.write.mode("overwrite").parquet(batchPart(outDir, batchId))
+    b.write.mode("overwrite").parquet(batchPart(docsDir, batchId))
+    graft.operators.Dedup
+      .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
+      .write.mode("overwrite").parquet(batchPart(sketchDir, batchId))
+    // frees EVERY checkpoint block in the batch's plan — `b` and
+    // the candidate frame incrementalNearDupsFromSketch pins
+    // internally (ADVICE r16: without this a long-running stream
+    // accumulates one candidate checkpoint per micro-batch)
+    graft.operators.Checkpoints.free(out)
+    graft.operators.Checkpoints.free(b)
+  }
+
+  /** The newest committed `batch=<i>` with i < batchId, or None —
+    * locates the standing cluster snapshot [[ingestDedupBatch]] folds
+    * into ([[dropPartialBatchDirs]] must have run first). */
+  private def latestCommittedBatchBefore(fs: org.apache.hadoop.fs.FileSystem,
+                                         dir: String, batchId: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .filter(_ < batchId)
+      .sorted.lastOption
+  }
+
+  /**
+   * ONE exactly-once CONTINUOUS-DEDUP INGEST — the batch-job form of
+   * the round's streaming dedup tier, and the kernel behind the
+   * `INGEST_DEDUP_DESTINATION` job step: fold a fresh document batch
+   * into the standing dedup state at `destDir`, which holds
+   * `docs/` + `sketch/` (the accumulated corpus and its persisted LSH
+   * sketch), `pairs/` (every near-dup pair, emitted once when its
+   * later member arrives), and `clusters/` (the standing cluster
+   * assignment — one snapshot per ingested batch; the newest
+   * committed snapshot IS the current assignment).
+   *
+   * Per ingest: the [[nearDupStream]] kernel probes the persisted
+   * sketch (corpus never re-shingled) and finds batch-internal pairs;
+   * then `Dedup.clustersIncremental` folds ONLY the new pairs into
+   * the previous snapshot (labels replay as star edges — node-sized
+   * + batch-sized work, never the pair history). All four directories
+   * ride the `batch=<id>` overwrite protocol: re-running a committed
+   * batch id is a no-op, a crash at any point replays from exactly
+   * the pre-batch state, and partial writes are dropped before any
+   * read. Batch ids must be supplied monotonically by the caller
+   * (the job config's `ingestBatchId`) — the fresh-ingest contract.
+   */
+  def ingestDedupBatch(spark: SparkSession, batch: DataFrame, destDir: String,
+                       batchId: Long, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                       num: Int = 7, den: Int = 10): Unit = {
+    val docsDir = s"$destDir/docs"
+    val sketchDir = s"$destDir/sketch"
+    val pairsDir = s"$destDir/pairs"
+    val clustersDir = s"$destDir/clusters"
+    val fs = new org.apache.hadoop.fs.Path(destDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = Seq(pairsDir, docsDir, sketchDir, clustersDir)
+    dropPartialBatchDirs(fs, dirs)
+    val committed = dirs.forall(d => fs.exists(
+      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+    if (!committed) {
+      writeNearDupBatch(spark, fs,
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        batchId, pairsDir, docsDir, sketchDir, shingleN, k, bands, num, den)
+      // fold THIS batch's committed pairs into the standing assignment
+      val newPairs = spark.read.parquet(batchPart(pairsDir, batchId))
+        .select("doc_a", "doc_b")
+      val labels = latestCommittedBatchBefore(fs, clustersDir, batchId) match {
+        case Some(prev) => spark.read.parquet(clustersDir)
+          .filter(col("batch") === prev).drop("batch")
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("node", LongType),
+            StructField("cluster_id", LongType))))
+      }
+      graft.operators.Dedup.clustersIncremental(labels, newPairs)
+        .write.mode("overwrite").parquet(batchPart(clustersDir, batchId))
+    }
   }
 
   /**

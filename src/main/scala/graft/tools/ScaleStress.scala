@@ -96,6 +96,57 @@ object ScaleStress {
         freeAll()
       }
     }
+    // CHAR-grained incremental dup-span probe (the dspaninc claim for
+    // the no-space-script grain): corpus and its one-time CHAR-gram
+    // summary grow m-fold, the batch stays fixed; tprobe must track
+    // the batch's char-posting count (one row per character — the
+    // stated ~5x premium over word grain), never the corpus.
+    if (wanted("cspaninc")) {
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val index = Dedup.charGramSpanSummary(corpus, "doc_id", "text").localCheckpoint()
+        val ni = index.count()
+        val t1 = System.nanoTime()
+        val out = Dedup.dupSpansCharsIncremental(index, batch, "doc_id", "text").count()
+        val t2 = System.nanoTime()
+        println(f"SCALE cspaninc m=$m%2d docs=$n%7d grams=$ni%9d spans=$out%7d " +
+          f"tindex=${(t1 - t0) / 1e9}%6.1fs tprobe=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
+    // Incremental BM25 maintenance (bm25IncrementalTables'
+    // composition): the corpus — and its one-time posting build —
+    // grows m-fold while the arriving batch stays FIXED. tbuild
+    // tracks the corpus pass; tappend — the batch's own posting
+    // extraction + a batch-sized stats row merged against the
+    // COLLECTED previous stats (one row, metadata) — must stay FLAT
+    // at 10x corpus: no existing posting is rewritten (raw dl +
+    // query-time norms) and df needs no maintenance at all.
+    if (wanted("bm25inc")) {
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val np = graft.TextQueries.bm25RawPostings(corpus).count()
+        val prev = graft.TextQueries.bm25StatsOf(corpus).collect()(0)
+        val t1 = System.nanoTime()
+        val nb = graft.TextQueries.bm25RawPostings(batch).count()
+        val bs = graft.TextQueries.bm25StatsOf(batch).collect()(0)
+        val newD = prev.getLong(0) + bs.getLong(0) // the one-row upsert
+        val t2 = System.nanoTime()
+        println(f"SCALE bm25inc m=$m%2d docs=$n%7d postings=$np%9d batch_p=$nb%8d " +
+          f"d=$newD%7d tbuild=${(t1 - t0) / 1e9}%6.1fs tappend=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>

@@ -342,6 +342,55 @@ class OrchestrationSpec extends SparkTestBase {
     }
   }
 
+  test("INGEST_DEDUP_DESTINATION: cross-batch pairs flow through the persisted " +
+    "sketch, clusters fold incrementally, and a re-submitted batch id is a no-op") {
+    import spark.implicits._
+    val root = tmpDir("graft_ingded_")
+    val state = s"$root/state"
+    // docs 1 (batch 0) and 2 (batch 1) near-duplicate ACROSS the batch
+    // boundary; 3+4 pin the batch-internal path inside batch 0
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "nothing shares anything with the rest of this feed at all"))
+      .toDF("doc_id", "text")
+    docs.filter(col("doc_id").isin(1L, 3L, 4L)).write.parquet(s"$root/b0")
+    docs.filter(col("doc_id").isin(2L, 5L)).write.parquet(s"$root/b1")
+    def cfg(src: String, id: String, batchId: Long) = graft.model.JobConfig(
+      jobId = id,
+      steps = List("INGEST_DEDUP_DESTINATION"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(src))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(state)))),
+      mappings = List(
+        graft.model.FieldMapping("doc_id", "doc_id", destFieldType = "LONG"),
+        graft.model.FieldMapping("text", "text", destFieldType = "STRING")),
+      transformation = graft.model.Transformation("NONE", parameters = Map(
+        "ingestIdColumn" -> "doc_id", "ingestTextColumn" -> "text",
+        "ingestBatchId" -> batchId.toString)))
+    assert(JobRunner.run(spark, cfg(s"$root/b0", "ing-0", 0L)).status == JobRunner.Completed)
+    assert(JobRunner.run(spark, cfg(s"$root/b1", "ing-1", 1L)).status == JobRunner.Completed)
+    def pairs() = spark.read.parquet(s"$state/pairs")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def clusters() = spark.read.parquet(s"$state/clusters")
+      .filter(col("batch") === 1).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(); val c1 = clusters()
+    // the boundary pair (1,2) exists ONLY via batch 0's persisted sketch
+    assert(p1 === Set((1L, 2L), (3L, 4L)), s"got $p1")
+    assert(c1 === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)), s"got $c1")
+    // exactly-once at the job surface: the SAME batch id re-submits
+    // (an orchestrator retry) and must change nothing
+    assert(JobRunner.run(spark, cfg(s"$root/b1", "ing-1-retry", 1L)).status == JobRunner.Completed)
+    assert(pairs() === p1)
+    assert(clusters() === c1)
+    assert(spark.read.parquet(s"$state/docs").count() === 5L)
+  }
+
   test("VALIDATE_DRIFT step: passes on a same-era source, fails past the PSI gate") {
     import org.apache.spark.sql.functions._
     val work = tmpDir("drift_step")
