@@ -1118,6 +1118,101 @@ object TextQueries {
              |      - MAX(CASE WHEN era = 0 THEN cpt END)) AS drift_pm
              |FROM per""".stripMargin)),
 
+    // ---- STREAMING FERTILITY MONITOR: the retrain trigger above as
+    //      a STANDING monitor (EventStreams.fertilityDriftStream) —
+    //      merges train on the even (reference) era BEFORE the stream
+    //      starts (the deployed-tokenizer convention), refCpt is that
+    //      era's booked chars-per-token, and each arriving id-parity
+    //      batch emits its own cpt + drift under the FIXED merges.
+    //      Batch 0 (the reference era re-arriving) must read drift 0
+    //      exactly; batch 1 carries the new era's honest drift. The
+    //      oracle replays the framed BPE encode in recursive SQL —
+    //      the text_bpe_fertility_drift chain emitting one row per
+    //      era/batch. ----
+    Q("text_stream_fertility",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_stream_fert_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          docs.filter(col("doc_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val oldWords = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .localCheckpoint() // merge training AND the ref-cpt read it
+        val merges: Seq[String] = oldWords
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        val refCpt = oldWords.groupBy("w").agg(count(lit(1)).as("c"))
+          .select(col("c"), length(col("w")).cast("long").as("len"),
+            graft.functions.Bpe.nTokens(
+              graft.functions.Bpe.encodeFramed(col("w"), merges)).as("n_tok"))
+          .agg(expr("(1000 * sum(c * len)) div sum(c * n_tok)").as("cpt"))
+          .head().getLong(0)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        graft.streaming.EventStreams.fertilityDriftStream(s, stream,
+            merges, refCpt,
+            work.resolve("out").toString, work.resolve("ckpt").toString)
+          .orderBy("batch_id")
+      },
+      Some("""WITH RECURSIVE w2 AS (
+             |  SELECT doc_id % 2 AS era, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2),
+             |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+             |          FROM w2 WHERE era = 0 GROUP BY 1),
+             |pairs AS (
+             |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)),
+             |merges AS (
+             |  SELECT pair, ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rk
+             |  FROM pairs GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 10),
+             |allv AS (SELECT DISTINCT w FROM w2),
+             |init AS (
+             |  SELECT w, repeat(chr(1), 2) ||
+             |    array_to_string([substring(w, CAST(i AS INTEGER), 1)
+             |      FOR i IN range(1, length(w) + 1)], repeat(chr(1), 2)) ||
+             |    repeat(chr(1), 2) AS s
+             |  FROM allv),
+             |enc AS (
+             |  SELECT w, s, 0 AS step FROM init
+             |  UNION ALL
+             |  SELECT e.w,
+             |    replace(e.s,
+             |      chr(1) || substring(m.pair, 1, 1) || repeat(chr(1), 2) ||
+             |        substring(m.pair, 2, 1) || chr(1),
+             |      chr(1) || m.pair || chr(1)) AS s,
+             |    e.step + 1 AS step
+             |  FROM enc e JOIN merges m ON m.rk = e.step + 1
+             |  WHERE e.step < (SELECT COUNT(*) FROM merges)),
+             |ntok AS (SELECT w,
+             |    CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tok
+             |  FROM enc WHERE step = (SELECT COUNT(*) FROM merges)),
+             |ew AS (SELECT era, w, CAST(COUNT(*) AS BIGINT) AS c FROM w2 GROUP BY 1, 2),
+             |per AS (SELECT era, CAST(SUM(c) AS BIGINT) AS n_words,
+             |    CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,
+             |    CAST((1000 * SUM(c * length(w))) // SUM(c * n_tok) AS BIGINT) AS cpt_permille
+             |  FROM ew JOIN ntok USING (w) GROUP BY era)
+             |SELECT CAST(era AS BIGINT) AS batch_id, n_words, n_tokens, cpt_permille,
+             |  abs(cpt_permille - (SELECT cpt_permille FROM per WHERE era = 0)) AS drift_pm
+             |FROM per ORDER BY batch_id""".stripMargin)),
+
     // ---- ITERATIVE BPE TRAINER: the k-round select -> apply ->
     //      recount loop of real tokenizer training (Sennrich et al.
     //      2016) — text_bpe_merge_step is only round 1's statistic

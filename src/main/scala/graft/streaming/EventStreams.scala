@@ -546,6 +546,62 @@ object EventStreams {
   }
 
   /**
+   * STREAMING TOKENIZER-FERTILITY MONITOR — the
+   * `text_bpe_fertility_drift` retrain trigger as a STANDING monitor
+   * instead of a batch report: the merge table is FIXED at stream
+   * start (the tokenizer actually deployed, trained on the reference
+   * era) and `refCptPm` is that era's booked chars-per-token; each
+   * arriving micro-batch encodes its own words under the fixed
+   * merges — vocab-collapsed, each distinct batch word encodes once —
+   * and emits one (batch_id, n_words, n_tokens, cpt_permille,
+   * drift_pm) row. A feed whose fertility collapses (a new domain or
+   * language the old merges under-serve) shows up as drift_pm rising
+   * batch over batch — the retrain signal, surfaced BEFORE a training
+   * run eats the token budget. Integer-exact throughout (the batch
+   * gate's permille formula), so the monitor rows replay bit-exactly
+   * in the oracle's recursive BPE encode.
+   *
+   * Per batch: one batch-sized word groupBy + the codegen'd framed
+   * encode over the batch VOCABULARY + a one-row report — nothing
+   * grows with stream history. Report rows ride the `batch=<id>`
+   * overwrite protocol (a crash-replayed batch replaces its own row,
+   * never duplicates it).
+   */
+  def fertilityDriftStream(spark: SparkSession, stream: DataFrame,
+                           merges: Seq[String], refCptPm: Long,
+                           outDir: String, checkpoint: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        dropPartialBatchDirs(fs, Seq(outDir))
+        val part = batchPart(outDir, batchId)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+          batch.select(explode(split(col("text"), " ")).as("w"))
+            .filter(length(col("w")) >= 2)
+            .groupBy("w").agg(count(lit(1)).as("c"))
+            .select(col("w"), col("c"), graft.functions.Bpe.nTokens(
+              graft.functions.Bpe.encodeFramed(col("w"), merges)).as("n_tok"))
+            .agg(sum("c").as("n_words"),
+              sum(col("c") * length(col("w")).cast("long")).as("_chars"),
+              sum(col("c") * col("n_tok")).as("n_tokens"))
+            .select(lit(batchId).as("batch_id"), col("n_words"), col("n_tokens"),
+              expr("(1000 * _chars) div n_tokens").as("cpt_permille"))
+            .withColumn("drift_pm", abs(col("cpt_permille") - lit(refCptPm)))
+            .write.mode("overwrite").parquet(part)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("batch")
+  }
+
+  /**
    * STREAMING FEED-FRESHNESS MONITOR: per micro-batch, each stream's
    * max event time and its lag in whole minutes behind the batch's
    * freshest stream — the continuously-updated twin of the batch
