@@ -33,7 +33,8 @@ object Bench {
     "agg_approx_agreement", "events_stream_tumbling", "etl_media_binaryfile",
     "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget",
     "dedup_prefix_pairs", "layout_bloom_skipping",
-    "text_unigram_train", "sim_ivf_recall", "text_stream_neardup")
+    "text_unigram_train", "sim_ivf_recall", "text_stream_neardup",
+    "sim_ivfpq_batch_topk", "text_bm25_incremental", "etl_ingest_dedup")
 
   /** Exactness TWINS excluded from the bench loop: each re-runs its
     * approximate sibling's pipeline PLUS an exact reference purely to

@@ -1323,6 +1323,35 @@ object TextQueries {
       },
       Some(unigramApplyOracle(2, 32, 24))),
 
+    // ---- UNIGRAM APPLY, BROADCAST-JOIN FORM (the production
+    //      segmentation path past the typedLit piece ceiling —
+    //      Unigram.segmentJoined): spans explode once per distinct
+    //      word, the trained piece table joins as ONE broadcast, the
+    //      same exact-BIGINT dp/backtrace walks the folded per-word
+    //      map. Must emit byte-identical output to
+    //      text_unigram_train_apply — same oracle, so the two
+    //      execution strategies are pinned against one recursive-SQL
+    //      ground truth (the dedup-family discipline). ----
+    Q("text_unigram_apply_scalable",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w"))
+            .between(2, graft.functions.Unigram.MaxWordLen))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // trained over AND re-segmented
+        val tab = graft.functions.Unigram.trainUnigramTable(
+          vocab, "w", "freq", rounds = 2, seedMulti = 32, keepMulti = 24)
+        val pieceDf = tab.map(t => (t._1, t._3)).toDF("piece", "score_micros")
+        graft.functions.Unigram.segmentJoined(vocab, "w", pieceDf)
+          .select(col("w"), col("freq"),
+            size(col("_pieces")).cast("long").as("n_pieces"),
+            array_join(reverse(col("_pieces")), " ").as("encoded"))
+          .orderBy(desc("freq"), asc("w")).limit(500)
+      },
+      Some(unigramApplyOracle(2, 32, 24))),
+
     // ---- LEARNED QUALITY/LANGUAGE CLASSIFIER (hashed-n-gram linear
     //      scorer — the fastText-classifier shape public
     //      data-curation pipelines apply at corpus scale): word

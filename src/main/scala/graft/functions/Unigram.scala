@@ -61,15 +61,16 @@ object Unigram {
     * equi-join the piece table as a BROADCAST keyed on the piece
     * string, and re-fold the dp from the joined scores — the scores
     * then ride one broadcast instead of 8 plan literals. That
-    * graduation is deliberately unbuilt until needed; this guard
-    * makes the ceiling loud instead of a silent task-binary blowup. */
+    * graduation EXISTS as [[segmentJoined]] (bit-identical,
+    * ceiling-free); this guard routes oversized vocabularies to it
+    * loudly instead of letting the task binary blow up silently. */
   val MaxPieces = 8192
 
   private def requirePieceBudget(scores: Map[String, Long]): Unit =
     require(scores.size <= MaxPieces,
       s"unigram piece table has ${scores.size} pieces — past the $MaxPieces-piece " +
         "typedLit plan-embedding ceiling (8 map literals per segmentation plan); " +
-        "graduate to the broadcast-join segmentation form before serving this vocabulary")
+        "use the broadcast-join segmentation (Unigram.segmentJoined) for this vocabulary")
 
   /** Viterbi FORWARD pass as one sequential fold: dp[0..len] with
     * dp[i] = max over k=1..4 of dp[i-k] + score(substr(w, i-k+1, k)).
@@ -123,6 +124,102 @@ object Unigram {
             array(w.substr(pos - kSel + 1, kSel))).as("ps")))
       })
     walk.getField("ps")
+  }
+
+  /** The dp fold over a PER-ROW (pos·8+len -> score) map column —
+    * identical candidates, floors, and max-sum as [[viterbiDp]]'s
+    * typedLit form (a k=1 key always exists, inserted at Neg by
+    * [[segmentJoined]]'s join; an absent multi-char key coalesces to
+    * Invalid). */
+  private def dpFromMap(w: Column, m: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => {
+        def cand(k: Int): Column =
+          when(i >= k,
+            element_at(acc, (i - k + 1).cast("int")) +
+              coalesce(element_at(m, i * lit(8) + lit(k)),
+                lit(if (k == 1) Neg else Invalid)))
+            .otherwise(lit(Invalid))
+        concat(acc, array(greatest(cand(1), cand(2), cand(3), cand(4))))
+      })
+
+  /** [[viterbiPieces]]'s backtrace over the per-row span-score map —
+    * same exact-BIGINT equality walk, same longest-piece tie order. */
+  private def piecesFromMap(w: Column, dp: Column, m: Column): Column = {
+    val walk = aggregate(
+      sequence(lit(1), lit(MaxWordLen)),
+      struct(length(w).cast("int").as("pos"),
+        typedLit(Seq.empty[String]).as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        def hit(k: Int): Column = pos >= k &&
+          (element_at(dp, pos + 1) ===
+            element_at(dp, (pos - k + 1).cast("int")) +
+              coalesce(element_at(m, pos * lit(8) + lit(k)),
+                lit(if (k == 1) Neg else Invalid)))
+        val kSel = when(hit(4), lit(4)).when(hit(3), lit(3))
+          .when(hit(2), lit(2)).otherwise(lit(1))
+        when(pos <= 0, acc).otherwise(struct(
+          (pos - kSel).cast("int").as("pos"),
+          concat(acc.getField("ps"),
+            array(w.substr(pos - kSel + 1, kSel))).as("ps")))
+      })
+    walk.getField("ps")
+  }
+
+  /**
+   * BROADCAST-JOIN Viterbi segmentation — the graduation path past
+   * the [[MaxPieces]] typedLit ceiling, built: instead of embedding
+   * the score map in the plan 8 times, each distinct word EXPLODES
+   * once to its candidate (pos, len) spans (|word|·MaxPiece rows, all
+   * map-side), the piece table joins the span STRING as ONE broadcast
+   * — however large the vocabulary — and the scored spans fold back
+   * into a per-word (pos·8+len -> score_micros) map that the same
+   * exact-BIGINT dp and backtrace then walk. Bit-identical to
+   * [[viterbiDp]] + [[viterbiPieces]] (same candidate set, Neg/
+   * Invalid floors, max-sum, and longest-piece tie-break — UnigramSpec
+   * pins the equality and exercises a table PAST the typedLit
+   * ceiling), with plan size independent of the piece count: a 32k
+   * SentencePiece vocabulary rides one broadcast, not 8 plan
+   * literals.
+   *
+   * `pieces`: (`pieceCol`, `scoreCol`) — the trained table (e.g.
+   * [[trainUnigram]]'s output). Returns `vocab` plus `_pieces`
+   * (array<string>, backtrace order — reverse for reading order,
+   * matching [[viterbiPieces]]). A word with no segmentable length
+   * (< 1 char) keeps a null map and null pieces, like the typedLit
+   * form's degenerate fold.
+   */
+  def segmentJoined(vocab: DataFrame, wCol: String, pieces: DataFrame,
+                    pieceCol: String = "piece",
+                    scoreCol: String = "score_micros"): DataFrame = {
+    val spans = vocab.select(col(wCol).as("_w")).distinct()
+      .select(col("_w"), explode(expr(
+        s"flatten(transform(sequence(1, length(_w)), i -> " +
+          s"transform(sequence(1, least($MaxPiece, i)), " +
+          s"k -> struct(i * 8 + k AS key, k AS k, substring(_w, i - k + 1, k) AS p))))"))
+        .as("sp"))
+      .select(col("_w"), col("sp.key").as("_key"), col("sp.k").as("_k"),
+        col("sp.p").as("_p"))
+    val scored = spans
+      .join(broadcast(pieces.select(col(pieceCol).as("_p"),
+        col(scoreCol).cast("long").as("_sc"))), Seq("_p"), "left")
+      // a missing single char segments at the Neg floor (a key for
+      // every (pos, 1) ALWAYS lands in the map); a missing multi-char
+      // span is simply not a candidate — dropped here, coalesced to
+      // Invalid at lookup, exactly the typedLit form's semantics
+      .filter(col("_sc").isNotNull || col("_k") === 1)
+      .select(col("_w"), col("_key"),
+        coalesce(col("_sc"), lit(Neg)).as("_sc"))
+    val maps = scored.groupBy("_w")
+      .agg(map_from_entries(collect_list(struct(col("_key"), col("_sc"))))
+        .as("_smap"))
+    vocab.join(maps, col(wCol) === maps("_w"), "left").drop("_w")
+      .withColumn("_dp", dpFromMap(col(wCol), col("_smap")))
+      .withColumn("_pieces", piecesFromMap(col(wCol), col("_dp"), col("_smap")))
+      .drop("_smap", "_dp")
   }
 
   /** The smoothed integer-micros re-score: one tiny aggregate

@@ -119,6 +119,22 @@ class PlanSpec extends SparkTestBase {
       s"the idf join must broadcast (terms-sized), not SMJ:\n${plan.take(1500)}")
   }
 
+  test("incremental BM25 keeps bucket pruning across the corpus+batch append") {
+    // the maintainability claim in plan terms: after the batch
+    // bucket-appends, a 3-term query still reads only its terms'
+    // buckets of the ENLARGED table, and the query-time norm does
+    // not reintroduce a corpus-sized join (stats is one broadcast row)
+    val plan = planString(Queries.queries("text_bm25_incremental")(spark, sf))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"bucket pruning missing from the incremental BM25 plan:\n${plan.take(1500)}")
+    val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel < tot, s"no buckets pruned: $sel of $tot")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrdered for the top-10 cut")
+    assert(!plan.contains("SortMergeJoin"),
+      s"idf+stats must broadcast (terms-sized/one-row), not SMJ:\n${plan.take(1500)}")
+  }
+
   test("segmented rank shuffles on (p, bucket), not p alone") {
     val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
     assert(plan.contains("_bkt"),

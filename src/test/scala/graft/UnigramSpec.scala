@@ -58,6 +58,32 @@ class UnigramSpec extends SparkTestBase {
     Unigram.viterbiDp(col("w"), atCap) // must not throw
   }
 
+  test("segmentJoined is bit-identical to the typedLit Viterbi, with no piece ceiling") {
+    // same candidates, floors, max-sum, and longest-piece tie-break —
+    // on the hand fixtures AND under a piece table PAST MaxPieces,
+    // where the typedLit form refuses and the join form must serve
+    def joined(w: String, scores: Map[String, Long]): Seq[String] = {
+      val pieceDf = scores.toSeq.toDF("piece", "score_micros")
+      Unigram.segmentJoined(Seq(w).toDF("w"), "w", pieceDf)
+        .select("_pieces").head().getSeq[String](0).toSeq
+    }
+    val fixtures = Seq(
+      Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -1000000L),   // composite wins
+      Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -5000000L),   // chars win
+      Map("a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L),   // exact tie -> longest
+      Map("a" -> -1000000L))                                        // missing chars ride Neg
+    for (scores <- fixtures; w <- Seq("abab", "ab", "ba", "aaab"))
+      assert(joined(w, scores) === segment(w, scores),
+        s"divergence on w=$w scores=$scores")
+    // past the ceiling: typedLit refuses, the join form serves the
+    // same segmentation the small-table typedLit form computes
+    val big = (0 to Unigram.MaxPieces).map(i => f"p$i%05d" -> -3000000L).toMap ++
+      Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -1000000L)
+    intercept[IllegalArgumentException] { Unigram.viterbiDp(col("w"), big) }
+    assert(joined("abab", big) === segment("abab",
+      Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -1000000L)))
+  }
+
   test("trainUnigram keeps every char and emits integer-micro scores") {
     val vocab = Seq(("abab", 10L), ("abba", 5L), ("baba", 3L), ("bb", 2L))
       .toDF("w", "freq")
