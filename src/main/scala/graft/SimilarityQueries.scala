@@ -1325,6 +1325,37 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- BATCH LSH SERVING on the hard gate (annBatchTopK —
+    //      completes the probe-batch tier across all four ANN
+    //      families): signatures ride the broadcast probe frame,
+    //      candidates are the per-(row, probe) bit_count filter,
+    //      survivors re-rank exactly. Exactness rider:
+    //      probeHamming = nBits accepts everything, so each probe's
+    //      answer is exact cosine top-k — the sim_ivf_batch_topk
+    //      oracle verbatim. ----
+    Q("sim_ann_batch_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        graft.operators.Similarity
+          .annBatchTopK(emb, probes, "e", dim = 64, k = 10,
+            nBits = 16, probeHamming = 16)
+          .select("probe_id", "vec_id", "cos_sim")
+          .orderBy(col("probe_id"), desc("cos_sim"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, e.vec_id,
+             |        list_dot_product(e.v, p.pv)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+             |      FROM e, p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 10
+             |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin)),
+
     // ---- BATCH IVF SERVING on the hard gate: the probe-batch form
     //      (per-probe cell rank in-plan, one cell equi-join, one
     //      per-probe window — Similarity.ivfBatchTopK; no driver

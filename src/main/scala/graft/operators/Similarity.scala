@@ -224,6 +224,35 @@ object Similarity {
   }
 
   /**
+   * BATCH LSH serving — [[annTopK]]'s probe-batch form, completing
+   * the batch tier across all four ANN families (brute =
+   * [[batchTopK]], PQ = [[pqBatchTopK]], IVF/IVF-PQ =
+   * [[ivfBatchTopK]]/[[ivfPqBatchTopK]]): every probe's signature
+   * rides the broadcast probe frame, candidates are the bit_count
+   * filter per (row, probe), survivors re-rank exactly under one
+   * per-probe window. At 100 TB the corpus signature is precomputed
+   * and bucketable by prefix, so the scan is signature-pruned; the
+   * batch multiplies the per-probe candidate work, never the corpus
+   * scan count. Exactness rider: probeHamming = nBits accepts every
+   * candidate, so each probe's answer equals exact cosine top-k
+   * (`sim_ann_batch_topk`). `probes`: (`probeIdCol`, `probe_e`).
+   */
+  def annBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                   dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6,
+                   idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
+    val sigC = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
+    val sigP = probes.withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    sigC.crossJoin(broadcast(sigP))
+      .filter(expr(s"bit_count(sig ^ probe_sig) <= $probeHamming"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "probe_sig", "sig")
+  }
+
+  /**
    * IVF (inverted-file) ANN: partition the corpus into `nLists` cells
    * around sampled centroids; a query probes only the `nProbe` cells
    * whose centroids are nearest its vector, then re-ranks exactly.
