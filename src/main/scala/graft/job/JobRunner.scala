@@ -642,6 +642,17 @@ object JobRunner {
               ingNeed("ingestBatchId").toLong,
               idCol = ingNeed("ingestIdColumn"),
               textCol = ingNeed("ingestTextColumn"))
+            // optional post-ingest compaction (ingestCompact=true):
+            // fold the accumulated per-batch partitions — union
+            // semantics for the append dirs, keep-newest for the
+            // cluster snapshots — so a 24/7 ingest's listing cost
+            // stays bounded. Runs between batches by construction
+            // (this step IS the only writer).
+            if (ingP.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
+              Seq("docs", "sketch", "pairs").foreach(d =>
+                graft.streaming.EventStreams.compactBatchState(spark, s"$ingPath/$d", "union"))
+              graft.streaming.EventStreams.compactBatchState(spark, s"$ingPath/clusters", "latest")
+            }
             stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:

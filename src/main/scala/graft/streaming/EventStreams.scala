@@ -254,17 +254,21 @@ object EventStreams {
     * batch replaces its own files instead of duplicating them. */
   private def batchPart(dir: String, batchId: Long) = s"$dir/batch=$batchId"
 
-  /** Replay repair for the `batch=<id>` append protocol: drop any
-    * batch partition without a `_SUCCESS` marker — the partial output
-    * of a write that crashed mid-flight (parquet's committer writes
-    * the marker last, so marker-less dirs are never complete). Runs
-    * before ANY read of the directories; metadata-sized (one child
-    * listing per dir). Only the CURRENT batch can be partial — the
-    * streaming checkpoint records a batch only after foreachBatch
-    * returns, so every earlier batch's dirs completed. */
+  /** Replay repair for the `batch=<id>` append protocol: first
+    * resolve any crashed COMPACTION ([[repairCompaction]] — roll it
+    * forward or back so no batch partition is half-moved), then drop
+    * any batch partition without a `_SUCCESS` marker — the partial
+    * output of a write that crashed mid-flight (parquet's committer
+    * writes the marker last, so marker-less dirs are never
+    * complete). Runs before ANY read of the directories;
+    * metadata-sized (one child listing per dir). Only the CURRENT
+    * batch can be partial — the streaming checkpoint records a batch
+    * only after foreachBatch returns, so every earlier batch's dirs
+    * completed. */
   private def dropPartialBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                                    dirs: Seq[String]): Unit =
     dirs.foreach { dir =>
+      repairCompaction(fs, dir)
       val p = new org.apache.hadoop.fs.Path(dir)
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
         if (st.getPath.getName.startsWith("batch=") &&
@@ -272,6 +276,135 @@ object EventStreams {
           fs.delete(st.getPath, true)
       }
     }
+
+  private val CompactStage = "_compact_stage"
+  private val CompactAside = "_compact_old_" // + batchId, no '=' — invisible to discovery
+
+  /** Crash repair for [[compactBatchState]]'s union protocol — runs
+    * inside [[dropPartialBatchDirs]] so EVERY protocol participant
+    * (streams, the ingest step, compaction itself) resolves a crashed
+    * compaction before its first read. A stage without `_SUCCESS`
+    * (crash mid-consolidation) rolls BACK: restore any asides, drop
+    * the stage — the original partitions are intact. A COMPLETE stage
+    * rolls FORWARD deterministically: finish setting the source
+    * partitions aside, swap the stage in as `batch=<target>`, drop
+    * the asides — finishing exactly what the crashed compactor
+    * started. Metadata-sized (one listing + renames). */
+  private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val stage = new Path(root, CompactStage)
+    def asides() = fs.listStatus(root).filter(_.getPath.getName.startsWith(CompactAside))
+    if (fs.exists(stage)) {
+      val done = fs.exists(new Path(stage, "_SUCCESS")) &&
+        fs.exists(new Path(stage, "_compact_target"))
+      if (!done) {
+        // crash before the stage completed: the source partitions are
+        // authoritative — restore anything set aside, drop the stage
+        asides().foreach { st =>
+          val id = st.getPath.getName.stripPrefix(CompactAside)
+          val live = new Path(root, s"batch=$id")
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new IllegalStateException(s"compaction repair: cannot restore $live")
+          } else fs.delete(st.getPath, true)
+        }
+        fs.delete(stage, true)
+      } else {
+        // stage complete: roll forward
+        finishCompaction(fs, root, stage)
+      }
+    } else {
+      // crash after the swap, before aside cleanup
+      asides().foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
+  /** The forward half shared by [[compactBatchState]] and its repair:
+    * set every committed source partition <= target aside, swap the
+    * complete stage in as `batch=<target>`, drop asides last. */
+  private def finishCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               stage: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tIn = fs.open(new Path(stage, "_compact_target"))
+    val target =
+      try scala.io.Source.fromInputStream(tIn, "UTF-8").mkString.trim.toLong
+      finally tIn.close()
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch="))
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+          .filter(_ <= target).foreach { id =>
+            if (!fs.rename(st.getPath, new Path(root, s"$CompactAside$id")))
+              throw new IllegalStateException(s"compaction: cannot set aside batch=$id")
+          }
+    }
+    fs.delete(new Path(stage, "_compact_target"), false)
+    if (!fs.rename(stage, new Path(root, s"batch=$target")))
+      throw new IllegalStateException(s"compaction: cannot swap in batch=$target")
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(CompactAside))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /**
+   * COMPACT a `batch=<id>` protocol state directory — the maintenance
+   * operator a 24/7 ingest needs: every micro-batch adds one
+   * partition, and at 100 TB the real bill of months of 1-minute
+   * batches is the listing/open cost of ~500k tiny directories, not
+   * the bytes. Two folds, chosen by the directory's semantics:
+   *
+   *  - `union` (docs, sketches, pair logs, gram summaries — anything
+   *    readers UNION): all committed partitions consolidate into ONE
+   *    `batch=<maxId>` partition. Protocol-preserving: every future
+   *    batch b > maxId reads the same `stateBefore(b)` rows before
+   *    and after (compacted rows carry batch = maxId < b). Crash-safe
+   *    via stage-then-swap: rows write to an underscore staging child
+   *    (invisible to discovery, target id recorded inside), source
+   *    partitions set aside, stage swapped in, asides dropped last —
+   *    [[repairCompaction]] rolls an interrupted run forward (stage
+   *    complete) or back (stage partial) before anyone reads.
+   *  - `latest` (cluster snapshots — each partition is a COMPLETE
+   *    state, readers take the newest): simply drop every committed
+   *    partition except the newest; no rewrite, trivially crash-safe
+   *    (a surviving older snapshot is re-dropped next run).
+   *
+   * Returns the number of partitions compacted away (0 = nothing to
+   * do). Run it BETWEEN batches (the ingest step's `ingestCompact`
+   * parameter, or an out-of-band maintenance job) — never
+   * concurrently with a writer on the same directory.
+   */
+  def compactBatchState(spark: SparkSession, dir: String,
+                        mode: String = "union"): Long = {
+    import org.apache.hadoop.fs.Path
+    require(mode == "union" || mode == "latest",
+      s"compactBatchState mode must be 'union' or 'latest', got $mode")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dropPartialBatchDirs(fs, Seq(dir)) // also resolves a crashed compaction
+    if (!fs.exists(root)) return 0L
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .sorted
+    if (ids.size <= 1) return 0L
+    val target = ids.last
+    if (mode == "latest") {
+      ids.init.foreach(i => fs.delete(new Path(root, s"batch=$i"), true))
+      ids.size - 1L
+    } else {
+      val stage = new Path(root, CompactStage)
+      fs.delete(stage, true)
+      spark.read.parquet(dir).drop("batch").write.parquet(stage.toString)
+      val out = fs.create(new Path(stage, "_compact_target"), true)
+      try out.write(target.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      finishCompaction(fs, root, stage)
+      ids.size - 1L
+    }
+  }
 
   /** True iff `dir` holds a committed `batch=<i>` partition with
     * i < batchId — the "prior state exists" test of the exactly-once

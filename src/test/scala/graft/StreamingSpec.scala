@@ -1202,6 +1202,95 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$work/state").count() === 18L)
   }
 
+  test("compactBatchState: union fold preserves stateBefore semantics; " +
+    "latest keeps the newest snapshot; a crashed compaction repairs both ways") {
+    import spark.implicits._
+    val work = tmpDir("graft_compact_state_")
+    val dir = s"$work/state"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeBatch(id: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch=$id")
+    writeBatch(0L, Seq((1L, "a"), (2L, "b")))
+    writeBatch(1L, Seq((3L, "c")))
+    writeBatch(2L, Seq((4L, "d")))
+    def all() = spark.read.parquet(dir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = all()
+    // union fold: 3 partitions -> 1, same rows, under the max id
+    assert(EventStreams.compactBatchState(spark, dir, "union") === 2L)
+    assert(all() === before)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(parts === Seq("batch=2"), s"got $parts")
+    // a future batch's prior-state view is unchanged
+    assert(spark.read.parquet(dir).filter(col("batch") < 3).drop("batch")
+      .count() === before.size.toLong)
+    assert(EventStreams.compactBatchState(spark, dir, "union") === 0L) // idempotent
+    // crashed compaction, stage INCOMPLETE: rolls back (source wins)
+    writeBatch(3L, Seq((5L, "e")))
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_compact_stage")
+    fs.mkdirs(stage) // no _SUCCESS, no target — a mid-write crash
+    assert(EventStreams.compactBatchState(spark, dir, "union") === 1L)
+    assert(!fs.exists(stage))
+    assert(all() === before + ((5L, "e")))
+    // crashed compaction, stage COMPLETE: repair rolls FORWARD
+    writeBatch(4L, Seq((6L, "f")))
+    Seq((9L, "z")).toDF("doc_id", "text").write.parquet(stage.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_compact_target"), true)
+    out.write("4".getBytes("UTF-8")); out.close()
+    EventStreams.compactBatchState(spark, dir, "union") // repair runs first
+    assert(all() === Set((9L, "z"))) // the complete stage IS the committed truth
+    // latest fold: snapshots — only the newest survives
+    val snap = s"$work/snaps"
+    Seq((1L, "s0")).toDF("doc_id", "text").write.parquet(s"$snap/batch=0")
+    Seq((1L, "s1")).toDF("doc_id", "text").write.parquet(s"$snap/batch=1")
+    assert(EventStreams.compactBatchState(spark, snap, "latest") === 1L)
+    val keep = spark.read.parquet(snap).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keep === Set((1L, "s1")))
+  }
+
+  test("ingest state compaction end-to-end: compact between ingests, results unchanged") {
+    // the operational claim: a compaction BETWEEN batches is invisible
+    // to every later ingest — same pairs, same final clusters as the
+    // uncompacted run (the INGEST_DEDUP_DESTINATION ingestCompact path)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "entirely unshared content sits alone in the middle batch"),
+      (6L, "and this final document also matches nothing else at all"))
+      .toDF("doc_id", "text")
+    def run(root: String, compactMid: Boolean): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val state = s"$root/state"
+      EventStreams.ingestDedupBatch(spark,
+        docs.filter(col("doc_id").isin(1L, 3L)), state, 0L)
+      EventStreams.ingestDedupBatch(spark,
+        docs.filter(col("doc_id").isin(4L, 5L)), state, 1L)
+      if (compactMid) {
+        Seq("docs", "sketch", "pairs").foreach { d =>
+          assert(EventStreams.compactBatchState(spark, s"$state/$d", "union") === 1L)
+        }
+        assert(EventStreams.compactBatchState(spark, s"$state/clusters", "latest") === 1L)
+      }
+      // the cross-compaction pair (1, 2) can only come from the
+      // FOLDED sketch; (3, 4) was found before the compaction
+      EventStreams.ingestDedupBatch(spark,
+        docs.filter(col("doc_id").isin(2L, 6L)), state, 2L)
+      (spark.read.parquet(s"$state/pairs").select("doc_a", "doc_b")
+         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+       spark.read.parquet(s"$state/clusters").filter(col("batch") === 2)
+         .drop("batch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val plain = run(tmpDir("graft_ingc_plain_"), compactMid = false)
+    val compacted = run(tmpDir("graft_ingc_comp_"), compactMid = true)
+    assert(compacted === plain)
+    assert(plain._1 === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("attribution hot-user bound: noise types never reach the state buffer") {
     // pins the documented per-(user, batch) bound: the group buffer
     // holds only the attribution-relevant slice (purchases + touches),
