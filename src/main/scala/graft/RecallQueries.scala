@@ -235,6 +235,40 @@ object RecallQueries {
       },
       None),
 
+    // ---- BUCKETED vs SCAN LSH agreement at the multi-probe radius
+    //      (r=2 — the indexed serving form's exactness pin,
+    //      REQUIRE-backed since hyperplane signatures aren't
+    //      SQL-replayable): Similarity.annBucketedBatchTopK's
+    //      Hamming-ball mask enumeration must produce the IDENTICAL
+    //      per-probe result set as the bit_count corpus scan — the
+    //      equi-join form touches ~137/65536 of a sig-partitioned
+    //      corpus where the scan touches all of it (SCALE annbucket
+    //      measures the fan-out), and this gate is the proof the
+    //      saving costs nothing at equal radius. ----
+    Q("sim_ann_bucketed_agree",
+      (s, dir) => {
+        import s.implicits._
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val scan = graft.operators.Similarity.annBatchTopK(
+            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2)
+          .select("probe_id", "vec_id").localCheckpoint()
+        val bucketed = graft.operators.Similarity.annBucketedBatchTopK(
+            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2)
+          .select("probe_id", "vec_id").localCheckpoint()
+        val nScan = scan.count()
+        val nBuck = bucketed.count()
+        val common = scan.join(bucketed, Seq("probe_id", "vec_id"), "left_semi").count()
+        require(nScan == nBuck && common == nScan,
+          s"bucketed/scan LSH divergence at r=2: scan=$nScan bucketed=$nBuck common=$common")
+        val out = Seq(("ann_bucketed_r2", NProbes.toLong, K.toLong, nScan, common))
+          .toDF("family", "n_probes", "k", "n_rows", "n_agree")
+        graft.operators.Checkpoints.free(scan)
+        graft.operators.Checkpoints.free(bucketed)
+        out
+      },
+      None),
+
     // ---- HLL relative error at the PRODUCTION rsd (0.02 — the
     //      agg_approx_distinct parameters): per-flag approximate vs
     //      exact distinct parts, err_permille per group, REQUIRE

@@ -252,6 +252,63 @@ object Similarity {
       .drop("probe_e", "probe_sig", "sig")
   }
 
+  /** All `nBits`-wide XOR masks with at most `r` set bits — the
+    * multi-probe enumeration of [[annBucketedBatchTopK]]. Metadata by
+    * construction: Σ C(nBits, i), i ≤ r (137 at nBits=16, r=2; 697 at
+    * r=3); r > 3 outgrows the point of bucketing, rejected. */
+  private def hammingMasks(nBits: Int, r: Int): Seq[Long] = {
+    require(r >= 0 && r <= 3,
+      s"multi-probe enumerates C($nBits, <=r) masks — r must be 0..3, got $r")
+    val out = scala.collection.mutable.ArrayBuffer(0L)
+    if (r >= 1) for (i <- 0 until nBits) out += (1L << i)
+    if (r >= 2) for (i <- 0 until nBits; j <- i + 1 until nBits)
+      out += (1L << i) | (1L << j)
+    if (r >= 3) for (i <- 0 until nBits; j <- i + 1 until nBits; l <- j + 1 until nBits)
+      out += (1L << i) | (1L << j) | (1L << l)
+    out.toSeq
+  }
+
+  /**
+   * Signature-BUCKETED multi-probe LSH — the INDEXED serving form of
+   * [[annTopK]]/[[annBatchTopK]]: those scan the whole corpus and
+   * filter by `bit_count`, which is map-side but still a full scan
+   * per query batch — at 100 TB the corpus signature is PRECOMPUTED
+   * and the corpus is laid out BY signature, and this form exploits
+   * that: each probe enumerates every signature within `probeHamming`
+   * of its own ([[hammingMasks]] — Σ C(nBits, i) masks, 137 at the
+   * r=2 default, XORed onto the probe signature in-plan) and
+   * candidates come from the signature EQUI-JOIN — on a
+   * sig-partitioned corpus a partition-pruned read touching
+   * ~masks/2^nBits of the data (~0.2% at 16 bits, r=2), never a full
+   * scan. The candidate set provably EQUALS the scan form's
+   * {x : hamming(sig_x, sig_p) ≤ r} (XOR by every ≤r-bit mask
+   * enumerates exactly the Hamming ball), so the two forms are
+   * bit-identical at equal r — DedupSimilaritySpec pins it and the
+   * `sim_ann_bucketed_agree` gate REQUIREs it per run. Recall at a
+   * given r is lower than the scan form at hamming ≤ 6 — the classic
+   * multi-probe trade (touch 0.2% of the corpus, accept the smaller
+   * ball; raise r or nBits to buy recall with a bigger ball).
+   * `probes`: (`probeIdCol`, `probe_e`).
+   */
+  def annBucketedBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                           dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 2,
+                           idCol: String = "vec_id",
+                           probeIdCol: String = "probe_id"): DataFrame = {
+    val masks = hammingMasks(nBits, probeHamming)
+    val sigC = corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
+    val sigP = probes
+      .withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
+      .withColumn("sig", explode(array(
+        masks.map(m => col("probe_sig").bitwiseXOR(lit(m))): _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    sigC.join(broadcast(sigP), "sig")
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "probe_sig", "sig")
+  }
+
   /**
    * IVF (inverted-file) ANN: partition the corpus into `nLists` cells
    * around sampled centroids; a query probes only the `nProbe` cells

@@ -1131,6 +1131,39 @@ object ScaleStress {
       graft.operators.Checkpoints.free(encCp)
       graft.operators.Checkpoints.free(asgCp)
     }
+    // BUCKETED multi-probe LSH vs the bit_count scan
+    // (annBucketedBatchTopK vs annBatchTopK at equal radius r=2): the
+    // corpus grows m-fold, 20 probes fixed. cand — the equi-join's
+    // candidate fan-out — must stay a TINY fraction of the corpus
+    // (~137/65536 of rows per probe on uniform signatures) while the
+    // scan form touches every row per batch; results are equal by the
+    // Hamming-ball enumeration (sim_ann_bucketed_agree REQUIREs it).
+    // On a sig-partitioned 100 TB corpus the equi-join is a partition
+    // read; here both run as joins/scans over memory-resident data,
+    // so the measured claim is the FAN-OUT, with wall as corroboration.
+    if (wanted("annbucket")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val probes = emb0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val t0 = System.nanoTime()
+        val scanRows = Similarity.annBatchTopK(corpus, probes, "e",
+          dim = 64, k = 10, nBits = 16, probeHamming = 2).count()
+        val t1 = System.nanoTime()
+        val bRows = Similarity.annBucketedBatchTopK(corpus, probes, "e",
+          dim = 64, k = 10, nBits = 16, probeHamming = 2).count()
+        val t2 = System.nanoTime()
+        println(f"SCALE annbucket m=$m%2d vecs=$n%7d scan_rows=$scanRows%5d bkt_rows=$bRows%5d " +
+          f"tscan=${(t1 - t0) / 1e9}%6.1fs tbkt=${(t2 - t1) / 1e9}%6.1fs")
+        freeAll()
+      }
+    }
     // JDBC round-trip (S1/S3/W1): W1 batch insert OUT, 4-stride
     // partitioned read BACK (data-derived bounds). The write wall is
     // the destination's price — embedded Derby is one process doing

@@ -264,6 +264,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     graft.operators.Checkpoints.free(encCp)
   }
 
+  test("annBucketedBatchTopK equals the bit_count scan form at every r") {
+    // the Hamming-ball mask enumeration must reproduce the scan
+    // filter's candidate set exactly — same ids, same cosines, at
+    // r = 0 (identical signatures only), 1, and 2
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    for (r <- 0 to 2) {
+      val scan = Similarity.annBatchTopK(emb, probes, "e", dim = 64, k = 5,
+          nBits = 16, probeHamming = r)
+        .select("probe_id", "vec_id", "cos_sim").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val bucketed = Similarity.annBucketedBatchTopK(emb, probes, "e", dim = 64,
+          k = 5, nBits = 16, probeHamming = r)
+        .select("probe_id", "vec_id", "cos_sim").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(bucketed === scan, s"divergence at r=$r")
+    }
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
