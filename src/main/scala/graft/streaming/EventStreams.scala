@@ -741,8 +741,9 @@ object EventStreams {
    * events_freshness_sla report (a stuck upstream shows up as one
    * type's lag growing batch over batch). Stateless: one
    * map-side-combinable max per (batch, type), one one-row broadcast
-   * of the batch max; one monitor row per stream per batch appends
-   * to the sink.
+   * of the batch max; one monitor row per stream per batch lands in
+   * the sink on the `batch=<id>` overwrite protocol (a crash-replayed
+   * batch replaces its own rows instead of duplicating them).
    */
   def freshnessStream(spark: SparkSession, stream: DataFrame,
                       outDir: String, checkpoint: String): DataFrame = {
@@ -751,17 +752,24 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val perType = batch.groupBy("event_type")
-          .agg(max(unix_micros(col("ts"))).as("last_us"))
-        perType.crossJoin(broadcast(perType.agg(max("last_us").as("g_us"))))
-          .select(lit(batchId).as("batch_id"), col("event_type"),
-            expr("(g_us - last_us) div 60000000").as("lag_minutes"))
-          .coalesce(1).write.mode("append").parquet(outDir)
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        dropPartialBatchDirs(fs, Seq(outDir))
+        val part = batchPart(outDir, batchId)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+          val perType = batch.groupBy("event_type")
+            .agg(max(unix_micros(col("ts"))).as("last_us"))
+          perType.crossJoin(broadcast(perType.agg(max("last_us").as("g_us"))))
+            .select(lit(batchId).as("batch_id"), col("event_type"),
+              expr("(g_us - last_us) div 60000000").as("lag_minutes"))
+            .write.mode("overwrite").parquet(part)
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 
   final case class GapRow(event_type: String, gap_hour_us: Long)
@@ -2086,34 +2094,41 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val counts = batch
-          .select(graft.operators.Profile.psiBand("value", bandWidth, bands).as("band"))
-          .groupBy("band").agg(count(lit(1)).as("c"))
-        val g = spine.join(counts, Seq("band"), "left")
-          .select(col("band"), col("r"), col("mt"),
-            coalesce(col("c"), lit(0L)).as("c"))
-          .crossJoin(broadcast(counts.agg(coalesce(sum("c"), lit(0L)).as("nt"))))
-          // era-count products wrap 2^63 past ~1e8 rows per era: factor-cast
-          // doubles into the log, DECIMAL(38,0) for the rational — the
-          // etl_distribution_drift_psi discipline, kept verbatim across the
-          // three PSI surfaces.
-          .withColumn("lq_micro",
-            round(log(((col("c") + 1).cast("double") * (col("mt") + bands)) /
-              ((col("r") + 1).cast("double") * (col("nt") + bands))) * 1000000)
-              .cast("long"))
-        g.agg(max("nt").as("n_events"),
-            sum(expr(
-              s"CAST((CAST(c + 1 AS DECIMAL(38,0)) * (mt + $bands)" +
-                s" - CAST(r + 1 AS DECIMAL(38,0)) * (nt + $bands)) * lq_micro" +
-                s" div (CAST(nt + $bands AS DECIMAL(38,0)) * (mt + $bands)) AS BIGINT)"))
-              .as("psi_micro"))
-          .withColumn("batch_id", lit(batchId))
-          .select("batch_id", "n_events", "psi_micro")
-          .coalesce(1).write.mode("append").parquet(outDir)
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        dropPartialBatchDirs(fs, Seq(outDir))
+        val part = batchPart(outDir, batchId)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+          val counts = batch
+            .select(graft.operators.Profile.psiBand("value", bandWidth, bands).as("band"))
+            .groupBy("band").agg(count(lit(1)).as("c"))
+          val g = spine.join(counts, Seq("band"), "left")
+            .select(col("band"), col("r"), col("mt"),
+              coalesce(col("c"), lit(0L)).as("c"))
+            .crossJoin(broadcast(counts.agg(coalesce(sum("c"), lit(0L)).as("nt"))))
+            // era-count products wrap 2^63 past ~1e8 rows per era: factor-cast
+            // doubles into the log, DECIMAL(38,0) for the rational — the
+            // etl_distribution_drift_psi discipline, kept verbatim across the
+            // three PSI surfaces.
+            .withColumn("lq_micro",
+              round(log(((col("c") + 1).cast("double") * (col("mt") + bands)) /
+                ((col("r") + 1).cast("double") * (col("nt") + bands))) * 1000000)
+                .cast("long"))
+          g.agg(max("nt").as("n_events"),
+              sum(expr(
+                s"CAST((CAST(c + 1 AS DECIMAL(38,0)) * (mt + $bands)" +
+                  s" - CAST(r + 1 AS DECIMAL(38,0)) * (nt + $bands)) * lq_micro" +
+                  s" div (CAST(nt + $bands AS DECIMAL(38,0)) * (mt + $bands)) AS BIGINT)"))
+                .as("psi_micro"))
+            .withColumn("batch_id", lit(batchId))
+            .select("batch_id", "n_events", "psi_micro")
+            .write.mode("overwrite").parquet(part)
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 }
