@@ -119,6 +119,38 @@ class PlanSpec extends SparkTestBase {
       s"the idf join must broadcast (terms-sized), not SMJ:\n${plan.take(1500)}")
   }
 
+  test("batch IVF-PQ serving: probed-cell equi-join hashes on broadcast, never SMJ/cartesian") {
+    // the serving-shape claim in plan terms: per-(probe, cell)
+    // residual tables arrive by the broadcast cell JOIN (metadata
+    // side), so the corpus-side codes join by hash — a SortMergeJoin
+    // would shuffle the whole encoded corpus per query batch, and a
+    // cartesian would mean the cell key was lost
+    val plan = planString(Queries.queries("sim_ivfpq_batch_topk")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed-cell join must broadcast-hash:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus shuffle join in the serving path:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cell key lost — cartesian in the serving path:\n${plan.take(1500)}")
+  }
+
+  test("bucketed multi-probe LSH: signature equi-join, not a corpus-wide nested loop") {
+    // the indexed-LSH claim: candidates come from the sig hash join
+    // (the Hamming-ball keys broadcast), where the scan form's
+    // crossJoin is a BroadcastNestedLoopJoin over every corpus row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val plan = planString(graft.operators.Similarity.annBucketedBatchTopK(
+      emb, probes, "e", dim = 64, k = 5, nBits = 16, probeHamming = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"signature equi-join must broadcast-hash:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed form must not scan-join the corpus:\n${plan.take(1500)}")
+  }
+
   test("incremental BM25 keeps bucket pruning across the corpus+batch append") {
     // the maintainability claim in plan terms: after the batch
     // bucket-appends, a 3-term query still reads only its terms'
