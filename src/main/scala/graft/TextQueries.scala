@@ -2868,6 +2868,102 @@ object TextQueries {
              |FROM sc GROUP BY 1
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- FUZZY DECONTAMINATION: flag TRAINING docs that
+    //      NEAR-duplicate any benchmark/eval item — the
+    //      Dolma/FineWeb-class step the exact n-gram + Bloom
+    //      decontaminators miss (a paraphrased or lightly-edited
+    //      eval item shares most shingles but no exact 13-gram).
+    //      Rides the incremental near-dup kernel with the EVAL set
+    //      as the corpus side: eval banding + one (band, key)
+    //      equi-join against the training side's band keys +
+    //      exact-Jaccard verify on candidates only — at 100 TB the
+    //      eval sketch is tiny and PERSISTED, so decontaminating a
+    //      fresh crawl costs the crawl's banding pass, never
+    //      eval × crawl. Oracle: the quadratic cross-split Jaccard
+    //      join — one ground truth with the dedup family. ----
+    Q("decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") % 5 === 0),  // the eval/benchmark set
+            docs.filter(col("doc_id") % 5 =!= 0),  // the training corpus
+            "doc_id", "text")
+          .select(col("corpus_id").as("eval_id"), col("fresh_id").as("doc_id"),
+            col("n_common"), col("na"), col("nb"))
+          .orderBy("doc_id", "eval_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS eval_id, b.doc_id AS did, COUNT(*) AS n_common
+             |           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |            AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             |           GROUP BY 1, 2)
+             |SELECT eval_id, did AS doc_id, n_common,
+             |  sa.n_sh AS na, sb.n_sh AS nb
+             |FROM common JOIN sizes sa ON sa.doc_id = eval_id
+             |            JOIN sizes sb ON sb.doc_id = did
+             |WHERE n_common * 10 >= (sa.n_sh + sb.n_sh - n_common) * 7
+             |ORDER BY doc_id, eval_id""".stripMargin)),
+
+    // ---- DIRICHLET QUERY-LIKELIHOOD RANKING (Zhai & Lafferty 2001,
+    //      public) — the second classical ranking family beside BM25,
+    //      served off the SAME maintained incremental index (one
+    //      index, two ranking models): score(q, d) =
+    //      Σ_{t∈q∩d} ln((μ·ctf + tf·L) / (μ·ctf)) + |q|·ln(μ/(dl+μ))
+    //      — the standard hit-term + length-prior decomposition, each
+    //      ln over an EXACT integer ratio (μ=2000 integer; ctf = the
+    //      term's corpus frequency summed off its own pruned bucket;
+    //      L, dl from the maintained stats/postings), quantized once
+    //      to micros so both engines agree bit-for-bit. Candidate
+    //      convention stated: docs with >= 1 query-term hit rank
+    //      (standard candidate retrieval); the length prior then
+    //      reorders them exactly. Bucket pruning, broadcast
+    //      metadata joins, TakeOrdered top-10 — the BM25 plan
+    //      discipline verbatim. ----
+    Q("text_lm_dirichlet_topk",
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        val mu = 2000
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val (postings, stats) = bm25IncrementalTables(s, dir)
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val ctf = hits.groupBy("token").agg(sum("tf").as("ctf"))
+        hits.join(broadcast(ctf), Seq("token"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"),
+            expr(s"CAST(round(ln(CAST($mu * ctf + tf * l AS DOUBLE)" +
+              s" / CAST($mu * ctf AS DOUBLE)) * 1000000) AS BIGINT)").as("hit_micro"))
+          .groupBy("doc_id", "dl")
+          .agg(sum("hit_micro").as("hits_micro"))
+          .select(col("doc_id"),
+            (col("hits_micro") + lit(terms.size.toLong) *
+              expr(s"CAST(round(ln(CAST($mu AS DOUBLE) / CAST(dl + $mu AS DOUBLE)) * 1000000) AS BIGINT)"))
+              .as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |         CAST(round(ln(CAST(2000 * ctf.ctf + tf.tf * s.l AS DOUBLE)
+             |           / CAST(2000 * ctf.ctf AS DOUBLE)) * 1000000) AS BIGINT) AS hit_micro
+             |       FROM tf JOIN ctf USING (token) CROSS JOIN stats s),
+             |agg AS (SELECT doc_id, CAST(SUM(hit_micro) AS BIGINT) AS hits_micro
+             |        FROM sc GROUP BY 1)
+             |SELECT agg.doc_id,
+             |  CAST(hits_micro + 3 * CAST(round(ln(CAST(2000 AS DOUBLE)
+             |    / CAST(d.dl + 2000 AS DOUBLE)) * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+             |FROM agg JOIN d ON d.doc_id = agg.doc_id
+             |ORDER BY score_micro DESC, agg.doc_id LIMIT 10""".stripMargin)),
+
     // ---- RETRIEVAL QUALITY EVAL (NDCG@10): score the BM25 top-10
     //      against a binary relevance proxy (doc contains ALL three
     //      query terms) — the eval loop that closes the serving tier
