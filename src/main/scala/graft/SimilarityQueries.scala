@@ -1474,6 +1474,61 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- STREAMING IVF-PQ MAINTENANCE on the hard gate: the fresh
+    //      1/7 arrives as two id-parity micro-batches through
+    //      EventStreams.ivfPqAppendStream — per batch one map-side
+    //      centroid assignment + residual encode against the FIXED
+    //      codebooks, exactly-once postings via the enrich_batch
+    //      protocol. Exactness rider: nProbe = nLists + a shortlist
+    //      wider than the corpus over static ∪ streamed codes equals
+    //      brute-force L2 — the sim_ivfpq_exact oracle with the
+    //      append arriving through the streaming engine. ----
+    Q("sim_ivfpq_stream_append",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .select("vec_id", "label", "e")
+        val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 =!= 0)
+        val fresh = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        val work = CacheDirs.tempWorkDir("graft_stream_ivfpq_")
+        val src = work.resolve("src")
+        java.nio.file.Files.createDirectory(src)
+        Seq(0, 1).foreach { h =>
+          val half = work.resolve(s"h$h").toString
+          fresh.filter(col("vec_id") % 2 === h).coalesce(1).write.parquet(half)
+          val part = new java.io.File(half).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $half"))
+          val staged = src.resolve(s"h$h.parquet")
+          java.nio.file.Files.move(part.toPath, staged)
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (1 - h) * 10000L))
+        }
+        val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
+          corpus, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
+        val stream = s.readStream.schema(fresh.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val appended = graft.streaming.EventStreams.ivfPqAppendStream(
+          s, stream, cents, cb, s"${work.resolve("codes")}",
+          s"${work.resolve("ckpt")}", vecCol = "e")
+        val merged = enc.unionByName(
+          appended.select(enc.columns.map(col).toSeq: _*))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("e").collect()(0).getSeq[Double](0).toArray
+        graft.operators.Similarity.ivfPqTopK(merged, cents, cb, probe,
+            k = 10, nProbe = 16, rerankVecCol = Some("e"),
+            shortlistFactor = 1000000)
+          .select("vec_id", "label", "l2_dist")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  list_dot_product(v, v) - 2 * list_dot_product(v, pv)
+             |    + list_dot_product(pv, pv) AS l2_dist
+             |FROM e, probe WHERE vec_id <> 0
+             |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- PQ exactness-by-construction twin: binarizing each element
     //      (x >= 0 -> 1.0 else 0.0) leaves every 2-dim subvector one
     //      of 4 patterns <= k=16 codes, so trained codebooks represent

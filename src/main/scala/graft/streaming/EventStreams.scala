@@ -2057,6 +2057,48 @@ object EventStreams {
   }
 
   /**
+   * Streaming IVF-PQ index maintenance — [[ivfAppendStream]]'s
+   * composed twin (the streaming face of `Similarity.ivfPqAppend`):
+   * each arriving micro-batch of vectors is assigned to the EXISTING
+   * centroids map-side, RESIDUAL-encoded against the EXISTING
+   * codebooks (one broadcast centroid join + the codegen'd PQ argmin
+   * — both batch-sized), and lands in its own `enrich_batch=<id>`
+   * partition with overwrite (committed batches skip whole — the
+   * shared replay protocol), so the code postings are exactly-once
+   * however often the sink retries. Centroids AND codebooks stay
+   * fixed for the stream's lifetime; `embed_centroid_drift` is the
+   * rebuild trigger between restarts, exactly as the batch append.
+   */
+  def ivfPqAppendStream(spark: SparkSession, stream: DataFrame,
+                        centroids: DataFrame,
+                        codebooks: Array[Array[Array[Double]]],
+                        outDir: String, checkpoint: String, vecCol: String,
+                        trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val partDir = new org.apache.hadoop.fs.Path(s"$outDir/enrich_batch=$batchId")
+        val fs = partDir.getFileSystem(hconf)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"))) {
+          val assigned = graft.operators.Similarity
+            .assignToCentroids(batch.toDF(), centroids, vecCol)
+          val withRes = assigned.join(broadcast(centroids), "cell")
+            .withColumn("_res", expr(
+              s"zip_with(cast($vecCol as array<double>), centroid, (x, y) -> x - y)"))
+          graft.operators.Similarity.pqEncode(withRes, "_res", codebooks)
+            .drop("_res", "centroid")
+            .write.mode("overwrite").parquet(partDir.toString)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("enrich_batch")
+  }
+
+  /**
    * Per-micro-batch distribution-drift monitor (PSI): each batch's
    * value-band histogram is scored against a STATIC reference
    * distribution and ONE row per batch
