@@ -147,17 +147,35 @@ object TextQueries {
         .saveAsTable(s"$db.postings")
       bm25StatsOf(corpus).write.saveAsTable(s"$db.stats")
       // daily append — batch-sized postings + a one-row stats upsert
-      bm25RawPostings(batch)
-        .write.bucketBy(64, "token").sortBy("token")
-        .mode("append").saveAsTable(s"$db.postings")
-      val prev = s.table(s"$db.stats").collect()(0)
-      val bs = bm25StatsOf(batch).collect()(0)
-      import s.implicits._
-      Seq((prev.getLong(0) + bs.getLong(0), prev.getLong(1) + bs.getLong(1)))
-        .toDF("d", "l")
-        .write.mode("overwrite").saveAsTable(s"$db.stats")
+      bm25AppendBatch(s, db, batch)
     }
     (s.table(s"$db.postings"), s.table(s"$db.stats"))
+  }
+
+  /** ONE day's append to an incremental BM25 index database — the
+    * REPEATABLE maintenance call ([[bm25IncrementalTables]] runs it
+    * once for the gate's fixture; a production ingest calls it per
+    * arriving batch, forever): the batch's raw-dl postings
+    * bucket-append into the token-bucketed table (each append writes
+    * its own bucket files; pruning still reads only the query terms'
+    * buckets) and the one-row stats upserts to (d + batch docs,
+    * l + batch tokens). Batch-sized + a metadata-sized stats
+    * read-modify-write; no existing posting is touched. Caller
+    * contract: batch doc ids are fresh (the ingest convention) —
+    * re-appending the same docs would double their postings, which
+    * is the job layer's idempotence to enforce (the
+    * INGEST-protocol's committed-batch skip). */
+  def bm25AppendBatch(s: org.apache.spark.sql.SparkSession, db: String,
+                      batch: org.apache.spark.sql.DataFrame): Unit = {
+    bm25RawPostings(batch)
+      .write.bucketBy(64, "token").sortBy("token")
+      .mode("append").saveAsTable(s"$db.postings")
+    val prev = s.table(s"$db.stats").collect()(0)
+    val bs = bm25StatsOf(batch).collect()(0)
+    import s.implicits._
+    Seq((prev.getLong(0) + bs.getLong(0), prev.getLong(1) + bs.getLong(1)))
+      .toDF("d", "l")
+      .write.mode("overwrite").saveAsTable(s"$db.stats")
   }
 
   /** BM25 scoring over the incremental index's raw-dl postings: the

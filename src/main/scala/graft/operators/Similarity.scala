@@ -438,11 +438,25 @@ object Similarity {
    * unchanged centroids). No shuffle, no window: cost tracks the
    * BATCH, never the corpus (SCALE ivfapp).
    */
+  /** Plan-embedding ceiling for [[assignToCentroids]]: each centroid
+    * rides the plan as a `typedLit` vector literal (nLists × dim
+    * doubles in every task binary — the unigram `MaxPieces` class).
+    * At the gate/production nLists here (16-64) that is free; past
+    * this ceiling the right FORM is the broadcast-join argmin
+    * [[ivfIndex]] already uses (crossJoin(broadcast(centroids)) +
+    * per-id min — one broadcast however many lists), traded against
+    * one extra shuffleless pass. */
+  val MaxLiteralCentroids = 1024
+
   def assignToCentroids(fresh: DataFrame, centroids: DataFrame,
                         vecCol: String): DataFrame = {
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    require(cents.length <= MaxLiteralCentroids,
+      s"assignToCentroids embeds ${cents.length} centroid vectors as plan literals — " +
+        s"past the $MaxLiteralCentroids ceiling use the broadcast-join argmin " +
+        "(ivfIndex's crossJoin(broadcast(centroids)) + per-id min) instead")
     val cands = cents.map { case (cellId, vec) =>
       struct((-cosine(col(vecCol), typedLit(vec))).as("d"), lit(cellId).as("cell"))
     }
