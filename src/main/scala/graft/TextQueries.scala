@@ -132,8 +132,15 @@ object TextQueries {
     val wh = s"${CacheDirs.root}/bm25iwh_$fp"
     if (!s.catalog.databaseExists(db))
       s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
-    if (!s.catalog.tableExists(s"$db.postings")) {
-      Seq("postings", "stats").foreach { t =>
+    // the cache gates on a COMPLETION marker written LAST: gating on
+    // the first artifact (postings) would make a crash between the
+    // build's steps leave a permanently half-built index every later
+    // JVM serves silently — the marker certifies build + append +
+    // stats all landed, and a half-build re-enters and rebuilds clean
+    if (!s.catalog.tableExists(s"$db.complete")) {
+      import s.implicits._
+      Seq("postings", "stats", "complete").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $db.$t")
         val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -148,6 +155,7 @@ object TextQueries {
       bm25StatsOf(corpus).write.saveAsTable(s"$db.stats")
       // daily append — batch-sized postings + a one-row stats upsert
       bm25AppendBatch(s, db, batch)
+      Seq(Tuple1(1L)).toDF("ok").write.saveAsTable(s"$db.complete")
     }
     (s.table(s"$db.postings"), s.table(s"$db.stats"))
   }

@@ -203,9 +203,15 @@ object Unigram {
         .as("sp"))
       .select(col("_w"), col("sp.key").as("_key"), col("sp.k").as("_k"),
         col("sp.p").as("_p"))
+    // exact-duplicate piece rows (a table built from two appends, or
+    // unioned trainings agreeing on a piece) collapse harmlessly here;
+    // a table carrying the SAME piece at DIFFERENT scores is a
+    // genuine ambiguity and still fails loudly at the map fold
+    // (DUPLICATE_MAP_KEY) rather than silently picking one
+    val pieceTab = pieces.select(col(pieceCol).as("_p"),
+      col(scoreCol).cast("long").as("_sc")).dropDuplicates("_p", "_sc")
     val scored = spans
-      .join(broadcast(pieces.select(col(pieceCol).as("_p"),
-        col(scoreCol).cast("long").as("_sc"))), Seq("_p"), "left")
+      .join(broadcast(pieceTab), Seq("_p"), "left")
       // a missing single char segments at the Neg floor (a key for
       // every (pos, 1) ALWAYS lands in the map); a missing multi-char
       // span is simply not a candidate — dropped here, coalesced to

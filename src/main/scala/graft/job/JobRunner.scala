@@ -647,11 +647,19 @@ object JobRunner {
             // semantics for the append dirs, keep-newest for the
             // cluster snapshots — so a 24/7 ingest's listing cost
             // stays bounded. Runs between batches by construction
-            // (this step IS the only writer).
+            // (this step IS the only writer). The union fold rewrites
+            // ALL accumulated state, so it fires only once the
+            // partition count crosses ingestCompactMinParts (default
+            // 8) — amortized O(state/minParts) per batch instead of
+            // O(state) every submission.
             if (ingP.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
+              val minParts = ingP.getOrElse("ingestCompactMinParts", "8").toInt
               Seq("docs", "sketch", "pairs").foreach(d =>
-                graft.streaming.EventStreams.compactBatchState(spark, s"$ingPath/$d", "union"))
-              graft.streaming.EventStreams.compactBatchState(spark, s"$ingPath/clusters", "latest")
+                graft.streaming.EventStreams.compactBatchState(
+                  spark, s"$ingPath/$d", "union", minParts))
+              // snapshot retention is a delete, not a rewrite — always cheap
+              graft.streaming.EventStreams.compactBatchState(
+                spark, s"$ingPath/clusters", "latest")
             }
             stepsRun ::= step
           case "BACKFILL_DESTINATION" =>

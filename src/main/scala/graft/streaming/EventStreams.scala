@@ -254,6 +254,13 @@ object EventStreams {
     * batch replaces its own files instead of duplicating them. */
   private def batchPart(dir: String, batchId: Long) = s"$dir/batch=$batchId"
 
+  /** The FileSystem of THIS directory — every protocol helper
+    * resolves per path (out and state dirs may live on DIFFERENT
+    * filesystems: s3a output beside local state; a single fs object
+    * checkPath-throws 'Wrong FS' on the other scheme). */
+  private def fsOf(conf: org.apache.hadoop.conf.Configuration, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+
   /** Replay repair for the `batch=<id>` append protocol: first
     * resolve any crashed COMPACTION ([[repairCompaction]] — roll it
     * forward or back so no batch partition is half-moved), then drop
@@ -264,16 +271,36 @@ object EventStreams {
     * metadata-sized (one child listing per dir). Only the CURRENT
     * batch can be partial — the streaming checkpoint records a batch
     * only after foreachBatch returns, so every earlier batch's dirs
-    * completed. */
-  private def dropPartialBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+    * completed. Also the LAYOUT GUARD: a directory holding root-level
+    * data files (the pre-protocol flat append layout) is rejected
+    * LOUDLY with the migration story — silently treating the old
+    * corpus as empty would drop every cross-batch pair, and the next
+    * write would leave a mixed layout partition discovery cannot
+    * read. */
+  private def dropPartialBatchDirs(conf: org.apache.hadoop.conf.Configuration,
                                    dirs: Seq[String]): Unit =
     dirs.foreach { dir =>
+      val fs = fsOf(conf, dir)
       repairCompaction(fs, dir)
       val p = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-        if (st.getPath.getName.startsWith("batch=") &&
-            !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          fs.delete(st.getPath, true)
+      if (fs.exists(p)) {
+        val children = fs.listStatus(p)
+        val flat = children.exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (flat)
+          throw new IllegalStateException(
+            s"batch protocol: $dir holds root-level data files — the pre-protocol " +
+            "flat-append layout. Migrate once before resuming: read the flat files, " +
+            "write them as a `batch=0` child partition (plain parquet, the committer's " +
+            "_SUCCESS included), and remove the root files; the accumulated state then " +
+            "serves as the first committed batch")
+        children.foreach { st =>
+          if (st.getPath.getName.startsWith("batch=") &&
+              !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+            fs.delete(st.getPath, true)
+        }
       }
     }
 
@@ -374,22 +401,27 @@ object EventStreams {
    * Returns the number of partitions compacted away (0 = nothing to
    * do). Run it BETWEEN batches (the ingest step's `ingestCompact`
    * parameter, or an out-of-band maintenance job) — never
-   * concurrently with a writer on the same directory.
+   * concurrently with a writer on the same directory. `minParts`
+   * amortizes the union rewrite: the fold reads and rewrites ALL
+   * accumulated rows, so compacting after every batch is O(state)
+   * per batch — O(n²) cumulative; compacting only once the partition
+   * count exceeds `minParts` keeps the amortized rewrite cost
+   * O(state / minParts) per batch while still bounding the listing
+   * at `minParts` directories.
    */
   def compactBatchState(spark: SparkSession, dir: String,
-                        mode: String = "union"): Long = {
+                        mode: String = "union", minParts: Int = 2): Long = {
     import org.apache.hadoop.fs.Path
     require(mode == "union" || mode == "latest",
       s"compactBatchState mode must be 'union' or 'latest', got $mode")
+    require(minParts >= 2, s"minParts must be >= 2, got $minParts")
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dropPartialBatchDirs(fs, Seq(dir)) // also resolves a crashed compaction
+    val fs = fsOf(conf, dir)
+    dropPartialBatchDirs(conf, Seq(dir)) // also resolves a crashed compaction
     if (!fs.exists(root)) return 0L
-    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-      .sorted
-    if (ids.size <= 1) return 0L
+    val ids = committedBatchIds(conf, dir)
+    if (ids.size < minParts) return 0L
     val target = ids.last
     if (mode == "latest") {
       ids.init.foreach(i => fs.delete(new Path(root, s"batch=$i"), true))
@@ -406,19 +438,26 @@ object EventStreams {
     }
   }
 
+  /** The committed batch ids of `dir` (ascending) —
+    * [[dropPartialBatchDirs]] must have run first so every surviving
+    * partition is complete. Metadata-sized (one listing). */
+  private def committedBatchIds(conf: org.apache.hadoop.conf.Configuration,
+                                dir: String): Seq[Long] = {
+    val fs = fsOf(conf, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .sorted
+  }
+
   /** True iff `dir` holds a committed `batch=<i>` partition with
     * i < batchId — the "prior state exists" test of the exactly-once
-    * append protocol ([[dropPartialBatchDirs]] must have run first so
-    * every surviving partition is complete). Metadata-sized. */
-  private def hasCommittedBatchBefore(fs: org.apache.hadoop.fs.FileSystem,
-                                      dir: String, batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      n.startsWith("batch=") &&
-        scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ < batchId)
-    }
-  }
+    * append protocol. */
+  private def hasCommittedBatchBefore(conf: org.apache.hadoop.conf.Configuration,
+                                      dir: String, batchId: Long): Boolean =
+    committedBatchIds(conf, dir).exists(_ < batchId)
 
   /** The committed state BEFORE `batchId`: partition-prune to
     * `batch < batchId` (metadata-only — a replayed batch never reads
@@ -478,14 +517,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val conf = s.sparkContext.hadoopConfiguration
         val dirs = Seq(outDir, docsDir, sketchDir)
-        dropPartialBatchDirs(fs, dirs)
-        val committed = dirs.forall(d => fs.exists(
+        dropPartialBatchDirs(conf, dirs)
+        val committed = dirs.forall(d => fsOf(conf, d).exists(
           new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
         if (!committed)
-          writeNearDupBatch(s, fs, batch.toDF(), batchId, outDir, docsDir,
+          writeNearDupBatch(s, conf, batch.toDF(), batchId, outDir, docsDir,
             sketchDir, shingleN, k, bands, num, den)
         ()
       }
@@ -502,7 +540,7 @@ object EventStreams {
     * committed skip); this kernel owns determinism — given the same
     * committed prior state it writes the same bytes on every replay. */
   private def writeNearDupBatch(s: SparkSession,
-                                fs: org.apache.hadoop.fs.FileSystem,
+                                conf: org.apache.hadoop.conf.Configuration,
                                 batch: DataFrame, batchId: Long,
                                 outDir: String, docsDir: String, sketchDir: String,
                                 shingleN: Int, k: Int, bands: Int,
@@ -511,7 +549,7 @@ object EventStreams {
     val internal = graft.operators.Dedup
       .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
     val out =
-      if (hasCommittedBatchBefore(fs, sketchDir, batchId)) {
+      if (hasCommittedBatchBefore(conf, sketchDir, batchId)) {
         val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
             stateBefore(s, sketchDir, batchId),
             stateBefore(s, docsDir, batchId),
@@ -544,17 +582,9 @@ object EventStreams {
   /** The newest committed `batch=<i>` with i < batchId, or None —
     * locates the standing cluster snapshot [[ingestDedupBatch]] folds
     * into ([[dropPartialBatchDirs]] must have run first). */
-  private def latestCommittedBatchBefore(fs: org.apache.hadoop.fs.FileSystem,
-                                         dir: String, batchId: Long): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-      .filter(_ < batchId)
-      .sorted.lastOption
-  }
+  private def latestCommittedBatchBefore(conf: org.apache.hadoop.conf.Configuration,
+                                         dir: String, batchId: Long): Option[Long] =
+    committedBatchIds(conf, dir).filter(_ < batchId).lastOption
 
   /**
    * ONE exactly-once CONTINUOUS-DEDUP INGEST — the batch-job form of
@@ -576,7 +606,14 @@ object EventStreams {
    * batch id is a no-op, a crash at any point replays from exactly
    * the pre-batch state, and partial writes are dropped before any
    * read. Batch ids must be supplied monotonically by the caller
-   * (the job config's `ingestBatchId`) — the fresh-ingest contract.
+   * (the job config's `ingestBatchId`) — the fresh-ingest contract;
+   * the monotonicity is also what makes STALE retries safe after a
+   * compaction folded their partitions away: a batch id strictly
+   * below any committed id must have been ingested already (its
+   * marker either still exists or was compacted into a later
+   * partition), so it skips whole even though its own marker is
+   * gone — re-running it against the compacted state would
+   * double-ingest its docs.
    */
   def ingestDedupBatch(spark: SparkSession, batch: DataFrame, destDir: String,
                        batchId: Long, idCol: String = "doc_id",
@@ -587,20 +624,20 @@ object EventStreams {
     val sketchDir = s"$destDir/sketch"
     val pairsDir = s"$destDir/pairs"
     val clustersDir = s"$destDir/clusters"
-    val fs = new org.apache.hadoop.fs.Path(destDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(pairsDir, docsDir, sketchDir, clustersDir)
-    dropPartialBatchDirs(fs, dirs)
-    val committed = dirs.forall(d => fs.exists(
+    dropPartialBatchDirs(conf, dirs)
+    val stale = committedBatchIds(conf, pairsDir).exists(_ > batchId)
+    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
       new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
     if (!committed) {
-      writeNearDupBatch(spark, fs,
+      writeNearDupBatch(spark, conf,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         batchId, pairsDir, docsDir, sketchDir, shingleN, k, bands, num, den)
       // fold THIS batch's committed pairs into the standing assignment
       val newPairs = spark.read.parquet(batchPart(pairsDir, batchId))
         .select("doc_a", "doc_b")
-      val labels = latestCommittedBatchBefore(fs, clustersDir, batchId) match {
+      val labels = latestCommittedBatchBefore(conf, clustersDir, batchId) match {
         case Some(prev) => spark.read.parquet(clustersDir)
           .filter(col("batch") === prev).drop("batch")
         case None => spark.createDataFrame(
@@ -649,16 +686,15 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val conf = s.sparkContext.hadoopConfiguration
         val dirs = Seq(outDir, stateDir)
-        dropPartialBatchDirs(fs, dirs)
-        val committed = dirs.forall(d => fs.exists(
+        dropPartialBatchDirs(conf, dirs)
+        val committed = dirs.forall(d => fsOf(conf, d).exists(
           new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
         if (!committed) {
           val b = batch.select("doc_id", "text").localCheckpoint()
           val index =
-            if (hasCommittedBatchBefore(fs, stateDir, batchId))
+            if (hasCommittedBatchBefore(conf, stateDir, batchId))
               stateBefore(s, stateDir, batchId)
             else s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -709,11 +745,10 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        dropPartialBatchDirs(fs, Seq(outDir))
+        val conf = s.sparkContext.hadoopConfiguration
+        dropPartialBatchDirs(conf, Seq(outDir))
         val part = batchPart(outDir, batchId)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+        if (!fsOf(conf, outDir).exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
           batch.select(explode(split(col("text"), " ")).as("w"))
             .filter(length(col("w")) >= 2)
             .groupBy("w").agg(count(lit(1)).as("c"))
@@ -725,6 +760,10 @@ object EventStreams {
             .select(lit(batchId).as("batch_id"), col("n_words"), col("n_tokens"),
               expr("(1000 * _chars) div n_tokens").as("cpt_permille"))
             .withColumn("drift_pm", abs(col("cpt_permille") - lit(refCptPm)))
+            // an EMPTY batch (or one with only sub-2-char words) must
+            // write an empty partition, not one all-NULL phantom row —
+            // the global agg still emits a row over zero input
+            .filter(col("n_tokens").isNotNull)
             .write.mode("overwrite").parquet(part)
         }
         ()
@@ -753,11 +792,10 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        dropPartialBatchDirs(fs, Seq(outDir))
+        val conf = s.sparkContext.hadoopConfiguration
+        dropPartialBatchDirs(conf, Seq(outDir))
         val part = batchPart(outDir, batchId)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+        if (!fsOf(conf, outDir).exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
           val perType = batch.groupBy("event_type")
             .agg(max(unix_micros(col("ts"))).as("last_us"))
           perType.crossJoin(broadcast(perType.agg(max("last_us").as("g_us"))))
@@ -2137,11 +2175,10 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        dropPartialBatchDirs(fs, Seq(outDir))
+        val conf = s.sparkContext.hadoopConfiguration
+        dropPartialBatchDirs(conf, Seq(outDir))
         val part = batchPart(outDir, batchId)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+        if (!fsOf(conf, outDir).exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
           val counts = batch
             .select(graft.operators.Profile.psiBand("value", bandWidth, bands).as("band"))
             .groupBy("band").agg(count(lit(1)).as("c"))

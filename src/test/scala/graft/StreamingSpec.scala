@@ -1286,9 +1286,39 @@ class StreamingSpec extends SparkTestBase {
          .drop("batch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
     val plain = run(tmpDir("graft_ingc_plain_"), compactMid = false)
-    val compacted = run(tmpDir("graft_ingc_comp_"), compactMid = true)
+    val compRoot = tmpDir("graft_ingc_comp_")
+    val compacted = run(compRoot, compactMid = true)
     assert(compacted === plain)
     assert(plain._1 === Set((1L, 2L), (3L, 4L)))
+    // STALE RETRY after compaction: batch 0's own partitions were
+    // folded away, so its markers are gone — but a committed LATER
+    // batch proves it was ingested, and re-submitting it must be a
+    // no-op (re-running it against the compacted state would
+    // double-ingest its docs and double-emit its pairs)
+    EventStreams.ingestDedupBatch(spark,
+      docs.filter(col("doc_id").isin(1L, 3L)), s"$compRoot/state", 0L)
+    val afterRetry = (
+      spark.read.parquet(s"$compRoot/state/pairs").select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$compRoot/state/clusters").filter(col("batch") === 2)
+        .drop("batch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(afterRetry === plain)
+    assert(spark.read.parquet(s"$compRoot/state/docs").count() === 6L)
+  }
+
+  test("batch protocol rejects a pre-protocol flat-layout state dir loudly") {
+    import spark.implicits._
+    val work = tmpDir("graft_flat_guard_")
+    val dir = s"$work/state"
+    // the OLD layout: data files at the directory root, no batch= dirs
+    Seq((1L, "old corpus row")).toDF("doc_id", "text").write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      EventStreams.compactBatchState(spark, dir, "union")
+    }
+    // silently treating the old corpus as empty would drop every
+    // cross-batch pair — the guard must name the migration instead
+    assert(e.getMessage.contains("flat-append layout"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("batch=0"), s"migration story missing: ${e.getMessage}")
   }
 
   test("attribution hot-user bound: noise types never reach the state buffer") {
