@@ -1006,41 +1006,6 @@ object EtlQueries {
     //      (uncompressed) text stays line-splittable, so at 100 TB
     //      the read parallelizes by blocks — unlike the .gz variant
     //      whose files are single-task each. ----
-    // ---- PARQUET SCHEMA EVOLUTION: the additive-column migration
-    //      every long-lived destination lives through — an old batch
-    //      written WITHOUT a column and a new batch WITH it must read
-    //      back as ONE table (mergeSchema unions the footers at
-    //      planning time; old rows surface NULL for the new column,
-    //      nothing is rewritten). The gate stages both eras into one
-    //      directory and reads with mergeSchema; the oracle states
-    //      the union in closed form. At 100 TB this is the reason
-    //      additive evolution is free while column RENAMES are not
-    //      (a rename is a new column to the footer union — the
-    //      etl_dedup/backfill rewrite paths are the migration for
-    //      those). ----
-    Q("etl_schema_evolution",
-      (s, dir) => {
-        val work = CacheDirs.tempWorkDir("graft_schevo_gate_").toString
-        val dest = s"$work/dest"
-        val base = Tables.t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        // era 1: the original schema (no quality_tier column)
-        base.filter(col("o_orderkey") % 2 === 1)
-          .write.parquet(dest)
-        // era 2: the evolved schema adds a computed column
-        base.filter(col("o_orderkey") % 2 === 0)
-          .withColumn("quality_tier",
-            when(col("o_totalprice") >= 100000.0, lit("high")).otherwise(lit("std")))
-          .write.mode("append").parquet(dest)
-        s.read.option("mergeSchema", "true").parquet(dest)
-          .orderBy("o_orderkey")
-      },
-      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
-             |  CASE WHEN o_orderkey % 2 = 0
-             |       THEN (CASE WHEN o_totalprice >= 100000.0 THEN 'high' ELSE 'std' END)
-             |       ELSE NULL END AS quality_tier
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
-
     Q("etl_text_roundtrip",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_textsrc_gate_").toString
