@@ -1282,6 +1282,60 @@ object EtlQueries {
              |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
              |SELECT node, cluster_id FROM cl ORDER BY node""".stripMargin)),
 
+    // ---- SUBSTRING-GRAIN CONTINUOUS INGEST through the config
+    //      surface (INGEST_SPAN_DESTINATION): two document batches
+    //      (doc_id parity) submit as two JOBS against one standing
+    //      gram-summary state; each batch's covered duplicated spans
+    //      emit at arrival time (batch 1's cross-batch coverage can
+    //      only come through batch 0's persisted summary). The union
+    //      of both jobs' spans must equal the streaming sink's
+    //      arrival-time semantics — the text_stream_dup_spans oracle
+    //      verbatim, now reached through config → job →
+    //      exactly-once state. ----
+    Q("etl_ingest_spans",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_ingest_spans_").toString
+        val destDir = s"$work/state"
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$work/b0")
+        docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$work/b1")
+        def job(src: String, id: String, batchId: Long) = JobConfig(
+          jobId = id,
+          steps = List("INGEST_SPAN_DESTINATION"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = List(
+            FieldMapping("doc_id", "doc_id", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("text", "text", "VARCHAR2", "STRING")),
+          transformation = Transformation("NONE", parameters = Map(
+            "ingestIdColumn" -> "doc_id",
+            "ingestTextColumn" -> "text",
+            "ingestBatchId" -> batchId.toString)))
+        val r0 = JobRunner.run(s, job(s"$work/b0", "ingest-spans-0", 0L))
+        require(r0.status == JobRunner.Completed, s"span ingest 0 failed: ${r0.message}")
+        val r1 = JobRunner.run(s, job(s"$work/b1", "ingest-spans-1", 1L))
+        require(r1.status == JobRunner.Completed, s"span ingest 1 failed: ${r1.message}")
+        s.read.parquet(s"$destDir/spans").drop("batch")
+          .orderBy("doc_id", "start_pos")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+             |cov AS (SELECT DISTINCT a.doc_id, a.pos
+             |        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+             |                         AND b.doc_id % 2 <= a.doc_id % 2),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+             |        FROM cov)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+             |  CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, i
+             |HAVING COUNT(*) + 2 >= 5
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

@@ -1325,6 +1325,42 @@ object SimilarityQueries {
              |FROM e, probe WHERE vec_id <> 0
              |ORDER BY l2_dist ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- FILTERED VECTOR SEARCH on the hard gate: the metadata-
+    //      predicate ANN query every retrieval product serves ("top-k
+    //      nearest WHERE label = ..."), expressed through the index's
+    //      COMPOSABILITY — the cell-assigned corpus is a DataFrame,
+    //      so the label predicate PRE-FILTERS the postings before the
+    //      probed-cell join (pre-filtering keeps recall: every
+    //      qualifying row still ranks, where post-filtering the top-k
+    //      would starve it; at 100 TB the predicate additionally
+    //      prunes the cell-partitioned scan). Exactness rider:
+    //      nProbe = nLists over the filtered postings equals exact
+    //      filtered cosine top-k per probe. ----
+    Q("sim_ivf_filtered_topk",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probes = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfIndex(emb, "vec_id", "e", nLists = 16)
+        graft.operators.Similarity
+          .ivfBatchTopK(assigned.filter(col("label") === 3),
+            centroids, probes, "e", k = 10, nProbe = 16)
+          .select("probe_id", "vec_id", "cos_sim")
+          .orderBy(col("probe_id"), desc("cos_sim"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, e.vec_id,
+             |        list_dot_product(e.v, p.pv)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+             |      FROM e, p WHERE e.label = 3),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 10
+             |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin)),
+
     // ---- BATCH LSH SERVING on the hard gate (annBatchTopK —
     //      completes the probe-batch tier across all four ANN
     //      families): signatures ride the broadcast probe frame,

@@ -662,6 +662,45 @@ object JobRunner {
                 spark, s"$ingPath/clusters", "latest")
             }
             stepsRun ::= step
+          case "INGEST_SPAN_DESTINATION" =>
+            // Substring-grain continuous ingest from the config
+            // surface — INGEST_DEDUP_DESTINATION's sibling for
+            // duplicated-SPAN extraction: the job's SOURCE is one
+            // fresh document batch, the destination holds the
+            // accumulated gram-summary state (summary/) and the
+            // emitted covered spans (spans/), both on the batch=<id>
+            // exactly-once protocol with the stale-retry skip.
+            // transformation.parameters: ingestIdColumn,
+            // ingestTextColumn, ingestBatchId; optional spanGrain
+            // (word|char, default word), spanK, spanMinRun,
+            // ingestCompact (+ ingestCompactMinParts).
+            val spDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("INGEST_SPAN_DESTINATION requires a destination"))
+            require(spDest.`type`.toUpperCase == "PARQUET",
+              s"INGEST_SPAN_DESTINATION supports PARQUET destinations, got ${spDest.`type`}")
+            val spPath = spDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException(
+                "INGEST_SPAN_DESTINATION requires a file path destination"))
+            val spP = cfg.transformation.parameters
+            def spNeed(key: String) = spP.getOrElse(key,
+              throw new IllegalArgumentException(
+                s"INGEST_SPAN_DESTINATION requires transformation.parameters.$key"))
+            val spGrain = spP.getOrElse("spanGrain", "word")
+            graft.streaming.EventStreams.ingestSpanBatch(spark,
+              buildDataFrame(spark, cfg, plugins), spPath,
+              spNeed("ingestBatchId").toLong,
+              idCol = spNeed("ingestIdColumn"),
+              textCol = spNeed("ingestTextColumn"),
+              grain = spGrain,
+              k = spP.getOrElse("spanK", if (spGrain == "char") "12" else "3").toInt,
+              minRun = spP.getOrElse("spanMinRun", if (spGrain == "char") "20" else "5").toInt)
+            if (spP.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
+              val minParts = spP.getOrElse("ingestCompactMinParts", "8").toInt
+              Seq("summary", "spans").foreach(d =>
+                graft.streaming.EventStreams.compactBatchState(
+                  spark, s"$spPath/$d", "union", minParts))
+            }
+            stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:
             // load the (filtered, mapped) source batch through the

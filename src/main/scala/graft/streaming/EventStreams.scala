@@ -651,6 +651,59 @@ object EventStreams {
   }
 
   /**
+   * ONE exactly-once SPAN-GRAIN INGEST — [[ingestDedupBatch]]'s
+   * substring-level sibling and the `INGEST_SPAN_DESTINATION` job
+   * step's kernel: probe a fresh document batch's positional k-grams
+   * against the accumulated gram-summary state and emit the batch's
+   * covered duplicated spans, at either grain (`word` —
+   * `Dedup.dupSpansIncremental`; `char` —
+   * `Dedup.dupSpansCharsIncremental`, the CJK/no-space path). State
+   * layout under `destDir`: `summary/` (one gram summary per batch,
+   * union-compactable) and `spans/` (the emitted spans). Both ride
+   * the `batch=<id>` overwrite protocol with the stale-retry skip —
+   * same exactly-once contract as the dedup ingest.
+   */
+  def ingestSpanBatch(spark: SparkSession, batch: DataFrame, destDir: String,
+                      batchId: Long, idCol: String = "doc_id",
+                      textCol: String = "text", grain: String = "word",
+                      k: Int = 3, minRun: Int = 5): Unit = {
+    require(grain == "word" || grain == "char",
+      s"span grain must be 'word' or 'char', got $grain")
+    val summaryDir = s"$destDir/summary"
+    val spansDir = s"$destDir/spans"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = Seq(spansDir, summaryDir)
+    dropPartialBatchDirs(conf, dirs)
+    val stale = committedBatchIds(conf, summaryDir).exists(_ > batchId)
+    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
+      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+    if (!committed) {
+      val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .localCheckpoint()
+      val index =
+        if (hasCommittedBatchBefore(conf, summaryDir, batchId))
+          stateBefore(spark, summaryDir, batchId)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("gram", StringType),
+            StructField("lo_doc", LongType), StructField("hi_doc", LongType))))
+      val spans =
+        if (grain == "word")
+          graft.operators.Dedup.dupSpansIncremental(index, b, "doc_id", "text", k, minRun)
+        else
+          graft.operators.Dedup.dupSpansCharsIncremental(index, b, "doc_id", "text", k, minRun)
+      spans.write.mode("overwrite").parquet(batchPart(spansDir, batchId))
+      val summary =
+        if (grain == "word")
+          graft.operators.Dedup.gramSpanSummary(b, "doc_id", "text", k)
+        else
+          graft.operators.Dedup.charGramSpanSummary(b, "doc_id", "text", k)
+      summary.write.mode("overwrite").parquet(batchPart(summaryDir, batchId))
+      graft.operators.Checkpoints.free(b)
+    }
+  }
+
+  /**
    * STREAMING duplicated-span extraction — [[nearDupStream]]'s
    * substring-level sibling: the persisted state is the gram-summary
    * table ([[graft.operators.Dedup.gramSpanSummary]] rows, gram-

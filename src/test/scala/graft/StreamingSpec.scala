@@ -1306,6 +1306,36 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$compRoot/state/docs").count() === 6L)
   }
 
+  test("ingestSpanBatch char grain: two ingests equal the full char rebuild at " +
+    "arrival-time visibility, and a stale retry is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xxxxBOILERPLATE-SEGMENT-HERExxxx"),
+      (2L, "yyyyBOILERPLATE-SEGMENT-HEREyyyy"),   // covered at arrival (1 in batch 0)
+      (3L, "zzzz-unique-content-here-zzzz"))
+      .toDF("doc_id", "text")
+    val state = s"${tmpDir("graft_ingspan_char_")}/state"
+    EventStreams.ingestSpanBatch(spark, docs.filter(col("doc_id") === 1), state, 0L,
+      grain = "char", k = 12, minRun = 20)
+    EventStreams.ingestSpanBatch(spark, docs.filter(col("doc_id") =!= 1), state, 1L,
+      grain = "char", k = 12, minRun = 20)
+    def spans() = spark.read.parquet(s"$state/spans").drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spans()
+    // arrival-time rule: doc 1 saw nothing; doc 2's span equals the
+    // full rebuild's assignment for it (the batch-2 restriction)
+    val full = graft.operators.Dedup
+      .duplicatedSpansChars(docs, "doc_id", "text", k = 12, minChars = 20)
+      .filter(col("doc_id") =!= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === full)
+    assert(got.map(_._1) === Set(2L), s"got $got")
+    // stale retry of batch 0 after batch 1 committed: no-op
+    EventStreams.ingestSpanBatch(spark, docs.filter(col("doc_id") === 1), state, 0L,
+      grain = "char", k = 12, minRun = 20)
+    assert(spans() === got)
+  }
+
   test("batch protocol rejects a pre-protocol flat-layout state dir loudly") {
     import spark.implicits._
     val work = tmpDir("graft_flat_guard_")
