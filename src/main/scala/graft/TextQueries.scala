@@ -2990,6 +2990,55 @@ object TextQueries {
              |FROM agg JOIN d ON d.doc_id = agg.doc_id
              |ORDER BY score_micro DESC, agg.doc_id LIMIT 10""".stripMargin)),
 
+    // ---- PROXIMITY RANKING (minimal covering window): for every
+    //      doc containing ALL three query terms, the smallest token
+    //      window covering one occurrence of each — the classic
+    //      proximity feature a ranker blends with BM25 ("terms near
+    //      each other beat terms scattered"). Exact and relational:
+    //      per-doc positional postings of the 3 terms 3-way equi-join
+    //      ON THE DOC KEY (positions per doc are bounded, so the
+    //      per-doc triple product is doc-local work, never corpus-
+    //      quadratic), min over GREATEST−LEAST+1, and an integer
+    //      permille proximity = 1000 div window. Conjunctive docs
+    //      only (the candidate-retrieval convention — same as the
+    //      phrase/keyword tier). ----
+    Q("text_proximity_rank",
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "window")
+        val pos = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .localCheckpoint() // three join sides read it
+        def side(t: String, n: Int) = pos.filter(col("tok") === t)
+          .select(col("doc_id"), col("pos").as(s"p$n"))
+        side(terms(0), 1)
+          .join(side(terms(1), 2), "doc_id")
+          .join(side(terms(2), 3), "doc_id")
+          .select(col("doc_id"),
+            (greatest(col("p1"), col("p2"), col("p3")) -
+              least(col("p1"), col("p2"), col("p3")) + 1).as("w"))
+          .groupBy("doc_id").agg(min("w").as("min_window"))
+          .withColumn("prox_permille", expr("1000 div min_window"))
+          .orderBy(col("min_window"), col("doc_id"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS INTEGER)] AS tok
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+             |        FROM documents)
+             |  WHERE w[CAST(i AS INTEGER)] IN ('spark', 'merge', 'window')),
+             |tri AS (SELECT a.doc_id,
+             |          GREATEST(a.pos, b.pos, c.pos) - LEAST(a.pos, b.pos, c.pos) + 1 AS w
+             |        FROM pos a
+             |        JOIN pos b ON b.doc_id = a.doc_id AND b.tok = 'merge'
+             |        JOIN pos c ON c.doc_id = a.doc_id AND c.tok = 'window'
+             |        WHERE a.tok = 'spark')
+             |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS min_window,
+             |  CAST(1000 // MIN(w) AS BIGINT) AS prox_permille
+             |FROM tri GROUP BY doc_id
+             |ORDER BY min_window, doc_id""".stripMargin)),
+
     // ---- RETRIEVAL QUALITY EVAL (NDCG@10): score the BM25 top-10
     //      against a binary relevance proxy (doc contains ALL three
     //      query terms) — the eval loop that closes the serving tier
