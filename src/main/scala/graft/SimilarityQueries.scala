@@ -1869,6 +1869,123 @@ object SimilarityQueries {
              |FROM lr FULL OUTER JOIN dr USING (doc_id)
              |ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- THREE-LEG HYBRID FUSION: sim_rrf_fusion's shape with the
+    //      round's second lexical ranking family as a third leg —
+    //      BM25 (persisted-index scorer), Dirichlet query-likelihood
+    //      (the SAME maintained incremental index, text_lm_dirichlet's
+    //      scorer), and dense cosine, merged in rank space by RRF
+    //      k=60. Two lexical models disagree exactly where their
+    //      length/priors differ, and the fusion needs no calibration
+    //      between BM25 micros, LM log-micros, and cosines — the
+    //      production reason RRF is the default first-stage merge.
+    //      Integer-exact Σ floor(1e9/(60+rank)); ranks via 20-row
+    //      broadcast count-of-better, never a one-partition window. ----
+    Q("sim_rrf_fusion3",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val terms = Seq("spark", "merge", "window")
+        val (postings, stats) = TextQueries.bm25IndexTables(s, dir)
+        val hits = postings.filter(col("token").isin(terms: _*))
+        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
+              .cast("long").as("idf_pm"))
+        val lex = hits.join(broadcast(idf), Seq("token"))
+          .select(col("doc_id"),
+            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
+              .as("contrib"))
+          .groupBy("doc_id").agg(sum("contrib").as("s_lex"))
+          .orderBy(desc("s_lex"), col("doc_id")).limit(20)
+          .localCheckpoint()
+        val (ip, ist) = TextQueries.bm25IncrementalTables(s, dir)
+        val ihits = ip.filter(col("token").isin(terms: _*))
+        val ctf = ihits.groupBy("token").agg(sum("tf").as("ctf"))
+        val lm = ihits.join(broadcast(ctf), Seq("token"))
+          .crossJoin(broadcast(ist))
+          .select(col("doc_id"), col("dl"),
+            expr("CAST(round(ln(CAST(2000 * ctf + tf * l AS DOUBLE)" +
+              " / CAST(2000 * ctf AS DOUBLE)) * 1000000) AS BIGINT)").as("hm"))
+          .groupBy("doc_id", "dl").agg(sum("hm").as("hits_micro"))
+          .select(col("doc_id"),
+            (col("hits_micro") + lit(3L) *
+              expr("CAST(round(ln(CAST(2000 AS DOUBLE) / CAST(dl + 2000 AS DOUBLE)) * 1000000) AS BIGINT)"))
+              .as("s_lm"))
+          .orderBy(desc("s_lm"), col("doc_id")).limit(20)
+          .localCheckpoint()
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+        val probe = emb.filter(col("vec_id") === 0).select(col("e").as("probe_e"))
+        val dense = graft.operators.Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 20)
+          .select(col("vec_id").as("doc_id"), col("cos_sim"))
+          .localCheckpoint()
+        def rrfLeg(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+                   out: String): org.apache.spark.sql.DataFrame = {
+          val o = df.select(col("doc_id").as("_i2"), col(scoreCol).as("_s2"))
+          df.join(broadcast(o),
+              col("_s2") > col(scoreCol) ||
+                (col("_s2") === col(scoreCol) && col("_i2") < col("doc_id")),
+              "left")
+            .groupBy("doc_id")
+            .agg(expr("1000000000 div (61 + count(_i2))").as(out))
+        }
+        rrfLeg(lex, "s_lex", "r_lex")
+          .join(rrfLeg(lm, "s_lm", "r_lm"), Seq("doc_id"), "full_outer")
+          .join(rrfLeg(dense, "cos_sim", "r_dense"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("r_lex"), lit(0L)) + coalesce(col("r_lm"), lit(0L)) +
+              coalesce(col("r_dense"), lit(0L))).as("rrf_nano"))
+          .orderBy(desc("rrf_nano"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN st s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN st s),
+             |lex AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS s_lex FROM sc GROUP BY 1
+             |        ORDER BY s_lex DESC, doc_id LIMIT 20),
+             |lr AS (SELECT doc_id,
+             |         1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY s_lex DESC, doc_id)) AS r_lex
+             |       FROM lex),
+             |ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+             |lmsc AS (SELECT tf.doc_id,
+             |           CAST(round(ln(CAST(2000 * ctf.ctf + tf.tf * s.l AS DOUBLE)
+             |             / CAST(2000 * ctf.ctf AS DOUBLE)) * 1000000) AS BIGINT) AS hm
+             |         FROM tf JOIN ctf USING (token) CROSS JOIN st s),
+             |lmagg AS (SELECT doc_id, CAST(SUM(hm) AS BIGINT) AS hits_micro FROM lmsc GROUP BY 1),
+             |lm AS (SELECT lmagg.doc_id,
+             |         CAST(hits_micro + 3 * CAST(round(ln(CAST(2000 AS DOUBLE)
+             |           / CAST(d.dl + 2000 AS DOUBLE)) * 1000000) AS BIGINT) AS BIGINT) AS s_lm
+             |       FROM lmagg JOIN d ON d.doc_id = lmagg.doc_id
+             |       ORDER BY s_lm DESC, lmagg.doc_id LIMIT 20),
+             |lmr AS (SELECT doc_id,
+             |          1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY s_lm DESC, doc_id)) AS r_lm
+             |        FROM lm),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+             |dense AS (SELECT vec_id AS doc_id,
+             |            list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS cos_sim
+             |          FROM e, probe WHERE vec_id <> 0
+             |          ORDER BY cos_sim DESC, vec_id LIMIT 20),
+             |dr AS (SELECT doc_id,
+             |         1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)) AS r_dense
+             |       FROM dense)
+             |SELECT doc_id,
+             |  CAST(COALESCE(r_lex, 0) + COALESCE(r_lm, 0) + COALESCE(r_dense, 0) AS BIGINT) AS rrf_nano
+             |FROM lr FULL OUTER JOIN lmr USING (doc_id) FULL OUTER JOIN dr USING (doc_id)
+             |ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- BINARY-EMBEDDING HAMMING RETRIEVAL: each vector collapses
     //      to its 64 SIGN BITS (two packed 32-bit words) and top-k
     //      runs on Hamming distance — the 1-bit-per-dimension first
