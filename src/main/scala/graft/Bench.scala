@@ -54,6 +54,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bucketed-index gates need the bucket-PRUNED scan; the auto
+      // rule only weighs exchange reuse and would drop the pruning
+      // (set once here — r17 verdict retired the per-gate conf.sets)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: parquet reader init, codegen

@@ -1794,7 +1794,6 @@ object SimilarityQueries {
     //      whatever the corpus size. ----
     Q("sim_rrf_fusion",
       (s, dir) => {
-        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         val terms = Seq("spark", "merge", "window")
         val (postings, stats) = TextQueries.bm25IndexTables(s, dir)
         val hits = postings.filter(col("token").isin(terms: _*))
@@ -1882,7 +1881,6 @@ object SimilarityQueries {
     //      broadcast count-of-better, never a one-partition window. ----
     Q("sim_rrf_fusion3",
       (s, dir) => {
-        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         val terms = Seq("spark", "merge", "window")
         val (postings, stats) = TextQueries.bm25IndexTables(s, dir)
         val hits = postings.filter(col("token").isin(terms: _*))

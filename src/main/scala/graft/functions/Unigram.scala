@@ -133,7 +133,11 @@ object Unigram {
     * Invalid). */
   private def dpFromMap(w: Column, m: Column): Column =
     aggregate(
-      sequence(lit(1), length(w)),
+      // sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+      // zero-length word must fold over an explicitly EMPTY range —
+      // otherwise the dp walks garbage indices i = 1, 0
+      when(length(w) >= 1, sequence(lit(1), length(w)))
+        .otherwise(array().cast("array<int>")),
       array(lit(0L)),
       (acc, i) => {
         def cand(k: Int): Column =
@@ -189,13 +193,16 @@ object Unigram {
    * [[trainUnigram]]'s output). Returns `vocab` plus `_pieces`
    * (array<string>, backtrace order — reverse for reading order,
    * matching [[viterbiPieces]]). A word with no segmentable length
-   * (< 1 char) keeps a null map and null pieces, like the typedLit
-   * form's degenerate fold.
+   * (< 1 char) generates NO span rows (guarded below — Spark's
+   * sequence(1, 0) is the descending [1, 0], not empty), so it
+   * keeps a null span map, a degenerate dp of [0], and EMPTY (not
+   * null) pieces — the walk starts at pos = 0 and emits nothing.
    */
   def segmentJoined(vocab: DataFrame, wCol: String, pieces: DataFrame,
                     pieceCol: String = "piece",
                     scoreCol: String = "score_micros"): DataFrame = {
     val spans = vocab.select(col(wCol).as("_w")).distinct()
+      .filter(length(col("_w")) >= 1)
       .select(col("_w"), explode(expr(
         s"flatten(transform(sequence(1, length(_w)), i -> " +
           s"transform(sequence(1, least($MaxPiece, i)), " +

@@ -56,6 +56,14 @@ object Similarity {
    * their recall oracle.
    *
    * `probes` columns: (`probeIdCol`, `probe_e: array<double>`).
+   *
+   * OUTPUT CONTRACT (shared by every batch serving form — this,
+   * [[hardNegatives]], [[annBatchTopK]], [[annBucketedBatchTopK]],
+   * [[ivfBatchTopK]], [[ivfPqBatchTopK]]): the corpus row's columns
+   * plus the probe id, the distance/similarity column, and `rk` —
+   * the 1-based per-probe rank (1 = best). `rk` is deliberate API,
+   * not leakage: a serving caller pages/joins on it without
+   * re-deriving order from the score column.
    */
   def batchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String, k: Int,
                 idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
@@ -236,6 +244,8 @@ object Similarity {
    * scan count. Exactness rider: probeHamming = nBits accepts every
    * candidate, so each probe's answer equals exact cosine top-k
    * (`sim_ann_batch_topk`). `probes`: (`probeIdCol`, `probe_e`).
+   * Output: the [[batchTopK]] contract — corpus columns + `cos_sim`
+   * + the per-probe rank `rk`.
    */
   def annBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
                    dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6,
@@ -288,7 +298,8 @@ object Similarity {
    * given r is lower than the scan form at hamming ≤ 6 — the classic
    * multi-probe trade (touch 0.2% of the corpus, accept the smaller
    * ball; raise r or nBits to buy recall with a bigger ball).
-   * `probes`: (`probeIdCol`, `probe_e`).
+   * `probes`: (`probeIdCol`, `probe_e`). Output: the [[batchTopK]]
+   * contract — corpus columns + `cos_sim` + the per-probe rank `rk`.
    */
   def annBucketedBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
                            dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 2,
@@ -411,6 +422,8 @@ object Similarity {
    * the result equals exact per-probe cosine top-k — the
    * `sim_ivf_batch_topk` gate pins that against the DuckDB oracle.
    * `probes` columns: (`probeIdCol`, `probe_e: array<double>`).
+   * Output: the [[batchTopK]] contract — corpus columns + `cos_sim`
+   * + the per-probe rank `rk`.
    */
   def ivfBatchTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
                    vecCol: String, k: Int, nProbe: Int = 4,
@@ -818,7 +831,9 @@ object Similarity {
    * nProbe = nLists + a shortlist wider than the corpus equals exact
    * per-probe L2 top-k whatever the codebooks learned — the
    * `sim_ivfpq_batch_topk` gate. `probes` columns: (`probeIdCol`,
-   * `probe_e: array<double>`).
+   * `probe_e: array<double>`). Output: the [[batchTopK]] contract —
+   * corpus columns + `adc_dist` (+ `l2_dist` when reranking) + the
+   * per-probe rank `rk`.
    */
   def ivfPqBatchTopK(encoded: DataFrame, centroids: DataFrame,
                      codebooks: Array[Array[Array[Double]]], probes: DataFrame,
@@ -842,19 +857,22 @@ object Similarity {
         graft.functions.PqCodec.adcBatch(col("pq_code"), col("probe_res"), codebooks))
       .withColumn("_rk", row_number().over(wAdc))
       .filter(col("_rk") <= shortN)
-      .drop("_rk", "probe_res")
+      .drop("probe_res")
     rerankVecCol match {
-      case None => shortlisted.drop("probe_e", "cell")
+      // no rerank: shortN == k, so the ADC rank IS the output rank —
+      // surfaced as `rk` per the batchTopK output contract
+      case None => shortlisted.withColumnRenamed("_rk", "rk")
+        .drop("probe_e", "cell")
       case Some(vc) =>
         val v = col(vc).cast(ArrayType(DoubleType))
         val exact = dot(v, v) - lit(2.0) * dot(v, col("probe_e")) +
           dot(col("probe_e"), col("probe_e"))
         val wExact = org.apache.spark.sql.expressions.Window
           .partitionBy(probeIdCol).orderBy(asc("l2_dist"), asc(idCol))
-        shortlisted.withColumn("l2_dist", exact)
-          .withColumn("_rk", row_number().over(wExact))
-          .filter(col("_rk") <= k)
-          .drop("_rk", "probe_e", "cell")
+        shortlisted.drop("_rk").withColumn("l2_dist", exact)
+          .withColumn("rk", row_number().over(wExact))
+          .filter(col("rk") <= k)
+          .drop("probe_e", "cell")
     }
   }
 

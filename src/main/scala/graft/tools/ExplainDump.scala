@@ -15,6 +15,7 @@ object ExplainDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Queries.registry.filter(q => only.isEmpty || only(q.name)).foreach { q =>

@@ -13,6 +13,8 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC") // match Verify/tests
       .config("spark.ui.enabled", "false")
+      // keep bucket pruning for the indexed-retrieval gates (see Bench)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Queries.registry.foreach { q =>

@@ -10,7 +10,9 @@ object ReuseCheck {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (name == "--all") {
       graft.Queries.registry.foreach { q =>

@@ -23,6 +23,8 @@ object ScaleStress {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      // keep bucket pruning for the indexed sections (see Bench)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // clearCache drops CacheManager entries but NOT localCheckpoint blocks
@@ -257,7 +259,6 @@ object ScaleStress {
     // index pays one build pass, then each query reads k of 64
     // buckets — qidx should grow far slower than qinline as m grows.
     if (wanted("tokidx")) {
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val must = Seq("spark", "merge", "window")
       def search(postings: org.apache.spark.sql.DataFrame): Long =
         postings.filter(col("token").isin(must: _*))
@@ -292,7 +293,6 @@ object ScaleStress {
     // SCORING query reads only the 3 fixed terms' buckets, so qbm25
     // must stay ~flat in corpus size — the serving claim on the gate.
     if (wanted("bm25")) {
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       multiples.foreach { m =>
         val corpus = (0 until m).map(i =>
           base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
@@ -333,7 +333,6 @@ object ScaleStress {
     // touches 40 rows whatever m is. The two legs are timed apart so
     // the flat/linear split is on the record.
     if (wanted("rrf")) {
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       emb0.count() // warm
       multiples.foreach { m =>

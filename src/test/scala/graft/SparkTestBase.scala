@@ -11,6 +11,8 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // keep bucket pruning for the indexed-retrieval gates (see Bench)
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .getOrCreate()
 }
 

@@ -84,6 +84,22 @@ class UnigramSpec extends SparkTestBase {
       Map("a" -> -2000000L, "b" -> -2000000L, "ab" -> -1000000L)))
   }
 
+  test("segmentJoined: a zero-length word emits no spurious spans — " +
+    "null map, EMPTY pieces (ADVICE r17: sequence(1, 0) is [1, 0])") {
+    val pieceDf = Seq(("a", -1000000L)).toDF("piece", "score_micros")
+    val out = Unigram.segmentJoined(
+        Seq("", "a", "aa").toDF("w"), "w", pieceDf)
+      .select("w", "_pieces").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toSeq))
+      .toMap
+    // empty word: EMPTY pieces array (backtrace starts at pos = 0),
+    // never null and never garbage i=0/i=1 span rows
+    assert(out("") === Some(Seq.empty[String]),
+      s"empty word must segment to empty pieces, got ${out("")}")
+    assert(out("a") === Some(Seq("a")))
+    assert(out("aa") === Some(Seq("a", "a")))
+  }
+
   test("trainUnigram keeps every char and emits integer-micro scores") {
     val vocab = Seq(("abab", 10L), ("abba", 5L), ("baba", 3L), ("bb", 2L))
       .toDF("w", "freq")
