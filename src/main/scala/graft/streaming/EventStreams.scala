@@ -384,10 +384,22 @@ object EventStreams {
    * the bytes. Two folds, chosen by the directory's semantics:
    *
    *  - `union` (docs, sketches, pair logs, gram summaries — anything
-   *    readers UNION): all committed partitions consolidate into ONE
-   *    `batch=<maxId>` partition. Protocol-preserving: every future
-   *    batch b > maxId reads the same `stateBefore(b)` rows before
-   *    and after (compacted rows carry batch = maxId < b). Crash-safe
+   *    readers UNION): every committed partition STRICTLY BELOW the
+   *    newest id consolidates into ONE `batch=<second-newest id>`
+   *    partition; the newest partition is never touched. Sparing the
+   *    newest is load-bearing, not an optimization (ADVICE r17): a
+   *    multi-directory ingest of batch N can crash with N committed
+   *    in SOME state dirs (pairs/docs/sketch write before clusters),
+   *    and folding history INTO batch=N would make the retry — which
+   *    sees the batch uncommitted and recomputes from
+   *    `stateBefore(N)`, now empty — overwrite the compacted
+   *    partition with batch-N-only rows, silently destroying the
+   *    accumulated state. With the newest spared, a retry of the
+   *    newest id always finds its own partition intact (overwritten
+   *    deterministically) and its prior state complete under lower
+   *    ids, whatever the crash point. Protocol-preserving: every
+   *    future batch b reads the same `stateBefore(b)` rows before
+   *    and after (folded rows carry an id < b). Crash-safe
    *    via stage-then-swap: rows write to an underscore staging child
    *    (invisible to discovery, target id recorded inside), source
    *    partitions set aside, stage swapped in, asides dropped last —
@@ -422,19 +434,25 @@ object EventStreams {
     if (!fs.exists(root)) return 0L
     val ids = committedBatchIds(conf, dir)
     if (ids.size < minParts) return 0L
-    val target = ids.last
     if (mode == "latest") {
       ids.init.foreach(i => fs.delete(new Path(root, s"batch=$i"), true))
       ids.size - 1L
     } else {
+      // fold ONLY ids strictly below the newest (see the union-mode
+      // doc above — the newest id may be a sibling dir's mid-crash
+      // batch whose retry must find this dir's prior state intact)
+      val foldIds = ids.init
+      if (foldIds.size < 2) return 0L
+      val target = foldIds.last
       val stage = new Path(root, CompactStage)
       fs.delete(stage, true)
-      spark.read.parquet(dir).drop("batch").write.parquet(stage.toString)
+      spark.read.parquet(dir).filter(col("batch") <= target)
+        .drop("batch").write.parquet(stage.toString)
       val out = fs.create(new Path(stage, "_compact_target"), true)
       try out.write(target.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       finishCompaction(fs, root, stage)
-      ids.size - 1L
+      foldIds.size - 1L
     }
   }
 

@@ -1217,12 +1217,18 @@ class StreamingSpec extends SparkTestBase {
     def all() = spark.read.parquet(dir).drop("batch").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val before = all()
-    // union fold: 3 partitions -> 1, same rows, under the max id
-    assert(EventStreams.compactBatchState(spark, dir, "union") === 2L)
+    // union fold: ids strictly below the newest consolidate under the
+    // SECOND-newest id; the newest partition is spared (ADVICE r17 —
+    // it may be a sibling dir's mid-crash batch whose retry needs
+    // this dir's prior state intact)
+    assert(EventStreams.compactBatchState(spark, dir, "union") === 1L)
     assert(all() === before)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
-    assert(parts === Seq("batch=2"), s"got $parts")
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(parts === Seq("batch=1", "batch=2"), s"got $parts")
+    // the newest partition's own rows are untouched
+    assert(spark.read.parquet(dir).filter(col("batch") === 2).drop("batch")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set((4L, "d")))
     // a future batch's prior-state view is unchanged
     assert(spark.read.parquet(dir).filter(col("batch") < 3).drop("batch")
       .count() === before.size.toLong)
@@ -1267,22 +1273,26 @@ class StreamingSpec extends SparkTestBase {
     def run(root: String, compactMid: Boolean): (Set[(Long, Long)], Set[(Long, Long)]) = {
       val state = s"$root/state"
       EventStreams.ingestDedupBatch(spark,
-        docs.filter(col("doc_id").isin(1L, 3L)), state, 0L)
+        docs.filter(col("doc_id") === 1L), state, 0L)
       EventStreams.ingestDedupBatch(spark,
-        docs.filter(col("doc_id").isin(4L, 5L)), state, 1L)
+        docs.filter(col("doc_id") === 3L), state, 1L)
+      EventStreams.ingestDedupBatch(spark,
+        docs.filter(col("doc_id").isin(4L, 5L)), state, 2L)
       if (compactMid) {
+        // union spares the newest (batch=2); batches 0 and 1 fold
         Seq("docs", "sketch", "pairs").foreach { d =>
           assert(EventStreams.compactBatchState(spark, s"$state/$d", "union") === 1L)
         }
-        assert(EventStreams.compactBatchState(spark, s"$state/clusters", "latest") === 1L)
+        assert(EventStreams.compactBatchState(spark, s"$state/clusters", "latest") === 2L)
       }
       // the cross-compaction pair (1, 2) can only come from the
-      // FOLDED sketch; (3, 4) was found before the compaction
+      // FOLDED sketch (doc 1 rode batch 0, folded into batch=1);
+      // (3, 4) was found before the compaction
       EventStreams.ingestDedupBatch(spark,
-        docs.filter(col("doc_id").isin(2L, 6L)), state, 2L)
+        docs.filter(col("doc_id").isin(2L, 6L)), state, 3L)
       (spark.read.parquet(s"$state/pairs").select("doc_a", "doc_b")
          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-       spark.read.parquet(s"$state/clusters").filter(col("batch") === 2)
+       spark.read.parquet(s"$state/clusters").filter(col("batch") === 3)
          .drop("batch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
     val plain = run(tmpDir("graft_ingc_plain_"), compactMid = false)
@@ -1296,14 +1306,59 @@ class StreamingSpec extends SparkTestBase {
     // no-op (re-running it against the compacted state would
     // double-ingest its docs and double-emit its pairs)
     EventStreams.ingestDedupBatch(spark,
-      docs.filter(col("doc_id").isin(1L, 3L)), s"$compRoot/state", 0L)
+      docs.filter(col("doc_id") === 1L), s"$compRoot/state", 0L)
     val afterRetry = (
       spark.read.parquet(s"$compRoot/state/pairs").select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-      spark.read.parquet(s"$compRoot/state/clusters").filter(col("batch") === 2)
+      spark.read.parquet(s"$compRoot/state/clusters").filter(col("batch") === 3)
         .drop("batch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(afterRetry === plain)
     assert(spark.read.parquet(s"$compRoot/state/docs").count() === 6L)
+  }
+
+  test("crashed ingest + mid-crash compaction: the retry must NOT destroy " +
+    "compacted state (ADVICE r17 — union spares the newest batch id)") {
+    // the exact reported scenario: ingest of batch N crashes AFTER
+    // writeNearDupBatch (pairs/docs/sketch committed under batch=N)
+    // but BEFORE the clusters write; the out-of-band compaction then
+    // runs; the retry sees the batch uncommitted (clusters marker
+    // missing, not stale — N is the max id) and recomputes. With the
+    // old fold-into-newest union, stateBefore(N) was empty and the
+    // retry overwrote the folded partitions with batch-N-only rows.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val state = s"${tmpDir("graft_crash_compact_")}/state"
+    EventStreams.ingestDedupBatch(spark, docs.filter(col("doc_id") === 1L), state, 0L)
+    EventStreams.ingestDedupBatch(spark, docs.filter(col("doc_id") === 3L), state, 1L)
+    // batch 2 "crashes" after the state writes: run it whole, then
+    // delete the clusters partition — byte-identical to the mid-crash
+    EventStreams.ingestDedupBatch(spark,
+      docs.filter(col("doc_id").isin(2L, 4L)), state, 2L)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/clusters/batch=2"), true)
+    // the documented out-of-band maintenance job fires before the retry
+    Seq("docs", "sketch", "pairs").foreach { d =>
+      EventStreams.compactBatchState(spark, s"$state/$d", "union")
+    }
+    EventStreams.compactBatchState(spark, s"$state/clusters", "latest")
+    // retry of batch 2: recomputes against the intact pre-batch state
+    EventStreams.ingestDedupBatch(spark,
+      docs.filter(col("doc_id").isin(2L, 4L)), state, 2L)
+    assert(spark.read.parquet(s"$state/docs").count() === 4L,
+      "compacted docs state must survive the crashed-batch retry")
+    val pairs = spark.read.parquet(s"$state/pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)), s"got $pairs")
+    val clusters = spark.read.parquet(s"$state/clusters")
+      .filter(col("batch") === 2).drop("batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)), s"got $clusters")
   }
 
   test("ingestSpanBatch char grain: two ingests equal the full char rebuild at " +
