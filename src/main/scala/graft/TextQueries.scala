@@ -54,7 +54,16 @@ object TextQueries {
     * buckets: no join back to a corpus-sized doc-length table, ever.
     * D (docs) and L (total tokens) are corpus constants paid once at
     * index build; the index rebuild discipline (fingerprint-keyed
-    * warehouse) matches [[tokenPostingsTable]]. */
+    * warehouse) matches [[tokenPostingsTable]].
+    *
+    * STATUS (r18): demoted to the static==maintained PIN — only
+    * `text_bm25_topk` still rides this table (its oracle is shared
+    * verbatim with `text_bm25_incremental`, pinning the two index
+    * families' rankings equal). Every production ranker — the RRF
+    * fusion legs, Dirichlet LM, NDCG eval — serves from the
+    * MAINTAINED [[bm25IncrementalTables]] / the batch-protocol
+    * ingest state ([[bm25IngestTopK]]), because at 100 TB there is
+    * exactly one index being maintained. */
   def bm25IndexTables(s: org.apache.spark.sql.SparkSession,
                       dir: String): (org.apache.spark.sql.DataFrame,
                                      org.apache.spark.sql.DataFrame) = {
@@ -208,6 +217,34 @@ object TextQueries {
       .agg(sum("contrib").as("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(k)
+  }
+
+  /** BM25 top-k served from an `INGEST_BM25_DESTINATION` state
+    * directory (the batch-protocol index
+    * [[graft.streaming.EventStreams.ingestBm25Batch]] maintains):
+    * the query terms' bucket ids compute once through the engine's
+    * own hash (a metadata-sized driver round-trip — the same function
+    * the ingest used to place them, so the two always agree), the
+    * postings read partition-prunes to those buckets inside every
+    * committed batch partition, the corpus stats fold as one sum over
+    * the per-batch (d, l) delta rows, and [[bm25ScoreTerms]] scores
+    * with its query-time length norm — identical micros to the
+    * warehouse index paths, whatever the batch count. */
+  def bm25IngestTopK(s: org.apache.spark.sql.SparkSession, destDir: String,
+                     terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val nb = graft.streaming.EventStreams.Bm25IngestBuckets
+    val buckets = terms.toDF("token")
+      .select(pmod(hash(col("token")), lit(nb)).as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val postings = graft.streaming.EventStreams
+      .batchStateRead(s, s"$destDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .drop("bucket")
+    val stats = graft.streaming.EventStreams
+      .batchStateRead(s, s"$destDir/stats")
+      .agg(sum("d").as("d"), sum("l").as("l"))
+    bm25ScoreTerms(postings, stats, terms, k)
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -2825,7 +2862,15 @@ object TextQueries {
     //      ride inside the postings so no corpus-sized join), df is
     //      exact off those same buckets, and the top-10 is
     //      orderBy+limit (TakeOrderedAndProject — per-partition
-    //      heaps). Fixed query terms => cost flat in corpus size. ----
+    //      heaps). Fixed query terms => cost flat in corpus size.
+    //      ROLE (r18): this is the ONE remaining rider of the static
+    //      bm25IndexTables — kept deliberately as the
+    //      static == maintained pin: it shares its oracle verbatim
+    //      with text_bm25_incremental (the maintained index + the
+    //      query-time-norm scorer), so both rankings are pinned
+    //      equal through the shared ground truth every sweep. All
+    //      production rankers (fusion legs, LM, NDCG eval, proximity)
+    //      ride the maintained index. ----
     Q("text_bm25_topk",
       (s, dir) => {
         val terms = Seq("spark", "merge", "window")
@@ -3055,21 +3100,11 @@ object TextQueries {
     Q("text_bm25_ndcg",
       (s, dir) => {
         val terms = Seq("spark", "merge", "window")
-        val (postings, stats) = bm25IndexTables(s, dir)
-        val hits = postings.filter(col("token").isin(terms: _*))
-        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .select(col("token"),
-            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
-              .cast("long").as("idf_pm"))
-        val top = hits.join(broadcast(idf), Seq("token"))
-          .select(col("doc_id"),
-            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
-              .as("contrib"))
-          .groupBy("doc_id")
-          .agg(sum("contrib").as("score_micro"))
-          .orderBy(desc("score_micro"), col("doc_id"))
-          .limit(10)
+        // the eval loop rides the MAINTAINED incremental index, like
+        // every production ranker (VERDICT r17 #2) — bm25IndexTables
+        // survives only as text_bm25_topk's static==maintained pin
+        val (postings, stats) = bm25IncrementalTables(s, dir)
+        val top = bm25ScoreTerms(postings, stats, terms, 10)
           .localCheckpoint() // both sides of the rank self-join read it
         val ranked = top.join(broadcast(
             top.select(col("doc_id").as("d2"), col("score_micro").as("s2"))),

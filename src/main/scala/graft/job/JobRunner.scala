@@ -701,6 +701,48 @@ object JobRunner {
                   spark, s"$spPath/$d", "union", minParts))
             }
             stepsRun ::= step
+          case "INGEST_BM25_DESTINATION" =>
+            // BM25-index maintenance from the config surface (VERDICT
+            // r17 #1 — the one ingest surface that was off the batch
+            // protocol): the job's SOURCE is one fresh document batch;
+            // the destination is the standing incremental BM25 index
+            // state — postings/ (raw-dl rows, bucket-partitioned for
+            // query-term pruning) + stats/ (per-batch (d, l) DELTA
+            // rows; current stats = the fold over committed batches,
+            // so there is no read-modify-write to crash through).
+            // Both on the batch=<id> exactly-once protocol:
+            // re-submitting a committed ingestBatchId is a no-op, a
+            // stale id skips, and a crash between the two writes
+            // replays deterministically from the batch input alone.
+            // transformation.parameters: ingestIdColumn,
+            // ingestTextColumn, ingestBatchId; optional ingestCompact
+            // (+ ingestCompactMinParts) — the postings fold keeps the
+            // bucket=<b> pruning layout via partitionCols.
+            val bmDest = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("INGEST_BM25_DESTINATION requires a destination"))
+            require(bmDest.`type`.toUpperCase == "PARQUET",
+              s"INGEST_BM25_DESTINATION supports PARQUET destinations, got ${bmDest.`type`}")
+            val bmPath = bmDest.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException(
+                "INGEST_BM25_DESTINATION requires a file path destination"))
+            val bmP = cfg.transformation.parameters
+            def bmNeed(key: String) = bmP.getOrElse(key,
+              throw new IllegalArgumentException(
+                s"INGEST_BM25_DESTINATION requires transformation.parameters.$key"))
+            graft.streaming.EventStreams.ingestBm25Batch(spark,
+              buildDataFrame(spark, cfg, plugins), bmPath,
+              bmNeed("ingestBatchId").toLong,
+              idCol = bmNeed("ingestIdColumn"),
+              textCol = bmNeed("ingestTextColumn"))
+            if (bmP.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
+              val minParts = bmP.getOrElse("ingestCompactMinParts", "8").toInt
+              graft.streaming.EventStreams.compactBatchState(
+                spark, s"$bmPath/postings", "union", minParts,
+                partitionCols = Seq("bucket"))
+              graft.streaming.EventStreams.compactBatchState(
+                spark, s"$bmPath/stats", "union", minParts)
+            }
+            stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:
             // load the (filtered, mapped) source batch through the

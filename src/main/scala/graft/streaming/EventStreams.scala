@@ -422,7 +422,8 @@ object EventStreams {
    * at `minParts` directories.
    */
   def compactBatchState(spark: SparkSession, dir: String,
-                        mode: String = "union", minParts: Int = 2): Long = {
+                        mode: String = "union", minParts: Int = 2,
+                        partitionCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     require(mode == "union" || mode == "latest",
       s"compactBatchState mode must be 'union' or 'latest', got $mode")
@@ -446,8 +447,12 @@ object EventStreams {
       val target = foldIds.last
       val stage = new Path(root, CompactStage)
       fs.delete(stage, true)
-      spark.read.parquet(dir).filter(col("batch") <= target)
-        .drop("batch").write.parquet(stage.toString)
+      // partitionCols preserves a sub-partitioned layout (e.g. the
+      // BM25 postings' bucket=<b> pruning dirs) through the fold
+      val w = spark.read.parquet(dir).filter(col("batch") <= target)
+        .drop("batch").write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stage.toString)
       val out = fs.create(new Path(stage, "_compact_target"), true)
       try out.write(target.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -719,6 +724,79 @@ object EventStreams {
       summary.write.mode("overwrite").parquet(batchPart(summaryDir, batchId))
       graft.operators.Checkpoints.free(b)
     }
+  }
+
+  /** The number of token buckets every BM25 ingest state uses —
+    * fixed so appends, compaction, and serving always agree on the
+    * bucket of a token ([[ingestBm25Batch]] / `bm25IngestTopK`). */
+  val Bm25IngestBuckets = 64
+
+  /**
+   * ONE exactly-once BM25-INDEX INGEST — [[ingestDedupBatch]]'s
+   * retrieval-index sibling and the `INGEST_BM25_DESTINATION` job
+   * step's kernel (VERDICT r17 #1: `bm25AppendBatch`'s two
+   * non-atomic commits finally get the batch protocol their scaladoc
+   * pointed at). State layout under `destDir`:
+   *
+   *  - `postings/batch=<id>/bucket=<b>/` — the batch's OWN raw-dl
+   *    postings ((token, doc_id, tf, dl) — `bm25RawPostings`' append-
+   *    invariant shape: the length norm moves to query time so no
+   *    existing posting ever needs rewriting), hive-partitioned by
+   *    `bucket = pmod(hash(token), 64)` so a query's terms
+   *    partition-prune to k of 64 buckets inside every batch
+   *    partition — the path-layout twin of the warehouse index's
+   *    bucketBy pruning.
+   *  - `stats/batch=<id>/` — the batch's (d, l) DELTA, one row. The
+   *    current corpus stats are the SUM over committed deltas (a
+   *    per-batch-row fold, metadata-sized), so there is no
+   *    read-modify-write and no global overwrite to crash through —
+   *    the non-atomicity `bm25AppendBatch` documents simply has no
+   *    surface here.
+   *
+   * Both directories ride the `batch=<id>` overwrite protocol:
+   * marker-less partials drop before any read, a batch with BOTH
+   * `_SUCCESS` markers skips whole, a stale id (strictly below a
+   * committed id — its partitions may have been union-compacted
+   * away) skips whole, and a crash between the two writes replays
+   * deterministically from the batch input alone (the kernel reads
+   * NO prior state — per-batch cost is the batch's own tokenization,
+   * never a corpus rescan). Compaction: union folds for both dirs
+   * (`compactBatchState` with `partitionCols = Seq("bucket")` for
+   * postings, preserving the pruning layout).
+   */
+  def ingestBm25Batch(spark: SparkSession, batch: DataFrame, destDir: String,
+                      batchId: Long, idCol: String = "doc_id",
+                      textCol: String = "text"): Unit = {
+    val postingsDir = s"$destDir/postings"
+    val statsDir = s"$destDir/stats"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = Seq(postingsDir, statsDir)
+    dropPartialBatchDirs(conf, dirs)
+    val stale = committedBatchIds(conf, postingsDir).exists(_ > batchId)
+    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
+      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+    if (!committed) {
+      val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .localCheckpoint() // both writes tokenize it
+      graft.TextQueries.bm25RawPostings(b)
+        .withColumn("bucket", pmod(hash(col("token")), lit(Bm25IngestBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(batchPart(postingsDir, batchId))
+      graft.TextQueries.bm25StatsOf(b)
+        .write.mode("overwrite").parquet(batchPart(statsDir, batchId))
+      graft.operators.Checkpoints.free(b)
+    }
+  }
+
+  /** Repair-then-read of a `batch=<id>` protocol state directory —
+    * the public serving-side read ([[ingestBm25Batch]]'s scorer, or
+    * any out-of-band consumer): drop marker-less partials / resolve
+    * a crashed compaction, then read every committed partition with
+    * the bookkeeping `batch` column dropped. Callers filter on any
+    * OTHER partition column (e.g. `bucket`) for pruned reads. */
+  def batchStateRead(spark: SparkSession, dir: String): DataFrame = {
+    dropPartialBatchDirs(spark.sparkContext.hadoopConfiguration, Seq(dir))
+    spark.read.parquet(dir).drop("batch")
   }
 
   /**

@@ -149,6 +149,39 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Exactly-once BM25 ingest (ingestBm25Batch — the batch-protocol
+    // form behind INGEST_BM25_DESTINATION): the standing state grows
+    // m-fold (its build pass is tstate, paid once per corpus batch
+    // over the ingest's life) while the arriving batch stays FIXED.
+    // tingest — the batch's own tokenization written under its
+    // batch=<id> partition plus the one-row stats delta — must stay
+    // FLAT at 10x corpus (the kernel reads NO prior state); tserve —
+    // a 3-term query through the folded stats + bucket-pruned
+    // postings — must stay near-flat (it reads the terms' buckets of
+    // each batch partition, never the corpus text).
+    if (wanted("bm25ing")) {
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val state = graft.CacheDirs.tempWorkDir("graft_stress_bm25ing_").toString
+        val t0 = System.nanoTime()
+        graft.streaming.EventStreams.ingestBm25Batch(spark, corpus, state, 0L)
+        val t1 = System.nanoTime()
+        graft.streaming.EventStreams.ingestBm25Batch(spark, batch, state, 1L)
+        val t2 = System.nanoTime()
+        val top = graft.TextQueries.bm25IngestTopK(spark, state,
+          Seq("spark", "merge", "window"), 10).count()
+        val t3 = System.nanoTime()
+        println(f"SCALE bm25ing m=$m%2d docs=$n%7d top=$top%3d " +
+          f"tstate=${(t1 - t0) / 1e9}%6.1fs tingest=${(t2 - t1) / 1e9}%6.1fs " +
+          f"tserve=${(t3 - t2) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(new java.io.File(state))
+        freeAll()
+      }
+    }
     // Corpus-frequency statistic (dup-gram fraction): two gram-keyed
     // shuffles are inherent; time should track corpus size ~linearly.
     docRun("dupgram")(c =>
@@ -342,22 +375,13 @@ object ScaleStress {
         corpus.withColumn("lang", lit("en")).withColumn("source", lit("x"))
           .withColumn("n_chars", length(col("text")).cast("long"))
           .write.parquet(s"$work/documents.parquet")
-        val (postings, stats) = graft.TextQueries.bm25IndexTables(spark, work.toString)
+        // the MAINTAINED incremental index — the gate's serving path
+        // since r18 (query-time norms off the one-row stats)
+        val (postings, stats) = graft.TextQueries.bm25IncrementalTables(spark, work.toString)
         postings.count() // build paid outside the serving timers
         val terms = Seq("spark", "merge", "window")
         val t0 = System.nanoTime()
-        val hits = postings.filter(col("token").isin(terms: _*))
-        val idf = hits.groupBy("token").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .select(col("token"),
-            round(log(lit(2.0) * (col("d") + 1) / (col("df") * 2 + 1)) * 1000)
-              .cast("long").as("idf_pm"))
-        val lex = hits.join(broadcast(idf), Seq("token"))
-          .select(col("doc_id"),
-            expr("(idf_pm * 22000 * tf * 1000) div (10000 * tf + 3000 + 9 * norm_permille)")
-              .as("contrib"))
-          .groupBy("doc_id").agg(sum("contrib").as("s_lex"))
-          .orderBy(desc("s_lex"), col("doc_id")).limit(20).collect()
+        val lex = graft.TextQueries.bm25ScoreTerms(postings, stats, terms, 20).collect()
         val t1 = System.nanoTime()
         val embM = (0 until m).map(i =>
           emb0.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))

@@ -1391,6 +1391,66 @@ class StreamingSpec extends SparkTestBase {
     assert(spans() === got)
   }
 
+  test("ingestBm25Batch: appends equal the one-shot scoring, re-submission and " +
+    "stale retry no-op, a mid-protocol crash replays, partials drop, " +
+    "compaction keeps the bucket layout (VERDICT r17 #1)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge window fast"),
+      (2L, "spark spark slow join"),
+      (3L, "merge window spark index"),
+      (4L, "window window merge scan"),
+      (5L, "unrelated words entirely"),
+      (6L, "spark merge window spark merge"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "merge", "window")
+    val state = s"${tmpDir("graft_ingbm25_")}/state"
+    (0 to 2).foreach(i => EventStreams.ingestBm25Batch(spark,
+      docs.filter(col("doc_id") % 3 === i), state, i.toLong))
+    def served() = graft.TextQueries.bm25IngestTopK(spark, state, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      graft.TextQueries.bm25ScoreTerms(
+          graft.TextQueries.bm25RawPostings(d),
+          graft.TextQueries.bm25StatsOf(d), terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = oneShot(docs)
+    assert(served() === expected)
+    // re-submitting the committed max id: committed-skip, no-op
+    val nPost = spark.read.parquet(s"$state/postings").count()
+    EventStreams.ingestBm25Batch(spark,
+      docs.filter(col("doc_id") % 3 === 2), state, 2L)
+    assert(spark.read.parquet(s"$state/postings").count() === nPost)
+    // mid-protocol crash: batch 3's postings commit, stats don't —
+    // byte-identical to a crash between the two writes
+    val d7 = Seq((7L, "spark merge window again")).toDF("doc_id", "text")
+    EventStreams.ingestBm25Batch(spark, d7, state, 3L)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/stats/batch=3"), true)
+    EventStreams.ingestBm25Batch(spark, d7, state, 3L) // the retry
+    val expected7 = oneShot(docs.unionByName(d7))
+    assert(served() === expected7,
+      "retry after a postings-committed/stats-missing crash must land both")
+    // a marker-less partial batch partition drops before any read
+    d7.write.parquet(s"$state/stats/batch=4")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/stats/batch=4/_SUCCESS"), false)
+    assert(served() === expected7, "partial batch=4 must be dropped, not summed")
+    // union compaction with the bucket layout preserved; newest spared
+    assert(EventStreams.compactBatchState(spark, s"$state/postings", "union",
+      minParts = 2, partitionCols = Seq("bucket")) === 2L)
+    EventStreams.compactBatchState(spark, s"$state/stats", "union")
+    assert(served() === expected7)
+    val folded = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/postings/batch=2"))
+      .map(_.getPath.getName)
+    assert(folded.exists(_.startsWith("bucket=")),
+      s"folded postings must keep bucket= pruning dirs, got ${folded.mkString(",")}")
+    // stale retry of a folded-away id: no-op against the compacted state
+    EventStreams.ingestBm25Batch(spark,
+      docs.filter(col("doc_id") % 3 === 0), state, 0L)
+    assert(served() === expected7)
+  }
+
   test("batch protocol rejects a pre-protocol flat-layout state dir loudly") {
     import spark.implicits._
     val work = tmpDir("graft_flat_guard_")
