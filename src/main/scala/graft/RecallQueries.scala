@@ -250,11 +250,17 @@ object RecallQueries {
         import s.implicits._
         val emb = embAll(s, dir)
         val probes = probesOf(emb)
+        // both forms serve THROUGH the persisted signature table
+        // (r18): the agreement proof now also covers the table-fed
+        // candidate paths the production tier runs
+        val sigs = Some(SimilarityQueries.sigTableCached(s, dir))
         val scan = graft.operators.Similarity.annBatchTopK(
-            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2)
+            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2,
+            sigs = sigs)
           .select("probe_id", "vec_id").localCheckpoint()
         val bucketed = graft.operators.Similarity.annBucketedBatchTopK(
-            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2)
+            emb, probes, "e", dim = 64, k = K, nBits = 16, probeHamming = 2,
+            sigs = sigs)
           .select("probe_id", "vec_id").localCheckpoint()
         val nScan = scan.count()
         val nBuck = bucketed.count()

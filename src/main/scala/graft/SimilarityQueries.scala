@@ -27,6 +27,32 @@ object SimilarityQueries {
   private def dot(a: String, b: String) =
     graft.functions.VectorOps.dot(col(a), col(b))
 
+  /** The PERSISTED corpus signature table (VERDICT r17 #3), cached
+    * once per corpus CONTENT fingerprint — the build-once-per-
+    * fingerprint discipline of bm25IndexTables/pq_cb: (vec_id, sig)
+    * lands as parquet under the owner-only CacheDirs.root, gated on
+    * the committer's _SUCCESS (a half-written dir rebuilds instead of
+    * serving partials), and every later invocation READS it — the LSH
+    * serving forms then touch 16 B/row for candidates and the float
+    * vectors only candidate-sized. Appends are the map-side
+    * signatureTable projection of the fresh batch (per-row
+    * deterministic => append == rebuild, spec-pinned). */
+  def sigTableCached(s: org.apache.spark.sql.SparkSession, dir: String,
+                     nBits: Int = 16): org.apache.spark.sql.DataFrame = {
+    val fp = Tables.fingerprint(s, s"$dir/embeddings.parquet")
+    val path = s"${CacheDirs.root}/sigtab_${fp}_$nBits"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+      if (fs.exists(p)) fs.delete(p, true)
+      val emb = Tables.t(s, dir, "embeddings")
+        .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+      graft.operators.Similarity.signatureTable(emb, "vec_id", "e", 64, nBits)
+        .write.parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Average-hash fingerprints over the documents-as-media corpus:
     * (media_id, n_bytes, mean_b, contrast, phash_hi, phash_lo) — the
     * first 64 payload bytes stand in for the 8x8 grayscale grid
@@ -1363,12 +1389,13 @@ object SimilarityQueries {
 
     // ---- BATCH LSH SERVING on the hard gate (annBatchTopK —
     //      completes the probe-batch tier across all four ANN
-    //      families): signatures ride the broadcast probe frame,
-    //      candidates are the per-(row, probe) bit_count filter,
-    //      survivors re-rank exactly. Exactness rider:
-    //      probeHamming = nBits accepts everything, so each probe's
-    //      answer is exact cosine top-k — the sim_ivf_batch_topk
-    //      oracle verbatim. ----
+    //      families), THROUGH THE PERSISTED SIGNATURE TABLE (r18):
+    //      candidates come off the fingerprint-cached 16-B/row
+    //      (vec_id, sig) parquet (sigTableCached), the float vectors
+    //      join in candidate-sized for the exact re-rank. Exactness
+    //      rider: probeHamming = nBits accepts everything, so each
+    //      probe's answer is exact cosine top-k — the
+    //      sim_ivf_batch_topk oracle verbatim. ----
     Q("sim_ann_batch_topk",
       (s, dir) => {
         val emb = Tables.t(s, dir, "embeddings")
@@ -1377,7 +1404,8 @@ object SimilarityQueries {
           .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
         graft.operators.Similarity
           .annBatchTopK(emb, probes, "e", dim = 64, k = 10,
-            nBits = 16, probeHamming = 16)
+            nBits = 16, probeHamming = 16,
+            sigs = Some(sigTableCached(s, dir)))
           .select("probe_id", "vec_id", "cos_sim")
           .orderBy(col("probe_id"), desc("cos_sim"), col("vec_id"))
       },
@@ -1982,22 +2010,17 @@ object SimilarityQueries {
     //      an exact double comparison both engines share. ----
     Q("sim_hamming_topk",
       (s, dir) => {
-        val packed = Tables.t(s, dir, "embeddings")
+        // the packed table is the Similarity.signBitsTable operator —
+        // built once, appended by projection; serving reads only the
+        // two packed words per row (r18: the persisted-index
+        // treatment for the Hamming family)
+        val emb = Tables.t(s, dir, "embeddings")
           .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
-          .select(col("vec_id"),
-            expr("aggregate(sequence(0, 31), 0L, (a, p) -> " +
-              "a + IF(element_at(e, p + 1) > 0D, shiftleft(1L, p), 0L))").as("lo"),
-            expr("aggregate(sequence(32, 63), 0L, (a, p) -> " +
-              "a + IF(element_at(e, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
+        val packed = graft.operators.Similarity.signBitsTable(emb, "vec_id", "e")
         val probe = packed.filter(col("vec_id") === 0)
           .select(col("lo").as("plo"), col("hi").as("phi"))
-        packed.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(probe))
-          .select(col("vec_id"),
-            (bit_count(col("lo").bitwiseXOR(col("plo"))) +
-              bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long").as("hamming"))
-          .orderBy(col("hamming"), col("vec_id"))
-          .limit(10)
+        graft.operators.Similarity
+          .hammingTopK(packed.filter(col("vec_id") =!= 0), probe, 10)
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |bits AS (SELECT vec_id, p.p AS p, (v[p.p + 1] > 0) AS b

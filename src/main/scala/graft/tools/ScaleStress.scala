@@ -1187,6 +1187,46 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Persisted signature table (r18: the LSH families' serving
+    // index): tbuild — the one-time (vec_id, sig) projection to
+    // parquet, paid once per corpus — grows with m; tfed — bucketed
+    // serving whose CANDIDATES come off the 16-B/row table, floats
+    // joining in candidate-sized — must beat tinline (which re-packs
+    // every float row per query batch) and the two must agree row-
+    // for-row (REQUIREd here like the gate).
+    if (wanted("sigtab")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val probes = emb0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_sigtab_").toString
+        val t0 = System.nanoTime()
+        Similarity.signatureTable(corpus, "vec_id", "e", dim = 64, nBits = 16)
+          .write.parquet(s"$work/sigs")
+        val sigs = spark.read.parquet(s"$work/sigs")
+        val t1 = System.nanoTime()
+        val inlineRows = Similarity.annBucketedBatchTopK(corpus, probes, "e",
+          dim = 64, k = 10, nBits = 16, probeHamming = 2).count()
+        val t2 = System.nanoTime()
+        val fedRows = Similarity.annBucketedBatchTopK(corpus, probes, "e",
+          dim = 64, k = 10, nBits = 16, probeHamming = 2,
+          sigs = Some(sigs)).count()
+        val t3 = System.nanoTime()
+        require(fedRows == inlineRows,
+          s"table-fed LSH diverges from inline: $fedRows vs $inlineRows")
+        println(f"SCALE sigtab  m=$m%2d vecs=$n%7d rows=$fedRows%5d " +
+          f"tbuild=${(t1 - t0) / 1e9}%6.1fs tinline=${(t2 - t1) / 1e9}%6.1fs " +
+          f"tfed=${(t3 - t2) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(new java.io.File(work))
+        freeAll()
+      }
+    }
     // JDBC round-trip (S1/S3/W1): W1 batch insert OUT, 4-stride
     // partitioned read BACK (data-derived bounds). The write wall is
     // the destination's price — embedded Derby is one process doing

@@ -283,6 +283,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("signature-table serving: the table-fed LSH forms equal the inline forms " +
+    "and the table appends by projection (append == rebuild)") {
+    import graft.operators.Similarity
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val sigs = Similarity.signatureTable(emb, "vec_id", "e", dim = 64, nBits = 16)
+      .localCheckpoint() // stands in for the persisted parquet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scanInline = Similarity.annBatchTopK(emb, probes, "e", dim = 64, k = 5,
+      nBits = 16, probeHamming = 3)
+    val scanFed = Similarity.annBatchTopK(emb, probes, "e", dim = 64, k = 5,
+      nBits = 16, probeHamming = 3, sigs = Some(sigs))
+    assert(key(scanFed) === key(scanInline))
+    val bInline = Similarity.annBucketedBatchTopK(emb, probes, "e", dim = 64, k = 5,
+      nBits = 16, probeHamming = 2)
+    val bFed = Similarity.annBucketedBatchTopK(emb, probes, "e", dim = 64, k = 5,
+      nBits = 16, probeHamming = 2, sigs = Some(sigs))
+    assert(key(bFed) === key(bInline))
+    // the map-side append path: per-row-deterministic projection, so
+    // building per batch and unioning equals the one-shot rebuild
+    val appended = Similarity
+      .signatureTable(emb.filter(col("vec_id") % 2 === 0), "vec_id", "e", 64, 16)
+      .unionByName(Similarity
+        .signatureTable(emb.filter(col("vec_id") % 2 === 1), "vec_id", "e", 64, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended === sigs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    graft.operators.Checkpoints.free(sigs)
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
