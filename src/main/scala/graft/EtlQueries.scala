@@ -1394,6 +1394,101 @@ object EtlQueries {
              |FROM sc GROUP BY 1
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- DRIFT-DECIDED ANN MAINTENANCE (VERDICT r17 #4 — the
+    //      StatusDecider composed onto the operator that documents
+    //      it): the standing IVF index (INGEST_ANN_DESTINATION state)
+    //      is maintained by JobRunner.runDecided — each fresh batch
+    //      first runs a VALIDATE_DRIFT probe job (PSI of the batch's
+    //      first embedding component vs the index-era baseline); pass
+    //      -> the APPEND job (map-side assignToCentroids, batch-
+    //      sized), fail -> the REBUILD job (new centroids + full
+    //      reassignment = a new serving era). Fixture: batch 1 (same
+    //      distribution, PSI ~0.005-0.02) must take the append
+    //      branch; batch 2 (every vector shifted +0.5 — injected
+    //      drift, PSI ~8-11) must take the rebuild branch — both
+    //      REQUIREd. The served top-10 over the post-rebuild index at
+    //      nProbe = nLists must equal exact cosine top-k over the
+    //      full drifted corpus — proving the rebuilt index serves
+    //      correctly after the injected drift. ----
+    Q("etl_ann_drift_decider",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{element_at, expr => sqlExpr}
+        val work = CacheDirs.tempWorkDir("graft_ann_decider_").toString
+        val destDir = s"$work/index"
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)).as("e"))
+        def withDrift(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("e0", element_at(col("e"), 1))
+        withDrift(emb.filter(col("vec_id") % 2 === 0)).write.parquet(s"$work/b0")
+        withDrift(emb.filter(col("vec_id") % 2 === 1)).write.parquet(s"$work/b1")
+        withDrift(emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          sqlExpr("transform(e, x -> x + 0.5D)").as("e"))).write.parquet(s"$work/b2")
+        def probe(src: String, id: String) = JobConfig(
+          jobId = id, steps = List("VALIDATE_DRIFT"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = None, mappings = Nil,
+          transformation = Transformation("NONE", parameters = Map(
+            "driftColumn" -> "e0",
+            "driftBandWidth" -> "0.1",
+            "driftBaselinePath" -> s"$work/b0")))
+        def maint(src: String, id: String, batchId: Long, mode: String) = JobConfig(
+          jobId = id, steps = List("INGEST_ANN_DESTINATION"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = Nil,
+          transformation = Transformation("NONE", parameters = Map(
+            "ingestIdColumn" -> "vec_id",
+            "ingestVectorColumn" -> "e",
+            "ingestBatchId" -> batchId.toString,
+            "annNLists" -> "16",
+            "annMode" -> mode)))
+        // batch 0 builds the index (the first era)
+        val r0 = JobRunner.run(s, maint(s"$work/b0", "ann-build-0", 0L, "rebuild"))
+        require(r0.status == JobRunner.Completed, s"ann build failed: ${r0.message}")
+        // batch 1: in-distribution -> the decider must take APPEND
+        val (p1, m1) = JobRunner.runDecided(s, probe(s"$work/b1", "ann-probe-1"),
+          onPass = maint(s"$work/b1", "ann-append-1", 1L, "append"),
+          onFail = maint(s"$work/b1", "ann-rebuild-1", 1L, "rebuild"))
+        require(p1.status == JobRunner.Completed,
+          s"decider must PASS the in-distribution batch: ${p1.message}")
+        require(m1.status == JobRunner.Completed, s"append branch failed: ${m1.message}")
+        // batch 2: injected drift -> the decider must take REBUILD
+        val (p2, m2) = JobRunner.runDecided(s, probe(s"$work/b2", "ann-probe-2"),
+          onPass = maint(s"$work/b2", "ann-append-2", 2L, "append"),
+          onFail = maint(s"$work/b2", "ann-rebuild-2", 2L, "rebuild"))
+        require(p2.status != JobRunner.Completed,
+          "decider must FAIL the drifted batch (injected +0.5 shift)")
+        require(m2.status == JobRunner.Completed, s"rebuild branch failed: ${m2.message}")
+        // the rebuilt index serves the FULL drifted corpus exactly
+        val all = emb.unionByName(emb.select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          sqlExpr("transform(e, x -> x + 0.5D)").as("e")))
+        val probes = all.filter(col("vec_id").isin(0L, 7L, 10000000L))
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        graft.streaming.EventStreams.annIngestTopK(s, destDir, probes,
+            k = 10, nProbe = 16)
+          .select("probe_id", "vec_id", "cos_sim")
+          .orderBy(col("probe_id"), desc("cos_sim"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |all_e AS (SELECT vec_id, v FROM e
+             |          UNION ALL
+             |          SELECT vec_id + 10000000, list_transform(v, x -> x + 0.5) FROM e),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM all_e
+             |      WHERE vec_id IN (0, 7, 10000000)),
+             |d AS (SELECT p.probe_id, a.vec_id,
+             |        list_dot_product(a.v, p.pv)
+             |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos_sim
+             |      FROM all_e a, p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, vec_id) AS rk FROM d)
+             |SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 10
+             |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

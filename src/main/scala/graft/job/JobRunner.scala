@@ -158,6 +158,29 @@ object JobRunner {
     transformed
   }
 
+  /** O15's StatusDecider made FIRST-CLASS (the reference docx §7
+    * shape, VERDICT r17 #4): run the PROBE job; its terminal status
+    * picks the branch — Completed runs `onPass`, Failed runs
+    * `onFail` — and both results return for the caller's audit. The
+    * canonical composition is index maintenance under drift: probe =
+    * a VALIDATE_DRIFT job over the fresh batch vs the index-era
+    * baseline; pass -> the incremental append job
+    * (INGEST_ANN_DESTINATION annMode=append / INGEST_BM25), fail ->
+    * the full rebuild job (annMode=rebuild) — exactly the
+    * append-vs-rebuild trigger Similarity.ivfAppend documents. */
+  def runDecided(spark: SparkSession, probe: JobConfig,
+                 onPass: JobConfig, onFail: JobConfig,
+                 notifier: Notifier = LogNotifier,
+                 plugins: Map[String, DataFrame => DataFrame] = Map.empty)
+      : (JobResult, JobResult) = {
+    val probed = run(spark, probe, notifier, plugins)
+    val branch = probed.status match {
+      case Completed => run(spark, onPass, notifier, plugins)
+      case _         => run(spark, onFail, notifier, plugins)
+    }
+    (probed, branch)
+  }
+
   /**
    * Run a job end-to-end: interpret its step list (default
    * [LOAD, NOTIFY_SUCCESS]); on any failure run NOTIFY_FAILURE
@@ -742,6 +765,37 @@ object JobRunner {
               graft.streaming.EventStreams.compactBatchState(
                 spark, s"$bmPath/stats", "union", minParts)
             }
+            stepsRun ::= step
+          case "INGEST_ANN_DESTINATION" =>
+            // IVF ANN-index maintenance from the config surface with
+            // the append/rebuild split (VERDICT r17 #4): annMode=
+            // rebuild re-derives centroids + the full reassignment
+            // from the accumulated vectors (a new serving era);
+            // annMode=append (default) assigns just this batch to the
+            // standing era's centroids map-side. The drift decider
+            // (runDecided: VALIDATE_DRIFT probe -> append on pass,
+            // rebuild on fail) is the documented composition.
+            // transformation.parameters: ingestIdColumn,
+            // ingestVectorColumn, ingestBatchId; optional annNLists
+            // (16), annMode (append|rebuild).
+            val anDst = cfg.destination.getOrElse(
+              throw new IllegalArgumentException("INGEST_ANN_DESTINATION requires a destination"))
+            require(anDst.`type`.toUpperCase == "PARQUET",
+              s"INGEST_ANN_DESTINATION supports PARQUET destinations, got ${anDst.`type`}")
+            val anPath2 = anDst.connectionDetails.pathOrFile.getOrElse(
+              throw new IllegalArgumentException(
+                "INGEST_ANN_DESTINATION requires a file path destination"))
+            val anP2 = cfg.transformation.parameters
+            def anNeed(key: String) = anP2.getOrElse(key,
+              throw new IllegalArgumentException(
+                s"INGEST_ANN_DESTINATION requires transformation.parameters.$key"))
+            graft.streaming.EventStreams.ingestAnnBatch(spark,
+              buildDataFrame(spark, cfg, plugins), anPath2,
+              anNeed("ingestBatchId").toLong,
+              idCol = anNeed("ingestIdColumn"),
+              vecCol = anNeed("ingestVectorColumn"),
+              nLists = anP2.getOrElse("annNLists", "16").toInt,
+              mode = anP2.getOrElse("annMode", "append"))
             stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:

@@ -799,6 +799,110 @@ object EventStreams {
     spark.read.parquet(dir).drop("batch")
   }
 
+  /** The newest committed batch id of a protocol state dir (after
+    * partial/compaction repair), or None — the public era probe
+    * ([[annIngestTopK]] locates the serving centroid snapshot with
+    * it). Metadata-sized. */
+  def latestCommittedBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dropPartialBatchDirs(conf, Seq(dir))
+    committedBatchIds(conf, dir).lastOption
+  }
+
+  /**
+   * ONE exactly-once ANN-INDEX INGEST — the IVF index maintained from
+   * the config surface (`INGEST_ANN_DESTINATION`), with the
+   * append/rebuild split the drift decider drives (VERDICT r17 #4:
+   * `embed_centroid_drift` is the documented rebuild trigger —
+   * Similarity.ivfAppend's scaladoc — and [[graft.job.JobRunner.runDecided]]
+   * composes VALIDATE_DRIFT into exactly that branch). State under
+   * `destDir`, all on the `batch=<id>` protocol:
+   *
+   *  - `vectors/batch=<id>` — the accumulated corpus ((vec_id, e)),
+   *    one partition per ingested batch; union-compactable. The
+   *    rebuild's input.
+   *  - `centroids/batch=<id>` — ONE snapshot per REBUILD (nLists
+   *    rows). The newest committed snapshot's id is the serving ERA.
+   *  - `postings/batch=<id>` — cell assignments. A REBUILD batch
+   *    writes the FULL corpus reassignment under its own id; an
+   *    APPEND batch writes just its batch's map-side assignment
+   *    against the era's centroids (`assignToCentroids` — batch-sized,
+   *    no shuffle). Serving reads partitions with id >= era, so a
+   *    rebuild retires the old era's postings WITHOUT deleting
+   *    anything (purely additive => trivially crash-safe; old-era
+   *    partitions are dead weight reclaimable out-of-band).
+   *
+   * `mode = "rebuild"` (the first batch must be one): corpus =
+   * accumulated vectors + this batch; deterministic `ivfIndex` =>
+   * new centroid snapshot + full reassignment. `mode = "append"`:
+   * batch assigns to the EXISTING era centroids — cost tracks the
+   * batch, never the corpus. Exactly-once: a committed id skips
+   * (mode-appropriate marker set), a stale id skips, marker-less
+   * partials drop, and both modes recompute deterministically from
+   * committed state on replay.
+   */
+  def ingestAnnBatch(spark: SparkSession, batch: DataFrame, destDir: String,
+                     batchId: Long, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     nLists: Int = 16, mode: String = "append"): Unit = {
+    require(mode == "append" || mode == "rebuild",
+      s"annMode must be 'append' or 'rebuild', got $mode")
+    val vectorsDir = s"$destDir/vectors"
+    val postingsDir = s"$destDir/postings"
+    val centroidsDir = s"$destDir/centroids"
+    val conf = spark.sparkContext.hadoopConfiguration
+    dropPartialBatchDirs(conf, Seq(vectorsDir, postingsDir, centroidsDir))
+    val stale = committedBatchIds(conf, vectorsDir).exists(_ > batchId)
+    val dirs = if (mode == "rebuild") Seq(vectorsDir, postingsDir, centroidsDir)
+               else Seq(vectorsDir, postingsDir)
+    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
+      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+    if (committed) return
+    val b = batch.select(col(idCol).as("vec_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("e"))
+      .localCheckpoint()
+    b.write.mode("overwrite").parquet(batchPart(vectorsDir, batchId))
+    if (mode == "rebuild") {
+      val corpus =
+        if (hasCommittedBatchBefore(conf, vectorsDir, batchId))
+          stateBefore(spark, vectorsDir, batchId).unionByName(b)
+        else b
+      val (assigned, centroids) =
+        graft.operators.Similarity.ivfIndex(corpus, "vec_id", "e", nLists)
+      assigned.select("cell", "vec_id", "e")
+        .write.mode("overwrite").parquet(batchPart(postingsDir, batchId))
+      centroids.write.mode("overwrite").parquet(batchPart(centroidsDir, batchId))
+    } else {
+      val era = committedBatchIds(conf, centroidsDir).filter(_ < batchId).lastOption
+        .getOrElse(throw new IllegalStateException(
+          s"INGEST_ANN append needs a built index — run a rebuild batch into $destDir first"))
+      val cents = spark.read.parquet(centroidsDir)
+        .filter(col("batch") === era).drop("batch")
+      graft.operators.Similarity.assignToCentroids(b, cents, "e")
+        .select("cell", "vec_id", "e")
+        .write.mode("overwrite").parquet(batchPart(postingsDir, batchId))
+    }
+    graft.operators.Checkpoints.free(b)
+  }
+
+  /** Batch IVF serving FROM an [[ingestAnnBatch]] state dir: the era
+    * = the newest committed centroid snapshot; postings partition-
+    * prune to `batch >= era` (the rebuild's full reassignment plus
+    * every later append — old-era partitions are never opened), and
+    * the query is one `ivfBatchTopK` through that index. */
+  def annIngestTopK(spark: SparkSession, destDir: String, probes: DataFrame,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    val era = latestCommittedBatch(spark, s"$destDir/centroids").getOrElse(
+      throw new IllegalStateException(s"no committed ANN index under $destDir"))
+    val cents = spark.read.parquet(s"$destDir/centroids")
+      .filter(col("batch") === era).drop("batch")
+    dropPartialBatchDirs(spark.sparkContext.hadoopConfiguration,
+      Seq(s"$destDir/postings"))
+    val pruned = spark.read.parquet(s"$destDir/postings")
+      .filter(col("batch") >= era).drop("batch")
+    graft.operators.Similarity.ivfBatchTopK(pruned, cents, probes, "e", k, nProbe)
+  }
+
   /**
    * STREAMING duplicated-span extraction — [[nearDupStream]]'s
    * substring-level sibling: the persisted state is the gram-summary

@@ -391,6 +391,97 @@ class OrchestrationSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$state/docs").count() === 5L)
   }
 
+  test("runDecided drives ANN maintenance: pass -> append (era kept), " +
+    "fail -> rebuild (new era), replays no-op, append-before-build loud") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = tmpDir("ann_decider_spec")
+    val dest = s"$work/index"
+    // 3 clusters around (1,0), (0,1), (-1,0); e0 = first component
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      val base = i % 3 match {
+        case 0 => Seq(1.0, 0.1 * (i % 5), 0.0, 0.0)
+        case 1 => Seq(0.0, 1.0, 0.1 * (i % 5), 0.0)
+        case _ => Seq(-1.0, 0.0, 0.1 * (i % 5), 0.1)
+      }
+      (i.toLong, base.map(_ + shift))
+    }.toDF("vec_id", "e").withColumn("e0", element_at(col("e"), 1))
+    vecs(0 until 30, 0.0).write.parquet(s"$work/b0")
+    vecs(30 until 60, 0.0).write.parquet(s"$work/b1")
+    vecs(60 until 90, 5.0).write.parquet(s"$work/b2") // injected drift
+    def probe(src: String, id: String) = graft.model.JobConfig(
+      jobId = id, steps = List("VALIDATE_DRIFT"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(src))),
+      destination = None, mappings = Nil,
+      transformation = graft.model.Transformation("NONE", parameters = Map(
+        "driftColumn" -> "e0", "driftBandWidth" -> "0.5",
+        "driftBaselinePath" -> s"$work/b0")))
+    def maint(src: String, id: String, b: Long, mode: String) = graft.model.JobConfig(
+      jobId = id, steps = List("INGEST_ANN_DESTINATION"),
+      source = graft.model.SourceConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(src))),
+      destination = Some(graft.model.DestinationConfig("PARQUET",
+        graft.model.ConnectionDetails(path = Some(dest)))),
+      mappings = Nil,
+      transformation = graft.model.Transformation("NONE", parameters = Map(
+        "ingestIdColumn" -> "vec_id", "ingestVectorColumn" -> "e",
+        "ingestBatchId" -> b.toString, "annNLists" -> "4", "annMode" -> mode)))
+    // append before any build: loud contract error, not silent state
+    graft.job.JobRunner.run(spark, maint(s"$work/b0", "a-early", 0L, "append")).status match {
+      case graft.job.JobRunner.Failed(m) => assert(m.contains("rebuild"), m)
+      case st => fail(s"expected Failed, got $st")
+    }
+    assert(graft.job.JobRunner.run(spark,
+      maint(s"$work/b0", "a-build", 0L, "rebuild")).status == graft.job.JobRunner.Completed)
+    val era0 = graft.streaming.EventStreams
+      .latestCommittedBatch(spark, s"$dest/centroids").get
+    // PASS branch: in-distribution batch appends; the era is unchanged
+    val (p1, m1) = graft.job.JobRunner.runDecided(spark,
+      probe(s"$work/b1", "a-probe-1"),
+      onPass = maint(s"$work/b1", "a-append-1", 1L, "append"),
+      onFail = maint(s"$work/b1", "a-rebuild-1", 1L, "rebuild"))
+    assert(p1.status == graft.job.JobRunner.Completed, p1.message)
+    assert(m1.status == graft.job.JobRunner.Completed, m1.message)
+    assert(m1.jobId == "a-append-1", "pass must take the append branch")
+    assert(graft.streaming.EventStreams
+      .latestCommittedBatch(spark, s"$dest/centroids").get === era0)
+    // FAIL branch: drifted batch rebuilds; a NEW centroid era appears
+    val (p2, m2) = graft.job.JobRunner.runDecided(spark,
+      probe(s"$work/b2", "a-probe-2"),
+      onPass = maint(s"$work/b2", "a-append-2", 2L, "append"),
+      onFail = maint(s"$work/b2", "a-rebuild-2", 2L, "rebuild"))
+    assert(p2.status != graft.job.JobRunner.Completed)
+    assert(m2.status == graft.job.JobRunner.Completed, m2.message)
+    assert(m2.jobId == "a-rebuild-2", "fail must take the rebuild branch")
+    val era2 = graft.streaming.EventStreams
+      .latestCommittedBatch(spark, s"$dest/centroids").get
+    assert(era2 === 2L, s"rebuild must open a new era, got $era2")
+    // the rebuilt index serves the whole corpus exactly at nProbe=nLists
+    val all = vecs(0 until 60, 0.0).unionByName(vecs(60 until 90, 5.0)).drop("e0")
+    val probes = all.filter(col("vec_id").isin(0L, 61L))
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    // batchTopK excludes the probe row itself; the index form does
+    // not — serve k=4, drop the self-hit, compare the remaining 3
+    val served = graft.streaming.EventStreams
+      .annIngestTopK(spark, dest, probes, k = 4, nProbe = 4)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id", "cos_sim").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).take(3).toSeq).toMap
+    val exact = graft.operators.Similarity.batchTopK(all, probes, "e", k = 3)
+      .select("probe_id", "rk", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(served === exact,
+      s"rebuilt index must serve exact top-k: exact=$exact served=$served")
+    // replay of a committed decided batch: no-op (postings count stable)
+    val nPost = spark.read.parquet(s"$dest/postings").count()
+    graft.job.JobRunner.run(spark, maint(s"$work/b2", "a-rebuild-2r", 2L, "rebuild"))
+    assert(spark.read.parquet(s"$dest/postings").count() === nPost)
+  }
+
   test("VALIDATE_DRIFT step: passes on a same-era source, fails past the PSI gate") {
     import org.apache.spark.sql.functions._
     val work = tmpDir("drift_step")
