@@ -1391,6 +1391,37 @@ class StreamingSpec extends SparkTestBase {
     assert(spans() === got)
   }
 
+  test("span-ingest compaction parity (char grain): compact between ingests, " +
+    "arrival-time spans unchanged — the dedup step's ingestCompact discipline") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xxxxBOILERPLATE-SEGMENT-HERExxxx"),
+      (2L, "yyyyBOILERPLATE-SEGMENT-HEREyyyy"),
+      (3L, "zzzzBOILERPLATE-SEGMENT-HEREzzzz"),
+      (4L, "wwww-unique-content-here-wwwww"))
+      .toDF("doc_id", "text")
+    def ingest(state: String, id: Long, d: Long): Unit =
+      EventStreams.ingestSpanBatch(spark, docs.filter(col("doc_id") === d),
+        state, id, grain = "char", k = 12, minRun = 20)
+    def run(root: String, compactMid: Boolean): Set[(Long, Long, Long)] = {
+      val state = s"$root/state"
+      ingest(state, 0L, 1L); ingest(state, 1L, 2L); ingest(state, 2L, 4L)
+      if (compactMid)
+        Seq("summary", "spans").foreach { d =>
+          assert(EventStreams.compactBatchState(spark, s"$state/$d", "union") === 1L)
+        }
+      // doc 3's coverage can only come through the FOLDED summary
+      ingest(state, 3L, 3L)
+      spark.read.parquet(s"$state/spans").drop("batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val plain = run(tmpDir("graft_spanc_plain_"), compactMid = false)
+    val compacted = run(tmpDir("graft_spanc_comp_"), compactMid = true)
+    assert(compacted === plain)
+    // arrival-time rule: doc 1 saw nothing; docs 2 and 3 are covered
+    assert(plain.map(_._1) === Set(2L, 3L), s"got $plain")
+  }
+
   test("ingestBm25Batch: appends equal the one-shot scoring, re-submission and " +
     "stale retry no-op, a mid-protocol crash replays, partials drop, " +
     "compaction keeps the bucket layout (VERDICT r17 #1)") {
