@@ -167,6 +167,48 @@ class PlanSpec extends SparkTestBase {
       s"idf+stats must broadcast (terms-sized/one-row), not SMJ:\n${plan.take(1500)}")
   }
 
+  test("BM25 ingest serving partition-prunes to the query terms' buckets") {
+    // the path-layout twin of the bucketBy pin above: the ingest
+    // state's postings scan must carry a `bucket` PARTITION filter
+    // (k of 64 bucket dirs read per batch partition), stats must
+    // fold broadcast-side (no SMJ anywhere in the query)
+    import spark.implicits._
+    val work = tmpDir("graft_plan_bm25ing_")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    graft.streaming.EventStreams.ingestBm25Batch(spark,
+      docs.filter(col("doc_id") % 2 === 0), s"$work/state", 0L)
+    graft.streaming.EventStreams.ingestBm25Batch(spark,
+      docs.filter(col("doc_id") % 2 === 1), s"$work/state", 1L)
+    val plan = planString(graft.TextQueries.bm25IngestTopK(spark,
+      s"$work/state", Seq("spark", "merge", "window"), 10))
+    val pf = "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan)
+    assert(pf.isDefined,
+      s"postings scan must partition-filter on bucket:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"), "expected TakeOrdered top-10")
+    assert(!plan.contains("SortMergeJoin"),
+      s"idf/stats joins must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("ANN ingest serving partition-prunes postings to the current era") {
+    import spark.implicits._
+    val work = tmpDir("graft_plan_anning_")
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq(1.0 * (i % 3), 1.0, 0.1 * i))).toDF("vec_id", "e")
+    graft.streaming.EventStreams.ingestAnnBatch(spark,
+      vecs.filter(col("vec_id") < 20), s"$work/index", 0L,
+      vecCol = "e", nLists = 4, mode = "rebuild")
+    graft.streaming.EventStreams.ingestAnnBatch(spark,
+      vecs.filter(col("vec_id") >= 20), s"$work/index", 1L,
+      vecCol = "e", nLists = 4, mode = "rebuild") // new era: 1
+    val probes = vecs.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val plan = planString(graft.streaming.EventStreams.annIngestTopK(
+      spark, s"$work/index", probes, k = 3, nProbe = 4))
+    val pf = "PartitionFilters: \\[[^\\]]*batch[^\\]]*>= 1".r.findFirstIn(plan)
+    assert(pf.isDefined,
+      s"postings scan must prune to batch >= era (1):\n${plan.take(2000)}")
+  }
+
   test("segmented rank shuffles on (p, bucket), not p alone") {
     val plan = planString(Queries.queries("window_rank_scalable")(spark, sf))
     assert(plan.contains("_bkt"),

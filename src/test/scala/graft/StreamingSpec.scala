@@ -1391,6 +1391,54 @@ class StreamingSpec extends SparkTestBase {
     assert(spans() === got)
   }
 
+  test("ingestAnnBatch mid-crash replay: vectors-committed/postings-missing " +
+    "retries deterministically in BOTH modes; serving is exact after repair") {
+    import spark.implicits._
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      val base = i % 3 match {
+        case 0 => Seq(1.0, 0.1 * (i % 5), 0.0, 0.0)
+        case 1 => Seq(0.0, 1.0, 0.1 * (i % 5), 0.0)
+        case _ => Seq(-1.0, 0.0, 0.1 * (i % 5), 0.1)
+      }
+      (i.toLong, base.map(_ + shift))
+    }.toDF("vec_id", "e")
+    val dest = s"${tmpDir("graft_ann_crash_")}/index"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    EventStreams.ingestAnnBatch(spark, vecs(0 until 30, 0.0), dest, 0L,
+      vecCol = "e", nLists = 4, mode = "rebuild")
+    // APPEND crash: batch 1's vectors commit, its postings don't
+    EventStreams.ingestAnnBatch(spark, vecs(30 until 60, 0.0), dest, 1L,
+      vecCol = "e", nLists = 4, mode = "append")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/postings/batch=1"), true)
+    EventStreams.ingestAnnBatch(spark, vecs(30 until 60, 0.0), dest, 1L,
+      vecCol = "e", nLists = 4, mode = "append") // the retry
+    // REBUILD crash: batch 2's vectors+postings commit, centroids don't
+    EventStreams.ingestAnnBatch(spark, vecs(60 until 90, 2.0), dest, 2L,
+      vecCol = "e", nLists = 4, mode = "rebuild")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/centroids/batch=2"), true)
+    EventStreams.ingestAnnBatch(spark, vecs(60 until 90, 2.0), dest, 2L,
+      vecCol = "e", nLists = 4, mode = "rebuild") // the retry
+    assert(EventStreams.latestCommittedBatch(spark, s"$dest/centroids").get === 2L)
+    // the repaired index serves exact top-k at nProbe = nLists
+    val all = vecs(0 until 60, 0.0).unionByName(vecs(60 until 90, 2.0))
+    val probes = all.filter(col("vec_id").isin(5L, 75L))
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val served = EventStreams.annIngestTopK(spark, dest, probes, k = 4, nProbe = 4)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id", "cos_sim").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).take(3).toSeq).toMap
+    val exact = graft.operators.Similarity.batchTopK(all, probes, "e", k = 3)
+      .select("probe_id", "rk", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(served === exact, s"post-repair serving diverged: $served vs $exact")
+    // docs are never double-counted through the crashes
+    assert(spark.read.parquet(s"$dest/vectors").count() === 90L)
+  }
+
   test("span-ingest compaction parity (char grain): compact between ingests, " +
     "arrival-time spans unchanged — the dedup step's ingestCompact discipline") {
     import spark.implicits._
