@@ -275,6 +275,44 @@ object RecallQueries {
       },
       None),
 
+    // ---- MATRYOSHKA recall at the PRODUCTION knobs (dPrefix=32 of
+    //      64, shortlist 8x — sim_mrl_topk's parameters), 20 probes:
+    //      stage 1 scores the per-probe prefix cosine over the
+    //      persisted truncated projection (half the memory traffic),
+    //      stage 2 re-ranks the 80-row shortlist exactly. Truth =
+    //      batchTopK (self-excluded — matched by the =!= filter
+    //      before the shortlist window). Measured 860‰ at sf0.001 /
+    //      840‰ at sf0.01 / 745‰ at sf0.1 on UNTRAINED synthetic
+    //      embeddings (uniform information across dims — truncation's
+    //      worst case; chance ≈ 5-20‰); floor 500 = the
+    //      toward-chance alarm. ----
+    Q("sim_mrl_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val pfx = graft.operators.Similarity.prefixTable(emb, "vec_id", "e", 32)
+        val probePfx = probes.withColumn("p_pfx", expr("slice(probe_e, 1, 32)"))
+          .select("probe_id", "p_pfx")
+        val wPfx = Window.partitionBy("probe_id").orderBy(desc("pfx_cos"), asc("vec_id"))
+        val short = pfx.crossJoin(broadcast(probePfx))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("pfx_cos",
+            graft.operators.Similarity.cosine(col("e_prefix"), col("p_pfx")))
+          .withColumn("srk", row_number().over(wPfx)).filter(col("srk") <= K * 8)
+          .select("probe_id", "vec_id")
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        val approx = short.join(emb, Seq("vec_id"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .withColumn("cos_sim",
+            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("probe_id", "vec_id")
+        val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
+          .select("probe_id", "vec_id")
+        recallRow(s, "mrl_d32_f8", truth, approx, floorPermille = 500L)
+      },
+      None),
+
     // ---- RRF FUSION QUALITY (VERDICT r17 #5 — the fusion gates pin
     //      the ARITHMETIC; this pins that fusing HELPS, the claim RRF
     //      exists to make): two BM25 legs see PARTIAL query evidence

@@ -244,6 +244,68 @@ object Similarity {
       expr(s"aggregate(sequence(32, 63), 0L, (a, p) -> " +
         s"a + IF(element_at($vecCol, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
 
+  /**
+   * MATRYOSHKA (prefix-dimension) staged retrieval — the
+   * truncation-based ANN family beside LSH (bits), IVF (cells), and
+   * PQ (codes): MRL-style embeddings front-load information into the
+   * leading dimensions, so stage 1 scores every (row, probe) pair on
+   * the FIRST `dPrefix` dims only (dPrefix/dim of the memory traffic
+   * — at 100 TB the truncated vectors are a PERSISTED PROJECTION
+   * beside the full rows, the [[signatureTable]] discipline; pass it
+   * via `prefixes` ((idCol, `e_prefix`)) and the full vectors join in
+   * shortlist-sized) and keeps a per-probe shortlist of
+   * k·shortlistFactor; stage 2 re-ranks the shortlist with exact
+   * full-dim cosine. Exactness rider: a shortlistFactor covering the
+   * corpus makes stage 2 exact per-probe cosine top-k whatever the
+   * prefix saw (`sim_mrl_batch_exact`); production recall at
+   * (dPrefix, shortlistFactor) is REQUIRE-floored by
+   * `sim_mrl_recall`. Output: the [[batchTopK]] contract.
+   * `probes`: (`probeIdCol`, `probe_e`).
+   */
+  def mrlBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                   dPrefix: Int, k: Int, shortlistFactor: Int = 4,
+                   idCol: String = "vec_id", probeIdCol: String = "probe_id",
+                   prefixes: Option[DataFrame] = None): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    val probePfx = probes.withColumn("_p_pfx",
+      expr(s"slice(probe_e, 1, $dPrefix)"))
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("_pfx_cos"), asc(idCol))
+    val shortN = math.min(Int.MaxValue.toLong,
+      k.toLong * shortlistFactor.toLong).toInt
+    val staged = prefixes match {
+      // persisted-projection serving: stage 1 reads ONLY the
+      // truncated table; full vectors join in shortlist-sized
+      case Some(t) =>
+        t.crossJoin(broadcast(probePfx.select(col(probeIdCol), col("_p_pfx"))))
+          .withColumn("_pfx_cos", cosine(col("e_prefix"), col("_p_pfx")))
+          .withColumn("_srk", row_number().over(wPfx))
+          .filter(col("_srk") <= shortN)
+          .select(col(idCol), col(probeIdCol))
+          .join(corpus, Seq(idCol))
+          .join(broadcast(probes), Seq(probeIdCol))
+      case None =>
+        corpus.withColumn("_c_pfx", expr(s"slice($vecCol, 1, $dPrefix)"))
+          .crossJoin(broadcast(probePfx))
+          .withColumn("_pfx_cos", cosine(col("_c_pfx"), col("_p_pfx")))
+          .withColumn("_srk", row_number().over(wPfx))
+          .filter(col("_srk") <= shortN)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    staged.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "_p_pfx", "_c_pfx", "_pfx_cos", "_srk")
+  }
+
+  /** The persisted Matryoshka projection: (idCol, `e_prefix`) — the
+    * first `dPrefix` dims of each vector, built once and appended by
+    * map-side projection exactly like [[signatureTable]]. */
+  def prefixTable(corpus: DataFrame, idCol: String, vecCol: String,
+                  dPrefix: Int): DataFrame =
+    corpus.select(col(idCol), expr(s"slice($vecCol, 1, $dPrefix)").as("e_prefix"))
+
   /** Hamming top-k FROM the precomputed sign-bit table
     * ([[signBitsTable]] rows): distance is two XOR+popcounts per
     * candidate against the one broadcast probe row

@@ -1187,6 +1187,38 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Matryoshka staged retrieval (r18): stage 1 reads the persisted
+    // HALF-WIDTH prefix projection, stage 2 exact-reranks an 80-row
+    // shortlist — tmrl should undercut the full-width brute scan
+    // (tbrute) as m grows, since the corpus-sized term halves its
+    // bytes and the full vectors ride only the shortlist join.
+    if (wanted("mrl")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val probes = emb0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_mrl_").toString
+        Similarity.prefixTable(corpus, "vec_id", "e", 32)
+          .write.parquet(s"$work/pfx")
+        val pfx = spark.read.parquet(s"$work/pfx")
+        val t0 = System.nanoTime()
+        val nb = Similarity.batchTopK(corpus, probes, "e", 10).count()
+        val t1 = System.nanoTime()
+        val nm = Similarity.mrlBatchTopK(corpus, probes, "e", dPrefix = 32,
+          k = 10, shortlistFactor = 8, prefixes = Some(pfx)).count()
+        val t2 = System.nanoTime()
+        println(f"SCALE mrl     m=$m%2d vecs=$n%7d brute_rows=$nb%4d mrl_rows=$nm%4d " +
+          f"tbrute=${(t1 - t0) / 1e9}%6.1fs tmrl=${(t2 - t1) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(new java.io.File(work))
+        freeAll()
+      }
+    }
     // Persisted signature table (r18: the LSH families' serving
     // index): tbuild — the one-time (vec_id, sig) projection to
     // parquet, paid once per corpus — grows with m; tfed — bucketed

@@ -283,6 +283,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mrlBatchTopK: a covering shortlist equals exact top-k, and the " +
+    "prefix-table-fed path equals the inline path") {
+    import graft.operators.Similarity
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // covering shortlist (k=6 incl. the self-hit) minus self == exact top-5
+    val cover = keyed(Similarity.mrlBatchTopK(emb, probes, "e",
+        dPrefix = 32, k = 6, shortlistFactor = 1000000)
+      .filter(col("probe_id") =!= col("vec_id")))
+    val exact = keyed(Similarity.batchTopK(emb, probes, "e", k = 5))
+    assert(cover === exact, "covering-shortlist MRL must equal exact top-k")
+    // production knobs: table-fed == inline, bit-identical
+    val inline_ = keyed(Similarity.mrlBatchTopK(emb, probes, "e",
+      dPrefix = 32, k = 5, shortlistFactor = 8))
+    val fed = keyed(Similarity.mrlBatchTopK(emb, probes, "e",
+      dPrefix = 32, k = 5, shortlistFactor = 8,
+      prefixes = Some(Similarity.prefixTable(emb, "vec_id", "e", 32))))
+    assert(fed === inline_)
+  }
+
   test("signature-table serving: the table-fed LSH forms equal the inline forms " +
     "and the table appends by projection (append == rebuild)") {
     import graft.operators.Similarity
