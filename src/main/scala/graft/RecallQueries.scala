@@ -313,6 +313,41 @@ object RecallQueries {
       },
       None),
 
+    // ---- INT8 recall at the PRODUCTION knobs (factor 2 —
+    //      sim_sq8_topk's parameters), 20 probes: stage 1 is the
+    //      exact BIGINT dot over the persisted 1-B/dim table, stage 2
+    //      the exact rerank of the 20-row shortlist. Truth = batchTopK
+    //      (self-excluded, matched below). Measured 1000‰ at every SF
+    //      (980-935‰ even at factor 1 — int8 is near-lossless on
+    //      cosine rank); floor 900 = the degradation alarm. ----
+    Q("sim_sq8_recall",
+      (s, dir) => {
+        val emb = embAll(s, dir)
+        val probes = probesOf(emb)
+        val qt = graft.operators.Similarity.sq8Table(emb, "vec_id", "e")
+        val pq = graft.operators.Similarity.sq8Table(
+            probes.select(col("probe_id"), col("probe_e")), "probe_id", "probe_e")
+          .withColumnRenamed("q", "p_q")
+        val wQ = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc("vec_id"))
+        val short = qt.crossJoin(broadcast(pq))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("qdot", expr(
+            "aggregate(zip_with(q, p_q, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), 0L, (a, v) -> a + v)"))
+          .withColumn("srk", row_number().over(wQ)).filter(col("srk") <= K * 2)
+          .select("probe_id", "vec_id")
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        val approx = short.join(emb, Seq("vec_id"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .withColumn("cos_sim",
+            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("probe_id", "vec_id")
+        val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
+          .select("probe_id", "vec_id")
+        recallRow(s, "sq8_f2", truth, approx, floorPermille = 900L)
+      },
+      None),
+
     // ---- RRF FUSION QUALITY (VERDICT r17 #5 — the fusion gates pin
     //      the ARITHMETIC; this pins that fusing HELPS, the claim RRF
     //      exists to make): two BM25 legs see PARTIAL query evidence

@@ -306,6 +306,77 @@ object Similarity {
                   dPrefix: Int): DataFrame =
     corpus.select(col(idCol), expr(s"slice($vecCol, 1, $dPrefix)").as("e_prefix"))
 
+  /** The persisted INT8 scalar-quantization table: (idCol, `q`) —
+    * each vector L2-normalized then quantized per-dim to
+    * round(127·x) as TINYINT (1 B/dim vs 8: the 8-bit rung of the
+    * precision ladder between [[signBitsTable]]'s 1 bit and the
+    * float rows; near-lossless on cosine rank — sim_sq8_recall
+    * measures 935-1000‰). Build-once + append-by-projection, the
+    * [[signatureTable]] discipline. */
+  def sq8Table(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.withColumn("_n", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(round(127.0D * x / _n) AS TINYINT))")
+          .as("q"))
+
+  /** Exact BIGINT dot product of two int8 arrays — stage 1 of
+    * [[sq8BatchTopK]]: one fused zip_with·aggregate, integer all the
+    * way (identical on every engine and every partition order). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, v) => acc + v)
+
+  /**
+   * INT8 staged retrieval — [[mrlBatchTopK]]'s precision-ladder
+   * sibling: stage 1 ranks every (row, probe) pair by the EXACT
+   * integer dot of the quantized vectors (1 B/dim memory traffic —
+   * at 100 TB the quantized table is a PERSISTED PROJECTION, pass it
+   * via `quantized` ((idCol, `q`)) and the float rows join in
+   * shortlist-sized), keeps k·shortlistFactor per probe, and stage 2
+   * re-ranks exactly in full precision. Exactness rider: a covering
+   * shortlist makes stage 2 exact per-probe cosine top-k
+   * (`sim_sq8_batch_exact`); production recall at factor 2 is
+   * REQUIRE-floored by `sim_sq8_recall` (int8 is near-lossless on
+   * cosine rank). Output: the [[batchTopK]] contract.
+   * `probes`: (`probeIdCol`, `probe_e`).
+   */
+  def sq8BatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                   k: Int, shortlistFactor: Int = 2,
+                   idCol: String = "vec_id", probeIdCol: String = "probe_id",
+                   quantized: Option[DataFrame] = None): DataFrame = {
+    val probeQ = sq8Table(probes, probeIdCol, "probe_e")
+      .withColumnRenamed("q", "_pq")
+      .join(probes, Seq(probeIdCol))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("_qdot"), asc(idCol))
+    val shortN = math.min(Int.MaxValue.toLong,
+      k.toLong * shortlistFactor.toLong).toInt
+    val staged = quantized match {
+      case Some(t) =>
+        t.crossJoin(broadcast(probeQ.select(col(probeIdCol), col("_pq"))))
+          .withColumn("_qdot", intDot(col("q"), col("_pq")))
+          .withColumn("_srk", row_number().over(wQ))
+          .filter(col("_srk") <= shortN)
+          .select(col(idCol), col(probeIdCol))
+          .join(corpus, Seq(idCol))
+          .join(broadcast(probes), Seq(probeIdCol))
+      case None =>
+        sq8Table(corpus, idCol, vecCol).withColumnRenamed("q", "_cq")
+          .join(corpus, Seq(idCol))
+          .crossJoin(broadcast(probeQ))
+          .withColumn("_qdot", intDot(col("_cq"), col("_pq")))
+          .withColumn("_srk", row_number().over(wQ))
+          .filter(col("_srk") <= shortN)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    staged.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("probe_e", "_pq", "_cq", "_qdot", "_srk")
+  }
+
   /** Hamming top-k FROM the precomputed sign-bit table
     * ([[signBitsTable]] rows): distance is two XOR+popcounts per
     * candidate against the one broadcast probe row

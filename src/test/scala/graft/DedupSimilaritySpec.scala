@@ -306,6 +306,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fed === inline_)
   }
 
+  test("sq8BatchTopK: a covering shortlist equals exact top-k, and the " +
+    "quantized-table-fed path equals the inline path") {
+    import graft.operators.Similarity
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cover = keyed(Similarity.sq8BatchTopK(emb, probes, "e",
+        k = 6, shortlistFactor = 1000000)
+      .filter(col("probe_id") =!= col("vec_id")))
+    val exact = keyed(Similarity.batchTopK(emb, probes, "e", k = 5))
+    assert(cover === exact, "covering-shortlist SQ8 must equal exact top-k")
+    val inline_ = keyed(Similarity.sq8BatchTopK(emb, probes, "e",
+      k = 5, shortlistFactor = 2))
+    val fed = keyed(Similarity.sq8BatchTopK(emb, probes, "e",
+      k = 5, shortlistFactor = 2,
+      quantized = Some(Similarity.sq8Table(emb, "vec_id", "e"))))
+    assert(fed === inline_)
+  }
+
   test("signature-table serving: the table-fed LSH forms equal the inline forms " +
     "and the table appends by projection (append == rebuild)") {
     import graft.operators.Similarity
