@@ -331,8 +331,7 @@ object RecallQueries {
         val wQ = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc("vec_id"))
         val short = qt.crossJoin(broadcast(pq))
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("qdot", expr(
-            "aggregate(zip_with(q, p_q, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), 0L, (a, v) -> a + v)"))
+          .withColumn("qdot", graft.functions.VectorOps.intDot(col("q"), col("p_q")))
           .withColumn("srk", row_number().over(wQ)).filter(col("srk") <= K * 2)
           .select("probe_id", "vec_id")
         val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))

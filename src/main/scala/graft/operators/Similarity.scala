@@ -320,12 +320,13 @@ object Similarity {
           .as("q"))
 
   /** Exact BIGINT dot product of two int8 arrays — stage 1 of
-    * [[sq8BatchTopK]]: one fused zip_with·aggregate, integer all the
-    * way (identical on every engine and every partition order). */
+    * [[sq8BatchTopK]]: the native codegen'd
+    * [[graft.functions.IntDotProduct]] loop (integer all the way —
+    * identical on every engine and every partition order; the HOF
+    * zip_with·aggregate fold computes the same value, VectorOpsSpec
+    * pins the equality, but pays two lambda dispatches per dim). */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorOps.intDot(a, b)
 
   /**
    * INT8 staged retrieval — [[mrlBatchTopK]]'s precision-ladder

@@ -1219,6 +1219,37 @@ object ScaleStress {
         freeAll()
       }
     }
+    // INT8 staged retrieval (r18): stage 1 reads the persisted
+    // 1-B/dim quantized table (1/8 the float bytes), stage 2
+    // exact-reranks a 20-row shortlist; results must agree with the
+    // brute scan at near-lossless int8 recall (REQUIREd in the gate;
+    // here we record the wall split).
+    if (wanted("sq8")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val probes = emb0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+      multiples.foreach { m =>
+        val corpus = (0 until m).map(i => emb0.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val work = graft.CacheDirs.tempWorkDir("graft_stress_sq8_").toString
+        Similarity.sq8Table(corpus, "vec_id", "e").write.parquet(s"$work/q")
+        val qt = spark.read.parquet(s"$work/q")
+        val t0 = System.nanoTime()
+        val nb = Similarity.batchTopK(corpus, probes, "e", 10).count()
+        val t1 = System.nanoTime()
+        val nq = Similarity.sq8BatchTopK(corpus, probes, "e", k = 10,
+          shortlistFactor = 2, quantized = Some(qt)).count()
+        val t2 = System.nanoTime()
+        println(f"SCALE sq8     m=$m%2d vecs=$n%7d brute_rows=$nb%4d sq8_rows=$nq%4d " +
+          f"tbrute=${(t1 - t0) / 1e9}%6.1fs tsq8=${(t2 - t1) / 1e9}%6.1fs")
+        graft.CacheDirs.deleteRecursively(new java.io.File(work))
+        freeAll()
+      }
+    }
     // Persisted signature table (r18: the LSH families' serving
     // index): tbuild — the one-time (vec_id, sig) projection to
     // parquet, paid once per corpus — grows with m; tfed — bucketed

@@ -41,4 +41,25 @@ class VectorOpsSpec extends SparkTestBase {
       .toDF("a", "b")
     assert(df2.select(VectorOps.dot(col("a"), col("b"))).collect()(0).getDouble(0) == 1.0 * 2.0 + 3.0 * 1.0)
   }
+
+  test("intDot: equals the HOF fold on quantized embeddings, handles nulls, " +
+    "and survives the full int8 range") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+    val q = graft.operators.Similarity.sq8Table(emb, "vec_id", "e")
+    val pairs = q.crossJoin(broadcast(
+      q.filter(col("vec_id") === 0).select(col("q").as("p"))))
+    val diff = pairs
+      .withColumn("fast", VectorOps.intDot(col("q"), col("p")))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(q, p, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), 0L, (a, v) -> a + v)"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+    // extremes: (-128)^2 * n accumulates exactly in the long
+    val ext = Seq((Seq.fill(64)(-128.toByte), Seq.fill(64)(-128.toByte))).toDF("a", "b")
+    assert(ext.select(VectorOps.intDot(col("a"), col("b")))
+      .collect()(0).getLong(0) === 64L * 128 * 128)
+    val nulls = Seq((Some(Seq(1.toByte, 2.toByte)), Option.empty[Seq[Byte]])).toDF("a", "b")
+    assert(nulls.select(VectorOps.intDot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
 }
