@@ -1449,20 +1449,26 @@ object EtlQueries {
         // batch 0 builds the index (the first era)
         val r0 = JobRunner.run(s, maint(s"$work/b0", "ann-build-0", 0L, "rebuild"))
         require(r0.status == JobRunner.Completed, s"ann build failed: ${r0.message}")
-        // batch 1: in-distribution -> the decider must take APPEND
+        // batch 1: in-distribution -> the decider must take APPEND.
+        // expectedFailure pins the onFail branch to the drift gate's
+        // own verdict — a probe that could not RUN takes no branch
         val (p1, m1) = JobRunner.runDecided(s, probe(s"$work/b1", "ann-probe-1"),
           onPass = maint(s"$work/b1", "ann-append-1", 1L, "append"),
-          onFail = maint(s"$work/b1", "ann-rebuild-1", 1L, "rebuild"))
+          onFail = maint(s"$work/b1", "ann-rebuild-1", 1L, "rebuild"),
+          expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
         require(p1.status == JobRunner.Completed,
           s"decider must PASS the in-distribution batch: ${p1.message}")
-        require(m1.status == JobRunner.Completed, s"append branch failed: ${m1.message}")
+        require(m1.exists(_.status == JobRunner.Completed),
+          s"append branch failed: ${m1.map(_.message)}")
         // batch 2: injected drift -> the decider must take REBUILD
         val (p2, m2) = JobRunner.runDecided(s, probe(s"$work/b2", "ann-probe-2"),
           onPass = maint(s"$work/b2", "ann-append-2", 2L, "append"),
-          onFail = maint(s"$work/b2", "ann-rebuild-2", 2L, "rebuild"))
+          onFail = maint(s"$work/b2", "ann-rebuild-2", 2L, "rebuild"),
+          expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
         require(p2.status != JobRunner.Completed,
           "decider must FAIL the drifted batch (injected +0.5 shift)")
-        require(m2.status == JobRunner.Completed, s"rebuild branch failed: ${m2.message}")
+        require(m2.exists(_.status == JobRunner.Completed),
+          s"rebuild branch failed: ${m2.map(_.message)}")
         // the rebuilt index serves the FULL drifted corpus exactly
         val all = emb.unionByName(emb.select(
           (col("vec_id") + lit(10000000L)).as("vec_id"),

@@ -290,22 +290,14 @@ object RecallQueries {
       (s, dir) => {
         val emb = embAll(s, dir)
         val probes = probesOf(emb)
-        val pfx = graft.operators.Similarity.prefixTable(emb, "vec_id", "e", 32)
-        val probePfx = probes.withColumn("p_pfx", expr("slice(probe_e, 1, 32)"))
-          .select("probe_id", "p_pfx")
-        val wPfx = Window.partitionBy("probe_id").orderBy(desc("pfx_cos"), asc("vec_id"))
-        val short = pfx.crossJoin(broadcast(probePfx))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("pfx_cos",
-            graft.operators.Similarity.cosine(col("e_prefix"), col("p_pfx")))
-          .withColumn("srk", row_number().over(wPfx)).filter(col("srk") <= K * 8)
-          .select("probe_id", "vec_id")
-        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
-        val approx = short.join(emb, Seq("vec_id"))
-          .join(broadcast(probes), Seq("probe_id"))
-          .withColumn("cos_sim",
-            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        // THE production operator at its production knobs (no
+        // hand-rolled copy to drift from), excludeSelf matching the
+        // truth side's convention
+        val approx = graft.operators.Similarity
+          .mrlBatchTopK(emb, probes, "e", dPrefix = 32, k = K,
+            shortlistFactor = 8,
+            prefixes = Some(graft.operators.Similarity.prefixTable(emb, "vec_id", "e", 32)),
+            excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
@@ -324,22 +316,10 @@ object RecallQueries {
       (s, dir) => {
         val emb = embAll(s, dir)
         val probes = probesOf(emb)
-        val qt = graft.operators.Similarity.sq8Table(emb, "vec_id", "e")
-        val pq = graft.operators.Similarity.sq8Table(
-            probes.select(col("probe_id"), col("probe_e")), "probe_id", "probe_e")
-          .withColumnRenamed("q", "p_q")
-        val wQ = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc("vec_id"))
-        val short = qt.crossJoin(broadcast(pq))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("qdot", graft.functions.VectorOps.intDot(col("q"), col("p_q")))
-          .withColumn("srk", row_number().over(wQ)).filter(col("srk") <= K * 2)
-          .select("probe_id", "vec_id")
-        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
-        val approx = short.join(emb, Seq("vec_id"))
-          .join(broadcast(probes), Seq("probe_id"))
-          .withColumn("cos_sim",
-            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        val approx = graft.operators.Similarity
+          .sq8BatchTopK(emb, probes, "e", k = K, shortlistFactor = 2,
+            quantized = Some(graft.operators.Similarity.sq8Table(emb, "vec_id", "e")),
+            excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
@@ -375,17 +355,8 @@ object RecallQueries {
           TextQueries.bm25ScoreTerms(postings, stats, ts, 50).localCheckpoint()
         val a = leg(Seq("spark", "merge"))
         val b = leg(Seq("merge", "window"))
-        def rrfLeg(df: DataFrame, out: String): DataFrame = {
-          val o = df.select(col("doc_id").as("_i2"), col("score_micro").as("_s2"))
-          df.join(broadcast(o),
-              col("_s2") > col("score_micro") ||
-                (col("_s2") === col("score_micro") && col("_i2") < col("doc_id")),
-              "left")
-            .groupBy("doc_id")
-            .agg(expr("1000000000 div (61 + count(_i2))").as(out))
-        }
-        val fused = rrfLeg(a, "ra")
-          .join(rrfLeg(b, "rb"), Seq("doc_id"), "full_outer")
+        val fused = TextQueries.rrfLeg(a, "score_micro", "ra")
+          .join(TextQueries.rrfLeg(b, "score_micro", "rb"), Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(col("ra"), lit(0L)) + coalesce(col("rb"), lit(0L)))
               .as("score_micro"))
@@ -398,8 +369,10 @@ object RecallQueries {
         val wts = s.range(1, 11).select(col("id").as("i"),
           expr("CAST(round(1000000 / (ln(CAST(id + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)")
             .as("w")).localCheckpoint()
+        // coalesce like the dcg path: an empty relset must read
+        // idcg = 0 (-> ndcg 0), not NPE on a null sum
         val idcg = wts.filter(col("i") <= math.min(10L, rtot))
-          .agg(sum("w")).head().getLong(0)
+          .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
         def ndcgPermille(list: DataFrame): Long = {
           val top = list.orderBy(desc("score_micro"), col("doc_id")).limit(10)
           val ranked = top.join(broadcast(

@@ -1951,18 +1951,8 @@ object SimilarityQueries {
           .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 20)
           .select(col("vec_id").as("doc_id"), col("cos_sim"))
           .localCheckpoint()
-        def rrfLeg(df: org.apache.spark.sql.DataFrame,
-                   scoreCol: String): org.apache.spark.sql.DataFrame = {
-          val o = df.select(col("doc_id").as("_i2"), col(scoreCol).as("_s2"))
-          df.join(broadcast(o),
-              col("_s2") > col(scoreCol) ||
-                (col("_s2") === col(scoreCol) && col("_i2") < col("doc_id")),
-              "left")
-            .groupBy("doc_id")
-            .agg(expr("1000000000 div (61 + count(_i2))").as("rrf"))
-        }
-        rrfLeg(lex, "s_lex").withColumnRenamed("rrf", "r_lex")
-          .join(rrfLeg(dense, "cos_sim").withColumnRenamed("rrf", "r_dense"),
+        TextQueries.rrfLeg(lex, "s_lex", "r_lex")
+          .join(TextQueries.rrfLeg(dense, "cos_sim", "r_dense"),
             Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(col("r_lex"), lit(0L)) + coalesce(col("r_dense"), lit(0L)))
@@ -2045,19 +2035,9 @@ object SimilarityQueries {
           .bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe, "e", 20)
           .select(col("vec_id").as("doc_id"), col("cos_sim"))
           .localCheckpoint()
-        def rrfLeg(df: org.apache.spark.sql.DataFrame, scoreCol: String,
-                   out: String): org.apache.spark.sql.DataFrame = {
-          val o = df.select(col("doc_id").as("_i2"), col(scoreCol).as("_s2"))
-          df.join(broadcast(o),
-              col("_s2") > col(scoreCol) ||
-                (col("_s2") === col(scoreCol) && col("_i2") < col("doc_id")),
-              "left")
-            .groupBy("doc_id")
-            .agg(expr("1000000000 div (61 + count(_i2))").as(out))
-        }
-        rrfLeg(lex, "s_lex", "r_lex")
-          .join(rrfLeg(lm, "s_lm", "r_lm"), Seq("doc_id"), "full_outer")
-          .join(rrfLeg(dense, "cos_sim", "r_dense"), Seq("doc_id"), "full_outer")
+        TextQueries.rrfLeg(lex, "s_lex", "r_lex")
+          .join(TextQueries.rrfLeg(lm, "s_lm", "r_lm"), Seq("doc_id"), "full_outer")
+          .join(TextQueries.rrfLeg(dense, "cos_sim", "r_dense"), Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(col("r_lex"), lit(0L)) + coalesce(col("r_lm"), lit(0L)) +
               coalesce(col("r_dense"), lit(0L))).as("rrf_nano"))

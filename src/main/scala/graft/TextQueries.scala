@@ -219,6 +219,25 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Rank-space RRF contribution of ONE candidate list (`doc_id`,
+    * `scoreCol`): rank = 1 + |strictly better| via a broadcast
+    * self-join over the ≤pool-sized frame (identical to ROW_NUMBER
+    * over (score DESC, doc_id) — never an unpartitioned window),
+    * emitted integer-exact as floor(1e9 / (60 + rank)). THE one home
+    * for the RRF k=60 constant and the tie-break — shared by
+    * `sim_rrf_fusion`, `sim_rrf_fusion3`, and `sim_rrf_quality`
+    * (self-review r18: four copies of the formula had accumulated). */
+  def rrfLeg(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+             out: String): org.apache.spark.sql.DataFrame = {
+    val o = df.select(col("doc_id").as("_i2"), col(scoreCol).as("_s2"))
+    df.join(broadcast(o),
+        col("_s2") > col(scoreCol) ||
+          (col("_s2") === col(scoreCol) && col("_i2") < col("doc_id")),
+        "left")
+      .groupBy("doc_id")
+      .agg(expr("1000000000 div (61 + count(_i2))").as(out))
+  }
+
   /** BM25 top-k served from an `INGEST_BM25_DESTINATION` state
     * directory (the batch-protocol index
     * [[graft.streaming.EventStreams.ingestBm25Batch]] maintains):

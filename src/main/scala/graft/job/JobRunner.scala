@@ -160,23 +160,34 @@ object JobRunner {
 
   /** O15's StatusDecider made FIRST-CLASS (the reference docx §7
     * shape, VERDICT r17 #4): run the PROBE job; its terminal status
-    * picks the branch — Completed runs `onPass`, Failed runs
-    * `onFail` — and both results return for the caller's audit. The
-    * canonical composition is index maintenance under drift: probe =
-    * a VALIDATE_DRIFT job over the fresh batch vs the index-era
-    * baseline; pass -> the incremental append job
-    * (INGEST_ANN_DESTINATION annMode=append / INGEST_BM25), fail ->
-    * the full rebuild job (annMode=rebuild) — exactly the
-    * append-vs-rebuild trigger Similarity.ivfAppend documents. */
+    * picks the branch — Completed runs `onPass`; Failed runs `onFail`
+    * ONLY when the failure is the probe's own verdict
+    * (`expectedFailure` — a substring the gate's failure message must
+    * carry, e.g. "VALIDATE_DRIFT"). A probe that could not RUN (a
+    * typo'd column, a missing baseline path, an infra error) matches
+    * neither and NO branch executes — routing every failure to
+    * `onFail` would let a config typo silently trigger a full index
+    * rebuild and retire the serving era while masking the real error
+    * (self-review r18). The canonical composition is index
+    * maintenance under drift: probe = a VALIDATE_DRIFT job over the
+    * fresh batch vs the index-era baseline; pass -> the incremental
+    * append job (INGEST_ANN_DESTINATION annMode=append /
+    * INGEST_BM25), fail -> the full rebuild job (annMode=rebuild) —
+    * exactly the append-vs-rebuild trigger Similarity.ivfAppend
+    * documents. Returns (probe result, branch result — None when no
+    * branch ran). */
   def runDecided(spark: SparkSession, probe: JobConfig,
                  onPass: JobConfig, onFail: JobConfig,
+                 expectedFailure: Option[String] = None,
                  notifier: Notifier = LogNotifier,
                  plugins: Map[String, DataFrame => DataFrame] = Map.empty)
-      : (JobResult, JobResult) = {
+      : (JobResult, Option[JobResult]) = {
     val probed = run(spark, probe, notifier, plugins)
     val branch = probed.status match {
-      case Completed => run(spark, onPass, notifier, plugins)
-      case _         => run(spark, onFail, notifier, plugins)
+      case Completed => Some(run(spark, onPass, notifier, plugins))
+      case Failed(reason) if expectedFailure.forall(reason.contains) =>
+        Some(run(spark, onFail, notifier, plugins))
+      case _ => None
     }
     (probed, branch)
   }

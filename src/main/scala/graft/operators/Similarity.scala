@@ -265,7 +265,8 @@ object Similarity {
   def mrlBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
                    dPrefix: Int, k: Int, shortlistFactor: Int = 4,
                    idCol: String = "vec_id", probeIdCol: String = "probe_id",
-                   prefixes: Option[DataFrame] = None): DataFrame = {
+                   prefixes: Option[DataFrame] = None,
+                   excludeSelf: Boolean = false): DataFrame = {
     require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
     val probePfx = probes.withColumn("_p_pfx",
       expr(s"slice(probe_e, 1, $dPrefix)"))
@@ -273,11 +274,16 @@ object Similarity {
       .partitionBy(probeIdCol).orderBy(desc("_pfx_cos"), asc(idCol))
     val shortN = math.min(Int.MaxValue.toLong,
       k.toLong * shortlistFactor.toLong).toInt
+    // excludeSelf (the recall-gate convention: probes drawn from the
+    // corpus rank their neighbors, not themselves) drops the self
+    // pair BEFORE the shortlist window so it never consumes a slot
+    def excl(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
     val staged = prefixes match {
       // persisted-projection serving: stage 1 reads ONLY the
       // truncated table; full vectors join in shortlist-sized
       case Some(t) =>
-        t.crossJoin(broadcast(probePfx.select(col(probeIdCol), col("_p_pfx"))))
+        excl(t.crossJoin(broadcast(probePfx.select(col(probeIdCol), col("_p_pfx")))))
           .withColumn("_pfx_cos", cosine(col("e_prefix"), col("_p_pfx")))
           .withColumn("_srk", row_number().over(wPfx))
           .filter(col("_srk") <= shortN)
@@ -285,8 +291,8 @@ object Similarity {
           .join(corpus, Seq(idCol))
           .join(broadcast(probes), Seq(probeIdCol))
       case None =>
-        corpus.withColumn("_c_pfx", expr(s"slice($vecCol, 1, $dPrefix)"))
-          .crossJoin(broadcast(probePfx))
+        excl(corpus.withColumn("_c_pfx", expr(s"slice($vecCol, 1, $dPrefix)"))
+            .crossJoin(broadcast(probePfx)))
           .withColumn("_pfx_cos", cosine(col("_c_pfx"), col("_p_pfx")))
           .withColumn("_srk", row_number().over(wPfx))
           .filter(col("_srk") <= shortN)
@@ -345,7 +351,8 @@ object Similarity {
   def sq8BatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
                    k: Int, shortlistFactor: Int = 2,
                    idCol: String = "vec_id", probeIdCol: String = "probe_id",
-                   quantized: Option[DataFrame] = None): DataFrame = {
+                   quantized: Option[DataFrame] = None,
+                   excludeSelf: Boolean = false): DataFrame = {
     val probeQ = sq8Table(probes, probeIdCol, "probe_e")
       .withColumnRenamed("q", "_pq")
       .join(probes, Seq(probeIdCol))
@@ -353,9 +360,11 @@ object Similarity {
       .partitionBy(probeIdCol).orderBy(desc("_qdot"), asc(idCol))
     val shortN = math.min(Int.MaxValue.toLong,
       k.toLong * shortlistFactor.toLong).toInt
+    def excl(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
     val staged = quantized match {
       case Some(t) =>
-        t.crossJoin(broadcast(probeQ.select(col(probeIdCol), col("_pq"))))
+        excl(t.crossJoin(broadcast(probeQ.select(col(probeIdCol), col("_pq")))))
           .withColumn("_qdot", intDot(col("q"), col("_pq")))
           .withColumn("_srk", row_number().over(wQ))
           .filter(col("_srk") <= shortN)
@@ -363,9 +372,13 @@ object Similarity {
           .join(corpus, Seq(idCol))
           .join(broadcast(probes), Seq(probeIdCol))
       case None =>
-        sq8Table(corpus, idCol, vecCol).withColumnRenamed("q", "_cq")
-          .join(corpus, Seq(idCol))
-          .crossJoin(broadcast(probeQ))
+        // quantize IN PLACE (map-side withColumn, the mrlBatchTopK
+        // sibling's shape) — never a corpus-to-itself equijoin
+        excl(corpus.withColumn("_n", sqrt(dot(col(vecCol), col(vecCol))))
+            .withColumn("_cq",
+              expr(s"transform($vecCol, x -> CAST(round(127.0D * x / _n) AS TINYINT))"))
+            .drop("_n")
+            .crossJoin(broadcast(probeQ)))
           .withColumn("_qdot", intDot(col("_cq"), col("_pq")))
           .withColumn("_srk", row_number().over(wQ))
           .filter(col("_srk") <= shortN)

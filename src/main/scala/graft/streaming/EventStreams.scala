@@ -482,6 +482,47 @@ object EventStreams {
                                       dir: String, batchId: Long): Boolean =
     committedBatchIds(conf, dir).exists(_ < batchId)
 
+  private sealed trait IngestSkip
+  private case object SkipCommitted extends IngestSkip
+  private case object SkipStale extends IngestSkip
+  private case object RunKernel extends IngestSkip
+
+  /** The exactly-once skip decision ONE multi-directory ingest makes
+    * (self-review r18 — the bare `exists(_ > batchId)` stale test
+    * could silently skip a HALF-committed batch forever):
+    *  - every dir carries this batch's marker → committed, skip whole;
+    *  - a LATER id is committed and NO dir carries this batch →
+    *    stale, skip (the id was fully ingested; compaction folded its
+    *    markers away — the monotone-submission contract);
+    *  - a LATER id is committed and SOME dir carries this batch →
+    *    the replay-order contract was violated (a crashed batch was
+    *    abandoned mid-protocol and a later id submitted anyway):
+    *    FAIL LOUDLY. A silent stale-skip here would freeze the state
+    *    permanently inconsistent (e.g. batch-N postings counted
+    *    against stats that exclude batch N's delta, forever), and
+    *    re-running the id against the later state would split it
+    *    across two eras;
+    *  - otherwise run the kernel (fresh batch, or the crashed batch
+    *    being retried IN ORDER — the kernel overwrites its own
+    *    partitions deterministically). */
+  private def ingestSkip(conf: org.apache.hadoop.conf.Configuration,
+                         dirs: Seq[String], batchId: Long): IngestSkip = {
+    val marks = dirs.map(d => fsOf(conf, d).exists(
+      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
+    if (marks.forall(identity)) SkipCommitted
+    else if (committedBatchIds(conf, dirs.head).exists(_ > batchId)) {
+      if (marks.exists(identity))
+        throw new IllegalStateException(
+          s"ingest replay-order violation: batch=$batchId is committed in " +
+            s"[${dirs.zip(marks).filter(_._2).map(_._1).mkString(", ")}] but missing from " +
+            s"[${dirs.zip(marks).filterNot(_._2).map(_._1).mkString(", ")}], and a LATER " +
+            "batch has already committed. Retry a crashed batch to completion BEFORE " +
+            "submitting the next id — skipping now would leave the state permanently " +
+            "inconsistent, and re-running against the later state would double-apply it")
+      SkipStale
+    } else RunKernel
+  }
+
   /** The committed state BEFORE `batchId`: partition-prune to
     * `batch < batchId` (metadata-only — a replayed batch never reads
     * its own prior partial rows, and partition pruning means the
@@ -650,10 +691,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(pairsDir, docsDir, sketchDir, clustersDir)
     dropPartialBatchDirs(conf, dirs)
-    val stale = committedBatchIds(conf, pairsDir).exists(_ > batchId)
-    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
-      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
-    if (!committed) {
+    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
       writeNearDupBatch(spark, conf,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         batchId, pairsDir, docsDir, sketchDir, shingleN, k, bands, num, den)
@@ -697,10 +735,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(spansDir, summaryDir)
     dropPartialBatchDirs(conf, dirs)
-    val stale = committedBatchIds(conf, summaryDir).exists(_ > batchId)
-    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
-      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
-    if (!committed) {
+    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .localCheckpoint()
       val index =
@@ -772,10 +807,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(postingsDir, statsDir)
     dropPartialBatchDirs(conf, dirs)
-    val stale = committedBatchIds(conf, postingsDir).exists(_ > batchId)
-    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
-      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
-    if (!committed) {
+    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .localCheckpoint() // both writes tokenize it
       graft.TextQueries.bm25RawPostings(b)
@@ -822,24 +854,38 @@ object EventStreams {
    *    one partition per ingested batch; union-compactable. The
    *    rebuild's input.
    *  - `centroids/batch=<id>` — ONE snapshot per REBUILD (nLists
-   *    rows). The newest committed snapshot's id is the serving ERA.
+   *    rows). The serving ERA is the newest id whose centroids AND
+   *    postings BOTH committed ([[annValidEra]]).
    *  - `postings/batch=<id>` — cell assignments. A REBUILD batch
    *    writes the FULL corpus reassignment under its own id; an
    *    APPEND batch writes just its batch's map-side assignment
    *    against the era's centroids (`assignToCentroids` — batch-sized,
    *    no shuffle). Serving reads partitions with id >= era, so a
    *    rebuild retires the old era's postings WITHOUT deleting
-   *    anything (purely additive => trivially crash-safe; old-era
-   *    partitions are dead weight reclaimable out-of-band).
+   *    anything (purely additive; old-era partitions are dead weight
+   *    reclaimable out-of-band).
+   *
+   * Rebuild WRITE ORDER is load-bearing (self-review r18): vectors,
+   * then centroids, then postings LAST — committing the postings is
+   * what opens the new era. A rebuild that crashes mid-protocol can
+   * therefore only leave a DANGLING centroids snapshot, which the
+   * era rule ignores (serving stays consistently on the old era —
+   * had the postings landed first, a crash-window read would have
+   * taken the old era's centroids against the NEW full reassignment:
+   * every vector twice, under foreign cell ids). `mode = "append"`
+   * REFUSES while a dangling rebuild is pending — its assignment
+   * would be minted against centroids about to be superseded by the
+   * retry's era.
    *
    * `mode = "rebuild"` (the first batch must be one): corpus =
    * accumulated vectors + this batch; deterministic `ivfIndex` =>
    * new centroid snapshot + full reassignment. `mode = "append"`:
    * batch assigns to the EXISTING era centroids — cost tracks the
    * batch, never the corpus. Exactly-once: a committed id skips
-   * (mode-appropriate marker set), a stale id skips, marker-less
-   * partials drop, and both modes recompute deterministically from
-   * committed state on replay.
+   * (mode-appropriate marker set), a fully-compacted stale id skips,
+   * a half-committed id with a later commit fails LOUDLY
+   * ([[ingestSkip]]), marker-less partials drop, and both modes
+   * recompute deterministically from committed state on replay.
    */
   def ingestAnnBatch(spark: SparkSession, batch: DataFrame, destDir: String,
                      batchId: Long, idCol: String = "vec_id",
@@ -852,12 +898,27 @@ object EventStreams {
     val centroidsDir = s"$destDir/centroids"
     val conf = spark.sparkContext.hadoopConfiguration
     dropPartialBatchDirs(conf, Seq(vectorsDir, postingsDir, centroidsDir))
-    val stale = committedBatchIds(conf, vectorsDir).exists(_ > batchId)
-    val dirs = if (mode == "rebuild") Seq(vectorsDir, postingsDir, centroidsDir)
+    val dirs = if (mode == "rebuild") Seq(vectorsDir, centroidsDir, postingsDir)
                else Seq(vectorsDir, postingsDir)
-    val committed = stale || dirs.forall(d => fsOf(conf, d).exists(
-      new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
-    if (committed) return
+    if (ingestSkip(conf, dirs, batchId) != RunKernel) return
+    // append-mode preconditions BEFORE any write — a REFUSED append
+    // must leave no partial state behind (its vectors partition would
+    // trip the replay-order check on the pending rebuild's retry)
+    val appendEra: Option[Long] =
+      if (mode == "append") {
+        val era = annValidEra(conf, destDir).filter(_ < batchId)
+          .getOrElse(throw new IllegalStateException(
+            s"INGEST_ANN append needs a built index — run a rebuild batch into $destDir first"))
+        val dangling = committedBatchIds(conf, centroidsDir)
+          .filter(i => i > era && i < batchId)
+        if (dangling.nonEmpty)
+          throw new IllegalStateException(
+            s"INGEST_ANN append refused: rebuild batch=${dangling.last} is mid-crash " +
+              s"(centroids committed, postings missing) — retry the rebuild before " +
+              s"appending, or this batch's cells would be minted against centroids " +
+              s"the retry is about to supersede")
+        Some(era)
+      } else None
     val b = batch.select(col(idCol).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("e"))
       .localCheckpoint()
@@ -869,15 +930,13 @@ object EventStreams {
         else b
       val (assigned, centroids) =
         graft.operators.Similarity.ivfIndex(corpus, "vec_id", "e", nLists)
+      // centroids BEFORE postings — the postings commit opens the era
+      centroids.write.mode("overwrite").parquet(batchPart(centroidsDir, batchId))
       assigned.select("cell", "vec_id", "e")
         .write.mode("overwrite").parquet(batchPart(postingsDir, batchId))
-      centroids.write.mode("overwrite").parquet(batchPart(centroidsDir, batchId))
     } else {
-      val era = committedBatchIds(conf, centroidsDir).filter(_ < batchId).lastOption
-        .getOrElse(throw new IllegalStateException(
-          s"INGEST_ANN append needs a built index — run a rebuild batch into $destDir first"))
       val cents = spark.read.parquet(centroidsDir)
-        .filter(col("batch") === era).drop("batch")
+        .filter(col("batch") === appendEra.get).drop("batch")
       graft.operators.Similarity.assignToCentroids(b, cents, "e")
         .select("cell", "vec_id", "e")
         .write.mode("overwrite").parquet(batchPart(postingsDir, batchId))
@@ -885,19 +944,34 @@ object EventStreams {
     graft.operators.Checkpoints.free(b)
   }
 
+  /** The newest VALID rebuild era of an [[ingestAnnBatch]] state: an
+    * id whose centroids AND postings both committed. A dangling
+    * centroids-only id (a rebuild that crashed before its postings —
+    * the only mid-crash shape the write order allows) is never the
+    * era: its reassignment never landed, so serving it would pair
+    * old postings with foreign centroids. */
+  private def annValidEra(conf: org.apache.hadoop.conf.Configuration,
+                          destDir: String): Option[Long] = {
+    val withPostings = committedBatchIds(conf, s"$destDir/postings").toSet
+    committedBatchIds(conf, s"$destDir/centroids").filter(withPostings).lastOption
+  }
+
   /** Batch IVF serving FROM an [[ingestAnnBatch]] state dir: the era
-    * = the newest committed centroid snapshot; postings partition-
-    * prune to `batch >= era` (the rebuild's full reassignment plus
-    * every later append — old-era partitions are never opened), and
-    * the query is one `ivfBatchTopK` through that index. */
+    * = the newest VALID rebuild ([[annValidEra]] — centroids AND
+    * postings committed, so a mid-crash rebuild's dangling centroids
+    * never serve); postings partition-prune to `batch >= era` (the
+    * era's full reassignment plus every later append — old-era
+    * partitions are never opened, and under the rebuild write order
+    * no partition above the era can be a crashed rebuild's), and the
+    * query is one `ivfBatchTopK` through that index. */
   def annIngestTopK(spark: SparkSession, destDir: String, probes: DataFrame,
                     k: Int, nProbe: Int = 4): DataFrame = {
-    val era = latestCommittedBatch(spark, s"$destDir/centroids").getOrElse(
+    val conf = spark.sparkContext.hadoopConfiguration
+    dropPartialBatchDirs(conf, Seq(s"$destDir/centroids", s"$destDir/postings"))
+    val era = annValidEra(conf, destDir).getOrElse(
       throw new IllegalStateException(s"no committed ANN index under $destDir"))
     val cents = spark.read.parquet(s"$destDir/centroids")
       .filter(col("batch") === era).drop("batch")
-    dropPartialBatchDirs(spark.sparkContext.hadoopConfiguration,
-      Seq(s"$destDir/postings"))
     val pruned = spark.read.parquet(s"$destDir/postings")
       .filter(col("batch") >= era).drop("batch")
     graft.operators.Similarity.ivfBatchTopK(pruned, cents, probes, "e", k, nProbe)

@@ -440,20 +440,34 @@ class OrchestrationSpec extends SparkTestBase {
     val (p1, m1) = graft.job.JobRunner.runDecided(spark,
       probe(s"$work/b1", "a-probe-1"),
       onPass = maint(s"$work/b1", "a-append-1", 1L, "append"),
-      onFail = maint(s"$work/b1", "a-rebuild-1", 1L, "rebuild"))
+      onFail = maint(s"$work/b1", "a-rebuild-1", 1L, "rebuild"),
+      expectedFailure = Some("VALIDATE_DRIFT"))
     assert(p1.status == graft.job.JobRunner.Completed, p1.message)
-    assert(m1.status == graft.job.JobRunner.Completed, m1.message)
-    assert(m1.jobId == "a-append-1", "pass must take the append branch")
+    assert(m1.exists(_.status == graft.job.JobRunner.Completed), m1.map(_.message))
+    assert(m1.get.jobId == "a-append-1", "pass must take the append branch")
     assert(graft.streaming.EventStreams
       .latestCommittedBatch(spark, s"$dest/centroids").get === era0)
+    // a probe that cannot RUN (config typo) takes NO branch — a
+    // broken driftColumn must not silently trigger a full rebuild
+    val broken = probe(s"$work/b1", "a-probe-broken").copy(
+      transformation = graft.model.Transformation("NONE", parameters = Map(
+        "driftColumn" -> "no_such_column", "driftBandWidth" -> "0.5",
+        "driftBaselinePath" -> s"$work/b0")))
+    val (pb, mb) = graft.job.JobRunner.runDecided(spark, broken,
+      onPass = maint(s"$work/b1", "a-append-x", 9L, "append"),
+      onFail = maint(s"$work/b1", "a-rebuild-x", 9L, "rebuild"),
+      expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
+    assert(pb.status != graft.job.JobRunner.Completed)
+    assert(mb.isEmpty, s"a config error must take no branch, ran: ${mb.map(_.jobId)}")
     // FAIL branch: drifted batch rebuilds; a NEW centroid era appears
     val (p2, m2) = graft.job.JobRunner.runDecided(spark,
       probe(s"$work/b2", "a-probe-2"),
       onPass = maint(s"$work/b2", "a-append-2", 2L, "append"),
-      onFail = maint(s"$work/b2", "a-rebuild-2", 2L, "rebuild"))
+      onFail = maint(s"$work/b2", "a-rebuild-2", 2L, "rebuild"),
+      expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
     assert(p2.status != graft.job.JobRunner.Completed)
-    assert(m2.status == graft.job.JobRunner.Completed, m2.message)
-    assert(m2.jobId == "a-rebuild-2", "fail must take the rebuild branch")
+    assert(m2.exists(_.status == graft.job.JobRunner.Completed), m2.map(_.message))
+    assert(m2.get.jobId == "a-rebuild-2", "fail must take the rebuild branch")
     val era2 = graft.streaming.EventStreams
       .latestCommittedBatch(spark, s"$dest/centroids").get
     assert(era2 === 2L, s"rebuild must open a new era, got $era2")

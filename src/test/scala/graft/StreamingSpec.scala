@@ -1413,10 +1413,29 @@ class StreamingSpec extends SparkTestBase {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dest/postings/batch=1"), true)
     EventStreams.ingestAnnBatch(spark, vecs(30 until 60, 0.0), dest, 1L,
       vecCol = "e", nLists = 4, mode = "append") // the retry
-    // REBUILD crash: batch 2's vectors+postings commit, centroids don't
+    // REBUILD crash: vectors + centroids commit, postings don't (the
+    // only mid-crash shape the write order allows)
     EventStreams.ingestAnnBatch(spark, vecs(60 until 90, 2.0), dest, 2L,
       vecCol = "e", nLists = 4, mode = "rebuild")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/centroids/batch=2"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/postings/batch=2"), true)
+    // CRASH-WINDOW reads: the dangling centroids snapshot must NOT
+    // become the serving era — queries stay consistently on era 0
+    val preProbes = vecs(0 until 60, 0.0)
+      .filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val windowServed = EventStreams
+      .annIngestTopK(spark, dest, preProbes, k = 3, nProbe = 4)
+      .select("probe_id", "vec_id", "cos_sim").collect()
+    assert(windowServed.length === 3,
+      s"crash-window serving must stay on the old era, got ${windowServed.length} rows")
+    assert(windowServed.map(_.getLong(1)).distinct.length === 3,
+      "crash-window serving must not duplicate vectors")
+    // an APPEND under the pending rebuild is refused loudly
+    val refuse = intercept[IllegalStateException] {
+      EventStreams.ingestAnnBatch(spark, vecs(90 until 100, 0.0), dest, 3L,
+        vecCol = "e", nLists = 4, mode = "append")
+    }
+    assert(refuse.getMessage.contains("mid-crash"), refuse.getMessage)
     EventStreams.ingestAnnBatch(spark, vecs(60 until 90, 2.0), dest, 2L,
       vecCol = "e", nLists = 4, mode = "rebuild") // the retry
     assert(EventStreams.latestCommittedBatch(spark, s"$dest/centroids").get === 2L)
@@ -1528,6 +1547,20 @@ class StreamingSpec extends SparkTestBase {
     EventStreams.ingestBm25Batch(spark,
       docs.filter(col("doc_id") % 3 === 0), state, 0L)
     assert(served() === expected7)
+    // REPLAY-ORDER VIOLATION is loud, never a silent skip (self-review
+    // r18): batch 4 commits postings but not stats, batch 5 commits
+    // whole, THEN the batch-4 retry arrives — a bare stale-skip would
+    // freeze batch-4 postings against stats that exclude its delta
+    // forever; the protocol must refuse instead
+    val d8 = Seq((8L, "spark window replay")).toDF("doc_id", "text")
+    EventStreams.ingestBm25Batch(spark, d8, state, 4L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/stats/batch=4"), true)
+    EventStreams.ingestBm25Batch(spark,
+      Seq((9L, "merge merge merge")).toDF("doc_id", "text"), state, 5L)
+    val e = intercept[IllegalStateException] {
+      EventStreams.ingestBm25Batch(spark, d8, state, 4L)
+    }
+    assert(e.getMessage.contains("replay-order violation"), e.getMessage)
   }
 
   test("batch protocol rejects a pre-protocol flat-layout state dir loudly") {
