@@ -55,9 +55,13 @@ case class TopKPairs(
 
   // min-heap whose head is the WORST kept pair (smallest value, then
   // LARGEST payload — the first to evict), so keeping the k best is
-  // one peek + one replace
+  // one peek + one replace. Initial capacity is CAPPED: k is a
+  // logical bound, not a size hint — the staged-retrieval exactness
+  // twins pass shortlists of k·10^6 that must bound the heap without
+  // preallocating a multi-megabyte array per group buffer (the queue
+  // grows on demand past the cap).
   override def createAggregationBuffer(): java.util.PriorityQueue[TopKAgg.Pair] =
-    new java.util.PriorityQueue[TopKAgg.Pair](k + 1, TopKAgg.worstFirst)
+    new java.util.PriorityQueue[TopKAgg.Pair](math.min(k, 4096) + 1, TopKAgg.worstFirst)
 
   override def update(heap: java.util.PriorityQueue[TopKAgg.Pair],
                       input: InternalRow): java.util.PriorityQueue[TopKAgg.Pair] = {
@@ -125,27 +129,32 @@ object TopKAgg {
 
   final class Pair(val value: Double, val payload: Long)
 
+  /** -0.0 normalized to 0.0 FOR COMPARISON ONLY: SQL ordering treats
+    * them as equal ties (broken by payload), but Double.compare ranks
+    * 0.0 above -0.0 — without this a {0.0, -0.0} tie would diverge
+    * from the window form. The STORED value stays raw, so the emitted
+    * pair carries exactly the input double the window form would have
+    * emitted (a caller hashing output values sees no -0.0 -> 0.0
+    * rewrite). */
+  @inline private def norm(v: Double): Double = if (v == 0.0d) 0.0d else v
+
   /** Heap order: head = worst kept = smallest value, ties LARGEST
     * payload (mirrors ORDER BY value DESC, payload ASC winners). */
   val worstFirst: java.util.Comparator[Pair] = new java.util.Comparator[Pair] {
     override def compare(a: Pair, b: Pair): Int = {
-      val c = java.lang.Double.compare(a.value, b.value)
+      val c = java.lang.Double.compare(norm(a.value), norm(b.value))
       if (c != 0) c else java.lang.Long.compare(b.payload, a.payload)
     }
   }
 
   private[functions] def offer(heap: java.util.PriorityQueue[Pair], k: Int,
-                               v0: Double, p: Long): Unit = {
-    // normalize -0.0 to 0.0: SQL ordering treats them as equal ties
-    // (broken by payload), but Double.compare ranks 0.0 above -0.0 —
-    // without this a {0.0, -0.0} tie would diverge from the window form
-    val v = if (v0 == 0.0d) 0.0d else v0
+                               v: Double, p: Long): Unit = {
     if (heap.size() < k) {
       heap.add(new Pair(v, p))
     } else {
       val worst = heap.peek()
       // candidate beats the worst kept pair?
-      val c = java.lang.Double.compare(v, worst.value)
+      val c = java.lang.Double.compare(norm(v), norm(worst.value))
       if (c > 0 || (c == 0 && p < worst.payload)) {
         heap.poll()
         heap.add(new Pair(v, p))

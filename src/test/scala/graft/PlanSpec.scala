@@ -563,6 +563,32 @@ class PlanSpec extends SparkTestBase {
       s"a window crept back into the skew diagnostic:\n${plan.take(2000)}")
   }
 
+  test("staged batch retrieval ranks stage 1 via the bounded heap, never a corpus window (r18 #1)") {
+    // single-stage forms (brute batch / hard negatives / triplets —
+    // and pqBatchTopK's no-rerank form): NO window anywhere; the rank
+    // is the TopKPairs heap through ObjectHashAggregate, so the rank
+    // shuffle carries probes·k rows, never probes·corpus
+    for (q <- Seq("sim_batch_topk", "sim_hard_negatives", "sim_triplet_mining",
+                  "sim_pq_batch_exact")) {
+      val plan = planString(Queries.queries(q)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"$q must rank via the bounded heap, found a window:\n${plan.take(2000)}")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q should plan the heap shortlist via ObjectHashAggregate:\n${plan.take(1000)}")
+    }
+    // staged forms: stage 1 is the heap; the ONE window left is the
+    // exact stage-2 re-rank, whose input is the probes×shortlist
+    // fetch join — bounded by construction, never the corpus
+    for (q <- Seq("sim_mrl_topk", "sim_sq8_topk")) {
+      val plan = planString(Queries.queries(q)(spark, sf))
+      val windows = "Window \\[".r.findAllIn(plan).size
+      assert(windows <= 1,
+        s"$q should carry only the bounded stage-2 re-rank window, found $windows:\n${plan.take(2000)}")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q stage 1 should plan the heap shortlist via ObjectHashAggregate:\n${plan.take(1000)}")
+    }
+  }
+
   test("the bounded-aggregate reports carry no unpartitioned window at all") {
     // survival cumulative, daily MA7 band, top-paths cut — all were
     // single-partition windows once; pinned window-free (triangular /
