@@ -165,10 +165,15 @@ object JobRunner {
     * (`expectedFailure` — a substring the gate's failure message must
     * carry, e.g. "VALIDATE_DRIFT"). A probe that could not RUN (a
     * typo'd column, a missing baseline path, an infra error) matches
-    * neither and NO branch executes — routing every failure to
+    * nothing and NO branch executes — routing every failure to
     * `onFail` would let a config typo silently trigger a full index
     * rebuild and retire the serving era while masking the real error
-    * (self-review r18). The canonical composition is index
+    * (self-review r18). With `expectedFailure` left at None the SAFE
+    * semantics are the default: a Failed probe takes NO branch at all
+    * (ADVICE r18 — the old `forall` default made ANY failure route to
+    * onFail, exactly the silent-rebuild-on-typo the guard exists to
+    * prevent; callers who want a branch on failure must name the
+    * verdict they expect). The canonical composition is index
     * maintenance under drift: probe = a VALIDATE_DRIFT job over the
     * fresh batch vs the index-era baseline; pass -> the incremental
     * append job (INGEST_ANN_DESTINATION annMode=append /
@@ -185,7 +190,7 @@ object JobRunner {
     val probed = run(spark, probe, notifier, plugins)
     val branch = probed.status match {
       case Completed => Some(run(spark, onPass, notifier, plugins))
-      case Failed(reason) if expectedFailure.forall(reason.contains) =>
+      case Failed(reason) if expectedFailure.exists(reason.contains) =>
         Some(run(spark, onFail, notifier, plugins))
       case _ => None
     }

@@ -488,39 +488,56 @@ object EventStreams {
   private case object RunKernel extends IngestSkip
 
   /** The exactly-once skip decision ONE multi-directory ingest makes
-    * (self-review r18 — the bare `exists(_ > batchId)` stale test
-    * could silently skip a HALF-committed batch forever):
+    * (self-review r18; re-cut per ADVICE r18 — the violation now
+    * fails at the SUBMISSION that would create the inconsistency,
+    * not at a later retry):
     *  - every dir carries this batch's marker → committed, skip whole;
-    *  - a LATER id is committed and NO dir carries this batch →
-    *    stale, skip (the id was fully ingested; compaction folded its
-    *    markers away — the monotone-submission contract);
-    *  - a LATER id is committed and SOME dir carries this batch →
-    *    the replay-order contract was violated (a crashed batch was
-    *    abandoned mid-protocol and a later id submitted anyway):
-    *    FAIL LOUDLY. A silent stale-skip here would freeze the state
-    *    permanently inconsistent (e.g. batch-N postings counted
-    *    against stats that exclude batch N's delta, forever), and
-    *    re-running the id against the later state would split it
-    *    across two eras;
-    *  - otherwise run the kernel (fresh batch, or the crashed batch
-    *    being retried IN ORDER — the kernel overwrites its own
+    *  - a LATER id is committed (in any dir) → stale, skip. Mixed or
+    *    missing markers here can only be compaction artifacts (a fold
+    *    removed this id's partition from some dirs — including the
+    *    crash window between two per-dir compaction passes): the
+    *    submission guard below refuses any NEW id while an earlier
+    *    one is half-committed, so a later commit PROVES this id once
+    *    completed. The r18 cut threw here, which false-alarmed on
+    *    exactly that half-compacted retry (ADVICE r18 finding 2);
+    *  - otherwise this id is fresh or the newest, crashed id being
+    *    retried in order. Before running, REFUSE if the strict dirs
+    *    disagree on their newest committed id below this one: every
+    *    batch writes every strict dir, and both compaction modes
+    *    spare the newest partition, so unequal maxes mean an earlier
+    *    batch crashed mid-protocol and was ABANDONED (ADVICE r18
+    *    finding 1 — running a new id now would commit above the
+    *    inconsistent state and freeze it, e.g. BM25 postings forever
+    *    scored against stats that exclude their batch's delta). The
+    *    in-order retry of the crashed id itself passes the guard
+    *    (its own id is excluded) and heals by overwrite;
+    *  - else run the kernel (the kernel overwrites its own
     *    partitions deterministically). */
   private def ingestSkip(conf: org.apache.hadoop.conf.Configuration,
-                         dirs: Seq[String], batchId: Long): IngestSkip = {
+                         dirs: Seq[String], batchId: Long,
+                         strictDirs: Seq[String]): IngestSkip = {
     val marks = dirs.map(d => fsOf(conf, d).exists(
       new org.apache.hadoop.fs.Path(batchPart(d, batchId), "_SUCCESS")))
     if (marks.forall(identity)) SkipCommitted
-    else if (committedBatchIds(conf, dirs.head).exists(_ > batchId)) {
-      if (marks.exists(identity))
-        throw new IllegalStateException(
-          s"ingest replay-order violation: batch=$batchId is committed in " +
-            s"[${dirs.zip(marks).filter(_._2).map(_._1).mkString(", ")}] but missing from " +
-            s"[${dirs.zip(marks).filterNot(_._2).map(_._1).mkString(", ")}], and a LATER " +
-            "batch has already committed. Retry a crashed batch to completion BEFORE " +
-            "submitting the next id — skipping now would leave the state permanently " +
-            "inconsistent, and re-running against the later state would double-apply it")
+    else if (dirs.exists(d => committedBatchIds(conf, d).exists(_ > batchId)))
       SkipStale
-    } else RunKernel
+    else {
+      val maxes = strictDirs.map(d =>
+        committedBatchIds(conf, d).filter(_ < batchId).maxOption)
+      if (maxes.distinct.size > 1)
+        throw new IllegalStateException(
+          s"ingest replay-order violation: the state dirs disagree on the newest " +
+            s"committed batch below $batchId (" +
+            strictDirs.zip(maxes).map { case (d, m) =>
+              s"$d: ${m.map(i => s"batch=$i").getOrElse("none")}"
+            }.mkString("; ") +
+            s") — an earlier batch crashed mid-protocol and was abandoned. Retry " +
+            s"batch=${maxes.flatten.max} to completion BEFORE submitting batch=$batchId; " +
+            "running now would commit a later id above the inconsistent state and " +
+            "freeze it (its committed dirs would serve forever against partners " +
+            "that exclude its delta)")
+      RunKernel
+    }
   }
 
   /** The committed state BEFORE `batchId`: partition-prune to
@@ -691,7 +708,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(pairsDir, docsDir, sketchDir, clustersDir)
     dropPartialBatchDirs(conf, dirs)
-    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
+    if (ingestSkip(conf, dirs, batchId, strictDirs = dirs) == RunKernel) {
       writeNearDupBatch(spark, conf,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         batchId, pairsDir, docsDir, sketchDir, shingleN, k, bands, num, den)
@@ -735,7 +752,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(spansDir, summaryDir)
     dropPartialBatchDirs(conf, dirs)
-    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
+    if (ingestSkip(conf, dirs, batchId, strictDirs = dirs) == RunKernel) {
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .localCheckpoint()
       val index =
@@ -807,7 +824,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = Seq(postingsDir, statsDir)
     dropPartialBatchDirs(conf, dirs)
-    if (ingestSkip(conf, dirs, batchId) == RunKernel) {
+    if (ingestSkip(conf, dirs, batchId, strictDirs = dirs) == RunKernel) {
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .localCheckpoint() // both writes tokenize it
       graft.TextQueries.bm25RawPostings(b)
@@ -882,10 +899,13 @@ object EventStreams {
    * new centroid snapshot + full reassignment. `mode = "append"`:
    * batch assigns to the EXISTING era centroids — cost tracks the
    * batch, never the corpus. Exactly-once: a committed id skips
-   * (mode-appropriate marker set), a fully-compacted stale id skips,
-   * a half-committed id with a later commit fails LOUDLY
-   * ([[ingestSkip]]), marker-less partials drop, and both modes
-   * recompute deterministically from committed state on replay.
+   * (mode-appropriate marker set), a stale id skips, an append
+   * submitted while an earlier id sits half-committed (a dangling
+   * rebuild OR an abandoned crashed append) is REFUSED loudly at
+   * submission, marker-less partials drop, and both modes recompute
+   * deterministically from committed state on replay (a rebuild is
+   * the recovery path — its full reassignment covers every committed
+   * vector, so it is never refused).
    */
   def ingestAnnBatch(spark: SparkSession, batch: DataFrame, destDir: String,
                      batchId: Long, idCol: String = "vec_id",
@@ -900,7 +920,12 @@ object EventStreams {
     dropPartialBatchDirs(conf, Seq(vectorsDir, postingsDir, centroidsDir))
     val dirs = if (mode == "rebuild") Seq(vectorsDir, centroidsDir, postingsDir)
                else Seq(vectorsDir, postingsDir)
-    if (ingestSkip(conf, dirs, batchId) != RunKernel) return
+    // strictDirs = Nil: the ANN step does its OWN submission guards
+    // below with mode-aware, specific messages — and a REBUILD is the
+    // documented recovery that heals any half-committed history (its
+    // full reassignment covers every committed vector), so it must
+    // never be refused by the generic guard
+    if (ingestSkip(conf, dirs, batchId, strictDirs = Nil) != RunKernel) return
     // append-mode preconditions BEFORE any write — a REFUSED append
     // must leave no partial state behind (its vectors partition would
     // trip the replay-order check on the pending rebuild's retry)
@@ -917,6 +942,23 @@ object EventStreams {
               s"(centroids committed, postings missing) — retry the rebuild before " +
               s"appending, or this batch's cells would be minted against centroids " +
               s"the retry is about to supersede")
+        // a crashed APPEND abandoned mid-protocol (vectors committed,
+        // postings missing, no centroids — distinct from the dangling
+        // rebuild above) must refuse the NEXT id too (ADVICE r18):
+        // its rows would silently drop from serving until the next
+        // rebuild. Ids <= era are exempt — vector compaction relabels
+        // folds below the newest id and the era's reassignment covers
+        // all pre-era history, so only post-era ids must pair up.
+        val postIds = committedBatchIds(conf, postingsDir).toSet
+        val crashedAppend = committedBatchIds(conf, vectorsDir)
+          .filter(i => i > era && i < batchId)
+          .filterNot(postIds)
+        if (crashedAppend.nonEmpty)
+          throw new IllegalStateException(
+            s"INGEST_ANN append refused: append batch=${crashedAppend.max} crashed " +
+              s"mid-protocol (vectors committed, postings missing) and was abandoned — " +
+              s"retry it to completion before submitting batch=$batchId, or its rows " +
+              s"would silently drop from serving until the next rebuild")
         Some(era)
       } else None
     val b = batch.select(col(idCol).as("vec_id"),

@@ -459,6 +459,15 @@ class OrchestrationSpec extends SparkTestBase {
       expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
     assert(pb.status != graft.job.JobRunner.Completed)
     assert(mb.isEmpty, s"a config error must take no branch, ran: ${mb.map(_.jobId)}")
+    // the DEFAULT (no expectedFailure) is the safe semantics (ADVICE
+    // r18): ANY probe failure takes NO branch — only callers that
+    // name the verdict they expect get an onFail branch at all
+    val (pd, md) = graft.job.JobRunner.runDecided(spark, broken,
+      onPass = maint(s"$work/b1", "a-append-y", 9L, "append"),
+      onFail = maint(s"$work/b1", "a-rebuild-y", 9L, "rebuild"))
+    assert(pd.status != graft.job.JobRunner.Completed)
+    assert(md.isEmpty,
+      s"default expectedFailure must take no branch on Failed, ran: ${md.map(_.jobId)}")
     // FAIL branch: drifted batch rebuilds; a NEW centroid era appears
     val (p2, m2) = graft.job.JobRunner.runDecided(spark,
       probe(s"$work/b2", "a-probe-2"),

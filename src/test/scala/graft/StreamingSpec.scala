@@ -1456,6 +1456,23 @@ class StreamingSpec extends SparkTestBase {
     assert(served === exact, s"post-repair serving diverged: $served vs $exact")
     // docs are never double-counted through the crashes
     assert(spark.read.parquet(s"$dest/vectors").count() === 90L)
+    // an ABANDONED crashed append refuses the NEXT append id loudly
+    // (ADVICE r18: its rows would silently drop from serving until
+    // the next rebuild) — and the in-order retry still heals
+    EventStreams.ingestAnnBatch(spark, vecs(90 until 100, 2.0), dest, 3L,
+      vecCol = "e", nLists = 4, mode = "append")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/postings/batch=3"), true)
+    val abandoned = intercept[IllegalStateException] {
+      EventStreams.ingestAnnBatch(spark, vecs(100 until 110, 2.0), dest, 4L,
+        vecCol = "e", nLists = 4, mode = "append")
+    }
+    assert(abandoned.getMessage.contains("crashed mid-protocol"), abandoned.getMessage)
+    EventStreams.ingestAnnBatch(spark, vecs(90 until 100, 2.0), dest, 3L,
+      vecCol = "e", nLists = 4, mode = "append") // the retry
+    EventStreams.ingestAnnBatch(spark, vecs(100 until 110, 2.0), dest, 4L,
+      vecCol = "e", nLists = 4, mode = "append") // now lands
+    assert(spark.read.parquet(s"$dest/vectors").count() === 110L)
+    assert(EventStreams.latestCommittedBatch(spark, s"$dest/postings").get === 4L)
   }
 
   test("span-ingest compaction parity (char grain): compact between ingests, " +
@@ -1547,20 +1564,42 @@ class StreamingSpec extends SparkTestBase {
     EventStreams.ingestBm25Batch(spark,
       docs.filter(col("doc_id") % 3 === 0), state, 0L)
     assert(served() === expected7)
-    // REPLAY-ORDER VIOLATION is loud, never a silent skip (self-review
-    // r18): batch 4 commits postings but not stats, batch 5 commits
-    // whole, THEN the batch-4 retry arrives — a bare stale-skip would
-    // freeze batch-4 postings against stats that exclude its delta
-    // forever; the protocol must refuse instead
+    // REPLAY-ORDER VIOLATION is loud AT SUBMISSION TIME (ADVICE r18):
+    // batch 4 commits postings but not stats and is abandoned; the
+    // NEXT id must be refused — committing batch 5 above the
+    // half-committed state would freeze batch-4 postings against
+    // stats that exclude its delta forever (and the r18 cut, which
+    // only threw on batch 4's own retry, would never fire if that
+    // retry never came)
     val d8 = Seq((8L, "spark window replay")).toDF("doc_id", "text")
+    val d9 = Seq((9L, "merge merge merge")).toDF("doc_id", "text")
     EventStreams.ingestBm25Batch(spark, d8, state, 4L)
     fs.delete(new org.apache.hadoop.fs.Path(s"$state/stats/batch=4"), true)
-    EventStreams.ingestBm25Batch(spark,
-      Seq((9L, "merge merge merge")).toDF("doc_id", "text"), state, 5L)
     val e = intercept[IllegalStateException] {
-      EventStreams.ingestBm25Batch(spark, d8, state, 4L)
+      EventStreams.ingestBm25Batch(spark, d9, state, 5L)
     }
     assert(e.getMessage.contains("replay-order violation"), e.getMessage)
+    // the in-order retry of the crashed id heals by overwrite; the
+    // next id then lands and serving equals the one-shot build
+    EventStreams.ingestBm25Batch(spark, d8, state, 4L)
+    EventStreams.ingestBm25Batch(spark, d9, state, 5L)
+    assert(served() === oneShot(docs.unionByName(d7).unionByName(d8).unionByName(d9)))
+    // HALF-COMPACTED state is STALE, not a violation (ADVICE r18
+    // finding 2): the maintenance job compacts postings then stats as
+    // two operations — a crash between them leaves a fully-committed
+    // id folded away in postings but still marked in stats. Its
+    // re-submission must skip whole (the fold preserved its rows),
+    // not false-alarm; both dirs still agree on the newest id, so
+    // fresh submissions keep passing the guard.
+    assert(EventStreams.compactBatchState(spark, s"$state/postings", "union",
+      minParts = 2, partitionCols = Seq("bucket")) >= 1L)
+    val before = served()
+    // batch 3 is now folded away in postings (marker gone) but still
+    // carries its stats marker — the exact mixed-marks shape the r18
+    // cut threw on
+    EventStreams.ingestBm25Batch(spark, d7, state, 3L)
+    assert(served() === before,
+      "a half-compacted committed id must stale-skip, not re-ingest or throw")
   }
 
   test("batch protocol rejects a pre-protocol flat-layout state dir loudly") {
