@@ -793,7 +793,13 @@ object JobRunner {
             // rebuild on fail) is the documented composition.
             // transformation.parameters: ingestIdColumn,
             // ingestVectorColumn, ingestBatchId; optional annNLists
-            // (16), annMode (append|rebuild).
+            // (16), annMode (append|rebuild), ingestCompact
+            // (+ ingestCompactMinParts) — ERA-AWARE maintenance
+            // (annIngestCompact): retired-era postings/centroids
+            // vacuum + the vectors union fold. The generic union fold
+            // is deliberately NOT exposed for postings/ — relabeling
+            // sub-era rows to an id at/above the era would resurrect
+            // them into the era-pruned serving read.
             val anDst = cfg.destination.getOrElse(
               throw new IllegalArgumentException("INGEST_ANN_DESTINATION requires a destination"))
             require(anDst.`type`.toUpperCase == "PARQUET",
@@ -812,6 +818,12 @@ object JobRunner {
               vecCol = anNeed("ingestVectorColumn"),
               nLists = anP2.getOrElse("annNLists", "16").toInt,
               mode = anP2.getOrElse("annMode", "append"))
+            if (anP2.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
+              val (retired, folded) = graft.streaming.EventStreams.annIngestCompact(
+                spark, anPath2, anP2.getOrElse("ingestCompactMinParts", "8").toInt)
+              System.err.println(s"[graft-job] INGEST_ANN_DESTINATION compact: " +
+                s"$retired retired-era partition(s) vacuumed, $folded vector partition(s) folded")
+            }
             stepsRun ::= step
           case "BACKFILL_DESTINATION" =>
             // Idempotent partition re-run from the config surface:

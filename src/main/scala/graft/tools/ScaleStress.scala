@@ -1250,6 +1250,66 @@ object ScaleStress {
         freeAll()
       }
     }
+    // ANN ingest-state maintenance (r19: annIngestCompact — the one
+    // ingest destination that had no compact path). A 24/7 maintained
+    // index accrues one postings+vectors partition per batch; the
+    // era-aware compact (retired-era vacuum + the vectors union fold,
+    // postings NEVER folded — relabeling sub-era rows would resurrect
+    // them into the era-pruned read) plus the next rebuild must bound
+    // the listing at a CONSTANT dir count however many batches
+    // accumulated, with serving identical (REQUIREd row-for-row).
+    if (wanted("anncomp")) {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      emb0.count() // warm
+      val slice = emb0.filter(col("vec_id") < 200)
+      multiples.foreach { m =>
+        val dest = s"${graft.CacheDirs.tempWorkDir("graft_stress_anncomp_")}/index"
+        val fsP = new org.apache.hadoop.fs.Path(dest)
+        val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def nDirs: Long = Seq("vectors", "postings", "centroids").map { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$dest/$d")
+          if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.startsWith("batch=")).toLong
+          else 0L
+        }.sum
+        val nb = 4 * m
+        val t0 = System.nanoTime()
+        graft.streaming.EventStreams.ingestAnnBatch(spark, emb0, dest, 0L,
+          vecCol = "e", nLists = 16, mode = "rebuild")
+        (1 to nb).foreach { i =>
+          graft.streaming.EventStreams.ingestAnnBatch(spark,
+            slice.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("e")),
+            dest, i.toLong, vecCol = "e", nLists = 16, mode = "append")
+        }
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val probes = emb0.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+        def serve() = graft.streaming.EventStreams
+          .annIngestTopK(spark, dest, probes, k = 10, nProbe = 4)
+          .select("probe_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dirsGrown = nDirs
+        val before = serve()
+        val t1 = System.nanoTime()
+        graft.streaming.EventStreams.annIngestCompact(spark, dest, minParts = 2)
+        val tComp = (System.nanoTime() - t1) / 1e9
+        require(serve() == before, "anncomp: compaction changed serving")
+        // the era roll: one rebuild retires every append partition,
+        // the next compact vacuums them — dir count back to constant
+        graft.streaming.EventStreams.ingestAnnBatch(spark,
+          slice.select((col("vec_id") + lit((nb + 1) * 10000000L)).as("vec_id"), col("e")),
+          dest, nb + 1L, vecCol = "e", nLists = 16, mode = "rebuild")
+        graft.streaming.EventStreams.annIngestCompact(spark, dest, minParts = 2)
+        val dirsBounded = nDirs
+        require(dirsBounded <= 4,
+          s"anncomp: $dirsBounded dirs after compact+rebuild+compact — listing not bounded")
+        println(f"SCALE anncomp m=$m%2d batches=${nb + 2}%3d dirs_grown=$dirsGrown%3d " +
+          f"dirs_bounded=$dirsBounded%2d tingest=$tIngest%6.1fs tcompact=$tComp%6.1fs")
+        graft.CacheDirs.deleteRecursively(
+          new java.io.File(dest).getParentFile)
+        freeAll()
+      }
+    }
     // Stage-1 bounded-heap shortlist (r19: the row_number-over-
     // partitionBy(probe_id) windows in batchTopK/hardNegatives/
     // pqBatchTopK/mrlBatchTopK/sq8BatchTopK shuffled every probe's

@@ -1475,6 +1475,78 @@ class StreamingSpec extends SparkTestBase {
     assert(EventStreams.latestCommittedBatch(spark, s"$dest/postings").get === 4L)
   }
 
+  test("annIngestCompact: era-aware vacuum + vector fold keep serving identical, " +
+    "idempotent across a crash, and the protocol keeps accepting batches (r18 #2)") {
+    import spark.implicits._
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      val base = i % 3 match {
+        case 0 => Seq(1.0, 0.1 * (i % 5), 0.0, 0.0)
+        case 1 => Seq(0.0, 1.0, 0.1 * (i % 5), 0.0)
+        case _ => Seq(-1.0, 0.0, 0.1 * (i % 5), 0.1)
+      }
+      (i.toLong, base.map(_ + shift))
+    }.toDF("vec_id", "e")
+    val dest = s"${tmpDir("graft_ann_compact_")}/index"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/$d"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    def ing(r: Range, id: Long, mode: String): Unit =
+      EventStreams.ingestAnnBatch(spark, vecs(r, 0.0), dest, id,
+        vecCol = "e", nLists = 4, mode = mode)
+    // era 0, two appends, rebuild era 3, two more appends
+    ing(0 until 30, 0L, "rebuild")
+    ing(30 until 40, 1L, "append")
+    ing(40 until 50, 2L, "append")
+    ing(50 until 60, 3L, "rebuild")
+    ing(60 until 70, 4L, "append")
+    ing(70 until 80, 5L, "append")
+    val probes = vecs(0 until 80, 0.0).filter(col("vec_id").isin(5L, 65L))
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    def serve() = EventStreams.annIngestTopK(spark, dest, probes, k = 5, nProbe = 4)
+      .select("probe_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    assert(parts("postings") === Set("batch=0", "batch=1", "batch=2", "batch=3",
+      "batch=4", "batch=5"))
+    val (retired, folded) = EventStreams.annIngestCompact(spark, dest, minParts = 2)
+    // retired: postings 0,1,2 + centroids 0; vectors 0..4 folded to batch=4
+    assert(retired === 4L, s"retired $retired")
+    assert(folded === 4L, s"folded $folded")
+    assert(parts("postings") === Set("batch=3", "batch=4", "batch=5"))
+    assert(parts("centroids") === Set("batch=3"))
+    assert(parts("vectors") === Set("batch=4", "batch=5"))
+    assert(serve() === before, "compaction must not change serving")
+    // crash mid-vacuum (some deletes landed, some didn't) = any prefix
+    // of the delete set — simulate by re-running on the already-clean
+    // state: idempotent, nothing to do
+    assert(EventStreams.annIngestCompact(spark, dest, minParts = 2) === ((0L, 0L)))
+    assert(serve() === before)
+    // the protocol keeps working on the compacted state: an append,
+    // then a rebuild (new era), then vacuum retires the old era
+    ing(80 until 90, 6L, "append")
+    ing(90 until 100, 7L, "rebuild")
+    val all = vecs(0 until 100, 0.0)
+    val probes2 = all.filter(col("vec_id").isin(5L, 95L))
+      .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+    val served2 = EventStreams.annIngestTopK(spark, dest, probes2, k = 4, nProbe = 4)
+      .select("probe_id", "vec_id", "cos_sim").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).toSeq).toMap
+      .map { case (p, ids) => p -> ids.filter(_ != p).take(3) }
+    val exact = graft.operators.Similarity.batchTopK(all, probes2, "e", k = 3)
+      .select("probe_id", "rk", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(served2 === exact, "post-compaction era roll must serve exactly")
+    val (retired2, _) = EventStreams.annIngestCompact(spark, dest, minParts = 2)
+    assert(retired2 === 5L, s"old era + appends must vacuum, got $retired2") // postings 3,4,5,6 + centroids 3
+    assert(parts("postings") === Set("batch=7"))
+    assert(parts("centroids") === Set("batch=7"))
+  }
+
   test("span-ingest compaction parity (char grain): compact between ingests, " +
     "arrival-time spans unchanged — the dedup step's ingestCompact discipline") {
     import spark.implicits._
