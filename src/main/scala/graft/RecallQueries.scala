@@ -296,7 +296,7 @@ object RecallQueries {
         val approx = graft.operators.Similarity
           .mrlBatchTopK(emb, probes, "e", dPrefix = 32, k = K,
             shortlistFactor = 8,
-            prefixes = Some(graft.operators.Similarity.prefixTable(emb, "vec_id", "e", 32)),
+            prefixes = Some(SimilarityQueries.prefixTableCached(s, dir, 32)),
             excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
@@ -318,7 +318,7 @@ object RecallQueries {
         val probes = probesOf(emb)
         val approx = graft.operators.Similarity
           .sq8BatchTopK(emb, probes, "e", k = K, shortlistFactor = 2,
-            quantized = Some(graft.operators.Similarity.sq8Table(emb, "vec_id", "e")),
+            quantized = Some(SimilarityQueries.sq8TableCached(s, dir)),
             excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)

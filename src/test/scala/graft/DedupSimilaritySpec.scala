@@ -358,6 +358,53 @@ class DedupSimilaritySpec extends SparkTestBase {
     graft.operators.Checkpoints.free(sigs)
   }
 
+  test("precision-ladder projections: append == rebuild per rung, zero-norm " +
+    "vectors quantize to NULL, and hammingBatchTopK matches the single-probe form") {
+    import graft.operators.Similarity
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    // every rung is a per-row-deterministic map-side projection, so
+    // per-batch build + union equals the one-shot rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }.toList).toSet
+    def pin(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            rung: String): Unit =
+      assert(rows(build(even).unionByName(build(odd))) === rows(build(emb)),
+        s"$rung append must equal rebuild")
+    pin(Similarity.prefixTable(_, "vec_id", "e", 32), "prefix")
+    pin(Similarity.sq8Table(_, "vec_id", "e"), "sq8")
+    pin(Similarity.signBitsTable(_, "vec_id", "e"), "signbits")
+    // zero-norm guard (ADVICE r18): no direction to quantize -> NULL q,
+    // never a silent NaN -> 0 cast
+    import spark.implicits._
+    val degenerate = Seq((1L, Seq.fill(64)(0.0)), (2L, 0.25 +: Seq.fill(63)(0.0)))
+      .toDF("vec_id", "e")
+    val q = Similarity.sq8Table(degenerate, "vec_id", "e")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Byte](1)))
+      .toMap
+    assert(q(1L) == null, "all-zero vector must land NULL q")
+    assert(q(2L) != null && q(2L).head === 127.toByte)
+    // the batch Hamming form equals the single-probe form per probe
+    val packed = Similarity.signBitsTable(emb, "vec_id", "e").localCheckpoint()
+    val probes = packed.filter(col("vec_id").isin(0L, 50L))
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
+    val batch = Similarity.hammingBatchTopK(packed, probes, k = 5, excludeSelf = true)
+      .orderBy("probe_id", "rk").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    Seq(0L, 50L).foreach { p =>
+      val probe = packed.filter(col("vec_id") === p)
+        .select(col("lo").as("plo"), col("hi").as("phi"))
+      val single = Similarity.hammingTopK(packed.filter(col("vec_id") =!= p), probe, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch(p) === single, s"probe $p batch/single divergence")
+    }
+    graft.operators.Checkpoints.free(packed)
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
