@@ -1495,6 +1495,111 @@ object EtlQueries {
              |SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 10
              |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin)),
 
+    // ---- DRIFT-DECIDED BM25 MAINTENANCE (VERDICT r18 #5 — the
+    //      decider pattern proven GENERIC, not ANN-shaped): the
+    //      standing BM25 index (INGEST_BM25_DESTINATION state) is
+    //      maintained by the SAME runDecided composition as the ANN
+    //      gate, with the probe now a token-distribution drift gate —
+    //      VALIDATE_DRIFT's PSI over each batch's per-doc mean token
+    //      length (exact integer milli-units) vs the index-era
+    //      baseline. Pass -> the incremental append (one batch's own
+    //      tokenization, the standing protocol); fail -> an index
+    //      VERSION ROLL: the accumulated corpus + the drifted batch
+    //      re-ingest as batch 0 of a FRESH state dir (for BM25,
+    //      "rebuild" = retokenize-the-world under new text statistics
+    //      — the operational answer to vocabulary drift, e.g. a
+    //      tokenizer or normalization change rolling out). Fixture:
+    //      batch 1 (another slice of the same corpus) must take the
+    //      append branch; batch 2 (every token stretched by 'xx' —
+    //      injected length drift, bands shift ~2 widths) must take
+    //      the rebuild branch — both REQUIREd. The rolled index's
+    //      served top-10 must equal the full-corpus BM25 oracle over
+    //      original + drifted docs, replayed verbatim in SQL. ----
+    Q("etl_bm25_drift_decider",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_bm25_decider_").toString
+        val stateV1 = s"$work/state_v1"
+        val stateV2 = s"$work/state_v2"
+        val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        def withTok(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+          "tok_len_milli",
+          expr("(length(replace(text, ' ', '')) * 1000) div size(split(text, ' '))"))
+        val drifted = docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("replace(text, ' ', 'xx ')").as("text"))
+        withTok(docs.filter(col("doc_id") % 3 === 0)).write.parquet(s"$work/b0")
+        withTok(docs.filter(col("doc_id") % 3 === 1)).write.parquet(s"$work/b1")
+        withTok(drifted).write.parquet(s"$work/b2")
+        // the rebuild branch's source: accumulated corpus + the batch
+        docs.filter(col("doc_id") % 3 =!= 2).unionByName(drifted)
+          .write.parquet(s"$work/full")
+        def probe(src: String, id: String) = JobConfig(
+          jobId = id, steps = List("VALIDATE_DRIFT"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = None, mappings = Nil,
+          transformation = Transformation("NONE", parameters = Map(
+            "driftColumn" -> "tok_len_milli",
+            "driftBandWidth" -> "1000",
+            "driftBaselinePath" -> s"$work/b0")))
+        def ingest(src: String, id: String, dest: String, batchId: Long) = JobConfig(
+          jobId = id, steps = List("INGEST_BM25_DESTINATION"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(dest)))),
+          mappings = List(
+            FieldMapping("doc_id", "doc_id", "NUMBER", "LONG", isDestNullable = false),
+            FieldMapping("text", "text", "VARCHAR2", "STRING")),
+          transformation = Transformation("NONE", parameters = Map(
+            "ingestIdColumn" -> "doc_id",
+            "ingestTextColumn" -> "text",
+            "ingestBatchId" -> batchId.toString)))
+        val r0 = JobRunner.run(s, ingest(s"$work/b0", "bm25-build-0", stateV1, 0L))
+        require(r0.status == JobRunner.Completed, s"bm25 build failed: ${r0.message}")
+        // batch 1: same corpus distribution -> APPEND into the standing state
+        val (p1, m1) = JobRunner.runDecided(s, probe(s"$work/b1", "bm25-probe-1"),
+          onPass = ingest(s"$work/b1", "bm25-append-1", stateV1, 1L),
+          onFail = ingest(s"$work/full", "bm25-roll-x", stateV2, 0L),
+          expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
+        require(p1.status == JobRunner.Completed,
+          s"decider must PASS the in-distribution batch: ${p1.message}")
+        require(m1.exists(r => r.status == JobRunner.Completed && r.jobId == "bm25-append-1"),
+          s"append branch must run and complete: ${m1.map(r => (r.jobId, r.message))}")
+        // batch 2: injected token-length drift -> REBUILD (version roll)
+        val (p2, m2) = JobRunner.runDecided(s, probe(s"$work/b2", "bm25-probe-2"),
+          onPass = ingest(s"$work/b2", "bm25-append-2", stateV1, 2L),
+          onFail = ingest(s"$work/full", "bm25-roll-2", stateV2, 0L),
+          expectedFailure = Some("VALIDATE_DRIFT: psi_micro"))
+        require(p2.status != JobRunner.Completed,
+          "decider must FAIL the drifted batch (every token stretched)")
+        require(m2.exists(r => r.status == JobRunner.Completed && r.jobId == "bm25-roll-2"),
+          s"rebuild branch must run and complete: ${m2.map(r => (r.jobId, r.message))}")
+        // the rolled index serves the full corpus (original + drifted)
+        TextQueries.bm25IngestTopK(s, stateV2,
+          Seq("spark", "merge", "window"), 10)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, replace(text, ' ', 'xx ')
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+             |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+             |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT token,
+             |          CAST(round(ln(2.0 * (s.nd + 1) / (df.df * 2 + 1)) * 1000) AS BIGINT) AS idf_pm
+             |        FROM df CROSS JOIN stats s),
+             |sc AS (SELECT tf.doc_id,
+             |         (idf.idf_pm * 22000 * tf.tf * 1000)
+             |           // (10000 * tf.tf + 3000 + 9 * ((1000 * d.dl * s.nd) // s.l)) AS contrib
+             |       FROM tf JOIN idf USING (token) JOIN d USING (doc_id) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro
+             |FROM sc GROUP BY 1
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString
