@@ -45,7 +45,12 @@ object Bench {
     * as the registry grows (r11 verdict item 8). */
   private val exactnessTwins: Set[String] = Set(
     "sim_lsh_exhaustive", "sim_ivf_exhaustive", "sim_ivfpq_exact",
-    "sim_pq_exact", "sim_pq_batch_exact", "dedup_simhash_identical")
+    "sim_pq_exact", "sim_pq_batch_exact", "dedup_simhash_identical",
+    // same rationale, measurement flavor: the serving-latency report
+    // IS a meter — it deliberately re-executes five already-timed
+    // serving forms 3x each to report their medians; timing the
+    // timing would double-count ~6s of re-runs into the total
+    "sim_serving_latency_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2196,6 +2196,66 @@ object SimilarityQueries {
              |SELECT probe_id, vec_id, hamming, rk FROM r WHERE rk <= 10
              |ORDER BY probe_id, rk""".stripMargin)),
 
+    // ---- RETRIEVAL-SERVING LATENCY REPORT (r17 #8 / r18 next #7 —
+    //      the serving-SLA twin of the freshness monitor): per
+    //      precision-ladder family, the MEDIAN single-probe top-10
+    //      latency through the SAME fingerprint-cached persisted
+    //      tables production serves from, with the float brute scan
+    //      as the no-index baseline. Latency is MEASURED, not derived
+    //      — values vary run to run on a shared box, so the row is
+    //      rows-only with no REQUIRE floor (a latency floor would
+    //      flake under contention; the stable contract is the row
+    //      count, one per family, and the operational readout is the
+    //      relative ordering — the 1-bit/int8/prefix rungs beating
+    //      the float scan as the corpus grows). 3 runs per family,
+    //      median, microseconds. ----
+    Q("sim_serving_latency_report",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .select("vec_id", "e")
+        val probeB = emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
+          .localCheckpoint()
+        val probe1 = probeB.select(col("probe_e")).localCheckpoint()
+        val packed = bitsTableCached(s, dir)
+        val probeBits = packed.filter(col("vec_id") === 0)
+          .select(col("lo").as("plo"), col("hi").as("phi")).localCheckpoint()
+        val sigs = Some(sigTableCached(s, dir))
+        val pfx = Some(prefixTableCached(s, dir, 32))
+        val sq8 = Some(sq8TableCached(s, dir))
+        def medianMicros(mk: () => org.apache.spark.sql.DataFrame): Long = {
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            mk().collect()
+            (System.nanoTime() - t0) / 1000L
+          }.sorted
+          times(1)
+        }
+        val sim = graft.operators.Similarity
+        val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "float_brute" -> (() => sim.bruteForceTopK(
+            emb.filter(col("vec_id") =!= 0), probe1, "e", 10)),
+          "bits_hamming" -> (() => sim.hammingTopK(
+            packed.filter(col("vec_id") =!= 0), probeBits, 10)),
+          "int8_sq8" -> (() => sim.sq8BatchTopK(emb, probeB, "e", k = 10,
+            shortlistFactor = 2, quantized = sq8, excludeSelf = true)),
+          "mrl_prefix32" -> (() => sim.mrlBatchTopK(emb, probeB, "e",
+            dPrefix = 32, k = 10, shortlistFactor = 8, prefixes = pfx,
+            excludeSelf = true)),
+          "lsh_bucketed" -> (() => sim.annBucketedBatchTopK(emb, probeB, "e",
+            dim = 64, k = 10, nBits = 16, probeHamming = 2, sigs = sigs)))
+        val out = legs.map { case (family, mk) =>
+          (family, 10L, 3L, medianMicros(mk))
+        }.toDF("family", "k", "n_runs", "median_micros")
+        graft.operators.Checkpoints.free(probeB)
+        graft.operators.Checkpoints.free(probe1)
+        graft.operators.Checkpoints.free(probeBits)
+        out
+      },
+      None),
+
     // ---- K-MEANS++ SEEDING (farthest-point / k-center greedy): the
     //      distributed initialization step k-means|| parallelizes —
     //      from seed₀ = vec 0, each round picks the point MAXIMIZING
