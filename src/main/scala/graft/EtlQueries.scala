@@ -1600,6 +1600,75 @@ object EtlQueries {
              |FROM sc GROUP BY 1
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- MAINTAINED PRECISION-LADDER RUNGS from the config surface
+    //      (r19 — the "one ingest maintains every rung" form the r18
+    //      verdict named): INGEST_ANN_DESTINATION with
+    //      annRungs=bits,sq8,prefix32 writes the packed-sign-bits /
+    //      int8 / prefix projections as state siblings of vectors/ on
+    //      the same batch=<id> exactly-once protocol (batch-sized
+    //      map-side appends — the projections are per-row
+    //      deterministic, so the union over committed batches equals
+    //      the one-shot projection of the whole corpus). Fixture:
+    //      build + two appends as three JOBS, then serve Hamming
+    //      top-10 for a 3-probe batch DIRECTLY off the maintained
+    //      bits/ state — packing and bit_count(xor) replay in SQL, so
+    //      the maintained-state serving path is a REAL DuckDB oracle
+    //      row (the spec additionally pins the sq8/prefix rungs
+    //      row-identical to one-shot projections). ----
+    Q("etl_ann_rung_serving",
+      (s, dir) => {
+        val work = CacheDirs.tempWorkDir("graft_ann_rungs_").toString
+        val destDir = s"$work/index"
+        val emb = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)).as("e"))
+        (0 to 2).foreach(i =>
+          emb.filter(col("vec_id") % 3 === i).write.parquet(s"$work/b$i"))
+        def job(src: String, id: String, batchId: Long, mode: String) = JobConfig(
+          jobId = id, steps = List("INGEST_ANN_DESTINATION"),
+          source = SourceConfig("PARQUET", ConnectionDetails(path = Some(src))),
+          destination = Some(DestinationConfig("PARQUET",
+            ConnectionDetails(path = Some(destDir)))),
+          mappings = Nil,
+          transformation = Transformation("NONE", parameters = Map(
+            "ingestIdColumn" -> "vec_id",
+            "ingestVectorColumn" -> "e",
+            "ingestBatchId" -> batchId.toString,
+            "annNLists" -> "16",
+            "annMode" -> mode,
+            "annRungs" -> "bits,sq8,prefix32")))
+        val modes = Seq("rebuild", "append", "append")
+        (0 to 2).foreach { i =>
+          val r = JobRunner.run(s, job(s"$work/b$i", s"ann-rungs-$i", i.toLong, modes(i)))
+          require(r.status == JobRunner.Completed, s"rung ingest $i failed: ${r.message}")
+        }
+        val packed = graft.streaming.EventStreams.batchStateRead(s, s"$destDir/bits")
+        val probes = packed.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("probe_id"),
+            col("lo").as("plo"), col("hi").as("phi"))
+        graft.operators.Similarity
+          .hammingBatchTopK(packed, probes, k = 10, excludeSelf = true)
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |bits AS (SELECT vec_id, p.p AS p, (v[p.p + 1] > 0) AS b
+             |         FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+             |packed AS (SELECT vec_id,
+             |    SUM(CASE WHEN b AND p < 32 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS lo,
+             |    SUM(CASE WHEN b AND p >= 32 THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS hi
+             |  FROM bits GROUP BY 1),
+             |probes AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+             |           FROM packed WHERE vec_id IN (0, 7, 42)),
+             |d AS (SELECT p.probe_id, k.vec_id,
+             |        CAST(bit_count(xor(k.lo, p.plo)) + bit_count(xor(k.hi, p.phi)) AS BIGINT) AS hamming
+             |      FROM packed k, probes p WHERE k.vec_id <> p.probe_id),
+             |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY hamming, vec_id) AS INTEGER) AS rk FROM d)
+             |SELECT probe_id, vec_id, hamming, rk FROM r WHERE rk <= 10
+             |ORDER BY probe_id, rk""".stripMargin)),
+
     Q("etl_merge_strategy",
       (s, dir) => {
         val work = CacheDirs.tempWorkDir("graft_merge_gate_").toString

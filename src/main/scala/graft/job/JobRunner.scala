@@ -811,13 +811,20 @@ object JobRunner {
             def anNeed(key: String) = anP2.getOrElse(key,
               throw new IllegalArgumentException(
                 s"INGEST_ANN_DESTINATION requires transformation.parameters.$key"))
+            // annRungs (csv of bits|sq8|prefix<d>|sig<n>): maintain
+            // the named precision-ladder projections as state
+            // siblings of vectors/ — ONE ingest maintains every rung
+            // (keep the set stable per destination; it is part of the
+            // state's schema)
             graft.streaming.EventStreams.ingestAnnBatch(spark,
               buildDataFrame(spark, cfg, plugins), anPath2,
               anNeed("ingestBatchId").toLong,
               idCol = anNeed("ingestIdColumn"),
               vecCol = anNeed("ingestVectorColumn"),
               nLists = anP2.getOrElse("annNLists", "16").toInt,
-              mode = anP2.getOrElse("annMode", "append"))
+              mode = anP2.getOrElse("annMode", "append"),
+              rungs = anP2.get("annRungs").toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
             if (anP2.get("ingestCompact").exists(_.equalsIgnoreCase("true"))) {
               val (retired, folded) = graft.streaming.EventStreams.annIngestCompact(
                 spark, anPath2, anP2.getOrElse("ingestCompactMinParts", "8").toInt)

@@ -907,19 +907,49 @@ object EventStreams {
    * the recovery path — its full reassignment covers every committed
    * vector, so it is never refused).
    */
+  /** The precision-ladder rung projection a maintained ANN state can
+    * carry beside `vectors/` (the "one ingest maintains every rung"
+    * form of the serving tier): each rung is a PER-ROW-DETERMINISTIC
+    * map-side projection — batch-sized to append, and the union over
+    * committed batches equals the one-shot projection of the whole
+    * corpus by construction. Names: `bits` (packed sign words),
+    * `sq8` (int8 quantization), `prefix<d>` (first d dims),
+    * `sig<n>` (n-bit hyperplane signature). */
+  private def annRungProjection(b: DataFrame, rung: String): DataFrame = rung match {
+    case "bits" => graft.operators.Similarity.signBitsTable(b, "vec_id", "e")
+    case "sq8"  => graft.operators.Similarity.sq8Table(b, "vec_id", "e")
+    case r if r.startsWith("prefix") && r.length > 6 =>
+      graft.operators.Similarity.prefixTable(b, "vec_id", "e", r.stripPrefix("prefix").toInt)
+    case r if r.startsWith("sig") && r.length > 3 =>
+      graft.operators.Similarity.signatureTable(b, "vec_id", "e", 64, r.stripPrefix("sig").toInt)
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN rung '$other' — expected bits | sq8 | prefix<d> | sig<n>")
+  }
+
   def ingestAnnBatch(spark: SparkSession, batch: DataFrame, destDir: String,
                      batchId: Long, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     nLists: Int = 16, mode: String = "append"): Unit = {
+                     nLists: Int = 16, mode: String = "append",
+                     rungs: Seq[String] = Nil): Unit = {
     require(mode == "append" || mode == "rebuild",
       s"annMode must be 'append' or 'rebuild', got $mode")
+    require(!rungs.exists(r => Set("vectors", "postings", "centroids")(r)),
+      s"rung names collide with the protocol dirs: $rungs")
     val vectorsDir = s"$destDir/vectors"
     val postingsDir = s"$destDir/postings"
     val centroidsDir = s"$destDir/centroids"
+    // rung dirs ride the SAME batch protocol: written by EVERY batch
+    // (both modes — the projections are era-independent pure row
+    // functions), between vectors and the postings commit, so a
+    // mid-crash retry re-lands them and the committed-skip test
+    // covers them. The rung SET is part of the state's schema: keep
+    // it stable per destDir (adding a rung later needs a one-off
+    // backfill of the prior corpus, exactly like adding a column).
+    val rungDirs = rungs.map(r => s"$destDir/$r")
     val conf = spark.sparkContext.hadoopConfiguration
-    dropPartialBatchDirs(conf, Seq(vectorsDir, postingsDir, centroidsDir))
-    val dirs = if (mode == "rebuild") Seq(vectorsDir, centroidsDir, postingsDir)
-               else Seq(vectorsDir, postingsDir)
+    dropPartialBatchDirs(conf, Seq(vectorsDir, postingsDir, centroidsDir) ++ rungDirs)
+    val dirs = (if (mode == "rebuild") Seq(vectorsDir) ++ rungDirs ++ Seq(centroidsDir, postingsDir)
+                else Seq(vectorsDir) ++ rungDirs ++ Seq(postingsDir))
     // strictDirs = Nil: the ANN step does its OWN submission guards
     // below with mode-aware, specific messages — and a REBUILD is the
     // documented recovery that heals any half-committed history (its
@@ -965,6 +995,14 @@ object EventStreams {
         col(vecCol).cast(ArrayType(DoubleType)).as("e"))
       .localCheckpoint()
     b.write.mode("overwrite").parquet(batchPart(vectorsDir, batchId))
+    // rung projections: batch-sized map-side writes, BEFORE the
+    // postings commit (postings last still opens the era; a crash
+    // anywhere in here leaves postings missing, so the next append is
+    // refused and the in-order retry overwrites everything)
+    rungs.foreach { r =>
+      annRungProjection(b, r).write.mode("overwrite")
+        .parquet(batchPart(s"$destDir/$r", batchId))
+    }
     if (mode == "rebuild") {
       val corpus =
         if (hasCommittedBatchBefore(conf, vectorsDir, batchId))
@@ -1040,7 +1078,21 @@ object EventStreams {
             retired += 1
           }
         }
-        val folded = compactBatchState(spark, vectorsDir, "union", minParts)
+        // vectors AND every maintained rung projection (discovered —
+        // any sibling dir that isn't postings/centroids) take the
+        // standard protocol-preserving union fold: rung rows are
+        // era-independent per-row projections, so relabeling under
+        // the fold target changes nothing a union reader sees
+        val fsRoot = fsOf(conf, destDir)
+        val rootP = new org.apache.hadoop.fs.Path(destDir)
+        val unionDirs =
+          if (!fsRoot.exists(rootP)) Seq(vectorsDir)
+          else fsRoot.listStatus(rootP).toSeq
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filterNot(n => n == "postings" || n == "centroids" || n.startsWith("_"))
+            .map(n => s"$destDir/$n")
+        val folded = unionDirs.map(d =>
+          compactBatchState(spark, d, "union", minParts)).sum
         (retired, folded)
     }
   }

@@ -1547,6 +1547,60 @@ class StreamingSpec extends SparkTestBase {
     assert(parts("centroids") === Set("batch=7"))
   }
 
+  test("ingestAnnBatch rung maintenance: maintained projections equal one-shot, " +
+    "a crash mid-rung-write retries clean, compaction folds rung dirs (r19)") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // the bits rung packs exactly 64 dims — use the fixture embeddings
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val dest = s"${tmpDir("graft_ann_rungs_spec_")}/index"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rungs = Seq("bits", "sq8", "prefix32")
+    def ing(m: Long, id: Long, mode: String): Unit =
+      EventStreams.ingestAnnBatch(spark, emb.filter(col("vec_id") % 3 === m),
+        dest, id, vecCol = "e", nLists = 4, mode = mode, rungs = rungs)
+    ing(0L, 0L, "rebuild")
+    ing(1L, 1L, "append")
+    // crash between rung writes: batch 1's sq8 + postings vanish
+    // (everything after the crash point), then the in-order retry
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/sq8/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/postings/batch=1"), true)
+    ing(1L, 1L, "append")
+    ing(2L, 2L, "append")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }.toList).toSet
+    def maintained(r: String) = EventStreams.batchStateRead(spark, s"$dest/$r")
+    import graft.operators.Similarity
+    assert(rows(maintained("bits")) === rows(Similarity.signBitsTable(emb, "vec_id", "e")),
+      "maintained bits rung must equal the one-shot projection")
+    assert(rows(maintained("sq8")) === rows(Similarity.sq8Table(emb, "vec_id", "e")),
+      "maintained sq8 rung must equal the one-shot projection")
+    assert(rows(maintained("prefix32")) === rows(Similarity.prefixTable(emb, "vec_id", "e", 32)),
+      "maintained prefix rung must equal the one-shot projection")
+    // era-aware compaction folds the rung dirs too; serving off the
+    // maintained bits state is unchanged
+    // pinned: the probe frame must survive the fold's file swap
+    val probes = maintained("bits").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
+      .localCheckpoint()
+    def serveBits() = Similarity
+      .hammingBatchTopK(maintained("bits"), probes, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val before = serveBits()
+    val (_, folded) = EventStreams.annIngestCompact(spark, dest, minParts = 2)
+    assert(folded >= 4L, s"vectors + three rung dirs must fold, got $folded")
+    rungs.foreach { r =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/$r"))
+        .count(_.getPath.getName.startsWith("batch="))
+      assert(n === 2, s"rung $r should fold to 2 partitions, got $n")
+    }
+    assert(serveBits() === before, "rung compaction must not change serving")
+  }
+
   test("span-ingest compaction parity (char grain): compact between ingests, " +
     "arrival-time spans unchanged — the dedup step's ingestCompact discipline") {
     import spark.implicits._
