@@ -85,7 +85,15 @@ object Similarity {
    * per-probe rank under the heap's ordering).
    */
   private def heapShortlist(scored: DataFrame, probeIdCol: String,
-                            value: Column, idCol: String, n: Int): DataFrame =
+                            value: Column, idCol: String, n: Int): DataFrame = {
+    // the heap carries the row id as its BIGINT payload: a
+    // non-integral id would cast to NULL, silently dropping every
+    // candidate instead of ranking them — refuse loudly (string-keyed
+    // corpora need a surrogate key, e.g. xxhash64 plus a dedup check)
+    val idType = scored.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idType),
+      s"batch serving ranks via a BIGINT-payload bounded heap — id column '$idCol' " +
+        s"is $idType; supply an integral id (string ids need a surrogate key)")
     scored.groupBy(col(probeIdCol))
       .agg(graft.functions.TopKAgg.topK(
         value.cast(DoubleType), col(idCol).cast(LongType), n).as("_top"))
@@ -93,6 +101,7 @@ object Similarity {
       .select(col(probeIdCol), col("_pair").getField("payload").as("_sel_id"),
         col("_pair").getField("value").as("_sel_val"),
         (col("_pos") + lit(1)).as("rk"))
+  }
 
   /** Fetch the shortlisted rows' columns back from the corpus: the
     * shortlist is probes×n rows (broadcast-sized by construction — a
@@ -307,7 +316,7 @@ object Similarity {
       expr(s"aggregate(sequence(0, 31), 0L, (a, p) -> " +
         s"a + IF(element_at($guarded, p + 1) > 0D, shiftleft(1L, p), 0L))").as("lo"),
       expr(s"aggregate(sequence(32, 63), 0L, (a, p) -> " +
-        s"a + IF(element_at($vecCol, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
+        s"a + IF(element_at($guarded, p + 1) > 0D, shiftleft(1L, p - 32), 0L))").as("hi"))
   }
 
   /**

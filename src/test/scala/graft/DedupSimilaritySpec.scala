@@ -405,6 +405,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     graft.operators.Checkpoints.free(packed)
   }
 
+  test("batch serving refuses non-integral id columns loudly (heap payload is BIGINT)") {
+    import spark.implicits._
+    // a string id would cast to NULL payload and silently drop every
+    // candidate — the guard must name the fix instead
+    val strCorpus = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0))).toDF("sid", "e")
+    val probes = Seq(("p", Seq(1.0, 0.0))).toDF("probe_id", "probe_e")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.batchTopK(strCorpus, probes, "e", 1, idCol = "sid")
+    }
+    assert(e.getMessage.contains("surrogate key"), e.getMessage)
+  }
+
   test("embedding near-dup pairs: every reported pair verified >= threshold") {
     val e2 = emb.withColumnRenamed("vec_id", "vid")
     val pairs = Similarity.embeddingNearDups(e2, "vid", "e", dim = 64, threshold = 0.4)
