@@ -552,24 +552,32 @@ object Similarity {
                    idCol: String = "vec_id", probeIdCol: String = "probe_id",
                    sigs: Option[DataFrame] = None): DataFrame = {
     val sigP = probes.withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
+    // candidate generation: the bit_count filter over the signatures —
+    // table-fed (16 B/row) when given, inline otherwise; scoring then
+    // touches only (id, vector) for the candidates
     val cand = sigs match {
       case Some(t) =>
         t.crossJoin(broadcast(sigP.select(col(probeIdCol), col("probe_sig"))))
           .filter(expr(s"bit_count(sig ^ probe_sig) <= $probeHamming"))
           .select(col(idCol), col(probeIdCol))
-          .join(corpus, Seq(idCol))
-          .join(broadcast(probes), Seq(probeIdCol))
       case None =>
-        corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
-          .crossJoin(broadcast(sigP))
+        corpus.select(col(idCol), signature(col(vecCol), dim, nBits).as("sig"))
+          .crossJoin(broadcast(sigP.select(col(probeIdCol), col("probe_sig"))))
           .filter(expr(s"bit_count(sig ^ probe_sig) <= $probeHamming"))
+          .select(col(idCol), col(probeIdCol))
     }
-    cand.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("probe_e", "probe_sig", "sig")
+    // the per-probe rank is the bounded heap — a probe's candidate
+    // set (≈10% of the corpus at hamming≤6) never funnels into one
+    // window task; shuffle rows track probes·k
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+    val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
+    fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .drop("probe_e")
   }
 
   /** All `nBits`-wide XOR masks with at most `r` set bits — the
@@ -625,8 +633,6 @@ object Similarity {
       .withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
       .withColumn("sig", explode(array(
         masks.map(m => col("probe_sig").bitwiseXOR(lit(m))): _*)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
     val cand = sigs match {
       // the persisted-table serving form (VERDICT r17 #3): the
       // Hamming-ball keys equi-join the 16-B/row signature table —
@@ -635,16 +641,23 @@ object Similarity {
       case Some(t) =>
         t.join(broadcast(sigP.select(col(probeIdCol), col("sig"))), "sig")
           .select(col(idCol), col(probeIdCol))
-          .join(corpus, Seq(idCol))
-          .join(broadcast(probes), Seq(probeIdCol))
       case None =>
-        corpus.withColumn("sig", signature(col(vecCol), dim, nBits))
-          .join(broadcast(sigP), "sig")
+        corpus.select(col(idCol), signature(col(vecCol), dim, nBits).as("sig"))
+          .join(broadcast(sigP.select(col(probeIdCol), col("sig"))), "sig")
+          .select(col(idCol), col(probeIdCol))
     }
-    cand.withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("probe_e", "probe_sig", "sig")
+    // bounded-heap rank (never a per-probe window over the candidate
+    // stream); vectors join candidate-sized for scoring, k-sized for
+    // the output fetch
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+    val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
+    fetchShortlist(corpus, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
+      .drop("probe_e")
   }
 
   /**
@@ -757,12 +770,16 @@ object Similarity {
                    idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
     val pc = probedCells(centroids, probes, nProbe, probeIdCol)
       .select(col(probeIdCol), col("probe_e"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(desc("cos_sim"), asc(idCol))
-    assigned.join(broadcast(pc), "cell")
+    // probed-cell candidates score on (id, vector) only; the per-probe
+    // rank is the bounded heap — a probe's nProbe/nLists corpus slice
+    // never funnels into one window task
+    val scored = assigned.select(col(idCol), col(vecCol), col("cell"))
+      .join(broadcast(pc), "cell")
       .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
+    fetchShortlist(assigned, sel, idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
       .drop("probe_e", "cell")
   }
 
@@ -1186,29 +1203,34 @@ object Similarity {
       // (probe − centroid) IS that cell's residual distance table
       .withColumn("probe_res", expr("zip_with(probe_e, centroid, (x, y) -> x - y)"))
       .select(col(probeIdCol), col("probe_e"), col("probe_res"), col("cell"))
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(probeIdCol).orderBy(asc("adc_dist"), asc(idCol))
     // k * shortlistFactor can overflow Int for the exhaustive twin
     val shortN = math.min(Int.MaxValue.toLong,
       k.toLong * rerankVecCol.fold(1L)(_ => shortlistFactor.toLong)).toInt
-    val shortlisted = encoded.join(broadcast(pc), "cell")
+    // the ADC stage scans (id, codes, cell) of the probed cells only;
+    // the per-probe shortlist is the bounded heap on the NEGATED
+    // distance ((0.0 - d) flips the order exactly and round-trips
+    // every value, ±0.0 included), so a probe's cell slice never
+    // funnels into one window task
+    val scored = encoded.select(col(idCol), col("pq_code"), col("cell"))
+      .join(broadcast(pc), "cell")
       .withColumn("adc_dist",
         graft.functions.PqCodec.adcBatch(col("pq_code"), col("probe_res"), codebooks))
-      .withColumn("_rk", row_number().over(wAdc))
-      .filter(col("_rk") <= shortN)
-      .drop("probe_res")
+    val sel = heapShortlist(scored, probeIdCol, lit(0.0d) - col("adc_dist"),
+      idCol, shortN)
+    val shortlisted = fetchShortlist(
+        encoded, sel.withColumn("adc_dist", lit(0.0d) - col("_sel_val")), idCol)
+      .join(broadcast(probes), Seq(probeIdCol))
     rerankVecCol match {
-      // no rerank: shortN == k, so the ADC rank IS the output rank —
-      // surfaced as `rk` per the batchTopK output contract
-      case None => shortlisted.withColumnRenamed("_rk", "rk")
-        .drop("probe_e", "cell")
+      // no rerank: shortN == k, so the ADC heap rank IS the output
+      // rank — surfaced as `rk` per the batchTopK output contract
+      case None => shortlisted.drop("probe_e", "cell")
       case Some(vc) =>
         val v = col(vc).cast(ArrayType(DoubleType))
         val exact = dot(v, v) - lit(2.0) * dot(v, col("probe_e")) +
           dot(col("probe_e"), col("probe_e"))
         val wExact = org.apache.spark.sql.expressions.Window
           .partitionBy(probeIdCol).orderBy(asc("l2_dist"), asc(idCol))
-        shortlisted.drop("_rk").withColumn("l2_dist", exact)
+        shortlisted.drop("rk").withColumn("l2_dist", exact)
           .withColumn("rk", row_number().over(wExact))
           .filter(col("rk") <= k)
           .drop("probe_e", "cell")

@@ -569,7 +569,8 @@ class PlanSpec extends SparkTestBase {
     // is the TopKPairs heap through ObjectHashAggregate, so the rank
     // shuffle carries probes·k rows, never probes·corpus
     for (q <- Seq("sim_batch_topk", "sim_hard_negatives", "sim_triplet_mining",
-                  "sim_pq_batch_exact")) {
+                  "sim_pq_batch_exact", "sim_ann_batch_topk",
+                  "sim_hamming_batch_topk")) {
       val plan = planString(Queries.queries(q)(spark, sf))
       assert(!plan.contains("Window"),
         s"$q must rank via the bounded heap, found a window:\n${plan.take(2000)}")
@@ -578,7 +579,9 @@ class PlanSpec extends SparkTestBase {
     }
     // staged forms: stage 1 is the heap; the ONE window left is the
     // exact stage-2 re-rank, whose input is the probes×shortlist
-    // fetch join — bounded by construction, never the corpus
+    // fetch join — bounded by construction, never the corpus (the
+    // IVF/IVF-PQ gates additionally carry probedCells' metadata-sized
+    // cell rank, nLists×probes rows)
     for (q <- Seq("sim_mrl_topk", "sim_sq8_topk")) {
       val plan = planString(Queries.queries(q)(spark, sf))
       val windows = "Window \\[".r.findAllIn(plan).size
