@@ -98,17 +98,15 @@ object RecallQueries {
       (s, dir) => {
         val emb = embAll(s, dir)
         val probes = probesOf(emb)
-        val sigC = emb.withColumn("sig",
-          graft.operators.Similarity.signature(col("e"), 64, 16))
-        val sigP = probes.withColumn("probe_sig",
-          graft.operators.Similarity.signature(col("probe_e"), 64, 16))
-        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
-        val approx = sigC.crossJoin(broadcast(sigP))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .filter(expr("bit_count(sig ^ probe_sig) <= 6"))
-          .withColumn("cos_sim",
-            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        // THE production operator at its production knobs, through the
+        // fingerprint-cached persisted signature table (r19 — no
+        // hand-rolled copy to drift from), excludeSelf matching the
+        // truth side's convention
+        val approx = graft.operators.Similarity
+          .annBatchTopK(emb, probes, "e", dim = 64, k = K,
+            nBits = 16, probeHamming = 6,
+            sigs = Some(SimilarityQueries.sigTableCached(s, dir)),
+            excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
@@ -128,19 +126,12 @@ object RecallQueries {
         val probes = probesOf(emb)
         val (assigned, centroids) =
           graft.operators.Similarity.ivfIndex(emb, "vec_id", "e", nLists = 16)
-        val pc = centroids.crossJoin(broadcast(probes))
-          .withColumn("sim",
-            graft.operators.Similarity.cosine(col("centroid"), col("probe_e")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy("probe_id").orderBy(desc("sim"), asc("cell"))))
-          .filter(col("crk") <= 4)
-          .select("probe_id", "probe_e", "cell")
-        val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
-        val approx = assigned.join(broadcast(pc), "cell")
-          .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cos_sim",
-            graft.operators.Similarity.cosine(col("e"), col("probe_e")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        // THE production batch operator (probed-cell selection and the
+        // bounded-heap rank live inside it — r19, no hand-rolled copy),
+        // excludeSelf matching the truth side's convention
+        val approx = graft.operators.Similarity
+          .ivfBatchTopK(assigned, centroids, probes, "e", k = K, nProbe = 4,
+            excludeSelf = true)
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")

@@ -550,7 +550,10 @@ object Similarity {
   def annBatchTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
                    dim: Int, k: Int, nBits: Int = 16, probeHamming: Int = 6,
                    idCol: String = "vec_id", probeIdCol: String = "probe_id",
-                   sigs: Option[DataFrame] = None): DataFrame = {
+                   sigs: Option[DataFrame] = None,
+                   excludeSelf: Boolean = false): DataFrame = {
+    def excl(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
     val sigP = probes.withColumn("probe_sig", signature(col("probe_e"), dim, nBits))
     // candidate generation: the bit_count filter over the signatures —
     // table-fed (16 B/row) when given, inline otherwise; scoring then
@@ -569,7 +572,7 @@ object Similarity {
     // the per-probe rank is the bounded heap — a probe's candidate
     // set (≈10% of the corpus at hamming≤6) never funnels into one
     // window task; shuffle rows track probes·k
-    val scored = cand
+    val scored = excl(cand)
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(probes), Seq(probeIdCol))
       .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
@@ -767,14 +770,17 @@ object Similarity {
    */
   def ivfBatchTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
                    vecCol: String, k: Int, nProbe: Int = 4,
-                   idCol: String = "vec_id", probeIdCol: String = "probe_id"): DataFrame = {
+                   idCol: String = "vec_id", probeIdCol: String = "probe_id",
+                   excludeSelf: Boolean = false): DataFrame = {
     val pc = probedCells(centroids, probes, nProbe, probeIdCol)
       .select(col(probeIdCol), col("probe_e"), col("cell"))
+    def excl(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col(idCol) =!= col(probeIdCol)) else df
     // probed-cell candidates score on (id, vector) only; the per-probe
     // rank is the bounded heap — a probe's nProbe/nLists corpus slice
     // never funnels into one window task
-    val scored = assigned.select(col(idCol), col(vecCol), col("cell"))
-      .join(broadcast(pc), "cell")
+    val scored = excl(assigned.select(col(idCol), col(vecCol), col("cell"))
+      .join(broadcast(pc), "cell"))
       .withColumn("cos_sim", cosine(col(vecCol), col("probe_e")))
     val sel = heapShortlist(scored, probeIdCol, col("cos_sim"), idCol, k)
     fetchShortlist(assigned, sel, idCol)
