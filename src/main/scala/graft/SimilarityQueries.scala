@@ -882,8 +882,12 @@ object SimilarityQueries {
     //      oracle-checked. ----
     Q("sim_truncation_recall_curve",
       (s, dir) => {
+        // checkpointed: four batchTopK calls (16/32/48/64 dims) each
+        // make a score pass + a shortlist fetch — one materialization
+        // replaces 13 file scans of the same parquet (ReuseCheck r19)
         val emb = Tables.t(s, dir, "embeddings")
           .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+          .localCheckpoint()
         val probes = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("probe_id"), col("e").as("probe_e"))
         def top(d: Int) = graft.operators.Similarity.batchTopK(
