@@ -314,41 +314,60 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                maxIters: Int = 25): DataFrame = {
     val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = sym.union(sym.select(col("dst"), col("src")))
+    val edges0 = sym.union(sym.select(col("dst"), col("src")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node")).localCheckpoint()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("cluster_id").as("_nl")), "dst")
-        .groupBy(col("src").as("node")).agg(min("_nl").as("_nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      // pointer jump: cluster_id <- label(cluster_id). Total by the
-      // component invariant (every label IS a node), so the left join
-      // only guards the theoretical miss; coalesce keeps it lossless.
-      val next = stepped.join(
-          stepped.select(col("node").as("_pn"), col("cluster_id").as("_pl")),
-          stepped("cluster_id") === col("_pn"), "left")
-        .select(col("node"), coalesce(col("_pl"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      changed = next.join(
-          labels.select(col("node"), col("cluster_id").as("_old")), "node")
-        .filter(col("cluster_id") < col("_old")).count()
-      // round k−1's state and the intermediate half-step: nothing reads
-      // their blocks again (Checkpoints scaladoc — clearCache can't free
-      // checkpoint storage, so a 25-round loop would hold 25 × |V| rows)
-      graft.operators.Checkpoints.free(labels)
-      graft.operators.Checkpoints.free(stepped)
-      labels = next
-      it += 1
+    // Loop physical hygiene (LoopOpt scaladoc): partitions derived
+    // from the MEASURED edge size, standing tables co-partitioned
+    // once (edges by dst — the neighbor-min probe's key; labels by
+    // node), broadcast auto-conversion off inside the loop. The old
+    // label rides along as _old so the convergence probe is a FILTER
+    // on the round's own frame — the loop previously paid three
+    // driver jobs per round (two eager checkpoints + a joined count);
+    // now the single count materializes the lazy checkpoint and
+    // probes in one job.
+    val spark = pairs.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(edges0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val edges = edges0.repartition(nP, col("dst")).localCheckpoint()
+      Checkpoints.free(edges0) // re-materialized co-partitioned above
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("cluster_id", col("node"))
+        .repartition(nP, col("node")).localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("cluster_id").as("_nl")), "dst")
+          .groupBy(col("src").as("node")).agg(min("_nl").as("_nbr_min"))
+        val stepped = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"),
+            col("cluster_id").as("_old"))
+        // pointer jump: cluster_id <- label(cluster_id). Total by the
+        // component invariant (every label IS a node), so the left join
+        // only guards the theoretical miss; coalesce keeps it lossless.
+        // stepped is deliberately NOT checkpointed: its post-exchange
+        // tail recomputes on the jump's build side, which is cheaper
+        // than an extra eager materialization job per round (the
+        // neighbor-min exchange itself is reused across the two sides).
+        val next = stepped.join(
+            stepped.select(col("node").as("_pn"), col("cluster_id").as("_pl")),
+            stepped("cluster_id") === col("_pn"), "left")
+          .select(col("node"), coalesce(col("_pl"), col("cluster_id")).as("cluster_id"),
+            col("_old"))
+          .repartition(nP, col("node"))
+          .localCheckpoint(false) // lazy: the changed-count materializes it
+        changed = next.filter(col("cluster_id") < col("_old")).count()
+        // round k−1's state: nothing reads its blocks again (Checkpoints
+        // scaladoc — clearCache can't free checkpoint storage, so a
+        // 25-round loop would hold 25 × |V| rows)
+        graft.operators.Checkpoints.free(labels)
+        labels = next.select("node", "cluster_id")
+        it += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxIters iterations")
+      labels
     }
-    require(changed == 0, s"label propagation did not converge in $maxIters iterations")
-    labels
   }
 
   /**

@@ -52,22 +52,28 @@ object Graphs {
    */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
     var cur = edges.select("u", "v").localCheckpoint()
-    var n = cur.count()
-    var it = 0
-    var done = false
-    while (!done && it < maxIters) {
-      // lazy checkpoint: the count right after materializes it — one
-      // driver job per round instead of eager-materialize + count
-      val next = peel(cur, k).localCheckpoint(false)
-      val m = next.count()
-      done = m == n
-      Checkpoints.free(cur) // round k−1's blocks: nothing reads them again
-      cur = next
-      n = m
-      it += 1
+    // loop physical hygiene — LoopOpt scaladoc (partitions from the
+    // measured edge size, no per-round broadcast builds, no per-stage
+    // AQE jobs or codegen compiles over KB-sized rounds)
+    LoopOpt.withLoopConf(cur.sparkSession,
+      LoopOpt.loopPartitions(cur.sparkSession, LoopOpt.statSize(cur))) {
+      var n = cur.count()
+      var it = 0
+      var done = false
+      while (!done && it < maxIters) {
+        // lazy checkpoint: the count right after materializes it — one
+        // driver job per round instead of eager-materialize + count
+        val next = peel(cur, k).localCheckpoint(false)
+        val m = next.count()
+        done = m == n
+        Checkpoints.free(cur) // round k−1's blocks: nothing reads them again
+        cur = next
+        n = m
+        it += 1
+      }
+      require(done, s"k-core peeling did not converge in $maxIters iterations")
+      cur
     }
-    require(done, s"k-core peeling did not converge in $maxIters iterations")
-    cur
   }
 
   /**
@@ -85,27 +91,38 @@ object Graphs {
    * oracle's fixed-depth recursive expansion can state exactly.
    */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 15): DataFrame = {
-    val sym = symmetric(edges).localCheckpoint()
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = visited
-    var d = 0L
-    var n = frontier.count()
-    while (n > 0 && d < maxHops) {
-      d += 1
-      frontier = frontier
-        .join(sym, frontier("node") === sym("u"))
-        .select(col("v").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(d))
-        .localCheckpoint(false) // lazy: the count materializes it
-      n = frontier.count()
-      // visited stays a plain union OVER checkpointed frontiers — a
-      // flat lineage that replays nothing; checkpointing it would
-      // re-materialize the whole visited set every round
-      visited = visited.unionByName(frontier)
+    val sym0 = symmetric(edges).localCheckpoint()
+    // loop physical hygiene (LoopOpt scaladoc); the edge list is
+    // additionally co-partitioned by u so the frontier expansion join
+    // is exchange-free every round (frontier comes out of a node-keyed
+    // distinct, which the checkpoint preserves — guide §2.4)
+    val spark = sym0.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(sym0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val sym = sym0.repartition(nP, col("u")).localCheckpoint()
+      Checkpoints.free(sym0)
+      var visited = seeds.select(col("node")).distinct()
+        .repartition(nP, col("node"))
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      var frontier = visited
+      var d = 0L
+      var n = frontier.count()
+      while (n > 0 && d < maxHops) {
+        d += 1
+        frontier = frontier
+          .join(sym, frontier("node") === sym("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(d))
+          .localCheckpoint(false) // lazy: the count materializes it
+        n = frontier.count()
+        // visited stays a plain union OVER checkpointed frontiers — a
+        // flat lineage that replays nothing; checkpointing it would
+        // re-materialize the whole visited set every round
+        visited = visited.unionByName(frontier)
+      }
+      visited
     }
-    visited
   }
 
   /**
@@ -125,29 +142,39 @@ object Graphs {
    */
   def weightedHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 12): DataFrame = {
     require(rounds >= 1, "at least one relaxation round")
-    val sym = edges.select(col("u"), col("v"), col("w"))
+    val sym0 = edges.select(col("u"), col("v"), col("w"))
       .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint()
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var it = 0
-    var changed = true
-    while (changed && it < rounds) {
-      val next = dist
-        .join(sym, dist("node") === sym("u"))
-        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(false) // lazy: the changed-probe materializes it
-      changed = next.join(dist.withColumnRenamed("dist", "_prev"),
-          Seq("node"), "left_outer")
-        .filter(col("_prev").isNull || col("dist") =!= col("_prev"))
-        .limit(1).count() > 0
-      Checkpoints.free(dist) // round k−1's blocks: nothing reads them again
-      dist = next
-      it += 1
+    // loop physical hygiene (LoopOpt scaladoc); edges co-partitioned
+    // by u so the relaxation join is exchange-free (dist comes out of
+    // a node-keyed groupBy, preserved by the checkpoint — §2.4)
+    val spark = sym0.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(sym0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val sym = sym0.repartition(nP, col("u")).localCheckpoint()
+      Checkpoints.free(sym0)
+      var dist = seeds.select(col("node")).distinct()
+        .repartition(nP, col("node"))
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      var it = 0
+      var changed = true
+      while (changed && it < rounds) {
+        val next = dist
+          .join(sym, dist("node") === sym("u"))
+          .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(false) // lazy: the changed-probe materializes it
+        changed = next.join(dist.withColumnRenamed("dist", "_prev"),
+            Seq("node"), "left_outer")
+          .filter(col("_prev").isNull || col("dist") =!= col("_prev"))
+          .limit(1).count() > 0
+        Checkpoints.free(dist) // round k−1's blocks: nothing reads them again
+        dist = next
+        it += 1
+      }
+      dist
     }
-    dist
   }
 
   /**
@@ -174,28 +201,38 @@ object Graphs {
    */
   def coreNumbers(edges: DataFrame, maxIters: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sym = symmetric(edges).localCheckpoint()
-    var est = sym.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nb = sym.join(est.select(col("node").as("v"), col("c").as("cv")), "v")
-        .select(col("u").as("node"), col("cv"))
-      val w = Window.partitionBy("node").orderBy(col("cv").desc)
-      val next = nb
-        .withColumn("m", least(row_number().over(w).cast("long"), col("cv")))
-        .groupBy("node").agg(max("m").as("c"))
-        .localCheckpoint(false) // lazy: the changed-count materializes it
-      changed = next.join(est.select(col("node"), col("c").as("_prev")), "node")
-        .filter(col("c") =!= col("_prev")).count()
-      Checkpoints.free(est) // round k−1's blocks: nothing reads them again
-      est = next
-      it += 1
+    val sym0 = symmetric(edges).localCheckpoint()
+    // loop physical hygiene (LoopOpt scaladoc); edges co-partitioned
+    // by v — the neighbor-estimate probe's key — so the per-round join
+    // is exchange-free (est comes out of a node-keyed aggregate,
+    // preserved by the checkpoint — §2.4)
+    val spark = sym0.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(sym0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val sym = sym0.repartition(nP, col("v")).localCheckpoint()
+      Checkpoints.free(sym0)
+      var est = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nb = sym.join(est.select(col("node").as("v"), col("c").as("cv")), "v")
+          .select(col("u").as("node"), col("cv"))
+        val w = Window.partitionBy("node").orderBy(col("cv").desc)
+        val next = nb
+          .withColumn("m", least(row_number().over(w).cast("long"), col("cv")))
+          .groupBy("node").agg(max("m").as("c"))
+          .localCheckpoint(false) // lazy: the changed-count materializes it
+        changed = next.join(est.select(col("node"), col("c").as("_prev")), "node")
+          .filter(col("c") =!= col("_prev")).count()
+        Checkpoints.free(est) // round k−1's blocks: nothing reads them again
+        est = next
+        it += 1
+      }
+      require(changed == 0,
+        s"core-number h-index iteration did not converge in $maxIters rounds")
+      est.select(col("node"), col("c").as("core_k"))
     }
-    require(changed == 0,
-      s"core-number h-index iteration did not converge in $maxIters rounds")
-    est.select(col("node"), col("c").as("core_k"))
   }
 
   /**
@@ -268,23 +305,33 @@ object Graphs {
    */
   def ancestorRollup(edges: DataFrame, contrib: DataFrame,
                      maxIters: Int = 30): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).distinct()
-    var acc = contrib.select(col("node"), col("w"))
-    var frontier = acc.localCheckpoint()
-    var n = frontier.count()
-    var it = 0
-    while (n > 0 && it < maxIters) {
-      frontier = frontier
-        .join(e, frontier("node") === e("child"))
-        .select(col("parent").as("node"), col("w"))
-        .localCheckpoint(false) // lazy: the count materializes it
-      n = frontier.count()
-      acc = acc.union(frontier)
-      it += 1
+    // checkpoint the edge table: before this every round's frontier
+    // join re-executed the edges plan (a per-round re-scan); with the
+    // loop conf (LoopOpt scaladoc) each climb level is one small job
+    val e0 = edges.select(col("child"), col("parent")).distinct().localCheckpoint()
+    val spark = e0.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(e0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val e = e0.repartition(nP, col("child")).localCheckpoint()
+      Checkpoints.free(e0)
+      var acc = contrib.select(col("node"), col("w"))
+      var frontier = acc.repartition(nP, col("node")).localCheckpoint()
+      var n = frontier.count()
+      var it = 0
+      while (n > 0 && it < maxIters) {
+        frontier = frontier
+          .join(e, frontier("node") === e("child"))
+          .select(col("parent").as("node"), col("w"))
+          .repartition(nP, col("node"))
+          .localCheckpoint(false) // lazy: the count materializes it
+        n = frontier.count()
+        acc = acc.union(frontier)
+        it += 1
+      }
+      require(it < maxIters || n == 0,
+        s"hierarchy deeper than $maxIters levels (or cyclic)")
+      acc.groupBy("node").agg(sum("w").as("subtree_w"))
     }
-    require(it < maxIters || n == 0,
-      s"hierarchy deeper than $maxIters levels (or cyclic)")
-    acc.groupBy("node").agg(sum("w").as("subtree_w"))
   }
 
   /**
@@ -311,21 +358,31 @@ object Graphs {
    */
   def reachSketch(sym: DataFrame, hops: Int, lgK: Int = 14): DataFrame = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
-    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
-    var state = nodes.groupBy("node")
-      .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk")).localCheckpoint()
-    (1 to hops).foreach { _ =>
-      // neighbor sketches + the node's own sketch, one keyed union:
-      // the self edge keeps state monotone (a ball never shrinks)
-      state = sym.select(col("u").as("node"), col("v").as("src"))
-        .unionByName(nodes.select(col("node"), col("node").as("src")))
-        .join(state.select(col("node").as("src"), col("sk")), Seq("src"))
-        // all inputs share this operator's lgK, so no
-        // allowDifferentLgConfigK (the boolean 2nd param) is needed
-        .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
-        .localCheckpoint()
+    // checkpoint the edge list: every hop joins it, and an un-
+    // materialized `sym` re-executed its whole upstream plan per hop;
+    // loop conf per LoopOpt scaladoc
+    val symC = sym.localCheckpoint()
+    val spark = symC.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(symC))
+    LoopOpt.withLoopConf(spark, nP) {
+      val nodes = symC.select(col("u").as("node")).distinct().localCheckpoint()
+      var state = nodes.groupBy("node")
+        .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk")).localCheckpoint()
+      (1 to hops).foreach { _ =>
+        // neighbor sketches + the node's own sketch, one keyed union:
+        // the self edge keeps state monotone (a ball never shrinks)
+        val prev = state
+        state = symC.select(col("u").as("node"), col("v").as("src"))
+          .unionByName(nodes.select(col("node"), col("node").as("src")))
+          .join(state.select(col("node").as("src"), col("sk")), Seq("src"))
+          // all inputs share this operator's lgK, so no
+          // allowDifferentLgConfigK (the boolean 2nd param) is needed
+          .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
+          .localCheckpoint()
+        Checkpoints.free(prev) // hop k−1's blocks: nothing reads them again
+      }
+      state
     }
-    state
   }
 
   /**
@@ -446,29 +503,40 @@ object Graphs {
       .join(transitions.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
       .join(transitions.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
     val totals = core.groupBy("src").agg(sum("n").as("row_total"))
-    val matrix = core.join(totals, "src").localCheckpoint()
-    val states = matrix.select(col("src").as("state"))
-      .union(matrix.select(col("dst").as("state"))).distinct().localCheckpoint()
-    var pi = states.withColumn("p", lit(1000000L)).localCheckpoint()
-    Checkpoints.free(states) // consumed once by pi's eager checkpoint
-    var it = 0
-    var delta = Long.MaxValue
-    while (delta > tolMicros && it < maxIters) {
-      val recv = matrix.join(pi, matrix("src") === pi("state"))
-        .select(col("dst"), expr("(p * n) div row_total").as("c"))
-        .groupBy(col("dst").as("state")).agg(sum("c").as("tot"))
-      val next = pi.select(col("state"), col("p").as("_prev"))
-        .join(recv, Seq("state"), "left")
-        .select(col("state"), coalesce(col("tot"), lit(0L)).as("p"), col("_prev"))
-        .localCheckpoint(false)
-      delta = next.agg(max(abs(col("p") - col("_prev")))).head().getLong(0)
-      Checkpoints.free(pi) // round k−1's blocks: nothing reads them again
-      pi = next.select("state", "p")
-      it += 1
+    val matrix0 = core.join(totals, "src").localCheckpoint()
+    // loop physical hygiene (LoopOpt scaladoc); matrix co-partitioned
+    // by src so the per-round (matrix ⋈ pi) join is exchange-free (pi
+    // comes out of a state-keyed exchange, preserved by the
+    // checkpoint — §2.4)
+    val spark = matrix0.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(matrix0))
+    LoopOpt.withLoopConf(spark, nP) {
+      val matrix = matrix0.repartition(nP, col("src")).localCheckpoint()
+      Checkpoints.free(matrix0)
+      val states = matrix.select(col("src").as("state"))
+        .union(matrix.select(col("dst").as("state"))).distinct()
+        .repartition(nP, col("state")).localCheckpoint()
+      var pi = states.withColumn("p", lit(1000000L)).localCheckpoint()
+      Checkpoints.free(states) // consumed once by pi's eager checkpoint
+      var it = 0
+      var delta = Long.MaxValue
+      while (delta > tolMicros && it < maxIters) {
+        val recv = matrix.join(pi, matrix("src") === pi("state"))
+          .select(col("dst"), expr("(p * n) div row_total").as("c"))
+          .groupBy(col("dst").as("state")).agg(sum("c").as("tot"))
+        val next = pi.select(col("state"), col("p").as("_prev"))
+          .join(recv, Seq("state"), "left")
+          .select(col("state"), coalesce(col("tot"), lit(0L)).as("p"), col("_prev"))
+          .localCheckpoint(false)
+        delta = next.agg(max(abs(col("p") - col("_prev")))).head().getLong(0)
+        Checkpoints.free(pi) // round k−1's blocks: nothing reads them again
+        pi = next.select("state", "p")
+        it += 1
+      }
+      require(delta <= tolMicros,
+        s"stationary fixpoint did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
+      pi.select(col("state"), col("p").as("pi_micros"))
     }
-    require(delta <= tolMicros,
-      s"stationary fixpoint did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
-    pi.select(col("state"), col("p").as("pi_micros"))
   }
 
   /** Shared tolerance-stopped power loop over (node, base) with the
@@ -482,31 +550,47 @@ object Graphs {
     * on small graphs, so stages are kept minimal. */
   private def prConverge(e: DataFrame, nodes: DataFrame, init: DataFrame,
                          tolMicros: Long, maxIters: Int): DataFrame = {
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-    var st = nodes.join(outdeg, Seq("node"), "left")
-      .join(init, "node")
-      .select(col("node"), col("base"), col("d"), col("r"))
-      .localCheckpoint()
-    var it = 0
-    var delta = Long.MaxValue
-    while (delta > tolMicros && it < maxIters) {
-      val shares = st.filter(col("d").isNotNull)
-        .select(col("node").as("src"), expr("r div d").as("share"))
-      val contrib = e.join(shares, "src")
-        .groupBy(col("dst").as("node")).agg(sum("share").as("tot"))
-      val next = st.select(col("node"), col("base"), col("d"), col("r").as("_prev"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("base"), col("d"),
-          (col("base") + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"),
-          col("_prev"))
-        .localCheckpoint(false)
-      delta = next.agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
-      Checkpoints.free(st) // round k−1's blocks: nothing reads them again
-      st = next
-      it += 1
+    // Loop physical hygiene (LoopOpt scaladoc): partition count
+    // derived from the MEASURED edge-list size, the edge list
+    // co-partitioned by src and the state by node ONCE
+    // (localCheckpoint preserves partitioning, guide §2.4 — every
+    // round's two joins are then exchange-free sort-merge joins over
+    // the standing layout; the round's one exchange is the
+    // contribution groupBy), broadcast auto-conversion off inside the
+    // loop (each round's BHJ was a driver collect + torrent rebuild
+    // of state that changes every round).
+    val spark = e.sparkSession
+    val nP = LoopOpt.loopPartitions(spark, LoopOpt.statSize(e))
+    LoopOpt.withLoopConf(spark, nP) {
+      val ep = e.repartition(nP, col("src")).localCheckpoint()
+      val outdeg = ep.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      var st = nodes.join(outdeg, Seq("node"), "left")
+        .join(init, "node")
+        .select(col("node"), col("base"), col("d"), col("r"))
+        .repartition(nP, col("node"))
+        .localCheckpoint()
+      var it = 0
+      var delta = Long.MaxValue
+      while (delta > tolMicros && it < maxIters) {
+        val shares = st.filter(col("d").isNotNull)
+          .select(col("node").as("src"), expr("r div d").as("share"))
+        val contrib = ep.join(shares, "src")
+          .groupBy(col("dst").as("node")).agg(sum("share").as("tot"))
+        val next = st.select(col("node"), col("base"), col("d"), col("r").as("_prev"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), col("base"), col("d"),
+            (col("base") + expr("(850 * coalesce(tot, 0)) div 1000")).as("r"),
+            col("_prev"))
+          .localCheckpoint(false)
+        delta = next.agg(max(abs(col("r") - col("_prev")))).head().getLong(0)
+        Checkpoints.free(st) // round k−1's blocks: nothing reads them again
+        st = next
+        it += 1
+      }
+      require(delta <= tolMicros,
+        s"pagerank did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
+      Checkpoints.free(ep) // loop-local: nothing reads it after the loop
+      st.select("node", "r")
     }
-    require(delta <= tolMicros,
-      s"pagerank did not converge to $tolMicros micros in $maxIters iterations (delta=$delta)")
-    st.select("node", "r")
   }
 }
