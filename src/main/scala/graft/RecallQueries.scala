@@ -96,7 +96,10 @@ object RecallQueries {
     //      floor 300 = the "toward chance" alarm. ----
     Q("sim_ann_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // one corpus materialization for the truth leg's two passes +
+        // the approx leg's candidate-sized vector joins (the
+        // sim_ivf_recall discipline); freed before return
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         // THE production operator at its production knobs, through the
         // fingerprint-cached persisted signature table (r19 — no
@@ -110,7 +113,9 @@ object RecallQueries {
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
-        recallRow(s, "lsh_h6", truth, approx, floorPermille = 300L)
+        val out = recallRow(s, "lsh_h6", truth, approx, floorPermille = 300L)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 
@@ -122,7 +127,13 @@ object RecallQueries {
     //      485‰ at sf0.01 (chance ≈ 20‰); floor 300. ----
     Q("sim_ivf_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // ONE corpus materialization shared by the index build, the
+        // approx leg and the truth leg (the truncation-curve
+        // checkpoint pattern — VERDICT r19 #2: this gate re-parsed the
+        // corpus across both legs and anti-scaled); the assignment
+        // table materializes inside ivfIndex. recallRow's counts run
+        // inside the gate, so the blocks free before return.
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         val (assigned, centroids) =
           graft.operators.Similarity.ivfIndex(emb, "vec_id", "e", nLists = 16)
@@ -135,7 +146,10 @@ object RecallQueries {
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
-        recallRow(s, "ivf_p4", truth, approx, floorPermille = 300L)
+        val out = recallRow(s, "ivf_p4", truth, approx, floorPermille = 300L)
+        graft.operators.Checkpoints.free(assigned)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 
@@ -147,7 +161,10 @@ object RecallQueries {
     //      recovers most quantization error; floor 600. ----
     Q("sim_pq_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // shared-materialization discipline (sim_ivf_recall): one
+        // corpus parse feeds training, encode, both serving passes
+        // and the exact truth leg; freed before return
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         val cb = graft.operators.Similarity.trainPqCodebooks(
           emb, "vec_id", "e", dim = 64, m = 8, k = 16)
@@ -155,8 +172,10 @@ object RecallQueries {
         val approx = graft.operators.Similarity
           .pqBatchTopK(enc, probes, cb, k = K, rerankVecCol = Some("e"))
           .select("probe_id", "vec_id")
-        recallRow(s, "pq_m8", exactL2TopK(emb, probes), approx,
+        val out = recallRow(s, "pq_m8", exactL2TopK(emb, probes), approx,
           floorPermille = 600L)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 
@@ -169,7 +188,12 @@ object RecallQueries {
     //      floor 300. ----
     Q("sim_ivfpq_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // same shared-materialization discipline as sim_ivf_recall:
+        // one corpus parse; the encoded index materializes inside
+        // ivfPqIndex (the ADC stage and the shortlist fetch-back both
+        // read it; before, the whole assign+train+encode subtree
+        // executed per read)
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         val (enc, cents, cb) = graft.operators.Similarity.ivfPqIndex(
           emb, "vec_id", "e", dim = 64, nLists = 16, m = 8, k = 16)
@@ -177,8 +201,11 @@ object RecallQueries {
             enc, cents, cb, probes, k = K, nProbe = 4,
             rerankVecCol = Some("e"))
           .select("probe_id", "vec_id")
-        recallRow(s, "ivfpq_p4", exactL2TopK(emb, probes), approx,
+        val out = recallRow(s, "ivfpq_p4", exactL2TopK(emb, probes), approx,
           floorPermille = 300L)
+        graft.operators.Checkpoints.free(enc)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 
@@ -279,7 +306,8 @@ object RecallQueries {
     //      toward-chance alarm. ----
     Q("sim_mrl_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // shared-materialization discipline (sim_ivf_recall)
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         // THE production operator at its production knobs (no
         // hand-rolled copy to drift from), excludeSelf matching the
@@ -292,7 +320,9 @@ object RecallQueries {
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
-        recallRow(s, "mrl_d32_f8", truth, approx, floorPermille = 500L)
+        val out = recallRow(s, "mrl_d32_f8", truth, approx, floorPermille = 500L)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 
@@ -305,7 +335,8 @@ object RecallQueries {
     //      cosine rank); floor 900 = the degradation alarm. ----
     Q("sim_sq8_recall",
       (s, dir) => {
-        val emb = embAll(s, dir)
+        // shared-materialization discipline (sim_ivf_recall)
+        val emb = embAll(s, dir).localCheckpoint()
         val probes = probesOf(emb)
         val approx = graft.operators.Similarity
           .sq8BatchTopK(emb, probes, "e", k = K, shortlistFactor = 2,
@@ -314,7 +345,9 @@ object RecallQueries {
           .select("probe_id", "vec_id")
         val truth = graft.operators.Similarity.batchTopK(emb, probes, "e", K)
           .select("probe_id", "vec_id")
-        recallRow(s, "sq8_f2", truth, approx, floorPermille = 900L)
+        val out = recallRow(s, "sq8_f2", truth, approx, floorPermille = 900L)
+        graft.operators.Checkpoints.free(emb)
+        out
       },
       None),
 

@@ -696,15 +696,38 @@ object Similarity {
     }
     val centroids = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-    // assign each vector to its nearest centroid: one broadcast pass +
-    // per-id argmin (partitioned window, not global)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("d", -cosine(col(vecCol), col("centroid")))
-      .withColumn("best", min(struct(col("d"), col("cell")))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-      .filter(col("d") === col("best.d") && col("cell") === col("best.cell"))
-      .drop("d", "best", "centroid")
-    (assigned, centroids)
+    // assign each vector to its nearest centroid MAP-SIDE via the
+    // literal-centroid argmin ([[assignToCentroids]] — the centroids
+    // were just collected, so they are already driver metadata): zero
+    // shuffle, zero window. The window form this replaced shuffled
+    // nLists × corpus rows CARRYING THE VECTORS into a per-id window
+    // sort (guide §2.4 — remove shuffles outright); the argmin value
+    // is bit-identical ((-cosine, cell) struct-min, same expression
+    // over the same doubles — the equality ivfAppend's append ==
+    // rebuild gate already pins). Column order matches the old form
+    // (corpus columns then cell). Past the plan-literal ceiling the
+    // broadcast-join argmin takes over (one broadcast + per-id
+    // min_by-style aggregation — still no corpus-carrying window).
+    val assigned =
+      if (nLists <= MaxLiteralCentroids) assignToCentroids(corpus, centroids, vecCol)
+      else {
+        val best = corpus.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(centroids))
+          .groupBy(col(idCol).as("_best_id"))
+          .agg(min(struct((-cosine(col(vecCol), col("centroid"))).as("d"),
+            col("cell"))).as("_best"))
+          .select(col("_best_id"), col("_best.cell").as("cell"))
+        corpus.join(best, corpus(idCol) === col("_best_id")).drop("_best_id")
+      }
+    // The assignment table MATERIALIZES here — it is the persisted
+    // index artifact this operator exists to build (at 100 TB it is
+    // written partitioned BY cell; the serving forms read it, never
+    // rebuild it). Without a materialization point every downstream
+    // read re-ran the full argmin + corpus parse: the old window form
+    // was accidentally protected by exchange reuse, the map-side form
+    // is not — measured 3-4x regressions across the IVF family when
+    // this returned a bare plan.
+    (assigned.localCheckpoint(), centroids)
   }
 
   /** Query the IVF index: probe the nProbe nearest cells, exact
@@ -1064,7 +1087,15 @@ object Similarity {
       .withColumn("_res",
         expr(s"zip_with(cast($vecCol as array<double>), centroid, (x, y) -> x - y)"))
     val cbs = trainPqCodebooks(withRes, idCol, "_res", dim, m, k)
-    (pqEncode(withRes, "_res", cbs).drop("_res", "centroid"), centroids, cbs)
+    // materialize the encoded index (the ivfIndex discipline: this IS
+    // the persisted artifact — the ADC scan and the shortlist
+    // fetch-back both read it, and re-encoding per read costs m×k
+    // distance folds per row per pass); the assignment table it was
+    // derived from frees — nothing reads it once the codes exist
+    val enc = pqEncode(withRes, "_res", cbs).drop("_res", "centroid")
+      .localCheckpoint()
+    Checkpoints.free(assigned)
+    (enc, centroids, cbs)
   }
 
   /**
