@@ -1912,24 +1912,45 @@ object TextQueries {
         val d = Tables.t(s, dir, "documents")
         val even = d.filter(col("doc_id") % 2 === 0)
         val odd = d.filter(col("doc_id") % 2 === 1)
-        val labels = graft.operators.Dedup.clusters(
-          graft.operators.Dedup.minhashNearDups(even, "doc_id", "text"))
-          .localCheckpoint() // the standing assignment: state, not a plan
-        val evenSketch = graft.operators.Dedup
-          .signatureBandRows(even, "doc_id", "text")
+        // ONE shingle spine + band frame per side, shared across the
+        // standing-label build, the persisted-sketch stand-in and the
+        // batch-internal/cross probes (the writeNearDupBatch
+        // discipline — each side's shingle kernel previously re-ran
+        // per consumer)
+        val spineEven = graft.operators.Dedup
+          .shingleSpine(even, "doc_id", "text").localCheckpoint()
+        val bandEven = graft.operators.Dedup
+          .bandRowsOfSpine(spineEven, "doc_id")
           .localCheckpoint() // the persisted-index stand-in
+        val spineOdd = graft.operators.Dedup
+          .shingleSpine(odd, "doc_id", "text").localCheckpoint()
+        val bandOdd = graft.operators.Dedup
+          .bandRowsOfSpine(spineOdd, "doc_id").localCheckpoint()
+        val labels = graft.operators.Dedup.clusters(
+          graft.operators.Dedup.verifyJaccard(
+            graft.operators.Dedup.candidatePairsFrom(bandEven, "doc_id"),
+            spineEven, "doc_id", 7, 10))
+          .localCheckpoint() // the standing assignment: state, not a plan
         val cross = graft.operators.Dedup
-          .incrementalNearDupsFromSketch(evenSketch, even, odd, "doc_id", "text")
+          .incrementalNearDupsFromSketchSpine(bandEven, even, bandOdd, spineOdd,
+            "doc_id", "text")
           .select(least(col("corpus_id"), col("fresh_id")).as("doc_a"),
             greatest(col("corpus_id"), col("fresh_id")).as("doc_b"))
-        val internal = graft.operators.Dedup
-          .minhashNearDups(odd, "doc_id", "text").select("doc_a", "doc_b")
-        graft.operators.Dedup
+        val internal = graft.operators.Dedup.verifyJaccard(
+            graft.operators.Dedup.candidatePairsFrom(bandOdd, "doc_id"),
+            spineOdd, "doc_id", 7, 10)
+          .select("doc_a", "doc_b")
+        val out = graft.operators.Dedup
           .clustersIncremental(labels, cross.unionByName(internal))
           .withColumn("n_members", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
           .select(col("node").as("doc_id"), col("cluster_id"), col("n_members"))
           .orderBy("doc_id")
+        // clustersIncremental consumed the pair plans during its loop;
+        // the returned frame reads only the final label checkpoint
+        Seq(spineEven, bandEven, spineOdd, bandOdd, labels)
+          .foreach(graft.operators.Checkpoints.free)
+        out
       },
       Some(clusterOracle +
         """SELECT node AS doc_id, cluster_id,

@@ -52,6 +52,41 @@ object Dedup {
     df.select(col(idCol), graft.functions.Shingles.wordShingles(col(textCol), n).as("_sh"))
       .filter(size(col("_sh")) > 0)
 
+  /** The (id, _sh) shingle spine as a REUSABLE frame — exposed so ONE
+    * batch's shingle kernel can feed the band rows, the internal-pair
+    * verify and the cross-batch verify (the ingest path previously
+    * re-ran it up to six times per micro-batch; the caller
+    * checkpoints). Identical projection to the private spine every
+    * public entry point derives from. */
+  private[graft] def shingleSpine(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int = 3): DataFrame =
+    withShingleArray(df, idCol, textCol, n)
+
+  /** (id, band, band_key) rows from a shingle spine — the banding of
+    * [[signatureBandRows]], factored over the spine so the sketch
+    * write, the candidate join and the incremental probe share one
+    * computation. */
+  private[graft] def bandRowsOfSpine(spine: DataFrame, idCol: String,
+                                     k: Int = 128, bands: Int = 32): DataFrame =
+    spine.select(col(idCol),
+      posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
+        .as(Seq("band", "band_key")))
+
+  /** Exact-Jaccard verify of candidate (id_a, id_b) pairs against a
+    * shingle spine — the closing stage of [[minhashNearDups]],
+    * factored so spine-sharing callers reuse it. */
+  private[graft] def verifyJaccard(cands: DataFrame, spine: DataFrame,
+                                   idCol: String, num: Int, den: Int): DataFrame = {
+    val a = spine.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
+    val b = spine.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
+        size(col("_sh_a")).cast("long").as("na"),
+        size(col("_sh_b")).cast("long").as("nb"))
+      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+  }
+
   /** Distinct word n-gram shingles: (id, shingle) exploded rows.
     * Kept as the input shape for the exact-Jaccard oracle path. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
@@ -80,8 +115,14 @@ object Dedup {
     * n²/2-element array inside one aggregation buffer (the
     * `collect_set` collapse this replaced would OOM one executor on
     * exactly the duplicate-heavy corpora dedup exists for). */
-  private def candidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
-    val rows = bandRows.localCheckpoint()
+  private def candidatePairs(bandRows: DataFrame, idCol: String): DataFrame =
+    candidatePairsFrom(bandRows.localCheckpoint(), idCol)
+
+  /** The band self-join over ALREADY-materialized (id, band, band_key)
+    * rows — exposed so a caller holding a checkpointed band frame (the
+    * ingest path shares one across three consumers) skips the second
+    * materialization. */
+  private[graft] def candidatePairsFrom(rows: DataFrame, idCol: String): DataFrame = {
     val a = rows.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = rows.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -141,24 +182,14 @@ object Dedup {
     // (bit-identical to minhash()+lshCandidates' SQL derivation —
     // pinned by HashSketchesSpec): a narrow projection with no
     // explode, no 128-column aggregate, no shuffle before the band
-    // equi-join. posexplode's position IS the band index.
-    val bandRows = docs.select(col(idCol),
-      posexplode(graft.functions.HashSketches.minhashBandKeys(col("_sh"), k, bands))
-        .as(Seq("band", "band_key")))
-    val cands = candidatePairs(bandRows, idCol)
-    // Exact verify on the compact per-doc arrays: two id-equi-joins
-    // pull both shingle sets onto each candidate pair, then overlap and
-    // sizes are narrow array expressions. Replaces the exploded-shingle
-    // join + n_common groupBy + two sizes joins — candidates are few,
-    // so the per-pair array_intersect touches a tiny fraction of rows.
-    val a = docs.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
-    val b = docs.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_common"),
-        size(col("_sh_a")).cast("long").as("na"),
-        size(col("_sh_b")).cast("long").as("nb"))
-      .filter(col("n_common") * den >= (col("na") + col("nb") - col("n_common")) * num)
+    // equi-join. posexplode's position IS the band index. Exact
+    // verify ([[verifyJaccard]]) on the compact per-doc arrays: two
+    // id-equi-joins pull both shingle sets onto each candidate pair,
+    // then overlap and sizes are narrow array expressions —
+    // candidates are few, so the per-pair array_intersect touches a
+    // tiny fraction of rows.
+    verifyJaccard(candidatePairs(bandRowsOfSpine(docs, idCol, k, bands), idCol),
+      docs, idCol, num, den)
   }
 
   /** The materializable LSH sketch: (id, band, band_key) rows from the
@@ -254,8 +285,23 @@ object Dedup {
                                     fresh: DataFrame, idCol: String, textCol: String,
                                     shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                                     num: Int = 7, den: Int = 10): DataFrame = {
-    val fBand = signatureBandRows(fresh, idCol, textCol, shingleN, k, bands)
-      .select(col(idCol).as("fresh_id"), col("band"), col("band_key"))
+    val spine = withShingleArray(fresh, idCol, textCol, shingleN)
+    incrementalNearDupsFromSketchSpine(corpusSketch, corpusDocs,
+      bandRowsOfSpine(spine, idCol, k, bands), spine,
+      idCol, textCol, shingleN, num, den)
+  }
+
+  /** [[incrementalNearDupsFromSketch]] over PRE-COMPUTED fresh-batch
+    * band rows and shingle spine — the ingest path's form: one
+    * micro-batch's shingle/minhash kernels run once and feed the
+    * internal-pair join, the sketch write AND this probe (before,
+    * each consumer re-ran them — six shingle passes per batch). */
+  private[graft] def incrementalNearDupsFromSketchSpine(
+      corpusSketch: DataFrame, corpusDocs: DataFrame,
+      freshBand: DataFrame, freshSpine: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
+    val fBand = freshBand.select(col(idCol).as("fresh_id"), col("band"), col("band_key"))
     val cands = fBand
       .join(corpusSketch.select(col(idCol).as("corpus_id"), col("band"), col("band_key")),
         Seq("band", "band_key"))
@@ -266,7 +312,7 @@ object Dedup {
           Seq(idCol), "left_semi"),
         idCol, textCol, shingleN)
       .select(col(idCol).as("corpus_id"), col("_sh").as("_sh_a"))
-    val fb = withShingleArray(fresh, idCol, textCol, shingleN)
+    val fb = freshSpine
       .select(col(idCol).as("fresh_id"), col("_sh").as("_sh_b"))
     cands.join(ca, "corpus_id").join(fb, "fresh_id")
       .select(col("corpus_id"), col("fresh_id"),

@@ -627,14 +627,27 @@ object EventStreams {
                                 shingleN: Int, k: Int, bands: Int,
                                 num: Int, den: Int): Unit = {
     val b = batch.select("doc_id", "text").localCheckpoint()
-    val internal = graft.operators.Dedup
-      .minhashNearDups(b, "doc_id", "text", shingleN, k, bands, num, den)
+    // ONE shingle spine and ONE band-row frame per micro-batch,
+    // shared by all three consumers (internal-pair join, cross-batch
+    // sketch probe, the sketch write — bandRows IS signatureBandRows'
+    // output, bit-identically): before this the batch's shingle
+    // kernel ran up to six times and the minhash banding three times
+    // per ingest (guide §1.2/§2.3 — don't compute things twice;
+    // measured: the 3-job ingest gate spent 3.4 s in
+    // minhashNearDups alone at sf0.1).
+    val spine = graft.operators.Dedup
+      .shingleSpine(b, "doc_id", "text", shingleN).localCheckpoint()
+    val bandRows = graft.operators.Dedup
+      .bandRowsOfSpine(spine, "doc_id", k, bands).localCheckpoint()
+    val internal = graft.operators.Dedup.verifyJaccard(
+      graft.operators.Dedup.candidatePairsFrom(bandRows, "doc_id"),
+      spine, "doc_id", num, den)
     val out =
       if (hasCommittedBatchBefore(conf, sketchDir, batchId)) {
-        val cross = graft.operators.Dedup.incrementalNearDupsFromSketch(
+        val cross = graft.operators.Dedup.incrementalNearDupsFromSketchSpine(
             stateBefore(s, sketchDir, batchId),
             stateBefore(s, docsDir, batchId),
-            b, "doc_id", "text", shingleN, k, bands, num, den)
+            bandRows, spine, "doc_id", "text", shingleN, num, den)
           // one-shot orientation: doc_a < doc_b with (na, nb)
           // following the id order, not the corpus/fresh roles
           .select(
@@ -649,14 +662,15 @@ object EventStreams {
       } else internal
     out.write.mode("overwrite").parquet(batchPart(outDir, batchId))
     b.write.mode("overwrite").parquet(batchPart(docsDir, batchId))
-    graft.operators.Dedup
-      .signatureBandRows(b, "doc_id", "text", shingleN, k, bands)
-      .write.mode("overwrite").parquet(batchPart(sketchDir, batchId))
-    // frees EVERY checkpoint block in the batch's plan — `b` and
-    // the candidate frame incrementalNearDupsFromSketch pins
-    // internally (ADVICE r16: without this a long-running stream
-    // accumulates one candidate checkpoint per micro-batch)
+    bandRows.write.mode("overwrite").parquet(batchPart(sketchDir, batchId))
+    // frees EVERY checkpoint block in the batch's plan — `b`, the
+    // spine and band frames above, and the candidate frame
+    // incrementalNearDupsFromSketchSpine pins internally (ADVICE r16:
+    // without this a long-running stream accumulates one candidate
+    // checkpoint per micro-batch)
     graft.operators.Checkpoints.free(out)
+    graft.operators.Checkpoints.free(bandRows)
+    graft.operators.Checkpoints.free(spine)
     graft.operators.Checkpoints.free(b)
   }
 
