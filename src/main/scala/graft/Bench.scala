@@ -34,7 +34,11 @@ object Bench {
     "etl_merge_strategy", "etl_compact_roundtrip", "sample_token_budget",
     "dedup_prefix_pairs", "layout_bloom_skipping",
     "text_unigram_train", "sim_ivf_recall", "text_stream_neardup",
-    "sim_ivfpq_batch_topk", "text_bm25_incremental", "etl_ingest_dedup")
+    "sim_ivfpq_batch_topk", "text_bm25_incremental", "etl_ingest_dedup",
+    // the five timed index-build rows (VERDICT r19 #3: the bench pays
+    // the persisted-projection builds visibly — see Bench.main)
+    "sidx_sig16", "sidx_bits", "sidx_pfx32",
+    "sidx_sq8", "sidx_pqcb")
 
   /** Exactness TWINS excluded from the bench loop: each re-runs its
     * approximate sibling's pipeline PLUS an exact reference purely to
@@ -73,6 +77,44 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // ---- The bench PAYS the persisted-index builds (VERDICT r19 #3:
+    // the fingerprint-keyed similarity projections survive across
+    // JVMs, so run 1 of min-of-2 previously rode a previous round's
+    // disk cache and no timed row ever carried the build cost).
+    // Delete the five projection caches up front, then time each
+    // rung's build as its OWN row — run once (a second run would read
+    // the cache and time nothing), added to the queries map and the
+    // total; the serving rows then read the already-built tables, so
+    // nothing double-counts. Additions-only: no previously timed row
+    // changes meaning.
+    locally {
+      val idxPrefixes = Seq("sigtab", "bitstab", "pfxtab", "sq8tab", "pq_cb_")
+      val root = new java.io.File(CacheDirs.root)
+      Option(root.listFiles()).foreach(_.foreach { f =>
+        if (idxPrefixes.exists(p => f.getName.startsWith(p)))
+          CacheDirs.deleteRecursively(f)
+      })
+    }
+    val indexBuilds: Seq[(String, Double)] = Seq[(String, () => Unit)](
+      "sidx_sig16" -> (() => SimilarityQueries.sigTableCached(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()),
+      "sidx_bits" -> (() => SimilarityQueries.bitsTableCached(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()),
+      "sidx_pfx32" -> (() => SimilarityQueries.prefixTableCached(spark, sfDir, 32)
+        .write.format("noop").mode("overwrite").save()),
+      "sidx_sq8" -> (() => SimilarityQueries.sq8TableCached(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()),
+      "sidx_pqcb" -> (() => { SimilarityQueries.pqCodebooksCached(spark, sfDir); () })
+    ).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try build()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }
     // Sorted order: stable run-to-run and round-to-round comparisons
     // (Map iteration order would shuffle which query pays warm-cache
     // effects as the registry grows).
@@ -119,8 +161,9 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // NaN rows (failures) are excluded from the map and the total —
-    // "NaN" is not valid JSON and a time-to-failure is not a timing
-    val timed = results.filterNot(_._2.isNaN)
+    // "NaN" is not valid JSON and a time-to-failure is not a timing.
+    // The index-build rows join the timed set (and the total) first.
+    val timed = indexBuilds ++ results.filterNot(_._2.isNaN)
     val total = timed.map(_._2).sum
     // Full per-query detail goes to a file (not stdout — see headline
     // scaladoc). Best-effort: bench output must not fail on an
@@ -132,7 +175,7 @@ object Bench {
       try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"queries":${qmap(timed)},"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val missing = headline -- results.map(_._1).toSet
+    val missing = headline -- timed.map(_._1).toSet -- failed.toSet
     if (missing.nonEmpty)
       System.err.println(s"[bench] WARNING: headline names not in registry (renamed/removed?): ${missing.toSeq.sorted.mkString(", ")}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${timed.size},"n_failed":${failed.size},"queries":${qmap(timed.filter(r => headline(r._1)))},"failed":$failedJson,"sf":"$sfDir"}"""
