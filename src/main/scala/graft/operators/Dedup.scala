@@ -621,19 +621,47 @@ object Dedup {
    */
   def prefixFilterNearDups(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
-    val docs = withShingleArray(df, idCol, textCol, shingleN)
+    // the spine feeds the df census, the prefix ordering AND both
+    // verify sides — four shingle-kernel passes without a
+    // materialization point (the freq exchange covers only the
+    // partial-agg subtree, not the raw explode). One checkpoint; at
+    // 100 TB this is the persisted (id, shingles) projection an
+    // AllPairs index maintains beside the corpus, the same artifact
+    // posture as the similarity rungs.
+    val docs = withShingleArray(df, idCol, textCol, shingleN).localCheckpoint()
+    // §2.3 — shuffle keys, not payloads: everything between the spine
+    // and the verify stage (df census, per-doc ordering, prefix
+    // self-join) only needs shingle IDENTITY, so an 8-byte xxhash64
+    // token replaces the string in every exchange (the ordering
+    // shuffle previously carried (tdf, shingle-string) structs per
+    // exploded row). Exactness is unconditional: the census groups by
+    // the hash and min(shingle) != max(shingle) inside a hash group
+    // would mean two distinct shingles collided — raise_error in-plan
+    // (never observed; ~|vocab|²/2⁶⁴), because a silent collision
+    // would merge two tokens' df counts and could in principle lose a
+    // candidate. Any collision-free total order satisfies the prefix
+    // pigeonhole, so (tdf, hash) ordering keeps the output equal to
+    // the quadratic join — the oracle pins it.
     val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("tdf"))
-    // Per-doc shingles sorted by the global (df, shingle) order, then
-    // cut to the prefix; ceil(t*n) in exact integer arithmetic.
-    val ordered = sh.join(freq, "shingle")
+      .select(col(idCol), col("shingle"), xxhash64(col("shingle")).as("_h"))
+    val freq = sh.groupBy("_h").agg(count(lit(1)).as("_tdf"),
+        min("shingle").as("_lo"), max("shingle").as("_hi"))
+      .select(col("_h"),
+        when(col("_lo") === col("_hi"), col("_tdf"))
+          .otherwise(raise_error(concat(
+            lit("prefixFilterNearDups: xxhash64 collision between shingles '"),
+            col("_lo"), lit("' and '"), col("_hi"),
+            lit("' — use a wider token key")))).as("tdf"))
+    // Per-doc shingle hashes sorted by the global (df, hash) order,
+    // then cut to the prefix; ceil(t*n) in exact integer arithmetic.
+    val ordered = sh.select(col(idCol), col("_h")).join(freq, "_h")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("tdf"), col("shingle")))).as("ord"))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("_h")))).as("ord"))
       .select(col(idCol), col("ord"), size(col("ord")).as("n_sh"))
       .withColumn("p", col("n_sh") - expr(s"(n_sh * $num + ${den - 1}) div $den") + lit(1))
     val prefixRows = ordered
       .select(col(idCol), col("n_sh"),
-        explode(expr("transform(slice(ord, 1, p), x -> x.shingle)")).as("ptok"))
+        explode(expr("transform(slice(ord, 1, p), x -> x._h)")).as("ptok"))
     val a = prefixRows.select(col(idCol).as("id_a"), col("n_sh").as("na"), col("ptok"))
     val b = prefixRows.select(col(idCol).as("id_b"), col("n_sh").as("nb"), col("ptok"))
     val cands = a.join(b, Seq("ptok"))
@@ -675,7 +703,9 @@ object Dedup {
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, num: Int = 9, den: Int = 10): DataFrame = {
-    val docs = withShingleArray(df, idCol, textCol, shingleN)
+    // one spine materialization — the prefixFilterNearDups rationale
+    // (df census + ordering + container postings + both verify sides)
+    val docs = withShingleArray(df, idCol, textCol, shingleN).localCheckpoint()
     val sh = docs.select(col(idCol), explode(col("_sh")).as("shingle"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("tdf"))
     val ordered = sh.join(freq, "shingle")
